@@ -1,0 +1,17 @@
+"""PySpark-native analytics engine with the capabilities of the
+CDAP Datastream Delta source plugin (reference: data-integrations/
+datastream-delta-plugins), re-expressed Spark-first.
+
+Layout:
+    session      -- SparkSession builder pinned for DuckDB-parity semantics
+    envelope     -- Datastream change-event envelope schema (StructType)
+    schema/      -- Oracle/Avro type mapping (the §1.3 decision trees)
+    sources/     -- table loading, change-file reader, table registry
+    operators/   -- CDC materialization, relational query surface,
+                    dedup / similarity / text / multimodal operators
+    functions/   -- reusable column-level helpers
+    streaming/   -- Structured Streaming CDC pipeline
+    plans/       -- plan-inspection helpers (pushdown/broadcast asserts)
+"""
+
+__version__ = "0.1.0"

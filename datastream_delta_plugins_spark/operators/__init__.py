@@ -1,0 +1,9 @@
+"""Engine operators.
+
+relational   -- the declared query surface (SURVEY §2.7 Q01-Q25)
+cdc          -- change-data-capture materialization (Q26-Q30)
+dedup        -- exact + approximate document deduplication
+similarity   -- embedding similarity search (brute force + LSH)
+text         -- text analysis (lang-id, quality, tokens, fingerprint)
+multimodal   -- binary-column (image/audio/video) plumbing
+"""

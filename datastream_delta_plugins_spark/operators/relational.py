@@ -1,0 +1,468 @@
+"""Relational query surface (SURVEY.md §2.7 Q01-Q25), DataFrame-first.
+
+Every query is a function ``(spark, sf_dir) -> DataFrame`` built with the
+DataFrame API so Catalyst plans it (pushdown, pruning, join selection,
+whole-stage codegen); the matching ANSI-SQL oracle string (run by DuckDB)
+lives in ``ORACLE_SQL``.
+
+Determinism conventions (pinned so the value-hash compare is exact):
+  - money/double aggregates go through DECIMAL(18,4) per-row casts, so
+    sums are exact and order-independent (double sums reassociate under
+    parallel partial aggregation and would drift in the last ulp);
+  - averages divide decimal-sum by count in DOUBLE on both engines
+    (DuckDB's decimal division yields DOUBLE);
+  - int-typed scalar function results are cast to BIGINT on both sides
+    (Spark: year()->INT, DuckDB: year()->BIGINT);
+  - every LIMIT is preceded by a total ORDER BY;
+  - no bare CAST(double AS BIGINT) on non-integral values (Spark
+    truncates, DuckDB rounds) -- l_quantity is integral, so Q22 is safe.
+
+Reference parity: these exercise the capability surface the reference
+delegates downstream (SURVEY §2.6); the reference itself is a CDC source
+(see operators/cdc.py for its native semantics).
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+DEC = "decimal(18,4)"
+
+
+def _dec(c):
+    """Per-row money cast: exact, order-independent aggregation."""
+    return F.col(c).cast(DEC) if isinstance(c, str) else c.cast(DEC)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --- Q01 scan + project (P1: column pruning reaches the parquet scan) ---
+
+def q01_scan_project(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.select("l_orderkey", "l_partkey", "l_quantity")
+              .orderBy("l_orderkey", "l_partkey", "l_quantity")
+              .limit(100))
+
+
+# --- Q02 filter predicates (P2/P3: pushed to scan) ---
+
+def q02_filter_count(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.where((F.col("l_shipdate") >= F.lit(datetime.date(1995, 1, 1)))
+                     & F.col("l_discount").between(0.05, 0.07)
+                     & (F.col("l_quantity") < 24))
+              .agg(F.count(F.lit(1)).alias("c")))
+
+
+# --- Q03 hash aggregate (TPC-H Q1 core) ---
+
+def q03_hash_agg(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag", "l_linestatus")
+              .agg(F.sum("l_quantity").alias("s_qty"),
+                   F.round(F.sum(_dec("l_extendedprice")).cast("double")
+                           / F.count(F.lit(1)).cast("double"), 4).alias("a_price"),
+                   F.count(F.lit(1)).alias("c"))
+              .orderBy("l_returnflag", "l_linestatus"))
+
+
+# --- Q04 count distinct ---
+
+def q04_count_distinct(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(F.countDistinct("l_suppkey").alias("d"))
+
+
+# --- Q05 inner equi-join + aggregate ---
+
+def q05_inner_join(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (o.join(li, o.o_orderkey == li.l_orderkey)
+             .groupBy("o_orderpriority")
+             .agg(F.count(F.lit(1)).alias("c"))
+             .orderBy("o_orderpriority"))
+
+
+# --- Q06 multi-way join; nation is a fixed-size dim -> broadcast ---
+
+def q06_multiway_join(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    n = _t(spark, sf_dir, "nation")
+    rev = (_dec("l_extendedprice")
+           * (F.lit(1).cast("double") - F.col("l_discount")).cast(DEC))
+    return (c.join(o, c.c_custkey == o.o_custkey)
+             .join(li, o.o_orderkey == li.l_orderkey)
+             .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+             .groupBy("n_name")
+             .agg(F.round(F.sum(rev), 4).cast("double").alias("rev"))
+             .orderBy("n_name"))
+
+
+# --- Q07 left outer join + null-aware count ---
+
+def q07_left_join(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (c.join(o, c.c_custkey == o.o_custkey, "left")
+             .groupBy("c_custkey")
+             .agg(F.count("o_orderkey").alias("c"))
+             .orderBy(F.desc("c"), "c_custkey")
+             .limit(100))
+
+
+# --- Q08 semi join ---
+
+def q08_semi_join(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 100000)
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+             .agg(F.count(F.lit(1)).alias("c")))
+
+
+# --- Q09 anti join ---
+
+def q09_anti_join(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+             .agg(F.count(F.lit(1)).alias("c")))
+
+
+# --- Q10 theta/range join (equi key + residual range predicate) ---
+
+def q10_range_join(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    cond = ((p.p_partkey == li.l_partkey)
+            & (li.l_quantity >= p.p_size - 5)
+            & (li.l_quantity <= p.p_size + 5))
+    return p.join(li, cond).agg(F.count(F.lit(1)).alias("c"))
+
+
+# --- Q11 rollup ---
+
+def q11_rollup(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (o.rollup("o_orderstatus", "o_orderpriority")
+             .agg(F.count(F.lit(1)).alias("c"))
+             .orderBy(F.col("o_orderstatus").asc_nulls_first(),
+                      F.col("o_orderpriority").asc_nulls_first(), "c"))
+
+
+# --- Q12 cube ---
+
+def q12_cube(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.cube("l_returnflag", "l_linestatus")
+              .agg(F.sum("l_quantity").alias("s"))
+              .orderBy(F.col("l_returnflag").asc_nulls_first(),
+                       F.col("l_linestatus").asc_nulls_first(), "s"))
+
+
+# --- Q13 ranking window (top-k per group) ---
+
+def q13_rank_window(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (o.select("o_custkey", "o_orderkey",
+                     F.row_number().over(w).cast("bigint").alias("rn"))
+             .where(F.col("rn") <= 3)
+             .orderBy("o_custkey", "rn"))
+
+
+# --- Q14 analytic window lag ---
+
+def q14_lag_window(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (o.select("o_orderkey", "o_orderdate",
+                     F.lag("o_totalprice").over(w).alias("prev"))
+             .orderBy("o_orderkey")
+             .limit(100))
+
+
+# --- Q15 frame spec: running sum ---
+
+def q15_running_sum(spark, sf_dir):
+    # (l_orderkey, l_linenumber) is NOT unique in this data, so the window
+    # order must be total (ties would make ROWS-frame prefix sums
+    # nondeterministic); remaining ties share l_quantity, so sums agree.
+    li = _t(spark, sf_dir, "lineitem")
+    w = (W.partitionBy("l_orderkey")
+          .orderBy("l_linenumber", "l_quantity", "l_partkey", "l_suppkey")
+          .rowsBetween(W.unboundedPreceding, W.currentRow))
+    return (li.select("l_orderkey", "l_linenumber",
+                      F.sum("l_quantity").over(w).alias("run"))
+              .orderBy("l_orderkey", "l_linenumber", "run")
+              .limit(200))
+
+
+# --- Q16 sort + limit (top-k: Spark plans TakeOrderedAndProject) ---
+
+def q16_topk(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (o.select("o_orderkey", "o_totalprice")
+             .orderBy(F.desc("o_totalprice"), "o_orderkey")
+             .limit(20))
+
+
+# --- Q17 union distinct ---
+
+def q17_union(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
+    return c.union(s).distinct().agg(F.count(F.lit(1)).alias("c"))
+
+
+# --- Q18 intersect ---
+
+def q18_intersect(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
+    return c.intersect(s).orderBy("k")
+
+
+# --- Q19 except ---
+
+def q19_except(spark, sf_dir):
+    n = _t(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("k"))
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    return n.subtract(c).orderBy("k")
+
+
+# --- Q20 string functions (T2 coercions, T6 concat_ws) ---
+
+def q20_string_fns(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return (p.select("p_partkey",
+                     F.upper("p_name").alias("u"),
+                     F.substring("p_name", 1, 5).alias("s"),
+                     F.length("p_name").cast("bigint").alias("len"),
+                     F.concat_ws("_", "p_brand", "p_type").alias("cw"))
+             .orderBy("p_partkey")
+             .limit(100))
+
+
+# --- Q21 date functions (P7 window math) ---
+
+def q21_date_fns(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    od = F.col("o_orderdate").cast("date")
+    return (o.select("o_orderkey",
+                     F.year("o_orderdate").cast("bigint").alias("y"),
+                     F.month("o_orderdate").cast("bigint").alias("m"),
+                     F.date_add(od, 90).alias("d90"),
+                     F.datediff(F.lit(datetime.date(1998, 12, 1)), od)
+                      .cast("bigint").alias("dd"))
+             .orderBy("o_orderkey")
+             .limit(100))
+
+
+# --- Q22 math/decimal expressions (§1.3 NUMBER rules applied in DECIMAL) ---
+
+def q22_math_decimal(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    one = F.lit(1).cast("double")
+    charge = (_dec("l_extendedprice")
+              * (one - F.col("l_discount")).cast(DEC)
+              * (one + F.col("l_tax")).cast(DEC))
+    return (li.select("l_orderkey",
+                      F.round(charge, 2).cast("double").alias("charge"),
+                      F.col("l_quantity").cast("bigint").alias("q"))
+              .orderBy("l_orderkey", "charge")
+              .limit(100))
+
+
+# --- Q23 case/conditional (T3 normalization pattern) ---
+
+def q23_case(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    st = (F.when(F.col("o_orderstatus") == "F", "FINISHED")
+           .when(F.col("o_orderstatus") == "O", "OPEN")
+           .otherwise(F.col("o_orderstatus")).alias("st"))
+    return (o.select(st).groupBy("st").agg(F.count(F.lit(1)).alias("c"))
+             .orderBy("st"))
+
+
+# --- Q24 correlated scalar subquery (decorrelated to a broadcast join;
+#     avg comparison rewritten sum/count-exact so no double-avg drift) ---
+
+def q24_correlated_subquery(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    brand = (p.groupBy(F.col("p_brand").alias("b"))
+              .agg(F.sum(_dec("p_retailprice")).alias("s"),
+                   F.count(F.lit(1)).alias("cnt")))
+    return (p.join(F.broadcast(brand), p.p_brand == brand.b)
+             .where(_dec("p_retailprice") * F.col("cnt") > F.col("s"))
+             .agg(F.count(F.lit(1)).alias("c")))
+
+
+# --- Q25 time bucketing (tumbling window, batch-checkable) ---
+
+def q25_time_bucket(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (e.groupBy(F.date_trunc("hour", "ts").alias("h"))
+             .agg(F.count(F.lit(1)).alias("c"))
+             .orderBy("h"))
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q01_scan_project": q01_scan_project,
+    "q02_filter_count": q02_filter_count,
+    "q03_hash_agg": q03_hash_agg,
+    "q04_count_distinct": q04_count_distinct,
+    "q05_inner_join": q05_inner_join,
+    "q06_multiway_join": q06_multiway_join,
+    "q07_left_join": q07_left_join,
+    "q08_semi_join": q08_semi_join,
+    "q09_anti_join": q09_anti_join,
+    "q10_range_join": q10_range_join,
+    "q11_rollup": q11_rollup,
+    "q12_cube": q12_cube,
+    "q13_rank_window": q13_rank_window,
+    "q14_lag_window": q14_lag_window,
+    "q15_running_sum": q15_running_sum,
+    "q16_topk": q16_topk,
+    "q17_union": q17_union,
+    "q18_intersect": q18_intersect,
+    "q19_except": q19_except,
+    "q20_string_fns": q20_string_fns,
+    "q21_date_fns": q21_date_fns,
+    "q22_math_decimal": q22_math_decimal,
+    "q23_case": q23_case,
+    "q24_correlated_subquery": q24_correlated_subquery,
+    "q25_time_bucket": q25_time_bucket,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "q01_scan_project": """
+        SELECT l_orderkey, l_partkey, l_quantity FROM lineitem
+        ORDER BY l_orderkey, l_partkey, l_quantity LIMIT 100""",
+    "q02_filter_count": """
+        SELECT count(*) AS c FROM lineitem
+        WHERE l_shipdate >= DATE '1995-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""",
+    "q03_hash_agg": """
+        SELECT l_returnflag, l_linestatus,
+               sum(l_quantity) AS s_qty,
+               round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE), 4) AS a_price,
+               count(*) AS c
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus""",
+    "q04_count_distinct": "SELECT count(DISTINCT l_suppkey) AS d FROM lineitem",
+    "q05_inner_join": """
+        SELECT o_orderpriority, count(*) AS c
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q06_multiway_join": """
+        SELECT n_name,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                              * CAST(1 - l_discount AS DECIMAL(18,4))), 4)
+                    AS DOUBLE) AS rev
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name ORDER BY n_name""",
+    "q07_left_join": """
+        SELECT c_custkey, count(o_orderkey) AS c
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey ORDER BY c DESC, c_custkey LIMIT 100""",
+    "q08_semi_join": """
+        SELECT count(*) AS c FROM customer
+        WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 100000)""",
+    "q09_anti_join": """
+        SELECT count(*) AS c FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+    "q10_range_join": """
+        SELECT count(*) AS c FROM part p JOIN lineitem l
+        ON p.p_partkey = l.l_partkey
+           AND l.l_quantity BETWEEN p.p_size - 5 AND p.p_size + 5""",
+    "q11_rollup": """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS c FROM orders
+        GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST, c""",
+    "q12_cube": """
+        SELECT l_returnflag, l_linestatus, sum(l_quantity) AS s FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST, s""",
+    "q13_rank_window": """
+        SELECT * FROM (
+          SELECT o_custkey, o_orderkey,
+                 CAST(row_number() OVER (PARTITION BY o_custkey
+                      ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+          FROM orders) t
+        WHERE rn <= 3 ORDER BY o_custkey, rn""",
+    "q14_lag_window": """
+        SELECT o_orderkey, o_orderdate,
+               lag(o_totalprice) OVER (PARTITION BY o_custkey
+                    ORDER BY o_orderdate, o_orderkey) AS prev
+        FROM orders ORDER BY o_orderkey LIMIT 100""",
+    "q15_running_sum": """
+        SELECT l_orderkey, l_linenumber,
+               sum(l_quantity) OVER (PARTITION BY l_orderkey
+                    ORDER BY l_linenumber, l_quantity, l_partkey, l_suppkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+        FROM lineitem ORDER BY l_orderkey, l_linenumber, run LIMIT 200""",
+    "q16_topk": """
+        SELECT o_orderkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""",
+    "q17_union": """
+        SELECT count(*) AS c FROM (
+          SELECT c_nationkey AS k FROM customer
+          UNION SELECT s_nationkey AS k FROM supplier) t""",
+    "q18_intersect": """
+        SELECT c_nationkey AS k FROM customer
+        INTERSECT SELECT s_nationkey FROM supplier ORDER BY k""",
+    "q19_except": """
+        SELECT n_nationkey AS k FROM nation
+        EXCEPT SELECT DISTINCT c_nationkey FROM customer ORDER BY k""",
+    "q20_string_fns": """
+        SELECT p_partkey, upper(p_name) AS u, substr(p_name, 1, 5) AS s,
+               CAST(length(p_name) AS BIGINT) AS len,
+               concat_ws('_', p_brand, p_type) AS cw
+        FROM part ORDER BY p_partkey LIMIT 100""",
+    "q21_date_fns": """
+        SELECT o_orderkey,
+               CAST(year(o_orderdate) AS BIGINT) AS y,
+               CAST(month(o_orderdate) AS BIGINT) AS m,
+               CAST(o_orderdate AS DATE) + 90 AS d90,
+               CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '1998-12-01')
+                    AS BIGINT) AS dd
+        FROM orders ORDER BY o_orderkey LIMIT 100""",
+    "q22_math_decimal": """
+        SELECT l_orderkey,
+               CAST(round(CAST(l_extendedprice AS DECIMAL(18,4))
+                          * CAST(1 - l_discount AS DECIMAL(18,4))
+                          * CAST(1 + l_tax AS DECIMAL(18,4)), 2) AS DOUBLE) AS charge,
+               CAST(l_quantity AS BIGINT) AS q
+        FROM lineitem ORDER BY l_orderkey, charge LIMIT 100""",
+    "q23_case": """
+        SELECT CASE WHEN o_orderstatus = 'F' THEN 'FINISHED'
+                    WHEN o_orderstatus = 'O' THEN 'OPEN'
+                    ELSE o_orderstatus END AS st, count(*) AS c
+        FROM orders GROUP BY 1 ORDER BY st""",
+    "q24_correlated_subquery": """
+        SELECT count(*) AS c FROM part p
+        WHERE CAST(p_retailprice AS DECIMAL(18,4))
+              * (SELECT count(*) FROM part p2 WHERE p2.p_brand = p.p_brand)
+              > (SELECT sum(CAST(p2.p_retailprice AS DECIMAL(18,4)))
+                 FROM part p2 WHERE p2.p_brand = p.p_brand)""",
+    "q25_time_bucket": """
+        SELECT date_trunc('hour', ts) AS h, count(*) AS c
+        FROM events GROUP BY 1 ORDER BY h""",
+}

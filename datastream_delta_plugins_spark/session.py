@@ -1,0 +1,49 @@
+"""SparkSession construction pinned for deterministic, DuckDB-comparable
+semantics and local[N] throughput.
+
+Settings rationale (all public Spark configs):
+  - session timeZone=UTC: the DuckDB oracle reads parquet timestamps as
+    UTC-naive; pinning UTC makes date/timestamp functions agree.
+  - AQE on (+coalesce): runtime re-planning handles skew and avoids tiny
+    shuffle partitions at small SF while staying correct at 100 TB.
+  - shuffle.partitions defaults to the local core count; a real cluster
+    deployment would size this to ~2-3x total executor cores.
+  - Arrow enabled: fast toPandas()/pandas UDF transfer.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(app_name: str = "datastream-delta-spark",
+              cpus: int | None = None,
+              shuffle_partitions: int | None = None) -> SparkSession:
+    cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    shuffle_partitions = shuffle_partitions or cpus
+    builder = (
+        SparkSession.builder
+        .master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def pin_session(spark: SparkSession) -> SparkSession:
+    """Apply the runtime-settable determinism configs to an existing
+    session (used when the harness, not us, built the SparkSession)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark

@@ -1,0 +1,49 @@
+"""Parquet table source for the driver's synthetic star schema.
+
+Tables (TESTDATA.md): region nation customer supplier part orders
+lineitem events documents embeddings — one parquet per table under a
+scale-factor directory. Reads are plain `spark.read.parquet` so Catalyst
+gets full predicate pushdown / column pruning / partition-size planning.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLE_NAMES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+# Small dimension tables that should always be broadcast in joins at any
+# scale factor (region=5 rows, nation=25 rows — fixed-size dims).
+BROADCAST_TABLES = frozenset({"region", "nation"})
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
+        # reader rejects. Read it as long (legacy conf, runtime-settable)
+        # and convert ns -> us with exact integer division; TIMESTAMP_NTZ
+        # matches DuckDB's naive reading of the same file.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        return df.withColumn(
+            "ts",
+            F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"))
+    return spark.read.parquet(path)
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view so spark.sql() queries run
+    against the same names the DuckDB oracle uses."""
+    for t in TABLE_NAMES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)

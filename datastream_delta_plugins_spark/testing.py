@@ -1,0 +1,86 @@
+"""Local DuckDB-parity harness mirroring the driver's correctness gate:
+row-count + column-name schema + order-insensitive exact value compare.
+
+Floats are compared bitwise (the driver hashes values), so queries must
+be written to be deterministic across engines — see operators/relational.py
+docstring for the conventions.
+"""
+
+from __future__ import annotations
+
+import datetime
+import decimal
+import math
+import os
+
+import duckdb
+
+TESTDATA_TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+    return con
+
+
+def _norm_value(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    if isinstance(v, decimal.Decimal):
+        return str(v.normalize())
+    if isinstance(v, datetime.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm_value(x) for x in v)
+    if isinstance(v, bytes):
+        return v.hex()
+    return v
+
+
+def normalize_rows(columns: list[str], rows) -> list[tuple]:
+    """Sort columns by name, normalize values, sort rows — the
+    order-insensitive canonical form both engines are reduced to."""
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    out = [tuple(_norm_value(r[i]) for i in order) for r in rows]
+    out.sort(key=lambda t: tuple((x is None, str(type(x)), str(x)) for x in t))
+    return out
+
+
+def spark_result(df) -> tuple[list[str], list[tuple]]:
+    cols = list(df.columns)
+    rows = [tuple(r) for r in df.collect()]
+    return cols, rows
+
+
+def duck_result(con, sql: str) -> tuple[list[str], list[tuple]]:
+    cur = con.execute(sql)
+    cols = [d[0] for d in cur.description]
+    return cols, cur.fetchall()
+
+
+def assert_parity(df, con, sql: str, name: str = "query") -> None:
+    s_cols, s_rows = spark_result(df)
+    d_cols, d_rows = duck_result(con, sql)
+    assert sorted(s_cols) == sorted(d_cols), (
+        f"{name}: column mismatch spark={sorted(s_cols)} duck={sorted(d_cols)}")
+    assert len(s_rows) == len(d_rows), (
+        f"{name}: row count spark={len(s_rows)} duck={len(d_rows)}")
+    s_norm = normalize_rows(s_cols, s_rows)
+    d_norm = normalize_rows(d_cols, d_rows)
+    if s_norm != d_norm:
+        diffs = [(i, a, b) for i, (a, b) in enumerate(zip(s_norm, d_norm)) if a != b]
+        raise AssertionError(
+            f"{name}: value mismatch ({len(diffs)} differing rows of {len(s_norm)}); "
+            f"first 5: {diffs[:5]} (cols sorted: {sorted(s_cols)})")

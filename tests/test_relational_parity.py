@@ -1,0 +1,19 @@
+"""Q01-Q25 hash-parity against DuckDB at sf0.01 (the driver's gate SF)."""
+
+import pytest
+
+from datastream_delta_plugins_spark.operators import relational
+from datastream_delta_plugins_spark.testing import assert_parity, duck_connection
+
+
+@pytest.fixture(scope="module")
+def duck(sf_correctness):
+    con = duck_connection(sf_correctness)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", sorted(relational.QUERIES))
+def test_parity(name, spark, duck, sf_correctness):
+    df = relational.QUERIES[name](spark, sf_correctness)
+    assert_parity(df, duck, relational.ORACLE_SQL[name], name)
