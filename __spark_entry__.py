@@ -1,38 +1,57 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)    -> flagship query at sf0.001 (multi-way join + decimal-
+                   exact aggregation over the star schema).
+queries()       -> every implemented query/operator from SURVEY.md §2
+                   (relational Q01-Q25, CDC Q26-Q30, plus data-pipeline
+                   operators as they land).
+oracle_sql()    -> matching DuckDB SQL for the correctness gate.
+
+Each callable pins runtime-settable determinism configs (UTC session
+timezone, nanos-as-long parquet reads) on the session it receives, so
+results match the oracle regardless of who built the SparkSession.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from datastream_delta_plugins_spark.operators import cdc_queries, relational  # noqa: E402
+
+
+def _pin(spark: SparkSession) -> SparkSession:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return relational.q06_multiway_join(_pin(spark), "/root/testdata/sf0.001")
+
+
+def _wrap(fn: Callable[[SparkSession, str], DataFrame]):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return fn(_pin(spark), sf_dir)
+    return run
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for registry in (relational.QUERIES, cdc_queries.QUERIES):
+        for name, fn in registry.items():
+            out[name] = _wrap(fn)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    out: dict[str, str] = {}
+    for registry in (relational.ORACLE_SQL, cdc_queries.ORACLE_SQL):
+        out.update(registry)
+    return out

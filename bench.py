@@ -1,0 +1,67 @@
+"""Headline benchmark: runs representative engine queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Execution is forced with the `noop` sink (full pipeline runs, no
+driver-side result transfer), so timings measure the engine, not
+collect().
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from datastream_delta_plugins_spark.operators import cdc_queries, relational
+from datastream_delta_plugins_spark.session import get_spark
+
+HEADLINE = [
+    ("q01", "q01_scan_project", relational.QUERIES),
+    ("q03", "q03_hash_agg", relational.QUERIES),
+    ("q04", "q04_count_distinct", relational.QUERIES),
+    ("q05", "q05_inner_join", relational.QUERIES),
+    ("q06", "q06_multiway_join", relational.QUERIES),
+    ("q10", "q10_range_join", relational.QUERIES),
+    ("q13", "q13_rank_window", relational.QUERIES),
+    ("q16", "q16_topk", relational.QUERIES),
+    ("q26", "q26_cdc_latest", cdc_queries.QUERIES),
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf"))
+    except ValueError:
+        sf = -1.0  # unrecognized dir naming; timings still valid
+    spark = get_spark("bench")
+
+    # warm the JVM/IO path once outside the timed region
+    spark.read.parquet(os.path.join(sf_dir, "nation.parquet")).count()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for short, name, registry in HEADLINE:
+        df = registry[name](spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        timings[short] = round(dt, 4)
+        total += dt
+
+    print(json.dumps({
+        "metric": "headline_queries_total_wall",
+        "value": round(total, 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

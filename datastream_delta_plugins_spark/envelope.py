@@ -1,0 +1,60 @@
+"""Datastream change-event envelope schema.
+
+Mirrors the Avro envelope the reference consumes (field constants at
+reference: src/main/java/io/cdap/delta/datastream/DatastreamEventConsumer.java:55-64;
+full fixture schema in FIXTURES.md F1): uuid, read_timestamp,
+source_timestamp, object, read_method, stream_name, schema_key,
+source_metadata{...}, payload{...}, sort_keys[].
+
+The Avro ``sort_keys`` is array<union[string,long]>; Spark has no union
+type, so we carry array<string> and cast-on-use (SURVEY §1.3). Oracle's
+key order is [source_timestamp, scn, rs_id, ssn]
+(DatastreamEventConsumer.java:261-295): positions 0,1,3 are numeric,
+position 2 is a string.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+SNAPSHOT_READ_METHOD = "oracle-backfill"
+CDC_READ_METHOD = "oracle-cdc-logminer"
+
+# marker inside a change-file name identifying snapshot (backfill) files
+# (reference: DatastreamEventConsumer.java:206-208)
+SNAPSHOT_FILE_MARKER = "backfill"
+
+SOURCE_METADATA_SCHEMA = T.StructType([
+    T.StructField("schema", T.StringType(), False),
+    T.StructField("table", T.StringType(), False),
+    T.StructField("database", T.StringType(), False),
+    T.StructField("row_id", T.StringType(), True),
+    T.StructField("scn", T.LongType(), True),
+    T.StructField("is_deleted", T.BooleanType(), True),
+    T.StructField("change_type", T.StringType(), True),
+    T.StructField("ssn", T.LongType(), True),
+    T.StructField("rs_id", T.StringType(), True),
+    T.StructField("tx_id", T.StringType(), True),
+    T.StructField("log_file", T.StringType(), True),
+])
+
+
+def envelope_schema(payload_schema: T.StructType) -> T.StructType:
+    return T.StructType([
+        T.StructField("uuid", T.StringType(), True),
+        T.StructField("read_timestamp", T.TimestampType(), True),
+        T.StructField("source_timestamp", T.TimestampType(), True),
+        T.StructField("object", T.StringType(), True),
+        T.StructField("read_method", T.StringType(), True),
+        T.StructField("stream_name", T.StringType(), True),
+        T.StructField("schema_key", T.StringType(), True),
+        T.StructField("source_metadata", SOURCE_METADATA_SCHEMA, True),
+        T.StructField("payload", payload_schema, True),
+        T.StructField("sort_keys", T.ArrayType(T.StringType()), True),
+    ])
+
+
+# Flattened sort-key columns (FIXTURES.md "flattened change-table schema"):
+# _sk1 BIGINT (source_timestamp), _sk2 BIGINT (scn), _sk3 VARCHAR (rs_id),
+# _sk4 BIGINT (ssn) — descending-lexicographic max == latest event.
+SORT_KEY_COLS = ("_sk1", "_sk2", "_sk3", "_sk4")

@@ -1,0 +1,219 @@
+"""Q26-Q30: CDC correctness queries over a deterministic simulated change
+stream derived from the `orders` table (FIXTURES.md F4 pattern).
+
+Both engines construct the identical change stream:
+  - snapshot: every orders row as a backfill INSERT (change_type NULL,
+    read_method 'oracle-backfill'), sort keys (0, pk, 'na', 0)
+  - cdc UPDATE #1 (pk % 7 == 0): o_totalprice + 1000, keys (1, pk, 'na', 1)
+  - cdc UPDATE #2 (pk % 21 == 0): o_totalprice + 3000, keys (2, pk, 'na', 1)
+  - cdc DELETE (pk % 13 == 0): keys (3, pk, 'na', 1)
+  - PK-update pair (pk % 97 == 0): UPDATE-DELETE(old pk) keys (4, pk,
+    'na', 0) + UPDATE-INSERT(pk + 10_000_000) keys (4, pk, 'na', 1) —
+    the reference's representation of an Oracle PK change
+    (DatastreamEventConsumer.java:298-304)
+  - cdc INSERT of new PKs (pk % 11 == 0): pk + 20_000_000, keys (1,
+    new_pk, 'na', 0)
+
+Sort keys are unique within each PK, so the latest-row merge is totally
+ordered. The Spark side runs the real engine operators
+(sources.changes.normalize_ops + operators.cdc.materialize); the DuckDB
+oracle is the equivalent explicit SQL (window rn = 1), per SURVEY §2.7.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .cdc import materialize
+from ..sources.changes import normalize_ops
+
+PAYLOAD = ("o_custkey", "o_orderstatus", "o_totalprice",
+           "o_orderdate", "o_orderpriority")
+
+_SNAP = "oracle-backfill"
+_CDC = "oracle-cdc-logminer"
+
+
+def _orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+
+
+def _event(df, pk, price, change_type, read_method, sk1, sk2, sk4):
+    ct = (F.lit(None).cast("string") if change_type is None
+          else F.lit(change_type))
+    return df.select(
+        pk.cast("bigint").alias("pk"),
+        F.col("o_custkey"),
+        F.col("o_orderstatus"),
+        price.alias("o_totalprice"),
+        F.col("o_orderdate"),
+        F.col("o_orderpriority"),
+        ct.alias("change_type"),
+        F.lit(read_method).alias("read_method"),
+        F.lit(sk1).cast("bigint").alias("_sk1"),
+        sk2.cast("bigint").alias("_sk2"),
+        F.lit("na").alias("_sk3"),
+        F.lit(sk4).cast("bigint").alias("_sk4"),
+    )
+
+
+def simulate_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _orders(spark, sf_dir)
+    k = F.col("o_orderkey")
+    p = F.col("o_totalprice")
+    parts = [
+        _event(o, k, p, None, _SNAP, 0, k, 0),
+        _event(o.where(k % 7 == 0), k, p + 1000, "UPDATE", _CDC, 1, k, 1),
+        _event(o.where(k % 21 == 0), k, p + 3000, "UPDATE", _CDC, 2, k, 1),
+        _event(o.where(k % 13 == 0), k, p, "DELETE", _CDC, 3, k, 1),
+        _event(o.where(k % 97 == 0), k, p, "UPDATE-DELETE", _CDC, 4, k, 0),
+        _event(o.where(k % 97 == 0), k + 10_000_000, p,
+               "UPDATE-INSERT", _CDC, 4, k, 1),
+        _event(o.where(k % 11 == 0), k + 20_000_000, p,
+               "INSERT", _CDC, 1, k + 20_000_000, 0),
+    ]
+    df = parts[0]
+    for part in parts[1:]:
+        df = df.unionByName(part)
+    return df
+
+
+# The identical change stream in DuckDB SQL + the Q26 latest-row window.
+_CHANGES_CTE = """
+WITH changes AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS pk, o_custkey, o_orderstatus,
+         o_totalprice, o_orderdate, o_orderpriority,
+         CAST(NULL AS VARCHAR) AS change_type, 'oracle-backfill' AS read_method,
+         CAST(0 AS BIGINT) AS _sk1, CAST(o_orderkey AS BIGINT) AS _sk2,
+         'na' AS _sk3, CAST(0 AS BIGINT) AS _sk4
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice + 1000,
+         o_orderdate, o_orderpriority, 'UPDATE', 'oracle-cdc-logminer',
+         1, o_orderkey, 'na', 1
+  FROM orders WHERE o_orderkey % 7 = 0
+  UNION ALL
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice + 3000,
+         o_orderdate, o_orderpriority, 'UPDATE', 'oracle-cdc-logminer',
+         2, o_orderkey, 'na', 1
+  FROM orders WHERE o_orderkey % 21 = 0
+  UNION ALL
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+         o_orderdate, o_orderpriority, 'DELETE', 'oracle-cdc-logminer',
+         3, o_orderkey, 'na', 1
+  FROM orders WHERE o_orderkey % 13 = 0
+  UNION ALL
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+         o_orderdate, o_orderpriority, 'UPDATE-DELETE', 'oracle-cdc-logminer',
+         4, o_orderkey, 'na', 0
+  FROM orders WHERE o_orderkey % 97 = 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_custkey, o_orderstatus, o_totalprice,
+         o_orderdate, o_orderpriority, 'UPDATE-INSERT', 'oracle-cdc-logminer',
+         4, o_orderkey, 'na', 1
+  FROM orders WHERE o_orderkey % 97 = 0
+  UNION ALL
+  SELECT o_orderkey + 20000000, o_custkey, o_orderstatus, o_totalprice,
+         o_orderdate, o_orderpriority, 'INSERT', 'oracle-cdc-logminer',
+         1, o_orderkey + 20000000, 'na', 0
+  FROM orders WHERE o_orderkey % 11 = 0
+),
+normalized AS (
+  SELECT *,
+         CASE WHEN read_method LIKE '%backfill%' THEN 'INSERT'
+              WHEN change_type = 'UPDATE-DELETE' THEN 'DELETE'
+              WHEN change_type = 'UPDATE-INSERT' THEN 'UPDATE'
+              ELSE change_type END AS _op
+  FROM changes{blacklist}
+),
+latest AS (
+  SELECT *, row_number() OVER (PARTITION BY pk
+            ORDER BY _sk1 DESC, _sk2 DESC, _sk3 DESC, _sk4 DESC) AS rn
+  FROM normalized
+)
+"""
+
+
+def _cte(blacklist: str = "") -> str:
+    return _CHANGES_CTE.format(blacklist=blacklist)
+
+
+# --- Q26 latest-row materialization ---
+
+def q26_cdc_latest(spark, sf_dir):
+    changes = simulate_changes(spark, sf_dir)
+    latest = materialize(changes, ["pk"])
+    return latest.select("pk", *PAYLOAD).orderBy("pk")
+
+
+# --- Q27 soft delete ---
+
+def q27_cdc_soft_delete(spark, sf_dir):
+    changes = simulate_changes(spark, sf_dir)
+    latest = materialize(changes, ["pk"])
+    return latest.select("pk", "_is_deleted").orderBy("pk")
+
+
+# --- Q28 snapshot + CDC union -> live row count ---
+
+def q28_cdc_live_count(spark, sf_dir):
+    changes = simulate_changes(spark, sf_dir)
+    live = materialize(changes, ["pk"], soft_delete=False)
+    return live.agg(F.count(F.lit(1)).alias("c"))
+
+
+# --- Q29 PK-update split: old pk soft-deleted, new pk live ---
+
+def q29_cdc_pk_update(spark, sf_dir):
+    changes = simulate_changes(spark, sf_dir)
+    latest = materialize(changes, ["pk"])
+    pair = ((F.col("pk") % 97 == 0) & (F.col("pk") < 10_000_000)) | \
+           ((F.col("pk") >= 10_000_000) & (F.col("pk") < 20_000_000))
+    return (latest.where(pair)
+                  .select("pk", "_is_deleted", "o_totalprice")
+                  .orderBy("pk"))
+
+
+# --- Q30 DML blacklist: DELETEs filtered pre-merge ---
+
+def q30_cdc_blacklist(spark, sf_dir):
+    changes = simulate_changes(spark, sf_dir)
+    latest = materialize(changes, ["pk"], dml_blacklist=("DELETE",))
+    return (latest.where((F.col("pk") % 13 == 0) & (F.col("pk") < 10_000_000))
+                  .select("pk", "o_totalprice", "_is_deleted")
+                  .orderBy("pk"))
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q26_cdc_latest": q26_cdc_latest,
+    "q27_cdc_soft_delete": q27_cdc_soft_delete,
+    "q28_cdc_live_count": q28_cdc_live_count,
+    "q29_cdc_pk_update": q29_cdc_pk_update,
+    "q30_cdc_blacklist": q30_cdc_blacklist,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "q26_cdc_latest": _cte() + """
+        SELECT pk, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+               o_orderpriority
+        FROM latest WHERE rn = 1 ORDER BY pk""",
+    "q27_cdc_soft_delete": _cte() + """
+        SELECT pk, (_op = 'DELETE') AS _is_deleted
+        FROM latest WHERE rn = 1 ORDER BY pk""",
+    "q28_cdc_live_count": _cte() + """
+        SELECT count(*) AS c FROM latest WHERE rn = 1 AND _op <> 'DELETE'""",
+    "q29_cdc_pk_update": _cte() + """
+        SELECT pk, (_op = 'DELETE') AS _is_deleted, o_totalprice
+        FROM latest WHERE rn = 1
+          AND ((pk % 97 = 0 AND pk < 10000000)
+               OR (pk >= 10000000 AND pk < 20000000))
+        ORDER BY pk""",
+    "q30_cdc_blacklist": _cte(" WHERE NOT (CASE WHEN read_method LIKE '%backfill%' THEN 'INSERT' WHEN change_type = 'UPDATE-DELETE' THEN 'DELETE' WHEN change_type = 'UPDATE-INSERT' THEN 'UPDATE' ELSE change_type END = 'DELETE')") + """
+        SELECT pk, o_totalprice, (_op = 'DELETE') AS _is_deleted
+        FROM latest WHERE rn = 1 AND pk % 13 = 0 AND pk < 10000000
+        ORDER BY pk""",
+}

@@ -1,0 +1,127 @@
+"""Change-file source: read Datastream-style change files and produce the
+normalized change DataFrame the CDC materializer consumes.
+
+Re-expresses the reference's scan/consume path Spark-first:
+  - S1/S2 blob scan + Avro parse (DatastreamEventReader.java:444-479,
+    DatastreamEventConsumer.java:182-199) -> one `spark.read` over the
+    table's change directory. File listing, ordering and per-record
+    iteration all collapse into the declarative scan; Catalyst prunes
+    columns down to the parquet footer.
+  - S3/S4 snapshot vs CDC classification: file name contains "backfill"
+    (DatastreamEventConsumer.java:206-208) -> `input_file_name()` test,
+    OR the envelope's read_method column when present.
+  - T3 change-type normalization (DatastreamEventConsumer.java:297-308):
+    UPDATE-DELETE -> DELETE, UPDATE-INSERT -> UPDATE, snapshot -> INSERT.
+  - T4 previous-row synthesis (DatastreamEventConsumer.java:249-254).
+  - T5 sort-key extraction (DatastreamEventConsumer.java:261-295):
+    sort_keys array -> typed (_sk1.._sk4) columns.
+  - P1/P2 column projection + DML blacklist
+    (DatastreamEventConsumer.java:103-105, 232-235).
+
+File format: parquet (this container has no spark-avro datasource; the
+reader is format-agnostic — pass ``fmt="avro"`` where the package jar is
+deployed and the same plan applies).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..envelope import SNAPSHOT_FILE_MARKER, SORT_KEY_COLS
+
+META_COLS = (
+    "uuid", "read_timestamp", "source_timestamp", "object", "read_method",
+    "stream_name", "schema_key", "src_schema", "src_table", "src_database",
+    "row_id", "scn", "is_deleted", "change_type", "ssn", "rs_id", "tx_id",
+    "log_file",
+)
+
+
+def normalize_ops(df: DataFrame,
+                  change_type_col: str = "change_type",
+                  read_method_col: str = "read_method") -> DataFrame:
+    """T3: add `_op` and `_is_snapshot`. Snapshot rows are always INSERT
+    (change_type is null in backfill files); a PK update arrives as an
+    UPDATE-DELETE/UPDATE-INSERT pair normalized to DELETE + UPDATE."""
+    is_snap = (F.coalesce(F.col(read_method_col), F.lit(""))
+                .contains(SNAPSHOT_FILE_MARKER))
+    ct = F.upper(F.col(change_type_col))
+    op = (F.when(is_snap, F.lit("INSERT"))
+           .when(ct == "UPDATE-DELETE", F.lit("DELETE"))
+           .when(ct == "UPDATE-INSERT", F.lit("UPDATE"))
+           .otherwise(ct))
+    return df.withColumn("_op", op).withColumn("_is_snapshot", is_snap)
+
+
+def flatten_envelope(df: DataFrame,
+                     columns: Sequence[str] | None = None) -> DataFrame:
+    """Envelope StructType -> flattened change table (FIXTURES.md F1).
+
+    `columns` implements P1: restrict the payload to a subset; Catalyst
+    then prunes the nested struct read down to those fields.
+    """
+    payload_fields = [f.name for f in df.schema["payload"].dataType.fields]
+    if columns:
+        payload_fields = [c for c in payload_fields if c in set(columns)]
+    sk = F.col("sort_keys")
+    return df.select(
+        "uuid", "read_timestamp", "source_timestamp", "object",
+        "read_method", "stream_name", "schema_key",
+        F.col("source_metadata.schema").alias("src_schema"),
+        F.col("source_metadata.table").alias("src_table"),
+        F.col("source_metadata.database").alias("src_database"),
+        F.col("source_metadata.row_id").alias("row_id"),
+        F.col("source_metadata.scn").alias("scn"),
+        F.col("source_metadata.is_deleted").alias("is_deleted"),
+        F.col("source_metadata.change_type").alias("change_type"),
+        F.col("source_metadata.ssn").alias("ssn"),
+        F.col("source_metadata.rs_id").alias("rs_id"),
+        F.col("source_metadata.tx_id").alias("tx_id"),
+        F.col("source_metadata.log_file").alias("log_file"),
+        sk.getItem(0).cast("bigint").alias("_sk1"),
+        sk.getItem(1).cast("bigint").alias("_sk2"),
+        sk.getItem(2).alias("_sk3"),
+        sk.getItem(3).cast("bigint").alias("_sk4"),
+        *[F.col(f"payload.{c}").alias(c) for c in payload_fields],
+    )
+
+
+def read_changes(spark: SparkSession,
+                 path: str,
+                 fmt: str = "parquet",
+                 columns: Sequence[str] | None = None,
+                 dml_blacklist: Sequence[str] = (),
+                 snapshot_only: bool | None = None,
+                 with_previous: bool = False) -> DataFrame:
+    """Read a table's change directory into the normalized change frame.
+
+    snapshot_only=True/False filters to backfill/cdc files (P4) by file
+    name, matching the reference's per-phase scans
+    (DatastreamEventReader.java:430-479); None reads both.
+    """
+    df = spark.read.format(fmt).load(path)
+    if "payload" in df.columns:
+        df = flatten_envelope(df, columns=columns)
+    fname = F.input_file_name()
+    df = df.withColumn("_source_file", fname)
+    if snapshot_only is True:
+        df = df.where(fname.contains(SNAPSHOT_FILE_MARKER))
+    elif snapshot_only is False:
+        df = df.where(~fname.contains(SNAPSHOT_FILE_MARKER))
+    df = normalize_ops(df)
+    if dml_blacklist:
+        # P2/P3: drop blacklisted ops post-normalization
+        df = df.where(~F.col("_op").isin([o.upper() for o in dml_blacklist]))
+    if with_previous:
+        # T4: previous image for UPDATEs (PK assumed unchanged; PK changes
+        # arrive as a DELETE+UPDATE pair, handled upstream of this).
+        meta = set(META_COLS) | set(SORT_KEY_COLS) | {
+            "_op", "_is_snapshot", "_source_file"}
+        payload = [c for c in df.columns if c not in meta]
+        prev = F.when(F.col("_op") == "UPDATE",
+                      F.struct(*[F.col(c) for c in payload]))
+        df = df.withColumn("_previous", prev)
+    return df

@@ -1,0 +1,174 @@
+"""CDC semantics tests.
+
+Golden-fixture tests re-create the reference's unit fixtures from
+FIXTURES.md F2 (HR.EMPLOYEES insert/update/delete/update-pk/dump event
+sequence, values from DatastreamEventConsumerTest assertions) and check
+the engine's normalization + materialization; parity tests check
+Q26-Q30 against DuckDB at sf0.01.
+"""
+
+import datetime
+from decimal import Decimal
+
+import pytest
+from pyspark.sql import functions as F, types as T
+
+from datastream_delta_plugins_spark.envelope import envelope_schema
+from datastream_delta_plugins_spark.operators import cdc, cdc_queries
+from datastream_delta_plugins_spark.sources.changes import (
+    flatten_envelope, normalize_ops, read_changes)
+from datastream_delta_plugins_spark.testing import assert_parity, duck_connection
+
+EMP_SCHEMA = T.StructType([
+    T.StructField("EMPLOYEE_ID", T.LongType()),
+    T.StructField("FIRST_NAME", T.StringType()),
+    T.StructField("LAST_NAME", T.StringType()),
+    T.StructField("EMAIL", T.StringType()),
+    T.StructField("HIRE_DATE", T.TimestampType()),
+    T.StructField("JOB_ID", T.StringType()),
+    T.StructField("SALARY", T.DecimalType(8, 2)),
+    T.StructField("MANAGER_ID", T.LongType()),
+    T.StructField("DEPARTMENT_ID", T.LongType()),
+])
+
+HIRE = datetime.datetime(2020, 1, 9)
+
+
+def _payload(emp_id, salary, first="Sean"):
+    return (emp_id, first, "Zhou", "seanzhou@google.com", HIRE,
+            "AD_PRES", Decimal(salary), 205, 110)
+
+
+def _env(uuid, read_method, change_type, payload, sk, tx_id="tx1"):
+    ts = datetime.datetime(2022, 1, 1, 0, 0, sk[3] % 60)
+    meta = ("HR", "EMPLOYEES", "db1", "rid", sk[1], change_type == "DELETE",
+            change_type, sk[3], sk[2], tx_id, "log1")
+    return (uuid, ts, ts, "HR_EMPLOYEES", read_method, "s1", "key1",
+            meta, payload, [str(x) for x in sk])
+
+
+@pytest.fixture(scope="module")
+def golden_changes(spark):
+    rows = [
+        _env("e1", "oracle-cdc-logminer", "INSERT",
+             _payload(210, "12131.00"), (1000, 1, "AAA", 1)),
+        _env("e2", "oracle-cdc-logminer", "UPDATE",
+             _payload(210, "8888.00"), (2000, 2, "AAB", 1)),
+        _env("e3", "oracle-cdc-logminer", "DELETE",
+             _payload(210, "8888.00"), (3000, 3, "AAC", 1)),
+    ]
+    return spark.createDataFrame(rows, envelope_schema(EMP_SCHEMA))
+
+
+def test_flatten_envelope(golden_changes):
+    flat = flatten_envelope(golden_changes)
+    row = flat.orderBy("_sk1").first()
+    assert row["_sk1"] == 1000 and row["_sk2"] == 1 and row["_sk3"] == "AAA"
+    assert row["EMPLOYEE_ID"] == 210
+    assert row["src_schema"] == "HR" and row["src_table"] == "EMPLOYEES"
+
+
+def test_normalize_pk_update_pair(spark):
+    # UPDATE-DELETE(210) + UPDATE-INSERT(211) -> DELETE then UPDATE
+    rows = [
+        _env("e1", "oracle-cdc-logminer", "INSERT",
+             _payload(210, "12131.00"), (1000, 1, "AAA", 1)),
+        _env("e4", "oracle-cdc-logminer", "UPDATE-DELETE",
+             _payload(210, "12131.00"), (4000, 4, "AAD", 1)),
+        _env("e5", "oracle-cdc-logminer", "UPDATE-INSERT",
+             _payload(211, "12131.00"), (4000, 4, "AAD", 2)),
+    ]
+    df = normalize_ops(flatten_envelope(
+        spark.createDataFrame(rows, envelope_schema(EMP_SCHEMA))))
+    ops = {r["uuid"]: r["_op"] for r in df.collect()}
+    assert ops == {"e1": "INSERT", "e4": "DELETE", "e5": "UPDATE"}
+
+    state = {r["EMPLOYEE_ID"]: r["_is_deleted"]
+             for r in cdc.materialize(df, ["EMPLOYEE_ID"]).collect()}
+    assert state == {210: True, 211: False}
+
+
+def test_snapshot_rows_forced_insert(spark):
+    rows = [_env("s1", "oracle-backfill", None,
+                 _payload(300, "100.00"), (0, 0, "S", 0), tx_id=None)]
+    df = normalize_ops(flatten_envelope(
+        spark.createDataFrame(rows, envelope_schema(EMP_SCHEMA))))
+    r = df.first()
+    assert r["_op"] == "INSERT" and r["_is_snapshot"] is True
+
+
+def test_materialize_soft_delete(spark, golden_changes):
+    flat = normalize_ops(flatten_envelope(golden_changes))
+    out = cdc.materialize(flat, ["EMPLOYEE_ID"]).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["_is_deleted"] is True and r["SALARY"] == Decimal("8888.00")
+    # hard-delete mode drops the PK entirely
+    assert cdc.materialize(flat, ["EMPLOYEE_ID"], soft_delete=False).count() == 0
+
+
+def test_materialize_strategies_agree(spark, golden_changes):
+    flat = normalize_ops(flatten_envelope(golden_changes))
+    a = cdc.materialize(flat, ["EMPLOYEE_ID"], strategy="agg").collect()
+    w = cdc.materialize(flat, ["EMPLOYEE_ID"], strategy="window").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, w))
+
+
+def test_dml_blacklist(spark, golden_changes):
+    flat = normalize_ops(flatten_envelope(golden_changes))
+    out = cdc.materialize(flat, ["EMPLOYEE_ID"],
+                          dml_blacklist=("DELETE",)).collect()
+    assert len(out) == 1
+    assert out[0]["_is_deleted"] is False
+    assert out[0]["SALARY"] == Decimal("8888.00")
+
+
+def test_read_changes_snapshot_classification(spark, tmp_path):
+    # snapshot vs cdc selected by file name, as in the reference scan
+    snap = [_env("s1", "oracle-backfill", None,
+                 _payload(1, "10.00"), (0, 0, "S", 0))]
+    cdc_rows = [_env("c1", "oracle-cdc-logminer", "UPDATE",
+                     _payload(1, "20.00"), (1, 1, "C", 1))]
+    base = str(tmp_path / "changes")
+    for name, data in [("key1_oracle-backfill_0_0", snap),
+                       ("key1_oracle-cdc-logminer_0_1", cdc_rows)]:
+        spark.createDataFrame(data, envelope_schema(EMP_SCHEMA)) \
+             .coalesce(1).write.parquet(f"{base}/{name}")
+    all_df = read_changes(spark, base + "/*")
+    assert all_df.count() == 2
+    assert read_changes(spark, base + "/*", snapshot_only=True).count() == 1
+    only_cdc = read_changes(spark, base + "/*", snapshot_only=False)
+    assert [r["uuid"] for r in only_cdc.collect()] == ["c1"]
+    # P1 column projection
+    proj = read_changes(spark, base + "/*", columns=["EMPLOYEE_ID", "SALARY"])
+    assert "FIRST_NAME" not in proj.columns and "SALARY" in proj.columns
+
+
+def test_merge_batch_incremental(spark):
+    rows1 = [_env("e1", "oracle-cdc-logminer", "INSERT",
+                  _payload(210, "12131.00"), (1000, 1, "AAA", 1)),
+             _env("e2", "oracle-cdc-logminer", "INSERT",
+                  _payload(220, "50.00"), (1000, 2, "AAA", 2))]
+    rows2 = [_env("e3", "oracle-cdc-logminer", "UPDATE",
+                  _payload(210, "8888.00"), (2000, 3, "AAB", 1))]
+    df1 = normalize_ops(flatten_envelope(
+        spark.createDataFrame(rows1, envelope_schema(EMP_SCHEMA))))
+    df2 = normalize_ops(flatten_envelope(
+        spark.createDataFrame(rows2, envelope_schema(EMP_SCHEMA))))
+    state = cdc.materialize(df1, ["EMPLOYEE_ID"])
+    merged = cdc.merge_batch(state, df2, ["EMPLOYEE_ID"])
+    out = {r["EMPLOYEE_ID"]: r["SALARY"] for r in merged.collect()}
+    assert out == {210: Decimal("8888.00"), 220: Decimal("50.00")}
+
+
+@pytest.fixture(scope="module")
+def duck(sf_correctness):
+    con = duck_connection(sf_correctness)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", sorted(cdc_queries.QUERIES))
+def test_cdc_query_parity(name, spark, duck, sf_correctness):
+    df = cdc_queries.QUERIES[name](spark, sf_correctness)
+    assert_parity(df, duck, cdc_queries.ORACLE_SQL[name], name)
