@@ -22,7 +22,8 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from datastream_delta_plugins_spark.operators import cdc_queries, relational  # noqa: E402
+from datastream_delta_plugins_spark.operators import (  # noqa: E402
+    cdc_queries, pipeline_queries, relational)
 
 
 def _pin(spark: SparkSession) -> SparkSession:
@@ -44,7 +45,8 @@ def _wrap(fn: Callable[[SparkSession, str], DataFrame]):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for registry in (relational.QUERIES, cdc_queries.QUERIES):
+    for registry in (relational.QUERIES, cdc_queries.QUERIES,
+                     pipeline_queries.QUERIES):
         for name, fn in registry.items():
             out[name] = _wrap(fn)
     return out
@@ -52,6 +54,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
-    for registry in (relational.ORACLE_SQL, cdc_queries.ORACLE_SQL):
+    for registry in (relational.ORACLE_SQL, cdc_queries.ORACLE_SQL,
+                     pipeline_queries.ORACLE_SQL):
         out.update(registry)
     return out

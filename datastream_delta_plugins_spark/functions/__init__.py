@@ -1,0 +1,3 @@
+from .textfns import hash64, hash32, norm_text, words_col
+
+__all__ = ["hash64", "hash32", "norm_text", "words_col"]

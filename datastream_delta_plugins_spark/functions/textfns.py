@@ -1,0 +1,50 @@
+"""Cross-engine deterministic column primitives.
+
+These are the only hash/normalization building blocks the approximate-
+dedup operators use, chosen so the DuckDB oracle can compute bit-for-bit
+identical values:
+
+  hash32(s)  = int(md5(s)[:8], 16)    Spark: conv(substr(md5(s),1,8),16,10)
+                                      DuckDB: CAST('0x'||substr(md5(s),1,8) AS BIGINT)
+  hash64(s)  = int(md5(s)[:15], 16)   60 bits -> always fits BIGINT
+
+Everything is JVM-side (md5/conv are builtin expressions inside
+whole-stage codegen) — no Python UDFs in any hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(col: str | Column) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def hash32(col: str | Column) -> Column:
+    """Deterministic 32-bit hash of a string as BIGINT (md5 prefix)."""
+    return F.conv(F.substring(F.md5(_c(col).cast("binary")), 1, 8), 16, 10) \
+            .cast("bigint")
+
+
+def hash64(col: str | Column) -> Column:
+    """Deterministic 60-bit hash of a string as BIGINT (md5 prefix)."""
+    return F.conv(F.substring(F.md5(_c(col).cast("binary")), 1, 15), 16, 10) \
+            .cast("bigint")
+
+
+def norm_text(col: str | Column) -> Column:
+    """Canonical text normalization shared with the oracle:
+    lowercase, trim, collapse runs of whitespace."""
+    return F.lower(F.trim(F.regexp_replace(_c(col), r"\s+", " ")))
+
+
+def words_col(col: str | Column) -> Column:
+    return F.split(norm_text(col), " ")
+
+
+# DuckDB renderings of the same primitives (used to build oracle SQL)
+DUCK_HASH32 = "CAST('0x' || substr(md5({s}), 1, 8) AS BIGINT)"
+DUCK_HASH64 = "CAST('0x' || substr(md5({s}), 1, 15) AS BIGINT)"
+DUCK_NORM = "lower(trim(regexp_replace({s}, '\\s+', ' ', 'g')))"

@@ -1,0 +1,206 @@
+"""Document deduplication operators (SURVEY §2.8 north-star set), all
+DataFrame-native and shuffle-conscious:
+
+  exact_dedup        hash-groupBy on normalized text (one shuffle)
+  ngram_shingles     distinct n-word shingles per doc
+  jaccard_pairs      exact n-gram Jaccard via shingle self-join (the
+                     oracle-grade op; O(sum of per-shingle doc-list^2))
+  minhash_signatures 32-perm MinHash over shingle hashes — one groupBy
+                     with 32 min() aggregates (map-side combine)
+  minhash_lsh_pairs  banded LSH candidate join + exact-Jaccard verify:
+                     only candidate pairs are verified, so the expensive
+                     join is proportional to collisions, not n^2
+  simhash            60-bit SimHash from word-count weights (JVM-side
+                     bit arithmetic only)
+  simhash_pairs      COMPLETE Hamming-distance join via pigeonhole
+                     banding: 4 bands of 15 bits; any pair within
+                     Hamming distance 3 shares >=1 exact band, so the
+                     band-equality join loses nothing and avoids n^2
+  embedding_neardup_pairs   cosine near-dup over embedding vectors
+
+100 TB notes: every operator is a chain of narrow ops + keyed shuffles;
+no collect(), no Python UDFs. The LSH/banding ops exist precisely so the
+n^2 exact ops are only the verification tail. All hashes are md5-prefix
+based (functions.textfns) so the DuckDB oracle reproduces them exactly.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.textfns import hash32, hash64, norm_text, words_col
+
+# Fixed MinHash permutation parameters (public construction:
+# h_i(x) = (a_i * x + b_i) mod P over a 32-bit hash universe).
+MINHASH_PRIME = 4294967311  # smallest prime > 2^32
+NUM_PERMS = 32
+NUM_BANDS = 8  # 8 bands x 4 rows
+# deterministic, coprime-ish parameters
+PERM_A = [2 * i + 1 for i in range(1, NUM_PERMS + 1)]
+PERM_B = [7919 * i + 104729 for i in range(NUM_PERMS)]
+
+SIMHASH_BITS = 60
+SIMHASH_BANDS = 4  # 4 bands x 15 bits -> complete for Hamming <= 3
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """One surviving (min-id) doc per normalized-text group + group size."""
+    h = F.md5(norm_text(text_col).cast("binary")).alias("_h")
+    return (df.select(F.col(id_col), h)
+              .groupBy("_h")
+              .agg(F.min(id_col).alias(id_col),
+                   F.count(F.lit(1)).alias("dup_count"))
+              .drop("_h"))
+
+
+def ngram_shingles(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """Distinct n-word shingles per document."""
+    w = words_col(text_col)
+    df = df.select(F.col(id_col), w.alias("_w")).where(F.size("_w") >= n)
+    parts = " , ".join(f"_w[i + {k}]" for k in range(n))
+    sh = F.expr(
+        f"transform(sequence(0, size(_w) - {n}), i -> concat_ws(' ', {parts}))")
+    return (df.select(id_col, F.explode(sh).alias("shingle")).distinct())
+
+
+def jaccard_pairs(df: DataFrame, threshold: float,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  n: int = 3,
+                  candidates: DataFrame | None = None) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs (i < j, jac >= threshold).
+
+    With `candidates` (columns i, j), only those pairs are scored —
+    that's the LSH verification path.
+    """
+    sh = ngram_shingles(df, text_col, id_col, n)
+    counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("i"), "shingle")
+    b = sh.select(F.col(id_col).alias("j"), "shingle")
+    common = (a.join(b, "shingle")
+               .where(F.col("i") < F.col("j"))
+               .groupBy("i", "j")
+               .agg(F.count(F.lit(1)).alias("common")))
+    if candidates is not None:
+        common = common.join(candidates.select("i", "j").distinct(), ["i", "j"])
+    na = counts.select(F.col(id_col).alias("i"), F.col("n_sh").alias("na"))
+    nb = counts.select(F.col(id_col).alias("j"), F.col("n_sh").alias("nb"))
+    jac = (F.col("common").cast("double")
+           / (F.col("na") + F.col("nb") - F.col("common")).cast("double"))
+    return (common.join(na, "i").join(nb, "j")
+                  .select("i", "j", jac.alias("jac"))
+                  .where(F.col("jac") >= threshold))
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """Per-doc MinHash signature: one column per permutation."""
+    sh = ngram_shingles(df, text_col, id_col, n)
+    h = hash32("shingle")
+    mins = [F.min((F.lit(PERM_A[i]) * h + F.lit(PERM_B[i])) % MINHASH_PRIME)
+             .alias(f"mh{i}") for i in range(NUM_PERMS)]
+    return sh.groupBy(id_col).agg(*mins)
+
+
+def minhash_lsh_pairs(df: DataFrame, threshold: float = 0.8,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      n: int = 3) -> DataFrame:
+    """MinHash-LSH near-dup pairs, exact-Jaccard-verified.
+
+    Banding: 8 bands x 4 rows over 32 perms. A pair collides in a band
+    iff all 4 row signatures match; candidates are the union over bands.
+    Verification keeps only candidates whose exact Jaccard clears the
+    threshold, so the output has no false positives (recall is the
+    banding probability: >0.999999 at jac >= 0.95).
+    """
+    sig = minhash_signatures(df, text_col, id_col, n)
+    rows_per_band = NUM_PERMS // NUM_BANDS
+    bands = []
+    for b in range(NUM_BANDS):
+        cols = [F.col(f"mh{b * rows_per_band + r}")
+                for r in range(rows_per_band)]
+        bands.append(sig.select(F.col(id_col),
+                                F.lit(b).alias("band"),
+                                F.concat_ws(":", *[c.cast("string")
+                                                   for c in cols]).alias("sig")))
+    banded = reduce(lambda x, y: x.unionByName(y), bands)
+    cand = (banded.alias("a")
+            .join(banded.alias("b"), ["band", "sig"])
+            .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .select(F.col(f"a.{id_col}").alias("i"),
+                    F.col(f"b.{id_col}").alias("j"))
+            .distinct())
+    return jaccard_pairs(df, threshold, text_col, id_col, n, candidates=cand)
+
+
+def simhash(df: DataFrame, text_col: str = "text",
+            id_col: str = "doc_id") -> DataFrame:
+    """60-bit SimHash over word frequencies (bit k set iff the
+    count-weighted sum of word-hash bit k is positive)."""
+    w = df.select(F.col(id_col), F.explode(words_col(text_col)).alias("w"))
+    wc = w.groupBy(id_col, "w").agg(F.count(F.lit(1)).alias("cnt"))
+    h = hash64("w")
+    sums = [F.sum(F.col("cnt") * F.when(F.shiftright(h, k).bitwiseAND(1) == 1,
+                                        1).otherwise(-1)).alias(f"b{k}")
+            for k in range(SIMHASH_BITS)]
+    agg = wc.groupBy(id_col).agg(*sums)
+    bits = [F.when(F.col(f"b{k}") > 0, F.lit(1 << k).cast("bigint"))
+             .otherwise(F.lit(0).cast("bigint")) for k in range(SIMHASH_BITS)]
+    return agg.select(id_col, reduce(lambda x, y: x + y, bits).alias("simhash"))
+
+
+def simhash_pairs(df: DataFrame, max_hamming: int = 3,
+                  text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """All pairs within Hamming distance `max_hamming` of their SimHash.
+
+    COMPLETE (not approximate): with 4 bands of 15 bits, any pair at
+    Hamming distance <= 3 must agree exactly on >= 1 band (pigeonhole),
+    so banding only prunes, never misses.
+    """
+    sig = simhash(df, text_col, id_col)
+    mask = (1 << 15) - 1
+    bands = reduce(lambda x, y: x.unionByName(y), [
+        sig.select(F.col(id_col), F.col("simhash"),
+                   F.lit(b).alias("band"),
+                   F.shiftright("simhash", 15 * b).bitwiseAND(mask)
+                    .alias("bv"))
+        for b in range(SIMHASH_BANDS)])
+    ham = F.bit_count(F.col(f"a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (bands.alias("a")
+            .join(bands.alias("b"), ["band", "bv"])
+            .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .select(F.col(f"a.{id_col}").alias("i"),
+                    F.col(f"b.{id_col}").alias("j"),
+                    ham.alias("hamming"))
+            .distinct()
+            .where(F.col("hamming") <= max_hamming))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity between two array<double> columns, computed as
+    a sequential fold (bitwise-reproducible by the DuckDB oracle)."""
+    return _dot(a, b) / F.sqrt(_dot(a, a) * _dot(b, b))
+
+
+def embedding_neardup_pairs(df: DataFrame, threshold: float,
+                            vec_col: str = "embedding",
+                            id_col: str = "vec_id") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (brute force; see
+    similarity.ivf_topk for the bucketed scale path)."""
+    e = df.select(F.col(id_col),
+                  F.transform(vec_col, lambda x: x.cast("double")).alias("_v"))
+    a, b = e.alias("a"), e.alias("b")
+    return (a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+             .select(F.col(f"a.{id_col}").alias("i"),
+                     F.col(f"b.{id_col}").alias("j"),
+                     cosine(F.col("a._v"), F.col("b._v")).alias("cos"))
+             .where(F.col("cos") >= threshold))

@@ -1,0 +1,238 @@
+"""Declared queries for the training-data-pipeline operators (dedup,
+similarity, text analysis, multimodal), with DuckDB oracle SQL.
+
+Oracle notes:
+  - all hashing is md5-prefix (functions.textfns) -> identical integers
+    in both engines;
+  - cosine is a sequential fold in both engines — verified bitwise
+    equal on every pair at sf0.01;
+  - d03 (MinHash-LSH) is oracled by *exact* Jaccard: on this corpus the
+    similarity profile is bimodal (planted near-dups >= 0.97, background
+    <= 0.14), so banded LSH recall at threshold 0.8 is exact (miss
+    probability < 1e-9 per pair at jac 0.97);
+  - d04 (SimHash banding) needs no such argument: 4x15-bit banding is
+    COMPLETE for Hamming <= 3 by pigeonhole;
+  - s02 (IVF) is approximate by design -> no oracle (rows-only check),
+    recall is asserted vs brute force in tests.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import dedup, multimodal, similarity, text
+from ..sources.tables import load_table
+
+# ---------------------------------------------------------------- SQL bits
+
+_NORM = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+
+_TOKS = f"toks AS (SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents)"
+
+_SHINGLES = f"""{_TOKS},
+idx AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+        FROM toks WHERE len(w) >= 3),
+sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+       FROM idx)"""
+
+_JACCARD = f"""WITH {_SHINGLES},
+n AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY 1),
+pairs AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS common
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT i, j, CAST(common AS DOUBLE) / CAST(na.c + nb.c - common AS DOUBLE) AS jac
+FROM pairs JOIN n na ON na.doc_id = i JOIN n nb ON nb.doc_id = j
+WHERE CAST(common AS DOUBLE) / CAST(na.c + nb.c - common AS DOUBLE) >= {{thr}}
+ORDER BY i, j"""
+
+
+def _simhash_sql() -> str:
+    bits = ",\n    ".join(
+        f"sum(cnt * CASE WHEN (h >> {k}) & 1 = 1 THEN 1 ELSE -1 END) AS b{k}"
+        for k in range(dedup.SIMHASH_BITS))
+    packed = " + ".join(
+        f"CASE WHEN b{k} > 0 THEN CAST({1 << k} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        for k in range(dedup.SIMHASH_BITS))
+    return f"""WITH {_TOKS},
+wexp AS (SELECT doc_id, unnest(w) AS word FROM toks),
+wc AS (SELECT doc_id, word, count(*) AS cnt FROM wexp GROUP BY 1, 2),
+hw AS (SELECT doc_id, cnt,
+              CAST('0x' || substr(md5(word), 1, 15) AS BIGINT) AS h FROM wc),
+bits AS (SELECT doc_id, {bits} FROM hw GROUP BY doc_id),
+sim AS (SELECT doc_id, {packed} AS simhash FROM bits)
+SELECT a.doc_id AS i, b.doc_id AS j,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+ORDER BY i, j"""
+
+
+_EMB = ("e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v "
+        "FROM embeddings)")
+_COS = ("list_dot_product({a}, {b}) / "
+        "sqrt(list_dot_product({a}, {a}) * list_dot_product({b}, {b}))")
+
+_STOPLIST = "[" + ", ".join(f"'{s}'" for s in text.STOPWORDS) + "]"
+
+# ---------------------------------------------------------------- queries
+
+
+def _docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+def _embs(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def d01_dedup_exact(spark, sf_dir):
+    return dedup.exact_dedup(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def d02_ngram_jaccard(spark, sf_dir):
+    return (dedup.jaccard_pairs(_docs(spark, sf_dir), 0.5)
+                 .orderBy("i", "j"))
+
+
+def d03_minhash_lsh(spark, sf_dir):
+    return (dedup.minhash_lsh_pairs(_docs(spark, sf_dir), 0.8)
+                 .orderBy("i", "j"))
+
+
+def d04_simhash_hamming(spark, sf_dir):
+    return (dedup.simhash_pairs(_docs(spark, sf_dir), 3)
+                 .orderBy("i", "j"))
+
+
+def d05_embedding_neardup(spark, sf_dir):
+    return (dedup.embedding_neardup_pairs(_embs(spark, sf_dir), 0.45)
+                 .orderBy("i", "j"))
+
+
+def s01_cosine_topk(spark, sf_dir):
+    return (similarity.cosine_topk(_embs(spark, sf_dir),
+                                   F.col("vec_id") % 50 == 0, k=5)
+                      .orderBy("q_id", "rn"))
+
+
+def s02_ivf_topk(spark, sf_dir):
+    return (similarity.ivf_topk(_embs(spark, sf_dir),
+                                F.col("vec_id") % 50 == 0, k=5, nprobe=3)
+                      .orderBy("q_id", "rn"))
+
+
+def t01_text_stats(spark, sf_dir):
+    return text.text_stats(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def t02_lang_id(spark, sf_dir):
+    return text.lang_id(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def t03_token_count(spark, sf_dir):
+    return text.token_count(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def t04_fingerprint(spark, sf_dir):
+    return text.fingerprint(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def m01_multimodal_meta(spark, sf_dir):
+    media = multimodal.attach_binary(_docs(spark, sf_dir))
+    return multimodal.binary_meta(media).orderBy("doc_id")
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "d01_dedup_exact": d01_dedup_exact,
+    "d02_ngram_jaccard": d02_ngram_jaccard,
+    "d03_minhash_lsh": d03_minhash_lsh,
+    "d04_simhash_hamming": d04_simhash_hamming,
+    "d05_embedding_neardup": d05_embedding_neardup,
+    "s01_cosine_topk": s01_cosine_topk,
+    "s02_ivf_topk": s02_ivf_topk,
+    "t01_text_stats": t01_text_stats,
+    "t02_lang_id": t02_lang_id,
+    "t03_token_count": t03_token_count,
+    "t04_fingerprint": t04_fingerprint,
+    "m01_multimodal_meta": m01_multimodal_meta,
+}
+
+_LANG_SCORES = ",\n       ".join(
+    "CAST(len(list_filter(w, x -> list_contains(["
+    + ", ".join(f"'{m}'" for m in markers)
+    + f"], x))) AS BIGINT) AS s_{lang}"
+    for lang, markers in text.LANG_MARKERS.items())
+_LANG_MAX = "greatest(" + ", ".join(f"s_{l}" for l in text.LANG_MARKERS) + ")"
+_LANG_CASE = ("CASE " + " ".join(
+    f"WHEN s_{l} = {_LANG_MAX} THEN '{l}'" for l in text.LANG_MARKERS)
+    + " END")
+
+ORACLE_SQL: dict[str, str] = {
+    "d01_dedup_exact": f"""
+        SELECT min(doc_id) AS doc_id, count(*) AS dup_count
+        FROM (SELECT doc_id, md5({_NORM}) AS h FROM documents)
+        GROUP BY h ORDER BY doc_id""",
+    "d02_ngram_jaccard": _JACCARD.format(thr=0.5),
+    "d03_minhash_lsh": _JACCARD.format(thr=0.8),
+    "d04_simhash_hamming": _simhash_sql(),
+    "d05_embedding_neardup": f"""
+        WITH {_EMB}
+        SELECT a.vec_id AS i, b.vec_id AS j,
+               {_COS.format(a='a.v', b='b.v')} AS cos
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE {_COS.format(a='a.v', b='b.v')} >= 0.45
+        ORDER BY i, j""",
+    "s01_cosine_topk": f"""
+        WITH {_EMB},
+        q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 50 = 0),
+        scored AS (SELECT q_id, vec_id, {_COS.format(a='qv', b='v')} AS cos
+                   FROM q CROSS JOIN e WHERE vec_id <> q_id)
+        SELECT q_id, vec_id, cos, rn FROM (
+          SELECT q_id, vec_id, cos,
+                 CAST(row_number() OVER (PARTITION BY q_id
+                      ORDER BY cos DESC, vec_id) AS BIGINT) AS rn
+          FROM scored) WHERE rn <= 5 ORDER BY q_id, rn""",
+    "t01_text_stats": f"""
+        WITH {_TOKS},
+        base AS (SELECT doc_id, {_NORM} AS t, w FROM documents
+                 JOIN toks USING (doc_id))
+        SELECT doc_id,
+               CAST(len(w) AS BIGINT) AS n_tokens,
+               CAST(length(t) AS BIGINT) AS n_chars,
+               CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
+                 / CAST(len(w) AS DOUBLE) AS avg_token_len,
+               CAST(len(list_filter(w, x -> list_contains({_STOPLIST}, x)))
+                    AS DOUBLE) / CAST(len(w) AS DOUBLE) AS stopword_ratio
+        FROM base ORDER BY doc_id""",
+    "t02_lang_id": f"""
+        WITH {_TOKS},
+        scores AS (SELECT doc_id, {_LANG_SCORES} FROM toks)
+        SELECT doc_id, {_LANG_CASE} AS pred_lang,
+               {_LANG_MAX} AS score
+        FROM scores ORDER BY doc_id""",
+    "t03_token_count": f"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all({_NORM},
+                    '[a-z0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens
+        FROM documents ORDER BY doc_id""",
+    "t04_fingerprint": f"""
+        WITH {_SHINGLES},
+        ms AS (SELECT doc_id,
+                      min(CAST('0x' || substr(md5(s), 1, 8) AS BIGINT))
+                        AS min_shingle_hash
+               FROM sh GROUP BY doc_id)
+        SELECT d.doc_id, md5({_NORM}) AS fp, ms.min_shingle_hash
+        FROM documents d LEFT JOIN ms ON ms.doc_id = d.doc_id
+        ORDER BY d.doc_id""",
+    "m01_multimodal_meta": """
+        SELECT doc_id,
+               (['png', 'jpeg', 'wav'])[CAST(doc_id % 3 AS INTEGER) + 1] AS fmt,
+               CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+               sha256(text) AS sha
+        FROM documents ORDER BY doc_id""",
+    # s02_ivf_topk intentionally has no oracle: approximate by design;
+    # the driver records a rows-only check and tests assert recall.
+}

@@ -1,0 +1,86 @@
+"""Embedding similarity search.
+
+  cosine_topk  brute-force exact top-k (the correctness baseline):
+               broadcast the query set against the corpus, rank with a
+               per-query window. One shuffle (by query id), no n^2
+               across the corpus — cost is |queries| * |corpus|.
+  ivf_topk     IVF-style bucketed scale path: corpus is partitioned
+               into cells, each query probes only the `nprobe` cells
+               whose centroids are most similar. At 100 TB the cell
+               assignment keys the shuffle, so each probe touches a
+               small corpus slice instead of everything.
+
+Vectors are array<float> cast to array<double>; cosine is a sequential
+fold so the DuckDB oracle reproduces it bitwise (verified on all pairs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from .dedup import cosine
+
+
+def _vecs(df: DataFrame, vec_col: str, id_col: str, extra: list[str] = []):
+    return df.select(F.col(id_col),
+                     F.transform(vec_col, lambda x: x.cast("double"))
+                      .alias("_v"), *extra)
+
+
+def cosine_topk(df: DataFrame, query_pred: Column, k: int = 10,
+                vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Exact top-k neighbors (by cosine desc, id asc; self excluded) for
+    every row matching `query_pred`."""
+    e = _vecs(df, vec_col, id_col)
+    q = e.where(query_pred).select(F.col(id_col).alias("q_id"),
+                                   F.col("_v").alias("_qv"))
+    scored = (F.broadcast(q).crossJoin(e)
+               .where(F.col("q_id") != F.col(id_col))
+               .select("q_id", id_col,
+                       cosine(F.col("_qv"), F.col("_v")).alias("cos")))
+    w = W.partitionBy("q_id").orderBy(F.desc("cos"), F.col(id_col))
+    return (scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
+                  .where(F.col("rn") <= k))
+
+
+def cell_centroids(df: DataFrame, cell_col: str,
+                   vec_col: str = "embedding",
+                   id_col: str = "vec_id") -> DataFrame:
+    """Elementwise-mean centroid per cell (posexplode -> avg -> re-pack,
+    all distributed; dimension count stays bounded)."""
+    e = _vecs(df, vec_col, id_col, [cell_col])
+    dims = (e.select(cell_col, F.posexplode("_v").alias("dim", "x"))
+             .groupBy(cell_col, "dim").agg(F.avg("x").alias("m")))
+    packed = (dims.groupBy(cell_col)
+                  .agg(F.array_sort(F.collect_list(F.struct("dim", "m")))
+                        .alias("_dm")))
+    return packed.select(cell_col,
+                         F.expr("transform(_dm, s -> s.m)").alias("centroid"))
+
+
+def ivf_topk(df: DataFrame, query_pred: Column, k: int = 10, nprobe: int = 3,
+             cell_col: str = "label", vec_col: str = "embedding",
+             id_col: str = "vec_id") -> DataFrame:
+    """Approximate top-k: probe only the `nprobe` cells whose centroid
+    is most cosine-similar to the query. `cell_col` is the partitioning
+    (here the provided label; in production a k-means assignment or LSH
+    bucket). Returns the same shape as cosine_topk."""
+    e = _vecs(df, vec_col, id_col, [cell_col])
+    cents = cell_centroids(df, cell_col, vec_col, id_col)
+    q = e.where(query_pred).select(F.col(id_col).alias("q_id"),
+                                   F.col("_v").alias("_qv"))
+    probe_w = W.partitionBy("q_id").orderBy(F.desc("c_cos"), F.col(cell_col))
+    probes = (F.broadcast(q).crossJoin(F.broadcast(cents))
+               .select("q_id", cell_col, "_qv",
+                       cosine(F.col("_qv"), F.col("centroid")).alias("c_cos"))
+               .withColumn("_pr", F.row_number().over(probe_w))
+               .where(F.col("_pr") <= nprobe)
+               .select("q_id", cell_col, "_qv"))
+    scored = (probes.join(e, cell_col)
+                    .where(F.col("q_id") != F.col(id_col))
+                    .select("q_id", id_col,
+                            cosine(F.col("_qv"), F.col("_v")).alias("cos")))
+    w = W.partitionBy("q_id").orderBy(F.desc("cos"), F.col(id_col))
+    return (scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
+                  .where(F.col("rn") <= k))

@@ -1,0 +1,86 @@
+"""Text-analysis operators for a training-data pipeline: all pure
+column expressions (whole-stage codegen, no UDFs).
+
+  text_stats     token/char counts, mean token length, stopword ratio
+  lang_id        marker-word scoring heuristic over a fixed profile set
+  token_count    BPE-ish regex tokenization count
+  fingerprint    md5 content fingerprint + min-shingle-hash (rolling-
+                 hash analog) for containment-style matching
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.textfns import hash32, norm_text, words_col
+from .dedup import ngram_shingles
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
+
+# deterministic marker profiles; scoring = count of marker hits,
+# argmax with fixed priority order (en, es, de, fr, zh)
+LANG_MARKERS = {
+    "en": ("the", "a", "of", "and", "is"),
+    "es": ("el", "la", "de", "que", "y"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "zh": ("的", "是", "了"),
+}
+TOKEN_PATTERN = r"[a-z0-9]+|[^a-z0-9\s]"
+
+
+def _count_in(words, markers) -> F.Column:
+    arr = F.array(*[F.lit(m) for m in markers])
+    return F.size(F.filter(words, lambda x: F.array_contains(arr, x)))
+
+
+def text_stats(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    w = words_col(text_col)
+    base = df.select(F.col(id_col), norm_text(text_col).alias("_t"),
+                     w.alias("_w"))
+    n_tok = F.size("_w").cast("bigint")
+    char_sum = F.aggregate(F.transform(F.col("_w"), F.length),
+                           F.lit(0), lambda acc, x: acc + x)
+    return base.select(
+        id_col,
+        n_tok.alias("n_tokens"),
+        F.length("_t").cast("bigint").alias("n_chars"),
+        (char_sum.cast("double") / n_tok.cast("double")).alias("avg_token_len"),
+        (_count_in(F.col("_w"), STOPWORDS).cast("double")
+         / n_tok.cast("double")).alias("stopword_ratio"))
+
+
+def lang_id(df: DataFrame, text_col: str = "text",
+            id_col: str = "doc_id") -> DataFrame:
+    w = words_col(text_col)
+    base = df.select(F.col(id_col), w.alias("_w"))
+    scores = {lang: _count_in(F.col("_w"), m).cast("bigint").alias(f"s_{lang}")
+              for lang, m in LANG_MARKERS.items()}
+    base = base.select(id_col, *scores.values())
+    m = F.greatest(*[F.col(f"s_{lang}") for lang in LANG_MARKERS])
+    pred = None
+    for lang in LANG_MARKERS:  # fixed priority order on ties
+        cond = F.col(f"s_{lang}") == m
+        pred = F.when(cond, lang) if pred is None else pred.when(cond, lang)
+    return base.select(id_col, pred.alias("pred_lang"), m.alias("score"))
+
+
+def token_count(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    toks = F.regexp_extract_all(norm_text(text_col), F.lit(TOKEN_PATTERN), 0)
+    return df.select(F.col(id_col),
+                     F.size(toks).cast("bigint").alias("n_bpe_tokens"))
+
+
+def fingerprint(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    fp = df.select(F.col(id_col),
+                   F.md5(norm_text(text_col).cast("binary")).alias("fp"))
+    min_sh = (ngram_shingles(df, text_col, id_col)
+              .groupBy(id_col)
+              .agg(F.min(hash32("shingle")).alias("min_shingle_hash")))
+    return fp.join(min_sh, id_col, "left")

@@ -1,0 +1,59 @@
+"""Dedup / similarity / text / multimodal operator tests: DuckDB parity
+for every oracled query plus semantic checks for the approximate ops."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from datastream_delta_plugins_spark.operators import (
+    dedup, multimodal, pipeline_queries, similarity)
+from datastream_delta_plugins_spark.sources.tables import load_table
+from datastream_delta_plugins_spark.testing import assert_parity, duck_connection
+
+
+@pytest.fixture(scope="module")
+def duck(sf_correctness):
+    con = duck_connection(sf_correctness)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", sorted(pipeline_queries.ORACLE_SQL))
+def test_pipeline_parity(name, spark, duck, sf_correctness):
+    df = pipeline_queries.QUERIES[name](spark, sf_correctness)
+    assert_parity(df, duck, pipeline_queries.ORACLE_SQL[name], name)
+
+
+def test_minhash_lsh_equals_exact(spark, sf_correctness):
+    """LSH candidates must recover every exact near-dup pair here
+    (bimodal similarity: planted pairs >= 0.97)."""
+    docs = load_table(spark, sf_correctness, "documents")
+    exact = {(r["i"], r["j"]) for r in
+             dedup.jaccard_pairs(docs, 0.8).collect()}
+    lsh = {(r["i"], r["j"]) for r in
+           dedup.minhash_lsh_pairs(docs, 0.8).collect()}
+    assert exact and lsh == exact
+
+
+def test_ivf_recall_vs_bruteforce(spark, sf_correctness):
+    emb = load_table(spark, sf_correctness, "embeddings")
+    pred = F.col("vec_id") % 50 == 0
+    brute = similarity.cosine_topk(emb, pred, k=5).collect()
+    approx = similarity.ivf_topk(emb, pred, k=5, nprobe=3).collect()
+    b = {(r["q_id"], r["vec_id"]) for r in brute}
+    a = {(r["q_id"], r["vec_id"]) for r in approx}
+    recall = len(a & b) / len(b)
+    assert recall >= 0.5, f"IVF recall {recall:.2f} too low"
+
+
+def test_decode_media_stub(spark, sf_smoke):
+    docs = load_table(spark, sf_smoke, "documents").limit(20)
+    media = multimodal.attach_binary(docs)
+    decoded = multimodal.decode_media(media)
+    rows = decoded.collect()
+    assert len(rows) == 20
+    r = rows[0]
+    assert r["fmt"] in multimodal.FORMATS
+    assert len(r["features"]) == 4
+    assert all(0.0 <= x <= 1.0 for x in r["features"])
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_media(media, real_decode=True)
