@@ -1,0 +1,6 @@
+from .oracle_types import (OracleDataType, ColumnDetail, ColumnAssessment,
+                           evaluate_column, parse_type_name)
+from .avro_mapping import avro_to_spark
+
+__all__ = ["OracleDataType", "ColumnDetail", "ColumnAssessment",
+           "evaluate_column", "parse_type_name", "avro_to_spark"]

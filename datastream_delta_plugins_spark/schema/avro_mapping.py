@@ -1,0 +1,80 @@
+"""Avro (Datastream flavor) -> Spark type mapping (SURVEY §1.3).
+
+Handles the two Datastream custom logical types — `varchar` and
+`number` both land as strings (reference
+DatastreamEventConsumer.java:114-118) — plus the standard logical types.
+Input is the Avro schema as parsed JSON (dict / list / str), as found in
+an Avro object-container file header.
+
+Conventions where Spark lacks a native type:
+  time-millis -> IntegerType (ms since midnight)
+  time-micros -> LongType (us since midnight)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+_PRIMITIVES = {
+    "int": T.IntegerType(),
+    "long": T.LongType(),
+    "null": T.NullType(),
+    "float": T.FloatType(),
+    "double": T.DoubleType(),
+    "bytes": T.BinaryType(),
+    "string": T.StringType(),
+    "boolean": T.BooleanType(),
+}
+
+_LOGICAL = {
+    ("int", "date"): T.DateType(),
+    ("int", "time-millis"): T.IntegerType(),
+    ("long", "time-micros"): T.LongType(),
+    ("long", "timestamp-millis"): T.TimestampType(),
+    ("long", "timestamp-micros"): T.TimestampType(),
+    ("long", "local-timestamp-millis"): T.TimestampNTZType(),
+    ("long", "local-timestamp-micros"): T.TimestampNTZType(),
+}
+
+
+def avro_to_spark(schema) -> T.DataType:
+    if isinstance(schema, str):
+        if schema not in _PRIMITIVES:
+            raise ValueError(f"unsupported Avro type: {schema!r}")
+        return _PRIMITIVES[schema]
+
+    if isinstance(schema, list):  # union
+        non_null = [s for s in schema if s != "null"]
+        if len(non_null) == 1:
+            return avro_to_spark(non_null[0])
+        # Datastream's sort_keys carry a [string, long] union; Spark has
+        # no union type -> string with cast-on-use (SURVEY §1.3)
+        kinds = {s if isinstance(s, str) else s.get("type") for s in non_null}
+        if kinds <= {"string", "long", "int"}:
+            return T.StringType()
+        raise ValueError(f"unsupported Avro union: {schema!r}")
+
+    t = schema["type"]
+    logical = schema.get("logicalType")
+    if logical in ("varchar", "number"):  # Datastream custom logicals
+        return T.StringType()
+    if logical == "decimal":
+        return T.DecimalType(schema["precision"], schema["scale"])
+    if logical and (t, logical) in _LOGICAL:
+        return _LOGICAL[(t, logical)]
+
+    if t == "record":
+        return T.StructType([
+            T.StructField(f["name"], avro_to_spark(f["type"]), True)
+            for f in schema["fields"]])
+    if t == "array":
+        return T.ArrayType(avro_to_spark(schema["items"]))
+    if t == "map":
+        return T.MapType(T.StringType(), avro_to_spark(schema["values"]))
+    if t == "enum":
+        return T.StringType()
+    if t in ("bytes", "fixed") and logical == "decimal":
+        return T.DecimalType(schema["precision"], schema["scale"])
+    if t == "fixed":
+        return T.BinaryType()
+    return avro_to_spark(t)

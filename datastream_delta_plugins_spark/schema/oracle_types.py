@@ -1,0 +1,197 @@
+"""Oracle type system: type-name parsing and column evaluation.
+
+Re-expresses the reference's design-time type mapping in Spark terms:
+  - parse_type_name: string DDL type -> OracleDataType, with the same
+    prefix rules (BINARY FLOAT / DECIMAL / FLOAT / NUMBER / TIMESTAMP
+    [WITH TIME ZONE]) as reference Utils.java:136-209.
+  - evaluate_column: OracleDataType + precision/scale -> Spark type +
+    supportability assessment, the exact decision tree of reference
+    DatastreamTableAssessor.evaluateColumn (DatastreamTableAssessor.java:84-168),
+    including the Oracle NUMBER edge rules:
+        no precision            -> StringType (lossless arbitrary precision)
+        scale <= 0 or missing:  p == '*' or p > 18 -> StringType
+                                else               -> LongType
+        scale > 0:              p == '*' -> DecimalType(38, s)
+                                else     -> DecimalType(p, s)
+  - TIMESTAMP WITH TIME ZONE -> struct<timestampTz: timestamp,
+    offset: bigint (epoch millis)> (DatastreamTableAssessor.java:152-155;
+    the reference's offset field is a TIMESTAMP_MILLIS logical type,
+    carried here as millis in a LongType per SURVEY §1.3).
+"""
+
+from __future__ import annotations
+
+import enum
+from dataclasses import dataclass, field
+
+from pyspark.sql import types as T
+
+
+class OracleDataType(enum.Enum):
+    # (type name, vendor type code) — codes follow java.sql.Types where
+    # one exists, matching reference OracleDataType.java:27-81
+    ANYDATA = ("ANYDATA", 2007)
+    BFILE = ("BFILE", -13)
+    BINARY_DOUBLE = ("BINARY DOUBLE", 101)
+    BINARY_FLOAT = ("BINARY FLOAT", 100)
+    BLOB = ("BLOB", 2004)
+    CHAR = ("CHAR", 1)
+    CLOB = ("CLOB", 2005)
+    DATE = ("DATE", 91)
+    DECIMAL = ("DECIMAL", 3)
+    DOUBLE_PRECISION = ("DOUBLE_PRECISION", 8)
+    FLOAT = ("FLOAT", 6)
+    INTEGER = ("INTEGER", 4)
+    INTERVAL_DAY_TO_SECOND = ("INTERVAL DAY TO SECOND", -104)
+    INTERVAL_YEAR_TO_MONTH = ("INTERVAL YEAR TO MONTH", -103)
+    LONG = ("LONG", -5)
+    LONG_RAW = ("LONG RAW", -4)
+    NCHAR = ("NCHAR", -15)
+    NCLOB = ("NCLOB", 2011)
+    NUMBER = ("NUMBER", 2)
+    NVARCHAR2 = ("NVARCHAR2", -9)
+    OTHER = ("OTHER", 1111)
+    RAW = ("RAW", -2)
+    REAL = ("REAL", 7)
+    ROWID = ("ROWID", -8)
+    SMALLINT = ("SMALLINT", 5)
+    TIMESTAMP = ("TIMESTAMP", 93)
+    TIMESTAMP_WITH_TIME_ZONE = ("TIMESTAMP WITH TIME ZONE", -101)
+    UDT = ("UDT", -2147483648)
+    UROWID = ("UROWID", -2147483648)
+    VARCHAR = ("VARCHAR", 12)
+    VARCHAR2 = ("VARCHAR2", 12)
+    XMLTYPE = ("XMLTYPE", 2009)
+
+    @property
+    def type_name(self) -> str:
+        return self.value[0]
+
+    @property
+    def vendor_code(self) -> int:
+        return self.value[1]
+
+
+_EXACT = {t.type_name: t for t in OracleDataType
+          if t not in (OracleDataType.OTHER, OracleDataType.UROWID)}
+# the reference's switch matches the spaced spelling while the enum name
+# carries an underscore (Utils.java:173-174 vs OracleDataType.java:37)
+_EXACT["DOUBLE PRECISION"] = OracleDataType.DOUBLE_PRECISION
+
+
+def parse_type_name(oracle_type: str) -> OracleDataType:
+    """String Oracle DDL type -> OracleDataType (prefix rules first,
+    then exact match, else OTHER)."""
+    s = oracle_type.upper()
+    if s.startswith("BINARY FLOAT"):
+        return OracleDataType.BINARY_FLOAT
+    if s.startswith("DECIMAL"):
+        return OracleDataType.DECIMAL
+    if s.startswith("FLOAT"):
+        return OracleDataType.FLOAT
+    if s.startswith("NUMBER"):
+        return OracleDataType.NUMBER
+    if s.startswith("TIMESTAMP"):
+        if s.endswith("WITH TIME ZONE"):
+            return OracleDataType.TIMESTAMP_WITH_TIME_ZONE
+        return OracleDataType.TIMESTAMP
+    return _EXACT.get(s, OracleDataType.OTHER)
+
+
+@dataclass(frozen=True)
+class ColumnDetail:
+    name: str
+    type_name: str
+    nullable: bool = True
+    precision: str | None = None
+    scale: str | None = None
+    primary_key: bool = False
+
+
+@dataclass(frozen=True)
+class ColumnAssessment:
+    name: str
+    type_name: str
+    supported: bool
+    suggestion: str | None = None
+
+
+@dataclass(frozen=True)
+class ColumnEvaluation:
+    field: T.StructField | None
+    assessment: ColumnAssessment
+
+
+TIMESTAMP_TZ_STRUCT = T.StructType([
+    T.StructField("timestampTz", T.TimestampType(), True),
+    T.StructField("offset", T.LongType(), True),
+])
+
+_STRING_TYPES = frozenset({
+    OracleDataType.BFILE, OracleDataType.CHAR, OracleDataType.NCHAR,
+    OracleDataType.NVARCHAR2, OracleDataType.ROWID, OracleDataType.VARCHAR,
+    OracleDataType.VARCHAR2,
+})
+_DOUBLE_TYPES = frozenset({
+    OracleDataType.BINARY_DOUBLE, OracleDataType.DOUBLE_PRECISION,
+    OracleDataType.FLOAT,
+})
+
+
+def _parse_int(dtype: OracleDataType, prop: str, value: str | None) -> int:
+    try:
+        return int(value)  # type: ignore[arg-type]
+    except (TypeError, ValueError) as e:
+        raise ValueError(
+            f"Oracle datatype {dtype.type_name} should have {prop} as "
+            f"number, but got {value}") from e
+
+
+def evaluate_column(detail: ColumnDetail) -> ColumnEvaluation:
+    dtype = parse_type_name(detail.type_name)
+    spark_type: T.DataType | None
+    p, s = detail.precision, detail.scale
+
+    if dtype in _STRING_TYPES:
+        spark_type = T.StringType()
+    elif dtype in (OracleDataType.REAL, OracleDataType.BINARY_FLOAT):
+        spark_type = T.FloatType()
+    elif dtype in _DOUBLE_TYPES:
+        spark_type = T.DoubleType()
+    elif dtype is OracleDataType.RAW:
+        spark_type = T.BinaryType()
+    elif dtype in (OracleDataType.DATE, OracleDataType.TIMESTAMP):
+        # Oracle DATE carries a time component -> timestamp, not date
+        spark_type = T.TimestampType()
+    elif dtype is OracleDataType.DECIMAL:
+        spark_type = T.DecimalType(_parse_int(dtype, "precision", p),
+                                   _parse_int(dtype, "scale", s))
+    elif dtype in (OracleDataType.INTEGER, OracleDataType.SMALLINT):
+        spark_type = T.IntegerType()
+    elif dtype is OracleDataType.NUMBER:
+        if not p:
+            spark_type = T.StringType()
+        elif not s or _parse_int(dtype, "scale", s) <= 0:
+            if p == "*" or _parse_int(dtype, "precision", p) > 18:
+                spark_type = T.StringType()
+            else:
+                spark_type = T.LongType()
+        elif p == "*":
+            spark_type = T.DecimalType(38, _parse_int(dtype, "scale", s))
+        else:
+            spark_type = T.DecimalType(_parse_int(dtype, "precision", p),
+                                       _parse_int(dtype, "scale", s))
+    elif dtype is OracleDataType.TIMESTAMP_WITH_TIME_ZONE:
+        spark_type = TIMESTAMP_TZ_STRUCT
+    else:
+        spark_type = None
+
+    if spark_type is None:
+        assessment = ColumnAssessment(
+            detail.name, dtype.type_name, supported=False,
+            suggestion=f"Unsupported Oracle Data Type: {dtype.type_name}")
+        return ColumnEvaluation(None, assessment)
+
+    fld = T.StructField(detail.name, spark_type, detail.nullable)
+    return ColumnEvaluation(
+        fld, ColumnAssessment(detail.name, dtype.type_name, supported=True))

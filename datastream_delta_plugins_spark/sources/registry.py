@@ -1,0 +1,158 @@
+"""Table registry + assessor parity (SURVEY §2.1 S5, §2.5 D4, §3.2-3.3).
+
+The reference browses an Oracle source through the Datastream
+`discoverConnectionProfile` RPC (DatastreamTableRegistry.java:81-186)
+and pre-flights replication with a validate-only stream create
+(DatastreamTableAssessor.java:179-367). A local engine has no
+control plane, so the registry is backed by a schema-registry document
+(dict / JSON) with the same shape and behaviors:
+
+  - list_tables: hierarchy walk, Oracle system schemas filtered
+    (DatastreamTableRegistry.java:70-71,111-116)
+  - describe_table: ColumnDetail with precision/scale/nullability/PK
+  - standardize: Spark StructType dropping unsupported columns
+    (DatastreamTableRegistry.java:173-186)
+  - assess_table: per-column supportability via the §1.3 decision tree
+  - assess: pipeline-level problem report with the reference's problem
+    codes (DatastreamTableAssessor.java:308-367)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import types as T
+
+from ..schema.oracle_types import (ColumnAssessment, ColumnDetail,
+                                   evaluate_column)
+
+# reference DatastreamTableRegistry.java:70-71
+SYSTEM_SCHEMAS = frozenset({
+    "SYS", "SYSTEM", "CTXSYS", "XDB", "MDSYS", "FLOWS_FILES",
+    "APEX_040000", "OUTLN",
+})
+
+# reference DatastreamTableAssessor.java problem codes (:308-367)
+PROBLEM_TUNNEL_CONNECTIVITY = "ORACLE_VALIDATE_TUNNEL_CONNECTIVITY"
+PROBLEM_CONNECTIVITY = "ORACLE_VALIDATE_CONNECTIVITY"
+PROBLEM_LOG_MODE = "ORACLE_VALIDATE_LOG_MODE"
+PROBLEM_SUPPLEMENTAL_LOGGING = "ORACLE_VALIDATE_SUPPLEMENTAL_LOGGING"
+PROBLEM_GCS_PERMISSIONS = "GCS_VALIDATE_PERMISSIONS"
+
+
+@dataclass(frozen=True)
+class TableSummary:
+    database: str
+    schema: str
+    table: str
+
+    @property
+    def composite_name(self) -> str:
+        # schema_table join with null-skip (reference Utils.java:511-513)
+        return "_".join(p for p in (self.schema, self.table) if p)
+
+
+@dataclass(frozen=True)
+class TableDetail:
+    database: str
+    schema: str
+    table: str
+    columns: tuple[ColumnDetail, ...]
+
+    @property
+    def primary_keys(self) -> tuple[str, ...]:
+        return tuple(c.name for c in self.columns if c.primary_key)
+
+
+@dataclass(frozen=True)
+class StandardizedTableDetail:
+    database: str
+    schema: str
+    table: str
+    spark_schema: T.StructType
+    primary_keys: tuple[str, ...]
+
+
+@dataclass(frozen=True)
+class Problem:
+    code: str
+    message: str
+
+
+@dataclass(frozen=True)
+class TableAssessment:
+    columns: tuple[ColumnAssessment, ...]
+    problems: tuple[Problem, ...] = ()
+
+    @property
+    def unsupported(self) -> tuple[ColumnAssessment, ...]:
+        return tuple(c for c in self.columns if not c.supported)
+
+
+class TableRegistry:
+    """Fixture-backed registry: `catalog` is
+    {database: {schema: {table: [ColumnDetail, ...]}}}."""
+
+    def __init__(self, catalog: dict):
+        self._catalog = catalog
+
+    def list_tables(self, include_system: bool = False) -> list[TableSummary]:
+        out = []
+        for db, schemas in self._catalog.items():
+            for schema, tables in schemas.items():
+                if not include_system and schema.upper() in SYSTEM_SCHEMAS:
+                    continue
+                for table in tables:
+                    out.append(TableSummary(db, schema, table))
+        return sorted(out, key=lambda t: (t.database, t.schema, t.table))
+
+    def describe_table(self, database: str, schema: str,
+                       table: str) -> TableDetail:
+        try:
+            cols = self._catalog[database][schema][table]
+        except KeyError:
+            raise KeyError(
+                f"table {database}.{schema}.{table} not found in registry")
+        return TableDetail(database, schema, table, tuple(cols))
+
+    def standardize(self, detail: TableDetail) -> StandardizedTableDetail:
+        fields = []
+        for col in detail.columns:
+            ev = evaluate_column(col)
+            if ev.field is not None:  # unsupported columns are dropped
+                fields.append(ev.field)
+        return StandardizedTableDetail(
+            detail.database, detail.schema, detail.table,
+            T.StructType(fields), detail.primary_keys)
+
+
+class TableAssessor:
+    """Design-time assessment: column supportability + config problems."""
+
+    def __init__(self, registry: TableRegistry):
+        self._registry = registry
+
+    def assess_table(self, detail: TableDetail) -> TableAssessment:
+        return TableAssessment(
+            tuple(evaluate_column(c).assessment for c in detail.columns))
+
+    def assess(self, database: str, tables: list[tuple[str, str]],
+               connectivity_ok: bool = True,
+               log_mode_ok: bool = True) -> dict[str, TableAssessment]:
+        """Pipeline-level dry run: per-table column assessment plus
+        environment problems (the local stand-ins for the reference's
+        validate-only stream create)."""
+        problems: list[Problem] = []
+        if not connectivity_ok:
+            problems.append(Problem(
+                PROBLEM_CONNECTIVITY, f"cannot connect to {database}"))
+        if not log_mode_ok:
+            problems.append(Problem(
+                PROBLEM_LOG_MODE, "database not in ARCHIVELOG mode"))
+        out: dict[str, TableAssessment] = {}
+        for schema, table in tables:
+            detail = self._registry.describe_table(database, schema, table)
+            a = self.assess_table(detail)
+            out[TableSummary(database, schema, table).composite_name] = \
+                TableAssessment(a.columns, tuple(problems))
+        return out

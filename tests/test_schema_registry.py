@@ -1,0 +1,210 @@
+"""Type-mapping matrix (FIXTURES.md F3 / reference UtilsTest +
+DatastreamAssessmentTest) and registry/assessor behavior."""
+
+import pytest
+from pyspark.sql import types as T
+
+from datastream_delta_plugins_spark.schema import (
+    avro_to_spark, evaluate_column, parse_type_name)
+from datastream_delta_plugins_spark.schema.oracle_types import (
+    ColumnDetail, OracleDataType, TIMESTAMP_TZ_STRUCT)
+from datastream_delta_plugins_spark.sources.registry import (
+    TableAssessor, TableRegistry, SYSTEM_SCHEMAS)
+
+# --- parse matrix (reference UtilsTest.java:26-67) ---
+
+PARSE_CASES = [
+    ("VARCHAR2", OracleDataType.VARCHAR2),
+    ("varchar", OracleDataType.VARCHAR),
+    ("VARCHAR2(100)", OracleDataType.OTHER),  # bare names only, like the reference
+    ("CHAR", OracleDataType.CHAR),
+    ("NCHAR", OracleDataType.NCHAR),
+    ("NVARCHAR2", OracleDataType.NVARCHAR2),
+    ("ROWID", OracleDataType.ROWID),
+    ("BFILE", OracleDataType.BFILE),
+    ("BINARY FLOAT", OracleDataType.BINARY_FLOAT),
+    ("BINARY DOUBLE", OracleDataType.BINARY_DOUBLE),
+    ("DECIMAL(4,0)", OracleDataType.DECIMAL),
+    ("FLOAT(63)", OracleDataType.FLOAT),
+    ("DOUBLE PRECISION", OracleDataType.DOUBLE_PRECISION),
+    ("REAL", OracleDataType.REAL),
+    ("INTEGER", OracleDataType.INTEGER),
+    ("SMALLINT", OracleDataType.SMALLINT),
+    ("NUMBER(10,2)", OracleDataType.NUMBER),
+    ("RAW", OracleDataType.RAW),
+    ("DATE", OracleDataType.DATE),
+    ("TIMESTAMP(9)", OracleDataType.TIMESTAMP),
+    ("TIMESTAMP(6) WITH TIME ZONE", OracleDataType.TIMESTAMP_WITH_TIME_ZONE),
+    ("BLOB", OracleDataType.BLOB),
+    ("CLOB", OracleDataType.CLOB),
+    ("NCLOB", OracleDataType.NCLOB),
+    ("LONG", OracleDataType.LONG),
+    ("LONG RAW", OracleDataType.LONG_RAW),
+    ("INTERVAL DAY TO SECOND", OracleDataType.INTERVAL_DAY_TO_SECOND),
+    ("INTERVAL YEAR TO MONTH", OracleDataType.INTERVAL_YEAR_TO_MONTH),
+    ("ANYDATA", OracleDataType.ANYDATA),
+    ("UDT", OracleDataType.UDT),
+    ("XMLTYPE", OracleDataType.XMLTYPE),
+    ("UROWID", OracleDataType.OTHER),  # no parse case in the reference
+    ("SOMETHING ELSE", OracleDataType.OTHER),
+]
+
+
+@pytest.mark.parametrize("name,expected", PARSE_CASES)
+def test_parse_type_name(name, expected):
+    assert parse_type_name(name) is expected
+
+
+# --- evaluate matrix (FIXTURES.md F3; DatastreamAssessmentTest) ---
+
+def _eval(tname, precision=None, scale=None):
+    return evaluate_column(ColumnDetail("c", tname, True, precision, scale))
+
+EVAL_CASES = [
+    ("VARCHAR2", None, None, T.StringType()),
+    ("CHAR", None, None, T.StringType()),
+    ("NCHAR", None, None, T.StringType()),
+    ("ROWID", None, None, T.StringType()),
+    ("BFILE", None, None, T.StringType()),
+    ("REAL", None, None, T.FloatType()),
+    ("BINARY FLOAT", None, None, T.FloatType()),
+    ("BINARY DOUBLE", None, None, T.DoubleType()),
+    ("DOUBLE PRECISION", None, None, T.DoubleType()),
+    ("FLOAT(63)", None, None, T.DoubleType()),
+    ("RAW", None, None, T.BinaryType()),
+    ("DATE", None, None, T.TimestampType()),      # Oracle DATE has time
+    ("TIMESTAMP(9)", None, None, T.TimestampType()),
+    ("DECIMAL", "4", "0", T.DecimalType(4, 0)),
+    ("INTEGER", None, None, T.IntegerType()),
+    ("SMALLINT", None, None, T.IntegerType()),
+    # the NUMBER decision tree
+    ("NUMBER", None, None, T.StringType()),
+    ("NUMBER(4)", "4", None, T.LongType()),
+    ("NUMBER(18)", "18", None, T.LongType()),
+    ("NUMBER(19)", "19", None, T.StringType()),
+    ("NUMBER(*)", "*", None, T.StringType()),
+    ("NUMBER(10,-3)", "10", "-3", T.LongType()),
+    ("NUMBER(*,-3)", "*", "-3", T.StringType()),
+    ("NUMBER(*,3)", "*", "3", T.DecimalType(38, 3)),
+    ("NUMBER(10,2)", "10", "2", T.DecimalType(10, 2)),
+    ("TIMESTAMP(6) WITH TIME ZONE", None, None, TIMESTAMP_TZ_STRUCT),
+]
+
+
+@pytest.mark.parametrize("tname,p,s,expected", EVAL_CASES)
+def test_evaluate_supported(tname, p, s, expected):
+    ev = _eval(tname, p, s)
+    assert ev.assessment.supported
+    assert ev.field.dataType == expected
+
+
+UNSUPPORTED = ["ANYDATA", "BLOB", "CLOB", "NCLOB", "LONG", "LONG RAW",
+               "INTERVAL DAY TO SECOND", "INTERVAL YEAR TO MONTH",
+               "UDT", "UROWID", "XMLTYPE"]
+
+
+@pytest.mark.parametrize("tname", UNSUPPORTED)
+def test_evaluate_unsupported(tname):
+    ev = _eval(tname)
+    assert ev.field is None and not ev.assessment.supported
+    assert "Unsupported Oracle Data Type" in ev.assessment.suggestion
+
+
+def test_evaluate_bad_precision_raises():
+    with pytest.raises(ValueError):
+        _eval("DECIMAL", None, None)
+
+
+def test_nullability_and_pk():
+    ev = evaluate_column(ColumnDetail("id", "NUMBER(10)", False, "10",
+                                      None, True))
+    assert ev.field.nullable is False
+
+
+# --- avro mapping ---
+
+AVRO_CASES = [
+    ("int", T.IntegerType()),
+    ("long", T.LongType()),
+    ("string", T.StringType()),
+    ("boolean", T.BooleanType()),
+    ("double", T.DoubleType()),
+    ("bytes", T.BinaryType()),
+    (["null", "long"], T.LongType()),
+    (["null", "string", "long"], T.StringType()),  # sort_keys union
+    ({"type": "int", "logicalType": "date"}, T.DateType()),
+    ({"type": "int", "logicalType": "time-millis"}, T.IntegerType()),
+    ({"type": "long", "logicalType": "time-micros"}, T.LongType()),
+    ({"type": "long", "logicalType": "timestamp-micros"}, T.TimestampType()),
+    ({"type": "long", "logicalType": "local-timestamp-millis"},
+     T.TimestampNTZType()),
+    ({"type": "string", "logicalType": "varchar", "length": 20},
+     T.StringType()),
+    ({"type": "bytes", "logicalType": "number"}, T.StringType()),
+    ({"type": "bytes", "logicalType": "decimal", "precision": 8, "scale": 2},
+     T.DecimalType(8, 2)),
+    ({"type": "enum", "symbols": ["A"], "name": "e"}, T.StringType()),
+    ({"type": "array", "items": ["null", "string", "long"]},
+     T.ArrayType(T.StringType())),
+    ({"type": "map", "values": "long"}, T.MapType(T.StringType(), T.LongType())),
+    ({"type": "record", "name": "r",
+      "fields": [{"name": "a", "type": ["null", "long"]}]},
+     T.StructType([T.StructField("a", T.LongType(), True)])),
+]
+
+
+@pytest.mark.parametrize("avro,expected", AVRO_CASES)
+def test_avro_to_spark(avro, expected):
+    assert avro_to_spark(avro) == expected
+
+
+# --- registry / assessor ---
+
+@pytest.fixture
+def registry():
+    cols = [
+        ColumnDetail("ID", "NUMBER(10)", False, "10", None, True),
+        ColumnDetail("NAME", "VARCHAR2", True),
+        ColumnDetail("PHOTO", "BLOB", True),
+    ]
+    return TableRegistry({
+        "ORCL": {
+            "HR": {"EMPLOYEES": cols},
+            "SYS": {"AUD$": [ColumnDetail("X", "VARCHAR2")]},
+        }
+    })
+
+
+def test_list_tables_filters_system_schemas(registry):
+    tables = registry.list_tables()
+    assert [(t.schema, t.table) for t in tables] == [("HR", "EMPLOYEES")]
+    assert tables[0].composite_name == "HR_EMPLOYEES"
+    assert "SYS" in SYSTEM_SCHEMAS
+    assert len(registry.list_tables(include_system=True)) == 2
+
+
+def test_describe_and_standardize(registry):
+    detail = registry.describe_table("ORCL", "HR", "EMPLOYEES")
+    assert detail.primary_keys == ("ID",)
+    std = registry.standardize(detail)
+    # BLOB column dropped; PK + nullability preserved
+    assert [f.name for f in std.spark_schema.fields] == ["ID", "NAME"]
+    assert std.spark_schema["ID"].dataType == T.LongType()
+    assert std.spark_schema["ID"].nullable is False
+    assert std.primary_keys == ("ID",)
+
+
+def test_assessor(registry):
+    assessor = TableAssessor(registry)
+    detail = registry.describe_table("ORCL", "HR", "EMPLOYEES")
+    a = assessor.assess_table(detail)
+    assert [c.name for c in a.unsupported] == ["PHOTO"]
+    report = assessor.assess("ORCL", [("HR", "EMPLOYEES")],
+                             connectivity_ok=False)
+    assert [p.code for p in report["HR_EMPLOYEES"].problems] == \
+        ["ORACLE_VALIDATE_CONNECTIVITY"]
+
+
+def test_describe_missing_table(registry):
+    with pytest.raises(KeyError):
+        registry.describe_table("ORCL", "HR", "NOPE")
