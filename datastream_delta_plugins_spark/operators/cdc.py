@@ -59,7 +59,8 @@ def materialize(changes: DataFrame,
                 sort_cols: Sequence[str] = SORT_KEY_COLS,
                 dml_blacklist: Sequence[str] = (),
                 soft_delete: bool = True,
-                strategy: str = "agg") -> DataFrame:
+                strategy: str = "agg",
+                keep_sort_keys: bool = False) -> DataFrame:
     """Latest-row state of a change stream (Q26-Q30 semantics).
 
     Returns one row per PK: the payload of the latest event plus
@@ -67,13 +68,17 @@ def materialize(changes: DataFrame,
     are dropped. ``dml_blacklist`` filters ops (post-normalization)
     before the merge, matching P2/P3
     (reference: DatastreamEventConsumer.java:232-235,
-    DatastreamEventReader.java:639-641).
+    DatastreamEventReader.java:639-641). ``keep_sort_keys`` carries the
+    winning event's sort keys into the output, which makes the state
+    re-mergeable with late-arriving batches (merge_batch).
     """
     df = changes if "_op" in changes.columns else normalize_ops(changes)
     if dml_blacklist:
         df = df.where(~F.col("_op").isin([o.upper() for o in dml_blacklist]))
     payload = payload_columns(df)
     out_cols = [c for c in payload if c not in set(pk_cols)]
+    if keep_sort_keys:
+        out_cols = out_cols + list(sort_cols)
 
     if strategy == "agg":
         value = F.struct(*[F.col(c) for c in out_cols], F.col("_op"))
@@ -102,15 +107,33 @@ def merge_batch(state: DataFrame,
                 batch_changes: DataFrame,
                 pk_cols: Sequence[str],
                 sort_cols: Sequence[str] = SORT_KEY_COLS) -> DataFrame:
-    """Incrementally fold a new change batch into a materialized state.
+    """Incrementally fold a change batch into a sort-key-carrying state
+    (one produced with keep_sort_keys=True).
 
-    The existing state rows are treated as events that sort before any
-    event in the batch IF the batch carries higher sort keys (true by
-    construction for an ordered CDC feed); anti-join keeps untouched
-    state rows shuffle-free on the batch side (batch is typically tiny
-    vs state -> broadcast the batch keys).
+    Late-data correct: only PKs touched by the batch are re-merged, and
+    they are re-merged BY SORT KEY against the state's remembered keys,
+    so an out-of-order file cannot overwrite newer state (the
+    reference's 3-day rescan window delivers exactly such files,
+    DatastreamEventReader.java:439-459). Untouched state rows pass
+    through an anti-join against the (broadcast) batch key set — the
+    per-batch cost scales with batch size, not state size.
     """
-    batch_latest = materialize(batch_changes, pk_cols, sort_cols)
+    batch_latest = materialize(batch_changes, pk_cols, sort_cols,
+                               keep_sort_keys=True)
     keys = batch_latest.select(*pk_cols).distinct()
     untouched = state.join(F.broadcast(keys), list(pk_cols), "left_anti")
-    return untouched.unionByName(batch_latest)
+    touched = state.join(F.broadcast(keys), list(pk_cols), "left_semi")
+    # replay touched state rows as events and pick the sort-key winner
+    as_events = [
+        touched.withColumn("_op", F.when(F.col("_is_deleted"), F.lit(DELETE))
+                                   .otherwise(F.lit("UPDATE")))
+               .drop("_is_deleted"),
+        batch_latest.withColumn("_op", F.when(F.col("_is_deleted"),
+                                              F.lit(DELETE))
+                                        .otherwise(F.lit("UPDATE")))
+                    .drop("_is_deleted"),
+    ]
+    remerged = materialize(
+        as_events[0].unionByName(as_events[1], allowMissingColumns=True),
+        pk_cols, sort_cols, keep_sort_keys=True)
+    return untouched.unionByName(remerged, allowMissingColumns=True)

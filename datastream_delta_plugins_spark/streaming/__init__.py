@@ -1,0 +1,5 @@
+from .state import StateDoc
+from .pipeline import CdcPipeline, windowed_counts, dedup_within_watermark
+
+__all__ = ["StateDoc", "CdcPipeline", "windowed_counts",
+           "dedup_within_watermark"]

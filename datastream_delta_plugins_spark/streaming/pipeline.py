@@ -1,0 +1,176 @@
+"""Structured Streaming CDC pipeline (SURVEY §7 phase 3).
+
+Replaces the reference's 30-second ScanTask executor loop
+(DatastreamEventReader.java:95,170) with a micro-batch file stream:
+
+    readStream(change dir) --foreachBatch--> merge into state table
+
+  - trigger: processingTime='30 seconds' by default (the reference's
+    scan interval); tests run availableNow for determinism.
+  - late data: the reference rescans a 3-day window
+    (DatastreamEventReader.java:93-94); here the file source's
+    checkpoint guarantees each file exactly once, and merge_batch is
+    sort-key-correct for out-of-order arrivals, so no rescan is needed.
+    The 72h watermark shows up in the windowed/dedup streaming ops.
+  - state table: versioned parquet directory (state/v{N}) with an
+    atomically-swapped CURRENT pointer — a poor-man's Delta commit log;
+    swap to `MERGE INTO` on Delta/Iceberg in production.
+  - schema drift (D3): each batch's payload fingerprint is compared to
+    the stored `{t}.schema.key`; new columns are added to the state
+    nullable (mergeSchema semantics), and the drift is recorded.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..envelope import SORT_KEY_COLS
+from ..operators import cdc
+from ..sources.changes import normalize_ops
+from . import state as state_keys
+from .state import StateDoc
+
+DEFAULT_TRIGGER = {"processingTime": "30 seconds"}
+DEFAULT_WATERMARK = "72 hours"  # the reference's 3-day SLO window
+
+
+class CdcPipeline:
+    """One replicated table: change files in, materialized state out."""
+
+    def __init__(self, spark: SparkSession, table: str, source_dir: str,
+                 work_dir: str, pk_cols: list[str],
+                 sort_cols: list[str] = list(SORT_KEY_COLS),
+                 dml_blacklist: tuple[str, ...] = ()):
+        self.spark = spark
+        self.table = table
+        self.source_dir = source_dir
+        self.work_dir = work_dir
+        self.pk_cols = pk_cols
+        self.sort_cols = sort_cols
+        self.dml_blacklist = dml_blacklist
+        self.state_dir = os.path.join(work_dir, "state")
+        self.checkpoint_dir = os.path.join(work_dir, "checkpoint")
+        self.doc = StateDoc(os.path.join(work_dir, "state.json"))
+
+    # -- state table (versioned parquet + CURRENT pointer) --
+
+    def _current_version(self) -> int:
+        ptr = os.path.join(self.state_dir, "CURRENT")
+        if not os.path.exists(ptr):
+            return -1
+        with open(ptr) as f:
+            return int(f.read().strip())
+
+    def read_state(self) -> DataFrame | None:
+        v = self._current_version()
+        if v < 0:
+            return None
+        return self.spark.read.parquet(os.path.join(self.state_dir, f"v{v}"))
+
+    def _write_state(self, df: DataFrame) -> None:
+        v = self._current_version() + 1
+        path = os.path.join(self.state_dir, f"v{v}")
+        df.write.mode("overwrite").parquet(path)
+        tmp = os.path.join(self.state_dir, "CURRENT.tmp")
+        with open(tmp, "w") as f:
+            f.write(str(v))
+        os.replace(tmp, os.path.join(self.state_dir, "CURRENT"))
+        old = os.path.join(self.state_dir, f"v{v - 2}")
+        if os.path.exists(old):  # keep current + previous
+            shutil.rmtree(old, ignore_errors=True)
+
+    # -- schema drift (D3) --
+
+    def _schema_fingerprint(self, df: DataFrame) -> str:
+        payload = [f"{c}:{t}" for c, t in df.dtypes
+                   if c in cdc.payload_columns(df)]
+        return json.dumps(sorted(payload))
+
+    def _evolve(self, state: DataFrame, batch: DataFrame) -> DataFrame:
+        """Add columns the batch introduced; drop nothing (mergeSchema)."""
+        missing = [f for f in batch.schema.fields
+                   if f.name not in state.columns
+                   and f.name in cdc.payload_columns(batch)]
+        for f in missing:
+            state = state.withColumn(f.name, F.lit(None).cast(f.dataType))
+        return state
+
+    # -- the merge, usable directly in batch mode --
+
+    def apply_batch(self, batch_df: DataFrame, batch_id: int = -1) -> None:
+        batch_df = normalize_ops(batch_df) if "_op" not in batch_df.columns \
+            else batch_df
+        if self.dml_blacklist:
+            batch_df = batch_df.where(
+                ~F.col("_op").isin([o.upper() for o in self.dml_blacklist]))
+        if batch_df.isEmpty():
+            return
+        fingerprint = self._schema_fingerprint(batch_df)
+        state = self.read_state()
+        if state is None:
+            merged = cdc.materialize(batch_df, self.pk_cols, self.sort_cols,
+                                     keep_sort_keys=True)
+            self.doc.put(state_keys.DB_CREATED, "true")  # D1 analog
+        else:
+            old_fp = self.doc.get(state_keys.k_schema_key(self.table))
+            if old_fp is not None and old_fp != fingerprint:
+                state = self._evolve(state, batch_df)  # D3: ALTER analog
+            merged = cdc.merge_batch(state, batch_df, self.pk_cols,
+                                     self.sort_cols)
+        self._write_state(merged)
+
+        snap_seen = ("_is_snapshot" in batch_df.columns
+                     and not batch_df.where(F.col("_is_snapshot")).isEmpty())
+        src_time = None
+        if "source_timestamp" in batch_df.columns:
+            src_time = batch_df.agg(
+                F.min("source_timestamp").alias("m")).first()["m"]
+        t = self.table
+        self.doc.set(**{
+            state_keys.k_schema_key(t): fingerprint,
+            state_keys.k_last_done(t): str(batch_id),
+            state_keys.k_processed_time(t): str(src_time),
+        })
+        if snap_seen:
+            self.doc.put(state_keys.k_snapshot_done(t), "true")
+        if src_time is not None:
+            self.doc.put(state_keys.k_source_time(t), str(src_time))
+        self.doc.save()
+
+    # -- streaming entry --
+
+    def start(self, schema, trigger: dict | None = None,
+              fmt: str = "parquet"):
+        stream = (self.spark.readStream.format(fmt).schema(schema)
+                  .load(self.source_dir))
+        writer = (stream.writeStream
+                  .foreachBatch(self.apply_batch)
+                  .option("checkpointLocation", self.checkpoint_dir)
+                  .outputMode("update")
+                  .trigger(**(trigger or DEFAULT_TRIGGER)))
+        return writer.start()
+
+
+def windowed_counts(stream_df: DataFrame, ts_col: str = "source_timestamp",
+                    window: str = "1 hour",
+                    watermark: str = DEFAULT_WATERMARK) -> DataFrame:
+    """Tumbling-window event counts with late-data handling — the
+    streaming form of Q25 (batch-checkable on the same data)."""
+    return (stream_df
+            .withWatermark(ts_col, watermark)
+            .groupBy(F.window(ts_col, window).alias("w"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .select(F.col("w.start").alias("h"), "c"))
+
+
+def dedup_within_watermark(stream_df: DataFrame, keys: list[str],
+                           ts_col: str = "source_timestamp",
+                           watermark: str = DEFAULT_WATERMARK) -> DataFrame:
+    """Stateful exactly-once dedup over (keys) with bounded state."""
+    return (stream_df.withWatermark(ts_col, watermark)
+            .dropDuplicatesWithinWatermark(keys))

@@ -1,0 +1,81 @@
+"""Offset/state bookkeeping.
+
+Spark's Structured Streaming checkpoint is the real exactly-once
+offset log (file-source seen-files + commit log). This JSON state doc
+additionally mirrors the reference's per-table offset keys
+(DatastreamEventReader.java:83-91 and the algorithm comment :302-370)
+so batch-mode runs are resumable and observable with the same
+vocabulary:
+
+    db.created, all.tables.dump.done, and per table:
+    {t}.snapshot.done, {t}.processed.time, {t}.path, {t}.pos,
+    {t}.source.time, {t}.last.done, {t}.schema.key
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+DB_CREATED = "db.created"
+ALL_DUMPS_DONE = "all.tables.dump.done"
+
+
+def k_snapshot_done(t: str) -> str:
+    return f"{t}.snapshot.done"
+
+
+def k_processed_time(t: str) -> str:
+    return f"{t}.processed.time"
+
+
+def k_path(t: str) -> str:
+    return f"{t}.path"
+
+
+def k_pos(t: str) -> str:
+    return f"{t}.pos"
+
+
+def k_source_time(t: str) -> str:
+    return f"{t}.source.time"
+
+
+def k_last_done(t: str) -> str:
+    return f"{t}.last.done"
+
+
+def k_schema_key(t: str) -> str:
+    return f"{t}.schema.key"
+
+
+class StateDoc:
+    """Atomic JSON key/value state document (write-to-temp + rename)."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self._state: dict[str, str] = {}
+        if os.path.exists(path):
+            with open(path) as f:
+                self._state = json.load(f)
+
+    def get(self, key: str, default: str | None = None) -> str | None:
+        return self._state.get(key, default)
+
+    def set(self, **kv: str) -> None:
+        self._state.update({k: str(v) for k, v in kv.items()})
+
+    def put(self, key: str, value: str) -> None:
+        self._state[key] = str(value)
+
+    def as_dict(self) -> dict[str, str]:
+        return dict(self._state)
+
+    def save(self) -> None:
+        d = os.path.dirname(self.path) or "."
+        os.makedirs(d, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump(self._state, f, indent=1, sort_keys=True)
+        os.replace(tmp, self.path)

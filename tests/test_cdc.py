@@ -155,10 +155,21 @@ def test_merge_batch_incremental(spark):
         spark.createDataFrame(rows1, envelope_schema(EMP_SCHEMA))))
     df2 = normalize_ops(flatten_envelope(
         spark.createDataFrame(rows2, envelope_schema(EMP_SCHEMA))))
-    state = cdc.materialize(df1, ["EMPLOYEE_ID"])
+    state = cdc.materialize(df1, ["EMPLOYEE_ID"], keep_sort_keys=True)
     merged = cdc.merge_batch(state, df2, ["EMPLOYEE_ID"])
     out = {r["EMPLOYEE_ID"]: r["SALARY"] for r in merged.collect()}
     assert out == {210: Decimal("8888.00"), 220: Decimal("50.00")}
+
+    # late-data correctness: replaying an OLDER event for 210 must not
+    # clobber the newer state (the reference's 3-day rescan window
+    # delivers such files)
+    late = [_env("e0", "oracle-cdc-logminer", "UPDATE",
+                 _payload(210, "1.00"), (500, 0, "AA0", 1))]
+    df3 = normalize_ops(flatten_envelope(
+        spark.createDataFrame(late, envelope_schema(EMP_SCHEMA))))
+    merged2 = cdc.merge_batch(merged, df3, ["EMPLOYEE_ID"])
+    out2 = {r["EMPLOYEE_ID"]: r["SALARY"] for r in merged2.collect()}
+    assert out2 == {210: Decimal("8888.00"), 220: Decimal("50.00")}
 
 
 @pytest.fixture(scope="module")

@@ -1,0 +1,191 @@
+"""Structured Streaming CDC pipeline tests: file replay with
+availableNow triggers, checkpointed incremental merges, late data,
+schema drift, windowed aggregation, stateful dedup."""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F, types as T
+
+from datastream_delta_plugins_spark.operators import cdc
+from datastream_delta_plugins_spark.streaming import (
+    CdcPipeline, StateDoc, dedup_within_watermark, windowed_counts)
+from datastream_delta_plugins_spark.streaming import state as sk
+
+CHANGE_SCHEMA = T.StructType([
+    T.StructField("source_timestamp", T.TimestampType()),
+    T.StructField("read_method", T.StringType()),
+    T.StructField("change_type", T.StringType()),
+    T.StructField("_sk1", T.LongType()),
+    T.StructField("_sk2", T.LongType()),
+    T.StructField("_sk3", T.StringType()),
+    T.StructField("_sk4", T.LongType()),
+    T.StructField("id", T.LongType()),
+    T.StructField("val", T.StringType()),
+])
+
+TS = datetime.datetime(2024, 1, 1)
+
+
+def _rows(*evts):
+    # evt: (read_method, change_type, sk1, id, val)
+    return [(TS + datetime.timedelta(seconds=sk1), rm, ct,
+             sk1, i, "na", 0, i, val)
+            for (rm, ct, sk1, i, val) in evts]
+
+
+def _write(spark, path, *evts):
+    spark.createDataFrame(_rows(*evts), CHANGE_SCHEMA) \
+         .coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def _run(pipe, trigger={"availableNow": True}):
+    q = pipe.start(CHANGE_SCHEMA, trigger=trigger)
+    q.awaitTermination(120)
+    assert not q.isActive
+
+
+@pytest.fixture
+def pipe(spark, tmp_path):
+    src = str(tmp_path / "src")
+    return CdcPipeline(spark, "t1", src + "/*", str(tmp_path / "work"),
+                       pk_cols=["id"]), src
+
+
+def test_stream_snapshot_then_cdc(spark, pipe):
+    pipe, src = pipe
+    _write(spark, f"{src}/f1_oracle-backfill_0",
+           ("oracle-backfill", None, 0, 1, "a"),
+           ("oracle-backfill", None, 0, 2, "b"))
+    _run(pipe)
+    s1 = {r["id"]: (r["val"], r["_is_deleted"])
+          for r in pipe.read_state().collect()}
+    assert s1 == {1: ("a", False), 2: ("b", False)}
+    assert pipe.doc.get(sk.k_snapshot_done("t1")) == "true"
+    assert pipe.doc.get(sk.DB_CREATED) == "true"
+
+    # second micro-batch run: update + delete + insert; checkpoint must
+    # skip the already-seen snapshot file
+    _write(spark, f"{src}/f2_oracle-cdc-logminer_1",
+           ("oracle-cdc-logminer", "UPDATE", 10, 1, "a2"),
+           ("oracle-cdc-logminer", "DELETE", 11, 2, "b"),
+           ("oracle-cdc-logminer", "INSERT", 12, 3, "c"))
+    _run(pipe)
+    s2 = {r["id"]: (r["val"], r["_is_deleted"])
+          for r in pipe.read_state().collect()}
+    assert s2 == {1: ("a2", False), 2: ("b", True), 3: ("c", False)}
+
+
+def test_stream_late_file_does_not_clobber(spark, pipe):
+    pipe, src = pipe
+    _write(spark, f"{src}/f1_oracle-cdc-logminer_0",
+           ("oracle-cdc-logminer", "INSERT", 100, 1, "new"))
+    _run(pipe)
+    # a late file with an OLDER sort key for the same pk
+    _write(spark, f"{src}/f0_late_oracle-cdc-logminer",
+           ("oracle-cdc-logminer", "UPDATE", 50, 1, "old"))
+    _run(pipe)
+    s = {r["id"]: r["val"] for r in pipe.read_state().collect()}
+    assert s == {1: "new"}
+
+
+def test_stream_pk_update_pair(spark, pipe):
+    pipe, src = pipe
+    _write(spark, f"{src}/f1_oracle-cdc-logminer_0",
+           ("oracle-cdc-logminer", "INSERT", 1, 1, "x"))
+    _write(spark, f"{src}/f2_oracle-cdc-logminer_1",
+           ("oracle-cdc-logminer", "UPDATE-DELETE", 2, 1, "x"),
+           ("oracle-cdc-logminer", "UPDATE-INSERT", 3, 2, "x"))
+    _run(pipe)
+    s = {r["id"]: r["_is_deleted"] for r in pipe.read_state().collect()}
+    assert s == {1: True, 2: False}
+
+
+def test_schema_drift_evolves_state(spark, tmp_path):
+    src = str(tmp_path / "src")
+    pipe = CdcPipeline(spark, "t1", src + "/*", str(tmp_path / "work"),
+                       pk_cols=["id"])
+    _write(spark, f"{src}/f1_oracle-cdc-logminer_0",
+           ("oracle-cdc-logminer", "INSERT", 1, 1, "a"))
+    _run(pipe)
+    fp1 = pipe.doc.get(sk.k_schema_key("t1"))
+
+    # drifted schema: extra payload column (copy — .add mutates in place)
+    drifted = T.StructType(list(CHANGE_SCHEMA.fields)
+                           + [T.StructField("extra", T.LongType())])
+    rows = [(TS, "oracle-cdc-logminer", "UPDATE", 5, 1, "na", 0, 1, "a2", 7)]
+    spark.createDataFrame(rows, drifted).coalesce(1) \
+         .write.parquet(f"{src}/f2_oracle-cdc-logminer_1")
+    pipe2 = CdcPipeline(spark, "t1", src + "/*",
+                        str(tmp_path / "work"), pk_cols=["id"])
+    # stream again with the re-described (drifted) schema, as the
+    # reference does after a schema_key change; checkpoint skips f1
+    q = pipe2.start(drifted, trigger={"availableNow": True})
+    q.awaitTermination(120)
+    state = pipe2.read_state()
+    assert "extra" in state.columns
+    row = {r["id"]: (r["val"], r["extra"]) for r in state.collect()}
+    assert row == {1: ("a2", 7)}
+    assert pipe2.doc.get(sk.k_schema_key("t1")) != fp1
+
+
+def test_stream_equals_batch_materialize(spark, pipe):
+    pipe, src = pipe
+    _write(spark, f"{src}/f1_oracle-backfill_0",
+           *[("oracle-backfill", None, 0, i, f"v{i}") for i in range(50)])
+    _write(spark, f"{src}/f2_oracle-cdc-logminer_1",
+           *[("oracle-cdc-logminer", "UPDATE", 10 + i, i, f"u{i}")
+             for i in range(0, 50, 3)])
+    _write(spark, f"{src}/f3_oracle-cdc-logminer_2",
+           *[("oracle-cdc-logminer", "DELETE", 100 + i, i, f"u{i}")
+             for i in range(0, 50, 7)])
+    _run(pipe)
+    streamed = {(r["id"], r["val"], r["_is_deleted"])
+                for r in pipe.read_state().collect()}
+    batch = cdc.materialize(spark.read.schema(CHANGE_SCHEMA)
+                            .parquet(f"{src}/*"), ["id"])
+    expected = {(r["id"], r["val"], r["_is_deleted"])
+                for r in batch.collect()}
+    assert streamed == expected
+
+
+def test_windowed_counts_matches_batch(spark, tmp_path):
+    rows = [(TS + datetime.timedelta(minutes=7 * i), "e", None,
+             i, i, "na", 0, i, "x") for i in range(40)]
+    p = str(tmp_path / "ev")
+    spark.createDataFrame(rows, CHANGE_SCHEMA).write.parquet(p)
+    stream = spark.readStream.schema(CHANGE_SCHEMA).parquet(p)
+    out = windowed_counts(stream, "source_timestamp", "1 hour")
+    q = (out.writeStream.format("memory").queryName("wc")
+            .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r["h"], r["c"]) for r in spark.sql("SELECT * FROM wc").collect()}
+    batch = (spark.read.parquet(p)
+             .groupBy(F.date_trunc("hour", "source_timestamp").alias("h"))
+             .agg(F.count(F.lit(1)).alias("c")))
+    expected = {(r["h"], r["c"]) for r in batch.collect()}
+    assert got == expected
+
+
+def test_dedup_within_watermark(spark, tmp_path):
+    rows = _rows(("e", None, 1, 1, "a"), ("e", None, 1, 1, "a"),
+                 ("e", None, 2, 2, "b"))
+    p = str(tmp_path / "dups")
+    spark.createDataFrame(rows, CHANGE_SCHEMA).write.parquet(p)
+    stream = spark.readStream.schema(CHANGE_SCHEMA).parquet(p)
+    out = dedup_within_watermark(stream, ["id", "_sk1"], "source_timestamp")
+    q = (out.writeStream.format("memory").queryName("dd")
+            .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted(r["id"] for r in spark.sql("SELECT id FROM dd").collect())
+    assert got == [1, 2]
+
+
+def test_state_doc_roundtrip(tmp_path):
+    doc = StateDoc(str(tmp_path / "s.json"))
+    doc.set(**{sk.DB_CREATED: "true", sk.k_pos("t1"): "5"})
+    doc.save()
+    doc2 = StateDoc(str(tmp_path / "s.json"))
+    assert doc2.get(sk.DB_CREATED) == "true"
+    assert doc2.get(sk.k_pos("t1")) == "5"
+    assert doc2.get("missing", "d") == "d"
