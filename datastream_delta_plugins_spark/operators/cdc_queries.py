@@ -42,16 +42,16 @@ def _orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
 
 
-def _event(df, pk, price, change_type, read_method, sk1, sk2, sk4):
+def _event_struct(pk, price, change_type, read_method, sk1, sk2, sk4):
     ct = (F.lit(None).cast("string") if change_type is None
           else F.lit(change_type))
-    return df.select(
+    return F.struct(
         pk.cast("bigint").alias("pk"),
-        F.col("o_custkey"),
-        F.col("o_orderstatus"),
+        F.col("o_custkey").alias("o_custkey"),
+        F.col("o_orderstatus").alias("o_orderstatus"),
         price.alias("o_totalprice"),
-        F.col("o_orderdate"),
-        F.col("o_orderpriority"),
+        F.col("o_orderdate").alias("o_orderdate"),
+        F.col("o_orderpriority").alias("o_orderpriority"),
         ct.alias("change_type"),
         F.lit(read_method).alias("read_method"),
         F.lit(sk1).cast("bigint").alias("_sk1"),
@@ -62,24 +62,30 @@ def _event(df, pk, price, change_type, read_method, sk1, sk2, sk4):
 
 
 def simulate_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-scan construction: each orders row expands to its event
+    list via a conditional struct array + explode (one parquet scan and
+    one narrow stage, vs. a 7-way union re-scanning the table)."""
     o = _orders(spark, sf_dir)
     k = F.col("o_orderkey")
     p = F.col("o_totalprice")
-    parts = [
-        _event(o, k, p, None, _SNAP, 0, k, 0),
-        _event(o.where(k % 7 == 0), k, p + 1000, "UPDATE", _CDC, 1, k, 1),
-        _event(o.where(k % 21 == 0), k, p + 3000, "UPDATE", _CDC, 2, k, 1),
-        _event(o.where(k % 13 == 0), k, p, "DELETE", _CDC, 3, k, 1),
-        _event(o.where(k % 97 == 0), k, p, "UPDATE-DELETE", _CDC, 4, k, 0),
-        _event(o.where(k % 97 == 0), k + 10_000_000, p,
-               "UPDATE-INSERT", _CDC, 4, k, 1),
-        _event(o.where(k % 11 == 0), k + 20_000_000, p,
-               "INSERT", _CDC, 1, k + 20_000_000, 0),
-    ]
-    df = parts[0]
-    for part in parts[1:]:
-        df = df.unionByName(part)
-    return df
+
+    def cond(c, s):
+        return F.when(c, s)  # null when condition is false
+
+    events = F.array(
+        _event_struct(k, p, None, _SNAP, 0, k, 0).alias("e"),
+        cond(k % 7 == 0, _event_struct(k, p + 1000, "UPDATE", _CDC, 1, k, 1)),
+        cond(k % 21 == 0, _event_struct(k, p + 3000, "UPDATE", _CDC, 2, k, 1)),
+        cond(k % 13 == 0, _event_struct(k, p, "DELETE", _CDC, 3, k, 1)),
+        cond(k % 97 == 0, _event_struct(k, p, "UPDATE-DELETE", _CDC, 4, k, 0)),
+        cond(k % 97 == 0, _event_struct(k + 10_000_000, p,
+                                        "UPDATE-INSERT", _CDC, 4, k, 1)),
+        cond(k % 11 == 0, _event_struct(k + 20_000_000, p,
+                                        "INSERT", _CDC, 1, k + 20_000_000, 0)),
+    )
+    return (o.select(F.explode(F.filter(events, lambda e: e.isNotNull()))
+                      .alias("e"))
+             .select("e.*"))
 
 
 # The identical change stream in DuckDB SQL + the Q26 latest-row window.

@@ -1,0 +1,8 @@
+from .inspect import (executed_plan, final_plan, formatted_plan,
+                      has_broadcast_join, pushed_filters,
+                      read_schema_columns, scan_count,
+                      wholestage_codegen_count)
+
+__all__ = ["executed_plan", "final_plan", "formatted_plan",
+           "has_broadcast_join", "pushed_filters", "read_schema_columns",
+           "scan_count", "wholestage_codegen_count"]

@@ -1,0 +1,65 @@
+"""Physical-plan inspection helpers.
+
+The 100 TB contract is enforced here: tests assert that filters reach
+the parquet scan (PushedFilters), projections prune the read schema
+(ReadSchema), fixed-size dims broadcast, and operators stay inside
+whole-stage codegen — so a regression that silently de-optimizes a plan
+fails CI instead of melting a cluster.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def formatted_plan(df: DataFrame) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), "formatted")
+
+
+def executed_plan(df: DataFrame) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """All filters pushed down to datasource scans."""
+    out: list[str] = []
+    for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", formatted_plan(df)):
+        out.extend(f.strip() for f in m.group(1).split(",") if f.strip())
+    return out
+
+
+def read_schema_columns(df: DataFrame) -> list[list[str]]:
+    """Column lists read by each parquet scan (pruning check)."""
+    out = []
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", formatted_plan(df)):
+        cols = [c.split(":")[0].strip() for c in m.group(1).split(",")
+                if c.strip()]
+        out.append(cols)
+    return out
+
+
+def scan_count(df: DataFrame) -> int:
+    """Number of datasource scan nodes in the plan tree."""
+    return len(re.findall(r"\(\d+\) Scan parquet", formatted_plan(df)))
+
+
+def has_broadcast_join(df: DataFrame) -> bool:
+    return "BroadcastHashJoin" in formatted_plan(df)
+
+
+def final_plan(df: DataFrame) -> str:
+    """Executed (AQE-final) plan — runs the query first (collect on the
+    df's own QueryExecution so AQE finalizes in place), making codegen
+    stage boundaries and runtime re-plans visible."""
+    df.collect()
+    return executed_plan(df)
+
+
+def wholestage_codegen_count(df: DataFrame) -> int:
+    """Distinct whole-stage-codegen stages in the executed plan (the
+    `*(N)` operator markers)."""
+    plan = final_plan(df)
+    return len(set(re.findall(r"\*\((\d+)\)", plan)))

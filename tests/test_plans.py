@@ -1,0 +1,53 @@
+"""Physical-plan assertions: the scale contract (pushdown, pruning,
+broadcast, codegen) — failures here mean a silent de-optimization."""
+
+from datastream_delta_plugins_spark.operators import cdc_queries, relational
+from datastream_delta_plugins_spark.plans import (
+    formatted_plan, has_broadcast_join, pushed_filters,
+    read_schema_columns, scan_count, wholestage_codegen_count)
+
+
+def test_q02_filters_pushed_to_scan(spark, sf_smoke):
+    df = relational.q02_filter_count(spark, sf_smoke)
+    pushed = " ".join(pushed_filters(df))
+    assert "l_shipdate" in pushed and "l_quantity" in pushed
+
+
+def test_q01_projection_prunes_read_schema(spark, sf_smoke):
+    df = relational.q01_scan_project(spark, sf_smoke)
+    (cols,) = read_schema_columns(df)
+    assert set(cols) == {"l_orderkey", "l_partkey", "l_quantity"}
+
+
+def test_q06_broadcasts_dimension(spark, sf_smoke):
+    df = relational.q06_multiway_join(spark, sf_smoke)
+    assert has_broadcast_join(df)
+
+
+def test_q24_decorrelated_to_broadcast_join(spark, sf_smoke):
+    df = relational.q24_correlated_subquery(spark, sf_smoke)
+    assert has_broadcast_join(df)
+
+
+def test_q03_stays_in_codegen(spark, sf_smoke):
+    df = relational.q03_hash_agg(spark, sf_smoke)
+    plan = formatted_plan(df)
+    assert "partial_sum" in plan  # map-side combine before the shuffle
+    assert plan.index("HashAggregate") < plan.rindex("Exchange")
+    assert wholestage_codegen_count(df) >= 1  # AQE-final executed plan
+
+
+def test_q26_single_scan_with_partial_agg(spark, sf_smoke):
+    df = cdc_queries.q26_cdc_latest(spark, sf_smoke)
+    plan = formatted_plan(df)
+    # one parquet scan only (the union formulation had 7)
+    assert scan_count(df) == 1
+    # max_by merge does partial aggregation before the pk shuffle
+    assert "partial_max_by" in plan
+
+
+def test_q10_range_join_is_hash_join_with_residual(spark, sf_smoke):
+    # equi key present -> must NOT degrade to BroadcastNestedLoopJoin
+    df = relational.q10_range_join(spark, sf_smoke)
+    plan = formatted_plan(df)
+    assert "NestedLoop" not in plan
