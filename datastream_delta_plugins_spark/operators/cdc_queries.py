@@ -65,7 +65,11 @@ def simulate_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-scan construction: each orders row expands to its event
     list via a conditional struct array + explode (one parquet scan and
     one narrow stage, vs. a 7-way union re-scanning the table)."""
-    o = _orders(spark, sf_dir)
+    # Real change streams arrive as many files and parallelize at the
+    # scan; the simulator's single-row-group parquet input would pin the
+    # (expensive) event generation on one core, so spread it first.
+    o = _orders(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism)
     k = F.col("o_orderkey")
     p = F.col("o_totalprice")
 

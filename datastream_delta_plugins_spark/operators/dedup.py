@@ -81,12 +81,19 @@ def jaccard_pairs(df: DataFrame, threshold: float,
     counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("i"), "shingle")
     b = sh.select(F.col(id_col).alias("j"), "shingle")
+    if candidates is not None:
+        # Verification path: only score candidate pairs. Semi-join each
+        # side down to candidate docs BEFORE the shingle self-join so
+        # the expensive join touches O(candidates), not O(corpus^2).
+        cand = candidates.select("i", "j").distinct()
+        a = a.join(cand.select("i").distinct(), "i", "semi")
+        b = b.join(cand.select("j").distinct(), "j", "semi")
     common = (a.join(b, "shingle")
                .where(F.col("i") < F.col("j"))
                .groupBy("i", "j")
                .agg(F.count(F.lit(1)).alias("common")))
     if candidates is not None:
-        common = common.join(candidates.select("i", "j").distinct(), ["i", "j"])
+        common = common.join(cand, ["i", "j"], "semi")
     na = counts.select(F.col(id_col).alias("i"), F.col("n_sh").alias("na"))
     nb = counts.select(F.col(id_col).alias("j"), F.col("n_sh").alias("nb"))
     jac = (F.col("common").cast("double")
@@ -119,15 +126,18 @@ def minhash_lsh_pairs(df: DataFrame, threshold: float = 0.8,
     """
     sig = minhash_signatures(df, text_col, id_col, n)
     rows_per_band = NUM_PERMS // NUM_BANDS
-    bands = []
+    # Single-pass banding: one array-of-structs projection + explode.
+    # (A per-band union would re-execute the whole shingle+signature
+    # pipeline once per band.)
+    band_structs = []
     for b in range(NUM_BANDS):
-        cols = [F.col(f"mh{b * rows_per_band + r}")
+        cols = [F.col(f"mh{b * rows_per_band + r}").cast("string")
                 for r in range(rows_per_band)]
-        bands.append(sig.select(F.col(id_col),
-                                F.lit(b).alias("band"),
-                                F.concat_ws(":", *[c.cast("string")
-                                                   for c in cols]).alias("sig")))
-    banded = reduce(lambda x, y: x.unionByName(y), bands)
+        band_structs.append(F.struct(
+            F.lit(b).alias("band"), F.concat_ws(":", *cols).alias("sig")))
+    banded = (sig.select(F.col(id_col),
+                         F.explode(F.array(*band_structs)).alias("e"))
+                 .select(id_col, "e.band", "e.sig"))
     cand = (banded.alias("a")
             .join(banded.alias("b"), ["band", "sig"])
             .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
@@ -163,12 +173,14 @@ def simhash_pairs(df: DataFrame, max_hamming: int = 3,
     """
     sig = simhash(df, text_col, id_col)
     mask = (1 << 15) - 1
-    bands = reduce(lambda x, y: x.unionByName(y), [
-        sig.select(F.col(id_col), F.col("simhash"),
-                   F.lit(b).alias("band"),
-                   F.shiftright("simhash", 15 * b).bitwiseAND(mask)
-                    .alias("bv"))
-        for b in range(SIMHASH_BANDS)])
+    bands = (sig.select(
+                 F.col(id_col), F.col("simhash"),
+                 F.explode(F.array(*[
+                     F.struct(F.lit(b).alias("band"),
+                              F.shiftright("simhash", 15 * b)
+                               .bitwiseAND(mask).alias("bv"))
+                     for b in range(SIMHASH_BANDS)])).alias("e"))
+             .select(id_col, "simhash", "e.band", "e.bv"))
     ham = F.bit_count(F.col(f"a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (bands.alias("a")
             .join(bands.alias("b"), ["band", "bv"])

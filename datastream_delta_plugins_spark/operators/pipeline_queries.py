@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import dedup, multimodal, similarity, text
-from ..sources.tables import load_table
+from ..sources.tables import fan_out, load_table
 
 # ---------------------------------------------------------------- SQL bits
 
@@ -81,11 +81,13 @@ _STOPLIST = "[" + ", ".join(f"'{s}'" for s in text.STOPWORDS) + "]"
 
 
 def _docs(spark, sf_dir):
-    return load_table(spark, sf_dir, "documents")
+    # fan_out: shingling/hashing multiplies work ~100x per input byte
+    return fan_out(load_table(spark, sf_dir, "documents"))
 
 
 def _embs(spark, sf_dir):
-    return load_table(spark, sf_dir, "embeddings")
+    # fan_out: pairwise cosine multiplies work ~|queries|x per row
+    return fan_out(load_table(spark, sf_dir, "embeddings"))
 
 
 def d01_dedup_exact(spark, sf_dir):

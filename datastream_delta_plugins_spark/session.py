@@ -30,6 +30,11 @@ def get_spark(app_name: str = "datastream-delta-spark",
         .master(f"local[{cpus}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Split small files to at least the core count: test-scale files
+        # are single-digit MB (< one 128 MB split), which would serialize
+        # every scan stage on one core. At cluster scale the byte-size
+        # rule dominates and this hint is a no-op.
+        .config("spark.sql.files.minPartitionNum", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")

@@ -38,6 +38,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def fan_out(df: DataFrame, target: int | None = None) -> DataFrame:
+    """Repartition to the session's parallelism ahead of compute-heavy
+    row-expansion stages (shingling, pairwise scoring, media decode).
+
+    Parquet splitting follows *bytes*, so a small-but-compute-dense
+    input (single row group) pins the whole expansion on one core. The
+    fix is partitioning by available compute. At cluster scale inputs
+    already arrive in >= cores splits and the shuffle cost here is the
+    input size — negligible next to the expansion it unblocks.
+    """
+    target = target or df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(target)
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLE_NAMES}
 
