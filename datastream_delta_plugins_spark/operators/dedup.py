@@ -28,6 +28,8 @@ from __future__ import annotations
 
 from functools import reduce
 
+from pyspark import StorageLevel
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -71,23 +73,28 @@ def ngram_shingles(df: DataFrame, text_col: str = "text",
 def jaccard_pairs(df: DataFrame, threshold: float,
                   text_col: str = "text", id_col: str = "doc_id",
                   n: int = 3,
-                  candidates: DataFrame | None = None) -> DataFrame:
+                  candidates: DataFrame | None = None,
+                  counts: DataFrame | None = None) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs (i < j, jac >= threshold).
 
     With `candidates` (columns i, j), only those pairs are scored —
-    that's the LSH verification path.
+    that's the LSH verification path: the corpus is semi-joined down to
+    candidate docs BEFORE shingling, so the expensive shingle expansion
+    and self-join touch O(candidate docs), not the whole corpus.
+    `counts` (id_col, n_sh) lets the caller supply per-doc shingle
+    counts it already has (the signature pass computes them for free).
     """
+    if candidates is not None:
+        cand = candidates.select("i", "j").distinct()
+        ids = (cand.select(F.col("i").alias(id_col))
+                   .union(cand.select(F.col("j").alias(id_col)))
+                   .distinct())
+        df = df.join(ids, id_col, "semi")  # AQE broadcasts if small
     sh = ngram_shingles(df, text_col, id_col, n)
-    counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    if counts is None:
+        counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("i"), "shingle")
     b = sh.select(F.col(id_col).alias("j"), "shingle")
-    if candidates is not None:
-        # Verification path: only score candidate pairs. Semi-join each
-        # side down to candidate docs BEFORE the shingle self-join so
-        # the expensive join touches O(candidates), not O(corpus^2).
-        cand = candidates.select("i", "j").distinct()
-        a = a.join(cand.select("i").distinct(), "i", "semi")
-        b = b.join(cand.select("j").distinct(), "j", "semi")
     common = (a.join(b, "shingle")
                .where(F.col("i") < F.col("j"))
                .groupBy("i", "j")
@@ -105,12 +112,14 @@ def jaccard_pairs(df: DataFrame, threshold: float,
 
 def minhash_signatures(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", n: int = 3) -> DataFrame:
-    """Per-doc MinHash signature: one column per permutation."""
+    """Per-doc MinHash signature: one column per permutation, plus the
+    doc's distinct-shingle count `n_sh` (free in the same aggregation;
+    the LSH verify step needs it for exact Jaccard)."""
     sh = ngram_shingles(df, text_col, id_col, n)
     h = hash32("shingle")
     mins = [F.min((F.lit(PERM_A[i]) * h + F.lit(PERM_B[i])) % MINHASH_PRIME)
              .alias(f"mh{i}") for i in range(NUM_PERMS)]
-    return sh.groupBy(id_col).agg(*mins)
+    return sh.groupBy(id_col).agg(*mins, F.count(F.lit(1)).alias("n_sh"))
 
 
 def minhash_lsh_pairs(df: DataFrame, threshold: float = 0.8,
@@ -124,7 +133,15 @@ def minhash_lsh_pairs(df: DataFrame, threshold: float = 0.8,
     threshold, so the output has no false positives (recall is the
     banding probability: >0.999999 at jac >= 0.95).
     """
-    sig = minhash_signatures(df, text_col, id_col, n)
+    # Persist the signature table: it feeds banding, candidate-doc
+    # selection, and Jaccard counts, and Catalyst does not CSE a
+    # subtree repeated across join branches — without the persist the
+    # whole shingle+hash pipeline re-executes per use. Signatures are
+    # ~33 longs/doc (orders of magnitude smaller than the corpus), and
+    # MEMORY_AND_DISK spills instead of OOMing at scale. Spark ML's
+    # MinHashLSH caches the same way.
+    sig = (minhash_signatures(df, text_col, id_col, n)
+           .persist(StorageLevel.MEMORY_AND_DISK))
     rows_per_band = NUM_PERMS // NUM_BANDS
     # Single-pass banding: one array-of-structs projection + explode.
     # (A per-band union would re-execute the whole shingle+signature
@@ -143,8 +160,13 @@ def minhash_lsh_pairs(df: DataFrame, threshold: float = 0.8,
             .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
             .select(F.col(f"a.{id_col}").alias("i"),
                     F.col(f"b.{id_col}").alias("j"))
-            .distinct())
-    return jaccard_pairs(df, threshold, text_col, id_col, n, candidates=cand)
+            .distinct()
+            .persist(StorageLevel.MEMORY_AND_DISK))  # used 3x in verify
+    # Shingle counts ride along with the signatures, so the verify pass
+    # shingles ONLY candidate docs — the full corpus is shingled once.
+    counts = sig.select(id_col, "n_sh")
+    return jaccard_pairs(df, threshold, text_col, id_col, n,
+                         candidates=cand, counts=counts)
 
 
 def simhash(df: DataFrame, text_col: str = "text",
@@ -171,7 +193,8 @@ def simhash_pairs(df: DataFrame, max_hamming: int = 3,
     Hamming distance <= 3 must agree exactly on >= 1 band (pigeonhole),
     so banding only prunes, never misses.
     """
-    sig = simhash(df, text_col, id_col)
+    # both sides of the band self-join read sig — persist, not recompute
+    sig = simhash(df, text_col, id_col).persist(StorageLevel.MEMORY_AND_DISK)
     mask = (1 << 15) - 1
     bands = (sig.select(
                  F.col(id_col), F.col("simhash"),
