@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from datastream_delta_plugins_spark.operators import (  # noqa: E402
-    cdc_queries, pipeline_queries, relational)
+    cdc_queries, event_queries, pipeline_queries, relational)
 
 
 def _pin(spark: SparkSession) -> SparkSession:
@@ -46,7 +46,7 @@ def _wrap(fn: Callable[[SparkSession, str], DataFrame]):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for registry in (relational.QUERIES, cdc_queries.QUERIES,
-                     pipeline_queries.QUERIES):
+                     pipeline_queries.QUERIES, event_queries.QUERIES):
         for name, fn in registry.items():
             out[name] = _wrap(fn)
     return out
@@ -55,6 +55,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     for registry in (relational.ORACLE_SQL, cdc_queries.ORACLE_SQL,
-                     pipeline_queries.ORACLE_SQL):
+                     pipeline_queries.ORACLE_SQL, event_queries.ORACLE_SQL):
         out.update(registry)
     return out

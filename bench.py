@@ -17,7 +17,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from datastream_delta_plugins_spark.operators import (
-    cdc_queries, pipeline_queries, relational)
+    cdc_queries, event_queries, pipeline_queries, relational)
 from datastream_delta_plugins_spark.session import get_spark
 
 HEADLINE = [
@@ -30,6 +30,8 @@ HEADLINE = [
     ("q13", "q13_rank_window", relational.QUERIES),
     ("q16", "q16_topk", relational.QUERIES),
     ("q26", "q26_cdc_latest", cdc_queries.QUERIES),
+    ("q31", "q31_asof_join", event_queries.QUERIES),
+    ("q32", "q32_sessionize", event_queries.QUERIES),
     ("d03", "d03_minhash_lsh", pipeline_queries.QUERIES),
     ("s01", "s01_cosine_topk", pipeline_queries.QUERIES),
     ("t01", "t01_text_stats", pipeline_queries.QUERIES),

@@ -1,0 +1,115 @@
+"""Declared queries over the events stream table: as-of join,
+sessionization, sliding windows, JSON extraction (Q31-Q34), each with a
+DuckDB oracle.
+
+Determinism: every query ends with ORDER BY over its key columns;
+DOUBLE aggregates are round(x, 4); counts are BIGINT. events.ts goes
+through sources.load_table (nanos -> timestamp_ntz, matching DuckDB's
+naive microsecond read of the same parquet).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import temporal
+from ..sources.tables import load_table
+
+
+def _events(spark, sf_dir):
+    return load_table(spark, sf_dir, "events")
+
+
+# --- Q31: as-of join (click -> latest error at or before it, per user)
+
+def q31_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    clicks = (ev.where(F.col("event_type") == "click")
+                .select("event_id", "user_id", "ts"))
+    errors = (ev.where(F.col("event_type") == "error")
+                .select("user_id", "ts", "value"))
+    joined = temporal.asof_join(
+        clicks, errors, on=["user_id"], left_ts="ts", right_ts="ts",
+        right_cols={"ts": "err_ts", "value": "err_value"})
+    return joined.select("event_id", "user_id", "ts",
+                         "err_ts", "err_value").orderBy("event_id")
+
+
+# --- Q32: session windows (30-min inactivity gap, per user)
+
+def q32_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    s = temporal.session_agg(
+        ev, ["user_id"], "ts", "30 minutes",
+        aggs=[F.count(F.lit(1)).alias("n_events"),
+              F.round(F.sum("value"), 4).alias("sum_value")])
+    return (s.select("user_id", "session_start", "n_events", "sum_value")
+             .orderBy("user_id", "session_start"))
+
+
+# --- Q33: sliding windows (1h window / 30m slide)
+
+def q33_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    s = temporal.sliding_agg(ev, "ts", "1 hour", "30 minutes",
+                             aggs=[F.count(F.lit(1)).alias("c")])
+    return s.select("w_start", "c").orderBy("w_start")
+
+
+# --- Q34: JSON property extraction + aggregation
+
+def q34_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (ev.groupBy("event_type", (k % 10).alias("kb"))
+              .agg(F.count(F.lit(1)).alias("c"),
+                   F.round(F.sum("value"), 4).alias("sv"))
+              .orderBy("event_type", "kb"))
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q31_asof_join": q31_asof_join,
+    "q32_sessionize": q32_sessionize,
+    "q33_sliding_window": q33_sliding_window,
+    "q34_json_extract": q34_json_extract,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "q31_asof_join": """
+        SELECT c.event_id, c.user_id, c.ts, e.ts AS err_ts,
+               e.value AS err_value
+        FROM (SELECT * FROM events WHERE event_type = 'click') c
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+          ON c.user_id = e.user_id AND e.ts <= c.ts
+        ORDER BY c.event_id""",
+    "q32_sessionize": """
+        WITH o AS (SELECT user_id, ts, value,
+                          lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                            AS pts
+                   FROM events),
+        m AS (SELECT *, CASE WHEN pts IS NULL
+                               OR ts >= pts + INTERVAL 30 MINUTE
+                             THEN 1 ELSE 0 END AS brk FROM o),
+        s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS sid
+              FROM m)
+        SELECT user_id, min(ts) AS session_start,
+               count(*) AS n_events, round(sum(value), 4) AS sum_value
+        FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""",
+    "q33_sliding_window": """
+        WITH b AS (SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS b0, ts
+                   FROM events),
+        w AS (SELECT unnest([b0, b0 - INTERVAL 30 MINUTE]) AS w_start, ts
+              FROM b)
+        SELECT w_start, CAST(count(*) AS BIGINT) AS c
+        FROM w WHERE ts >= w_start AND ts < w_start + INTERVAL 60 MINUTE
+        GROUP BY 1 ORDER BY 1""",
+    "q34_json_extract": """
+        SELECT event_type,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS kb,
+               count(*) AS c, round(sum(value), 4) AS sv
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+}

@@ -147,6 +147,20 @@ def m01_multimodal_meta(spark, sf_dir):
     return multimodal.binary_meta(media).orderBy("doc_id")
 
 
+def m02_multimodal_decode(spark, sf_dir):
+    """Arrow-batched mapInPandas decode, value-checked: the stub
+    extractor's md5-derived features are reproduced by the oracle, so
+    the whole Python-side plumbing (schema, batching, array output) is
+    hash-verified, not just row-counted. Features explode to rows
+    because the driver compare hashes flat columns."""
+    media = multimodal.attach_binary(_docs(spark, sf_dir))
+    dec = multimodal.decode_media(media)
+    return (dec.select("doc_id", "fmt", "width", "height", "n_frames",
+                       F.posexplode("features").alias("dim", "feat"))
+               .withColumn("dim", F.col("dim").cast("int"))
+               .orderBy("doc_id", "dim"))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d01_dedup_exact": d01_dedup_exact,
     "d02_ngram_jaccard": d02_ngram_jaccard,
@@ -160,6 +174,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t03_token_count": t03_token_count,
     "t04_fingerprint": t04_fingerprint,
     "m01_multimodal_meta": m01_multimodal_meta,
+    "m02_multimodal_decode": m02_multimodal_decode,
 }
 
 _LANG_SCORES = ",\n       ".join(
@@ -235,6 +250,21 @@ ORACLE_SQL: dict[str, str] = {
                CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
                sha256(text) AS sha
         FROM documents ORDER BY doc_id""",
+    "m02_multimodal_decode": """
+        WITH m AS (SELECT doc_id,
+                          (['png', 'jpeg', 'wav'])[CAST(doc_id % 3 AS INTEGER) + 1] AS fmt,
+                          octet_length(encode(text)) AS byte_len,
+                          md5(text) AS h
+                   FROM documents),
+        d AS (SELECT m.*, unnest([0, 1, 2, 3]) AS dim FROM m)
+        SELECT doc_id, fmt,
+               CAST(byte_len % 64 + 1 AS INTEGER) AS width,
+               CAST(byte_len % 48 + 1 AS INTEGER) AS height,
+               CAST(1 AS INTEGER) AS n_frames,
+               CAST(dim AS INTEGER) AS dim,
+               CAST(CAST('0x' || substr(h, dim * 2 + 1, 2) AS INTEGER)
+                    AS DOUBLE) / 255.0 AS feat
+        FROM d ORDER BY doc_id, dim""",
     # s02_ivf_topk intentionally has no oracle: approximate by design;
     # the driver records a rows-only check and tests assert recall.
 }

@@ -1,0 +1,107 @@
+"""Temporal operators over event streams: as-of join, sessionization,
+sliding windows.
+
+The reference engine has no user-facing temporal operators (its only
+time logic is the scan-window policy, DatastreamEventReader.java:93-94,
+543-556); these are part of the engine's §2.6 "queryable analytics"
+surface, and the as-of join is the canonical custom operator Spark
+lacks as a built-in.
+
+As-of join strategy (scale rationale): the naive formulation is a range
+join (`l.ts >= r.ts` + pick latest), which Spark executes as a
+broadcast-nested-loop or a sort-merge over an inequality — O(n*m) per
+key and skew-fragile. Instead we UNION the two sides, window-partition
+by key ordered by timestamp, and carry the most recent right-side row
+forward with last(ignorenulls) over an unbounded-preceding frame. One
+shuffle (by key), one sort, linear scan — the same plan shape Flink and
+kdb use for as-of. Ties (left.ts == right.ts) match the right row
+(<= semantics), which the sort realizes by ordering right rows first.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
+              left_ts: str = "ts", right_ts: str = "ts",
+              right_cols: dict[str, str] | None = None,
+              direction: str = "backward") -> DataFrame:
+    """For each left row, attach the latest right row with
+    right_ts <= left_ts (direction='backward'; 'forward' = earliest
+    right row with right_ts >= left_ts), matching on `on` keys.
+
+    `right_cols` maps right column -> output name (default: carry
+    right_ts as '{right_ts}_r'). Left rows with no match get nulls —
+    LEFT OUTER as-of semantics.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"unknown direction {direction!r}")
+    right_cols = right_cols or {right_ts: f"{right_ts}_r"}
+    on = list(on)
+    carried = list(right_cols.items())
+
+    left_out = [c for c in left.columns]
+    u = (left.select(*on, F.col(left_ts).alias("_ats"),
+                     F.lit(1).alias("_is_l"),
+                     F.struct(*left_out).alias("_lrow"),
+                     *[F.lit(None).cast(right.schema[src].dataType)
+                        .alias(f"_r_{dst}") for src, dst in carried])
+             .unionByName(
+         right.select(*on, F.col(right_ts).alias("_ats"),
+                      F.lit(0).alias("_is_l"),
+                      F.lit(None).cast(
+                          "struct<" + ",".join(
+                              f"{f.name}:{f.dataType.simpleString()}"
+                              for f in left.schema.fields) + ">")
+                       .alias("_lrow"),
+                      *[F.col(src).alias(f"_r_{dst}")
+                        for src, dst in carried])))
+    if direction == "backward":
+        # right rows sort before left rows at equal ts -> <= matches
+        w = (W.partitionBy(*on).orderBy(F.asc("_ats"), F.asc("_is_l"))
+              .rowsBetween(W.unboundedPreceding, W.currentRow))
+        fill = F.last
+    else:
+        w = (W.partitionBy(*on).orderBy(F.desc("_ats"), F.asc("_is_l"))
+              .rowsBetween(W.unboundedPreceding, W.currentRow))
+        fill = F.last
+    filled = u.select(
+        "_is_l", "_lrow",
+        *[fill(F.col(f"_r_{dst}"), ignorenulls=True).over(w)
+           .alias(f"_r_{dst}") for _, dst in carried])
+    return (filled.where(F.col("_is_l") == 1)
+                  .select(*[F.col(f"_lrow.{c}").alias(c) for c in left_out],
+                          *[F.col(f"_r_{dst}").alias(dst)
+                            for _, dst in carried]))
+
+
+def session_agg(df: DataFrame, key_cols: Sequence[str], ts_col: str = "ts",
+                gap: str = "30 minutes",
+                aggs: Sequence = ()) -> DataFrame:
+    """Per-key session aggregation: events closer than `gap` chain into
+    one session (Spark's native session_window; at scale this is one
+    keyed shuffle + sort, identical cost to the streaming form)."""
+    aggs = list(aggs) or [F.count(F.lit(1)).alias("n_events")]
+    return (df.groupBy(*key_cols, F.session_window(ts_col, gap).alias("_w"))
+              .agg(*aggs)
+              .withColumn("session_start", F.col("_w.start"))
+              .withColumn("session_end", F.col("_w.end"))
+              .drop("_w"))
+
+
+def sliding_agg(df: DataFrame, ts_col: str = "ts",
+                window: str = "1 hour", slide: str = "30 minutes",
+                aggs: Sequence = ()) -> DataFrame:
+    """Sliding-window aggregation (each event lands in window/slide
+    windows; Spark expands via an internal explode then hash-aggregates
+    — partial aggregation keeps the shuffle at one row per window per
+    input partition)."""
+    aggs = list(aggs) or [F.count(F.lit(1)).alias("c")]
+    return (df.groupBy(F.window(ts_col, window, slide).alias("_w"))
+              .agg(*aggs)
+              .withColumn("w_start", F.col("_w.start"))
+              .drop("_w"))

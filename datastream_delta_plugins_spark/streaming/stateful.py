@@ -1,0 +1,65 @@
+"""Custom stateful streaming operators (applyInPandasWithState).
+
+Spark's built-in session_window covers windowed aggregation; this
+module is the escape hatch for session semantics the built-ins can't
+express (emit-on-close with arbitrary per-session state, e.g. distinct
+counts or event-pattern flags carried across micro-batches).
+
+State is one fixed-size tuple per key — bounded regardless of stream
+length. Events inside a micro-batch are processed in event-time order;
+cross-batch ordering is the stream's (file source: file order), which
+matches the reference's per-table ordered scan
+(DatastreamEventReader.java:610-616).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+SESSION_OUT_SCHEMA = ("user_id bigint, session_start timestamp, "
+                      "session_end timestamp, n_events bigint, "
+                      "sum_value double")
+SESSION_STATE_SCHEMA = ("session_start timestamp, last_ts timestamp, "
+                        "n_events bigint, sum_value double")
+
+
+def sessionize_stream(events: DataFrame, gap_seconds: int = 1800,
+                      key_col: str = "user_id", ts_col: str = "ts",
+                      value_col: str = "value") -> DataFrame:
+    """Gap-based sessionization with emit-on-close.
+
+    A session closes when a later event for the same key arrives
+    >= gap_seconds after the session's last event; the closed session
+    row is emitted and a new session starts. The in-flight session
+    lives in group state (one tuple per key).
+    """
+
+    def fn(key: tuple, pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        st = state.get if state.exists else None  # tuple per STATE_SCHEMA
+        closed: list[tuple] = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col)
+            for ts, val in zip(pdf[ts_col], pdf[value_col]):
+                ts = ts.to_pydatetime()
+                if st is not None and \
+                        (ts - st[1]).total_seconds() >= gap_seconds:
+                    closed.append((key[0], st[0], st[1], st[2], st[3]))
+                    st = None
+                if st is None:
+                    st = (ts, ts, 0, 0.0)
+                st = (st[0], ts, st[2] + 1, st[3] + float(val))
+        state.update(st)
+        if closed:
+            yield pd.DataFrame(
+                closed, columns=["user_id", "session_start", "session_end",
+                                 "n_events", "sum_value"])
+
+    return (events.groupBy(key_col)
+                  .applyInPandasWithState(
+                      fn, SESSION_OUT_SCHEMA, SESSION_STATE_SCHEMA,
+                      "append", GroupStateTimeout.NoTimeout))

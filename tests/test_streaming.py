@@ -189,3 +189,40 @@ def test_state_doc_roundtrip(tmp_path):
     assert doc2.get(sk.DB_CREATED) == "true"
     assert doc2.get(sk.k_pos("t1")) == "5"
     assert doc2.get("missing", "d") == "d"
+
+
+def test_stateful_sessionize_emits_on_close(spark, tmp_path):
+    from datastream_delta_plugins_spark.streaming.stateful import (
+        sessionize_stream)
+    src = str(tmp_path / "ev")
+    schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("value", T.DoubleType()),
+    ])
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def mk(*rows):
+        return spark.createDataFrame(
+            [(u, t0 + datetime.timedelta(seconds=s), v) for u, s, v in rows],
+            schema)
+
+    # batch 1: user 1 session A (2 events), user 2 session (1 event)
+    mk((1, 0, 1.0), (1, 60, 2.0), (2, 0, 5.0)) \
+        .coalesce(1).write.mode("overwrite").parquet(f"{src}/b1")
+    # batch 2: user 1 event 1h later -> closes session A and opens B
+    mk((1, 3660, 3.0)) \
+        .coalesce(1).write.mode("overwrite").parquet(f"{src}/b2")
+
+    stream = spark.readStream.schema(schema).parquet(src + "/*")
+    sessions = sessionize_stream(stream, gap_seconds=1800)
+    q = (sessions.writeStream.format("memory").queryName("sess")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM sess").collect()
+    # only user 1's first session has been closed by a later event
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["user_id"], r["n_events"], r["sum_value"]) == (1, 2, 3.0)
+    assert r["session_start"] == t0
+    assert r["session_end"] == t0 + datetime.timedelta(seconds=60)

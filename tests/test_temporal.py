@@ -1,0 +1,89 @@
+"""Temporal operator tests: DuckDB parity for Q31-Q34 plus direct
+semantic checks of the as-of join (backward/forward, ties, no-match)."""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from datastream_delta_plugins_spark.operators import event_queries, temporal
+from datastream_delta_plugins_spark.testing import assert_parity, duck_connection
+
+
+@pytest.fixture(scope="module")
+def duck(sf_correctness):
+    con = duck_connection(sf_correctness)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", sorted(event_queries.ORACLE_SQL))
+def test_event_query_parity(name, spark, duck, sf_correctness):
+    df = event_queries.QUERIES[name](spark, sf_correctness)
+    assert_parity(df, duck, event_queries.ORACLE_SQL[name], name)
+
+
+def _ts(m):
+    return datetime.datetime(2024, 1, 1, 0, m)
+
+
+@pytest.fixture(scope="module")
+def asof_fixture(spark):
+    left = spark.createDataFrame(
+        [(1, "a", _ts(5)), (2, "a", _ts(10)), (3, "b", _ts(1)),
+         (4, "c", _ts(7))],
+        "id int, k string, ts timestamp")
+    right = spark.createDataFrame(
+        [("a", _ts(4), 40.0), ("a", _ts(10), 100.0), ("b", _ts(2), 20.0)],
+        "k string, ts timestamp, v double")
+    return left, right
+
+
+def test_asof_backward(spark, asof_fixture):
+    left, right = asof_fixture
+    out = {r["id"]: (r["rts"], r["rv"]) for r in temporal.asof_join(
+        left, right, ["k"], right_cols={"ts": "rts", "v": "rv"}).collect()}
+    assert out[1] == (_ts(4), 40.0)      # latest right <= ts
+    assert out[2] == (_ts(10), 100.0)    # tie: right at equal ts matches
+    assert out[3] == (None, None)        # right only later -> no match
+    assert out[4] == (None, None)        # key absent on right
+
+
+def test_asof_forward(spark, asof_fixture):
+    left, right = asof_fixture
+    out = {r["id"]: (r["rts"], r["rv"]) for r in temporal.asof_join(
+        left, right, ["k"], right_cols={"ts": "rts", "v": "rv"},
+        direction="forward").collect()}
+    assert out[1] == (_ts(10), 100.0)    # earliest right >= ts
+    assert out[2] == (_ts(10), 100.0)    # tie matches
+    assert out[3] == (_ts(2), 20.0)
+    assert out[4] == (None, None)
+
+
+def test_asof_join_is_single_shuffle(spark, asof_fixture):
+    """The union+window formulation must not plan a nested-loop or
+    range join — one exchange by key, one sort."""
+    left, right = asof_fixture
+    plan = temporal.asof_join(left, right, ["k"])._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_session_agg_gap_boundary(spark):
+    # events at 0, 29m59s (same session), then 60m (new: gap >= 30m)
+    df = spark.createDataFrame(
+        [(1, datetime.datetime(2024, 1, 1, 0, 0, 0)),
+         (1, datetime.datetime(2024, 1, 1, 0, 29, 59)),
+         (1, datetime.datetime(2024, 1, 1, 1, 0, 0))],
+        "user_id int, ts timestamp")
+    s = temporal.session_agg(df, ["user_id"], "ts", "30 minutes")
+    rows = sorted(s.collect(), key=lambda r: r["session_start"])
+    assert [r["n_events"] for r in rows] == [2, 1]
+
+
+def test_sliding_agg_counts_each_event_twice(spark, sf_correctness):
+    from datastream_delta_plugins_spark.sources.tables import load_table
+    ev = load_table(spark, sf_correctness, "events")
+    total = ev.count()
+    windows = temporal.sliding_agg(ev, "ts", "1 hour", "30 minutes")
+    assert windows.agg(F.sum("c")).first()[0] == 2 * total
