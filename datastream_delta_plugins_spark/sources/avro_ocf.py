@@ -1,0 +1,399 @@
+"""Pure-Python Avro object-container-file codec + distributed reader.
+
+The reference consumes Datastream change events as Avro container files
+(reference: DatastreamEventConsumer.java:182-199 parses one file from
+bytes). This environment has neither the spark-avro jar nor a Python
+avro package, so this module implements the public Avro 1.11 container
+spec directly (magic `Obj\\x01`, metadata map with schema JSON + codec,
+sync-marker-delimited blocks of binary-encoded records; null and
+deflate codecs) for the type subset the Datastream envelope uses:
+records, null-unions, string/long/int/boolean/double/float/bytes,
+arrays (incl. the sort_keys [string,long] union -> string), and the
+logical types timestamp-millis/micros and decimal(p,s)-on-bytes.
+
+Distributed read path (the Spark-first part): files land as rows of
+`spark.read.format("binaryFile")` (path, content) and are decoded in
+executors via mapInPandas — Arrow-batched, one Python pass per file,
+schema enforced from the registry. At 100 TB the unit of parallelism
+is the file, exactly like the reference's per-blob consumer loop.
+
+The writer exists to build golden fixtures shaped like the reference's
+test corpus (dump/insert/update/delete/update-pk.avro, FIXTURES.md F1).
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import struct
+import zlib
+from decimal import Decimal
+
+MAGIC = b"Obj\x01"
+SYNC = b"\x00\x01\x02\x03\x04\x05\x06\x07\x08\x09\x0a\x0b\x0c\x0d\x0e\x0f"
+
+
+# ---------------------------------------------------------------- binary io
+
+class _Decoder:
+    def __init__(self, buf: bytes):
+        self.buf = buf
+        self.pos = 0
+
+    def read(self, n: int) -> bytes:
+        b = self.buf[self.pos:self.pos + n]
+        if len(b) != n:
+            raise EOFError("truncated Avro data")
+        self.pos += n
+        return b
+
+    def long(self) -> int:  # zigzag varint
+        shift, acc = 0, 0
+        while True:
+            b = self.buf[self.pos]
+            self.pos += 1
+            acc |= (b & 0x7F) << shift
+            if not b & 0x80:
+                break
+            shift += 7
+        return (acc >> 1) ^ -(acc & 1)
+
+    def bytes_(self) -> bytes:
+        return self.read(self.long())
+
+    def string(self) -> str:
+        return self.bytes_().decode("utf-8")
+
+    def boolean(self) -> bool:
+        return self.read(1) != b"\x00"
+
+    def double(self) -> float:
+        return struct.unpack("<d", self.read(8))[0]
+
+    def float_(self) -> float:
+        return struct.unpack("<f", self.read(4))[0]
+
+
+class _Encoder:
+    def __init__(self):
+        self.out = io.BytesIO()
+
+    def long(self, v: int) -> None:
+        v = (v << 1) ^ (v >> 63)  # zigzag (arbitrary-precision-safe)
+        if v < 0:
+            v &= (1 << 64) - 1
+        while True:
+            b = v & 0x7F
+            v >>= 7
+            if v:
+                self.out.write(bytes([b | 0x80]))
+            else:
+                self.out.write(bytes([b]))
+                return
+
+    def bytes_(self, b: bytes) -> None:
+        self.long(len(b))
+        self.out.write(b)
+
+    def string(self, s: str) -> None:
+        self.bytes_(s.encode("utf-8"))
+
+    def boolean(self, v: bool) -> None:
+        self.out.write(b"\x01" if v else b"\x00")
+
+    def double(self, v: float) -> None:
+        self.out.write(struct.pack("<d", v))
+
+    def raw(self, b: bytes) -> None:
+        self.out.write(b)
+
+    def value(self) -> bytes:
+        return self.out.getvalue()
+
+
+# ---------------------------------------------------------------- values
+
+def _decimal_from_bytes(raw: bytes, scale: int) -> Decimal:
+    unscaled = int.from_bytes(raw, "big", signed=True)
+    return Decimal(unscaled).scaleb(-scale)
+
+
+def _decimal_to_bytes(v: Decimal, scale: int) -> bytes:
+    unscaled = int(v.scaleb(scale).to_integral_value())
+    n = max(1, (unscaled.bit_length() + 8) // 8)
+    return unscaled.to_bytes(n, "big", signed=True)
+
+
+def decode_value(schema, dec: _Decoder):
+    if isinstance(schema, str):
+        return {
+            "null": lambda: None, "boolean": dec.boolean, "int": dec.long,
+            "long": dec.long, "float": dec.float_, "double": dec.double,
+            "bytes": dec.bytes_, "string": dec.string,
+        }[schema]()
+    if isinstance(schema, list):  # union: branch index then value
+        return decode_value(schema[dec.long()], dec)
+    t = schema["type"]
+    logical = schema.get("logicalType")
+    if t in ("bytes", "fixed") and logical == "decimal":
+        raw = dec.bytes_() if t == "bytes" else dec.read(schema["size"])
+        return _decimal_from_bytes(raw, schema.get("scale", 0))
+    if isinstance(t, (list, dict)):
+        return decode_value(t, dec)
+    if t == "record":
+        return {f["name"]: decode_value(f["type"], dec)
+                for f in schema["fields"]}
+    if t == "array":
+        out = []
+        while True:
+            n = dec.long()
+            if n == 0:
+                return out
+            if n < 0:  # block with byte size prefix
+                n = -n
+                dec.long()
+            for _ in range(n):
+                out.append(decode_value(schema["items"], dec))
+    if t == "map":
+        out = {}
+        while True:
+            n = dec.long()
+            if n == 0:
+                return out
+            if n < 0:
+                n = -n
+                dec.long()
+            for _ in range(n):
+                k = dec.string()  # key MUST be read before the value
+                out[k] = decode_value(schema["values"], dec)
+    if t == "enum":
+        return schema["symbols"][dec.long()]
+    return decode_value(t, dec)  # named/annotated primitive
+
+
+def encode_value(schema, v, enc: _Encoder) -> None:
+    if isinstance(schema, str):
+        if schema == "null":
+            return
+        {"boolean": enc.boolean, "int": enc.long, "long": enc.long,
+         "double": enc.double, "bytes": enc.bytes_, "string": enc.string,
+         }[schema](v)
+        return
+    if isinstance(schema, list):
+        for i, branch in enumerate(schema):
+            kind = branch if isinstance(branch, str) else branch["type"]
+            if (v is None) == (kind == "null"):
+                if v is None or not isinstance(branch, str):
+                    enc.long(i)
+                    encode_value(branch, v, enc)
+                    return
+                # prefer the branch matching the python type
+                if kind == "string" and isinstance(v, str):
+                    enc.long(i)
+                    enc.string(v)
+                    return
+                if kind in ("long", "int") and isinstance(v, int) \
+                        and not isinstance(v, bool):
+                    enc.long(i)
+                    enc.long(v)
+                    return
+                if kind not in ("string", "long", "int"):
+                    enc.long(i)
+                    encode_value(branch, v, enc)
+                    return
+        raise ValueError(f"no union branch for {v!r} in {schema!r}")
+    t = schema["type"]
+    if t == "bytes" and schema.get("logicalType") == "decimal":
+        enc.bytes_(_decimal_to_bytes(v, schema.get("scale", 0)))
+        return
+    if t == "record":
+        for f in schema["fields"]:
+            encode_value(f["type"], v.get(f["name"]), enc)
+        return
+    if t == "array":
+        if v:
+            enc.long(len(v))
+            for item in v:
+                encode_value(schema["items"], item, enc)
+        enc.long(0)
+        return
+    encode_value(t, v, enc)
+
+
+# ---------------------------------------------------------------- container
+
+def read_ocf(raw: bytes) -> tuple[dict, list[dict]]:
+    """Parse one Avro object-container file -> (schema, records)."""
+    dec = _Decoder(raw)
+    if dec.read(4) != MAGIC:
+        raise ValueError("not an Avro object-container file")
+    meta = {}
+    while True:
+        n = dec.long()
+        if n == 0:
+            break
+        if n < 0:
+            n = -n
+            dec.long()
+        for _ in range(n):
+            k = dec.string()  # key MUST be read before the value
+            meta[k] = dec.bytes_()
+    schema = json.loads(meta["avro.schema"])
+    codec = meta.get("avro.codec", b"null").decode()
+    sync = dec.read(16)
+    records: list[dict] = []
+    while dec.pos < len(dec.buf):
+        count = dec.long()
+        size = dec.long()
+        block = dec.read(size)
+        if codec == "deflate":
+            block = zlib.decompress(block, -15)
+        elif codec != "null":
+            raise ValueError(f"unsupported Avro codec {codec!r}")
+        bdec = _Decoder(block)
+        for _ in range(count):
+            records.append(decode_value(schema, bdec))
+        if dec.read(16) != sync:
+            raise ValueError("sync marker mismatch")
+    return schema, records
+
+
+def write_ocf(schema: dict, records: list[dict],
+              codec: str = "deflate") -> bytes:
+    """Serialize records into an Avro object-container file."""
+    enc = _Encoder()
+    enc.raw(MAGIC)
+    meta = {"avro.schema": json.dumps(schema).encode(),
+            "avro.codec": codec.encode()}
+    enc.long(len(meta))
+    for k, v in meta.items():
+        enc.string(k)
+        enc.bytes_(v)
+    enc.long(0)
+    enc.raw(SYNC)
+    body = _Encoder()
+    for r in records:
+        encode_value(schema, r, body)
+    block = body.value()
+    if codec == "deflate":
+        block = zlib.compress(block)[2:-4]  # raw deflate, no zlib wrapper
+    elif codec != "null":
+        raise ValueError(f"unsupported Avro codec {codec!r}")
+    enc.long(len(records))
+    enc.long(len(block))
+    enc.raw(block)
+    enc.raw(SYNC)
+    return enc.value()
+
+
+# ------------------------------------------------------- spark integration
+
+def _unwrap_nullable(schema):
+    if isinstance(schema, list):
+        non_null = [s for s in schema if s != "null"]
+        if len(non_null) == 1:
+            return non_null[0]
+    return schema
+
+
+def _converter(avro_schema):
+    """Per-field pandas conversion for logical types after raw decode."""
+    s = _unwrap_nullable(avro_schema)
+    if isinstance(s, dict):
+        lt = s.get("logicalType")
+        if lt in ("timestamp-millis", "local-timestamp-millis"):
+            return lambda col: _pd().to_datetime(col, unit="ms")
+        if lt in ("timestamp-micros", "local-timestamp-micros"):
+            return lambda col: _pd().to_datetime(col, unit="us")
+    return None
+
+
+def _pd():
+    import pandas as pd
+    return pd
+
+
+def read_avro_changes(spark, path: str, columns=None):
+    """Distributed Avro change-file ingestion: binaryFile scan ->
+    mapInPandas decode -> the flattened change schema of
+    sources.changes (FIXTURES.md F1), plus `_source_file` for
+    snapshot/CDC classification. Schema comes from the first file's
+    header (one-file driver peek, like Spark's JSON inference) mapped
+    through schema.avro_mapping (T1).
+    """
+    from pyspark.sql import functions as F, types as T
+
+    from ..schema.avro_mapping import avro_to_spark
+
+    bin_df = spark.read.format("binaryFile").load(path)
+    head = bin_df.select("content").head()
+    if head is None:
+        raise ValueError(f"no Avro files under {path!r}")
+    schema, _ = read_ocf(bytes(head[0]))
+    by_name = {f["name"]: f["type"] for f in schema["fields"]}
+    payload_schema = _unwrap_nullable(by_name["payload"])
+    payload_fields = [(f["name"], f["type"])
+                      for f in payload_schema["fields"]]
+    if columns:
+        keep = set(columns)
+        payload_fields = [(n, t) for n, t in payload_fields if n in keep]
+
+    meta_names = ["uuid", "read_timestamp", "source_timestamp", "object",
+                  "read_method", "stream_name", "schema_key"]
+    sm_names = ["schema", "table", "database", "row_id", "scn", "is_deleted",
+                "change_type", "ssn", "rs_id", "tx_id", "log_file"]
+    sm_out = ["src_schema", "src_table", "src_database", "row_id", "scn",
+              "is_deleted", "change_type", "ssn", "rs_id", "tx_id",
+              "log_file"]
+
+    out_fields = [T.StructField(n, avro_to_spark(by_name[n]))
+                  for n in meta_names]
+    sm_schema = {f["name"]: f["type"]
+                 for f in _unwrap_nullable(by_name["source_metadata"])["fields"]}
+    out_fields += [T.StructField(o, avro_to_spark(sm_schema[n]))
+                   for n, o in zip(sm_names, sm_out)]
+    out_fields += [T.StructField("_sk1", T.LongType()),
+                   T.StructField("_sk2", T.LongType()),
+                   T.StructField("_sk3", T.StringType()),
+                   T.StructField("_sk4", T.LongType())]
+    out_fields += [T.StructField(n, avro_to_spark(t))
+                   for n, t in payload_fields]
+    out_fields += [T.StructField("_source_file", T.StringType())]
+    out_schema = T.StructType(out_fields)
+
+    meta_conv = {n: _converter(by_name[n]) for n in meta_names}
+    payload_conv = {n: _converter(t) for n, t in payload_fields}
+
+    def decode(batches):
+        pd = _pd()
+        for pdf in batches:
+            cols: dict[str, list] = {f.name: [] for f in out_fields}
+            for fpath, content in zip(pdf["path"], pdf["content"]):
+                _, records = read_ocf(bytes(content))
+                for r in records:
+                    for n in meta_names:
+                        cols[n].append(r.get(n))
+                    sm = r.get("source_metadata") or {}
+                    for n, o in zip(sm_names, sm_out):
+                        cols[o].append(sm.get(n))
+                    sk = r.get("sort_keys") or [None] * 4
+                    sk = list(sk) + [None] * (4 - len(sk))
+                    cols["_sk1"].append(sk[0])
+                    cols["_sk2"].append(sk[1])
+                    cols["_sk3"].append(None if sk[2] is None
+                                        else str(sk[2]))
+                    cols["_sk4"].append(sk[3])
+                    p = r.get("payload") or {}
+                    for n, _t in payload_fields:
+                        cols[n].append(p.get(n))
+                    cols["_source_file"].append(fpath)
+            out = pd.DataFrame(cols)
+            for n, conv in {**meta_conv, **payload_conv}.items():
+                if conv is not None and n in out.columns:
+                    out[n] = conv(out[n])
+            yield out
+
+    decoded = (bin_df.select("path", "content")
+                     .mapInPandas(decode, out_schema))
+    from .changes import normalize_ops
+    return normalize_ops(decoded)

@@ -1,0 +1,147 @@
+"""Avro change-file source tests, mirroring the reference's golden
+fixture suite (DatastreamEventConsumerTest: dump/insert/update/delete/
+update-pk over HR_EMPLOYEES, FIXTURES.md F1/F2): write Avro object-
+container fixtures with the pure-Python codec, read them back through
+the distributed binaryFile+mapInPandas path, and check events and
+materialized state."""
+
+import datetime
+from decimal import Decimal
+
+import pytest
+
+from datastream_delta_plugins_spark.operators import cdc
+from datastream_delta_plugins_spark.sources import avro_ocf
+
+SM_FIELDS = [
+    ("schema", "string", False), ("table", "string", False),
+    ("database", "string", False), ("row_id", "string", True),
+    ("scn", "long", True), ("is_deleted", "boolean", True),
+    ("change_type", "string", True), ("ssn", "long", True),
+    ("rs_id", "string", True), ("tx_id", "string", True),
+    ("log_file", "string", True),
+]
+
+PAYLOAD_FIELDS = [
+    ("EMPLOYEE_ID", ["null", "long"]),
+    ("FIRST_NAME", ["null", "string"]),
+    ("HIRE_DATE", ["null", {"type": "long",
+                            "logicalType": "timestamp-micros"}]),
+    ("SALARY", ["null", {"type": "bytes", "logicalType": "decimal",
+                         "precision": 8, "scale": 2}]),
+]
+
+ENVELOPE = {
+    "type": "record", "name": "HR_EMPLOYEES", "fields": [
+        {"name": "uuid", "type": "string"},
+        {"name": "read_timestamp",
+         "type": {"type": "long", "logicalType": "timestamp-millis"}},
+        {"name": "source_timestamp",
+         "type": {"type": "long", "logicalType": "timestamp-millis"}},
+        {"name": "object", "type": "string"},
+        {"name": "read_method", "type": "string"},
+        {"name": "stream_name", "type": "string"},
+        {"name": "schema_key", "type": "string"},
+        {"name": "source_metadata", "type": {
+            "type": "record", "name": "source_metadata", "fields": [
+                {"name": n, "type": ["null", t] if nullable else t}
+                for n, t, nullable in SM_FIELDS]}},
+        {"name": "payload", "type": {
+            "type": "record", "name": "payload", "fields": [
+                {"name": n, "type": t} for n, t in PAYLOAD_FIELDS]}},
+        {"name": "sort_keys", "type": {
+            "type": "array", "items": ["string", "long"]}},
+    ],
+}
+
+T0 = datetime.datetime(2024, 1, 1, tzinfo=datetime.timezone.utc)
+T0_MS = int(T0.timestamp() * 1000)
+
+
+def _event(uid, read_method, change_type, emp_id, name, salary, scn,
+           ssn=0, rs_id="rs0"):
+    src_ts = T0_MS + scn
+    return {
+        "uuid": uid, "read_timestamp": src_ts + 5,
+        "source_timestamp": src_ts, "object": "HR_EMPLOYEES",
+        "read_method": read_method, "stream_name": "s1",
+        "schema_key": "k1",
+        "source_metadata": {
+            "schema": "HR", "table": "EMPLOYEES", "database": "ORCL",
+            "row_id": "r1", "scn": scn, "is_deleted": False,
+            "change_type": change_type, "ssn": ssn, "rs_id": rs_id,
+            "tx_id": None if change_type is None else "tx1",
+            "log_file": None},
+        "payload": {"EMPLOYEE_ID": emp_id, "FIRST_NAME": name,
+                    "HIRE_DATE": T0_MS * 1000,
+                    "SALARY": salary},
+        "sort_keys": [src_ts, scn, rs_id, ssn],
+    }
+
+
+SNAP = "oracle-backfill"
+CDC = "oracle-cdc-logminer"
+
+
+@pytest.fixture(scope="module")
+def change_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("avro_changes")
+    dump = [_event(f"u{i}", SNAP, None, i, f"emp{i}",
+                   Decimal(f"{1000 + i}.50"), 0) for i in range(106)]
+    (d / "k1_oracle-backfill_0.avro").write_bytes(
+        avro_ocf.write_ocf(ENVELOPE, dump))
+    cdc_events = [
+        _event("c1", CDC, "INSERT", 200, "new", Decimal("5000.00"), 10),
+        _event("c2", CDC, "UPDATE", 5, "emp5b", Decimal("1111.25"), 20),
+        _event("c3", CDC, "DELETE", 7, "emp7", Decimal("1007.50"), 30),
+        # PK update 3 -> 300 arrives as UPDATE-DELETE + UPDATE-INSERT
+        _event("c4", CDC, "UPDATE-DELETE", 3, "emp3",
+               Decimal("1003.50"), 40, ssn=0),
+        _event("c5", CDC, "UPDATE-INSERT", 300, "emp3",
+               Decimal("1003.50"), 40, ssn=1),
+    ]
+    (d / "k1_oracle-cdc-logminer_1.avro").write_bytes(
+        avro_ocf.write_ocf(ENVELOPE, cdc_events, codec="null"))
+    return str(d)
+
+
+def test_roundtrip_codec():
+    recs = [_event("u1", CDC, "INSERT", 1, "a", Decimal("12.34"), 1)]
+    for codec in ("null", "deflate"):
+        schema, back = avro_ocf.read_ocf(
+            avro_ocf.write_ocf(ENVELOPE, recs, codec=codec))
+        assert schema["name"] == "HR_EMPLOYEES"
+        assert back == recs
+
+
+def test_read_changes_shape_and_types(spark, change_dir):
+    df = avro_ocf.read_avro_changes(spark, change_dir + "/*.avro")
+    assert df.count() == 111
+    r = df.where("uuid = 'c2'").first()
+    assert r["EMPLOYEE_ID"] == 5 and r["FIRST_NAME"] == "emp5b"
+    assert r["SALARY"] == Decimal("1111.25")
+    assert r["_op"] == "UPDATE" and not r["_is_snapshot"]
+    assert r["_sk2"] == 20 and r["_sk3"] == "rs0"
+    assert r["HIRE_DATE"] is not None
+    snap = df.where("_is_snapshot").count()
+    assert snap == 106  # reference's dump fixture row count
+
+
+def test_column_projection(spark, change_dir):
+    df = avro_ocf.read_avro_changes(spark, change_dir + "/*.avro",
+                                    columns=["EMPLOYEE_ID", "SALARY"])
+    assert "FIRST_NAME" not in df.columns
+    assert "EMPLOYEE_ID" in df.columns and "SALARY" in df.columns
+
+
+def test_materialize_from_avro(spark, change_dir):
+    df = avro_ocf.read_avro_changes(spark, change_dir + "/*.avro")
+    state = cdc.materialize(df.withColumnRenamed("EMPLOYEE_ID", "pk"),
+                            ["pk"])
+    by_pk = {r["pk"]: r for r in state.collect()}
+    assert len(by_pk) == 108  # 106 snapshot + insert 200 + new pk 300
+    assert by_pk[5]["FIRST_NAME"] == "emp5b"      # update applied
+    assert by_pk[7]["_is_deleted"]                # soft delete
+    assert by_pk[3]["_is_deleted"]                # PK-update: old pk dead
+    assert not by_pk[300]["_is_deleted"]          # ... new pk live
+    assert by_pk[200]["SALARY"] == Decimal("5000.00")
