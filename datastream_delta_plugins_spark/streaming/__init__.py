@@ -1,5 +1,8 @@
 from .state import StateDoc
 from .pipeline import CdcPipeline, windowed_counts, dedup_within_watermark
+from .replication import ReplicationJob, TableConfig
+from .stateful import sessionize_stream
 
 __all__ = ["StateDoc", "CdcPipeline", "windowed_counts",
-           "dedup_within_watermark"]
+           "dedup_within_watermark", "ReplicationJob", "TableConfig",
+           "sessionize_stream"]

@@ -1,0 +1,133 @@
+"""Multi-table replication job — the engine's equivalent of the
+reference's per-scan orchestration loop.
+
+The reference's ScanTask walks every replicated table each cycle:
+emit CREATE_DATABASE once (DatastreamEventReader.java:399-405),
+snapshot phase per table until its dump completes
+(:430-467, 483-525), then CDC phase (:469-479), and a global
+`all.tables.dump.done` barrier once every table's snapshot finished
+(:762-768, O5 in SURVEY §2.4). Here each table is a CdcPipeline
+(checkpointed file stream + sort-key-correct merge) and the job holds
+the database-level state keys in its own StateDoc.
+
+Batch mode (`run_batch`) applies everything currently on disk —
+snapshot files first, then CDC files, mirroring the reference's
+phase order; streaming mode (`start_all`) runs one query per table
+(the reference likewise scans tables independently within a cycle).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import SparkSession
+
+from ..envelope import SNAPSHOT_FILE_MARKER
+from . import state as sk
+from .pipeline import CdcPipeline
+from .state import StateDoc
+
+
+@dataclass
+class TableConfig:
+    """One replicated table (SourceTable analog: database/schema/table
+    identity + optional column subset + per-table DML blacklist,
+    reference DatastreamEventConsumer.java:78-95)."""
+    name: str
+    source_dir: str
+    pk_cols: list[str]
+    columns: list[str] | None = None
+    dml_blacklist: tuple[str, ...] = ()
+    schema: object = None  # StructType for the streaming reader
+    extra: dict = field(default_factory=dict)
+
+
+class ReplicationJob:
+    def __init__(self, spark: SparkSession, work_dir: str,
+                 tables: list[TableConfig], database: str = "replica"):
+        self.spark = spark
+        self.work_dir = work_dir
+        self.database = database
+        self.tables = {t.name: t for t in tables}
+        self.doc = StateDoc(os.path.join(work_dir, "job_state.json"))
+        self.pipelines = {
+            t.name: CdcPipeline(
+                spark, t.name, t.source_dir,
+                os.path.join(work_dir, "tables", t.name),
+                pk_cols=t.pk_cols, dml_blacklist=t.dml_blacklist)
+            for t in tables
+        }
+
+    # -- D1: CREATE DATABASE once, guarded by db.created --
+
+    def _ensure_database(self) -> None:
+        if self.doc.get(sk.DB_CREATED) == "true":
+            return
+        self.spark.sql(
+            f"CREATE DATABASE IF NOT EXISTS {self.database}")
+        self.doc.put(sk.DB_CREATED, "true")
+        self.doc.save()
+
+    # -- O5: per-table snapshot.done + all.tables.dump.done barrier --
+
+    def snapshot_done(self, table: str) -> bool:
+        return self.pipelines[table].doc.get(
+            sk.k_snapshot_done(table)) == "true"
+
+    def all_dumps_done(self) -> bool:
+        return self.doc.get(sk.ALL_DUMPS_DONE) == "true"
+
+    def _update_barrier(self) -> None:
+        if all(self.snapshot_done(t) for t in self.tables):
+            self.doc.put(sk.ALL_DUMPS_DONE, "true")
+            self.doc.save()
+
+    # -- batch mode: one scan cycle over every table --
+
+    def run_batch(self) -> None:
+        """Apply everything currently in each table's change directory.
+
+        Re-running a cycle is safe: the merge picks winners by sort key,
+        so reprocessed events are idempotent (the reference leans on the
+        same property when it rescans its 3-day window,
+        DatastreamEventReader.java:439-459). Incremental file tracking
+        is the streaming path's job (checkpointed seen-files log).
+        """
+        self._ensure_database()
+        for name, cfg in self.tables.items():
+            pipe = self.pipelines[name]
+            df = self.spark.read.parquet(cfg.source_dir)
+            from pyspark.sql import functions as F
+            df = df.withColumn("_source_file", F.input_file_name())
+            snap = df.where(
+                F.col("_source_file").contains(SNAPSHOT_FILE_MARKER))
+            cdc = df.where(
+                ~F.col("_source_file").contains(SNAPSHOT_FILE_MARKER))
+            # snapshot phase first, then CDC — the reference's order
+            # (correct under re-ordering anyway: merge is by sort key)
+            if not snap.isEmpty():
+                pipe.apply_batch(snap.drop("_source_file"), batch_id=0)
+            if not cdc.isEmpty():
+                pipe.apply_batch(cdc.drop("_source_file"), batch_id=1)
+        self._update_barrier()
+
+    # -- streaming mode: one query per table --
+
+    def start_all(self, trigger: dict | None = None) -> list:
+        self._ensure_database()
+        queries = []
+        for name, cfg in self.tables.items():
+            if cfg.schema is None:
+                raise ValueError(f"table {name}: streaming needs a schema")
+            queries.append(self.pipelines[name].start(
+                cfg.schema, trigger=trigger))
+        return queries
+
+    def state_report(self) -> dict[str, str]:
+        """Merged state view: job keys + every table's offset keys (the
+        reference's Offset map vocabulary)."""
+        out = self.doc.as_dict()
+        for name, pipe in self.pipelines.items():
+            out.update(pipe.doc.as_dict())
+        return out

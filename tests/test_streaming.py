@@ -226,3 +226,46 @@ def test_stateful_sessionize_emits_on_close(spark, tmp_path):
     assert (r["user_id"], r["n_events"], r["sum_value"]) == (1, 2, 3.0)
     assert r["session_start"] == t0
     assert r["session_end"] == t0 + datetime.timedelta(seconds=60)
+
+
+def test_replication_job_barrier_and_database(spark, tmp_path):
+    from datastream_delta_plugins_spark.streaming import (
+        ReplicationJob, TableConfig)
+
+    def _src(name):
+        d = str(tmp_path / name)
+        return d
+
+    t1, t2 = _src("t1"), _src("t2")
+    # t1 gets snapshot + cdc; t2 snapshot arrives later
+    _write(spark, f"{t1}/f_oracle-backfill_0",
+           ("oracle-backfill", None, 0, 1, "a"))
+    _write(spark, f"{t1}/f_oracle-cdc-logminer_1",
+           ("oracle-cdc-logminer", "UPDATE", 5, 1, "a2"))
+    _write(spark, f"{t2}/f_oracle-cdc-logminer_0",
+           ("oracle-cdc-logminer", "INSERT", 1, 9, "z"))
+
+    job = ReplicationJob(
+        spark, str(tmp_path / "work"),
+        [TableConfig("t1", t1 + "/*", ["id"]),
+         TableConfig("t2", t2 + "/*", ["id"])])
+    job.run_batch()
+
+    assert spark.catalog.databaseExists("replica")  # D1
+    assert job.snapshot_done("t1")
+    assert not job.snapshot_done("t2")
+    assert not job.all_dumps_done()  # O5 barrier held by t2
+
+    # t1 state reflects the update; re-running is idempotent-safe
+    state = {r["id"]: r for r in job.pipelines["t1"].read_state().collect()}
+    assert state[1]["val"] == "a2"
+
+    # t2's dump lands -> barrier releases on the next cycle
+    _write(spark, f"{t2}/f_oracle-backfill_1",
+           ("oracle-backfill", None, 0, 9, "z"))
+    job.run_batch()
+    assert job.snapshot_done("t2") and job.all_dumps_done()
+    report = job.state_report()
+    assert report["db.created"] == "true"
+    assert report["t1.snapshot.done"] == "true"
+    assert report["all.tables.dump.done"] == "true"
