@@ -217,6 +217,17 @@ def encode_value(schema, v, enc: _Encoder) -> None:
                 encode_value(schema["items"], item, enc)
         enc.long(0)
         return
+    if t == "map":
+        if v:
+            enc.long(len(v))
+            for k, item in v.items():
+                enc.string(k)
+                encode_value(schema["values"], item, enc)
+        enc.long(0)
+        return
+    if t == "enum":
+        enc.long(schema["symbols"].index(v))
+        return
     encode_value(t, v, enc)
 
 

@@ -1,0 +1,121 @@
+"""Property-based tests (hypothesis) — beyond the reference's
+fixture-only strategy (SURVEY §5: "no property-based/randomized
+testing" there).
+
+Two core invariants:
+  1. Avro OCF codec roundtrip: decode(encode(x)) == x for arbitrary
+     records over the envelope's type subset, both codecs.
+  2. CDC merge order-invariance: the materialized state is identical
+     for ANY arrival order of the same change events, and
+     incremental batching (merge_batch over any partition of the
+     stream) equals one-shot materialization — the property the
+     reference's 3-day rescan window depends on.
+"""
+
+import datetime
+from decimal import Decimal
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from datastream_delta_plugins_spark.sources import avro_ocf
+
+RECORD_SCHEMA = {
+    "type": "record", "name": "R", "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "s", "type": ["null", "string"]},
+        {"name": "b", "type": ["null", "boolean"]},
+        {"name": "d", "type": ["null", "double"]},
+        {"name": "raw", "type": ["null", "bytes"]},
+        {"name": "dec", "type": ["null", {"type": "bytes",
+                                          "logicalType": "decimal",
+                                          "precision": 10, "scale": 3}]},
+        {"name": "tags", "type": {"type": "array",
+                                  "items": ["string", "long"]}},
+        {"name": "props", "type": {"type": "map", "values": "long"}},
+    ],
+}
+
+finite_doubles = st.floats(allow_nan=False, allow_infinity=False)
+decimals = st.decimals(min_value=Decimal("-9999999.999"),
+                       max_value=Decimal("9999999.999"),
+                       places=3)
+
+records = st.fixed_dictionaries({
+    "id": st.integers(min_value=-(2 ** 63), max_value=2 ** 63 - 1),
+    "s": st.none() | st.text(max_size=50),
+    "b": st.none() | st.booleans(),
+    "d": st.none() | finite_doubles,
+    "raw": st.none() | st.binary(max_size=30),
+    "dec": st.none() | decimals,
+    "tags": st.lists(st.text(max_size=10)
+                     | st.integers(min_value=-(2 ** 62),
+                                   max_value=2 ** 62), max_size=5),
+    "props": st.dictionaries(st.text(max_size=8),
+                             st.integers(min_value=-(2 ** 62),
+                                         max_value=2 ** 62), max_size=4),
+})
+
+
+@given(recs=st.lists(records, max_size=20),
+       codec=st.sampled_from(["null", "deflate"]))
+@settings(max_examples=60, deadline=None)
+def test_ocf_roundtrip(recs, codec):
+    raw = avro_ocf.write_ocf(RECORD_SCHEMA, recs, codec=codec)
+    schema, back = avro_ocf.read_ocf(raw)
+    assert back == recs
+
+
+# --- CDC merge order-invariance -----------------------------------------
+
+def _events_strategy():
+    """Change events over a small pk space with unique sort keys."""
+    ev = st.tuples(
+        st.integers(min_value=0, max_value=5),               # pk
+        st.sampled_from(["INSERT", "UPDATE", "DELETE"]),     # op
+        st.text(alphabet="abc", min_size=1, max_size=3),     # val
+    )
+    return st.lists(ev, min_size=1, max_size=12)
+
+
+@given(events=_events_strategy(),
+       order=st.randoms(use_true_random=False),
+       split_at=st.integers(min_value=0, max_value=12))
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_merge_order_invariant(spark, events, order, split_at):
+    from datastream_delta_plugins_spark.operators import cdc
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [(pk, op, val, 10 + i, i, "r", 0,
+             t0 + datetime.timedelta(seconds=i), "oracle-cdc-logminer")
+            for i, (pk, op, val) in enumerate(events)]
+    schema = ("pk long, change_type string, val string, _sk1 long, "
+              "_sk2 long, _sk3 string, _sk4 long, "
+              "source_timestamp timestamp, read_method string")
+
+    def materialize(rs):
+        return {r["pk"]: (r["val"], r["_is_deleted"])
+                for r in cdc.materialize(
+                    spark.createDataFrame(rs, schema), ["pk"]).collect()}
+
+    base = materialize(rows)
+
+    shuffled = list(rows)
+    order.shuffle(shuffled)
+    assert materialize(shuffled) == base
+
+    # incremental: batch 1 then merge batch 2 == one-shot
+    split_at = min(split_at, len(rows))
+    b1, b2 = shuffled[:split_at], shuffled[split_at:]
+    if b1 and b2:
+        from datastream_delta_plugins_spark.sources.changes import (
+            normalize_ops)
+        s1 = cdc.materialize(
+            normalize_ops(spark.createDataFrame(b1, schema)), ["pk"],
+            keep_sort_keys=True)
+        merged = cdc.merge_batch(
+            s1, normalize_ops(spark.createDataFrame(b2, schema)), ["pk"])
+        got = {r["pk"]: (r["val"], r["_is_deleted"])
+               for r in merged.collect()}
+        assert got == base
