@@ -319,6 +319,57 @@ def q25_time_bucket(spark, sf_dir):
              .orderBy("h"))
 
 
+# --- Q35 exact percentiles (linear interpolation on both engines) ---
+
+def q35_percentiles(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+              .agg(F.round(F.expr("percentile(l_quantity, 0.5)"), 4)
+                    .alias("p50"),
+                   F.round(F.expr("percentile(l_quantity, 0.9)"), 4)
+                    .alias("p90"),
+                   F.round(F.expr("percentile(l_extendedprice, 0.25)"), 4)
+                    .alias("price_p25"))
+              .orderBy("l_returnflag"))
+
+
+# --- Q36 pivot (wide conditional aggregation via the pivot operator) ---
+
+def q36_pivot(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    piv = (li.groupBy("l_returnflag")
+             .pivot("l_linestatus", ["O", "F"])
+             .agg(F.sum(_dec("l_quantity"))))
+    return (piv.select("l_returnflag",
+                       F.col("O").alias("qty_o"),
+                       F.col("F").alias("qty_f"))
+               .orderBy("l_returnflag"))
+
+
+# --- Q37 approximate distinct (HLL sketch; no SQL oracle — sketches
+#     differ across engines, tests assert error bound vs exact) ---
+
+def q37_approx_distinct(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.agg(F.approx_count_distinct("l_suppkey").alias("d"))
+              .select(F.col("d").cast("bigint").alias("d")))
+
+
+# --- Q38 array functions (split/size/contains/sort over words) ---
+
+def q38_array_fns(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    words = F.split(F.col("p_name"), " ")
+    return (p.select(
+                "p_partkey",
+                F.size(words).cast("bigint").alias("n_words"),
+                F.array_contains(words, "green").alias("has_green"),
+                F.element_at(F.array_sort(words), 1).alias("first_word"),
+                F.array_join(F.slice(F.array_sort(words), 1, 2), "-")
+                 .alias("joined"))
+             .orderBy("p_partkey").limit(100))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_scan_project": q01_scan_project,
     "q02_filter_count": q02_filter_count,
@@ -345,6 +396,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q23_case": q23_case,
     "q24_correlated_subquery": q24_correlated_subquery,
     "q25_time_bucket": q25_time_bucket,
+    "q35_percentiles": q35_percentiles,
+    "q36_pivot": q36_pivot,
+    "q37_approx_distinct": q37_approx_distinct,
+    "q38_array_fns": q38_array_fns,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -465,4 +520,27 @@ ORACLE_SQL: dict[str, str] = {
     "q25_time_bucket": """
         SELECT date_trunc('hour', ts) AS h, count(*) AS c
         FROM events GROUP BY 1 ORDER BY h""",
+    "q35_percentiles": """
+        SELECT l_returnflag,
+               round(quantile_cont(l_quantity, 0.5), 4) AS p50,
+               round(quantile_cont(l_quantity, 0.9), 4) AS p90,
+               round(quantile_cont(l_extendedprice, 0.25), 4) AS price_p25
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q36_pivot": """
+        SELECT l_returnflag,
+               sum(CASE WHEN l_linestatus = 'O'
+                        THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS qty_o,
+               sum(CASE WHEN l_linestatus = 'F'
+                        THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS qty_f
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    # q37_approx_distinct: intentionally no oracle — HLL sketches differ
+    # across engines; tests assert the <= 5% error bound vs exact.
+    "q38_array_fns": """
+        SELECT p_partkey,
+               CAST(len(string_split(p_name, ' ')) AS BIGINT) AS n_words,
+               list_contains(string_split(p_name, ' '), 'green') AS has_green,
+               list_sort(string_split(p_name, ' '))[1] AS first_word,
+               array_to_string(list_sort(string_split(p_name, ' '))[1:2], '-')
+                 AS joined
+        FROM part ORDER BY p_partkey LIMIT 100""",
 }
