@@ -1,0 +1,72 @@
+"""Processed-file TTL marking + purge (SURVEY §2.1 S8).
+
+The reference batches GCS Custom-Time updates on blobs whose offsets
+have committed, and a bucket lifecycle rule deletes them 30 days later
+(DatastreamEventReader.java:213-281; Utils.java:860-890;
+docs/OracleDatastream-cdcSource.md:106-112). A local engine has no
+bucket lifecycle service, so the same contract is a manifest sidecar:
+
+  mark_processed(files)   record processed-time per file (the
+                          Custom-Time analog), idempotent, batched
+  purge_expired(now)      delete files whose processed-time is older
+                          than the TTL (the lifecycle-rule analog)
+
+The manifest is the same atomic JSON StateDoc the offset keys use, so
+"marked processed" survives restarts exactly like the reference's
+committed offsets, and a crash between commit and mark only delays
+deletion (never deletes unprocessed data) — the same safe ordering the
+reference gets by marking after the offset commit.
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+
+from ..streaming.state import StateDoc
+
+DEFAULT_TTL_DAYS = 30  # reference GCS_PURGE_POLICY_TTL_DAYS (Utils.java:113)
+MARK_BATCH_SIZE = 100  # reference batches 100 blobs per request (:270-275)
+
+
+class ProcessedFileTtl:
+    def __init__(self, manifest_path: str,
+                 ttl_days: int = DEFAULT_TTL_DAYS):
+        self.doc = StateDoc(manifest_path)
+        self.ttl = datetime.timedelta(days=ttl_days)
+
+    def mark_processed(self, files: list[str],
+                       when: datetime.datetime | None = None) -> int:
+        """Record processed-time for files (skips already-marked ones —
+        the reference likewise resumes from the last marked blob).
+        Writes are batched to bound manifest rewrites."""
+        when = when or datetime.datetime.now(datetime.timezone.utc)
+        stamp = when.isoformat()
+        newly = [f for f in files if self.doc.get(f) is None]
+        for i in range(0, len(newly), MARK_BATCH_SIZE):
+            for f in newly[i:i + MARK_BATCH_SIZE]:
+                self.doc.put(f, stamp)
+            self.doc.save()
+        return len(newly)
+
+    def expired(self, now: datetime.datetime | None = None) -> list[str]:
+        now = now or datetime.datetime.now(datetime.timezone.utc)
+        out = []
+        for f, stamp in self.doc.as_dict().items():
+            if now - datetime.datetime.fromisoformat(stamp) >= self.ttl:
+                out.append(f)
+        return sorted(out)
+
+    def purge_expired(self, now: datetime.datetime | None = None) -> list[str]:
+        """Delete expired files and drop them from the manifest.
+        Missing files are fine (idempotent re-run after a crash)."""
+        gone = self.expired(now)
+        for f in gone:
+            try:
+                os.remove(f)
+            except FileNotFoundError:
+                pass
+            self.doc._state.pop(f, None)
+        if gone:
+            self.doc.save()
+        return gone

@@ -208,3 +208,34 @@ def test_assessor(registry):
 def test_describe_missing_table(registry):
     with pytest.raises(KeyError):
         registry.describe_table("ORCL", "HR", "NOPE")
+
+
+def test_processed_file_ttl(tmp_path):
+    """S8: mark-after-commit + TTL purge semantics."""
+    import datetime
+
+    from datastream_delta_plugins_spark.sources.ttl import ProcessedFileTtl
+
+    files = []
+    for i in range(3):
+        p = tmp_path / f"f{i}.avro"
+        p.write_bytes(b"x")
+        files.append(str(p))
+
+    ttl = ProcessedFileTtl(str(tmp_path / "manifest.json"), ttl_days=30)
+    t0 = datetime.datetime(2024, 1, 1, tzinfo=datetime.timezone.utc)
+    assert ttl.mark_processed(files[:2], when=t0) == 2
+    assert ttl.mark_processed(files, when=t0 + datetime.timedelta(days=10)) == 1
+    # nothing expires before the TTL
+    assert ttl.purge_expired(now=t0 + datetime.timedelta(days=29)) == []
+    # first two cross the 30-day line; the late-marked third survives
+    gone = ttl.purge_expired(now=t0 + datetime.timedelta(days=30))
+    assert gone == sorted(files[:2])
+    import os
+    assert not os.path.exists(files[0]) and os.path.exists(files[2])
+    # manifest survives restarts (same StateDoc machinery as offsets)
+    ttl2 = ProcessedFileTtl(str(tmp_path / "manifest.json"), ttl_days=30)
+    assert ttl2.expired(now=t0 + datetime.timedelta(days=41)) == [files[2]]
+    # purge of an already-deleted file is idempotent
+    os.remove(files[2])
+    assert ttl2.purge_expired(now=t0 + datetime.timedelta(days=41)) == [files[2]]
