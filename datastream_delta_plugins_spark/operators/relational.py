@@ -319,6 +319,35 @@ def q25_time_bucket(spark, sf_dir):
              .orderBy("h"))
 
 
+# --- Q39 RANGE window frame (value-based running aggregate) ---
+
+def q39_range_frame(spark, sf_dir):
+    """Per customer: total of orders within the 30 days ending at each
+    order's date — a RANGE (value-based) frame, vs Q15's ROWS frame.
+    Ordering key is epoch days so the frame bound is an integer range
+    on both engines."""
+    o = _t(spark, sf_dir, "orders")
+    days = F.datediff(F.col("o_orderdate"), F.lit(datetime.date(1970, 1, 1)))
+    w = (W.partitionBy("o_custkey").orderBy(days.cast("long"))
+          .rangeBetween(-30, 0))
+    return (o.select("o_orderkey", "o_custkey",
+                     F.sum(_dec("o_totalprice")).over(w).alias("win_total"))
+             .orderBy("o_orderkey").limit(200))
+
+
+# --- Q40 ntile + first/last window functions ---
+
+def q40_ntile_first_last(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    wf = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return (o.select("o_orderkey", "o_custkey",
+                     F.ntile(4).over(w).cast("bigint").alias("quartile"),
+                     F.first("o_orderkey").over(wf).alias("cheapest"),
+                     F.last("o_orderkey").over(wf).alias("priciest"))
+             .orderBy("o_orderkey").limit(200))
+
+
 # --- Q35 exact percentiles (linear interpolation on both engines) ---
 
 def q35_percentiles(spark, sf_dir):
@@ -400,6 +429,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q36_pivot": q36_pivot,
     "q37_approx_distinct": q37_approx_distinct,
     "q38_array_fns": q38_array_fns,
+    "q39_range_frame": q39_range_frame,
+    "q40_ntile_first_last": q40_ntile_first_last,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -543,4 +574,23 @@ ORACLE_SQL: dict[str, str] = {
                array_to_string(list_sort(string_split(p_name, ' '))[1:2], '-')
                  AS joined
         FROM part ORDER BY p_partkey LIMIT 100""",
+    "q39_range_frame": """
+        SELECT o_orderkey, o_custkey,
+               sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+                 PARTITION BY o_custkey
+                 ORDER BY datediff('day', DATE '1970-01-01',
+                                   CAST(o_orderdate AS DATE))
+                 RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS win_total
+        FROM orders ORDER BY o_orderkey LIMIT 200""",
+    "q40_ntile_first_last": """
+        SELECT o_orderkey, o_custkey,
+               CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+               first_value(o_orderkey) OVER (w ROWS BETWEEN UNBOUNDED
+                 PRECEDING AND UNBOUNDED FOLLOWING) AS cheapest,
+               last_value(o_orderkey) OVER (w ROWS BETWEEN UNBOUNDED
+                 PRECEDING AND UNBOUNDED FOLLOWING) AS priciest
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_totalprice, o_orderkey)
+        ORDER BY o_orderkey LIMIT 200""",
 }
