@@ -1,0 +1,65 @@
+"""Skew mitigation helpers for hot keys at scale.
+
+AQE's skew-join splitting (on by default in session.py) handles most
+runtime skew; these helpers cover the two shapes AQE can't fix:
+
+  salted_agg    two-phase aggregation for algebraic aggregates over a
+                heavily skewed group key: rows first aggregate on
+                (key, salt) — spreading one hot key over N reducers —
+                then the N partials combine. Correct for any aggregate
+                with a partial/merge decomposition (sum/count/min/max;
+                avg via sum+count).
+  salted_join   broadcast-replicated salt join for a skewed fact ⋈ dim:
+                the fact side gets a random salt in [0, N), the dim side
+                is exploded N ways, and the join key becomes
+                (key, salt) — a hot key's rows land on N tasks instead
+                of one. Use when the dim is too big to broadcast whole
+                but N copies of it still shuffle cheaply.
+
+At 100 TB a single hot key (null-heavy joins, power-law user ids) can
+hold a stage at 1 straggler task; salting converts that into N parallel
+tasks at the cost of an extra (cheap) combine.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_agg(df: DataFrame, keys: Sequence[str],
+               aggs: dict[str, tuple[Column, Column]],
+               salt_buckets: int = 16) -> DataFrame:
+    """Two-phase skew-safe aggregation.
+
+    ``aggs`` maps output name -> (partial_agg_expr, merge_agg_expr),
+    e.g. {"c": (F.count(F.lit(1)), F.sum), "s": (F.sum("x"), F.sum)}
+    where the merge expr is a callable applied to the partial column.
+    """
+    salt = (F.rand(seed=42) * salt_buckets).cast("int")
+    partial = (df.withColumn("_salt", salt)
+                 .groupBy(*keys, "_salt")
+                 .agg(*[expr.alias(f"_p_{name}")
+                        for name, (expr, _) in aggs.items()]))
+    return (partial.groupBy(*keys)
+                   .agg(*[merge(F.col(f"_p_{name}")).alias(name)
+                          for name, (_, merge) in aggs.items()]))
+
+
+def salted_join(fact: DataFrame, dim: DataFrame, on: Sequence[str],
+                salt_buckets: int = 8, how: str = "inner") -> DataFrame:
+    """Skew-safe equi-join: salt the fact side, replicate the dim side.
+
+    Output columns = fact columns + dim's non-key columns (like a plain
+    ``fact.join(dim, on)``).
+    """
+    on = list(on)
+    salt = (F.rand(seed=42) * salt_buckets).cast("int")
+    f = fact.withColumn("_salt", salt)
+    d = (dim.withColumn(
+             "_salt",
+             F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))))
+    out = f.join(d, on + ["_salt"], how)
+    return out.drop("_salt")

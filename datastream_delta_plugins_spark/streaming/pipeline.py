@@ -45,7 +45,8 @@ class CdcPipeline:
     def __init__(self, spark: SparkSession, table: str, source_dir: str,
                  work_dir: str, pk_cols: list[str],
                  sort_cols: list[str] = list(SORT_KEY_COLS),
-                 dml_blacklist: tuple[str, ...] = ()):
+                 dml_blacklist: tuple[str, ...] = (),
+                 ttl: "ProcessedFileTtl | None" = None):
         self.spark = spark
         self.table = table
         self.source_dir = source_dir
@@ -56,6 +57,7 @@ class CdcPipeline:
         self.state_dir = os.path.join(work_dir, "state")
         self.checkpoint_dir = os.path.join(work_dir, "checkpoint")
         self.doc = StateDoc(os.path.join(work_dir, "state.json"))
+        self.ttl = ttl  # S8: mark processed files after the merge commits
 
     # -- state table (versioned parquet + CURRENT pointer) --
 
@@ -141,6 +143,15 @@ class CdcPipeline:
         if src_time is not None:
             self.doc.put(state_keys.k_source_time(t), str(src_time))
         self.doc.save()
+        # S8: mark-AFTER-commit, so a crash in between only delays the
+        # purge (never deletes data whose merge didn't commit) — same
+        # ordering as the reference's post-offset Custom-Time marking
+        # (DatastreamEventReader.java:213-281).
+        if self.ttl is not None and "_source_file" in batch_df.columns:
+            files = [r["_source_file"] for r in
+                     batch_df.select("_source_file").distinct().collect()]
+            self.ttl.mark_processed([f.removeprefix("file://")
+                                     for f in files])
 
     # -- streaming entry --
 

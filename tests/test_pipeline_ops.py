@@ -57,3 +57,31 @@ def test_decode_media_stub(spark, sf_smoke):
     assert all(0.0 <= x <= 1.0 for x in r["features"])
     with pytest.raises(NotImplementedError):
         multimodal.decode_media(media, real_decode=True)
+
+
+def test_salted_agg_matches_plain(spark, sf_correctness):
+    from datastream_delta_plugins_spark.operators.skew import salted_agg
+    li = load_table(spark, sf_correctness, "lineitem")
+    plain = {(r["l_returnflag"],): (r["c"], r["s"]) for r in
+             li.groupBy("l_returnflag")
+               .agg(F.count(F.lit(1)).alias("c"),
+                    F.sum("l_quantity").alias("s")).collect()}
+    salted = {(r["l_returnflag"],): (r["c"], r["s"]) for r in
+              salted_agg(li, ["l_returnflag"],
+                         {"c": (F.count(F.lit(1)), F.sum),
+                          "s": (F.sum("l_quantity"), F.sum)}).collect()}
+    assert salted == plain
+
+
+def test_salted_join_matches_plain(spark, sf_correctness):
+    from datastream_delta_plugins_spark.operators.skew import salted_join
+    o = load_table(spark, sf_correctness, "orders") \
+        .select(F.col("o_custkey").alias("c_custkey"), "o_orderkey")
+    c = load_table(spark, sf_correctness, "customer") \
+        .select("c_custkey", "c_nationkey")
+    plain = o.join(c, ["c_custkey"]).groupBy("c_nationkey") \
+             .agg(F.count(F.lit(1)).alias("n")).collect()
+    salted = salted_join(o, c, ["c_custkey"]).groupBy("c_nationkey") \
+             .agg(F.count(F.lit(1)).alias("n")).collect()
+    assert sorted((r["c_nationkey"], r["n"]) for r in plain) == \
+           sorted((r["c_nationkey"], r["n"]) for r in salted)
