@@ -51,3 +51,21 @@ def test_q10_range_join_is_hash_join_with_residual(spark, sf_smoke):
     df = relational.q10_range_join(spark, sf_smoke)
     plan = formatted_plan(df)
     assert "NestedLoop" not in plan
+
+
+def test_q31_asof_is_single_shuffle_plus_sort(spark, sf_smoke):
+    """The union+window as-of join: exactly one keyed exchange (the
+    window) + one range exchange (final ORDER BY) — a range-join
+    formulation would add a join exchange or a nested loop."""
+    import re
+
+    from datastream_delta_plugins_spark.operators import event_queries
+    plan = formatted_plan(event_queries.q31_asof_join(spark, sf_smoke))
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2
+
+
+def test_q33_sliding_window_has_partial_agg(spark, sf_smoke):
+    from datastream_delta_plugins_spark.operators import event_queries
+    plan = formatted_plan(event_queries.q33_sliding_window(spark, sf_smoke))
+    assert "partial_" in plan  # map-side combine before the shuffle
