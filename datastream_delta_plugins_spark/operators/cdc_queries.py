@@ -87,7 +87,11 @@ def simulate_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         cond(k % 11 == 0, _event_struct(k + 20_000_000, p,
                                         "INSERT", _CDC, 1, k + 20_000_000, 0)),
     )
-    return (o.select(F.explode(F.filter(events, lambda e: e.isNotNull()))
+    # explode_outer: blocks InferFiltersFromGenerate from duplicating
+    # the whole event-array expression into a pre-exchange filter (the
+    # array is never empty — the snapshot event is unconditional).
+    return (o.select(F.explode_outer(
+                        F.filter(events, lambda e: e.isNotNull()))
                       .alias("e"))
              .select("e.*"))
 

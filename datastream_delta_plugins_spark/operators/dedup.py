@@ -59,15 +59,36 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
               .drop("_h"))
 
 
-def ngram_shingles(df: DataFrame, text_col: str = "text",
-                   id_col: str = "doc_id", n: int = 3) -> DataFrame:
-    """Distinct n-word shingles per document."""
+def shingle_array(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """Per-doc array of DISTINCT n-word shingles — all narrow ops.
+
+    Shingle dedup is per-document, so `array_distinct` inside the row
+    does it without the global shuffle an explode+distinct would cost
+    (at scale that shuffle is ~10x the corpus bytes)."""
     w = words_col(text_col)
     df = df.select(F.col(id_col), w.alias("_w")).where(F.size("_w") >= n)
     parts = " , ".join(f"_w[i + {k}]" for k in range(n))
     sh = F.expr(
-        f"transform(sequence(0, size(_w) - {n}), i -> concat_ws(' ', {parts}))")
-    return (df.select(id_col, F.explode(sh).alias("shingle")).distinct())
+        f"array_distinct(transform(sequence(0, size(_w) - {n}), "
+        f"i -> concat_ws(' ', {parts})))")
+    return df.select(id_col, sh.alias("_shingles"))
+
+
+def ngram_shingles(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """Distinct n-word shingles per document, one row per shingle.
+
+    explode_outer, NOT explode: for plain explode, Catalyst's
+    InferFiltersFromGenerate injects `size(child)>0 AND
+    isnotnull(child)` and projection collapse inlines the whole
+    shingle expression into that filter — re-evaluating it twice per
+    row below the fan-out exchange (measured 10x slowdown). The arrays
+    here are provably non-empty (size(_w) >= n guarantees >= 1
+    shingle), so outer semantics are identical and the rule stays off.
+    """
+    return (shingle_array(df, text_col, id_col, n)
+            .select(id_col, F.explode_outer("_shingles").alias("shingle")))
 
 
 def jaccard_pairs(df: DataFrame, threshold: float,
@@ -113,13 +134,25 @@ def jaccard_pairs(df: DataFrame, threshold: float,
 def minhash_signatures(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", n: int = 3) -> DataFrame:
     """Per-doc MinHash signature: one column per permutation, plus the
-    doc's distinct-shingle count `n_sh` (free in the same aggregation;
-    the LSH verify step needs it for exact Jaccard)."""
-    sh = ngram_shingles(df, text_col, id_col, n)
-    h = hash32("shingle")
-    mins = [F.min((F.lit(PERM_A[i]) * h + F.lit(PERM_B[i])) % MINHASH_PRIME)
-             .alias(f"mh{i}") for i in range(NUM_PERMS)]
-    return sh.groupBy(id_col).agg(*mins, F.count(F.lit(1)).alias("n_sh"))
+    doc's distinct-shingle count `n_sh` (the LSH verify step needs it
+    for exact Jaccard).
+
+    Entirely shuffle-free: the shingle set lives in a per-row array, so
+    each permutation's min is `array_min(transform(...))` — a narrow
+    projection. The first shuffle in the whole LSH pipeline is the band
+    join itself."""
+    sh = shingle_array(df, text_col, id_col, n)
+    hashed = sh.select(
+        F.col(id_col),
+        F.expr("transform(_shingles, s -> CAST(conv(substring("
+               "md5(CAST(s AS BINARY)), 1, 8), 16, 10) AS BIGINT))")
+         .alias("_h"),
+        F.size("_shingles").cast("bigint").alias("n_sh"))
+    mins = [F.array_min(F.expr(
+                f"transform(_h, h -> (h * {PERM_A[i]}L + {PERM_B[i]}L) "
+                f"% {MINHASH_PRIME}L)")).alias(f"mh{i}")
+            for i in range(NUM_PERMS)]
+    return hashed.select(id_col, *mins, "n_sh")
 
 
 def minhash_lsh_pairs(df: DataFrame, threshold: float = 0.8,
