@@ -89,6 +89,29 @@ def flatten_envelope(df: DataFrame,
     )
 
 
+def path_timestamp(file_col=None):
+    """P7: parse the `yyyy/MM/dd/HH/mm` segment Datastream embeds in
+    change-file paths (reference DatastreamEventReader.java:676-678)
+    into a timestamp column (null when absent)."""
+    col = F.col("_source_file") if file_col is None else file_col
+    seg = F.regexp_extract(col, r"(\d{4}/\d{2}/\d{2}/\d{2}/\d{2})/", 1)
+    return F.when(seg != "",
+                  F.to_timestamp(seg, "yyyy/MM/dd/HH/mm"))
+
+
+def scan_window(df: DataFrame, window_start,
+                file_col: str = "_source_file") -> DataFrame:
+    """P7 scan-window predicate: keep only files whose path time is at
+    or after `window_start` (the reference lists blobs from
+    min(source_time) - 3 days via a lexicographic path lower bound,
+    DatastreamEventReader.java:93-94,469-479,543-556). Files without a
+    parseable path time are kept (never silently drop data). With
+    hive-style date=/hour= layouts this becomes partition pruning; the
+    streaming analog is the 72h watermark."""
+    ts = path_timestamp(F.col(file_col))
+    return df.where(ts.isNull() | (ts >= F.lit(window_start)))
+
+
 def read_changes(spark: SparkSession,
                  path: str,
                  fmt: str = "parquet",

@@ -183,3 +183,27 @@ def duck(sf_correctness):
 def test_cdc_query_parity(name, spark, duck, sf_correctness):
     df = cdc_queries.QUERIES[name](spark, sf_correctness)
     assert_parity(df, duck, cdc_queries.ORACLE_SQL[name], name)
+
+
+def test_scan_window_path_pruning(spark, tmp_path):
+    """P7: files outside [window_start, now] are pruned by their
+    yyyy/MM/dd/HH/mm path segment; unparseable paths are kept."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from datastream_delta_plugins_spark.sources.changes import (
+        path_timestamp, scan_window)
+
+    rows = [
+        ("gs://b/t/2024/01/05/10/30/k1_cdc_1.avro", 1),
+        ("gs://b/t/2024/01/01/00/00/k1_cdc_0.avro", 2),
+        ("gs://b/t/no-time-segment.avro", 3),
+    ]
+    df = spark.createDataFrame(rows, "_source_file string, id int")
+    kept = {r["id"] for r in scan_window(
+        df, datetime.datetime(2024, 1, 2)).collect()}
+    assert kept == {1, 3}  # old file pruned, no-time file kept
+    ts = df.select(path_timestamp().alias("ts")).collect()
+    assert ts[0]["ts"] == datetime.datetime(2024, 1, 5, 10, 30)
+    assert ts[2]["ts"] is None
