@@ -319,6 +319,24 @@ def q25_time_bucket(spark, sf_dir):
              .orderBy("h"))
 
 
+# --- Q41 explicit GROUPING SETS + grouping_id ---
+
+def q41_grouping_sets(spark, sf_dir):
+    """Non-hierarchical grouping-set combination (not expressible as
+    rollup/cube): {(status), (priority), ()} with grouping_id
+    disambiguating the all-null rows."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT)
+                 AS gid,
+               count(*) AS c
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY gid, o_orderstatus NULLS FIRST,
+                 o_orderpriority NULLS FIRST, c""")
+
+
 # --- Q39 RANGE window frame (value-based running aggregate) ---
 
 def q39_range_frame(spark, sf_dir):
@@ -431,6 +449,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q38_array_fns": q38_array_fns,
     "q39_range_frame": q39_range_frame,
     "q40_ntile_first_last": q40_ntile_first_last,
+    "q41_grouping_sets": q41_grouping_sets,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -593,4 +612,13 @@ ORACLE_SQL: dict[str, str] = {
         WINDOW w AS (PARTITION BY o_custkey
                      ORDER BY o_totalprice, o_orderkey)
         ORDER BY o_orderkey LIMIT 200""",
+    "q41_grouping_sets": """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping(o_orderstatus) * 2
+                    + grouping(o_orderpriority) AS BIGINT) AS gid,
+               count(*) AS c
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY gid, o_orderstatus NULLS FIRST,
+                 o_orderpriority NULLS FIRST, c""",
 }
