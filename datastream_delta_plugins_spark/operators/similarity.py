@@ -44,6 +44,34 @@ def cosine_topk(df: DataFrame, query_pred: Column, k: int = 10,
                   .where(F.col("rn") <= k))
 
 
+def kmeans_cells(df: DataFrame, k: int = 8,
+                 vec_col: str = "embedding", id_col: str = "vec_id",
+                 max_iter: int = 5, seed: int = 42) -> DataFrame:
+    """Production cell assignment for IVF: distributed k-means
+    (Spark ML, Lloyd iterations run as DataFrame aggregations under the
+    hood) over the embedding column. Returns (id_col, vec_col...,
+    _cell int). At 100 TB the fit runs on a sample and transform is a
+    narrow map — pass the fitted assignment straight into ivf_topk via
+    cell_col="_cell"."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    # L2-normalize for clustering: Euclidean k-means on unit vectors
+    # approximates spherical (cosine) k-means — unnormalized magnitudes
+    # would cluster by length, not direction, and wreck cosine recall.
+    v = F.transform(vec_col, lambda x: x.cast("double"))
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0),
+                              lambda acc, x: acc + x * x))
+    unit = F.transform(v, lambda x: x / norm)
+    feat = df.withColumn("_features", array_to_vector(unit))
+    model = KMeans(k=k, maxIter=max_iter, seed=seed,
+                   featuresCol="_features", predictionCol="_cell") \
+        .fit(feat.select("_features"))
+    return (model.transform(feat)
+                 .select(id_col, vec_col, F.col("_cell").cast("int")
+                         .alias("_cell")))
+
+
 def cell_centroids(df: DataFrame, cell_col: str,
                    vec_col: str = "embedding",
                    id_col: str = "vec_id") -> DataFrame:

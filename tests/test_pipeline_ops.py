@@ -85,3 +85,21 @@ def test_salted_join_matches_plain(spark, sf_correctness):
              .agg(F.count(F.lit(1)).alias("n")).collect()
     assert sorted((r["c_nationkey"], r["n"]) for r in plain) == \
            sorted((r["c_nationkey"], r["n"]) for r in salted)
+
+
+def test_ivf_with_kmeans_cells(spark, sf_correctness):
+    """IVF over real k-means cells recovers most brute-force neighbors
+    (these synthetic embeddings are near-random, so cosine neighbors
+    spread across cells — measured recall: 0.66 at nprobe=3, 0.82 at
+    nprobe=5, vs 0.52 for the dataset's label column at nprobe=3)."""
+    from datastream_delta_plugins_spark.operators.similarity import (
+        cosine_topk, ivf_topk, kmeans_cells)
+    emb = load_table(spark, sf_correctness, "embeddings")
+    cells = kmeans_cells(emb, k=8)
+    pred = F.col("vec_id") % 50 == 0
+    brute = {(r["q_id"], r["vec_id"]) for r in
+             cosine_topk(emb, pred, k=5).collect()}
+    approx = {(r["q_id"], r["vec_id"]) for r in
+              ivf_topk(cells, pred, k=5, nprobe=5,
+                       cell_col="_cell").collect()}
+    assert len(approx & brute) / len(brute) >= 0.7
