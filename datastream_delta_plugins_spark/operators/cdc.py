@@ -120,9 +120,13 @@ def merge_batch(state: DataFrame,
     """
     batch_latest = materialize(batch_changes, pk_cols, sort_cols,
                                keep_sort_keys=True)
+    # No forced broadcast: a typical incremental batch's key set is
+    # small and AQE will broadcast it at runtime, but a backfill batch
+    # can carry billions of PKs — forcing broadcast there would OOM
+    # the driver. AQE picks broadcast vs shuffled semi/anti per batch.
     keys = batch_latest.select(*pk_cols).distinct()
-    untouched = state.join(F.broadcast(keys), list(pk_cols), "left_anti")
-    touched = state.join(F.broadcast(keys), list(pk_cols), "left_semi")
+    untouched = state.join(keys, list(pk_cols), "left_anti")
+    touched = state.join(keys, list(pk_cols), "left_semi")
     # replay touched state rows as events and pick the sort-key winner
     as_events = [
         touched.withColumn("_op", F.when(F.col("_is_deleted"), F.lit(DELETE))
