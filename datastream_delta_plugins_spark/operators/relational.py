@@ -349,7 +349,8 @@ def q39_range_frame(spark, sf_dir):
     w = (W.partitionBy("o_custkey").orderBy(days.cast("long"))
           .rangeBetween(-30, 0))
     return (o.select("o_orderkey", "o_custkey",
-                     F.sum(_dec("o_totalprice")).over(w).alias("win_total"))
+                     F.round(F.sum(_dec("o_totalprice")).over(w), 4)
+                      .cast("double").alias("win_total"))
              .orderBy("o_orderkey").limit(200))
 
 
@@ -388,8 +389,8 @@ def q36_pivot(spark, sf_dir):
              .pivot("l_linestatus", ["O", "F"])
              .agg(F.sum(_dec("l_quantity"))))
     return (piv.select("l_returnflag",
-                       F.col("O").alias("qty_o"),
-                       F.col("F").alias("qty_f"))
+                       F.round(F.col("O"), 4).cast("double").alias("qty_o"),
+                       F.round(F.col("F"), 4).cast("double").alias("qty_f"))
                .orderBy("l_returnflag"))
 
 
@@ -578,10 +579,12 @@ ORACLE_SQL: dict[str, str] = {
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q36_pivot": """
         SELECT l_returnflag,
-               sum(CASE WHEN l_linestatus = 'O'
-                        THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS qty_o,
-               sum(CASE WHEN l_linestatus = 'F'
-                        THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS qty_f
+               CAST(round(sum(CASE WHEN l_linestatus = 'O'
+                        THEN CAST(l_quantity AS DECIMAL(18,4)) END), 4)
+                    AS DOUBLE) AS qty_o,
+               CAST(round(sum(CASE WHEN l_linestatus = 'F'
+                        THEN CAST(l_quantity AS DECIMAL(18,4)) END), 4)
+                    AS DOUBLE) AS qty_f
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     # q37_approx_distinct: intentionally no oracle — HLL sketches differ
     # across engines; tests assert the <= 5% error bound vs exact.
@@ -595,11 +598,12 @@ ORACLE_SQL: dict[str, str] = {
         FROM part ORDER BY p_partkey LIMIT 100""",
     "q39_range_frame": """
         SELECT o_orderkey, o_custkey,
-               sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
                  PARTITION BY o_custkey
                  ORDER BY datediff('day', DATE '1970-01-01',
                                    CAST(o_orderdate AS DATE))
-                 RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS win_total
+                 RANGE BETWEEN 30 PRECEDING AND CURRENT ROW), 4)
+                 AS DOUBLE) AS win_total
         FROM orders ORDER BY o_orderkey LIMIT 200""",
     "q40_ntile_first_last": """
         SELECT o_orderkey, o_custkey,
