@@ -259,11 +259,16 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / F.sqrt(_dot(a, a) * _dot(b, b))
 
 
-def embedding_neardup_pairs(df: DataFrame, threshold: float,
-                            vec_col: str = "embedding",
-                            id_col: str = "vec_id") -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (brute force; see
-    similarity.ivf_topk for the bucketed scale path)."""
+def _l2dist(a: Column, b: Column) -> Column:
+    return F.sqrt(F.aggregate(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+                              F.lit(0.0), lambda acc, x: acc + x))
+
+
+def embedding_neardup_pairs_brute(df: DataFrame, threshold: float,
+                                  vec_col: str = "embedding",
+                                  id_col: str = "vec_id") -> DataFrame:
+    """All-pairs cosine near-dup (O(n^2) cross join). The oracle/verify
+    baseline for `embedding_neardup_pairs`; never the scale path."""
     e = df.select(F.col(id_col),
                   F.transform(vec_col, lambda x: x.cast("double")).alias("_v"))
     a, b = e.alias("a"), e.alias("b")
@@ -272,3 +277,82 @@ def embedding_neardup_pairs(df: DataFrame, threshold: float,
                      F.col(f"b.{id_col}").alias("j"),
                      cosine(F.col("a._v"), F.col("b._v")).alias("cos"))
              .where(F.col("cos") >= threshold))
+
+
+def embedding_neardup_pairs(df: DataFrame, threshold: float,
+                            vec_col: str = "embedding",
+                            id_col: str = "vec_id",
+                            n_cells: int = 8) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — EXACT, via k-means cell
+    partitioning with triangle-inequality cell-pair pruning.
+
+    On L2-normalized vectors, cos(a,b) >= t  <=>  ||a^-b^|| <= R where
+    R = sqrt(2-2t). Each vector lands in one k-means cell; a cell pair
+    (A,B) can contain a qualifying pair only if
+    dist(centroid_A, centroid_B) <= R + radius_A + radius_B (triangle
+    inequality), so only those cell pairs are joined — completeness is a
+    metric-space guarantee, NOT a probabilistic LSH bound, which matters
+    here because the corpus has pairs straddling the threshold
+    (cos 0.4497 vs 0.4501 at sf0.1: any approximate bucketing would
+    hash-fail). The final verify computes the SAME raw-vector cosine
+    fold as the brute/oracle path, so accepted values are bitwise
+    identical.
+
+    Scale shape: candidate generation is two equi-joins keyed on cell id
+    (no CartesianProduct over the corpus; the only nested-loop join is
+    the n_cells x n_cells centroid table). Pruning power tracks how
+    clustered the corpus is — real embedding corpora at 100 TB have
+    small cell radii and most cell pairs drop; worst-case (isotropic
+    noise) degrades to all cell pairs but stays a keyed shuffle join,
+    never a broadcast nested loop over rows. Normalization is used only
+    for the bound (a small epsilon absorbs float error); output values
+    never touch it.
+    """
+    import math
+
+    from .similarity import kmeans_cells
+
+    cells = kmeans_cells(df, k=n_cells, vec_col=vec_col, id_col=id_col)
+    norm = F.sqrt(_dot(F.col("_v"), F.col("_v")))
+    ev = (cells.select(
+              F.col(id_col), F.col("_cell"),
+              F.transform(vec_col, lambda x: x.cast("double")).alias("_v"))
+          .withColumn("_u", F.transform("_v", lambda x: x / norm))
+          .persist(StorageLevel.MEMORY_AND_DISK))
+    # per-cell centroid of the normalized members (distributed:
+    # posexplode -> avg per dim -> re-pack) and max member distance
+    dims = (ev.select("_cell", F.posexplode("_u").alias("dim", "x"))
+              .groupBy("_cell", "dim").agg(F.avg("x").alias("m")))
+    cents = (dims.groupBy("_cell")
+                 .agg(F.array_sort(F.collect_list(F.struct("dim", "m")))
+                       .alias("_dm"))
+                 .select("_cell",
+                         F.expr("transform(_dm, s -> s.m)").alias("_c")))
+    rad = (ev.join(F.broadcast(cents), "_cell")
+             .groupBy("_cell")
+             .agg(F.max(_l2dist(F.col("_u"), F.col("_c"))).alias("_r")))
+    cmeta = cents.join(rad, "_cell")  # n_cells rows
+    r_thr = math.sqrt(max(0.0, 2.0 - 2.0 * threshold)) + 1e-9
+    am = cmeta.select(F.col("_cell").alias("_ca"), F.col("_c").alias("_cca"),
+                      F.col("_r").alias("_ra"))
+    bm = cmeta.select(F.col("_cell").alias("_cb"), F.col("_c").alias("_ccb"),
+                      F.col("_r").alias("_rb"))
+    cand_cells = (am.join(bm, F.col("_ca") <= F.col("_cb"))
+                    .where(_l2dist(F.col("_cca"), F.col("_ccb"))
+                           <= F.lit(r_thr) + F.col("_ra") + F.col("_rb"))
+                    .select("_ca", "_cb"))
+    left = ev.select(F.col(id_col).alias("_ida"), F.col("_v").alias("_va"),
+                     F.col("_cell").alias("_ca"))
+    right = ev.select(F.col(id_col).alias("_idb"), F.col("_v").alias("_vb"),
+                      F.col("_cell").alias("_cb"))
+    # within-cell pairs appear twice unless ordered; cross-cell pairs
+    # appear exactly once (each id lives in one cell)
+    keep = (F.col("_ca") < F.col("_cb")) | (F.col("_ida") < F.col("_idb"))
+    cos = cosine(F.col("_va"), F.col("_vb"))
+    return (left.join(F.broadcast(cand_cells), "_ca")
+                .join(right, "_cb")
+                .where(keep)
+                .select(F.least("_ida", "_idb").alias("i"),
+                        F.greatest("_ida", "_idb").alias("j"),
+                        cos.alias("cos"))
+                .where(F.col("cos") >= threshold))

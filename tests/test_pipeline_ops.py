@@ -45,6 +45,29 @@ def test_ivf_recall_vs_bruteforce(spark, sf_correctness):
     assert recall >= 0.5, f"IVF recall {recall:.2f} too low"
 
 
+def test_embedding_neardup_cell_pruned_equals_brute(spark, sf_correctness):
+    """The cell-pruned exact near-dup join must return the identical
+    pair set AND identical cosine values as the brute-force path — the
+    triangle-inequality pruning is complete, and the verify step reuses
+    the same raw-vector fold."""
+    emb = load_table(spark, sf_correctness, "embeddings")
+    brute = {(r["i"], r["j"]): r["cos"] for r in
+             dedup.embedding_neardup_pairs_brute(emb, 0.45).collect()}
+    cellp = {(r["i"], r["j"]): r["cos"] for r in
+             dedup.embedding_neardup_pairs(emb, 0.45).collect()}
+    assert brute and cellp == brute
+
+
+def test_d05_no_corpus_cartesian_product(spark, sf_correctness):
+    """d05's candidate generation must be equi-joins on cell id; the
+    only tolerated nested loop is the bounded n_cells^2 centroid join
+    (never a CartesianProduct over corpus rows)."""
+    from datastream_delta_plugins_spark.plans import formatted_plan
+    emb = load_table(spark, sf_correctness, "embeddings")
+    plan = formatted_plan(dedup.embedding_neardup_pairs(emb, 0.45))
+    assert "CartesianProduct" not in plan
+
+
 def test_decode_media_stub(spark, sf_smoke):
     docs = load_table(spark, sf_smoke, "documents").limit(20)
     media = multimodal.attach_binary(docs)
