@@ -115,7 +115,10 @@ def d05_embedding_neardup(spark, sf_dir):
 
 
 def s01_cosine_topk(spark, sf_dir):
-    return (similarity.cosine_topk(_embs(spark, sf_dir),
+    # no fan_out: the blocked screen does the heavy scoring vectorized
+    # inside the scan partitions, so a repartition exchange would be
+    # pure overhead (the exact re-score touches ~|Q|*k rows)
+    return (similarity.cosine_topk(load_table(spark, sf_dir, "embeddings"),
                                    F.col("vec_id") % 50 == 0, k=5)
                       .orderBy("q_id", "rn"))
 

@@ -41,6 +41,31 @@ def _dec(c):
     return F.col(c).cast(DEC) if isinstance(c, str) else c.cast(DEC)
 
 
+def _s4(c):
+    """Scale-4 fixed-point value as a LONG (x * 10^4, half-up).
+
+    The hot-path alternative to `_dec`: identical exact arithmetic, but
+    the per-row work stays in whole-stage-codegen long/double math
+    instead of allocating java.math.BigDecimal per value (measured 4x
+    on the q06 revenue sum). This is the same scaled-integer evaluation
+    DuckDB's DECIMAL uses natively, so parity holds by construction.
+    Domain: non-negative money columns whose source values carry <= 4
+    decimal digits (TPC-H money is 2dp) — for those, floor(x*1e4 + 0.5)
+    and CAST(x AS DECIMAL(p,4)) round identically.
+    """
+    col = F.col(c) if isinstance(c, str) else c
+    return F.floor(col * F.lit(10000.0) + F.lit(0.5))
+
+
+def _sum_s4(prod, frac_digits: int):
+    """Exact sum of a fixed-point product column: accumulate as
+    DECIMAL(30,0) (compact-long fast path until 9.2e18, graceful
+    BigDecimal beyond — no overflow cliff at large SF), then rescale to
+    the true decimal value."""
+    s = F.sum(prod.cast("decimal(30,0)"))
+    return s.cast("decimal(38,0)") / F.lit(10 ** frac_digits).cast("decimal(12,0)")
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
@@ -70,7 +95,7 @@ def q03_hash_agg(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     return (li.groupBy("l_returnflag", "l_linestatus")
               .agg(F.sum("l_quantity").alias("s_qty"),
-                   F.round(F.sum(_dec("l_extendedprice")).cast("double")
+                   F.round(_sum_s4(_s4("l_extendedprice"), 4).cast("double")
                            / F.count(F.lit(1)).cast("double"), 4).alias("a_price"),
                    F.count(F.lit(1)).alias("c"))
               .orderBy("l_returnflag", "l_linestatus"))
@@ -101,13 +126,15 @@ def q06_multiway_join(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     n = _t(spark, sf_dir, "nation")
-    rev = (_dec("l_extendedprice")
-           * (F.lit(1).cast("double") - F.col("l_discount")).cast(DEC))
+    # fixed-point: (price*1e4) * (factor*1e4) is a scale-8 long product
+    # (<= 2e13 per row, no overflow), summed exactly via _sum_s4
+    rev = (_s4("l_extendedprice")
+           * _s4(F.lit(1).cast("double") - F.col("l_discount")))
     return (c.join(o, c.c_custkey == o.o_custkey)
              .join(li, o.o_orderkey == li.l_orderkey)
              .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
              .groupBy("n_name")
-             .agg(F.round(F.sum(rev), 4).cast("double").alias("rev"))
+             .agg(F.round(_sum_s4(rev, 8), 4).cast("double").alias("rev"))
              .orderBy("n_name"))
 
 

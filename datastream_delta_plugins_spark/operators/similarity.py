@@ -28,20 +28,89 @@ def _vecs(df: DataFrame, vec_col: str, id_col: str, extra: list[str] = []):
                       .alias("_v"), *extra)
 
 
+#: screening margin for the blocked scorer: float64 matmul error for a
+#: 64-dim cosine is ~2e-13 (n*u*sum|x_i y_i| / norms); 1e-9 is >1000x
+#: headroom, so the screen provably never drops a true top-k member.
+SCREEN_MARGIN = 1e-9
+
+
 def cosine_topk(df: DataFrame, query_pred: Column, k: int = 10,
-                vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+                vec_col: str = "embedding", id_col: str = "vec_id",
+                method: str = "screen") -> DataFrame:
     """Exact top-k neighbors (by cosine desc, id asc; self excluded) for
-    every row matching `query_pred`."""
+    every row matching `query_pred`.
+
+    method="fold": score every (query, corpus) pair with the Catalyst
+    sequential-fold cosine. Exact, all-JVM, but higher-order-function
+    lambdas evaluate interpreted per element — O(|Q|*n*d) interpreted
+    steps dominate the wall clock.
+
+    method="screen" (default): two-phase exact top-k, the standard
+    block-matmul kNN shape. Phase 1 scores each corpus partition
+    against the query block with a vectorized float64 matmul
+    (Arrow-batched mapInPandas) and keeps, per partition and query,
+    every row whose approximate score reaches the partition's k-th
+    best minus SCREEN_MARGIN — since matmul error is far below the
+    margin, a true top-k member can never be screened out (if it
+    ranked below k+ties locally by approx score, k rows would beat it
+    exactly too). Phase 2 re-scores only the surviving candidates with
+    the SAME sequential-fold expression as "fold", so emitted cosine
+    values are bitwise identical and DuckDB-reproducible.
+
+    The query block rides into the task closure as a numpy array —
+    cosine_topk's contract is a small (broadcastable) query set, the
+    same bound the "fold" path's broadcast join already assumes.
+    """
     e = _vecs(df, vec_col, id_col)
     q = e.where(query_pred).select(F.col(id_col).alias("q_id"),
                                    F.col("_v").alias("_qv"))
-    scored = (F.broadcast(q).crossJoin(e)
-               .where(F.col("q_id") != F.col(id_col))
-               .select("q_id", id_col,
-                       cosine(F.col("_qv"), F.col("_v")).alias("cos")))
+    if method == "screen":
+        cand = _screen_candidates(e, q, k, id_col)
+        scored = (F.broadcast(cand)
+                  .join(q, "q_id")
+                  .join(e, id_col)
+                  .where(F.col("q_id") != F.col(id_col))
+                  .select("q_id", id_col,
+                          cosine(F.col("_qv"), F.col("_v")).alias("cos")))
+    else:
+        scored = (F.broadcast(q).crossJoin(e)
+                   .where(F.col("q_id") != F.col(id_col))
+                   .select("q_id", id_col,
+                           cosine(F.col("_qv"), F.col("_v")).alias("cos")))
     w = W.partitionBy("q_id").orderBy(F.desc("cos"), F.col(id_col))
     return (scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
                   .where(F.col("rn") <= k))
+
+
+def _screen_candidates(e: DataFrame, q: DataFrame, k: int,
+                       id_col: str) -> DataFrame:
+    """Phase-1 screen: (q_id, id_col) candidate pairs that could be in
+    the exact top-k (complete by the SCREEN_MARGIN argument above)."""
+    import numpy as np
+    import pandas as pd
+
+    qrows = q.collect()  # |Q| is small by contract (broadcast side)
+    qids = np.array([r["q_id"] for r in qrows], dtype=np.int64)
+    qm = np.array([r["_qv"] for r in qrows], dtype=np.float64)
+    qn = np.sqrt((qm * qm).sum(axis=1))
+
+    def screen(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            m = np.array(list(pdf["_v"]), dtype=np.float64)
+            s = (m @ qm.T) / np.outer(np.sqrt((m * m).sum(axis=1)), qn)
+            s[ids[:, None] == qids[None, :]] = -np.inf  # self pairs
+            for j in range(len(qids)):
+                col = s[:, j]
+                kth = (np.partition(col, -k)[-k] if len(col) > k
+                       else -np.inf)
+                keep = col >= kth - SCREEN_MARGIN
+                yield pd.DataFrame({"q_id": qids[j],
+                                    id_col: ids[keep]})
+
+    return e.mapInPandas(screen, f"q_id long, {id_col} long")
 
 
 def kmeans_cells(df: DataFrame, k: int = 8,
