@@ -33,10 +33,14 @@ from ..envelope import SORT_KEY_COLS
 from ..operators import cdc
 from ..sources.changes import normalize_ops
 from . import state as state_keys
+from .retry import RetryPolicy
 from .state import StateDoc
 
 DEFAULT_TRIGGER = {"processingTime": "30 seconds"}
 DEFAULT_WATERMARK = "72 hours"  # the reference's 3-day SLO window
+
+BACKFILL_COMPLETED = "COMPLETED"
+BACKFILL_RUNNING = "RUNNING"
 
 
 class CdcPipeline:
@@ -46,7 +50,9 @@ class CdcPipeline:
                  work_dir: str, pk_cols: list[str],
                  sort_cols: list[str] = list(SORT_KEY_COLS),
                  dml_blacklist: tuple[str, ...] = (),
-                 ttl: "ProcessedFileTtl | None" = None):
+                 ttl: "ProcessedFileTtl | None" = None,
+                 catalog_table: str | None = None,
+                 retry: RetryPolicy | None = None):
         self.spark = spark
         self.table = table
         self.source_dir = source_dir
@@ -58,6 +64,12 @@ class CdcPipeline:
         self.checkpoint_dir = os.path.join(work_dir, "checkpoint")
         self.doc = StateDoc(os.path.join(work_dir, "state.json"))
         self.ttl = ttl  # S8: mark processed files after the merge commits
+        # D2: when set ("db.table"), the materialized state is kept
+        # registered in the Spark catalog with the PK in table properties
+        self.catalog_table = catalog_table
+        # retry/backoff classification around each micro-batch merge
+        # (Utils.java:901-925 analog); None = fail on first error
+        self.retry = retry
 
     # -- state table (versioned parquet + CURRENT pointer) --
 
@@ -102,16 +114,99 @@ class CdcPipeline:
             state = state.withColumn(f.name, F.lit(None).cast(f.dataType))
         return state
 
+    # -- D2: catalog registration with PK in table properties --
+
+    def _sync_catalog(self, location: str) -> None:
+        """CREATE TABLE on first materialization (the reference emits
+        CREATE_TABLE with schema + primary key on first sight of a
+        table, DatastreamEventReader.java:430-433,558-570 — the PK
+        travels in table properties), then re-point the external
+        location at each state swap (ALTER analog of the state commit).
+        """
+        if not self.catalog_table:
+            return
+        qname = ".".join(f"`{p}`" for p in self.catalog_table.split("."))
+        if not self.spark.catalog.tableExists(self.catalog_table):
+            pk = ",".join(self.pk_cols)
+            self.spark.sql(
+                f"CREATE TABLE {qname} USING parquet "
+                f"LOCATION '{location}' "
+                f"TBLPROPERTIES ('primaryKey' = '{pk}', "
+                f"'sourceTable' = '{self.table}')")
+        else:
+            self.spark.sql(f"ALTER TABLE {qname} SET LOCATION '{location}'")
+        self.spark.catalog.refreshTable(self.catalog_table)
+
+    # -- O5: dump-completion barrier --
+
+    def mark_backfill(self, status: str) -> None:
+        """Feed the external backfill-job status (the reference polls
+        the Datastream backfill job, DatastreamEventReader.java:483-541;
+        a local run has no control plane, so the job/config supplies
+        it)."""
+        self.doc.put(state_keys.k_backfill_status(self.table), status)
+        self.doc.save()
+
+    def _backfill_complete(self) -> bool:
+        return self.doc.get(state_keys.k_backfill_status(self.table),
+                            BACKFILL_COMPLETED) == BACKFILL_COMPLETED
+
+    def _update_snapshot_barrier(self, snap_rows_in_batch: int) -> None:
+        """Streaming form of the reference's completion rule: dump rows
+        in a batch prove the backfill is still producing files (mark
+        `snapshot.seen`, never `done`); `done` requires the backfill to
+        report COMPLETED *and* a later scan that delivered no new dump
+        rows (DatastreamEventReader.java:449-467,483-541 — a multi-file
+        dump split across scans must not flip the barrier early)."""
+        t = self.table
+        if snap_rows_in_batch > 0:
+            self.doc.put(state_keys.k_snapshot_seen(t), "true")
+            return
+        seen = self.doc.get(state_keys.k_snapshot_seen(t)) == "true"
+        if seen and self._backfill_complete():
+            self.doc.put(state_keys.k_snapshot_done(t), "true")
+
     # -- the merge, usable directly in batch mode --
 
-    def apply_batch(self, batch_df: DataFrame, batch_id: int = -1) -> None:
+    def apply_batch(self, batch_df: DataFrame, batch_id: int = -1,
+                    streaming_barrier: bool = True) -> None:
+        """Merge one micro-batch into the state table.
+
+        `streaming_barrier=False` is for full-rescan batch mode
+        (ReplicationJob.run_batch), where "no new dump files" must be
+        judged by comparing file sets across scans, not by the absence
+        of snapshot rows in this (re-read-everything) batch.
+        """
         batch_df = normalize_ops(batch_df) if "_op" not in batch_df.columns \
             else batch_df
         if self.dml_blacklist:
             batch_df = batch_df.where(
                 ~F.col("_op").isin([o.upper() for o in self.dml_blacklist]))
-        if batch_df.isEmpty():
+        # ONE bookkeeping aggregation per batch (row count, snapshot-row
+        # count, min source time, processed files) — this used to be
+        # 3-4 separate driver-side jobs (isEmpty + isEmpty + min +
+        # collect), measurable at a 30 s trigger with many tables
+        has_snap = "_is_snapshot" in batch_df.columns
+        has_ts = "source_timestamp" in batch_df.columns
+        want_files = self.ttl is not None and "_source_file" in batch_df.columns
+        stats = batch_df.agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(F.col("_is_snapshot").cast("int")) if has_snap
+             else F.lit(0)).alias("snap_n"),
+            (F.min("source_timestamp") if has_ts
+             else F.lit(None)).alias("min_ts"),
+            (F.collect_set("_source_file") if want_files
+             else F.lit(None)).alias("files")).first()
+        if stats["n"] == 0:
+            # an empty scan still advances the completion check — the
+            # reference marks snapshot.done on a scan that found nothing
+            if streaming_barrier:
+                self._update_snapshot_barrier(0)
+                self.doc.save()
             return
+        snap_n = int(stats["snap_n"] or 0)
+        src_time = stats["min_ts"]
+
         fingerprint = self._schema_fingerprint(batch_df)
         state = self.read_state()
         if state is None:
@@ -125,21 +220,19 @@ class CdcPipeline:
             merged = cdc.merge_batch(state, batch_df, self.pk_cols,
                                      self.sort_cols)
         self._write_state(merged)
+        self._sync_catalog(os.path.join(self.state_dir,
+                                        f"v{self._current_version()}"))
 
-        snap_seen = ("_is_snapshot" in batch_df.columns
-                     and not batch_df.where(F.col("_is_snapshot")).isEmpty())
-        src_time = None
-        if "source_timestamp" in batch_df.columns:
-            src_time = batch_df.agg(
-                F.min("source_timestamp").alias("m")).first()["m"]
         t = self.table
         self.doc.set(**{
             state_keys.k_schema_key(t): fingerprint,
             state_keys.k_last_done(t): str(batch_id),
             state_keys.k_processed_time(t): str(src_time),
         })
-        if snap_seen:
-            self.doc.put(state_keys.k_snapshot_done(t), "true")
+        if streaming_barrier:
+            self._update_snapshot_barrier(snap_n)
+        elif snap_n > 0:
+            self.doc.put(state_keys.k_snapshot_seen(t), "true")
         if src_time is not None:
             self.doc.put(state_keys.k_source_time(t), str(src_time))
         self.doc.save()
@@ -147,20 +240,27 @@ class CdcPipeline:
         # purge (never deletes data whose merge didn't commit) — same
         # ordering as the reference's post-offset Custom-Time marking
         # (DatastreamEventReader.java:213-281).
-        if self.ttl is not None and "_source_file" in batch_df.columns:
-            files = [r["_source_file"] for r in
-                     batch_df.select("_source_file").distinct().collect()]
+        if want_files and stats["files"]:
             self.ttl.mark_processed([f.removeprefix("file://")
-                                     for f in files])
+                                     for f in stats["files"]])
 
     # -- streaming entry --
 
     def start(self, schema, trigger: dict | None = None,
               fmt: str = "parquet"):
         stream = (self.spark.readStream.format(fmt).schema(schema)
-                  .load(self.source_dir))
+                  .load(self.source_dir)
+                  # file provenance for the S8 TTL manifest
+                  .withColumn("_source_file", F.input_file_name()))
+
+        def _apply(df: DataFrame, batch_id: int) -> None:
+            if self.retry is not None:
+                self.retry.call(self.apply_batch, df, batch_id)
+            else:
+                self.apply_batch(df, batch_id)
+
         writer = (stream.writeStream
-                  .foreachBatch(self.apply_batch)
+                  .foreachBatch(_apply)
                   .option("checkpointLocation", self.checkpoint_dir)
                   .outputMode("update")
                   .trigger(**(trigger or DEFAULT_TRIGGER)))

@@ -24,8 +24,10 @@ from dataclasses import dataclass, field
 from pyspark.sql import SparkSession
 
 from ..envelope import SNAPSHOT_FILE_MARKER
+from ..sources.ttl import ProcessedFileTtl
 from . import state as sk
-from .pipeline import CdcPipeline
+from .pipeline import BACKFILL_COMPLETED, CdcPipeline
+from .retry import RetryPolicy
 from .state import StateDoc
 
 
@@ -33,31 +35,56 @@ from .state import StateDoc
 class TableConfig:
     """One replicated table (SourceTable analog: database/schema/table
     identity + optional column subset + per-table DML blacklist,
-    reference DatastreamEventConsumer.java:78-95)."""
+    reference DatastreamEventConsumer.java:78-95).
+
+    `backfill_status` feeds the O5 completion rule (the reference polls
+    the Datastream backfill job; a local job states it here or via
+    CdcPipeline.mark_backfill). `skip_snapshot` is the reference's
+    snapshot-skip path (DatastreamEventReader.java:430-433): the table
+    starts directly in CDC phase with `snapshot.done` pre-set."""
     name: str
     source_dir: str
     pk_cols: list[str]
     columns: list[str] | None = None
     dml_blacklist: tuple[str, ...] = ()
     schema: object = None  # StructType for the streaming reader
+    backfill_status: str = BACKFILL_COMPLETED
+    skip_snapshot: bool = False
     extra: dict = field(default_factory=dict)
 
 
 class ReplicationJob:
     def __init__(self, spark: SparkSession, work_dir: str,
-                 tables: list[TableConfig], database: str = "replica"):
+                 tables: list[TableConfig], database: str = "replica",
+                 ttl_days: int | None = None,
+                 retry: RetryPolicy | None = None,
+                 register_catalog: bool = True):
         self.spark = spark
         self.work_dir = work_dir
         self.database = database
         self.tables = {t.name: t for t in tables}
         self.doc = StateDoc(os.path.join(work_dir, "job_state.json"))
+        # S8: one shared manifest; marked only after a table's merge
+        # commits, purged by ttl.purge_expired() (lifecycle-rule analog)
+        self.ttl = (ProcessedFileTtl(
+            os.path.join(work_dir, "ttl_manifest.json"), ttl_days)
+            if ttl_days else None)
         self.pipelines = {
             t.name: CdcPipeline(
                 spark, t.name, t.source_dir,
                 os.path.join(work_dir, "tables", t.name),
-                pk_cols=t.pk_cols, dml_blacklist=t.dml_blacklist)
+                pk_cols=t.pk_cols, dml_blacklist=t.dml_blacklist,
+                ttl=self.ttl, retry=retry,
+                catalog_table=(f"{database}.{t.name}"
+                               if register_catalog else None))
             for t in tables
         }
+        for t in tables:
+            pipe = self.pipelines[t.name]
+            pipe.doc.put(sk.k_backfill_status(t.name), t.backfill_status)
+            if t.skip_snapshot:
+                pipe.doc.put(sk.k_snapshot_done(t.name), "true")
+            pipe.doc.save()
 
     # -- D1: CREATE DATABASE once, guarded by db.created --
 
@@ -93,24 +120,49 @@ class ReplicationJob:
         same property when it rescans its 3-day window,
         DatastreamEventReader.java:439-459). Incremental file tracking
         is the streaming path's job (checkpointed seen-files log).
+
+        O5 dump completion (full-rescan form): `snapshot.done` requires
+        the backfill to report COMPLETED *and* a scan whose snapshot
+        file set is unchanged from the previous scan — a multi-file
+        dump landing across cycles keeps the barrier up until a cycle
+        observes no new dump files (DatastreamEventReader.java:449-467,
+        483-541).
         """
         self._ensure_database()
+        from pyspark.sql import functions as F
         for name, cfg in self.tables.items():
             pipe = self.pipelines[name]
             df = self.spark.read.parquet(cfg.source_dir)
-            from pyspark.sql import functions as F
             df = df.withColumn("_source_file", F.input_file_name())
             snap = df.where(
                 F.col("_source_file").contains(SNAPSHOT_FILE_MARKER))
             cdc = df.where(
                 ~F.col("_source_file").contains(SNAPSHOT_FILE_MARKER))
             # snapshot phase first, then CDC — the reference's order
-            # (correct under re-ordering anyway: merge is by sort key)
-            if not snap.isEmpty():
-                pipe.apply_batch(snap.drop("_source_file"), batch_id=0)
+            # (correct under re-ordering anyway: merge is by sort key);
+            # _source_file rides along so the merge commit can mark the
+            # processed files in the TTL manifest
+            snap_files = sorted(
+                r["_source_file"] for r in
+                snap.select("_source_file").distinct().collect())
+            if snap_files:
+                pipe.apply_batch(snap, batch_id=0, streaming_barrier=False)
             if not cdc.isEmpty():
-                pipe.apply_batch(cdc.drop("_source_file"), batch_id=1)
+                pipe.apply_batch(cdc, batch_id=1, streaming_barrier=False)
+            self._check_dump_complete(pipe, name, snap_files)
         self._update_barrier()
+
+    def _check_dump_complete(self, pipe: CdcPipeline, name: str,
+                             snap_files: list[str]) -> None:
+        fp = "\n".join(snap_files)
+        prev = pipe.doc.get(sk.k_snapshot_files(name))
+        if prev == fp and pipe._backfill_complete():
+            # unchanged file set + backfill complete -> done (an empty,
+            # stable set is the reference's dump-less-table skip,
+            # DatastreamEventReader.java:449-467)
+            pipe.doc.put(sk.k_snapshot_done(name), "true")
+        pipe.doc.put(sk.k_snapshot_files(name), fp)
+        pipe.doc.save()
 
     # -- streaming mode: one query per table --
 

@@ -1,0 +1,77 @@
+"""Recoverable-vs-terminal error classification with bounded backoff.
+
+The reference wraps every control-plane/storage call in a Failsafe
+retry policy — exponential backoff 1s..60s, at most 5 minutes total —
+and distinguishes recoverable errors (DatastreamDeltaSourceException,
+retried) from terminal ones (DeltaFailureException, abort the worker)
+(reference: Utils.java:901-925, :463-486,
+util/DatastreamDeltaSourceException.java:20-48). The engine applies the
+same policy around the micro-batch merge: a transient filesystem error
+retries with backoff instead of killing the streaming query; a terminal
+error (or exhausting the retry budget) still fails fast.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+#: reference Failsafe policy constants (Utils.java:901-925)
+MAX_ELAPSED_SECONDS = 300.0
+INITIAL_BACKOFF_SECONDS = 1.0
+MAX_BACKOFF_SECONDS = 60.0
+BACKOFF_MULTIPLIER = 2.0
+
+
+class RecoverableSourceError(Exception):
+    """Transient failure worth retrying (DatastreamDeltaSourceException
+    analog, util/DatastreamDeltaSourceException.java:20-48)."""
+
+
+class TerminalReplicationError(Exception):
+    """Permanent failure: abort immediately (DeltaFailureException
+    analog)."""
+
+
+def default_classifier(exc: BaseException) -> bool:
+    """True if `exc` is recoverable. Transient I/O (a flaky filesystem,
+    a connection reset) retries; everything else — including explicit
+    TerminalReplicationError and logic errors — is terminal."""
+    if isinstance(exc, TerminalReplicationError):
+        return False
+    return isinstance(exc, (RecoverableSourceError, OSError,
+                            ConnectionError, TimeoutError))
+
+
+@dataclass
+class RetryPolicy:
+    max_elapsed: float = MAX_ELAPSED_SECONDS
+    initial_backoff: float = INITIAL_BACKOFF_SECONDS
+    max_backoff: float = MAX_BACKOFF_SECONDS
+    multiplier: float = BACKOFF_MULTIPLIER
+    classify: Callable[[BaseException], bool] = default_classifier
+    # injectable for tests; monotonic+sleep are the defaults
+    sleep: Callable[[float], None] = field(default=time.sleep)
+    clock: Callable[[], float] = field(default=time.monotonic)
+
+    def call(self, fn: Callable, *args, **kwargs):
+        """Run `fn`, retrying recoverable failures with exponential
+        backoff until `max_elapsed` is spent; re-raises terminal errors
+        immediately and the last recoverable error on budget
+        exhaustion."""
+        start = self.clock()
+        backoff = self.initial_backoff
+        attempt = 0
+        while True:
+            try:
+                return fn(*args, **kwargs)
+            except BaseException as exc:
+                attempt += 1
+                if not self.classify(exc):
+                    raise
+                elapsed = self.clock() - start
+                if elapsed + backoff > self.max_elapsed:
+                    raise
+                self.sleep(backoff)
+                backoff = min(backoff * self.multiplier, self.max_backoff)

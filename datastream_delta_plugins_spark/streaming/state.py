@@ -26,6 +26,29 @@ def k_snapshot_done(t: str) -> str:
     return f"{t}.snapshot.done"
 
 
+def k_snapshot_seen(t: str) -> str:
+    """True once any snapshot (dump) row has been merged — a dump file
+    appearing is evidence the backfill is producing output, not that it
+    finished (DatastreamEventReader.java:483-541 makes the same
+    distinction between files-seen and backfill-complete)."""
+    return f"{t}.snapshot.seen"
+
+
+def k_snapshot_files(t: str) -> str:
+    """Fingerprint of the snapshot file set observed by the last full
+    scan (batch mode) — `snapshot.done` requires a scan that observed
+    no NEW dump files after the backfill reported complete
+    (DatastreamEventReader.java:449-467)."""
+    return f"{t}.snapshot.files"
+
+
+def k_backfill_status(t: str) -> str:
+    """The backfill job's reported status (COMPLETED/RUNNING) — the
+    analog of the Datastream backfill job state the reference polls;
+    fed externally (TableConfig / mark_backfill)."""
+    return f"{t}.backfill.status"
+
+
 def k_processed_time(t: str) -> str:
     return f"{t}.processed.time"
 

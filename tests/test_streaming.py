@@ -61,11 +61,15 @@ def test_stream_snapshot_then_cdc(spark, pipe):
     s1 = {r["id"]: (r["val"], r["_is_deleted"])
           for r in pipe.read_state().collect()}
     assert s1 == {1: ("a", False), 2: ("b", False)}
-    assert pipe.doc.get(sk.k_snapshot_done("t1")) == "true"
+    # O5: a batch WITH dump rows proves the backfill is still producing
+    # output — snapshot.seen, but not yet done
+    assert pipe.doc.get(sk.k_snapshot_seen("t1")) == "true"
+    assert pipe.doc.get(sk.k_snapshot_done("t1")) is None
     assert pipe.doc.get(sk.DB_CREATED) == "true"
 
     # second micro-batch run: update + delete + insert; checkpoint must
-    # skip the already-seen snapshot file
+    # skip the already-seen snapshot file. The dump-free batch (with the
+    # default COMPLETED backfill status) releases the snapshot barrier.
     _write(spark, f"{src}/f2_oracle-cdc-logminer_1",
            ("oracle-cdc-logminer", "UPDATE", 10, 1, "a2"),
            ("oracle-cdc-logminer", "DELETE", 11, 2, "b"),
@@ -74,6 +78,45 @@ def test_stream_snapshot_then_cdc(spark, pipe):
     s2 = {r["id"]: (r["val"], r["_is_deleted"])
           for r in pipe.read_state().collect()}
     assert s2 == {1: ("a2", False), 2: ("b", True), 3: ("c", False)}
+    assert pipe.doc.get(sk.k_snapshot_done("t1")) == "true"
+
+
+def test_stream_multifile_dump_does_not_flip_barrier_early(spark, tmp_path):
+    """A dump split across micro-batches must keep snapshot.done unset
+    until the backfill reports COMPLETED and a dump-free scan follows
+    (DatastreamEventReader.java:483-541)."""
+    from datastream_delta_plugins_spark.streaming.pipeline import (
+        BACKFILL_COMPLETED, BACKFILL_RUNNING)
+    src = str(tmp_path / "src")
+    pipe = CdcPipeline(spark, "t1", src + "/*", str(tmp_path / "work"),
+                       pk_cols=["id"])
+    pipe.mark_backfill(BACKFILL_RUNNING)
+
+    _write(spark, f"{src}/f1_oracle-backfill_0",
+           ("oracle-backfill", None, 0, 1, "a"))
+    _run(pipe)
+    assert pipe.doc.get(sk.k_snapshot_done("t1")) is None
+
+    # second dump file arrives in a later batch: still not done
+    _write(spark, f"{src}/f2_oracle-backfill_1",
+           ("oracle-backfill", None, 0, 2, "b"))
+    _run(pipe)
+    assert pipe.doc.get(sk.k_snapshot_done("t1")) is None
+
+    # a dump-free batch while the backfill still reports RUNNING: held
+    _write(spark, f"{src}/f3_oracle-cdc-logminer_0",
+           ("oracle-cdc-logminer", "UPDATE", 10, 1, "a2"))
+    _run(pipe)
+    assert pipe.doc.get(sk.k_snapshot_done("t1")) is None
+
+    # backfill completes; the next dump-free scan releases the barrier
+    pipe.mark_backfill(BACKFILL_COMPLETED)
+    _write(spark, f"{src}/f4_oracle-cdc-logminer_1",
+           ("oracle-cdc-logminer", "UPDATE", 11, 2, "b2"))
+    _run(pipe)
+    assert pipe.doc.get(sk.k_snapshot_done("t1")) == "true"
+    s = {r["id"]: r["val"] for r in pipe.read_state().collect()}
+    assert s == {1: "a2", 2: "b2"}
 
 
 def test_stream_late_file_does_not_clobber(spark, pipe):
@@ -231,13 +274,16 @@ def test_stateful_sessionize_emits_on_close(spark, tmp_path):
 def test_replication_job_barrier_and_database(spark, tmp_path):
     from datastream_delta_plugins_spark.streaming import (
         ReplicationJob, TableConfig)
+    from datastream_delta_plugins_spark.streaming.pipeline import (
+        BACKFILL_COMPLETED, BACKFILL_RUNNING)
 
     def _src(name):
         d = str(tmp_path / name)
         return d
 
     t1, t2 = _src("t1"), _src("t2")
-    # t1 gets snapshot + cdc; t2 snapshot arrives later
+    # t1 gets snapshot + cdc; t2's backfill is still running and its
+    # dump arrives later
     _write(spark, f"{t1}/f_oracle-backfill_0",
            ("oracle-backfill", None, 0, 1, "a"))
     _write(spark, f"{t1}/f_oracle-cdc-logminer_1",
@@ -248,24 +294,175 @@ def test_replication_job_barrier_and_database(spark, tmp_path):
     job = ReplicationJob(
         spark, str(tmp_path / "work"),
         [TableConfig("t1", t1 + "/*", ["id"]),
-         TableConfig("t2", t2 + "/*", ["id"])])
+         TableConfig("t2", t2 + "/*", ["id"],
+                     backfill_status=BACKFILL_RUNNING)],
+        ttl_days=30)
     job.run_batch()
 
     assert spark.catalog.databaseExists("replica")  # D1
-    assert job.snapshot_done("t1")
+    # cycle 1 recorded t1's dump file set; done needs a scan that sees
+    # no NEW dump files (O5 fidelity)
+    assert not job.snapshot_done("t1")
     assert not job.snapshot_done("t2")
-    assert not job.all_dumps_done()  # O5 barrier held by t2
 
     # t1 state reflects the update; re-running is idempotent-safe
     state = {r["id"]: r for r in job.pipelines["t1"].read_state().collect()}
     assert state[1]["val"] == "a2"
 
-    # t2's dump lands -> barrier releases on the next cycle
+    # cycle 2: t1's file set is unchanged -> done; t2's dump lands in
+    # this cycle (file set changed) -> still held
     _write(spark, f"{t2}/f_oracle-backfill_1",
            ("oracle-backfill", None, 0, 9, "z"))
+    job.run_batch()
+    assert job.snapshot_done("t1")
+    assert not job.snapshot_done("t2")
+    assert not job.all_dumps_done()  # O5 barrier held by t2
+
+    # t2's backfill completes; cycle 3 observes a stable file set
+    job.pipelines["t2"].mark_backfill(BACKFILL_COMPLETED)
     job.run_batch()
     assert job.snapshot_done("t2") and job.all_dumps_done()
     report = job.state_report()
     assert report["db.created"] == "true"
     assert report["t1.snapshot.done"] == "true"
     assert report["all.tables.dump.done"] == "true"
+
+    # S8 end-to-end: the merge commit marked every processed source
+    # file in the TTL manifest; purge after expiry deletes them
+    import datetime as dt
+    marked = set(job.ttl.doc.as_dict())
+    assert any("oracle-backfill" in f for f in marked)
+    assert any("oracle-cdc-logminer" in f for f in marked)
+    gone = job.ttl.purge_expired(
+        dt.datetime.now(dt.timezone.utc) + dt.timedelta(days=31))
+    assert sorted(gone) == sorted(marked)
+
+
+def test_batch_multifile_dump_does_not_flip_barrier_early(spark, tmp_path):
+    """Two-file dump split across run_batch cycles: the barrier must
+    hold until a cycle observes no new dump files."""
+    from datastream_delta_plugins_spark.streaming import (
+        ReplicationJob, TableConfig)
+    src = str(tmp_path / "t1")
+    _write(spark, f"{src}/f1_oracle-backfill_0",
+           ("oracle-backfill", None, 0, 1, "a"))
+    job = ReplicationJob(spark, str(tmp_path / "work"),
+                         [TableConfig("t1", src + "/*", ["id"])])
+    job.run_batch()
+    assert not job.snapshot_done("t1")
+    # file 2 of the dump lands between cycles (backfill already
+    # COMPLETED by default) — done must NOT flip on the cycle that
+    # discovers it
+    _write(spark, f"{src}/f2_oracle-backfill_1",
+           ("oracle-backfill", None, 0, 2, "b"))
+    job.run_batch()
+    assert not job.snapshot_done("t1")
+    job.run_batch()  # stable file set -> done
+    assert job.snapshot_done("t1")
+    s = {r["id"]: r["val"]
+         for r in job.pipelines["t1"].read_state().collect()}
+    assert s == {1: "a", 2: "b"}
+
+
+def test_skip_snapshot_table_starts_done(spark, tmp_path):
+    from datastream_delta_plugins_spark.streaming import (
+        ReplicationJob, TableConfig)
+    src = str(tmp_path / "t1")
+    _write(spark, f"{src}/f_oracle-cdc-logminer_0",
+           ("oracle-cdc-logminer", "INSERT", 1, 1, "x"))
+    job = ReplicationJob(spark, str(tmp_path / "work"),
+                         [TableConfig("t1", src + "/*", ["id"],
+                                      skip_snapshot=True)])
+    assert job.snapshot_done("t1")
+    job.run_batch()
+    assert job.all_dumps_done()
+
+
+def test_catalog_registration_with_pk(spark, tmp_path):
+    """D2: the materialized table is registered in the Spark catalog
+    with the primary key in table properties, and follows the state
+    pointer across merges (DatastreamEventReader.java:558-570)."""
+    from datastream_delta_plugins_spark.streaming import (
+        ReplicationJob, TableConfig)
+    src = str(tmp_path / "t1")
+    _write(spark, f"{src}/f1_oracle-backfill_0",
+           ("oracle-backfill", None, 0, 1, "a"))
+    job = ReplicationJob(spark, str(tmp_path / "work"),
+                         [TableConfig("t1", src + "/*", ["id"])],
+                         database="replica")
+    job.run_batch()
+    assert spark.catalog.tableExists("replica.t1")
+    props = {r["key"]: r["value"] for r in
+             spark.sql("SHOW TBLPROPERTIES replica.t1").collect()}
+    assert props["primaryKey"] == "id"
+    assert {r["id"]: r["val"] for r in
+            spark.table("replica.t1").collect()} == {1: "a"}
+    # a later merge re-points the catalog table at the new state version
+    _write(spark, f"{src}/f2_oracle-cdc-logminer_0",
+           ("oracle-cdc-logminer", "UPDATE", 5, 1, "a2"))
+    job.run_batch()
+    assert {r["id"]: r["val"] for r in
+            spark.table("replica.t1").collect()} == {1: "a2"}
+
+
+def test_retry_policy_recovers_transient_and_aborts_terminal():
+    from datastream_delta_plugins_spark.streaming.retry import (
+        RecoverableSourceError, RetryPolicy, TerminalReplicationError)
+    sleeps = []
+    clock = {"t": 0.0}
+
+    def fake_sleep(s):
+        sleeps.append(s)
+        clock["t"] += s
+
+    policy = RetryPolicy(sleep=fake_sleep, clock=lambda: clock["t"])
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise RecoverableSourceError("transient fs hiccup")
+        return "ok"
+
+    assert policy.call(flaky) == "ok"
+    assert calls["n"] == 3 and sleeps == [1.0, 2.0]
+
+    with pytest.raises(TerminalReplicationError):
+        policy.call(lambda: (_ for _ in ()).throw(
+            TerminalReplicationError("bad config")))
+
+    # budget exhaustion re-raises the recoverable error
+    policy2 = RetryPolicy(max_elapsed=3.0, sleep=fake_sleep,
+                          clock=lambda: clock["t"])
+
+    def always_flaky():
+        raise RecoverableSourceError("still down")
+
+    with pytest.raises(RecoverableSourceError):
+        policy2.call(always_flaky)
+
+
+def test_stream_retry_recovers_mid_batch_failure(spark, tmp_path):
+    """A transient failure inside the micro-batch merge retries with
+    backoff instead of killing the streaming query."""
+    from datastream_delta_plugins_spark.streaming.retry import (
+        RecoverableSourceError, RetryPolicy)
+    src = str(tmp_path / "src")
+    _write(spark, f"{src}/f1_oracle-cdc-logminer_0",
+           ("oracle-cdc-logminer", "INSERT", 1, 1, "x"))
+    policy = RetryPolicy(sleep=lambda s: None)
+    pipe = CdcPipeline(spark, "t1", src + "/*", str(tmp_path / "work"),
+                       pk_cols=["id"], retry=policy)
+    real_apply = pipe.apply_batch
+    fails = {"n": 0}
+
+    def flaky_apply(df, batch_id=-1, **kw):
+        if fails["n"] < 1:
+            fails["n"] += 1
+            raise RecoverableSourceError("transient")
+        return real_apply(df, batch_id, **kw)
+
+    pipe.apply_batch = flaky_apply
+    _run(pipe)
+    assert fails["n"] == 1
+    assert {r["id"]: r["val"] for r in pipe.read_state().collect()} == {1: "x"}
