@@ -1,0 +1,203 @@
+"""Pre-flight configuration validation (SURVEY §3.3).
+
+The reference treats design-time validation as a first-class feature:
+`DatastreamConfig.validate()` enforces the config-shape decision tree
+(existing-stream vs new-stream fields, connectivity-method-dependent
+requirements — DatastreamConfig.java:348-396,213-246) and throws on the
+first violation with a specific message; the assessor then reports
+environment problems as a typed list (DatastreamTableAssessor.java:
+308-367). The e2e suite drives both (DesignTimeValidation.feature).
+
+This module mirrors both layers for the engine:
+
+  SourceConfig.validate()   the same decision tree, same messages —
+                            shape errors throw ConfigValidationError
+  validate_tables(...)      TableConfig shape problems (PK/columns/
+                            blacklist/duplicates) — throw-at-build
+  assess_environment(...)   environment problems (source reachability,
+                            work-dir writability, CDC orderability) as
+                            a Problem list, the assessor's contract
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from .sources.registry import (PROBLEM_CONNECTIVITY, PROBLEM_GCS_PERMISSIONS,
+                               PROBLEM_LOG_MODE,
+                               PROBLEM_TUNNEL_CONNECTIVITY, Problem)
+
+PROBLEM_TUNNEL = PROBLEM_TUNNEL_CONNECTIVITY
+
+# connectivity methods (DatastreamConfig.java:213-246 analogs: the
+# engine reads landed files directly, through an SSH-mounted path, or
+# through a private mount point)
+CONNECTIVITY_DIRECT = "direct"            # IP-allowlisting analog (default)
+CONNECTIVITY_SSH_TUNNEL = "ssh-tunnel"    # forward-SSH-tunnel analog
+CONNECTIVITY_PRIVATE = "private-connectivity"
+
+AUTH_PRIVATE_PUBLIC_KEY = "private-public-key"  # reference default
+AUTH_PASSWORD = "password"
+
+VALID_DML_OPS = frozenset({"INSERT", "UPDATE", "DELETE"})
+
+# problem codes beyond the assessor's reference set
+PROBLEM_TABLE_PK = "TABLE_VALIDATE_PRIMARY_KEY"
+PROBLEM_TABLE_COLUMNS = "TABLE_VALIDATE_COLUMNS"
+PROBLEM_TABLE_BLACKLIST = "TABLE_VALIDATE_DML_BLACKLIST"
+PROBLEM_TABLE_DUPLICATE = "JOB_VALIDATE_DUPLICATE_TABLE"
+
+
+class ConfigValidationError(ValueError):
+    """Invalid configuration (IllegalArgumentException analog). Carries
+    every detected problem, not just the first."""
+
+    def __init__(self, problems: list[Problem]):
+        self.problems = tuple(problems)
+        super().__init__("; ".join(p.message for p in problems))
+
+
+@dataclass
+class SourceConfig:
+    """Job-level source settings (DatastreamConfig analog).
+
+    `validate()` reproduces the reference's decision tree
+    (DatastreamConfig.java:348-396): an existing stream needs its id;
+    a new stream needs host/user/password, and the connectivity method
+    pulls in its own required fields (SSH host/user + password-or-key
+    for the tunnel, the private connection name for private
+    connectivity). Messages match the reference so the
+    DesignTimeValidation-style tests assert the same strings."""
+    host: str | None = None
+    user: str | None = None
+    password: str | None = None
+    using_existing_stream: bool = False
+    stream_id: str | None = None
+    connectivity_method: str = CONNECTIVITY_DIRECT
+    ssh_host: str | None = None
+    ssh_port: int = 22
+    ssh_user: str | None = None
+    ssh_authentication_method: str = AUTH_PRIVATE_PUBLIC_KEY
+    ssh_password: str | None = None
+    ssh_private_key: str | None = None
+    private_connection_name: str | None = None
+
+    def validate(self) -> None:
+        problems: list[Problem] = []
+
+        def missing(field_value, code, msg):
+            if field_value is None or field_value == "":
+                problems.append(Problem(code, msg))
+
+        if self.using_existing_stream:
+            missing(self.stream_id, PROBLEM_CONNECTIVITY,
+                    "Id of the existing stream is missing.")
+        else:
+            missing(self.host, PROBLEM_CONNECTIVITY,
+                    "Host of the database is missing.")
+            missing(self.user, PROBLEM_CONNECTIVITY,
+                    "Username of the database is missing.")
+            missing(self.password, PROBLEM_CONNECTIVITY,
+                    "Password of the database is missing.")
+            if self.connectivity_method == CONNECTIVITY_SSH_TUNNEL:
+                missing(self.ssh_host, PROBLEM_TUNNEL,
+                        "Hostname of SSH Server is missing.")
+                missing(self.ssh_user, PROBLEM_TUNNEL,
+                        "Username of SSH server is missing.")
+                if self.ssh_authentication_method == AUTH_PASSWORD:
+                    missing(self.ssh_password, PROBLEM_TUNNEL,
+                            "Password of SSH server login is missing.")
+                else:  # default: private/public key pair
+                    missing(self.ssh_private_key, PROBLEM_TUNNEL,
+                            "Private key of SSH server login is missing.")
+            elif self.connectivity_method == CONNECTIVITY_PRIVATE:
+                missing(self.private_connection_name, PROBLEM_CONNECTIVITY,
+                        "Private Connection Name is missing.")
+        if problems:
+            raise ConfigValidationError(problems)
+
+
+def validate_tables(tables) -> list[Problem]:
+    """Shape problems in a list of TableConfig — empty/duplicated names,
+    missing PK, PK outside the column subset, invalid blacklist ops.
+    The reference enforces the same class of invariants at design time
+    (SourceTable construction + assessor allowlist update,
+    DatastreamTableAssessor.java:182-204)."""
+    problems: list[Problem] = []
+    seen: set[str] = set()
+    for t in tables:
+        if not t.name:
+            problems.append(Problem(PROBLEM_TABLE_DUPLICATE,
+                                    "Table name is missing."))
+            continue
+        if t.name in seen:
+            problems.append(Problem(
+                PROBLEM_TABLE_DUPLICATE,
+                f"Table '{t.name}' is configured more than once."))
+        seen.add(t.name)
+        if not t.pk_cols:
+            problems.append(Problem(
+                PROBLEM_TABLE_PK,
+                f"Table '{t.name}': primary key columns are missing."))
+        if t.columns is not None:
+            lost = [c for c in t.pk_cols if c not in t.columns]
+            if lost:
+                problems.append(Problem(
+                    PROBLEM_TABLE_COLUMNS,
+                    f"Table '{t.name}': column subset drops primary key "
+                    f"column(s) {lost} — replication cannot merge by PK."))
+        bad_ops = [o for o in t.dml_blacklist
+                   if o.upper() not in VALID_DML_OPS]
+        if bad_ops:
+            problems.append(Problem(
+                PROBLEM_TABLE_BLACKLIST,
+                f"Table '{t.name}': invalid DML blacklist op(s) {bad_ops} "
+                f"(valid: INSERT, UPDATE, DELETE)."))
+        if t.schema is not None and t.pk_cols:
+            names = {f.name for f in t.schema.fields}
+            lost = [c for c in t.pk_cols if c not in names]
+            if lost:
+                problems.append(Problem(
+                    PROBLEM_TABLE_PK,
+                    f"Table '{t.name}': primary key column(s) {lost} are "
+                    f"not present in the schema."))
+    return problems
+
+
+def assess_environment(tables, work_dir: str,
+                       sort_cols=None) -> list[Problem]:
+    """Environment problems, as the assessor reports them (never
+    throws): unreachable source directories (connectivity analog),
+    unwritable work dir (GCS-permissions analog), and change schemas
+    that cannot order CDC events (log-mode analog — without redo
+    logging the reference cannot order changes either)."""
+    problems: list[Problem] = []
+    for t in tables:
+        root = t.source_dir.split("*")[0].rstrip("/") or "/"
+        if not os.path.exists(root):
+            problems.append(Problem(
+                PROBLEM_CONNECTIVITY,
+                f"Table '{t.name}': source directory '{root}' is not "
+                f"reachable — cannot read any snapshot or CDC changes."))
+        if t.schema is not None and sort_cols:
+            names = {f.name for f in t.schema.fields}
+            lost = [c for c in sort_cols if c not in names]
+            if lost:
+                problems.append(Problem(
+                    PROBLEM_LOG_MODE,
+                    f"Table '{t.name}': change schema lacks sort key "
+                    f"column(s) {lost} — CDC changes cannot be ordered."))
+    parent = work_dir
+    while parent and not os.path.exists(parent):
+        nxt = os.path.dirname(parent)
+        if nxt == parent:
+            break
+        parent = nxt
+    if (not parent or not os.path.isdir(parent)
+            or not os.access(parent, os.W_OK)):
+        problems.append(Problem(
+            PROBLEM_GCS_PERMISSIONS,
+            f"Work directory '{work_dir}' is not writable — cannot "
+            f"persist state or checkpoints."))
+    return problems

@@ -42,15 +42,31 @@ def payload_columns(changes: DataFrame) -> list[str]:
     return [c for c in changes.columns if c not in _NON_PAYLOAD]
 
 
-def _sort_key_expr(sort_cols: Sequence[str]):
-    # null-safe ordering struct: reference sort keys are non-null, but a
-    # null must not silently win/lose the max_by comparison
+def _sort_key_expr(sort_cols: Sequence[str], df: DataFrame | None = None):
+    """Null-safe ordering struct: each key contributes a
+    (is_not_null, value) pair, so a NULL key ranks below every real
+    value of ANY type — no magic sentinel that a legitimate value
+    (e.g. a negative numeric key) could undercut. Fillers are chosen by
+    the column's actual dataType (never by name), only to keep the
+    struct's value slot non-null; they can never decide a comparison
+    because the not-null flag differs first."""
+    types = dict(df.dtypes) if df is not None else {}
     fields = []
     for c in sort_cols:
         col = F.col(c)
-        fields.append(F.coalesce(col.cast("string"), F.lit("")).alias(f"_n_{c}")
-                      if c == "_sk3" else
-                      F.coalesce(col, F.lit(-1)).alias(f"_n_{c}"))
+        t = types.get(c, "")
+        if t == "string" or not t:
+            filler = F.lit("")
+            if not t:
+                col = col.cast("string")
+        elif t == "binary":
+            filler = F.lit(b"")
+        elif t == "boolean":
+            filler = F.lit(False)
+        else:  # numeric / temporal: 0 casts cleanly
+            filler = F.lit(0).cast(t)
+        fields.append(col.isNotNull().cast("int").alias(f"_nn_{c}"))
+        fields.append(F.coalesce(col, filler).alias(f"_n_{c}"))
     return F.struct(*fields)
 
 
@@ -83,7 +99,7 @@ def materialize(changes: DataFrame,
     if strategy == "agg":
         value = F.struct(*[F.col(c) for c in out_cols], F.col("_op"))
         latest = (df.groupBy(*pk_cols)
-                    .agg(F.max_by(value, _sort_key_expr(sort_cols))
+                    .agg(F.max_by(value, _sort_key_expr(sort_cols, df))
                           .alias("_latest")))
         latest = latest.select(
             *pk_cols,

@@ -54,7 +54,18 @@ def salted_join(fact: DataFrame, dim: DataFrame, on: Sequence[str],
 
     Output columns = fact columns + dim's non-key columns (like a plain
     ``fact.join(dim, on)``).
+
+    Only fact-preserving join types are allowed: the dim side is
+    replicated `salt_buckets` ways, so a right/full outer join would
+    emit every unmatched dim row once per salt bucket (duplicates).
     """
+    if how.lower().replace("_", "") not in (
+            "inner", "left", "leftouter", "leftsemi", "semi",
+            "leftanti", "anti"):
+        raise ValueError(
+            f"salted_join does not support how={how!r}: the replicated "
+            f"dim side would duplicate unmatched dim rows; use inner/"
+            f"left/semi/anti")
     on = list(on)
     salt = (F.rand(seed=42) * salt_buckets).cast("int")
     f = fact.withColumn("_salt", salt)

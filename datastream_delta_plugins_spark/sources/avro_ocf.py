@@ -104,6 +104,9 @@ class _Encoder:
     def double(self, v: float) -> None:
         self.out.write(struct.pack("<d", v))
 
+    def float_(self, v: float) -> None:
+        self.out.write(struct.pack("<f", v))
+
     def raw(self, b: bytes) -> None:
         self.out.write(b)
 
@@ -176,7 +179,8 @@ def encode_value(schema, v, enc: _Encoder) -> None:
         if schema == "null":
             return
         {"boolean": enc.boolean, "int": enc.long, "long": enc.long,
-         "double": enc.double, "bytes": enc.bytes_, "string": enc.string,
+         "float": enc.float_, "double": enc.double, "bytes": enc.bytes_,
+         "string": enc.string,
          }[schema](v)
         return
     if isinstance(schema, list):
@@ -324,23 +328,34 @@ def _pd():
     return pd
 
 
-def read_avro_changes(spark, path: str, columns=None):
+def read_avro_changes(spark, path: str, columns=None, avro_schema=None):
     """Distributed Avro change-file ingestion: binaryFile scan ->
     mapInPandas decode -> the flattened change schema of
     sources.changes (FIXTURES.md F1), plus `_source_file` for
-    snapshot/CDC classification. Schema comes from the first file's
-    header (one-file driver peek, like Spark's JSON inference) mapped
-    through schema.avro_mapping (T1).
+    snapshot/CDC classification.
+
+    The reader schema is `avro_schema` (the registry-described envelope,
+    the reference's source of truth after a schema_key change) or, when
+    omitted, the first file's header (one-file driver peek, like Spark's
+    JSON inference), mapped through schema.avro_mapping (T1). Without a
+    `columns` projection, a record carrying payload fields absent from
+    the reader schema raises instead of silently dropping the new
+    columns — that is the drift signal to re-describe and re-read
+    (reference: schema_key change -> re-describe,
+    DatastreamEventReader.java:652-674).
     """
     from pyspark.sql import functions as F, types as T
 
     from ..schema.avro_mapping import avro_to_spark
 
     bin_df = spark.read.format("binaryFile").load(path)
-    head = bin_df.select("content").head()
-    if head is None:
-        raise ValueError(f"no Avro files under {path!r}")
-    schema, _ = read_ocf(bytes(head[0]))
+    if avro_schema is not None:
+        schema = avro_schema
+    else:
+        head = bin_df.select("content").head()
+        if head is None:
+            raise ValueError(f"no Avro files under {path!r}")
+        schema, _ = read_ocf(bytes(head[0]))
     by_name = {f["name"]: f["type"] for f in schema["fields"]}
     payload_schema = _unwrap_nullable(by_name["payload"])
     payload_fields = [(f["name"], f["type"])
@@ -375,12 +390,29 @@ def read_avro_changes(spark, path: str, columns=None):
     meta_conv = {n: _converter(by_name[n]) for n in meta_names}
     payload_conv = {n: _converter(t) for n, t in payload_fields}
 
+    # payload fields the reader schema knows about, BEFORE projection:
+    # drift detection must not fire on an intentional column subset
+    known_payload = {f["name"] for f in payload_schema["fields"]}
+    strict = columns is None
+
     def decode(batches):
         pd = _pd()
         for pdf in batches:
             cols: dict[str, list] = {f.name: [] for f in out_fields}
             for fpath, content in zip(pdf["path"], pdf["content"]):
-                _, records = read_ocf(bytes(content))
+                fschema, records = read_ocf(bytes(content))
+                if strict:
+                    fp = _unwrap_nullable(
+                        {f["name"]: f["type"]
+                         for f in fschema["fields"]}["payload"])
+                    unknown = {f["name"] for f in fp["fields"]} \
+                        - known_payload
+                    if unknown:
+                        raise ValueError(
+                            f"{fpath}: payload fields {sorted(unknown)} "
+                            f"are not in the reader schema — schema "
+                            f"drift; re-describe the table and re-read "
+                            f"with the evolved schema")
                 for r in records:
                     for n in meta_names:
                         cols[n].append(r.get(n))

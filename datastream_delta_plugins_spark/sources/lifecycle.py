@@ -1,0 +1,134 @@
+"""Stream lifecycle management stub (SURVEY §2.1 S7).
+
+The reference drives the Datastream control plane: create/get/update/
+pause/start/delete streams and connection profiles, and creates the
+GCS landing bucket with a 30-day custom-time purge rule
+(Utils.java:548-899; bucket rule :860-890,:113; invoked from
+DatastreamDeltaSource.java:131-176). A local engine has no control
+plane, so this stub provisions *synthetic* streams: a stream is a
+named set of per-table landing directories plus a state machine with
+the same transitions, persisted in the atomic StateDoc the offset keys
+use. The landing-dir creation plays the bucket-create role and attaches
+the ProcessedFileTtl purge policy (the lifecycle-rule analog, S8).
+
+Transitions (reference semantics: you cannot start a deleted stream,
+creating an existing stream is an error, update only changes the table
+allowlist):
+
+    create -> CREATED -> start -> RUNNING <-> pause/start <-> PAUSED
+    any-but-DELETED -> delete -> DELETED (terminal)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from ..streaming.state import StateDoc
+from .ttl import DEFAULT_TTL_DAYS, ProcessedFileTtl
+
+CREATED = "CREATED"
+RUNNING = "RUNNING"
+PAUSED = "PAUSED"
+DELETED = "DELETED"
+
+_START_OK = {CREATED, PAUSED, RUNNING}
+_PAUSE_OK = {RUNNING, PAUSED}
+
+
+class StreamLifecycleError(ValueError):
+    pass
+
+
+class StreamLifecycle:
+    """Synthetic stream registry rooted at `root_dir`; one landing
+    directory per (stream, table) under `{root}/{stream_id}/{table}`."""
+
+    def __init__(self, root_dir: str, ttl_days: int = DEFAULT_TTL_DAYS):
+        self.root = root_dir
+        self.doc = StateDoc(os.path.join(root_dir, "streams.json"))
+        self.ttl_days = ttl_days
+
+    # -- helpers --
+
+    def _get(self, stream_id: str) -> dict:
+        raw = self.doc.get(stream_id)
+        if raw is None:
+            raise StreamLifecycleError(f"stream '{stream_id}' does not exist")
+        return json.loads(raw)
+
+    def _put(self, stream_id: str, entry: dict) -> None:
+        self.doc.put(stream_id, json.dumps(entry, sort_keys=True))
+        self.doc.save()
+
+    # -- control-plane surface (Utils.java:548-899 analogs) --
+
+    def create_stream(self, stream_id: str, tables: list[str]) -> dict:
+        """createStream + bucket-create analog: provisions landing dirs
+        with the 30-day purge policy attached."""
+        if self.doc.get(stream_id) is not None:
+            raise StreamLifecycleError(
+                f"stream '{stream_id}' already exists")
+        dirs = {}
+        for t in tables:
+            d = os.path.join(self.root, stream_id, t)
+            os.makedirs(d, exist_ok=True)
+            dirs[t] = d
+        entry = {"state": CREATED, "tables": dirs,
+                 "ttl_days": self.ttl_days}
+        self._put(stream_id, entry)
+        return entry
+
+    def get_stream(self, stream_id: str) -> dict:
+        return self._get(stream_id)
+
+    def update_stream(self, stream_id: str, tables: list[str]) -> dict:
+        """Allowlist update: adds new tables' landing dirs, drops
+        removed ones from the stream (files stay; purge handles them)."""
+        entry = self._get(stream_id)
+        if entry["state"] == DELETED:
+            raise StreamLifecycleError(
+                f"stream '{stream_id}' is deleted")
+        dirs = {}
+        for t in tables:
+            d = entry["tables"].get(t) or os.path.join(
+                self.root, stream_id, t)
+            os.makedirs(d, exist_ok=True)
+            dirs[t] = d
+        entry["tables"] = dirs
+        self._put(stream_id, entry)
+        return entry
+
+    def start_stream(self, stream_id: str) -> dict:
+        entry = self._get(stream_id)
+        if entry["state"] not in _START_OK:
+            raise StreamLifecycleError(
+                f"cannot start stream '{stream_id}' in state "
+                f"{entry['state']}")
+        entry["state"] = RUNNING
+        self._put(stream_id, entry)
+        return entry
+
+    def pause_stream(self, stream_id: str) -> dict:
+        entry = self._get(stream_id)
+        if entry["state"] not in _PAUSE_OK:
+            raise StreamLifecycleError(
+                f"cannot pause stream '{stream_id}' in state "
+                f"{entry['state']}")
+        entry["state"] = PAUSED
+        self._put(stream_id, entry)
+        return entry
+
+    def delete_stream(self, stream_id: str) -> dict:
+        entry = self._get(stream_id)
+        entry["state"] = DELETED
+        self._put(stream_id, entry)
+        return entry
+
+    def purge_policy(self, stream_id: str) -> ProcessedFileTtl:
+        """The stream's landing-area purge policy (bucket lifecycle
+        rule analog) — shared manifest under the stream root."""
+        entry = self._get(stream_id)
+        return ProcessedFileTtl(
+            os.path.join(self.root, stream_id, "ttl_manifest.json"),
+            entry["ttl_days"])

@@ -58,7 +58,13 @@ class ReplicationJob:
                  tables: list[TableConfig], database: str = "replica",
                  ttl_days: int | None = None,
                  retry: RetryPolicy | None = None,
-                 register_catalog: bool = True):
+                 register_catalog: bool = True,
+                 validate: bool = True):
+        if validate:  # design-time shape validation (SURVEY §3.3)
+            from ..config import ConfigValidationError, validate_tables
+            problems = validate_tables(tables)
+            if problems:
+                raise ConfigValidationError(problems)
         self.spark = spark
         self.work_dir = work_dir
         self.database = database

@@ -145,3 +145,53 @@ def test_materialize_from_avro(spark, change_dir):
     assert by_pk[3]["_is_deleted"]                # PK-update: old pk dead
     assert not by_pk[300]["_is_deleted"]          # ... new pk live
     assert by_pk[200]["SALARY"] == Decimal("5000.00")
+
+
+def test_float_field_roundtrip():
+    """Float payload fields encode/decode (the envelope type subset
+    includes float; the encoder must pack <f, 4 bytes)."""
+    import math
+    schema = {"type": "record", "name": "r", "fields": [
+        {"name": "f", "type": "float"},
+        {"name": "nf", "type": ["null", "float"]},
+        {"name": "d", "type": "double"}]}
+    recs = [{"f": 1.5, "nf": None, "d": 2.25},
+            {"f": -0.25, "nf": 3.5, "d": 1e300}]
+    _, back = avro_ocf.read_ocf(avro_ocf.write_ocf(schema, recs))
+    assert back[0] == recs[0]
+    assert back[1]["nf"] == 3.5 and math.isclose(back[1]["f"], -0.25)
+
+
+def test_schema_drift_raises_instead_of_dropping(spark, change_dir, tmp_path):
+    """A later file whose payload carries a field the reader schema
+    lacks must raise (drift signal to re-describe), not silently drop
+    the new column."""
+    import shutil
+
+    d = tmp_path / "drift"
+    d.mkdir()
+    for f in ("k1_oracle-backfill_0.avro", "k1_oracle-cdc-logminer_1.avro"):
+        shutil.copy(f"{change_dir}/{f}", d / f)
+    evolved = {**ENVELOPE, "fields": [
+        dict(f) if f["name"] != "payload" else {
+            "name": "payload", "type": {
+                "type": "record", "name": "payload", "fields": [
+                    {"name": n, "type": t} for n, t in PAYLOAD_FIELDS
+                ] + [{"name": "NEW_COL", "type": ["null", "string"]}]}}
+        for f in ENVELOPE["fields"]]}
+    ev = _event("x1", CDC, "INSERT", 999, "drifted", Decimal("1.00"), 99)
+    ev["payload"]["NEW_COL"] = "surprise"
+    (d / "k2_oracle-cdc-logminer_2.avro").write_bytes(
+        avro_ocf.write_ocf(evolved, ev and [ev]))
+    # reader schema = first file's header (no NEW_COL) -> executor raises
+    with pytest.raises(Exception) as err:
+        avro_ocf.read_avro_changes(spark, str(d) + "/*").collect()
+    assert "NEW_COL" in str(err.value)
+    # explicit evolved schema (registry re-describe) reads everything
+    df = avro_ocf.read_avro_changes(spark, str(d) + "/*",
+                                    avro_schema=evolved)
+    assert df.where("NEW_COL = 'surprise'").count() == 1
+    # an intentional column projection is NOT drift: no raise
+    proj = avro_ocf.read_avro_changes(spark, str(d) + "/*",
+                                      columns=["EMPLOYEE_ID"])
+    assert proj.count() == 112

@@ -207,3 +207,40 @@ def test_scan_window_path_pruning(spark, tmp_path):
     ts = df.select(path_timestamp().alias("ts")).collect()
     assert ts[0]["ts"] == datetime.datetime(2024, 1, 5, 10, 30)
     assert ts[2]["ts"] is None
+
+
+def test_sort_key_null_ranks_below_any_value(spark):
+    """A null sort key must rank below every legitimate value — for
+    string-typed custom sort columns too, and for negative numeric keys
+    (a -1 sentinel would mis-rank them)."""
+    from pyspark.sql import types as T
+    schema = T.StructType([
+        T.StructField("pk", T.LongType()),
+        T.StructField("ver", T.LongType()),
+        T.StructField("tag", T.StringType()),
+        T.StructField("val", T.StringType()),
+        T.StructField("_op", T.StringType()),
+    ])
+    rows = [
+        # pk 1: a null numeric key must lose to a NEGATIVE real key
+        (1, None, "a", "null-key", "UPDATE"),
+        (1, -5, "a", "neg-key-wins", "UPDATE"),
+        # pk 2: null string key loses to empty string (sentinel "" must
+        # not tie with a real empty value... null still ranks lower)
+        (2, 1, None, "null-tag", "UPDATE"),
+        (2, 1, "", "empty-tag-wins", "UPDATE"),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    out = {r["pk"]: r["val"]
+           for r in cdc.materialize(df, ["pk"], ["ver", "tag"]).collect()}
+    assert out == {1: "neg-key-wins", 2: "empty-tag-wins"}
+
+
+def test_salted_join_rejects_outer_types(spark):
+    import pytest as _pytest
+
+    from datastream_delta_plugins_spark.operators.skew import salted_join
+    df = spark.range(4).withColumnRenamed("id", "k")
+    for how in ("right", "full", "full_outer", "right_outer"):
+        with _pytest.raises(ValueError):
+            salted_join(df, df, ["k"], how=how)

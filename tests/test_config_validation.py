@@ -1,0 +1,142 @@
+"""Design-time validation tests mirroring the reference's
+DesignTimeValidation.feature cases (config-shape decision tree,
+assessor problem taxonomy) plus the S7 stream-lifecycle stub."""
+
+import pytest
+from pyspark.sql import types as T
+
+from datastream_delta_plugins_spark.config import (
+    AUTH_PASSWORD, CONNECTIVITY_PRIVATE, CONNECTIVITY_SSH_TUNNEL,
+    ConfigValidationError, PROBLEM_TABLE_BLACKLIST, PROBLEM_TABLE_COLUMNS,
+    PROBLEM_TABLE_DUPLICATE, PROBLEM_TABLE_PK, SourceConfig,
+    assess_environment, validate_tables)
+from datastream_delta_plugins_spark.sources.lifecycle import (
+    DELETED, RUNNING, StreamLifecycle, StreamLifecycleError)
+from datastream_delta_plugins_spark.sources.registry import (
+    PROBLEM_CONNECTIVITY, PROBLEM_GCS_PERMISSIONS, PROBLEM_LOG_MODE)
+from datastream_delta_plugins_spark.streaming import TableConfig
+
+
+BASE = dict(host="db.example", user="u", password="p")
+
+
+def _errs(**kw):
+    with pytest.raises(ConfigValidationError) as e:
+        SourceConfig(**kw).validate()
+    return str(e.value)
+
+
+def test_existing_stream_requires_stream_id():
+    assert "Id of the existing stream is missing." in _errs(
+        using_existing_stream=True)
+    SourceConfig(using_existing_stream=True, stream_id="s1").validate()
+
+
+def test_new_stream_requires_host_user_password():
+    msg = _errs()
+    assert "Host of the database is missing." in msg
+    assert "Username of the database is missing." in msg
+    assert "Password of the database is missing." in msg
+    SourceConfig(**BASE).validate()
+
+
+def test_ssh_tunnel_requires_ssh_fields():
+    msg = _errs(**BASE, connectivity_method=CONNECTIVITY_SSH_TUNNEL)
+    assert "Hostname of SSH Server is missing." in msg
+    assert "Username of SSH server is missing." in msg
+    assert "Private key of SSH server login is missing." in msg
+    # password auth branch swaps the last requirement
+    msg = _errs(**BASE, connectivity_method=CONNECTIVITY_SSH_TUNNEL,
+                ssh_host="jump", ssh_user="svc",
+                ssh_authentication_method=AUTH_PASSWORD)
+    assert "Password of SSH server login is missing." in msg
+    SourceConfig(**BASE, connectivity_method=CONNECTIVITY_SSH_TUNNEL,
+                 ssh_host="jump", ssh_user="svc",
+                 ssh_private_key="---key---").validate()
+
+
+def test_private_connectivity_requires_connection_name():
+    assert "Private Connection Name is missing." in _errs(
+        **BASE, connectivity_method=CONNECTIVITY_PRIVATE)
+    SourceConfig(**BASE, connectivity_method=CONNECTIVITY_PRIVATE,
+                 private_connection_name="vpc-1").validate()
+
+
+def test_table_shape_problems():
+    schema = T.StructType([T.StructField("id", T.LongType()),
+                           T.StructField("val", T.StringType())])
+    tables = [
+        TableConfig("t1", "/src/t1", []),                   # no PK
+        TableConfig("t1", "/src/t1b", ["id"]),              # duplicate name
+        TableConfig("t2", "/src/t2", ["id"], columns=["val"]),  # PK dropped
+        TableConfig("t3", "/src/t3", ["id"],
+                    dml_blacklist=("TRUNCATE",)),           # bad op
+        TableConfig("t4", "/src/t4", ["missing"], schema=schema),
+    ]
+    codes = [p.code for p in validate_tables(tables)]
+    assert codes.count(PROBLEM_TABLE_PK) == 2
+    assert PROBLEM_TABLE_DUPLICATE in codes
+    assert PROBLEM_TABLE_COLUMNS in codes
+    assert PROBLEM_TABLE_BLACKLIST in codes
+    assert validate_tables([TableConfig("ok", "/src", ["id"],
+                                        schema=schema)]) == []
+
+
+def test_replication_job_rejects_invalid_config(spark, tmp_path):
+    from datastream_delta_plugins_spark.streaming import ReplicationJob
+    with pytest.raises(ConfigValidationError):
+        ReplicationJob(spark, str(tmp_path / "work"),
+                       [TableConfig("t1", str(tmp_path / "t1"), [])])
+
+
+def test_assess_environment_problems(tmp_path):
+    schema = T.StructType([T.StructField("id", T.LongType())])
+    good = tmp_path / "src"
+    good.mkdir()
+    tables = [
+        TableConfig("gone", "/no/such/dir/*", ["id"]),
+        TableConfig("unordered", str(good) + "/*", ["id"], schema=schema),
+    ]
+    problems = assess_environment(tables, str(tmp_path / "work"),
+                                  sort_cols=["_sk1"])
+    codes = {p.code for p in problems}
+    assert PROBLEM_CONNECTIVITY in codes       # unreachable source
+    assert PROBLEM_LOG_MODE in codes           # schema can't order CDC
+    assert PROBLEM_GCS_PERMISSIONS not in codes  # tmp work dir writable
+    assert assess_environment(
+        [TableConfig("ok", str(good) + "/*", ["id"])],
+        str(tmp_path / "work")) == []
+    # work dir rooted under a FILE: its existing ancestor is not a
+    # directory, so state/checkpoints cannot be created there
+    f = tmp_path / "plainfile"
+    f.write_text("x")
+    bad = assess_environment([], str(f / "work"))
+    assert {p.code for p in bad} == {PROBLEM_GCS_PERMISSIONS}
+
+
+def test_stream_lifecycle_transitions(tmp_path):
+    import os
+    lc = StreamLifecycle(str(tmp_path / "streams"))
+    entry = lc.create_stream("s1", ["t1", "t2"])
+    assert set(entry["tables"]) == {"t1", "t2"}
+    assert all(os.path.isdir(d) for d in entry["tables"].values())
+    with pytest.raises(StreamLifecycleError):
+        lc.create_stream("s1", ["t1"])  # already exists
+    assert lc.start_stream("s1")["state"] == RUNNING
+    assert lc.pause_stream("s1")["state"] == "PAUSED"
+    assert lc.start_stream("s1")["state"] == RUNNING
+    # allowlist update keeps existing dirs, adds new, drops removed
+    entry = lc.update_stream("s1", ["t2", "t3"])
+    assert set(entry["tables"]) == {"t2", "t3"}
+    assert lc.delete_stream("s1")["state"] == DELETED
+    with pytest.raises(StreamLifecycleError):
+        lc.start_stream("s1")  # cannot start a deleted stream
+    with pytest.raises(StreamLifecycleError):
+        lc.update_stream("s1", ["t9"])
+    with pytest.raises(StreamLifecycleError):
+        lc.get_stream("nope")
+    # registry survives a restart (StateDoc persistence)
+    lc2 = StreamLifecycle(str(tmp_path / "streams"))
+    assert lc2.get_stream("s1")["state"] == DELETED
+    # purge policy attach (bucket lifecycle-rule analog)
+    assert lc2.purge_policy("s1").ttl.days == 30
