@@ -43,31 +43,16 @@ def payload_columns(changes: DataFrame) -> list[str]:
 
 
 def _sort_key_expr(sort_cols: Sequence[str], df: DataFrame | None = None):
-    """Null-safe ordering struct: each key contributes a
-    (is_not_null, value) pair, so a NULL key ranks below every real
-    value of ANY type — no magic sentinel that a legitimate value
-    (e.g. a negative numeric key) could undercut. Fillers are chosen by
-    the column's actual dataType (never by name), only to keep the
-    struct's value slot non-null; they can never decide a comparison
-    because the not-null flag differs first."""
-    types = dict(df.dtypes) if df is not None else {}
-    fields = []
-    for c in sort_cols:
-        col = F.col(c)
-        t = types.get(c, "")
-        if t == "string" or not t:
-            filler = F.lit("")
-            if not t:
-                col = col.cast("string")
-        elif t == "binary":
-            filler = F.lit(b"")
-        elif t == "boolean":
-            filler = F.lit(False)
-        else:  # numeric / temporal: 0 casts cleanly
-            filler = F.lit(0).cast(t)
-        fields.append(col.isNotNull().cast("int").alias(f"_nn_{c}"))
-        fields.append(F.coalesce(col, filler).alias(f"_n_{c}"))
-    return F.struct(*fields)
+    """Ordering struct for max_by. Spark's struct ordering already
+    ranks a NULL field below every real value of ANY type (the
+    interpreted/codegen orderings compare null < non-null per field),
+    so the raw struct gives exactly the null-safe semantics we need —
+    no sentinel a legitimate value (e.g. a negative numeric key) could
+    undercut, and no extra flag fields doubling the per-row comparison
+    cost in the partial aggregate. The struct itself is never NULL
+    (struct() of null fields is non-null), so max_by never drops a
+    row. Verified by test_sort_key_null_ranks_below_any_value."""
+    return F.struct(*[F.col(c) for c in sort_cols])
 
 
 def materialize(changes: DataFrame,
