@@ -62,18 +62,25 @@ def main() -> None:
     for args in HEADLINE:  # warm-up pass (unmeasured)
         run(*args)
 
-    # best-of-3 across INTERLEAVED full passes: this host shows
+    # Best-of-N across INTERLEAVED full passes: this host shows
     # multi-second contention bursts (identical runs measured 1.2s vs
-    # 11.3s). Three consecutive runs of one query all sit inside the
-    # same burst window; a full pass between repeats decorrelates
-    # them, so the per-query min is far more likely to catch a quiet
-    # window for every query.
+    # 11.3s). Consecutive runs of one query all sit inside the same
+    # burst window; a full pass between repeats decorrelates them, so
+    # the per-query min is far more likely to catch a quiet window for
+    # every query. Adaptive N: keep passing while the best-total still
+    # improves >1% (a converged total means every query has seen a
+    # quiet window), min 3 / max 8 passes.
     best: dict[str, float] = {}
-    for _ in range(4):
+    prev_total = float("inf")
+    for p in range(8):
         for short, name, registry in HEADLINE:
             dt = run(short, name, registry)
             if dt < best.get(short, float("inf")):
                 best[short] = dt
+        cur_total = sum(best.values())
+        if p >= 2 and cur_total > prev_total * 0.99:
+            break
+        prev_total = cur_total
 
     timings = {short: round(best[short], 4) for short, _, _ in HEADLINE}
     total = sum(best.values())
