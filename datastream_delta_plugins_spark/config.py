@@ -43,6 +43,7 @@ AUTH_PASSWORD = "password"
 VALID_DML_OPS = frozenset({"INSERT", "UPDATE", "DELETE"})
 
 # problem codes beyond the assessor's reference set
+PROBLEM_TABLE_NAME = "TABLE_VALIDATE_NAME"
 PROBLEM_TABLE_PK = "TABLE_VALIDATE_PRIMARY_KEY"
 PROBLEM_TABLE_COLUMNS = "TABLE_VALIDATE_COLUMNS"
 PROBLEM_TABLE_BLACKLIST = "TABLE_VALIDATE_DML_BLACKLIST"
@@ -128,7 +129,7 @@ def validate_tables(tables) -> list[Problem]:
     seen: set[str] = set()
     for t in tables:
         if not t.name:
-            problems.append(Problem(PROBLEM_TABLE_DUPLICATE,
+            problems.append(Problem(PROBLEM_TABLE_NAME,
                                     "Table name is missing."))
             continue
         if t.name in seen:

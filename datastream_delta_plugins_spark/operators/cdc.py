@@ -42,7 +42,7 @@ def payload_columns(changes: DataFrame) -> list[str]:
     return [c for c in changes.columns if c not in _NON_PAYLOAD]
 
 
-def _sort_key_expr(sort_cols: Sequence[str], df: DataFrame | None = None):
+def _sort_key_expr(sort_cols: Sequence[str]):
     """Ordering struct for max_by. Spark's struct ordering already
     ranks a NULL field below every real value of ANY type (the
     interpreted/codegen orderings compare null < non-null per field),
@@ -84,7 +84,7 @@ def materialize(changes: DataFrame,
     if strategy == "agg":
         value = F.struct(*[F.col(c) for c in out_cols], F.col("_op"))
         latest = (df.groupBy(*pk_cols)
-                    .agg(F.max_by(value, _sort_key_expr(sort_cols, df))
+                    .agg(F.max_by(value, _sort_key_expr(sort_cols))
                           .alias("_latest")))
         latest = latest.select(
             *pk_cols,

@@ -310,7 +310,7 @@ def embedding_neardup_pairs(df: DataFrame, threshold: float,
     """
     import math
 
-    from .similarity import kmeans_cells
+    from .similarity import cell_centroids, kmeans_cells
 
     cells = kmeans_cells(df, k=n_cells, vec_col=vec_col, id_col=id_col)
     norm = F.sqrt(_dot(F.col("_v"), F.col("_v")))
@@ -319,15 +319,10 @@ def embedding_neardup_pairs(df: DataFrame, threshold: float,
               F.transform(vec_col, lambda x: x.cast("double")).alias("_v"))
           .withColumn("_u", F.transform("_v", lambda x: x / norm))
           .persist(StorageLevel.MEMORY_AND_DISK))
-    # per-cell centroid of the normalized members (distributed:
-    # posexplode -> avg per dim -> re-pack) and max member distance
-    dims = (ev.select("_cell", F.posexplode("_u").alias("dim", "x"))
-              .groupBy("_cell", "dim").agg(F.avg("x").alias("m")))
-    cents = (dims.groupBy("_cell")
-                 .agg(F.array_sort(F.collect_list(F.struct("dim", "m")))
-                       .alias("_dm"))
-                 .select("_cell",
-                         F.expr("transform(_dm, s -> s.m)").alias("_c")))
+    # per-cell centroid of the NORMALIZED members (shared distributed
+    # posexplode->avg->re-pack helper) and max member distance
+    cents = (cell_centroids(ev, "_cell", vec_col="_u", id_col=id_col)
+             .withColumnRenamed("centroid", "_c"))
     rad = (ev.join(F.broadcast(cents), "_cell")
              .groupBy("_cell")
              .agg(F.max(_l2dist(F.col("_u"), F.col("_c"))).alias("_r")))

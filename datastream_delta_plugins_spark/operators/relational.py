@@ -61,9 +61,20 @@ def _sum_s4(prod, frac_digits: int):
     """Exact sum of a fixed-point product column: accumulate as
     DECIMAL(30,0) (compact-long fast path until 9.2e18, graceful
     BigDecimal beyond — no overflow cliff at large SF), then rescale to
-    the true decimal value."""
+    the true decimal value.
+
+    The rescale types are picked so Spark's decimal-division result is
+    decimal(38, scale) with scale >= frac_digits EXACTLY (precision =
+    (38-scale) + scale = 38, no precision-loss adjustment): a wider
+    dividend would push precision past 38 and Spark would silently
+    round the quotient half-up at its minimum scale 6 — wrong for
+    frac_digits > 6 (double rounding vs the oracle's single round).
+    Bound: |sum| < 10^(38-scale) scaled units (frac_digits=8: 10^20
+    currency units — far past any real aggregate)."""
+    scale = max(6, frac_digits + 2)
     s = F.sum(prod.cast("decimal(30,0)"))
-    return s.cast("decimal(38,0)") / F.lit(10 ** frac_digits).cast("decimal(12,0)")
+    return (s.cast(f"decimal({38 - scale},0)")
+            / F.lit(10 ** frac_digits).cast(f"decimal({frac_digits + 1},0)"))
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

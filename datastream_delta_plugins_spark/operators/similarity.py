@@ -90,6 +90,10 @@ def _screen_candidates(e: DataFrame, q: DataFrame, k: int,
     import pandas as pd
 
     qrows = q.collect()  # |Q| is small by contract (broadcast side)
+    if not qrows:  # empty query set: no candidates (matmul on a
+        # zero-row block would raise in every task)
+        return e.sparkSession.createDataFrame(
+            [], f"q_id long, {id_col} long")
     qids = np.array([r["q_id"] for r in qrows], dtype=np.int64)
     qm = np.array([r["_qv"] for r in qrows], dtype=np.float64)
     qn = np.sqrt((qm * qm).sum(axis=1))

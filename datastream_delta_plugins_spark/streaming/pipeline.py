@@ -126,15 +126,20 @@ class CdcPipeline:
         if not self.catalog_table:
             return
         qname = ".".join(f"`{p}`" for p in self.catalog_table.split("."))
+
+        def sq(s: str) -> str:  # SQL string-literal escape
+            return s.replace("'", "''")
+
         if not self.spark.catalog.tableExists(self.catalog_table):
             pk = ",".join(self.pk_cols)
             self.spark.sql(
                 f"CREATE TABLE {qname} USING parquet "
-                f"LOCATION '{location}' "
-                f"TBLPROPERTIES ('primaryKey' = '{pk}', "
-                f"'sourceTable' = '{self.table}')")
+                f"LOCATION '{sq(location)}' "
+                f"TBLPROPERTIES ('primaryKey' = '{sq(pk)}', "
+                f"'sourceTable' = '{sq(self.table)}')")
         else:
-            self.spark.sql(f"ALTER TABLE {qname} SET LOCATION '{location}'")
+            self.spark.sql(
+                f"ALTER TABLE {qname} SET LOCATION '{sq(location)}'")
         self.spark.catalog.refreshTable(self.catalog_table)
 
     # -- O5: dump-completion barrier --
@@ -157,13 +162,16 @@ class CdcPipeline:
         `snapshot.seen`, never `done`); `done` requires the backfill to
         report COMPLETED *and* a later scan that delivered no new dump
         rows (DatastreamEventReader.java:449-467,483-541 — a multi-file
-        dump split across scans must not flip the barrier early)."""
+        dump split across scans must not flip the barrier early).
+        `seen` is deliberately NOT required: a backfill that reports
+        COMPLETED having produced zero dump files (empty source table)
+        completes on the first dump-free scan, exactly like a scan that
+        found nothing in the reference."""
         t = self.table
         if snap_rows_in_batch > 0:
             self.doc.put(state_keys.k_snapshot_seen(t), "true")
             return
-        seen = self.doc.get(state_keys.k_snapshot_seen(t)) == "true"
-        if seen and self._backfill_complete():
+        if self._backfill_complete():
             self.doc.put(state_keys.k_snapshot_done(t), "true")
 
     # -- the merge, usable directly in batch mode --

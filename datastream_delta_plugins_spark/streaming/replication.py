@@ -87,7 +87,12 @@ class ReplicationJob:
         }
         for t in tables:
             pipe = self.pipelines[t.name]
-            pipe.doc.put(sk.k_backfill_status(t.name), t.backfill_status)
+            # seed only: runtime progress recorded via mark_backfill
+            # must survive a restart (re-putting the config value would
+            # regress a persisted COMPLETED back to RUNNING)
+            if pipe.doc.get(sk.k_backfill_status(t.name)) is None:
+                pipe.doc.put(sk.k_backfill_status(t.name),
+                             t.backfill_status)
             if t.skip_snapshot:
                 pipe.doc.put(sk.k_snapshot_done(t.name), "true")
             pipe.doc.save()

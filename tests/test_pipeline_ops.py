@@ -126,3 +126,31 @@ def test_ivf_with_kmeans_cells(spark, sf_correctness):
               ivf_topk(cells, pred, k=5, nprobe=5,
                        cell_col="_cell").collect()}
     assert len(approx & brute) / len(brute) >= 0.7
+
+
+def test_cosine_topk_empty_query_set(spark, sf_correctness):
+    """A predicate matching zero rows must return an empty result, not
+    crash the screen's matmul on a zero-row query block."""
+    emb = load_table(spark, sf_correctness, "embeddings")
+    assert similarity.cosine_topk(emb, F.lit(False), k=3).count() == 0
+
+
+def test_sum_s4_exact_at_scale8(spark):
+    """_sum_s4 must be exact for frac_digits=8 across the documented
+    <=4-decimal-digit input domain: a dividend/divisor typing that lets
+    Spark round the quotient at its minimum decimal scale 6 would
+    double-round (0.00044999 -> 0.000450 -> 0.0005 instead of 0.0004)."""
+    from decimal import Decimal
+
+    from datastream_delta_plugins_spark.operators.relational import (
+        _s4, _sum_s4)
+    rows = [(4.4999, 0.0001)]  # product 0.00044999: round6 first would
+    df = spark.createDataFrame(rows, "a double, b double")  # give 0.0005
+    got = df.agg(F.round(_sum_s4(_s4("a") * _s4("b"), 8), 4)
+                  .cast("double").alias("v")).first()["v"]
+    exact = sum(Decimal(str(a)) * Decimal(str(b)) for a, b in rows)
+    want = float(exact.quantize(Decimal("0.0001")))
+    assert got == want == 0.0004  # single-rounded, not 0.0005
+    # and the quotient itself is exact at full scale
+    full = df.agg(_sum_s4(_s4("a") * _s4("b"), 8).alias("v")).first()["v"]
+    assert Decimal(full) == exact

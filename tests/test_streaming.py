@@ -466,3 +466,52 @@ def test_stream_retry_recovers_mid_batch_failure(spark, tmp_path):
     _run(pipe)
     assert fails["n"] == 1
     assert {r["id"]: r["val"] for r in pipe.read_state().collect()} == {1: "x"}
+
+
+def test_zero_dump_table_completes_barrier(spark, tmp_path):
+    """A table whose backfill reports COMPLETED having produced zero
+    dump files (empty source table) must still reach snapshot.done on
+    the first dump-free scan — requiring a dump row to have been seen
+    would hang the all-dumps barrier forever."""
+    src = str(tmp_path / "src")
+    pipe = CdcPipeline(spark, "t1", src + "/*", str(tmp_path / "work"),
+                       pk_cols=["id"])
+    # CDC-only batch: zero snapshot rows, backfill COMPLETED (default)
+    df = spark.createDataFrame(
+        _rows(("oracle-cdc-logminer", "INSERT", 1, 1, "x")), CHANGE_SCHEMA)
+    pipe.apply_batch(df, 0)
+    assert pipe.doc.get(sk.k_snapshot_done("t1")) == "true"
+
+    # ... but a RUNNING backfill still holds the barrier on an
+    # empty scan
+    pipe2 = CdcPipeline(spark, "t2", src + "/*", str(tmp_path / "work2"),
+                        pk_cols=["id"])
+    from datastream_delta_plugins_spark.streaming.pipeline import (
+        BACKFILL_RUNNING)
+    pipe2.mark_backfill(BACKFILL_RUNNING)
+    pipe2.apply_batch(spark.createDataFrame([], CHANGE_SCHEMA), 0)
+    assert pipe2.doc.get(sk.k_snapshot_done("t2")) is None
+
+
+def test_restart_preserves_marked_backfill_status(spark, tmp_path):
+    """Rebuilding a ReplicationJob over existing state must not clobber
+    runtime backfill progress with the (stale) config value."""
+    from datastream_delta_plugins_spark.streaming import (
+        ReplicationJob, TableConfig)
+    from datastream_delta_plugins_spark.streaming.pipeline import (
+        BACKFILL_COMPLETED, BACKFILL_RUNNING)
+    src = str(tmp_path / "t1")
+    _write(spark, f"{src}/f_oracle-cdc-logminer_0",
+           ("oracle-cdc-logminer", "INSERT", 1, 1, "x"))
+    cfg = [TableConfig("t1", src + "/*", ["id"],
+                       backfill_status=BACKFILL_RUNNING)]
+    work = str(tmp_path / "work")
+    job = ReplicationJob(spark, work, cfg)
+    job.pipelines["t1"].mark_backfill(BACKFILL_COMPLETED)
+
+    job2 = ReplicationJob(spark, work, cfg)  # restart
+    assert job2.pipelines["t1"].doc.get(
+        sk.k_backfill_status("t1")) == BACKFILL_COMPLETED
+    job2.run_batch()
+    job2.run_batch()  # stable file set + COMPLETED -> done
+    assert job2.snapshot_done("t1")
