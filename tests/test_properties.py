@@ -119,3 +119,36 @@ def test_merge_order_invariant(spark, events, order, split_at):
         got = {r["pk"]: (r["val"], r["_is_deleted"])
                for r in merged.collect()}
         assert got == base
+
+
+# --- 3. fixed-point money-sum exactness ---
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(
+    st.tuples(
+        st.decimals(min_value=Decimal("0"), max_value=Decimal("99999.9999"),
+                    places=4),
+        st.decimals(min_value=Decimal("0"), max_value=Decimal("1.0000"),
+                    places=4)),
+    min_size=1, max_size=12))
+def test_sum_s4_matches_decimal_arithmetic(spark, pairs):
+    """_sum_s4(_s4(a)*_s4(b), 8) == exact Decimal sum(a*b) for any
+    non-negative money values with <= 4 decimal digits (the documented
+    _s4 domain), and round(.,4) equals the singly-rounded Decimal —
+    the invariant that keeps the fixed-point fast path hash-identical
+    to the DuckDB oracle's native DECIMAL arithmetic."""
+    from pyspark.sql import functions as F
+
+    from datastream_delta_plugins_spark.operators.relational import (
+        _s4, _sum_s4)
+    rows = [(float(a), float(b)) for a, b in pairs]
+    df = spark.createDataFrame(rows, "a double, b double")
+    out = df.agg(
+        _sum_s4(_s4("a") * _s4("b"), 8).alias("full"),
+        F.round(_sum_s4(_s4("a") * _s4("b"), 8), 4)
+         .cast("double").alias("r4")).first()
+    exact = sum((a * b for a, b in pairs), Decimal(0))
+    assert Decimal(out["full"]) == exact
+    assert out["r4"] == float(exact.quantize(
+        Decimal("0.0001"), rounding="ROUND_HALF_UP"))
