@@ -58,12 +58,13 @@ def _fake_features(blob: bytes, n: int = 4) -> list[float]:
     return [b / 255.0 for b in h[:n]]
 
 
-def decode_media(df: DataFrame, real_decode: bool = False,
-                 batch_hint: int = 1024) -> DataFrame:
+def decode_media(df: DataFrame, real_decode: bool = False) -> DataFrame:
     """Arrow-batched decode over mapInPandas.
 
     The per-batch loop is the real production shape (vectorized
-    transfer, bounded memory per batch); only the codec call is faked.
+    transfer, bounded memory per batch — batch size is governed by
+    spark.sql.execution.arrow.maxRecordsPerBatch); only the codec call
+    is faked.
     """
     if real_decode:
         raise NotImplementedError(

@@ -45,37 +45,43 @@ def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
     carried = list(right_cols.items())
 
     left_out = [c for c in left.columns]
+    # carry the right side as ONE struct: last(ignorenulls) over a
+    # struct picks a whole row atomically. Per-column carry would
+    # stitch values from DIFFERENT right rows whenever the matched row
+    # has a NULL in one carried column (ignorenulls skips it and
+    # resurrects that column's previous value — a row that never
+    # existed). The struct of a right row is never NULL even when all
+    # its fields are, so the latest row's own NULLs survive.
+    rtype = ("struct<" + ",".join(
+        f"`{dst}`:{right.schema[src].dataType.simpleString()}"
+        for src, dst in carried) + ">")
     u = (left.select(*on, F.col(left_ts).alias("_ats"),
                      F.lit(1).alias("_is_l"),
                      F.struct(*left_out).alias("_lrow"),
-                     *[F.lit(None).cast(right.schema[src].dataType)
-                        .alias(f"_r_{dst}") for src, dst in carried])
+                     F.lit(None).cast(rtype).alias("_rrow"))
              .unionByName(
          right.select(*on, F.col(right_ts).alias("_ats"),
                       F.lit(0).alias("_is_l"),
                       F.lit(None).cast(
                           "struct<" + ",".join(
-                              f"{f.name}:{f.dataType.simpleString()}"
+                              f"`{f.name}`:{f.dataType.simpleString()}"
                               for f in left.schema.fields) + ">")
                        .alias("_lrow"),
-                      *[F.col(src).alias(f"_r_{dst}")
-                        for src, dst in carried])))
+                      F.struct(*[F.col(src).alias(dst)
+                                 for src, dst in carried]).alias("_rrow"))))
     if direction == "backward":
         # right rows sort before left rows at equal ts -> <= matches
         w = (W.partitionBy(*on).orderBy(F.asc("_ats"), F.asc("_is_l"))
               .rowsBetween(W.unboundedPreceding, W.currentRow))
-        fill = F.last
     else:
         w = (W.partitionBy(*on).orderBy(F.desc("_ats"), F.asc("_is_l"))
               .rowsBetween(W.unboundedPreceding, W.currentRow))
-        fill = F.last
     filled = u.select(
         "_is_l", "_lrow",
-        *[fill(F.col(f"_r_{dst}"), ignorenulls=True).over(w)
-           .alias(f"_r_{dst}") for _, dst in carried])
+        F.last(F.col("_rrow"), ignorenulls=True).over(w).alias("_rrow"))
     return (filled.where(F.col("_is_l") == 1)
                   .select(*[F.col(f"_lrow.{c}").alias(c) for c in left_out],
-                          *[F.col(f"_r_{dst}").alias(dst)
+                          *[F.col("_rrow").getField(dst).alias(dst)
                             for _, dst in carried]))
 
 

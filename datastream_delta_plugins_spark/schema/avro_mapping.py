@@ -59,7 +59,9 @@ def avro_to_spark(schema) -> T.DataType:
     if logical in ("varchar", "number"):  # Datastream custom logicals
         return T.StringType()
     if logical == "decimal":
-        return T.DecimalType(schema["precision"], schema["scale"])
+        # Avro spec: scale is optional and defaults to 0 (the decoder
+        # in sources/avro_ocf.py applies the same default)
+        return T.DecimalType(schema["precision"], schema.get("scale", 0))
     if logical and (t, logical) in _LOGICAL:
         return _LOGICAL[(t, logical)]
 
@@ -73,8 +75,6 @@ def avro_to_spark(schema) -> T.DataType:
         return T.MapType(T.StringType(), avro_to_spark(schema["values"]))
     if t == "enum":
         return T.StringType()
-    if t in ("bytes", "fixed") and logical == "decimal":
-        return T.DecimalType(schema["precision"], schema["scale"])
-    if t == "fixed":
+    if t == "fixed":  # (fixed decimals returned at the logical check)
         return T.BinaryType()
     return avro_to_spark(t)

@@ -421,11 +421,19 @@ def read_avro_changes(spark, path: str, columns=None, avro_schema=None):
                         cols[o].append(sm.get(n))
                     sk = r.get("sort_keys") or [None] * 4
                     sk = list(sk) + [None] * (4 - len(sk))
-                    cols["_sk1"].append(sk[0])
-                    cols["_sk2"].append(sk[1])
+                    # sort_keys is array<union[string,long]>: either
+                    # branch is legal at ANY position, so coerce to the
+                    # output column types (long/long/string/long) — a
+                    # string-branch "20" at position 1 must not poison
+                    # the Arrow batch
+                    cols["_sk1"].append(None if sk[0] is None
+                                        else int(sk[0]))
+                    cols["_sk2"].append(None if sk[1] is None
+                                        else int(sk[1]))
                     cols["_sk3"].append(None if sk[2] is None
                                         else str(sk[2]))
-                    cols["_sk4"].append(sk[3])
+                    cols["_sk4"].append(None if sk[3] is None
+                                        else int(sk[3]))
                     p = r.get("payload") or {}
                     for n, _t in payload_fields:
                         cols[n].append(p.get(n))

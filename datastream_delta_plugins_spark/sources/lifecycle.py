@@ -121,6 +121,10 @@ class StreamLifecycle:
 
     def delete_stream(self, stream_id: str) -> dict:
         entry = self._get(stream_id)
+        if entry["state"] == DELETED:  # terminal: delete is valid from
+            # any state EXCEPT already-deleted (transition table above)
+            raise StreamLifecycleError(
+                f"stream '{stream_id}' is already deleted")
         entry["state"] = DELETED
         self._put(stream_id, entry)
         return entry

@@ -121,9 +121,16 @@ class TableRegistry:
             ev = evaluate_column(col)
             if ev.field is not None:  # unsupported columns are dropped
                 fields.append(ev.field)
+        kept = {f.name for f in fields}
+        # a PK whose column was dropped as unsupported must not survive
+        # into the standardized detail — a merge keyed on a column the
+        # schema lacks would fail downstream (the assessor reports the
+        # unsupported column as a problem; this keeps the detail
+        # self-consistent)
+        pks = tuple(pk for pk in detail.primary_keys if pk in kept)
         return StandardizedTableDetail(
             detail.database, detail.schema, detail.table,
-            T.StructType(fields), detail.primary_keys)
+            T.StructType(fields), pks)
 
 
 class TableAssessor:

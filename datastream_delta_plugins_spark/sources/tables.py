@@ -30,6 +30,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # reader rejects. Read it as long (legacy conf, runtime-settable)
         # and convert ns -> us with exact integer division; TIMESTAMP_NTZ
         # matches DuckDB's naive reading of the same file.
+        # NOTE: the conf is session-global BY DESIGN (get_spark sets it
+        # up front; this set covers externally-built sessions). It must
+        # stay on for the lifetime of the returned lazy DataFrame — a
+        # save/restore around the read would flip it back before
+        # execution — so every nanos column in the session reads as
+        # long, and conversion is cast-on-use like this one.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
         return df.withColumn(

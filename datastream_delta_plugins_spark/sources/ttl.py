@@ -41,6 +41,9 @@ class ProcessedFileTtl:
         the reference likewise resumes from the last marked blob).
         Writes are batched to bound manifest rewrites."""
         when = when or datetime.datetime.now(datetime.timezone.utc)
+        if when.tzinfo is None:  # naive stamps would make expired()
+            # subtract naive from aware and TypeError at purge time
+            when = when.replace(tzinfo=datetime.timezone.utc)
         stamp = when.isoformat()
         newly = [f for f in files if self.doc.get(f) is None]
         for i in range(0, len(newly), MARK_BATCH_SIZE):
@@ -66,7 +69,7 @@ class ProcessedFileTtl:
                 os.remove(f)
             except FileNotFoundError:
                 pass
-            self.doc._state.pop(f, None)
+            self.doc.delete(f)
         if gone:
             self.doc.save()
         return gone

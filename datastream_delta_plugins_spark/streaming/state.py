@@ -92,6 +92,9 @@ class StateDoc:
     def put(self, key: str, value: str) -> None:
         self._state[key] = str(value)
 
+    def delete(self, key: str) -> None:
+        self._state.pop(key, None)
+
     def as_dict(self) -> dict[str, str]:
         return dict(self._state)
 

@@ -195,3 +195,18 @@ def test_schema_drift_raises_instead_of_dropping(spark, change_dir, tmp_path):
     proj = avro_ocf.read_avro_changes(spark, str(d) + "/*",
                                       columns=["EMPLOYEE_ID"])
     assert proj.count() == 112
+
+
+def test_string_branch_sort_keys_coerced(spark, tmp_path):
+    """sort_keys is array<union[string,long]> — the string branch is
+    legal at ANY position; numeric positions must coerce to long, not
+    poison the Arrow batch."""
+    d = tmp_path / "u"
+    d.mkdir()
+    ev = _event("u1", CDC, "INSERT", 7, "strkeys", Decimal("1.00"), 42)
+    ev["sort_keys"] = ["1704067200042", "42", "rs0", "0"]  # all strings
+    (d / "k1_oracle-cdc-logminer_0.avro").write_bytes(
+        avro_ocf.write_ocf(ENVELOPE, [ev]))
+    row = avro_ocf.read_avro_changes(spark, str(d) + "/*").first()
+    assert row["_sk1"] == 1704067200042 and row["_sk2"] == 42
+    assert row["_sk3"] == "rs0" and row["_sk4"] == 0

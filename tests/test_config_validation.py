@@ -140,3 +140,28 @@ def test_stream_lifecycle_transitions(tmp_path):
     assert lc2.get_stream("s1")["state"] == DELETED
     # purge policy attach (bucket lifecycle-rule analog)
     assert lc2.purge_policy("s1").ttl.days == 30
+
+
+def test_delete_stream_is_terminal(tmp_path):
+    from datastream_delta_plugins_spark.sources.lifecycle import (
+        StreamLifecycle, StreamLifecycleError)
+    lc = StreamLifecycle(str(tmp_path / "streams"))
+    lc.create_stream("s1", ["t1"])
+    lc.delete_stream("s1")
+    with pytest.raises(StreamLifecycleError):
+        lc.delete_stream("s1")
+
+
+def test_ttl_naive_timestamp_normalized(tmp_path):
+    import datetime as dt
+
+    from datastream_delta_plugins_spark.sources.ttl import ProcessedFileTtl
+    f = tmp_path / "data.bin"
+    f.write_bytes(b"x")
+    ttl = ProcessedFileTtl(str(tmp_path / "manifest.json"), ttl_days=30)
+    ttl.mark_processed([str(f)], when=dt.datetime(2026, 1, 1))  # naive
+    # purge with an aware now: must not TypeError, and must expire
+    gone = ttl.purge_expired(
+        dt.datetime(2026, 2, 15, tzinfo=dt.timezone.utc))
+    assert gone == [str(f)] and not f.exists()
+    assert ttl.doc.get(str(f)) is None

@@ -87,3 +87,19 @@ def test_sliding_agg_counts_each_event_twice(spark, sf_correctness):
     total = ev.count()
     windows = temporal.sliding_agg(ev, "ts", "1 hour", "30 minutes")
     assert windows.agg(F.sum("c")).first()[0] == 2 * total
+
+
+def test_asof_null_value_in_matched_row_stays_null(spark):
+    """The matched right row's own NULLs must survive: carrying columns
+    independently with last(ignorenulls) would resurrect a STALE value
+    from an older right row and emit a row that never existed."""
+    left = spark.createDataFrame([(1, "a", _ts(20))],
+                                 "id int, k string, ts timestamp")
+    right = spark.createDataFrame(
+        [("a", _ts(5), 40.0), ("a", _ts(10), None)],
+        "k string, ts timestamp, v double")
+    out = temporal.asof_join(
+        left, right, ["k"], right_cols={"ts": "rts", "v": "rv"}).first()
+    # the latest right row at ts=10 has v NULL — rv must be NULL, with
+    # rts from the SAME row (not 40.0 stitched from the ts=5 row)
+    assert out["rts"] == _ts(10) and out["rv"] is None
