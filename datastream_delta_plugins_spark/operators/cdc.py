@@ -79,7 +79,10 @@ def materialize(changes: DataFrame,
     payload = payload_columns(df)
     out_cols = [c for c in payload if c not in set(pk_cols)]
     if keep_sort_keys:
-        out_cols = out_cols + list(sort_cols)
+        # a sort col that is ALSO a payload column is already carried —
+        # appending it again would make the value struct's field
+        # ambiguous
+        out_cols = out_cols + [c for c in sort_cols if c not in out_cols]
 
     if strategy == "agg":
         value = F.struct(*[F.col(c) for c in out_cols], F.col("_op"))
@@ -119,6 +122,15 @@ def merge_batch(state: DataFrame,
     through an anti-join against the (broadcast) batch key set — the
     per-batch cost scales with batch size, not state size.
     """
+    missing = [c for c in sort_cols if c not in state.columns]
+    if missing:  # a state built without keep_sort_keys=True would
+        # union NULL sort keys, rank below every batch event, and let
+        # an out-of-order batch silently overwrite newer state — fail
+        # loudly instead
+        raise ValueError(
+            f"state is missing sort key column(s) {missing}: build it "
+            f"with materialize(..., keep_sort_keys=True) so merge_batch "
+            f"can rank late events against the state's remembered keys")
     batch_latest = materialize(batch_changes, pk_cols, sort_cols,
                                keep_sort_keys=True)
     # No forced broadcast: a typical incremental batch's key set is

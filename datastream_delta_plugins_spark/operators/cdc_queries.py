@@ -34,8 +34,9 @@ from ..sources.changes import normalize_ops
 PAYLOAD = ("o_custkey", "o_orderstatus", "o_totalprice",
            "o_orderdate", "o_orderpriority")
 
-_SNAP = "oracle-backfill"
-_CDC = "oracle-cdc-logminer"
+# the same literals normalize_ops classifies on — import, don't redeclare
+from ..envelope import CDC_READ_METHOD as _CDC
+from ..envelope import SNAPSHOT_READ_METHOD as _SNAP
 
 
 def _orders(spark: SparkSession, sf_dir: str) -> DataFrame:

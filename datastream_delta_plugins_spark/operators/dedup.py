@@ -111,7 +111,12 @@ def jaccard_pairs(df: DataFrame, threshold: float,
                    .union(cand.select(F.col("j").alias(id_col)))
                    .distinct())
         df = df.join(ids, id_col, "semi")  # AQE broadcasts if small
-    sh = ngram_shingles(df, text_col, id_col, n)
+    # shingles feed both self-join sides (and the counts aggregate when
+    # the caller didn't supply one) as separate plan branches, and
+    # Catalyst does not CSE a subtree repeated across join branches —
+    # persist or the normalization+shingling of the corpus runs 2-3x
+    sh = (ngram_shingles(df, text_col, id_col, n)
+          .persist(StorageLevel.MEMORY_AND_DISK))
     if counts is None:
         counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("i"), "shingle")
@@ -226,6 +231,14 @@ def simhash_pairs(df: DataFrame, max_hamming: int = 3,
     Hamming distance <= 3 must agree exactly on >= 1 band (pigeonhole),
     so banding only prunes, never misses.
     """
+    if max_hamming >= SIMHASH_BANDS:
+        # pigeonhole completeness needs bands > max_hamming: at
+        # distance 4, one differing bit per band shares no exact band
+        # and the pair would be silently dropped
+        raise ValueError(
+            f"max_hamming={max_hamming} breaks the {SIMHASH_BANDS}-band "
+            f"completeness guarantee (requires max_hamming < "
+            f"{SIMHASH_BANDS})")
     # both sides of the band self-join read sig — persist, not recompute
     sig = simhash(df, text_col, id_col).persist(StorageLevel.MEMORY_AND_DISK)
     mask = (1 << 15) - 1
@@ -244,8 +257,12 @@ def simhash_pairs(df: DataFrame, max_hamming: int = 3,
             .select(F.col(f"a.{id_col}").alias("i"),
                     F.col(f"b.{id_col}").alias("j"),
                     ham.alias("hamming"))
-            .distinct()
-            .where(F.col("hamming") <= max_hamming))
+            # filter BEFORE distinct: hamming is a pure function of the
+            # pair, so semantics are identical, and the dedup shuffle
+            # carries only qualifying pairs instead of every band
+            # collision
+            .where(F.col("hamming") <= max_hamming)
+            .distinct())
 
 
 def _dot(a: Column, b: Column) -> Column:

@@ -25,7 +25,6 @@ delegates downstream (SURVEY §2.6); the reference itself is a CDC source
 from __future__ import annotations
 
 import datetime
-import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window as W
@@ -317,10 +316,13 @@ def q22_math_decimal(spark, sf_dir):
     charge = (_dec("l_extendedprice")
               * (one - F.col("l_discount")).cast(DEC)
               * (one + F.col("l_tax")).cast(DEC))
+    # q rides in the ORDER BY so the top-100 cut is a total order: two
+    # rows tied on (l_orderkey, charge) with different q would otherwise
+    # be kept arbitrarily per engine and hash-diverge (data-dependent)
     return (li.select("l_orderkey",
                       F.round(charge, 2).cast("double").alias("charge"),
                       F.col("l_quantity").cast("bigint").alias("q"))
-              .orderBy("l_orderkey", "charge")
+              .orderBy("l_orderkey", "charge", "q")
               .limit(100))
 
 
@@ -594,7 +596,7 @@ ORACLE_SQL: dict[str, str] = {
                           * CAST(1 - l_discount AS DECIMAL(18,4))
                           * CAST(1 + l_tax AS DECIMAL(18,4)), 2) AS DOUBLE) AS charge,
                CAST(l_quantity AS BIGINT) AS q
-        FROM lineitem ORDER BY l_orderkey, charge LIMIT 100""",
+        FROM lineitem ORDER BY l_orderkey, charge, q LIMIT 100""",
     "q23_case": """
         SELECT CASE WHEN o_orderstatus = 'F' THEN 'FINISHED'
                     WHEN o_orderstatus = 'O' THEN 'OPEN'

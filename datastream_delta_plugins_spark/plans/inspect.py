@@ -24,10 +24,26 @@ def executed_plan(df: DataFrame) -> str:
 
 
 def pushed_filters(df: DataFrame) -> list[str]:
-    """All filters pushed down to datasource scans."""
+    """All filters pushed down to datasource scans.
+
+    The filter list can itself contain brackets and commas — e.g.
+    `In(x, [1,2,3])` — so the list body is matched to end-of-line (the
+    plan prints one scan per line) and entries split only on commas at
+    bracket depth zero."""
     out: list[str] = []
-    for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", formatted_plan(df)):
-        out.extend(f.strip() for f in m.group(1).split(",") if f.strip())
+    for m in re.finditer(r"PushedFilters: \[(.*)\]", formatted_plan(df)):
+        body, depth, cur = m.group(1), 0, []
+        for ch in body:
+            if ch == "," and depth == 0:
+                if "".join(cur).strip():
+                    out.append("".join(cur).strip())
+                cur = []
+                continue
+            depth += ch in "(["
+            depth -= ch in ")]"
+            cur.append(ch)
+        if "".join(cur).strip():
+            out.append("".join(cur).strip())
     return out
 
 

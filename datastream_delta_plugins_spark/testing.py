@@ -15,10 +15,7 @@ import os
 
 import duckdb
 
-TESTDATA_TABLES = (
-    "region", "nation", "customer", "supplier", "part",
-    "orders", "lineitem", "events", "documents", "embeddings",
-)
+from .sources.tables import TABLE_NAMES as TESTDATA_TABLES
 
 
 def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:

@@ -244,3 +244,31 @@ def test_salted_join_rejects_outer_types(spark):
     for how in ("right", "full", "full_outer", "right_outer"):
         with _pytest.raises(ValueError):
             salted_join(df, df, ["k"], how=how)
+
+
+def test_merge_batch_rejects_state_without_sort_keys(spark):
+    """A state built without keep_sort_keys=True must be rejected:
+    union-ing NULL sort keys would rank below every batch event and let
+    an out-of-order batch silently overwrite newer state."""
+    df = spark.createDataFrame(
+        [(1, 1, "a", "UPDATE")], "pk long, _sk1 long, val string, _op string")
+    state = cdc.materialize(df, ["pk"], ["_sk1"])  # no sort keys kept
+    assert "_sk1" not in state.columns
+    with pytest.raises(ValueError, match="keep_sort_keys"):
+        cdc.merge_batch(state, df, ["pk"], ["_sk1"])
+
+
+def test_keep_sort_keys_with_payload_sort_col(spark):
+    """keep_sort_keys must not duplicate a sort column that is also a
+    payload column (ambiguous struct field)."""
+    df = spark.createDataFrame(
+        [(1, 1, "a", "UPDATE"), (1, 2, "b", "UPDATE")],
+        "pk long, ver long, val string, _op string")
+    state = cdc.materialize(df, ["pk"], ["ver"], keep_sort_keys=True)
+    row = state.first()
+    assert row["ver"] == 2 and row["val"] == "b"
+    # and the state is re-mergeable on that payload sort key
+    late = spark.createDataFrame([(1, 0, "stale", "UPDATE")],
+                                 "pk long, ver long, val string, _op string")
+    merged = cdc.merge_batch(state, late, ["pk"], ["ver"]).first()
+    assert merged["val"] == "b"  # late event must not win
