@@ -30,6 +30,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from ..plans.hints import auto_broadcast
 from ..sources.tables import load_table
 
 DEC = "decimal(18,4)"
@@ -123,10 +124,16 @@ def q04_count_distinct(spark, sf_dir):
 def q05_inner_join(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
-    return (o.join(li, o.o_orderkey == li.l_orderkey)
-             .groupBy("o_orderpriority")
-             .agg(F.count(F.lit(1)).alias("c"))
-             .orderBy("o_orderpriority"))
+    # lineitem (largest) probes; orders' 2-column projection is the
+    # build side when Catalyst's size estimate says it fits (shuffle
+    # join otherwise — see q06)
+    o2 = o.select("o_orderkey", "o_orderpriority")
+    return (li.select("l_orderkey")
+              .join(auto_broadcast(o2),
+                    F.col("l_orderkey") == F.col("o_orderkey"))
+              .groupBy("o_orderpriority")
+              .agg(F.count(F.lit(1)).alias("c"))
+              .orderBy("o_orderpriority"))
 
 
 # --- Q06 multi-way join; nation is a fixed-size dim -> broadcast ---
@@ -140,12 +147,26 @@ def q06_multiway_join(spark, sf_dir):
     # (<= 2e13 per row, no overflow), summed exactly via _sum_s4
     rev = (_s4("l_extendedprice")
            * _s4(F.lit(1).cast("double") - F.col("l_discount")))
-    return (c.join(o, c.c_custkey == o.o_custkey)
-             .join(li, o.o_orderkey == li.l_orderkey)
-             .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-             .groupBy("n_name")
-             .agg(F.round(_sum_s4(rev, 8), 4).cast("double").alias("rev"))
-             .orderBy("n_name"))
+    # Largest-table-probe shape: lineitem streams through two build
+    # sides instead of the written-order ((c><o)><li)><n chain, which
+    # makes Spark materialize the c><o intermediate as its own
+    # broadcast build (an extra probe pass over orders + one more
+    # broadcast job per execution — measured 1.4x slower). Build sides
+    # are hinted by Catalyst's size estimate (auto_broadcast), so at
+    # cluster scale where orders/customer outgrow the threshold the
+    # same plan degrades to shuffle joins instead of exploding.
+    cn = (c.select("c_custkey", "c_nationkey")
+           .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+           .select("c_custkey", "n_name"))
+    o2 = o.select("o_orderkey", "o_custkey")
+    return (li.select("l_orderkey", "l_extendedprice", "l_discount")
+              .join(auto_broadcast(o2),
+                    F.col("l_orderkey") == F.col("o_orderkey"))
+              .join(auto_broadcast(cn),
+                    F.col("o_custkey") == F.col("c_custkey"))
+              .groupBy("n_name")
+              .agg(F.round(_sum_s4(rev, 8), 4).cast("double").alias("rev"))
+              .orderBy("n_name"))
 
 
 # --- Q07 left outer join + null-aware count ---

@@ -45,17 +45,20 @@ def cosine_topk(df: DataFrame, query_pred: Column, k: int = 10,
     lambdas evaluate interpreted per element — O(|Q|*n*d) interpreted
     steps dominate the wall clock.
 
-    method="screen" (default): two-phase exact top-k, the standard
-    block-matmul kNN shape. Phase 1 scores each corpus partition
-    against the query block with a vectorized float64 matmul
-    (Arrow-batched mapInPandas) and keeps, per partition and query,
-    every row whose approximate score reaches the partition's k-th
-    best minus SCREEN_MARGIN — since matmul error is far below the
-    margin, a true top-k member can never be screened out (if it
-    ranked below k+ties locally by approx score, k rows would beat it
-    exactly too). Phase 2 re-scores only the surviving candidates with
-    the SAME sequential-fold expression as "fold", so emitted cosine
-    values are bitwise identical and DuckDB-reproducible.
+    method="screen" (default): single-pass exact top-k, the standard
+    block-matmul kNN shape. Each corpus partition is scored against
+    the query block with a vectorized float64 matmul (Arrow-batched
+    mapInPandas); per partition and query, every row whose approximate
+    score reaches the partition's k-th best minus SCREEN_MARGIN
+    survives — since matmul error is far below the margin, a true
+    top-k member can never be screened out (if it ranked below k+ties
+    locally by approx score, k rows would beat it exactly too).
+    Survivors (~|Q|*k per partition) are then re-scored IN THE SAME
+    TASK with a sequential left-to-right fold in plain Python floats —
+    IEEE-754 doubles with the exact op order of the Catalyst
+    `cosine()` fold, so emitted values are bitwise identical to the
+    "fold" path and DuckDB-reproducible, with no second corpus scan
+    and no rescore join.
 
     The query block rides into the task closure as a numpy array —
     cosine_topk's contract is a small (broadcastable) query set, the
@@ -65,13 +68,7 @@ def cosine_topk(df: DataFrame, query_pred: Column, k: int = 10,
     q = e.where(query_pred).select(F.col(id_col).alias("q_id"),
                                    F.col("_v").alias("_qv"))
     if method == "screen":
-        cand = _screen_candidates(e, q, k, id_col)
-        scored = (F.broadcast(cand)
-                  .join(q, "q_id")
-                  .join(e, id_col)
-                  .where(F.col("q_id") != F.col(id_col))
-                  .select("q_id", id_col,
-                          cosine(F.col("_qv"), F.col("_v")).alias("cos")))
+        scored = _screen_scored(e, q, k, id_col)
     else:
         scored = (F.broadcast(q).crossJoin(e)
                    .where(F.col("q_id") != F.col(id_col))
@@ -82,10 +79,25 @@ def cosine_topk(df: DataFrame, query_pred: Column, k: int = 10,
                   .where(F.col("rn") <= k))
 
 
-def _screen_candidates(e: DataFrame, q: DataFrame, k: int,
-                       id_col: str) -> DataFrame:
-    """Phase-1 screen: (q_id, id_col) candidate pairs that could be in
-    the exact top-k (complete by the SCREEN_MARGIN argument above)."""
+def _seq_dot(a, b) -> float:
+    """Sequential left-to-right dot product in plain Python floats —
+    the exact IEEE-754 op order of the Catalyst fold in `_dot` (acc
+    starts at 0.0; acc + x*y per element), so results are bitwise
+    identical to the JVM expression."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += x * y
+    return acc
+
+
+def _screen_scored(e: DataFrame, q: DataFrame, k: int,
+                   id_col: str) -> DataFrame:
+    """Screen + exact rescore in one mapInPandas pass: emits
+    (q_id, id_col, cos) for every pair that could be in the exact
+    top-k (complete by the SCREEN_MARGIN argument above), with `cos`
+    computed by the bitwise-reproducible sequential fold."""
+    import math
+
     import numpy as np
     import pandas as pd
 
@@ -93,28 +105,42 @@ def _screen_candidates(e: DataFrame, q: DataFrame, k: int,
     if not qrows:  # empty query set: no candidates (matmul on a
         # zero-row block would raise in every task)
         return e.sparkSession.createDataFrame(
-            [], f"q_id long, {id_col} long")
+            [], f"q_id long, {id_col} long, cos double")
     qids = np.array([r["q_id"] for r in qrows], dtype=np.int64)
     qm = np.array([r["_qv"] for r in qrows], dtype=np.float64)
     qn = np.sqrt((qm * qm).sum(axis=1))
+    qvs = [list(r["_qv"]) for r in qrows]
+    # dot(q,q) per query, sequential-fold order (computed once; the
+    # Catalyst expression recomputes it per row to the same bits)
+    qdots = [_seq_dot(v, v) for v in qvs]
 
     def screen(batches):
         for pdf in batches:
             if pdf.empty:
                 continue
             ids = pdf[id_col].to_numpy(dtype=np.int64)
-            m = np.array(list(pdf["_v"]), dtype=np.float64)
+            vecs = list(pdf["_v"])
+            m = np.array(vecs, dtype=np.float64)
             s = (m @ qm.T) / np.outer(np.sqrt((m * m).sum(axis=1)), qn)
             s[ids[:, None] == qids[None, :]] = -np.inf  # self pairs
+            out_q, out_i, out_c = [], [], []
             for j in range(len(qids)):
                 col = s[:, j]
                 kth = (np.partition(col, -k)[-k] if len(col) > k
                        else -np.inf)
-                keep = col >= kth - SCREEN_MARGIN
-                yield pd.DataFrame({"q_id": qids[j],
-                                    id_col: ids[keep]})
+                qv, qd = qvs[j], qdots[j]
+                for row in np.nonzero(col >= kth - SCREEN_MARGIN)[0]:
+                    v = vecs[row]
+                    cos = (_seq_dot(qv, v)
+                           / math.sqrt(qd * _seq_dot(v, v)))
+                    out_q.append(qids[j])
+                    out_i.append(ids[row])
+                    out_c.append(cos)
+            yield pd.DataFrame({"q_id": np.array(out_q, dtype=np.int64),
+                                id_col: np.array(out_i, dtype=np.int64),
+                                "cos": np.array(out_c, dtype=np.float64)})
 
-    return e.mapInPandas(screen, f"q_id long, {id_col} long")
+    return e.mapInPandas(screen, f"q_id long, {id_col} long, cos double")
 
 
 def kmeans_cells(df: DataFrame, k: int = 8,

@@ -1,0 +1,56 @@
+"""Stats-driven join-side hints.
+
+`auto_broadcast` closes the gap between "hardcode F.broadcast and
+explode at cluster scale" and "no hint and pay AQE's runtime
+SMJ->BHJ conversion latency": it reads Catalyst's *static* size
+estimate for the plan (derived from file sizes and column pruning — no
+job runs) and attaches an explicit broadcast hint only when the
+estimate fits the session's autoBroadcastJoinThreshold. At 100 TB the
+same call site silently degrades to an unhinted join, which AQE plans
+as a shuffle join — the decision tracks data size, not the author's
+guess at one scale factor.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: fallback when the session threshold is unset/disabled (-1): Spark's
+#: default autoBroadcastJoinThreshold (10 MiB).
+_DEFAULT_THRESHOLD = 10 * 1024 * 1024
+
+
+def plan_size_bytes(df: DataFrame) -> int:
+    """Catalyst's static size estimate for the optimized plan (bytes).
+
+    File-relation leaves report actual file size scaled by column
+    pruning; operators propagate estimates upward. Pure metadata —
+    triggers no Spark job.
+    """
+    size = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    # py4j maps scala.math.BigInt to int for small values but hands back
+    # the Java object once it exceeds long range
+    return size if isinstance(size, int) else int(size.toString())
+
+
+def auto_broadcast(df: DataFrame, threshold: int | None = None) -> DataFrame:
+    """Hint `df` for broadcast iff its estimated size fits `threshold`
+    (default: the session's spark.sql.autoBroadcastJoinThreshold)."""
+    if threshold is None:
+        conf = df.sparkSession.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold", str(_DEFAULT_THRESHOLD))
+        t = _parse_bytes(conf)
+        threshold = t if t > 0 else _DEFAULT_THRESHOLD
+    return F.broadcast(df) if plan_size_bytes(df) <= threshold else df
+
+
+def _parse_bytes(s: str) -> int:
+    """Spark conf byte strings: plain ints or 10485760b / 10m / 1g."""
+    s = s.strip().lower().removesuffix("b")
+    mult = 1
+    for suffix, m in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30)):
+        if s.endswith(suffix):
+            s, mult = s[:-1], m
+            break
+    return int(s) * mult
