@@ -27,12 +27,14 @@ def _events(spark, sf_dir):
 
 def q31_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
-    clicks = (ev.where(F.col("event_type") == "click")
-                .select("event_id", "user_id", "ts"))
-    errors = (ev.where(F.col("event_type") == "error")
-                .select("user_id", "ts", "value"))
-    joined = temporal.asof_join(
-        clicks, errors, on=["user_id"], left_ts="ts", right_ts="ts",
+    # click/error are disjoint slices of ONE table: the filtered form
+    # builds the tagged as-of frame in a single scan (asof_join would
+    # scan events twice — Catalyst does not share scans across union
+    # branches)
+    joined = temporal.asof_join_filtered(
+        ev, F.col("event_type") == "click", F.col("event_type") == "error",
+        on=["user_id"], left_cols=["event_id", "user_id", "ts"],
+        left_ts="ts", right_ts="ts",
         right_cols={"ts": "err_ts", "value": "err_value"})
     return joined.select("event_id", "user_id", "ts",
                          "err_ts", "err_value").orderBy("event_id")

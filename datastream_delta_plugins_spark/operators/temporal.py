@@ -26,6 +26,32 @@ from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 
+def _asof_fill(u: DataFrame, on: Sequence[str], direction: str,
+               left_out: Sequence[str],
+               carried_dsts: Sequence[str]) -> DataFrame:
+    """Shared tail of both as-of forms: given the tagged union frame
+    (on…, _ats, _is_l, _lrow, _rrow), window-fill the latest right row
+    onto each left row and project the joined output."""
+    if direction == "backward":
+        # right rows sort before left rows at equal ts -> <= matches
+        w = (W.partitionBy(*on).orderBy(F.asc("_ats"), F.asc("_is_l"))
+              .rowsBetween(W.unboundedPreceding, W.currentRow))
+    else:
+        w = (W.partitionBy(*on).orderBy(F.desc("_ats"), F.asc("_is_l"))
+              .rowsBetween(W.unboundedPreceding, W.currentRow))
+    filled = u.select(
+        "_is_l", "_lrow",
+        F.last(F.col("_rrow"), ignorenulls=True).over(w).alias("_rrow"))
+    return (filled.where(F.col("_is_l") == 1)
+                  .select(*[F.col(f"_lrow.{c}").alias(c) for c in left_out],
+                          *[F.col("_rrow").getField(dst).alias(dst)
+                            for dst in carried_dsts]))
+
+
+def _struct_type(fields: Sequence[tuple[str, str]]) -> str:
+    return "struct<" + ",".join(f"`{n}`:{t}" for n, t in fields) + ">"
+
+
 def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
               left_ts: str = "ts", right_ts: str = "ts",
               right_cols: dict[str, str] | None = None,
@@ -37,6 +63,10 @@ def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
     `right_cols` maps right column -> output name (default: carry
     right_ts as '{right_ts}_r'). Left rows with no match get nulls —
     LEFT OUTER as-of semantics.
+
+    When both sides are filters of the SAME table, use
+    `asof_join_filtered` instead — it builds the tagged union in one
+    scan instead of two.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"unknown direction {direction!r}")
@@ -52,9 +82,11 @@ def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
     # resurrects that column's previous value — a row that never
     # existed). The struct of a right row is never NULL even when all
     # its fields are, so the latest row's own NULLs survive.
-    rtype = ("struct<" + ",".join(
-        f"`{dst}`:{right.schema[src].dataType.simpleString()}"
-        for src, dst in carried) + ">")
+    rtype = _struct_type([
+        (dst, right.schema[src].dataType.simpleString())
+        for src, dst in carried])
+    ltype = _struct_type([
+        (f.name, f.dataType.simpleString()) for f in left.schema.fields])
     u = (left.select(*on, F.col(left_ts).alias("_ats"),
                      F.lit(1).alias("_is_l"),
                      F.struct(*left_out).alias("_lrow"),
@@ -62,27 +94,93 @@ def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
              .unionByName(
          right.select(*on, F.col(right_ts).alias("_ats"),
                       F.lit(0).alias("_is_l"),
-                      F.lit(None).cast(
-                          "struct<" + ",".join(
-                              f"`{f.name}`:{f.dataType.simpleString()}"
-                              for f in left.schema.fields) + ">")
-                       .alias("_lrow"),
+                      F.lit(None).cast(ltype).alias("_lrow"),
                       F.struct(*[F.col(src).alias(dst)
                                  for src, dst in carried]).alias("_rrow"))))
-    if direction == "backward":
-        # right rows sort before left rows at equal ts -> <= matches
-        w = (W.partitionBy(*on).orderBy(F.asc("_ats"), F.asc("_is_l"))
-              .rowsBetween(W.unboundedPreceding, W.currentRow))
-    else:
-        w = (W.partitionBy(*on).orderBy(F.desc("_ats"), F.asc("_is_l"))
-              .rowsBetween(W.unboundedPreceding, W.currentRow))
-    filled = u.select(
-        "_is_l", "_lrow",
-        F.last(F.col("_rrow"), ignorenulls=True).over(w).alias("_rrow"))
-    return (filled.where(F.col("_is_l") == 1)
-                  .select(*[F.col(f"_lrow.{c}").alias(c) for c in left_out],
-                          *[F.col("_rrow").getField(dst).alias(dst)
-                            for _, dst in carried]))
+    return _asof_fill(u, on, direction, left_out, [d for _, d in carried])
+
+
+def asof_join_filtered(df: DataFrame, left_pred, right_pred,
+                       on: Sequence[str],
+                       left_cols: Sequence[str],
+                       left_ts: str = "ts", right_ts: str = "ts",
+                       right_cols: dict[str, str] | None = None,
+                       direction: str = "backward") -> DataFrame:
+    """As-of join where BOTH sides are predicate-selected subsets of
+    one table (`df`): left rows = `left_pred`, right rows =
+    `right_pred`. Semantics are identical to
+    `asof_join(df.where(left_pred).select(*left_cols),
+    df.where(right_pred), ...)`, but the tagged union is built from a
+    SINGLE scan with `when()` conditionals instead of two separate
+    scans unioned — Catalyst does not share scans across union
+    branches, so the two-sided form reads the table twice. At scale
+    the one-scan form halves the dominant cost (I/O) for the common
+    event-stream case (left and right are event-type slices of the
+    same stream). A row matching both predicates contributes to both
+    sides, exactly as it would appear in both filtered frames.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"unknown direction {direction!r}")
+    right_cols = right_cols or {right_ts: f"{right_ts}_r"}
+    on = list(on)
+    carried = list(right_cols.items())
+    left_out = list(left_cols)
+
+    ltype = _struct_type([
+        (c, df.schema[c].dataType.simpleString()) for c in left_out])
+    rtype = _struct_type([
+        (dst, df.schema[src].dataType.simpleString())
+        for src, dst in carried])
+    lrow = F.when(left_pred, F.struct(*[F.col(c) for c in left_out])) \
+            .cast(ltype)
+    rrow = F.when(right_pred, F.struct(
+        *[F.col(src).alias(dst) for src, dst in carried])).cast(rtype)
+
+    # a row matching BOTH predicates must occupy two union rows (one
+    # per side), which the single-pass conditional frame cannot emit —
+    # so the one-scan path requires provably-disjoint predicates and
+    # anything else routes to the two-filter union fallback.
+    base = df.where(left_pred | right_pred)
+    u_l = (base.where(left_pred)
+               .select(*on, F.col(left_ts).alias("_ats"),
+                       F.lit(1).alias("_is_l"), lrow.alias("_lrow"),
+                       F.lit(None).cast(rtype).alias("_rrow")))
+    u_r = (base.where(right_pred)
+               .select(*on, F.col(right_ts).alias("_ats"),
+                       F.lit(0).alias("_is_l"),
+                       F.lit(None).cast(ltype).alias("_lrow"),
+                       rrow.alias("_rrow")))
+    # single-scan tagged frame: when predicates are disjoint each row
+    # lands on exactly one side, so one pass with conditional structs
+    # suffices; otherwise fall back to the two-filter union (still one
+    # table, two scans — same as asof_join)
+    u = (base.select(
+            *on,
+            F.when(left_pred, F.col(left_ts))
+             .otherwise(F.col(right_ts)).alias("_ats"),
+            left_pred.cast("int").alias("_is_l"),
+            lrow.alias("_lrow"), rrow.alias("_rrow"))
+         if _predicates_disjoint_hint(df, left_pred, right_pred)
+         else u_l.unionByName(u_r))
+    return _asof_fill(u, on, direction, left_out, [d for _, d in carried])
+
+
+def _predicates_disjoint_hint(df: DataFrame, left_pred, right_pred) -> bool:
+    """Static disjointness check: both predicates are equality tests on
+    the same column against different literals (the dominant
+    event-type-slice pattern). Conservative — false means 'cannot
+    prove disjoint', which routes to the correct-but-two-scan path."""
+    try:
+        l, r = str(left_pred._jc), str(right_pred._jc)
+    except Exception:  # pragma: no cover - py4j internals shifted
+        return False
+    import re
+    # Column.__repr__ prints prefix form: =(event_type, 'click')
+    pat = r"=\((\w+), ('[^']*'|[\w.-]+)\)"
+    m_l = re.fullmatch(pat, l)
+    m_r = re.fullmatch(pat, r)
+    return (bool(m_l) and bool(m_r) and m_l.group(1) == m_r.group(1)
+            and m_l.group(2) != m_r.group(2))
 
 
 def session_agg(df: DataFrame, key_cols: Sequence[str], ts_col: str = "ts",

@@ -69,6 +69,55 @@ def test_asof_join_is_single_shuffle(spark, asof_fixture):
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
 
 
+def test_asof_join_filtered_matches_two_sided(spark, sf_correctness):
+    """The single-scan filtered form must return exactly the two-sided
+    asof_join of the same predicate slices."""
+    from datastream_delta_plugins_spark.sources.tables import load_table
+    ev = load_table(spark, sf_correctness, "events")
+    clicks = (ev.where(F.col("event_type") == "click")
+                .select("event_id", "user_id", "ts"))
+    errors = ev.where(F.col("event_type") == "error")
+    two = temporal.asof_join(
+        clicks, errors, ["user_id"],
+        right_cols={"ts": "err_ts", "value": "err_value"})
+    one = temporal.asof_join_filtered(
+        ev, F.col("event_type") == "click", F.col("event_type") == "error",
+        on=["user_id"], left_cols=["event_id", "user_id", "ts"],
+        right_cols={"ts": "err_ts", "value": "err_value"})
+    a = sorted(map(tuple, two.collect()))
+    b = sorted(map(tuple, one.collect()))
+    assert a == b and len(a) > 0
+
+
+def test_asof_join_filtered_plans_one_scan(spark, sf_correctness):
+    """Disjoint equality predicates on one column -> the fused frame
+    reads the table ONCE (the whole point of the filtered form)."""
+    from datastream_delta_plugins_spark.sources.tables import load_table
+    ev = load_table(spark, sf_correctness, "events")
+    plan = temporal.asof_join_filtered(
+        ev, F.col("event_type") == "click", F.col("event_type") == "error",
+        on=["user_id"], left_cols=["event_id", "user_id", "ts"],
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1
+
+
+def test_asof_join_filtered_overlapping_predicates_fall_back(spark):
+    """Predicates that can both match one row must route to the
+    two-branch union (a both-sides row occupies a row on each side)."""
+    df = spark.createDataFrame(
+        [(1, "a", _ts(5), 10.0), (2, "a", _ts(9), 90.0)],
+        "id int, k string, ts timestamp, v double")
+    out = temporal.asof_join_filtered(
+        df, F.col("v") >= 10.0, F.col("v") > 50.0,  # row 2 is on BOTH sides
+        on=["k"], left_cols=["id", "k", "ts"],
+        right_cols={"ts": "rts", "v": "rv"})
+    got = {r["id"]: (r["rts"], r["rv"]) for r in out.collect()}
+    # left row 1 (ts=5): no right row at/before -> nulls;
+    # left row 2 (ts=9): right slice contains row 2 itself -> matches
+    assert got[1] == (None, None)
+    assert got[2] == (_ts(9), 90.0)
+
+
 def test_session_agg_gap_boundary(spark):
     # events at 0, 29m59s (same session), then 60m (new: gap >= 30m)
     df = spark.createDataFrame(
