@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .cdc import materialize
+from ..plans.hints import presentation_sort as _psort
 from ..sources.changes import normalize_ops
 
 PAYLOAD = ("o_custkey", "o_orderstatus", "o_totalprice",
@@ -162,7 +163,7 @@ def _cte(blacklist: str = "") -> str:
 def q26_cdc_latest(spark, sf_dir):
     changes = simulate_changes(spark, sf_dir)
     latest = materialize(changes, ["pk"])
-    return latest.select("pk", *PAYLOAD).orderBy("pk")
+    return _psort(latest.select("pk", *PAYLOAD), "pk")
 
 
 # --- Q27 soft delete ---
@@ -170,7 +171,7 @@ def q26_cdc_latest(spark, sf_dir):
 def q27_cdc_soft_delete(spark, sf_dir):
     changes = simulate_changes(spark, sf_dir)
     latest = materialize(changes, ["pk"])
-    return latest.select("pk", "_is_deleted").orderBy("pk")
+    return _psort(latest.select("pk", "_is_deleted"), "pk")
 
 
 # --- Q28 snapshot + CDC union -> live row count ---
@@ -188,9 +189,8 @@ def q29_cdc_pk_update(spark, sf_dir):
     latest = materialize(changes, ["pk"])
     pair = ((F.col("pk") % 97 == 0) & (F.col("pk") < 10_000_000)) | \
            ((F.col("pk") >= 10_000_000) & (F.col("pk") < 20_000_000))
-    return (latest.where(pair)
-                  .select("pk", "_is_deleted", "o_totalprice")
-                  .orderBy("pk"))
+    return _psort(latest.where(pair)
+                        .select("pk", "_is_deleted", "o_totalprice"), "pk")
 
 
 # --- Q30 DML blacklist: DELETEs filtered pre-merge ---
@@ -198,9 +198,9 @@ def q29_cdc_pk_update(spark, sf_dir):
 def q30_cdc_blacklist(spark, sf_dir):
     changes = simulate_changes(spark, sf_dir)
     latest = materialize(changes, ["pk"], dml_blacklist=("DELETE",))
-    return (latest.where((F.col("pk") % 13 == 0) & (F.col("pk") < 10_000_000))
-                  .select("pk", "o_totalprice", "_is_deleted")
-                  .orderBy("pk"))
+    return _psort(
+        latest.where((F.col("pk") % 13 == 0) & (F.col("pk") < 10_000_000))
+              .select("pk", "o_totalprice", "_is_deleted"), "pk")
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import temporal
+from ..plans.hints import presentation_sort as _psort
 from ..sources.tables import load_table
 
 
@@ -36,8 +37,8 @@ def q31_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         on=["user_id"], left_cols=["event_id", "user_id", "ts"],
         left_ts="ts", right_ts="ts",
         right_cols={"ts": "err_ts", "value": "err_value"})
-    return joined.select("event_id", "user_id", "ts",
-                         "err_ts", "err_value").orderBy("event_id")
+    return _psort(joined.select("event_id", "user_id", "ts",
+                                "err_ts", "err_value"), "event_id")
 
 
 # --- Q32: session windows (30-min inactivity gap, per user)
@@ -48,8 +49,9 @@ def q32_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, ["user_id"], "ts", "30 minutes",
         aggs=[F.count(F.lit(1)).alias("n_events"),
               F.round(F.sum("value"), 4).alias("sum_value")])
-    return (s.select("user_id", "session_start", "n_events", "sum_value")
-             .orderBy("user_id", "session_start"))
+    return _psort(
+        s.select("user_id", "session_start", "n_events", "sum_value"),
+        "user_id", "session_start")
 
 
 # --- Q33: sliding windows (1h window / 30m slide)
@@ -58,7 +60,7 @@ def q33_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     s = temporal.sliding_agg(ev, "ts", "1 hour", "30 minutes",
                              aggs=[F.count(F.lit(1)).alias("c")])
-    return s.select("w_start", "c").orderBy("w_start")
+    return _psort(s.select("w_start", "c"), "w_start")
 
 
 # --- Q34: JSON property extraction + aggregation
@@ -69,7 +71,7 @@ def q34_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (ev.groupBy("event_type", (k % 10).alias("kb"))
               .agg(F.count(F.lit(1)).alias("c"),
                    F.round(F.sum("value"), 4).alias("sv"))
-              .orderBy("event_type", "kb"))
+              .transform(lambda d: _psort(d, "event_type", "kb")))
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

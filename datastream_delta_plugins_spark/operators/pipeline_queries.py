@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import dedup, multimodal, similarity, text
+from ..plans.hints import presentation_sort as _psort
 from ..sources.tables import fan_out, load_table
 
 # ---------------------------------------------------------------- SQL bits
@@ -91,27 +92,27 @@ def _embs(spark, sf_dir):
 
 
 def d01_dedup_exact(spark, sf_dir):
-    return dedup.exact_dedup(_docs(spark, sf_dir)).orderBy("doc_id")
+    return _psort(dedup.exact_dedup(_docs(spark, sf_dir)), "doc_id")
 
 
 def d02_ngram_jaccard(spark, sf_dir):
     return (dedup.jaccard_pairs(_docs(spark, sf_dir), 0.5)
-                 .orderBy("i", "j"))
+                 .transform(lambda d: _psort(d, "i", "j")))
 
 
 def d03_minhash_lsh(spark, sf_dir):
     return (dedup.minhash_lsh_pairs(_docs(spark, sf_dir), 0.8)
-                 .orderBy("i", "j"))
+                 .transform(lambda d: _psort(d, "i", "j")))
 
 
 def d04_simhash_hamming(spark, sf_dir):
     return (dedup.simhash_pairs(_docs(spark, sf_dir), 3)
-                 .orderBy("i", "j"))
+                 .transform(lambda d: _psort(d, "i", "j")))
 
 
 def d05_embedding_neardup(spark, sf_dir):
     return (dedup.embedding_neardup_pairs(_embs(spark, sf_dir), 0.45)
-                 .orderBy("i", "j"))
+                 .transform(lambda d: _psort(d, "i", "j")))
 
 
 def s01_cosine_topk(spark, sf_dir):
@@ -120,13 +121,13 @@ def s01_cosine_topk(spark, sf_dir):
     # pure overhead (the exact re-score touches ~|Q|*k rows)
     return (similarity.cosine_topk(load_table(spark, sf_dir, "embeddings"),
                                    F.col("vec_id") % 50 == 0, k=5)
-                      .orderBy("q_id", "rn"))
+                      .transform(lambda d: _psort(d, "q_id", "rn")))
 
 
 def s02_ivf_topk(spark, sf_dir):
     return (similarity.ivf_topk(_embs(spark, sf_dir),
                                 F.col("vec_id") % 50 == 0, k=5, nprobe=3)
-                      .orderBy("q_id", "rn"))
+                      .transform(lambda d: _psort(d, "q_id", "rn")))
 
 
 def t01_text_stats(spark, sf_dir):
@@ -137,7 +138,7 @@ def t01_text_stats(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     stats = text.text_stats(docs)
     toks = text.token_count(docs)
-    return stats.join(toks, "doc_id").orderBy("doc_id")
+    return _psort(stats.join(toks, "doc_id"), "doc_id")
 
 
 def t02_lang_id(spark, sf_dir):
@@ -146,12 +147,12 @@ def t02_lang_id(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     lang = text.lang_id(docs)
     fp = text.fingerprint(docs)
-    return lang.join(fp, "doc_id").orderBy("doc_id")
+    return _psort(lang.join(fp, "doc_id"), "doc_id")
 
 
 def m01_multimodal_meta(spark, sf_dir):
     media = multimodal.attach_binary(_docs(spark, sf_dir))
-    return multimodal.binary_meta(media).orderBy("doc_id")
+    return _psort(multimodal.binary_meta(media), "doc_id")
 
 
 def m02_multimodal_decode(spark, sf_dir):
@@ -165,7 +166,7 @@ def m02_multimodal_decode(spark, sf_dir):
     return (dec.select("doc_id", "fmt", "width", "height", "n_frames",
                        F.posexplode("features").alias("dim", "feat"))
                .withColumn("dim", F.col("dim").cast("int"))
-               .orderBy("doc_id", "dim"))
+               .transform(lambda d: _psort(d, "doc_id", "dim")))
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

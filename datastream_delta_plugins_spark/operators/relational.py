@@ -30,7 +30,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..plans.hints import auto_broadcast
+from ..plans.hints import auto_broadcast, presentation_sort as _psort
 from ..sources.tables import load_table
 
 DEC = "decimal(18,4)"
@@ -109,7 +109,8 @@ def q03_hash_agg(spark, sf_dir):
                    F.round(_sum_s4(_s4("l_extendedprice"), 4).cast("double")
                            / F.count(F.lit(1)).cast("double"), 4).alias("a_price"),
                    F.count(F.lit(1)).alias("c"))
-              .orderBy("l_returnflag", "l_linestatus"))
+              .transform(lambda d: _psort(d, "l_returnflag",
+                                          "l_linestatus")))
 
 
 # --- Q04 count distinct ---
@@ -133,7 +134,7 @@ def q05_inner_join(spark, sf_dir):
                     F.col("l_orderkey") == F.col("o_orderkey"))
               .groupBy("o_orderpriority")
               .agg(F.count(F.lit(1)).alias("c"))
-              .orderBy("o_orderpriority"))
+              .transform(lambda d: _psort(d, "o_orderpriority")))
 
 
 # --- Q06 multi-way join; nation is a fixed-size dim -> broadcast ---
@@ -166,7 +167,7 @@ def q06_multiway_join(spark, sf_dir):
                     F.col("o_custkey") == F.col("c_custkey"))
               .groupBy("n_name")
               .agg(F.round(_sum_s4(rev, 8), 4).cast("double").alias("rev"))
-              .orderBy("n_name"))
+              .transform(lambda d: _psort(d, "n_name")))
 
 
 # --- Q07 left outer join + null-aware count ---
@@ -216,8 +217,9 @@ def q11_rollup(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     return (o.rollup("o_orderstatus", "o_orderpriority")
              .agg(F.count(F.lit(1)).alias("c"))
-             .orderBy(F.col("o_orderstatus").asc_nulls_first(),
-                      F.col("o_orderpriority").asc_nulls_first(), "c"))
+             .transform(lambda d: _psort(
+                 d, F.col("o_orderstatus").asc_nulls_first(),
+                 F.col("o_orderpriority").asc_nulls_first(), "c")))
 
 
 # --- Q12 cube ---
@@ -226,8 +228,9 @@ def q12_cube(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     return (li.cube("l_returnflag", "l_linestatus")
               .agg(F.sum("l_quantity").alias("s"))
-              .orderBy(F.col("l_returnflag").asc_nulls_first(),
-                       F.col("l_linestatus").asc_nulls_first(), "s"))
+              .transform(lambda d: _psort(
+                  d, F.col("l_returnflag").asc_nulls_first(),
+                  F.col("l_linestatus").asc_nulls_first(), "s")))
 
 
 # --- Q13 ranking window (top-k per group) ---
@@ -238,7 +241,7 @@ def q13_rank_window(spark, sf_dir):
     return (o.select("o_custkey", "o_orderkey",
                      F.row_number().over(w).cast("bigint").alias("rn"))
              .where(F.col("rn") <= 3)
-             .orderBy("o_custkey", "rn"))
+             .transform(lambda d: _psort(d, "o_custkey", "rn")))
 
 
 # --- Q14 analytic window lag ---
@@ -290,7 +293,7 @@ def q17_union(spark, sf_dir):
 def q18_intersect(spark, sf_dir):
     c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
     s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
-    return c.intersect(s).orderBy("k")
+    return _psort(c.intersect(s), "k")
 
 
 # --- Q19 except ---
@@ -298,7 +301,7 @@ def q18_intersect(spark, sf_dir):
 def q19_except(spark, sf_dir):
     n = _t(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("k"))
     c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
-    return n.subtract(c).orderBy("k")
+    return _psort(n.subtract(c), "k")
 
 
 # --- Q20 string functions (T2 coercions, T6 concat_ws) ---
@@ -354,8 +357,8 @@ def q23_case(spark, sf_dir):
     st = (F.when(F.col("o_orderstatus") == "F", "FINISHED")
            .when(F.col("o_orderstatus") == "O", "OPEN")
            .otherwise(F.col("o_orderstatus")).alias("st"))
-    return (o.select(st).groupBy("st").agg(F.count(F.lit(1)).alias("c"))
-             .orderBy("st"))
+    return _psort(
+        o.select(st).groupBy("st").agg(F.count(F.lit(1)).alias("c")), "st")
 
 
 # --- Q24 correlated scalar subquery (decorrelated to a broadcast join;
@@ -377,7 +380,7 @@ def q25_time_bucket(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
     return (e.groupBy(F.date_trunc("hour", "ts").alias("h"))
              .agg(F.count(F.lit(1)).alias("c"))
-             .orderBy("h"))
+             .transform(lambda d: _psort(d, "h")))
 
 
 # --- Q41 explicit GROUPING SETS + grouping_id ---
@@ -439,7 +442,7 @@ def q35_percentiles(spark, sf_dir):
                     .alias("p90"),
                    F.round(F.expr("percentile(l_extendedprice, 0.25)"), 4)
                     .alias("price_p25"))
-              .orderBy("l_returnflag"))
+              .transform(lambda d: _psort(d, "l_returnflag")))
 
 
 # --- Q36 pivot (wide conditional aggregation via the pivot operator) ---
@@ -452,7 +455,7 @@ def q36_pivot(spark, sf_dir):
     return (piv.select("l_returnflag",
                        F.round(F.col("O"), 4).cast("double").alias("qty_o"),
                        F.round(F.col("F"), 4).cast("double").alias("qty_f"))
-               .orderBy("l_returnflag"))
+               .transform(lambda d: _psort(d, "l_returnflag")))
 
 
 # --- Q37 approximate distinct (HLL sketch; no SQL oracle — sketches

@@ -45,6 +45,33 @@ def auto_broadcast(df: DataFrame, threshold: int | None = None) -> DataFrame:
     return F.broadcast(df) if plan_size_bytes(df) <= threshold else df
 
 
+#: presentation_sort single-task ceiling: results estimated under this
+#: sort on one task; larger results use the distributed range sort.
+_PRESENTATION_THRESHOLD = 64 * 1024 * 1024
+
+
+def presentation_sort(df: DataFrame, *cols,
+                      threshold: int = _PRESENTATION_THRESHOLD) -> DataFrame:
+    """Total-order a RESULT for delivery to a single consumer.
+
+    A global `orderBy` plans a range exchange whose partitioner must
+    first SAMPLE the child — an extra job re-reading the upstream
+    stage that routinely costs more than the sort itself when the
+    result is small (measured: +0.4s on a 95k-row aggregate whose
+    single-task sort is 0.1s). A result bound for one consumer (the
+    driver collects it, a file gets written and read sequentially) is
+    single-stream no matter how it was sorted, so when Catalyst's
+    static size estimate says the result fits comfortably in one task,
+    sort it there: one shuffle of the (small) result, no sampling
+    pass. Results estimated above `threshold` keep the distributed
+    range sort — at 100 TB the estimate grows with the data and this
+    helper degrades to plain `orderBy`, never a single-task funnel.
+    """
+    if plan_size_bytes(df) <= threshold:
+        return df.repartition(1).sortWithinPartitions(*cols)
+    return df.orderBy(*cols)
+
+
 def _parse_bytes(s: str) -> int:
     """Spark conf byte strings: plain ints or 10485760b / 10m / 1g."""
     s = s.strip().lower().removesuffix("b")

@@ -1,0 +1,11 @@
+"""Sinks: bucketed/co-located table writers.
+
+The reference's only sink is the Delta event emitter (S6,
+DatastreamEventReader.java:770-782) — covered by
+streaming/pipeline.py. This package adds the storage-layout side a
+100 TB Spark deployment needs: hash-bucketed tables whose joins and
+aggregations skip the shuffle entirely.
+"""
+
+from .bucketed import (  # noqa: F401
+    bucket_spec, write_bucketed)

@@ -1,0 +1,69 @@
+"""Hash-bucketed parquet tables: co-located joins without shuffles.
+
+Why this matters at 100 TB: every `join`/`groupBy` on a non-bucketed
+table shuffles its full input across the cluster — for a
+lineitem-sized fact table that shuffle IS the query cost. Writing the
+table bucketed by its join key (`bucketBy(n, key)`) records the hash
+partitioning in the catalog, so Catalyst plans joins between
+co-bucketed tables (same key, same bucket count) and aggregations on
+the bucket key with NO Exchange on the bucketed side(s): each task
+reads bucket i of both tables and joins locally. Adding
+`sortBy(key)` also pre-sorts each bucket file, removing the
+sort from sort-merge joins.
+
+This is the batch analog of the reference's per-table ordered
+delivery (its Datastream events arrive partitioned per table and
+sorted by sort key, DatastreamEventReader.java:449-467): keep data
+laid out by the key you merge on, never re-shuffle state you already
+own.
+
+Spark only honors bucket metadata for tables in the session catalog
+(`saveAsTable`); a bare `.parquet(path)` write loses the layout.
+`write_bucketed` therefore registers an external table at `path`
+(pass a `spark_warehouse`-relative name for a managed table).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(df: DataFrame, name: str,
+                   bucket_cols: Sequence[str], num_buckets: int,
+                   sort_cols: Sequence[str] | None = None,
+                   path: str | None = None,
+                   mode: str = "overwrite") -> None:
+    """Write `df` as a bucketed parquet table `name`.
+
+    `num_buckets` sizes the parallelism floor for every downstream
+    co-located join — pick ~(table bytes / 256 MB) at the target
+    scale, and use the SAME count for every table sharing the join
+    key, or Spark re-shuffles the mismatched side.
+    """
+    bucket_cols = list(bucket_cols)
+    w = (df.write.format("parquet").mode(mode)
+           .bucketBy(num_buckets, *bucket_cols))
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    if path:
+        w = w.option("path", path)
+    w.saveAsTable(name)
+
+
+def bucket_spec(spark: SparkSession, name: str) -> tuple[list[str], int] | None:
+    """(bucket columns, bucket count) for a catalog table, or None if
+    the table is not bucketed."""
+    rows = spark.sql(f"DESCRIBE TABLE EXTENDED {name}").collect()
+    cols: list[str] | None = None
+    n: int | None = None
+    for r in rows:
+        if r.col_name == "Num Buckets":
+            n = int(r.data_type)
+        elif r.col_name == "Bucket Columns":
+            cols = [c.strip(" `") for c in
+                    r.data_type.strip("[]").split(",")]
+    if cols is None or n is None:
+        return None
+    return cols, n

@@ -69,3 +69,23 @@ def test_q33_sliding_window_has_partial_agg(spark, sf_smoke):
     from datastream_delta_plugins_spark.operators import event_queries
     plan = formatted_plan(event_queries.q33_sliding_window(spark, sf_smoke))
     assert "partial_" in plan  # map-side combine before the shuffle
+
+
+def test_presentation_sort_routes_by_size_estimate(spark, sf_smoke):
+    """Small results sort on one task (no range-sampling pass); a
+    zero threshold simulates the 100TB estimate and must keep the
+    distributed range sort."""
+    from datastream_delta_plugins_spark.plans.hints import presentation_sort
+    from datastream_delta_plugins_spark.sources.tables import load_table
+    df = (load_table(spark, sf_smoke, "orders")
+          .groupBy("o_orderpriority").count())
+    small = presentation_sort(df, "o_orderpriority")
+    assert small.rdd.getNumPartitions() == 1
+    plan = small._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" not in plan.lower()
+    big = presentation_sort(df, "o_orderpriority", threshold=0)
+    plan_b = big._jdf.queryExecution().toString()
+    assert "rangepartitioning" in plan_b.lower()
+    # identical ordered content either way
+    assert [tuple(r) for r in small.collect()] == \
+           [tuple(r) for r in big.collect()]

@@ -1,0 +1,73 @@
+"""Bucketed sink tests: the co-location contract — joins and
+aggregations on the bucket key must plan WITHOUT an Exchange on the
+bucketed side, and results must match the non-bucketed plan."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from datastream_delta_plugins_spark.sinks import bucket_spec, write_bucketed
+from datastream_delta_plugins_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def bucketed_pair(spark, sf_smoke, tmp_path_factory):
+    """orders + lineitem co-bucketed by order key."""
+    base = tmp_path_factory.mktemp("bucketed")
+    o = load_table(spark, sf_smoke, "orders")
+    li = load_table(spark, sf_smoke, "lineitem")
+    write_bucketed(o, "b_orders", ["o_orderkey"], 4,
+                   sort_cols=["o_orderkey"], path=str(base / "orders"))
+    write_bucketed(li, "b_lineitem", ["l_orderkey"], 4,
+                   sort_cols=["l_orderkey"], path=str(base / "lineitem"))
+    yield spark.table("b_orders"), spark.table("b_lineitem")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def _executed(df):
+    df.write.format("noop").mode("overwrite").save()  # let AQE finalize
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_bucket_spec_roundtrip(spark, bucketed_pair):
+    assert bucket_spec(spark, "b_orders") == (["o_orderkey"], 4)
+    assert bucket_spec(spark, "b_lineitem") == (["l_orderkey"], 4)
+
+
+def test_cobucketed_join_plans_no_exchange(spark, bucketed_pair):
+    o, li = bucketed_pair
+    # disable auto-broadcast so the join would otherwise shuffle both
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = (li.join(o, li.l_orderkey == o.o_orderkey)
+               .groupBy("o_orderpriority")
+               .agg(F.count(F.lit(1)).alias("c")))
+        plan = _executed(j)
+        # co-located join: the only exchange is the final tiny
+        # aggregation by priority, never the two fact tables
+        assert plan.count("Exchange hashpartitioning(o_orderpriority") \
+            == plan.count("Exchange hashpartitioning")
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_bucketed_groupby_plans_no_exchange(spark, bucketed_pair):
+    _, li = bucketed_pair
+    agg = li.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("s"))
+    plan = _executed(agg)
+    assert "Exchange" not in plan
+
+
+def test_cobucketed_join_matches_plain_join(spark, sf_smoke, bucketed_pair):
+    o, li = bucketed_pair
+    bucketed = (li.join(o, li.l_orderkey == o.o_orderkey)
+                  .groupBy("o_orderpriority")
+                  .agg(F.count(F.lit(1)).alias("c")))
+    po = load_table(spark, sf_smoke, "orders")
+    pli = load_table(spark, sf_smoke, "lineitem")
+    plain = (pli.join(po, pli.l_orderkey == po.o_orderkey)
+                .groupBy("o_orderpriority")
+                .agg(F.count(F.lit(1)).alias("c")))
+    assert sorted(map(tuple, bucketed.collect())) == \
+        sorted(map(tuple, plain.collect()))

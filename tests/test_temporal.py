@@ -152,3 +152,29 @@ def test_asof_null_value_in_matched_row_stays_null(spark):
     # the latest right row at ts=10 has v NULL — rv must be NULL, with
     # rts from the SAME row (not 40.0 stitched from the ts=5 row)
     assert out["rts"] == _ts(10) and out["rv"] is None
+
+
+def test_session_agg_strategies_agree(spark, sf_correctness):
+    """lagcum (batch default) and native session_window must produce
+    identical sessions, including session_end."""
+    from datastream_delta_plugins_spark.sources.tables import load_table
+    ev = load_table(spark, sf_correctness, "events")
+    cols = ["user_id", "session_start", "session_end", "n_events"]
+    a = sorted(map(tuple, temporal.session_agg(
+        ev, ["user_id"], "ts", "30 minutes",
+        strategy="lagcum").select(*cols).collect()))
+    b = sorted(map(tuple, temporal.session_agg(
+        ev, ["user_id"], "ts", "30 minutes",
+        strategy="native").select(*cols).collect()))
+    assert a == b and len(a) > 0
+
+
+def test_session_agg_lagcum_single_exchange(spark, sf_correctness):
+    """The window sort's hash partitioning must be reused by the
+    follow-up groupBy — exactly one exchange in the plan."""
+    from datastream_delta_plugins_spark.sources.tables import load_table
+    ev = load_table(spark, sf_correctness, "events") \
+        .select("user_id", "ts", "value")
+    s = temporal.session_agg(ev, ["user_id"], "ts", "30 minutes")
+    plan = s._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
