@@ -69,6 +69,47 @@ def lang_id(df: DataFrame, text_col: str = "text",
     return base.select(id_col, pred.alias("pred_lang"), m.alias("score"))
 
 
+#: fixed punctuation class — identical semantics under Java regex
+#: (Spark) and RE2 (DuckDB), so the ratio is oracle-reproducible
+PUNCT_PATTERN = r"[.,;:!?()]"
+
+
+def quality_score(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Document-quality signals + a Gopher-style keep rule (the
+    public heuristics of Rae et al. 2021, "Scaling Language Models" —
+    length bounds, mean word length band, stopword floor, repetition
+    ceiling), all as column expressions:
+
+      punct_ratio     punctuation chars / chars
+      distinct_ratio  distinct words / words (repetition ceiling)
+      keep            the composite filter decision
+
+    Pure codegen — at 100 TB this is a single scan-local pass with no
+    shuffle, the shape a corpus-wide quality filter must have.
+    """
+    w = words_col(text_col)
+    base = df.select(F.col(id_col), norm_text(text_col).alias("_t"),
+                     w.alias("_w"))
+    n_tok = F.size("_w").cast("bigint")
+    char_sum = F.aggregate(F.transform(F.col("_w"), F.length),
+                           F.lit(0), lambda acc, x: acc + x)
+    avg_len = char_sum.cast("double") / n_tok.cast("double")
+    stop_ratio = (_count_in(F.col("_w"), STOPWORDS).cast("double")
+                  / n_tok.cast("double"))
+    punct_ratio = (F.size(F.regexp_extract_all(
+                       F.col("_t"), F.lit(PUNCT_PATTERN), 0)).cast("double")
+                   / F.length("_t").cast("double"))
+    distinct_ratio = (F.size(F.array_distinct("_w")).cast("double")
+                      / n_tok.cast("double"))
+    keep = ((n_tok >= 10) & (avg_len >= 2.0) & (avg_len <= 12.0)
+            & (stop_ratio >= 0.05) & (distinct_ratio >= 0.3))
+    return base.select(id_col,
+                       punct_ratio.alias("punct_ratio"),
+                       distinct_ratio.alias("distinct_ratio"),
+                       keep.alias("keep"))
+
+
 def token_count(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     toks = F.regexp_extract_all(norm_text(text_col), F.lit(TOKEN_PATTERN), 0)

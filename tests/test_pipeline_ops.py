@@ -154,3 +154,21 @@ def test_sum_s4_exact_at_scale8(spark):
     # and the quotient itself is exact at full scale
     full = df.agg(_sum_s4(_s4("a") * _s4("b"), 8).alias("v")).first()["v"]
     assert Decimal(full) == exact
+
+
+def test_quality_score_keep_rule(spark):
+    """Gopher-style keep: too-short docs and single-word repetition
+    are dropped; a normal English paragraph survives."""
+    from datastream_delta_plugins_spark.operators.text import quality_score
+    docs = spark.createDataFrame(
+        [(1, "The quick brown fox jumps over the lazy dog and then "
+             "the fox is gone to a den of its own."),
+         (2, "short text"),                      # < 10 tokens
+         (3, "spam " * 40)],                     # distinct_ratio ~0
+        "doc_id int, text string")
+    got = {r["doc_id"]: r for r in quality_score(docs).collect()}
+    assert got[1]["keep"] is True
+    assert got[2]["keep"] is False
+    assert got[3]["keep"] is False
+    assert got[3]["distinct_ratio"] < 0.1
+    assert 0.0 <= got[1]["punct_ratio"] < 0.1
