@@ -23,7 +23,9 @@ from datastream_delta_plugins_spark.session import get_spark
 HEADLINE = [
     ("q01", "q01_scan_project", relational.QUERIES),
     ("q03", "q03_hash_agg", relational.QUERIES),
-    ("q04", "q04_count_distinct", relational.QUERIES),
+    # q37 subsumes the former q04 headline entry: same exact count
+    # distinct over lineitem.l_suppkey, plus the HLL bound check
+    ("q37", "q37_approx_distinct", relational.QUERIES),
     ("q05", "q05_inner_join", relational.QUERIES),
     ("q06", "q06_multiway_join", relational.QUERIES),
     ("q10", "q10_range_join", relational.QUERIES),

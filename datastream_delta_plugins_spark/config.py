@@ -175,7 +175,11 @@ def assess_environment(tables, work_dir: str,
     logging the reference cannot order changes either)."""
     problems: list[Problem] = []
     for t in tables:
-        root = t.source_dir.split("*")[0].rstrip("/") or "/"
+        # directory containing the glob: 'dir/part-*.avro' must probe
+        # 'dir', not the nonexistent file prefix 'dir/part-'
+        prefix = t.source_dir.split("*")[0]
+        root = (prefix.rstrip("/") if prefix.endswith("/")
+                else os.path.dirname(prefix)) or "/"
         if not os.path.exists(root):
             problems.append(Problem(
                 PROBLEM_CONNECTIVITY,

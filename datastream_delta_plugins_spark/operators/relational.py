@@ -462,9 +462,21 @@ def q36_pivot(spark, sf_dir):
 #     differ across engines, tests assert error bound vs exact) ---
 
 def q37_approx_distinct(spark, sf_dir):
+    """HLL approx_count_distinct with a cross-engine-checkable result:
+    HLL sketch values differ between engines, so the query emits the
+    EXACT distinct count (hash-matches DuckDB; subsumes the former
+    q04_count_distinct — same table and column) plus `approx_ok`, true
+    iff the HLL estimate is within 4x its configured rsd of exact. A
+    sketch regression flips the boolean and fails the driver's value
+    hash, so the approximate operator is verified by the hard gate, not
+    only by in-repo tests."""
     li = _t(spark, sf_dir, "lineitem")
-    return (li.agg(F.approx_count_distinct("l_suppkey").alias("d"))
-              .select(F.col("d").cast("bigint").alias("d")))
+    rsd = 0.05
+    agg = li.agg(F.countDistinct("l_suppkey").alias("exact_d"),
+                 F.approx_count_distinct("l_suppkey", rsd).alias("_a"))
+    err = (F.abs(F.col("_a") - F.col("exact_d")).cast("double")
+           / F.col("exact_d").cast("double"))
+    return agg.select("exact_d", (err <= 4 * rsd).alias("approx_ok"))
 
 
 # --- Q38 array functions (split/size/contains/sort over words) ---
@@ -486,7 +498,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_scan_project": q01_scan_project,
     "q02_filter_count": q02_filter_count,
     "q03_hash_agg": q03_hash_agg,
-    "q04_count_distinct": q04_count_distinct,
+    # q04_count_distinct's check value lives inside q37_approx_distinct
+    # (identical count over the same column) — one driver slot, the
+    # driver checks only the first 50 registered queries
     "q05_inner_join": q05_inner_join,
     "q06_multiway_join": q06_multiway_join,
     "q07_left_join": q07_left_join,
@@ -533,7 +547,6 @@ ORACLE_SQL: dict[str, str] = {
                count(*) AS c
         FROM lineitem GROUP BY l_returnflag, l_linestatus
         ORDER BY l_returnflag, l_linestatus""",
-    "q04_count_distinct": "SELECT count(DISTINCT l_suppkey) AS d FROM lineitem",
     "q05_inner_join": """
         SELECT o_orderpriority, count(*) AS c
         FROM orders JOIN lineitem ON l_orderkey = o_orderkey
@@ -650,8 +663,12 @@ ORACLE_SQL: dict[str, str] = {
                         THEN CAST(l_quantity AS DECIMAL(18,4)) END), 4)
                     AS DOUBLE) AS qty_f
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
-    # q37_approx_distinct: intentionally no oracle — HLL sketches differ
-    # across engines; tests assert the <= 5% error bound vs exact.
+    # q37: HLL sketch values differ across engines, so the oracle pins
+    # the exact count + the error-bound contract (see the query's
+    # docstring); a Spark-side sketch regression flips approx_ok
+    "q37_approx_distinct": """
+        SELECT count(DISTINCT l_suppkey) AS exact_d, TRUE AS approx_ok
+        FROM lineitem""",
     "q38_array_fns": """
         SELECT p_partkey,
                CAST(len(string_split(p_name, ' ')) AS BIGINT) AS n_words,

@@ -129,7 +129,11 @@ def _screen_scored(e: DataFrame, q: DataFrame, k: int,
                 kth = (np.partition(col, -k)[-k] if len(col) > k
                        else -np.inf)
                 qv, qd = qvs[j], qdots[j]
-                for row in np.nonzero(col >= kth - SCREEN_MARGIN)[0]:
+                # isfinite drops the -inf-masked self pairs: when the
+                # batch holds <= k rows kth is -inf, and -inf >= -inf
+                # would otherwise readmit the query as its own neighbor
+                keep = (col >= kth - SCREEN_MARGIN) & np.isfinite(col)
+                for row in np.nonzero(keep)[0]:
                     v = vecs[row]
                     cos = (_seq_dot(qv, v)
                            / math.sqrt(qd * _seq_dot(v, v)))
@@ -186,24 +190,39 @@ def cell_centroids(df: DataFrame, cell_col: str,
                          F.expr("transform(_dm, s -> s.m)").alias("centroid"))
 
 
-def ivf_topk(df: DataFrame, query_pred: Column, k: int = 10, nprobe: int = 3,
+def ivf_topk(df: DataFrame, query_pred: Column, k: int = 10,
+             nprobe: int | None = 3,
              cell_col: str = "label", vec_col: str = "embedding",
              id_col: str = "vec_id") -> DataFrame:
     """Approximate top-k: probe only the `nprobe` cells whose centroid
     is most cosine-similar to the query. `cell_col` is the partitioning
     (here the provided label; in production a k-means assignment or LSH
-    bucket). Returns the same shape as cosine_topk."""
+    bucket). Returns the same shape as cosine_topk.
+
+    `nprobe=None` probes EVERY cell — the IVF machinery (cell routing,
+    per-cell scoring, global rank) with provably exact output, since no
+    corpus row is pruned. That is the driver-checked configuration (an
+    exact answer admits a SQL oracle); pruned-probe recall is asserted
+    in tests.
+    """
     e = _vecs(df, vec_col, id_col, [cell_col])
     cents = cell_centroids(df, cell_col, vec_col, id_col)
     q = e.where(query_pred).select(F.col(id_col).alias("q_id"),
                                    F.col("_v").alias("_qv"))
-    probe_w = W.partitionBy("q_id").orderBy(F.desc("c_cos"), F.col(cell_col))
-    probes = (F.broadcast(q).crossJoin(F.broadcast(cents))
-               .select("q_id", cell_col, "_qv",
-                       cosine(F.col("_qv"), F.col("centroid")).alias("c_cos"))
-               .withColumn("_pr", F.row_number().over(probe_w))
-               .where(F.col("_pr") <= nprobe)
-               .select("q_id", cell_col, "_qv"))
+    if nprobe is None:
+        probes = (F.broadcast(q)
+                   .crossJoin(F.broadcast(cents.select(cell_col)))
+                   .select("q_id", cell_col, "_qv"))
+    else:
+        probe_w = W.partitionBy("q_id").orderBy(F.desc("c_cos"),
+                                                F.col(cell_col))
+        probes = (F.broadcast(q).crossJoin(F.broadcast(cents))
+                   .select("q_id", cell_col, "_qv",
+                           cosine(F.col("_qv"), F.col("centroid"))
+                           .alias("c_cos"))
+                   .withColumn("_pr", F.row_number().over(probe_w))
+                   .where(F.col("_pr") <= nprobe)
+                   .select("q_id", cell_col, "_qv"))
     scored = (probes.join(e, cell_col)
                     .where(F.col("q_id") != F.col(id_col))
                     .select("q_id", id_col,

@@ -167,16 +167,22 @@ def asof_join_filtered(df: DataFrame, left_pred, right_pred,
 
 def _predicates_disjoint_hint(df: DataFrame, left_pred, right_pred) -> bool:
     """Static disjointness check: both predicates are equality tests on
-    the same column against different literals (the dominant
-    event-type-slice pattern). Conservative — false means 'cannot
-    prove disjoint', which routes to the correct-but-two-scan path."""
+    the same column against different QUOTED STRING literals (the
+    dominant event-type-slice pattern). Only the quoted form counts:
+    an unquoted right-hand side in Column.__repr__ is ambiguous — a
+    column reference (=(a, b)) or a numeric literal (=(k, 5), where 5
+    and 5.0 print differently yet compare equal) — so certifying it
+    could route overlapping predicates to the one-scan frame that
+    cannot represent a both-sides row. Conservative — false means
+    'cannot prove disjoint', which routes to the correct-but-two-scan
+    path."""
     try:
         l, r = str(left_pred._jc), str(right_pred._jc)
     except Exception:  # pragma: no cover - py4j internals shifted
         return False
     import re
     # Column.__repr__ prints prefix form: =(event_type, 'click')
-    pat = r"=\((\w+), ('[^']*'|[\w.-]+)\)"
+    pat = r"=\((\w+), '([^']*)'\)"
     m_l = re.fullmatch(pat, l)
     m_r = re.fullmatch(pat, r)
     return (bool(m_l) and bool(m_r) and m_l.group(1) == m_r.group(1)

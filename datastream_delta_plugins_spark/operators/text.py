@@ -6,7 +6,15 @@ column expressions (whole-stage codegen, no UDFs).
   token_count    BPE-ish regex tokenization count
   fingerprint    md5 content fingerprint + min-shingle-hash (rolling-
                  hash analog) for containment-style matching
-"""
+  text_profile   text_stats + token_count + quality_score in ONE
+                 projection (one scan, no joins)
+  doc_signature  lang_id + fingerprint in ONE projection
+
+The combined forms exist because every output column is row-local:
+joining the fine-grained operators on doc_id would re-scan and
+re-tokenize the corpus once per operator plus shuffle for each join —
+at corpus scale that triples the dominant I/O+tokenize cost for zero
+semantic gain."""
 
 from __future__ import annotations
 
@@ -108,6 +116,72 @@ def quality_score(df: DataFrame, text_col: str = "text",
                        punct_ratio.alias("punct_ratio"),
                        distinct_ratio.alias("distinct_ratio"),
                        keep.alias("keep"))
+
+
+def text_profile(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """text_stats + token_count + quality_score columns from a single
+    projection: one scan, one tokenization, zero joins. (The `_t`/`_w`
+    aliases are referenced many times, so CollapseProject keeps the
+    staging projection — normalization and the split run once per row.)
+    """
+    w = words_col(text_col)
+    base = df.select(F.col(id_col), norm_text(text_col).alias("_t"),
+                     w.alias("_w"))
+    n_tok = F.size("_w").cast("bigint")
+    char_sum = F.aggregate(F.transform(F.col("_w"), F.length),
+                           F.lit(0), lambda acc, x: acc + x)
+    avg_len = char_sum.cast("double") / n_tok.cast("double")
+    stop_ratio = (_count_in(F.col("_w"), STOPWORDS).cast("double")
+                  / n_tok.cast("double"))
+    n_bpe = F.size(F.regexp_extract_all(
+        F.col("_t"), F.lit(TOKEN_PATTERN), 0)).cast("bigint")
+    punct_ratio = (F.size(F.regexp_extract_all(
+                       F.col("_t"), F.lit(PUNCT_PATTERN), 0)).cast("double")
+                   / F.length("_t").cast("double"))
+    distinct_ratio = (F.size(F.array_distinct("_w")).cast("double")
+                      / n_tok.cast("double"))
+    keep = ((n_tok >= 10) & (avg_len >= 2.0) & (avg_len <= 12.0)
+            & (stop_ratio >= 0.05) & (distinct_ratio >= 0.3))
+    return base.select(
+        id_col,
+        n_tok.alias("n_tokens"),
+        F.length("_t").cast("bigint").alias("n_chars"),
+        avg_len.alias("avg_token_len"),
+        stop_ratio.alias("stopword_ratio"),
+        n_bpe.alias("n_bpe_tokens"),
+        punct_ratio.alias("punct_ratio"),
+        distinct_ratio.alias("distinct_ratio"),
+        keep.alias("keep"))
+
+
+def doc_signature(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """lang_id + fingerprint columns from a single projection. The
+    min-shingle-hash is row-local here (array_min over the per-row
+    distinct-shingle array) instead of fingerprint()'s explode +
+    groupBy + join — same values, no shuffle. Docs shorter than `n`
+    words get NULL, matching fingerprint()'s left join."""
+    w = words_col(text_col)
+    base = df.select(F.col(id_col), norm_text(text_col).alias("_t"),
+                     w.alias("_w"))
+    scores = {lang: _count_in(F.col("_w"), m).cast("bigint")
+              for lang, m in LANG_MARKERS.items()}
+    m = F.greatest(*scores.values())
+    pred = None
+    for lang, s in scores.items():  # fixed priority order on ties
+        pred = F.when(s == m, lang) if pred is None else pred.when(s == m, lang)
+    parts = " , ".join(f"_w[i + {k}]" for k in range(n))
+    sh = F.expr(
+        f"array_distinct(transform(sequence(0, size(_w) - {n}), "
+        f"i -> concat_ws(' ', {parts})))")
+    min_sh = F.when(F.size("_w") >= n,
+                    F.array_min(F.transform(sh, lambda s: hash32(s))))
+    return base.select(id_col,
+                       pred.alias("pred_lang"),
+                       m.alias("score"),
+                       F.md5(F.col("_t").cast("binary")).alias("fp"),
+                       min_sh.alias("min_shingle_hash"))
 
 
 def token_count(df: DataFrame, text_col: str = "text",

@@ -16,8 +16,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-#: fallback when the session threshold is unset/disabled (-1): Spark's
-#: default autoBroadcastJoinThreshold (10 MiB).
+#: fallback when the session threshold is unset: Spark's default
+#: autoBroadcastJoinThreshold (10 MiB). An EXPLICITLY disabled
+#: threshold (-1 / 0) means "never hint" — see auto_broadcast.
 _DEFAULT_THRESHOLD = 10 * 1024 * 1024
 
 
@@ -40,8 +41,12 @@ def auto_broadcast(df: DataFrame, threshold: int | None = None) -> DataFrame:
     if threshold is None:
         conf = df.sparkSession.conf.get(
             "spark.sql.autoBroadcastJoinThreshold", str(_DEFAULT_THRESHOLD))
-        t = _parse_bytes(conf)
-        threshold = t if t > 0 else _DEFAULT_THRESHOLD
+        threshold = _parse_bytes(conf)
+        if threshold <= 0:
+            # session explicitly disabled broadcast joins (e.g. after a
+            # driver OOM): an explicit hint would bypass that decision,
+            # so never hint — AQE/SMJ handles the join
+            return df
     return F.broadcast(df) if plan_size_bytes(df) <= threshold else df
 
 

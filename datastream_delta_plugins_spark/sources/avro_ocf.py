@@ -328,6 +328,22 @@ def _pd():
     return pd
 
 
+def _num_sort_key(v, pos: int, fpath: str):
+    """Coerce one sort-key entry to long for a numeric output position
+    (union[string,long] — a string branch carrying digits is fine; a
+    non-numeric string at a numeric position cannot be ordered and gets
+    a descriptive error instead of a bare int() traceback)."""
+    if v is None:
+        return None
+    try:
+        return int(v)
+    except (TypeError, ValueError):
+        raise ValueError(
+            f"{fpath}: sort_keys[{pos}] = {v!r} is a non-numeric string "
+            f"at a numeric sort-key position — CDC ordering needs a "
+            f"long here; fix the producer or remap sort columns") from None
+
+
 def read_avro_changes(spark, path: str, columns=None, avro_schema=None):
     """Distributed Avro change-file ingestion: binaryFile scan ->
     mapInPandas decode -> the flattened change schema of
@@ -425,15 +441,15 @@ def read_avro_changes(spark, path: str, columns=None, avro_schema=None):
                     # branch is legal at ANY position, so coerce to the
                     # output column types (long/long/string/long) — a
                     # string-branch "20" at position 1 must not poison
-                    # the Arrow batch
-                    cols["_sk1"].append(None if sk[0] is None
-                                        else int(sk[0]))
-                    cols["_sk2"].append(None if sk[1] is None
-                                        else int(sk[1]))
+                    # the Arrow batch. A string that is NOT numeric at
+                    # a numeric position cannot be ordered as a long;
+                    # fail with the file/position, not a bare int()
+                    # traceback (same style as the drift error above).
+                    cols["_sk1"].append(_num_sort_key(sk[0], 0, fpath))
+                    cols["_sk2"].append(_num_sort_key(sk[1], 1, fpath))
                     cols["_sk3"].append(None if sk[2] is None
                                         else str(sk[2]))
-                    cols["_sk4"].append(None if sk[3] is None
-                                        else int(sk[3]))
+                    cols["_sk4"].append(_num_sort_key(sk[3], 3, fpath))
                     p = r.get("payload") or {}
                     for n, _t in payload_fields:
                         cols[n].append(p.get(n))

@@ -153,8 +153,14 @@ class CdcPipeline:
         self.doc.save()
 
     def _backfill_complete(self) -> bool:
-        return self.doc.get(state_keys.k_backfill_status(self.table),
-                            BACKFILL_COMPLETED) == BACKFILL_COMPLETED
+        """True only when a status was EXPLICITLY recorded as COMPLETED
+        (TableConfig seed or mark_backfill). The reference always has a
+        real polled job status; with no report at all we cannot know the
+        dump finished, so an unreported status holds the barrier — a
+        stream started before the first dump file lands must not flip
+        snapshot.done on its first (empty) scan."""
+        return self.doc.get(state_keys.k_backfill_status(self.table)) \
+            == BACKFILL_COMPLETED
 
     def _update_snapshot_barrier(self, snap_rows_in_batch: int) -> None:
         """Streaming form of the reference's completion rule: dump rows

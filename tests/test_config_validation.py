@@ -106,6 +106,11 @@ def test_assess_environment_problems(tmp_path):
     assert assess_environment(
         [TableConfig("ok", str(good) + "/*", ["id"])],
         str(tmp_path / "work")) == []
+    # a file-prefix glob probes the CONTAINING directory, not the
+    # nonexistent prefix path 'src/part-'
+    assert assess_environment(
+        [TableConfig("glob", str(good) + "/part-*.avro", ["id"])],
+        str(tmp_path / "work")) == []
     # work dir rooted under a FILE: its existing ancestor is not a
     # directory, so state/checkpoints cannot be created there
     f = tmp_path / "plainfile"

@@ -135,6 +135,31 @@ def test_cosine_topk_empty_query_set(spark, sf_correctness):
     assert similarity.cosine_topk(emb, F.lit(False), k=3).count() == 0
 
 
+def test_cosine_topk_small_batch_excludes_self(spark):
+    """Regression: when an Arrow batch holds <= k rows, the partition
+    k-th-best is -inf and the masked self pair (-inf >= -inf) used to
+    pass the screen, emitting the query as its own cos=1.0 neighbor."""
+    rows = [(i, [float(i + 1), 1.0, 0.5]) for i in range(4)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>") \
+              .coalesce(1)
+    out = similarity.cosine_topk(df, F.col("vec_id") == 0, k=5)
+    got = [(r["q_id"], r["vec_id"]) for r in out.collect()]
+    assert all(q != v for q, v in got)
+    assert len(got) == 3  # every non-self row, ranked
+
+
+def test_ivf_exhaustive_probe_equals_bruteforce(spark, sf_correctness):
+    """nprobe=None probes every cell -> IVF output must be identical
+    (pairs AND cosine values) to the exact brute-force top-k."""
+    emb = load_table(spark, sf_correctness, "embeddings")
+    pred = F.col("vec_id") % 50 == 0
+    brute = {(r["q_id"], r["rn"]): (r["vec_id"], r["cos"]) for r in
+             similarity.cosine_topk(emb, pred, k=5).collect()}
+    ivf = {(r["q_id"], r["rn"]): (r["vec_id"], r["cos"]) for r in
+           similarity.ivf_topk(emb, pred, k=5, nprobe=None).collect()}
+    assert brute and ivf == brute
+
+
 def test_sum_s4_exact_at_scale8(spark):
     """_sum_s4 must be exact for frac_digits=8 across the documented
     <=4-decimal-digit input domain: a dividend/divisor typing that lets

@@ -71,6 +71,26 @@ def test_q33_sliding_window_has_partial_agg(spark, sf_smoke):
     assert "partial_" in plan  # map-side combine before the shuffle
 
 
+def test_auto_broadcast_respects_disabled_threshold(spark, sf_smoke):
+    """autoBroadcastJoinThreshold=-1 means the session FORBIDS broadcast
+    joins; auto_broadcast must not re-enable them via an explicit hint
+    (it used to substitute the 10 MiB default and hint anyway)."""
+    from datastream_delta_plugins_spark.plans.hints import auto_broadcast
+    from datastream_delta_plugins_spark.sources.tables import load_table
+    df = load_table(spark, sf_smoke, "nation")
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    old = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "-1")
+        hinted = auto_broadcast(df)
+        assert "ResolvedHint" not in hinted._jdf.queryExecution() \
+            .analyzed().toString()
+    finally:
+        spark.conf.set(key, old)
+    assert "ResolvedHint" in auto_broadcast(df)._jdf.queryExecution() \
+        .analyzed().toString()
+
+
 def test_presentation_sort_routes_by_size_estimate(spark, sf_smoke):
     """Small results sort on one task (no range-sampling pass); a
     zero threshold simulates the 100TB estimate and must keep the

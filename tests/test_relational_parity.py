@@ -21,10 +21,12 @@ def test_parity(name, spark, duck, sf_correctness):
 
 
 def test_q37_approx_distinct_error_bound(spark, sf_correctness):
-    """HLL sketches differ across engines (no SQL oracle); assert the
-    default-precision error bound against the exact count instead."""
-    exact = relational.QUERIES["q04_count_distinct"](
-        spark, sf_correctness).first()["d"]
-    approx = relational.QUERIES["q37_approx_distinct"](
-        spark, sf_correctness).first()["d"]
-    assert abs(approx - exact) / exact <= 0.05
+    """q37 carries the exact distinct count (the former q04, same
+    column) plus the HLL error-bound boolean; both must agree with the
+    standalone q04 operator."""
+    r = relational.QUERIES["q37_approx_distinct"](
+        spark, sf_correctness).first()
+    exact = relational.q04_count_distinct(spark, sf_correctness) \
+        .first()["d"]
+    assert r["exact_d"] == exact
+    assert r["approx_ok"]

@@ -68,8 +68,11 @@ def test_stream_snapshot_then_cdc(spark, pipe):
     assert pipe.doc.get(sk.DB_CREATED) == "true"
 
     # second micro-batch run: update + delete + insert; checkpoint must
-    # skip the already-seen snapshot file. The dump-free batch (with the
-    # default COMPLETED backfill status) releases the snapshot barrier.
+    # skip the already-seen snapshot file. Once the backfill job reports
+    # COMPLETED, the dump-free batch releases the snapshot barrier.
+    from datastream_delta_plugins_spark.streaming.pipeline import (
+        BACKFILL_COMPLETED)
+    pipe.mark_backfill(BACKFILL_COMPLETED)
     _write(spark, f"{src}/f2_oracle-cdc-logminer_1",
            ("oracle-cdc-logminer", "UPDATE", 10, 1, "a2"),
            ("oracle-cdc-logminer", "DELETE", 11, 2, "b"),
@@ -474,12 +477,19 @@ def test_zero_dump_table_completes_barrier(spark, tmp_path):
     the first dump-free scan — requiring a dump row to have been seen
     would hang the all-dumps barrier forever."""
     src = str(tmp_path / "src")
+    from datastream_delta_plugins_spark.streaming.pipeline import (
+        BACKFILL_COMPLETED)
     pipe = CdcPipeline(spark, "t1", src + "/*", str(tmp_path / "work"),
                        pk_cols=["id"])
-    # CDC-only batch: zero snapshot rows, backfill COMPLETED (default)
+    # CDC-only batch, zero snapshot rows; with NO status reported yet
+    # the barrier must hold (a stream can start before the dump lands)
     df = spark.createDataFrame(
         _rows(("oracle-cdc-logminer", "INSERT", 1, 1, "x")), CHANGE_SCHEMA)
     pipe.apply_batch(df, 0)
+    assert pipe.doc.get(sk.k_snapshot_done("t1")) is None
+    # the job reports COMPLETED -> the next dump-free scan releases it
+    pipe.mark_backfill(BACKFILL_COMPLETED)
+    pipe.apply_batch(spark.createDataFrame([], CHANGE_SCHEMA), 1)
     assert pipe.doc.get(sk.k_snapshot_done("t1")) == "true"
 
     # ... but a RUNNING backfill still holds the barrier on an

@@ -118,6 +118,23 @@ def test_asof_join_filtered_overlapping_predicates_fall_back(spark):
     assert got[2] == (_ts(9), 90.0)
 
 
+def test_disjoint_hint_rejects_ambiguous_predicates(spark):
+    """Only equality against QUOTED string literals is certifiable:
+    Column.__repr__ prints a column reference and a numeric literal the
+    same way (=(a, b) / =(k, 5)), so col-vs-col predicates and numeric
+    literals (where 5 and 5.0 print differently yet compare equal) must
+    NOT be certified disjoint — they route to the two-scan fallback."""
+    df = spark.createDataFrame([(1, 1, 1, "x")], "a int, b int, c int, t string")
+    hint = temporal._predicates_disjoint_hint
+    # column refs: a row with a=b=c satisfies both predicates
+    assert not hint(df, F.col("a") == F.col("b"), F.col("a") == F.col("c"))
+    # numeric literals: 5 vs 5.0 differ textually but compare equal
+    assert not hint(df, F.col("a") == 5, F.col("a") == 5.0)
+    # distinct string literals on one column: genuinely disjoint
+    assert hint(df, F.col("t") == "x", F.col("t") == "y")
+    assert not hint(df, F.col("t") == "x", F.col("t") == "x")
+
+
 def test_session_agg_gap_boundary(spark):
     # events at 0, 29m59s (same session), then 60m (new: gap >= 30m)
     df = spark.createDataFrame(
