@@ -26,10 +26,11 @@ BROADCAST_TABLES = frozenset({"region", "nation"})
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-        # reader rejects. Read it as long (legacy conf, runtime-settable)
-        # and convert ns -> us with exact integer division; TIMESTAMP_NTZ
-        # matches DuckDB's naive reading of the same file.
+        # events.ts has varied across driver data generations: parquet
+        # TIMESTAMP(NANOS) (which Spark's vectorized reader rejects —
+        # the legacy conf reads it as long ns) or native TIMESTAMP(US).
+        # Normalize both to TIMESTAMP_NTZ, matching DuckDB's naive
+        # reading of the same file.
         # NOTE: the conf is session-global BY DESIGN (get_spark sets it
         # up front; this set covers externally-built sessions). It must
         # stay on for the lifetime of the returned lazy DataFrame — a
@@ -38,9 +39,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # long, and conversion is cast-on-use like this one.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        return df.withColumn(
-            "ts",
-            F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"))
+        if dict(df.dtypes)["ts"] == "bigint":  # nanos generation
+            return df.withColumn(
+                "ts",
+                F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"))
+        return df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
     return spark.read.parquet(path)
 
 

@@ -1,0 +1,37 @@
+"""Driver-simulation sweep: every query registered in
+``__spark_entry__.queries()`` must hash-match its ``oracle_sql()`` entry
+at sf0.01 — exactly the check the per-round correctness driver performs
+(row count, column-name schema, order-insensitive value compare with
+columns sorted by name).
+
+This is the local pre-flight for CORRECTNESS_r{N}.json: a query that
+passes here cannot hash-fail in the driver short of environment skew.
+"""
+
+import pytest
+
+import __spark_entry__ as entry
+from datastream_delta_plugins_spark.testing import assert_parity, duck_connection
+
+QUERIES = entry.queries()
+ORACLES = entry.oracle_sql()
+
+
+def test_registry_is_fully_oracle_backed():
+    """The driver checks only the first 50 registered queries; we keep
+    EXACTLY 50, each with an oracle, so nothing escapes the hard gate."""
+    assert len(QUERIES) == 50
+    assert set(ORACLES) == set(QUERIES)
+
+
+@pytest.fixture(scope="module")
+def duck(sf_correctness):
+    con = duck_connection(sf_correctness)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", list(QUERIES))
+def test_driver_parity(name, spark, duck, sf_correctness):
+    df = QUERIES[name](spark, sf_correctness)
+    assert_parity(df, duck, ORACLES[name], name)
