@@ -4,8 +4,12 @@ The reference's only sink is the Delta event emitter (S6,
 DatastreamEventReader.java:770-782) — covered by
 streaming/pipeline.py. This package adds the storage-layout side a
 100 TB Spark deployment needs: hash-bucketed tables whose joins and
-aggregations skip the shuffle entirely.
+aggregations skip the shuffle entirely, and time-partitioned landing
+tables with partition pruning + small-file compaction.
 """
 
 from .bucketed import (  # noqa: F401
     bucket_spec, write_bucketed)
+from .partitioned import (  # noqa: F401
+    compact_partitions, read_time_window, with_time_partitions,
+    write_time_partitioned)

@@ -1,0 +1,92 @@
+"""Time-partitioned sink tests: the pruning contract (a time-window
+read must plan PartitionFilters and touch only the window's
+directories) and the compaction contract (small-file partitions merge
+to target-sized files; untouched partitions keep their files
+byte-identical; data survives unchanged)."""
+
+import datetime
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from datastream_delta_plugins_spark.sinks import (
+    compact_partitions, read_time_window, write_time_partitioned)
+from datastream_delta_plugins_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def part_path(spark, sf_smoke, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("tp") / "events")
+    ev = load_table(spark, sf_smoke, "events")
+    write_time_partitioned(ev, path, "ts", granularity="hour",
+                           mode="overwrite")
+    return path
+
+
+def _data_files(path):
+    out = []
+    for root, _, files in os.walk(path):
+        out.extend(os.path.join(root, f) for f in files
+                   if not f.startswith(("_", ".")))
+    return out
+
+
+def test_roundtrip_row_count(spark, sf_smoke, part_path):
+    ev = load_table(spark, sf_smoke, "events")
+    got = spark.read.parquet(part_path)
+    assert got.count() == ev.count()
+    # partition dirs are hive-style p_date=/p_hour=
+    assert any("p_date=" in f and "p_hour=" in f
+               for f in _data_files(part_path))
+
+
+def test_window_read_prunes_partitions(spark, sf_smoke, part_path):
+    ev = load_table(spark, sf_smoke, "events")
+    lo = ev.agg(F.min("ts")).collect()[0][0]
+    start = (lo + datetime.timedelta(hours=5)).replace(
+        minute=0, second=0, microsecond=0)
+    end = start + datetime.timedelta(hours=3)
+    df = read_time_window(spark, part_path, start=start, end=end)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # predicate reached the file index, not a post-scan Filter
+    assert "PartitionFilters: [" in plan
+    assert plan.split("PartitionFilters: [", 1)[1].lstrip() != "]"
+    # pruned read == timestamp-filtered full read
+    expect = (spark.read.parquet(part_path)
+              .where((F.col("ts") >= start) & (F.col("ts") < end)).count())
+    assert df.count() == expect > 0
+
+
+def test_compaction_merges_small_files(spark, sf_smoke, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("tpc") / "events")
+    ev = load_table(spark, sf_smoke, "events")
+    # simulate the 15s-rotation reality: many tiny files per partition
+    write_time_partitioned(ev.repartition(8), path, "ts",
+                           granularity="hour", mode="overwrite")
+    before = spark.read.parquet(path)
+    before_rows = sorted(map(tuple, before.select("event_id").collect()))
+    n_before = len(_data_files(path))
+
+    report = compact_partitions(spark, path, cluster_by=["user_id"])
+    assert report["partitions"] > 0
+    assert report["files_after"] < report["files_before"]
+    assert len(_data_files(path)) < n_before
+
+    after = spark.read.parquet(path)
+    assert sorted(map(tuple, after.select("event_id").collect())) \
+        == before_rows
+
+
+def test_compaction_skips_compacted_partitions(spark, sf_smoke,
+                                               tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("tpi") / "events")
+    ev = load_table(spark, sf_smoke, "events")
+    write_time_partitioned(ev.repartition(8), path, "ts",
+                           granularity="hour", mode="overwrite")
+    compact_partitions(spark, path)
+    files = {f: os.path.getmtime(f) for f in _data_files(path)}
+    # second run: nothing qualifies, no partition is rewritten
+    report = compact_partitions(spark, path)
+    assert report["partitions"] == 0
+    assert {f: os.path.getmtime(f) for f in _data_files(path)} == files
