@@ -347,6 +347,104 @@ def embedding_neardup_pairs_brute(df: DataFrame, threshold: float,
              .where(F.col("cos") >= threshold))
 
 
+def hyperplane_signatures(df: DataFrame, vec_col: str = "embedding",
+                          id_col: str = "vec_id", n_bits: int = 16,
+                          seed: int = 42) -> DataFrame:
+    """Sign-random-projection (SimHash-for-vectors) signature per row:
+    bit k of `sig` = [dot(v, h_k) >= 0] for `n_bits` seeded Gaussian
+    hyperplanes.
+
+    The projection is a dense matmul per row — exactly the shape the
+    MinHash lesson says NOT to express as Catalyst higher-order-function
+    folds (interpreted per element, n_bits passes per vector). It runs
+    as an Arrow-batched mapInPandas with one numpy `m @ H.T` per batch;
+    the hyperplane matrix is regenerated inside each task from the seed
+    (n_bits x dim doubles — nothing is shipped), so signatures are
+    deterministic across tasks, runs, and partitionings.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def gen(batches):
+        H = None
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            m = np.array(list(pdf[vec_col]), dtype=np.float64)
+            if H is None:
+                H = np.random.default_rng(seed) \
+                    .standard_normal((n_bits, m.shape[1]))
+            bits = (m @ H.T) >= 0.0
+            sig = (bits.astype(np.int64)
+                   << np.arange(n_bits, dtype=np.int64)).sum(axis=1)
+            yield pd.DataFrame({
+                id_col: pdf[id_col].to_numpy(dtype=np.int64),
+                "sig": sig})
+
+    return df.select(id_col, vec_col).mapInPandas(
+        gen, f"{id_col} long, sig long")
+
+
+def hyperplane_lsh_pairs(df: DataFrame, threshold: float,
+                         vec_col: str = "embedding",
+                         id_col: str = "vec_id",
+                         n_bits: int = 16, n_bands: int = 4,
+                         seed: int = 42) -> DataFrame:
+    """APPROXIMATE embedding near-dup pairs via banded sign-LSH,
+    exact-cosine verified (no false positives; recall is the banding
+    probability).
+
+    This is the probabilistic counterpart to `embedding_neardup_pairs`:
+    the cell-pruned path is exact but its pruning power tracks how
+    clustered the corpus is — on an isotropic (worst-case) corpus most
+    cell pairs survive the triangle bound and candidate generation
+    degrades toward all cell pairs. Banded sign-LSH bounds candidates
+    by hash collisions instead: two rows are candidates iff all
+    `n_bits/n_bands` sign bits of some band agree. For a pair at angle
+    theta, P[band] = (1-theta/pi)^r, recall = 1-(1-P[band])^n_bands —
+    at cos>=0.95 with 4x4 banding that is ~0.985, rising toward 1 as
+    cos -> 1 (true duplicates). Verification re-scores candidates with
+    the SAME sequential cosine fold as the brute/oracle path, so
+    emitted values are bitwise identical to it.
+
+    Scale shape: signatures are one Arrow matmul pass (narrow), banding
+    is an explode + equi-join keyed on (band, value) — a keyed shuffle
+    whose volume is collisions, never n^2 — and verify touches only
+    candidate rows. All knobs trade recall vs candidate volume
+    publicly: more bands = more recall + more collisions.
+    """
+    if n_bits % n_bands:
+        raise ValueError(f"n_bands={n_bands} must divide n_bits={n_bits}")
+    rows_per_band = n_bits // n_bands
+    sig = _persist_tracked(
+        "hplsh.signatures",
+        hyperplane_signatures(df, vec_col, id_col, n_bits, seed))
+    mask = (1 << rows_per_band) - 1
+    bands = (sig.select(
+                 F.col(id_col),
+                 F.explode(F.array(*[
+                     F.struct(F.lit(b).alias("band"),
+                              F.shiftright("sig", rows_per_band * b)
+                               .bitwiseAND(mask).alias("bv"))
+                     for b in range(n_bands)])).alias("e"))
+             .select(id_col, "e.band", "e.bv"))
+    cand = (bands.alias("a")
+            .join(bands.alias("b"), ["band", "bv"])
+            .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .select(F.col(f"a.{id_col}").alias("i"),
+                    F.col(f"b.{id_col}").alias("j"))
+            .distinct())
+    e = df.select(F.col(id_col),
+                  F.transform(vec_col, lambda x: x.cast("double"))
+                   .alias("_v"))
+    a = e.select(F.col(id_col).alias("i"), F.col("_v").alias("_va"))
+    b = e.select(F.col(id_col).alias("j"), F.col("_v").alias("_vb"))
+    return (cand.join(a, "i").join(b, "j")
+                .select("i", "j",
+                        cosine(F.col("_va"), F.col("_vb")).alias("cos"))
+                .where(F.col("cos") >= threshold))
+
+
 def embedding_neardup_pairs(df: DataFrame, threshold: float,
                             vec_col: str = "embedding",
                             id_col: str = "vec_id",

@@ -197,3 +197,39 @@ def test_quality_score_keep_rule(spark):
     assert got[3]["keep"] is False
     assert got[3]["distinct_ratio"] < 0.1
     assert 0.0 <= got[1]["punct_ratio"] < 0.1
+
+
+def test_hyperplane_lsh_recall_and_exactness(spark, sf_correctness):
+    """Sign-LSH near-dup: no false positives (verified), high recall on
+    the planted near-dup pairs (cos -> 1 => band-match prob -> 1), and
+    deterministic across runs (seeded hyperplanes regenerated per
+    task)."""
+    emb = load_table(spark, sf_correctness, "embeddings")
+    # the fixture's planted pairs sit at cos ~0.45-0.51 (a WIDE angle:
+    # theta ~1.1 rad) — banding must be 8 bands x 2 rows for ~0.99
+    # expected recall there; the 4x4 default targets cos>=0.9 dup-grade
+    # thresholds
+    thr = 0.45
+    kw = dict(n_bits=16, n_bands=8)
+    brute = {(r["i"], r["j"]) for r in
+             dedup.embedding_neardup_pairs_brute(emb, thr).collect()}
+    got1 = dedup.hyperplane_lsh_pairs(emb, thr, **kw).collect()
+    got = {(r["i"], r["j"]) for r in got1}
+    assert brute, "fixture should contain planted near-dup pairs"
+    assert got <= brute              # verify step: zero false positives
+    assert len(got) / len(brute) >= 0.8   # 8x2 banding recall
+    got2 = {(r["i"], r["j"]) for r in
+            dedup.hyperplane_lsh_pairs(emb, thr, **kw).collect()}
+    assert got == got2               # determinism
+
+    # verified values are bitwise identical to the brute/oracle fold
+    bvals = {(r["i"], r["j"]): r["cos"] for r in
+             dedup.embedding_neardup_pairs_brute(emb, thr).collect()}
+    for r in got1:
+        assert bvals[(r["i"], r["j"])] == r["cos"]
+
+
+def test_hyperplane_lsh_rejects_bad_banding(spark, sf_correctness):
+    emb = load_table(spark, sf_correctness, "embeddings")
+    with pytest.raises(ValueError):
+        dedup.hyperplane_lsh_pairs(emb, 0.9, n_bits=16, n_bands=5)
