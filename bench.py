@@ -71,16 +71,18 @@ def main() -> None:
     # the per-query min is far more likely to catch a quiet window for
     # every query. Adaptive N: keep passing while the best-total still
     # improves >1% (a converged total means every query has seen a
-    # quiet window), min 3 / max 8 passes.
+    # quiet window), min 4 / max 12 passes — bursts here last several
+    # seconds, so a low pass cap risks reporting a burst as the
+    # minimum for whichever query it straddled.
     best: dict[str, float] = {}
     prev_total = float("inf")
-    for p in range(8):
+    for p in range(12):
         for short, name, registry in HEADLINE:
             dt = run(short, name, registry)
             if dt < best.get(short, float("inf")):
                 best[short] = dt
         cur_total = sum(best.values())
-        if p >= 2 and cur_total > prev_total * 0.99:
+        if p >= 3 and cur_total > prev_total * 0.99:
             break
         prev_total = cur_total
 

@@ -1,0 +1,197 @@
+"""Manifest-based bucketed state table: CDC merges that rewrite only
+the PK-hash buckets a batch touches.
+
+Why: `CdcPipeline`'s versioned-directory state rewrites the WHOLE
+table every micro-batch — correct, but at 100 TB a 30 s trigger
+cannot rewrite 100 TB. The industry answer is a table format whose
+commit is a metadata swap over immutable files (Delta/Iceberg MERGE).
+This module is that shape in ~150 lines, built only on parquet + an
+atomic pointer:
+
+  - rows are hash-assigned to `n_buckets` PK buckets
+    (pmod(xxhash64(pk), n)) — the same bucket function every commit,
+    so a PK always lives in exactly one bucket;
+  - a commit re-merges ONLY the buckets containing batch PKs
+    (partition-pruned read of those bucket dirs + the sort-key-correct
+    `cdc.merge_batch`), writes their new files under `data/v{N}/`,
+    and publishes a manifest mapping every bucket to its CURRENT
+    directory — untouched buckets keep pointing at files written by
+    earlier commits, byte-identical, never copied;
+  - the manifest pointer swap (`os.replace`) is the commit: readers
+    see the old complete version or the new complete version, never a
+    mix. A crash mid-commit leaves orphan data dirs that `vacuum()`
+    collects — a broken table is impossible.
+
+Per-batch cost is therefore O(touched buckets + batch), not O(state):
+with 4096 buckets and a batch touching 1% of keys, ~41 bucket merges
+run instead of a full rewrite. Bucket count is a layout constant (like
+`bucketBy`): pick ~(state bytes / 256 MB) at target scale.
+
+Reference parity: this is the engine-side materialization of the
+target-merge semantics the reference delegates downstream
+(docs/OracleDatastream-cdcSource.md:117-119), with the reference's
+offset-commit atomicity discipline (offsets commit AFTER data lands,
+DatastreamEventReader.java:213-227) applied to the manifest swap.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..envelope import SORT_KEY_COLS
+from ..operators import cdc
+
+_BUCKET = "_state_bucket"
+
+
+class BucketedStateTable:
+    """Single-writer bucketed CDC state table at `path`."""
+
+    def __init__(self, spark: SparkSession, path: str,
+                 pk_cols: Sequence[str],
+                 sort_cols: Sequence[str] = SORT_KEY_COLS,
+                 n_buckets: int = 16):
+        self.spark = spark
+        self.path = path
+        self.pk_cols = list(pk_cols)
+        self.sort_cols = list(sort_cols)
+        self.n_buckets = n_buckets
+        os.makedirs(os.path.join(path, "manifest"), exist_ok=True)
+
+    # -- manifest plumbing --
+
+    def version(self) -> int:
+        ptr = os.path.join(self.path, "CURRENT")
+        if not os.path.exists(ptr):
+            return -1
+        with open(ptr) as f:
+            return int(f.read().strip())
+
+    def _manifest(self, v: int) -> dict[str, str]:
+        with open(os.path.join(self.path, "manifest", f"v{v}.json")) as f:
+            doc = json.load(f)
+        if doc.get("n_buckets") != self.n_buckets:
+            raise ValueError(
+                f"table at {self.path} was written with "
+                f"n_buckets={doc.get('n_buckets')}, opened with "
+                f"{self.n_buckets} — the bucket function is a layout "
+                f"constant")
+        return doc["buckets"]
+
+    def current_manifest(self) -> dict[str, str]:
+        v = self.version()
+        return {} if v < 0 else self._manifest(v)
+
+    def _commit(self, buckets: dict[str, str]) -> int:
+        v = self.version() + 1
+        doc = {"version": v, "n_buckets": self.n_buckets,
+               "buckets": buckets}
+        mpath = os.path.join(self.path, "manifest", f"v{v}.json")
+        with open(mpath, "w") as f:
+            json.dump(doc, f, indent=1, sort_keys=True)
+        tmp = os.path.join(self.path, "CURRENT.tmp")
+        with open(tmp, "w") as f:
+            f.write(str(v))
+        os.replace(tmp, os.path.join(self.path, "CURRENT"))
+        return v
+
+    def _read_dirs(self, dirs: Sequence[str]) -> DataFrame | None:
+        if not dirs:
+            return None
+        paths = [os.path.join(self.path, d) for d in dirs]
+        # mergeSchema: buckets written before a schema drift lack the
+        # new columns; merged read nulls them (mergeSchema semantics,
+        # same contract as CdcPipeline._evolve)
+        return (self.spark.read.option("mergeSchema", "true")
+                .parquet(*paths))
+
+    def read(self) -> DataFrame | None:
+        """Current state (all buckets), or None before the first commit."""
+        return self._read_dirs(sorted(self.current_manifest().values()))
+
+    # -- the merge --
+
+    def _bucket_of(self):
+        return F.pmod(F.xxhash64(*self.pk_cols),
+                      F.lit(self.n_buckets)).cast("int")
+
+    def merge(self, batch_df: DataFrame) -> dict:
+        """Fold one change batch into the table; returns
+        {"version", "touched_buckets"}.
+
+        The batch's PKs are hashed to buckets and the sort-key-correct
+        `cdc.merge_batch` runs against ONLY those bucket dirs. The
+        distinct-bucket collect is bounded by n_buckets (ints), never
+        by batch or state size.
+        """
+        batch_df.persist()
+        try:
+            touched = sorted(
+                r[0] for r in
+                batch_df.select(self._bucket_of().alias(_BUCKET))
+                        .distinct().collect())
+            if not touched:
+                return {"version": self.version(), "touched_buckets": []}
+            manifest = self.current_manifest()
+            cur = self._read_dirs(
+                [manifest[str(b)] for b in touched if str(b) in manifest])
+            if cur is None:
+                merged = cdc.materialize(batch_df, self.pk_cols,
+                                         self.sort_cols,
+                                         keep_sort_keys=True)
+            else:
+                merged = cdc.merge_batch(cur, batch_df,
+                                         self.pk_cols, self.sort_cols)
+            merged = merged.withColumn(_BUCKET, self._bucket_of())
+            v_next = self.version() + 1
+            data_dir = os.path.join(self.path, "data", f"v{v_next}")
+            # one dir per touched bucket; bucket id is recomputed from
+            # the PK (pure function), so batch and state rows agree
+            (merged.repartition(_BUCKET)
+                   .write.mode("overwrite").partitionBy(_BUCKET)
+                   .parquet(data_dir))
+            written = {
+                seg.split("=", 1)[1]: os.path.join(
+                    "data", f"v{v_next}", seg)
+                for seg in os.listdir(data_dir)
+                if seg.startswith(f"{_BUCKET}=")}
+            new_manifest = dict(manifest)
+            new_manifest.update(written)
+            v = self._commit(new_manifest)
+            return {"version": v, "touched_buckets": touched}
+        finally:
+            batch_df.unpersist()
+
+    # -- maintenance --
+
+    def vacuum(self, keep_versions: int = 1) -> list[str]:
+        """Delete data directories no manifest in the keep window
+        references (crash orphans + buckets superseded by later
+        commits). `keep_versions` manifests before CURRENT stay
+        readable for in-flight readers. Returns removed dirs."""
+        cur = self.version()
+        if cur < 0:
+            return []
+        live: set[str] = set()
+        for v in range(max(0, cur - keep_versions), cur + 1):
+            mpath = os.path.join(self.path, "manifest", f"v{v}.json")
+            if os.path.exists(mpath):
+                live.update(self._manifest(v).values())
+        removed = []
+        data_root = os.path.join(self.path, "data")
+        for vdir in sorted(os.listdir(data_root)):
+            for seg in sorted(os.listdir(os.path.join(data_root, vdir))):
+                rel = os.path.join("data", vdir, seg)
+                if seg.startswith(f"{_BUCKET}=") and rel not in live:
+                    shutil.rmtree(os.path.join(self.path, rel),
+                                  ignore_errors=True)
+                    removed.append(rel)
+            if not os.listdir(os.path.join(data_root, vdir)):
+                os.rmdir(os.path.join(data_root, vdir))
+        return removed

@@ -52,7 +52,9 @@ class CdcPipeline:
                  dml_blacklist: tuple[str, ...] = (),
                  ttl: "ProcessedFileTtl | None" = None,
                  catalog_table: str | None = None,
-                 retry: RetryPolicy | None = None):
+                 retry: RetryPolicy | None = None,
+                 state_backend: str = "versioned",
+                 n_state_buckets: int = 16):
         self.spark = spark
         self.table = table
         self.source_dir = source_dir
@@ -61,6 +63,25 @@ class CdcPipeline:
         self.sort_cols = sort_cols
         self.dml_blacklist = dml_blacklist
         self.state_dir = os.path.join(work_dir, "state")
+        # state_backend="bucketed": manifest-based bucketed table —
+        # each batch rewrites only the PK-hash buckets it touches
+        # (O(touched) not O(state); the 100 TB path). "versioned" (the
+        # default) rewrites the full state per batch with a
+        # CURRENT-pointer swap — simplest, and fine while state is
+        # small. Catalog registration needs a single stable location,
+        # which only the versioned layout provides.
+        if state_backend not in ("versioned", "bucketed"):
+            raise ValueError(f"unknown state_backend {state_backend!r}")
+        if state_backend == "bucketed" and catalog_table:
+            raise ValueError(
+                "catalog_table requires the versioned state backend "
+                "(a manifest table has no single LOCATION to register)")
+        self.bstate = None
+        if state_backend == "bucketed":
+            from .bucketed_state import BucketedStateTable
+            self.bstate = BucketedStateTable(
+                spark, self.state_dir, pk_cols, sort_cols,
+                n_buckets=n_state_buckets)
         self.checkpoint_dir = os.path.join(work_dir, "checkpoint")
         self.doc = StateDoc(os.path.join(work_dir, "state.json"))
         self.ttl = ttl  # S8: mark processed files after the merge commits
@@ -81,6 +102,8 @@ class CdcPipeline:
             return int(f.read().strip())
 
     def read_state(self) -> DataFrame | None:
+        if self.bstate is not None:
+            return self.bstate.read()
         v = self._current_version()
         if v < 0:
             return None
@@ -222,20 +245,30 @@ class CdcPipeline:
         src_time = stats["min_ts"]
 
         fingerprint = self._schema_fingerprint(batch_df)
-        state = self.read_state()
-        if state is None:
-            merged = cdc.materialize(batch_df, self.pk_cols, self.sort_cols,
-                                     keep_sort_keys=True)
-            self.doc.put(state_keys.DB_CREATED, "true")  # D1 analog
+        if self.bstate is not None:
+            # bucketed backend: merge + commit scoped to touched
+            # buckets; drift is handled structurally (merge_batch
+            # unions by name, unchanged buckets null new columns via
+            # mergeSchema reads)
+            if self.bstate.version() < 0:
+                self.doc.put(state_keys.DB_CREATED, "true")  # D1 analog
+            self.bstate.merge(batch_df)
         else:
-            old_fp = self.doc.get(state_keys.k_schema_key(self.table))
-            if old_fp is not None and old_fp != fingerprint:
-                state = self._evolve(state, batch_df)  # D3: ALTER analog
-            merged = cdc.merge_batch(state, batch_df, self.pk_cols,
-                                     self.sort_cols)
-        self._write_state(merged)
-        self._sync_catalog(os.path.join(self.state_dir,
-                                        f"v{self._current_version()}"))
+            state = self.read_state()
+            if state is None:
+                merged = cdc.materialize(batch_df, self.pk_cols,
+                                         self.sort_cols,
+                                         keep_sort_keys=True)
+                self.doc.put(state_keys.DB_CREATED, "true")  # D1 analog
+            else:
+                old_fp = self.doc.get(state_keys.k_schema_key(self.table))
+                if old_fp is not None and old_fp != fingerprint:
+                    state = self._evolve(state, batch_df)  # D3: ALTER
+                merged = cdc.merge_batch(state, batch_df, self.pk_cols,
+                                         self.sort_cols)
+            self._write_state(merged)
+            self._sync_catalog(os.path.join(self.state_dir,
+                                            f"v{self._current_version()}"))
 
         t = self.table
         self.doc.set(**{
