@@ -434,14 +434,24 @@ def q40_ntile_first_last(spark, sf_dir):
 # --- Q35 exact percentiles (linear interpolation on both engines) ---
 
 def q35_percentiles(spark, sf_dir):
+    """Exact percentiles (hash-checked against DuckDB's quantile_cont)
+    plus `approx_ok`: the KLL/GK-sketch approx_percentile must land
+    within 5% of the exact p50. Sketch internals differ across engines,
+    so — like q37's HLL — the approximate operator is driver-verified
+    through an error-bound boolean the oracle pins TRUE; a sketch
+    regression flips it and fails the value hash."""
     li = _t(spark, sf_dir, "lineitem")
+    approx_err = (F.abs(F.expr("approx_percentile(l_quantity, 0.5, 10000)")
+                        - F.expr("percentile(l_quantity, 0.5)"))
+                  / F.expr("percentile(l_quantity, 0.5)"))
     return (li.groupBy("l_returnflag")
               .agg(F.round(F.expr("percentile(l_quantity, 0.5)"), 4)
                     .alias("p50"),
                    F.round(F.expr("percentile(l_quantity, 0.9)"), 4)
                     .alias("p90"),
                    F.round(F.expr("percentile(l_extendedprice, 0.25)"), 4)
-                    .alias("price_p25"))
+                    .alias("price_p25"),
+                   (approx_err <= 0.05).alias("approx_ok"))
               .transform(lambda d: _psort(d, "l_returnflag")))
 
 
@@ -660,7 +670,8 @@ ORACLE_SQL: dict[str, str] = {
         SELECT l_returnflag,
                round(quantile_cont(l_quantity, 0.5), 4) AS p50,
                round(quantile_cont(l_quantity, 0.9), 4) AS p90,
-               round(quantile_cont(l_extendedprice, 0.25), 4) AS price_p25
+               round(quantile_cont(l_extendedprice, 0.25), 4) AS price_p25,
+               TRUE AS approx_ok
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q36_pivot": """
         SELECT l_returnflag,

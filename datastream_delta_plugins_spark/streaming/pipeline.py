@@ -294,9 +294,19 @@ class CdcPipeline:
     # -- streaming entry --
 
     def start(self, schema, trigger: dict | None = None,
-              fmt: str = "parquet"):
-        stream = (self.spark.readStream.format(fmt).schema(schema)
-                  .load(self.source_dir)
+              fmt: str = "parquet",
+              max_files_per_trigger: int | None = None):
+        """`max_files_per_trigger` is the engine-side ingest-tuning
+        knob matching the reference's file-rotation constants (15 s /
+        1 MB, Utils.java:105-106): rotation controls how much data one
+        file carries, this bounds how many files one micro-batch
+        swallows — together they cap per-batch merge size (and thus
+        state-merge latency) during catch-up from a backlog."""
+        reader = self.spark.readStream.format(fmt).schema(schema)
+        if max_files_per_trigger is not None:
+            reader = reader.option("maxFilesPerTrigger",
+                                   max_files_per_trigger)
+        stream = (reader.load(self.source_dir)
                   # file provenance for the S8 TTL manifest
                   .withColumn("_source_file", F.input_file_name()))
 

@@ -525,3 +525,29 @@ def test_restart_preserves_marked_backfill_status(spark, tmp_path):
     job2.run_batch()
     job2.run_batch()  # stable file set + COMPLETED -> done
     assert job2.snapshot_done("t1")
+
+
+def test_max_files_per_trigger_paces_catchup(spark, tmp_path):
+    """Ingest tuning (Utils.java:105-106 analog): a 3-file backlog with
+    maxFilesPerTrigger=1 must drain across >= 3 micro-batches, each
+    merge bounded by one file — final state identical to an unpaced
+    run."""
+    src = str(tmp_path / "src")
+    pipe = CdcPipeline(spark, "t1", src + "/*", str(tmp_path / "work"),
+                       pk_cols=["id"])
+    _write(spark, f"{src}/f1_oracle-cdc-logminer_0",
+           ("oracle-cdc-logminer", "INSERT", 1, 1, "a"))
+    _write(spark, f"{src}/f2_oracle-cdc-logminer_1",
+           ("oracle-cdc-logminer", "UPDATE", 2, 1, "a2"),
+           ("oracle-cdc-logminer", "INSERT", 3, 2, "b"))
+    _write(spark, f"{src}/f3_oracle-cdc-logminer_2",
+           ("oracle-cdc-logminer", "DELETE", 4, 2, "b"))
+    q = pipe.start(CHANGE_SCHEMA, trigger={"availableNow": True},
+                   max_files_per_trigger=1)
+    q.awaitTermination(120)
+    assert not q.isActive
+    s = {r["id"]: (r["val"], r["_is_deleted"])
+         for r in pipe.read_state().collect()}
+    assert s == {1: ("a2", False), 2: ("b", True)}
+    # last committed batch id proves the backlog drained in paced steps
+    assert int(pipe.doc.get(sk.k_last_done("t1"))) >= 2
