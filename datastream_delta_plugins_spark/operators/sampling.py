@@ -1,0 +1,107 @@
+"""Deterministic sampling & splitting for training-data pipelines.
+
+At 100 TB, `rand()`-based sampling is a reproducibility bug: membership
+changes with partitioning, task retries, and Spark versions, so a
+train/val/test split cannot be re-derived, audited, or joined against
+later. Every operator here derives membership from a HASH of the row's
+stable id (md5-prefix via functions.textfns, the same cross-engine
+primitive the dedup operators use), which makes splits
+
+  - deterministic: independent of partitioning, ordering, retries;
+  - re-derivable: any engine (the DuckDB oracle included) can recompute
+    membership from the id alone — a downstream system can verify "this
+    doc was in train" without access to the original job;
+  - disjoint & exhaustive by construction (bucket ranges partition
+    [0, n_buckets));
+  - leakage-resistant: salt the hash per experiment so successive
+    experiments draw INDEPENDENT splits (same salt = same split).
+
+All operators are single-expression filters or one keyed shuffle —
+no sampling pass, no collect, no rand().
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from ..functions.textfns import hash32
+
+#: bucket granularity: fractions resolve to 1/10000 (0.01%)
+N_BUCKETS = 10_000
+
+
+def hash_bucket(id_col: str | Column, salt: str = "",
+                n_buckets: int = N_BUCKETS) -> Column:
+    """Stable bucket in [0, n_buckets) from the row id (+ salt)."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return F.pmod(hash32(F.concat_ws("|", c.cast("string"), F.lit(salt))),
+                  F.lit(n_buckets)).cast("int")
+
+
+def deterministic_split(df: DataFrame, id_col: str,
+                        fractions: dict[str, float], salt: str = "",
+                        split_col: str = "split") -> DataFrame:
+    """Label every row with a split name; fractions must sum to 1.
+
+    `deterministic_split(docs, "doc_id", {"train": .98, "val": .01,
+    "test": .01})` — membership is a pure function of (id, salt):
+    rerunning on tomorrow's corpus keeps yesterday's rows in the same
+    split (ids are stable), so incremental corpus growth never leaks
+    val rows into train.
+    """
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions sum to {total}, expected 1.0")
+    bucket = hash_bucket(id_col, salt)
+    expr: Column | None = None
+    edge = 0.0
+    names = list(fractions)
+    for name in names[:-1]:
+        edge += fractions[name]
+        cut = int(round(edge * N_BUCKETS))
+        cond = bucket < F.lit(cut)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(names[-1])
+    return df.withColumn(split_col, expr)
+
+
+def sample_fraction(df: DataFrame, id_col: str, fraction: float,
+                    salt: str = "") -> DataFrame:
+    """Deterministic ~`fraction` subsample: keep rows whose hash bucket
+    falls under fraction * N_BUCKETS. Membership is reproducible by any
+    engine from the id alone."""
+    cut = int(round(fraction * N_BUCKETS))
+    return df.where(hash_bucket(id_col, salt) < F.lit(cut))
+
+
+def cap_per_group(df: DataFrame, group_cols: Sequence[str], cap: int,
+                  id_col: str, salt: str = "") -> DataFrame:
+    """Keep at most `cap` rows per group, selected deterministically.
+
+    The training-data use case is per-domain caps (no single domain
+    dominates the corpus). Rows within a group are ranked by
+    (hash(id, salt), id) — a deterministic uniform-without-replacement
+    draw, with the id tiebreak making rank total even on hash
+    collisions — and rows ranked past `cap` drop. One keyed shuffle
+    (the window partition); at scale this is the same cost shape as
+    any per-group top-k.
+    """
+    w = W.partitionBy(*group_cols).orderBy(hash_bucket(id_col, salt),
+                                           F.col(id_col))
+    return (df.withColumn("_smp_rn", F.row_number().over(w))
+              .where(F.col("_smp_rn") <= cap)
+              .drop("_smp_rn"))
+
+
+def stratified_sample_exact(df: DataFrame, strata_cols: Sequence[str],
+                            n_per_stratum: int, id_col: str,
+                            salt: str = "") -> DataFrame:
+    """Exactly `n_per_stratum` rows from each stratum (fewer when the
+    stratum is smaller) — `cap_per_group` under its statistics name:
+    the hash order is a uniform permutation per stratum, so the first n
+    form a uniform sample without replacement."""
+    return cap_per_group(df, strata_cols, n_per_stratum, id_col, salt)

@@ -1,0 +1,101 @@
+"""Deterministic sampling: partitioning-invariance, disjoint/exhaustive
+splits, cross-engine re-derivability (DuckDB recomputes membership from
+ids alone), per-group caps, and salt independence."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from datastream_delta_plugins_spark.operators import sampling
+from datastream_delta_plugins_spark.sources.tables import load_table
+
+FRACS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_correctness):
+    return load_table(spark, sf_correctness, "documents")
+
+
+def _split_sets(df):
+    rows = df.select("doc_id", "split").collect()
+    out = {}
+    for r in rows:
+        out.setdefault(r["split"], set()).add(r["doc_id"])
+    return out
+
+
+def test_split_disjoint_exhaustive_and_stable(docs):
+    s = _split_sets(sampling.deterministic_split(docs, "doc_id", FRACS))
+    n = docs.count()
+    assert sum(len(v) for v in s.values()) == n       # exhaustive
+    assert len(set.union(*s.values())) == n            # disjoint
+    # ~proportions (binomial tolerance at n=500)
+    assert abs(len(s["train"]) / n - 0.8) < 0.08
+    # partitioning/order invariance
+    s2 = _split_sets(sampling.deterministic_split(
+        docs.repartition(13).sortWithinPartitions(F.desc("doc_id")),
+        "doc_id", FRACS))
+    assert s == s2
+
+
+def test_split_membership_rederivable_in_duckdb(docs, sf_correctness):
+    """The exact contract: another engine recomputes membership from
+    ids alone — no Spark, no job state."""
+    got = _split_sets(sampling.deterministic_split(docs, "doc_id", FRACS,
+                                                   salt="exp1"))
+    con = duckdb.connect()
+    rows = con.execute(f"""
+        SELECT doc_id,
+               CASE WHEN b < 8000 THEN 'train'
+                    WHEN b < 9000 THEN 'val' ELSE 'test' END AS split
+        FROM (SELECT doc_id,
+                     CAST('0x' || substr(
+                          md5(CAST(doc_id AS VARCHAR) || '|' || 'exp1'),
+                          1, 8) AS BIGINT) % 10000 AS b
+              FROM '{sf_correctness}/documents.parquet')""").fetchall()
+    con.close()
+    want = {}
+    for doc_id, split in rows:
+        want.setdefault(split, set()).add(doc_id)
+    assert got == want
+
+
+def test_split_salt_changes_membership(docs):
+    a = _split_sets(sampling.deterministic_split(docs, "doc_id", FRACS,
+                                                 salt="a"))
+    b = _split_sets(sampling.deterministic_split(docs, "doc_id", FRACS,
+                                                 salt="b"))
+    assert a["val"] != b["val"]  # different experiments, different draws
+
+
+def test_split_rejects_bad_fractions(docs):
+    with pytest.raises(ValueError, match="sum"):
+        sampling.deterministic_split(docs, "doc_id", {"a": 0.5, "b": 0.4})
+
+
+def test_sample_fraction_subset_semantics(docs):
+    s10 = sampling.sample_fraction(docs, "doc_id", 0.10)
+    s20 = sampling.sample_fraction(docs, "doc_id", 0.20)
+    ids10 = {r["doc_id"] for r in s10.select("doc_id").collect()}
+    ids20 = {r["doc_id"] for r in s20.select("doc_id").collect()}
+    assert ids10 <= ids20          # nested by construction
+    n = docs.count()
+    assert abs(len(ids10) / n - 0.10) < 0.06
+
+
+def test_cap_per_group(docs):
+    capped = sampling.cap_per_group(docs, ["lang"], 5, "doc_id")
+    per = {r["lang"]: r["c"] for r in
+           capped.groupBy("lang").agg(F.count(F.lit(1)).alias("c"))
+                 .collect()}
+    orig = {r["lang"]: r["c"] for r in
+            docs.groupBy("lang").agg(F.count(F.lit(1)).alias("c"))
+                .collect()}
+    for lang, c in per.items():
+        assert c == min(5, orig[lang])
+    # deterministic under reshuffle
+    again = sampling.cap_per_group(
+        docs.repartition(7), ["lang"], 5, "doc_id")
+    assert sorted(r["doc_id"] for r in capped.select("doc_id").collect()) \
+        == sorted(r["doc_id"] for r in again.select("doc_id").collect())
