@@ -95,3 +95,98 @@ def decode_media(df: DataFrame, real_decode: bool = False) -> DataFrame:
                      F.col("media_meta.byte_len").alias("byte_len"),
                      F.sha2("media", 256).alias("sha"), "media")
     return flat.mapInPandas(_decode_batch, DECODED_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("pixels", T.BinaryType()),
+])
+
+
+def resize_images(df: DataFrame, width: int = 64, height: int = 64,
+                  real_decode: bool = False) -> DataFrame:
+    """Resize every image blob to (width, height) RGB — Arrow-batched
+    mapInPandas, one fixed-size pixel buffer per row (the output row
+    size is a CONSTANT width*height*3 bytes regardless of input size,
+    which is what makes downstream batching/shuffling predictable at
+    scale). Codec is faked: the buffer is the md5 keystream of the
+    blob tiled to size, so output bytes are a deterministic pure
+    function of (blob, width, height) and tests can pin them; swap
+    PIL's decode+resize into `_resize` for production.
+    """
+    if real_decode:
+        raise NotImplementedError(
+            "real image resize requires PIL, not present in this "
+            "environment; plug the codec into _resize")
+    import hashlib
+    n = width * height * 3
+
+    def _resize(blob: bytes) -> bytes:
+        out = bytearray()
+        seed = hashlib.md5(blob).digest()
+        block = seed
+        while len(out) < n:
+            block = hashlib.md5(block).digest()
+            out.extend(block)
+        return bytes(out[:n])
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "width": pd.Series([width] * len(pdf), dtype="int32"),
+                "height": pd.Series([height] * len(pdf), dtype="int32"),
+                "pixels": pdf["media"].map(_resize),
+            })
+
+    return df.select("doc_id", "media").mapInPandas(_batches, RESIZED_SCHEMA)
+
+
+FRAMES_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("frame_idx", T.IntegerType()),
+    T.StructField("frame_sha", T.StringType()),
+    T.StructField("features", T.ArrayType(T.DoubleType())),
+])
+
+
+def sample_frames(df: DataFrame, every_n: int = 2,
+                  max_frames: int = 8,
+                  real_decode: bool = False) -> DataFrame:
+    """Sample every `every_n`-th frame (up to `max_frames`) from each
+    video blob — the ROW-EXPANDING multimodal shape: one input row
+    yields k output rows, expanded INSIDE the Arrow batch so transfer
+    stays vectorized and per-task memory is bounded by
+    (batch rows x max_frames), not by video length. Frame count/bytes
+    are faked deterministically (count = byte_len-derived, frame
+    content = md5(blob || idx)); swap pyav demux into `_frames` for
+    production.
+    """
+    if real_decode:
+        raise NotImplementedError(
+            "real frame sampling requires pyav, not present in this "
+            "environment; plug the demuxer into _frames")
+    import hashlib
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, shas, feats = [], [], [], []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
+                total = len(blob) % 32 + 1  # fake per-video frame count
+                for k, idx in enumerate(range(0, total, every_n)):
+                    if k >= max_frames:
+                        break
+                    fr = hashlib.md5(bytes(blob) + idx.to_bytes(4, "big"))
+                    ids.append(doc_id)
+                    idxs.append(idx)
+                    shas.append(fr.hexdigest())
+                    feats.append([b / 255.0 for b in fr.digest()[:4]])
+            yield pd.DataFrame({
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "frame_idx": pd.Series(idxs, dtype="int32"),
+                "frame_sha": shas,
+                "features": feats})
+
+    return df.select("doc_id", "media").mapInPandas(_frames, FRAMES_SCHEMA)

@@ -233,3 +233,38 @@ def test_hyperplane_lsh_rejects_bad_banding(spark, sf_correctness):
     emb = load_table(spark, sf_correctness, "embeddings")
     with pytest.raises(ValueError):
         dedup.hyperplane_lsh_pairs(emb, 0.9, n_bits=16, n_bands=5)
+
+
+def test_resize_images_plumbing(spark, sf_smoke):
+    """Constant-size output buffers, deterministic bytes, stub gate."""
+    docs = load_table(spark, sf_smoke, "documents").limit(20)
+    media = multimodal.attach_binary(docs)
+    out = multimodal.resize_images(media, width=8, height=6).collect()
+    assert len(out) == 20
+    assert all(len(r["pixels"]) == 8 * 6 * 3 for r in out)
+    again = {r["doc_id"]: bytes(r["pixels"])
+             for r in multimodal.resize_images(media, 8, 6).collect()}
+    assert all(bytes(r["pixels"]) == again[r["doc_id"]] for r in out)
+    with pytest.raises(NotImplementedError):
+        multimodal.resize_images(media, real_decode=True)
+
+
+def test_sample_frames_plumbing(spark, sf_smoke):
+    """Row expansion inside Arrow batches: every_n stride, max_frames
+    cap, deterministic frame hashes."""
+    docs = load_table(spark, sf_smoke, "documents").limit(20)
+    media = multimodal.attach_binary(docs)
+    out = multimodal.sample_frames(media, every_n=3, max_frames=4)
+    rows = out.collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r["doc_id"], []).append(r["frame_idx"])
+    metas = {r["doc_id"]: r["byte_len"] for r in
+             multimodal.binary_meta(media).collect()}
+    for doc_id, idxs in per.items():
+        total = metas[doc_id] % 32 + 1
+        expect = list(range(0, total, 3))[:4]
+        assert sorted(idxs) == expect
+    assert len(per) == 20  # every doc has >= 1 fake frame
+    with pytest.raises(NotImplementedError):
+        multimodal.sample_frames(media, real_decode=True)
