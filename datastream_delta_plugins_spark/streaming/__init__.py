@@ -2,6 +2,7 @@ from .state import StateDoc
 from .pipeline import CdcPipeline, windowed_counts, dedup_within_watermark
 from .replication import ReplicationJob, TableConfig
 from .stateful import sessionize_stream
+from .metrics import PipelineMetrics
 
 __all__ = ["StateDoc", "CdcPipeline", "windowed_counts",
            "dedup_within_watermark", "ReplicationJob", "TableConfig",

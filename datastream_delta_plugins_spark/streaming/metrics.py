@@ -1,0 +1,130 @@
+"""Streaming observability: per-batch progress capture.
+
+The reference surfaces stream state and errors on every scan (it
+refreshes the Datastream stream and raises/logs stream errors before
+emitting, DatastreamEventReader.java:371-395) and reports through the
+CDAP metrics context. The Spark-native equivalent is a
+StreamingQueryListener: every micro-batch's progress event (input
+rows, per-source offsets, durations, state-store metrics) is pushed by
+the engine — no polling thread. `PipelineMetrics` records those
+events in memory and optionally as a JSONL audit file, and summarizes
+throughput/latency per query.
+
+Operational notes at scale: listener callbacks arrive on a dedicated
+listener-bus thread — keep them O(1) per event (append + optional
+line write, as here); a slow listener backs up the bus and Spark drops
+events. The JSONL file is the artifact a fleet scheduler tails to
+detect a stalled table (no progress events) — the engine-side analog
+of the reference's "stream not running" surfacing.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+
+from pyspark.sql.streaming import StreamingQueryListener
+
+
+class PipelineMetrics(StreamingQueryListener):
+    """Collects progress for every streaming query on the session.
+
+    Usage:
+        m = PipelineMetrics(path="metrics.jsonl")
+        spark.streams.addListener(m)
+        ... run queries ...
+        m.summary()  # {query_name: {batches, rows, rows_per_sec_avg}}
+
+    Events arrive asynchronously AFTER query termination can return —
+    call `wait_for(n)` in tests before asserting.
+    """
+
+    def __init__(self, path: str | None = None):
+        self.path = path
+        self.progress: list[dict] = []
+        self.terminations: list[dict] = []
+        self._lock = threading.Lock()
+        self._seen = threading.Condition(self._lock)
+
+    # -- listener callbacks (listener-bus thread; keep O(1)) --
+
+    def onQueryStarted(self, event) -> None:  # noqa: N802 (Spark API)
+        pass
+
+    def onQueryIdle(self, event) -> None:  # noqa: N802
+        pass
+
+    def onQueryProgress(self, event) -> None:  # noqa: N802
+        p = event.progress
+        rec = {
+            "event": "progress",
+            "id": str(p.id),
+            "name": p.name,
+            "batch_id": p.batchId,
+            "timestamp": p.timestamp,
+            "num_input_rows": p.numInputRows,
+            "input_rows_per_second": p.inputRowsPerSecond,
+            "processed_rows_per_second": p.processedRowsPerSecond,
+            "duration_ms": dict(p.durationMs or {}),
+            "sources": [{"description": s.description,
+                         "start_offset": s.startOffset,
+                         "end_offset": s.endOffset,
+                         "num_input_rows": s.numInputRows}
+                        for s in (p.sources or [])],
+        }
+        self._record(rec)
+
+    def onQueryTerminated(self, event) -> None:  # noqa: N802
+        rec = {"event": "terminated", "id": str(event.id),
+               "exception": event.exception}
+        with self._lock:
+            self.terminations.append(rec)
+        self._append_file(rec)
+
+    # -- recording --
+
+    def _record(self, rec: dict) -> None:
+        with self._seen:
+            self.progress.append(rec)
+            self._seen.notify_all()
+        self._append_file(rec)
+
+    def _append_file(self, rec: dict) -> None:
+        if self.path:
+            with open(self.path, "a") as f:
+                f.write(json.dumps(rec) + "\n")
+
+    # -- consumption --
+
+    def wait_for(self, n_progress: int, timeout: float = 60.0) -> bool:
+        """Block until >= n_progress progress events arrived (listener
+        delivery is asynchronous w.r.t. query termination)."""
+        with self._seen:
+            return self._seen.wait_for(
+                lambda: len(self.progress) >= n_progress, timeout)
+
+    def summary(self) -> dict[str, dict]:
+        """Per query name: batch count, total rows, mean processing
+        rate, failure state."""
+        with self._lock:
+            events = list(self.progress)
+            terms = list(self.terminations)
+        out: dict[str, dict] = {}
+        for e in events:
+            name = e["name"] or e["id"]
+            s = out.setdefault(name, {"batches": 0, "rows": 0,
+                                      "rates": [], "failed": None})
+            s["batches"] += 1
+            s["rows"] += e["num_input_rows"] or 0
+            if e["processed_rows_per_second"]:
+                s["rates"].append(e["processed_rows_per_second"])
+        for s in out.values():
+            rates = s.pop("rates")
+            s["rows_per_sec_avg"] = (sum(rates) / len(rates)
+                                     if rates else None)
+        failed = {t["id"]: t["exception"] for t in terms if t["exception"]}
+        for e in events:
+            if e["id"] in failed:
+                name = e["name"] or e["id"]
+                out[name]["failed"] = failed[e["id"]]
+        return out

@@ -219,6 +219,20 @@ class CdcPipeline:
         if self.dml_blacklist:
             batch_df = batch_df.where(
                 ~F.col("_op").isin([o.upper() for o in self.dml_blacklist]))
+        # apply_batch runs >= 2 actions over the batch (bookkeeping agg,
+        # then the merge) and a foreachBatch DataFrame RE-READS its
+        # source files on every action — persist so each change file is
+        # scanned once per batch, not once per action (verified by the
+        # metrics listener test: numInputRows == file rows)
+        batch_df.persist()
+        try:
+            return self._apply_batch_inner(batch_df, batch_id,
+                                           streaming_barrier)
+        finally:
+            batch_df.unpersist()
+
+    def _apply_batch_inner(self, batch_df: DataFrame, batch_id: int,
+                           streaming_barrier: bool) -> None:
         # ONE bookkeeping aggregation per batch (row count, snapshot-row
         # count, min source time, processed files) — this used to be
         # 3-4 separate driver-side jobs (isEmpty + isEmpty + min +

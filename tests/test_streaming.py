@@ -551,3 +551,34 @@ def test_max_files_per_trigger_paces_catchup(spark, tmp_path):
     assert s == {1: ("a2", False), 2: ("b", True)}
     # last committed batch id proves the backlog drained in paced steps
     assert int(pipe.doc.get(sk.k_last_done("t1"))) >= 2
+
+
+def test_pipeline_metrics_listener(spark, tmp_path):
+    """Progress events captured per micro-batch with row counts, JSONL
+    audit written, summary aggregates — the stream-state surfacing
+    analog (DatastreamEventReader.java:371-395)."""
+    import json as _json
+
+    from datastream_delta_plugins_spark.streaming import PipelineMetrics
+    src = str(tmp_path / "src")
+    pipe = CdcPipeline(spark, "t1", src + "/*", str(tmp_path / "work"),
+                       pk_cols=["id"])
+    _write(spark, f"{src}/f1_oracle-cdc-logminer_0",
+           ("oracle-cdc-logminer", "INSERT", 1, 1, "a"),
+           ("oracle-cdc-logminer", "INSERT", 2, 2, "b"))
+    mpath = str(tmp_path / "metrics.jsonl")
+    m = PipelineMetrics(path=mpath)
+    spark.streams.addListener(m)
+    try:
+        _run(pipe)
+        assert m.wait_for(1), "no progress event within timeout"
+    finally:
+        spark.streams.removeListener(m)
+    rows_seen = sum(e["num_input_rows"] for e in m.progress)
+    assert rows_seen == 2
+    s = list(m.summary().values())[0]
+    assert s["batches"] >= 1 and s["rows"] == 2 and s["failed"] is None
+    with open(mpath) as f:
+        lines = [_json.loads(line) for line in f]
+    assert any(e["event"] == "progress" and e["num_input_rows"] == 2
+               for e in lines)
