@@ -59,7 +59,9 @@ class ReplicationJob:
                  ttl_days: int | None = None,
                  retry: RetryPolicy | None = None,
                  register_catalog: bool = True,
-                 validate: bool = True):
+                 validate: bool = True,
+                 state_backend: str = "versioned",
+                 n_state_buckets: int = 16):
         if validate:  # design-time shape validation (SURVEY §3.3)
             from ..config import ConfigValidationError, validate_tables
             problems = validate_tables(tables)
@@ -75,6 +77,10 @@ class ReplicationJob:
         self.ttl = (ProcessedFileTtl(
             os.path.join(work_dir, "ttl_manifest.json"), ttl_days)
             if ttl_days else None)
+        # bucketed state has no single LOCATION to register (see
+        # CdcPipeline) — catalog registration applies only to the
+        # versioned backend
+        register_catalog = register_catalog and state_backend == "versioned"
         self.pipelines = {
             t.name: CdcPipeline(
                 spark, t.name, t.source_dir,
@@ -82,7 +88,9 @@ class ReplicationJob:
                 pk_cols=t.pk_cols, dml_blacklist=t.dml_blacklist,
                 ttl=self.ttl, retry=retry,
                 catalog_table=(f"{database}.{t.name}"
-                               if register_catalog else None))
+                               if register_catalog else None),
+                state_backend=state_backend,
+                n_state_buckets=n_state_buckets)
             for t in tables
         }
         for t in tables:

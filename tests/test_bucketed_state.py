@@ -123,3 +123,38 @@ def test_out_of_order_batch_cannot_regress_state(spark, tmp_path):
     t.merge(_batch1(spark))           # late batch, older keys, same PKs
     got = t.read().where(F.col("id") < 10)
     assert _snap(got) == [r for r in newer if r[0] < 10]
+
+
+def test_schema_drift_nulls_untouched_buckets(spark, tmp_path):
+    """A batch introducing a new column must merge cleanly: rows in
+    rewritten buckets carry it, rows in untouched buckets read it as
+    NULL (mergeSchema semantics, the D3 mergeSchema contract)."""
+    t = BucketedStateTable(spark, str(tmp_path / "st"), ["id"], n_buckets=8)
+    t.merge(_batch1(spark))
+    drifted = spark.createDataFrame(
+        [(3, "v3y", "yes", "UPDATE", 900, 1, "A", 1)],
+        "id bigint, val string, extra string, _op string, _sk1 bigint, "
+        "_sk2 bigint, _sk3 string, _sk4 bigint")
+    r = t.merge(drifted)
+    assert len(r["touched_buckets"]) == 1
+    rows = {row["id"]: (row["val"], row["extra"])
+            for row in t.read().select("id", "val", "extra").collect()}
+    assert rows[3] == ("v3y", "yes")
+    assert all(v[1] is None for k, v in rows.items() if k != 3)
+    assert len(rows) == 50
+
+
+def test_replication_job_bucketed_backend(spark, tmp_path):
+    from datastream_delta_plugins_spark.streaming import (
+        ReplicationJob, TableConfig)
+    src = str(tmp_path / "src")
+    _batch1(spark).coalesce(1).write.mode("overwrite") \
+        .parquet(f"{src}/f_oracle-cdc-logminer_0")
+    job = ReplicationJob(
+        spark, str(tmp_path / "work"),
+        [TableConfig("t1", src + "/*", ["id"])],
+        state_backend="bucketed", n_state_buckets=8)
+    job.run_batch()
+    pipe = job.pipelines["t1"]
+    assert pipe.bstate is not None
+    assert pipe.read_state().count() == 50
