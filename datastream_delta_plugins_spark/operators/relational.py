@@ -489,7 +489,11 @@ def q37_approx_distinct(spark, sf_dir):
     # groups, and the HLL pass hashes each key once instead of once per
     # duplicate (measured 1.9x; estimate bitwise identical). Spark's
     # multi-distinct Expand rewrite never fires — one narrow plan.
-    keys = li.groupBy("l_suppkey").agg(F.lit(1))
+    # NULL keys are excluded BEFORE the distinct so exact_d keeps
+    # count(DISTINCT ...) semantics (which ignores NULL, as does the
+    # HLL) — a bare groupBy would count a NULL group
+    keys = (li.select("l_suppkey")
+              .where(F.col("l_suppkey").isNotNull()).distinct())
     agg = keys.agg(F.count(F.lit(1)).alias("exact_d"),
                    F.approx_count_distinct("l_suppkey", rsd).alias("_a"))
     err = (F.abs(F.col("_a") - F.col("exact_d")).cast("double")

@@ -35,9 +35,20 @@ N_BUCKETS = 10_000
 
 def hash_bucket(id_col: str | Column, salt: str = "",
                 n_buckets: int = N_BUCKETS) -> Column:
-    """Stable bucket in [0, n_buckets) from the row id (+ salt)."""
+    """Stable bucket in [0, n_buckets) from the row id (+ salt).
+
+    A NULL id FAILS THE JOB (raise_error): concat_ws would silently
+    hash all NULL ids to one bucket (the whole NULL population in one
+    split), and the cross-engine re-derivation contract is
+    unsatisfiable for them (any engine's md5(NULL) is NULL). Ids must
+    be non-null — filter or synthesize ids upstream.
+    """
     c = F.col(id_col) if isinstance(id_col, str) else id_col
-    return F.pmod(hash32(F.concat_ws("|", c.cast("string"), F.lit(salt))),
+    checked = F.when(c.isNull(), F.raise_error(F.lit(
+        "sampling id is NULL: membership is a pure function of the id "
+        "and cannot be derived for NULL — filter or fill ids first"))
+    ).otherwise(c.cast("string"))
+    return F.pmod(hash32(F.concat_ws("|", checked, F.lit(salt))),
                   F.lit(n_buckets)).cast("int")
 
 

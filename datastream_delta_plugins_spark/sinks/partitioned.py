@@ -71,14 +71,20 @@ def write_time_partitioned(df: DataFrame, path: str, ts_col: str,
 
 
 def read_time_window(spark: SparkSession, path: str,
-                     start=None, end=None) -> DataFrame:
-    """Read a time-partitioned table with partition-level pruning.
+                     start=None, end=None,
+                     ts_col: str = "ts") -> DataFrame:
+    """Read a time-partitioned table, returning exactly the rows with
+    `start <= ts_col < end` (either bound optional).
 
-    `start`/`end` are dates or datetimes bounding the window
-    ([start, end), either side open). Predicates are expressed on the
-    PARTITION columns so Catalyst prunes directories before listing a
-    single data file — the engine-side equivalent of the reference's
-    lexicographic `startOffset` path bound.
+    Two predicates are applied: a COARSE one on the partition columns
+    (a superset of the window, rounded outward to partition
+    granularity) that Catalyst turns into directory pruning — the
+    engine-side equivalent of the reference's lexicographic
+    `startOffset` path bound — and the EXACT residual on `ts_col`,
+    which costs nothing extra (it rides the same scan, pushed to the
+    row-group level) and keeps sub-granularity bounds honest: without
+    it, an end of 13:30 on an hourly table would silently drop
+    [13:00, 13:30).
     """
     df = spark.read.parquet(path)
     conds = []
@@ -88,9 +94,13 @@ def read_time_window(spark: SparkSession, path: str,
             continue
         d = bound.strftime("%Y-%m-%d")
         h = getattr(bound, "hour", 0)
+        # exact window on the data column
+        conds.append(F.col(ts_col) >= bound if op == ">="
+                     else F.col(ts_col) < bound)
+        # coarse partition superset (rounded OUTWARD: the end hour/day
+        # itself stays included so its sub-granularity tail survives
+        # for the residual to trim)
         if has_hour:
-            # (date > d) OR (date = d AND hour op h) — stays a pure
-            # partition-column predicate, so pruning applies
             if op == ">=":
                 conds.append((F.col(DATE_COL) > d)
                              | ((F.col(DATE_COL) == d)
@@ -98,7 +108,7 @@ def read_time_window(spark: SparkSession, path: str,
             else:
                 conds.append((F.col(DATE_COL) < d)
                              | ((F.col(DATE_COL) == d)
-                                & (F.col(HOUR_COL) < h)))
+                                & (F.col(HOUR_COL) <= h)))
         else:
             conds.append(F.col(DATE_COL) >= d if op == ">="
                          else F.col(DATE_COL) <= d)
@@ -125,7 +135,8 @@ def _list_partitions(spark: SparkSession, path: str) -> dict[str, list]:
         parent = p.getParent().toString()
         if "=" not in parent.rsplit("/", 1)[-1]:
             continue  # unpartitioned stray file
-        out.setdefault(parent, []).append((p.toString(), st.getLen()))
+        out.setdefault(parent, []).append(
+            (p.toString(), st.getLen(), st.getModificationTime() / 1000.0))
     return out
 
 
@@ -144,7 +155,8 @@ def _partition_predicate(parent: str, root_cols: list[str]):
 def compact_partitions(spark: SparkSession, path: str,
                        target_file_bytes: int = 128 * 1024 * 1024,
                        min_files: int = 2,
-                       cluster_by: Sequence[str] | None = None) -> dict:
+                       cluster_by: Sequence[str] | None = None,
+                       min_age_seconds: float = 3600.0) -> dict:
     """Rewrite small-file partitions of a time-partitioned table into
     ~`target_file_bytes` files.
 
@@ -160,13 +172,27 @@ def compact_partitions(spark: SparkSession, path: str,
     overwrite: untouched partitions keep their files byte-identical,
     each rewritten partition swaps via the commit protocol.
 
+    Dynamic partition overwrite DELETES every pre-existing file of a
+    rewritten partition at commit — a file a concurrent writer lands
+    in a victim partition between the listing and the commit would be
+    destroyed unread. Guard: only partitions whose NEWEST file is at
+    least `min_age_seconds` old qualify (the live landing partition —
+    which always looks small-file — is therefore never touched while
+    the 15 s rotation is still writing into it), and the table must
+    have a single compactor (run this from one maintenance job).
+
     Returns {"partitions": n, "files_before": n, "files_after": n}.
     """
+    import time
     parts = _list_partitions(spark, path)
+    now = time.time()
     victims = {}
     for parent, files in parts.items():
-        size = sum(b for _, b in files)
-        if len(files) >= min_files and size / len(files) < target_file_bytes / 2:
+        size = sum(b for _, b, _ in files)
+        newest = max(m for _, _, m in files)
+        if (len(files) >= min_files
+                and size / len(files) < target_file_bytes / 2
+                and now - newest >= min_age_seconds):
             victims[parent] = (len(files), size)
     if not victims:
         return {"partitions": 0, "files_before": 0, "files_after": 0}

@@ -6,4 +6,4 @@ from .metrics import PipelineMetrics
 
 __all__ = ["StateDoc", "CdcPipeline", "windowed_counts",
            "dedup_within_watermark", "ReplicationJob", "TableConfig",
-           "sessionize_stream"]
+           "sessionize_stream", "PipelineMetrics"]

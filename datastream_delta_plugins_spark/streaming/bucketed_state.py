@@ -71,7 +71,19 @@ class BucketedStateTable:
         if not os.path.exists(ptr):
             return -1
         with open(ptr) as f:
-            return int(f.read().strip())
+            v = int(f.read().strip())
+        # both backends use a CURRENT pointer in the state dir; a
+        # pointer without a matching manifest means the dir was written
+        # by the VERSIONED backend — fail with the real cause instead
+        # of a FileNotFoundError deep in a merge
+        if not os.path.exists(
+                os.path.join(self.path, "manifest", f"v{v}.json")):
+            raise ValueError(
+                f"state dir {self.path} has CURRENT={v} but no "
+                f"manifest/v{v}.json — it was written by the versioned "
+                f"state backend; a table cannot switch backends in "
+                f"place")
+        return v
 
     def _manifest(self, v: int) -> dict[str, str]:
         with open(os.path.join(self.path, "manifest", f"v{v}.json")) as f:
@@ -130,7 +142,14 @@ class BucketedStateTable:
         distinct-bucket collect is bounded by n_buckets (ints), never
         by batch or state size.
         """
-        batch_df.persist()
+        from pyspark import StorageLevel
+        # respect a caller-held cache (CdcPipeline.apply_batch persists
+        # the batch for ITS lifetime): unpersisting here would silently
+        # drop the caller's cache — Spark unpersist is not
+        # reference-counted
+        own_persist = batch_df.storageLevel == StorageLevel.NONE
+        if own_persist:
+            batch_df.persist()
         try:
             touched = sorted(
                 r[0] for r in
@@ -166,7 +185,8 @@ class BucketedStateTable:
             v = self._commit(new_manifest)
             return {"version": v, "touched_buckets": touched}
         finally:
-            batch_df.unpersist()
+            if own_persist:
+                batch_df.unpersist()
 
     # -- maintenance --
 
@@ -186,12 +206,18 @@ class BucketedStateTable:
         removed = []
         data_root = os.path.join(self.path, "data")
         for vdir in sorted(os.listdir(data_root)):
-            for seg in sorted(os.listdir(os.path.join(data_root, vdir))):
+            vpath = os.path.join(data_root, vdir)
+            for seg in sorted(os.listdir(vpath)):
                 rel = os.path.join("data", vdir, seg)
                 if seg.startswith(f"{_BUCKET}=") and rel not in live:
                     shutil.rmtree(os.path.join(self.path, rel),
                                   ignore_errors=True)
                     removed.append(rel)
-            if not os.listdir(os.path.join(data_root, vdir)):
-                os.rmdir(os.path.join(data_root, vdir))
+            # once no bucket dirs remain, only write markers (_SUCCESS)
+            # are left — clear them so the version dir can go too
+            left = os.listdir(vpath)
+            if not any(s.startswith(f"{_BUCKET}=") for s in left):
+                for s in left:
+                    os.remove(os.path.join(vpath, s))
+                os.rmdir(vpath)
         return removed

@@ -123,8 +123,16 @@ class PipelineMetrics(StreamingQueryListener):
             s["rows_per_sec_avg"] = (sum(rates) / len(rates)
                                      if rates else None)
         failed = {t["id"]: t["exception"] for t in terms if t["exception"]}
+        named = {}  # query id -> summary key
         for e in events:
-            if e["id"] in failed:
-                name = e["name"] or e["id"]
-                out[name]["failed"] = failed[e["id"]]
+            named[e["id"]] = e["name"] or e["id"]
+        for qid, exc in failed.items():
+            if qid in named:
+                out[named[qid]]["failed"] = exc
+            else:
+                # failed before the first progress event (batch-0 crash:
+                # bad schema, missing source) — exactly the case a fleet
+                # scheduler must see, so it still gets a summary row
+                out[qid] = {"batches": 0, "rows": 0,
+                            "rows_per_sec_avg": None, "failed": exc}
         return out

@@ -95,6 +95,14 @@ class CdcPipeline:
     # -- state table (versioned parquet + CURRENT pointer) --
 
     def _current_version(self) -> int:
+        # a manifest/ dir marks the bucketed layout — refuse to read it
+        # as a versioned table (the mirror check lives in
+        # BucketedStateTable.version)
+        if os.path.isdir(os.path.join(self.state_dir, "manifest")):
+            raise ValueError(
+                f"state dir {self.state_dir} was written by the "
+                f"bucketed state backend; a table cannot switch "
+                f"backends in place")
         ptr = os.path.join(self.state_dir, "CURRENT")
         if not os.path.exists(ptr):
             return -1

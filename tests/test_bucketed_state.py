@@ -158,3 +158,33 @@ def test_replication_job_bucketed_backend(spark, tmp_path):
     pipe = job.pipelines["t1"]
     assert pipe.bstate is not None
     assert pipe.read_state().count() == 50
+
+
+def test_backend_switch_detected(spark, tmp_path):
+    """A table written by one backend must refuse to open as the other
+    with a clear error, in both directions."""
+    # versioned -> bucketed
+    p = CdcPipeline(spark, "t1", str(tmp_path / "s1"),
+                    str(tmp_path / "w1"), ["id"])
+    p.apply_batch(_batch1(spark), 0, streaming_barrier=False)
+    t = BucketedStateTable(spark, str(tmp_path / "w1" / "state"), ["id"])
+    with pytest.raises(ValueError, match="versioned state backend"):
+        t.version()
+    # bucketed -> versioned
+    p2 = CdcPipeline(spark, "t2", str(tmp_path / "s2"),
+                     str(tmp_path / "w2"), ["id"],
+                     state_backend="bucketed", n_state_buckets=8)
+    p2.apply_batch(_batch1(spark), 0, streaming_barrier=False)
+    p3 = CdcPipeline(spark, "t2", str(tmp_path / "s2"),
+                     str(tmp_path / "w2"), ["id"])
+    with pytest.raises(ValueError, match="bucketed state backend"):
+        p3.read_state()
+
+
+def test_vacuum_clears_empty_version_dirs(spark, tmp_path):
+    t = BucketedStateTable(spark, str(tmp_path / "st"), ["id"], n_buckets=2)
+    t.merge(_batch1(spark))   # v0: both buckets
+    t.merge(_batch1(spark))   # v1: both buckets superseded
+    t.vacuum(keep_versions=0)
+    assert not os.path.exists(os.path.join(t.path, "data", "v0"))
+    assert _snap(t.read())    # current version intact

@@ -68,7 +68,10 @@ def test_compaction_merges_small_files(spark, sf_smoke, tmp_path_factory):
     before_rows = sorted(map(tuple, before.select("event_id").collect()))
     n_before = len(_data_files(path))
 
-    report = compact_partitions(spark, path, cluster_by=["user_id"])
+    # min_age_seconds=0: tests exercise the rewrite itself; the
+    # age guard (live-partition protection) gets its own test below
+    report = compact_partitions(spark, path, cluster_by=["user_id"],
+                                min_age_seconds=0)
     assert report["partitions"] > 0
     assert report["files_after"] < report["files_before"]
     assert len(_data_files(path)) < n_before
@@ -84,9 +87,39 @@ def test_compaction_skips_compacted_partitions(spark, sf_smoke,
     ev = load_table(spark, sf_smoke, "events")
     write_time_partitioned(ev.repartition(8), path, "ts",
                            granularity="hour", mode="overwrite")
-    compact_partitions(spark, path)
+    compact_partitions(spark, path, min_age_seconds=0)
     files = {f: os.path.getmtime(f) for f in _data_files(path)}
     # second run: nothing qualifies, no partition is rewritten
-    report = compact_partitions(spark, path)
+    report = compact_partitions(spark, path, min_age_seconds=0)
     assert report["partitions"] == 0
     assert {f: os.path.getmtime(f) for f in _data_files(path)} == files
+
+
+def test_compaction_age_guard_protects_live_partitions(spark, sf_smoke,
+                                                       tmp_path_factory):
+    """Freshly-landed files (the partition the 15s rotation is still
+    writing into) must never be rewritten: dynamic overwrite would
+    delete concurrent arrivals unread."""
+    path = str(tmp_path_factory.mktemp("tpl") / "events")
+    ev = load_table(spark, sf_smoke, "events")
+    write_time_partitioned(ev.repartition(8), path, "ts",
+                           granularity="hour", mode="overwrite")
+    report = compact_partitions(spark, path)  # default min_age: 1h
+    assert report == {"partitions": 0, "files_before": 0,
+                      "files_after": 0}
+
+
+def test_window_read_subhour_bounds_exact(spark, sf_smoke, part_path):
+    """[start, end) must hold for sub-hour bounds: the residual ts
+    predicate trims the partition superset."""
+    ev = load_table(spark, sf_smoke, "events")
+    lo = ev.agg(F.min("ts")).collect()[0][0]
+    start = (lo + datetime.timedelta(hours=2)).replace(
+        minute=30, second=0, microsecond=0)
+    end = start + datetime.timedelta(hours=1)   # 13:30-style bounds
+    df = read_time_window(spark, part_path, start=start, end=end)
+    expect = (spark.read.parquet(part_path)
+              .where((F.col("ts") >= start) & (F.col("ts") < end)).count())
+    assert df.count() == expect
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan  # pruning survived the residual

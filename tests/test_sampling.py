@@ -99,3 +99,9 @@ def test_cap_per_group(docs):
         docs.repartition(7), ["lang"], 5, "doc_id")
     assert sorted(r["doc_id"] for r in capped.select("doc_id").collect()) \
         == sorted(r["doc_id"] for r in again.select("doc_id").collect())
+
+
+def test_null_id_fails_loudly(spark):
+    df = spark.createDataFrame([(1,), (None,)], "doc_id bigint")
+    with pytest.raises(Exception, match="NULL"):
+        sampling.sample_fraction(df, "doc_id", 0.5).collect()
