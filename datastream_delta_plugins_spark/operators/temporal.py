@@ -245,3 +245,63 @@ def sliding_agg(df: DataFrame, ts_col: str = "ts",
               .agg(*aggs)
               .withColumn("w_start", F.col("_w.start"))
               .drop("_w"))
+
+
+def interval_join(left: DataFrame, right: DataFrame,
+                  on: Sequence[str],
+                  left_ts: str = "ts", right_ts: str = "ts",
+                  lower_seconds: float = 0.0,
+                  upper_seconds: float = 300.0,
+                  right_cols: dict[str, str] | None = None) -> DataFrame:
+    """Event-time interval join: every (left, right) pair sharing `on`
+    keys with  lower <= right_ts - left_ts <= upper  (seconds).
+
+    Scale strategy — the naive formulation is an equi-join on `on`
+    plus an INEQUALITY time condition, which Spark evaluates by
+    joining every key-group pair and filtering: per-key cost is
+    |L_k| * |R_k|, quadratic in the key's event count and skew-fatal
+    for hot keys. This operator makes time part of the JOIN KEY via
+    bucketing: with bucket width w = (upper - lower) + 1 epoch-seconds,
+    any qualifying pair's bucket distance is at most 1 — so each left
+    row is expanded to its (at most) TWO candidate buckets
+    [floor((t+lower)/w), floor((t+upper)/w)] and equi-joined with
+    right rows keyed by their own bucket, then the exact interval
+    predicate trims the candidates. One keyed shuffle on
+    (on…, bucket); per-key cost is pairs-within-window, not all pairs
+    — the same fan-out trick Structured Streaming's stream-stream
+    interval join applies via watermarked state.
+
+    `right_cols` maps right column -> output name (default: carry
+    right_ts as '{right_ts}_r'). Inner-join semantics.
+    """
+    if upper_seconds < lower_seconds:
+        raise ValueError(f"upper {upper_seconds} < lower {lower_seconds}")
+    right_cols = right_cols or {right_ts: f"{right_ts}_r"}
+    on = list(on)
+    w = int(upper_seconds - lower_seconds) + 1
+
+    def _epoch_sec(c):
+        # TIMESTAMP_NTZ has no direct numeric cast; the intermediate
+        # timestamp cast is exact, and only DIFFERENCES are used below
+        # (shift-invariant)
+        return F.col(c).cast("timestamp").cast("double")
+
+    lsec = _epoch_sec(left_ts)
+    rsec = _epoch_sec(right_ts)
+
+    b_lo = F.floor((lsec + F.lit(lower_seconds)) / F.lit(w)).cast("long")
+    b_hi = F.floor((lsec + F.lit(upper_seconds)) / F.lit(w)).cast("long")
+    # at most two distinct buckets (w spans the whole interval);
+    # array_distinct collapses the boundary case where both coincide
+    l = (left.withColumn("_b",
+                         F.explode(F.array_distinct(F.array(b_lo, b_hi)))))
+    r = right.select(
+        *on, F.floor(rsec / F.lit(w)).cast("long").alias("_b"),
+        rsec.alias("_rsec"),
+        *[F.col(src).alias(dst) for src, dst in right_cols.items()
+          if src not in on])
+    out = (l.join(r, on + ["_b"])
+            .where((F.col("_rsec") - lsec >= F.lit(lower_seconds))
+                   & (F.col("_rsec") - lsec <= F.lit(upper_seconds)))
+            .drop("_b", "_rsec"))
+    return out

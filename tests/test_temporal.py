@@ -195,3 +195,45 @@ def test_session_agg_lagcum_single_exchange(spark, sf_correctness):
     s = temporal.session_agg(ev, ["user_id"], "ts", "30 minutes")
     plan = s._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
+
+
+def test_interval_join_equals_naive(spark, sf_correctness):
+    """Bucketed interval join must equal the naive equi+inequality
+    join, and must plan time as part of the JOIN KEY (no per-key
+    quadratic filter-after-join on a key-only join)."""
+    from datastream_delta_plugins_spark.operators.temporal import (
+        interval_join)
+    from datastream_delta_plugins_spark.sources.tables import load_table
+    ev = load_table(spark, sf_correctness, "events")
+    clicks = ev.where(F.col("event_type") == "click") \
+               .select("user_id", "event_id", "ts")
+    errors = ev.where(F.col("event_type") == "error") \
+               .select("user_id", F.col("event_id").alias("err_id"), "ts")
+    got = interval_join(
+        clicks, errors, on=["user_id"], lower_seconds=0,
+        upper_seconds=600,
+        right_cols={"err_id": "err_id", "ts": "err_ts"})
+    lsec = F.col("c.ts").cast("timestamp").cast("double")
+    rsec = F.col("e.ts").cast("timestamp").cast("double")
+    naive = (clicks.alias("c")
+             .join(errors.alias("e"), "user_id")
+             .where((rsec - lsec >= 0) & (rsec - lsec <= 600))
+             .select("user_id", "event_id", F.col("e.err_id")))
+    g = sorted((r["user_id"], r["event_id"], r["err_id"])
+               for r in got.collect())
+    n = sorted((r["user_id"], r["event_id"], r["err_id"])
+               for r in naive.collect())
+    assert g == n and g
+    # the join key must include the bucket column
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "_b" in plan
+
+
+def test_interval_join_rejects_inverted_bounds(spark, sf_correctness):
+    from datastream_delta_plugins_spark.operators.temporal import (
+        interval_join)
+    from datastream_delta_plugins_spark.sources.tables import load_table
+    ev = load_table(spark, sf_correctness, "events")
+    with pytest.raises(ValueError):
+        interval_join(ev, ev, on=["user_id"], lower_seconds=10,
+                      upper_seconds=5)
