@@ -25,6 +25,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -364,3 +365,32 @@ def dedup_within_watermark(stream_df: DataFrame, keys: list[str],
     """Stateful exactly-once dedup over (keys) with bounded state."""
     return (stream_df.withWatermark(ts_col, watermark)
             .dropDuplicatesWithinWatermark(keys))
+
+
+def stream_interval_join(left, right, on: list[str],
+                         left_ts: str = "ts", right_ts: str = "ts",
+                         lower_seconds: float = 0.0,
+                         upper_seconds: float = 300.0,
+                         watermark: str = DEFAULT_WATERMARK):
+    """Stream-stream inner join: pairs sharing `on` keys with
+    lower <= right_ts - left_ts <= upper (the streaming form of
+    operators.temporal.interval_join).
+
+    Both sides carry a watermark and the time bound is part of the
+    JOIN CONDITION — that pair is what lets Spark bound the join
+    state: a buffered left row can only match right rows within
+    [left_ts + lower, left_ts + upper], so once the right watermark
+    passes left_ts + upper + watermark the row is evicted. Without
+    the time bound the state grows forever; without the watermark
+    nothing is ever evicted. Batch-mode execution of the same plan
+    (availableNow tests) is the semantics oracle.
+    """
+    lw = left.withWatermark(left_ts, watermark).alias("l")
+    rw = right.withWatermark(right_ts, watermark).alias("r")
+    lts, rts = F.col(f"l.{left_ts}"), F.col(f"r.{right_ts}")
+    cond = reduce(
+        lambda a, b: a & b,
+        [F.col(f"l.{c}") == F.col(f"r.{c}") for c in on]
+        + [rts >= lts + F.expr(f"INTERVAL {int(lower_seconds)} SECOND"),
+           rts <= lts + F.expr(f"INTERVAL {int(upper_seconds)} SECOND")])
+    return lw.join(rw, cond)

@@ -582,3 +582,45 @@ def test_pipeline_metrics_listener(spark, tmp_path):
         lines = [_json.loads(line) for line in f]
     assert any(e["event"] == "progress" and e["num_input_rows"] == 2
                for e in lines)
+
+
+def test_stream_interval_join_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream interval join must emit exactly the
+    pairs the batch operator produces on the same data (bounded state:
+    the time bound rides the join condition)."""
+    from datastream_delta_plugins_spark.operators.temporal import (
+        interval_join)
+    from datastream_delta_plugins_spark.streaming.pipeline import (
+        stream_interval_join)
+    schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("tag", T.StringType()),
+    ])
+    lrows = [(1, TS + datetime.timedelta(seconds=s), f"l{s}")
+             for s in (0, 100, 1000)]
+    rrows = [(1, TS + datetime.timedelta(seconds=s), f"r{s}")
+             for s in (50, 150, 5000)] + \
+            [(2, TS + datetime.timedelta(seconds=60), "other")]
+    ldir, rdir = str(tmp_path / "l"), str(tmp_path / "r")
+    spark.createDataFrame(lrows, schema).write.parquet(ldir)
+    spark.createDataFrame(rrows, schema).write.parquet(rdir)
+
+    ls = spark.readStream.schema(schema).parquet(ldir)
+    rs = spark.readStream.schema(schema).parquet(rdir)
+    j = stream_interval_join(ls, rs, on=["user_id"],
+                             lower_seconds=0, upper_seconds=120)
+    q = (j.select(F.col("l.tag").alias("lt"), F.col("r.tag").alias("rt"))
+          .writeStream.format("memory").queryName("sij")
+          .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted((r["lt"], r["rt"])
+                 for r in spark.table("sij").collect())
+
+    batch = interval_join(
+        spark.createDataFrame(lrows, schema),
+        spark.createDataFrame(rrows, schema).withColumnRenamed("tag", "rt"),
+        on=["user_id"], lower_seconds=0, upper_seconds=120,
+        right_cols={"rt": "rt"})
+    want = sorted((r["tag"], r["rt"]) for r in batch.collect())
+    assert got == want and got  # (l0,r50), (l100,r150), ...
