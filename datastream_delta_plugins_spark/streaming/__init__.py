@@ -1,9 +1,10 @@
 from .state import StateDoc
-from .pipeline import CdcPipeline, windowed_counts, dedup_within_watermark
+from .pipeline import (CdcPipeline, windowed_counts,
+                       dedup_within_watermark, stream_interval_join)
 from .replication import ReplicationJob, TableConfig
 from .stateful import sessionize_stream
 from .metrics import PipelineMetrics
 
 __all__ = ["StateDoc", "CdcPipeline", "windowed_counts",
            "dedup_within_watermark", "ReplicationJob", "TableConfig",
-           "sessionize_stream", "PipelineMetrics"]
+           "sessionize_stream", "PipelineMetrics", "stream_interval_join"]

@@ -371,10 +371,12 @@ def stream_interval_join(left, right, on: list[str],
                          left_ts: str = "ts", right_ts: str = "ts",
                          lower_seconds: float = 0.0,
                          upper_seconds: float = 300.0,
-                         watermark: str = DEFAULT_WATERMARK):
+                         watermark: str = DEFAULT_WATERMARK,
+                         right_cols: dict[str, str] | None = None):
     """Stream-stream inner join: pairs sharing `on` keys with
-    lower <= right_ts - left_ts <= upper (the streaming form of
-    operators.temporal.interval_join).
+    lower <= right_ts - left_ts <= upper seconds (the streaming form
+    of operators.temporal.interval_join, same output shape: left
+    columns + renamed right columns, on-keys coalesced).
 
     Both sides carry a watermark and the time bound is part of the
     JOIN CONDITION — that pair is what lets Spark bound the join
@@ -382,15 +384,38 @@ def stream_interval_join(left, right, on: list[str],
     [left_ts + lower, left_ts + upper], so once the right watermark
     passes left_ts + upper + watermark the row is evicted. Without
     the time bound the state grows forever; without the watermark
-    nothing is ever evicted. Batch-mode execution of the same plan
-    (availableNow tests) is the semantics oracle.
+    nothing is ever evicted. Spark additionally REQUIRES at least one
+    equality key for a stream-stream join (state is hash-partitioned
+    by it), so unlike the batch form `on` cannot be empty.
+
+    `right_cols` maps right column -> output name (default: carry
+    right_ts as '{right_ts}_r'), mirroring the batch operator.
     """
+    if upper_seconds < lower_seconds:
+        raise ValueError(f"upper {upper_seconds} < lower {lower_seconds}")
+    if not on:
+        raise ValueError(
+            "stream-stream joins require >= 1 equality key (Spark "
+            "hash-partitions join state by it); use the batch "
+            "interval_join for key-less windows")
+    right_cols = right_cols or {right_ts: f"{right_ts}_r"}
     lw = left.withWatermark(left_ts, watermark).alias("l")
     rw = right.withWatermark(right_ts, watermark).alias("r")
     lts, rts = F.col(f"l.{left_ts}"), F.col(f"r.{right_ts}")
+    # fractional-second bounds: interval literals accept decimals
+    # (INTERVAL '2.5' SECOND), matching the batch operator's exact
+    # double arithmetic — int() truncation would silently widen/narrow
+    # the window vs the batch oracle
     cond = reduce(
         lambda a, b: a & b,
         [F.col(f"l.{c}") == F.col(f"r.{c}") for c in on]
-        + [rts >= lts + F.expr(f"INTERVAL {int(lower_seconds)} SECOND"),
-           rts <= lts + F.expr(f"INTERVAL {int(upper_seconds)} SECOND")])
-    return lw.join(rw, cond)
+        + [rts >= lts + F.expr(f"INTERVAL '{float(lower_seconds)}' SECOND"),
+           rts <= lts + F.expr(f"INTERVAL '{float(upper_seconds)}' SECOND")])
+    joined = lw.join(rw, cond)
+    # batch-parity output shape: on-keys once (left side), every left
+    # column, mapped right columns — no ambiguous duplicates, so the
+    # result feeds any sink / unqualified select directly
+    out_cols = ([F.col(f"l.{c}").alias(c) for c in left.columns]
+                + [F.col(f"r.{src}").alias(dst)
+                   for src, dst in right_cols.items() if src not in on])
+    return joined.select(*out_cols)

@@ -606,21 +606,33 @@ def test_stream_interval_join_matches_batch(spark, tmp_path):
     spark.createDataFrame(lrows, schema).write.parquet(ldir)
     spark.createDataFrame(rrows, schema).write.parquet(rdir)
 
+    # fractional upper bound: the 149.5 cut drops the (l100, r150)
+    # pair on BOTH engines — int() truncation to 149 would too, but
+    # truncation to 150 (an earlier bug) admitted it in streaming only
     ls = spark.readStream.schema(schema).parquet(ldir)
     rs = spark.readStream.schema(schema).parquet(rdir)
     j = stream_interval_join(ls, rs, on=["user_id"],
-                             lower_seconds=0, upper_seconds=120)
-    q = (j.select(F.col("l.tag").alias("lt"), F.col("r.tag").alias("rt"))
+                             lower_seconds=0, upper_seconds=50.5,
+                             right_cols={"tag": "rt"})
+    q = (j.select(F.col("tag").alias("lt"), "rt")  # unqualified: no dup cols
           .writeStream.format("memory").queryName("sij")
           .outputMode("append").trigger(availableNow=True).start())
     q.awaitTermination(120)
+    assert not q.isActive
     got = sorted((r["lt"], r["rt"])
                  for r in spark.table("sij").collect())
 
     batch = interval_join(
         spark.createDataFrame(lrows, schema),
         spark.createDataFrame(rrows, schema).withColumnRenamed("tag", "rt"),
-        on=["user_id"], lower_seconds=0, upper_seconds=120,
+        on=["user_id"], lower_seconds=0, upper_seconds=50.5,
         right_cols={"rt": "rt"})
     want = sorted((r["tag"], r["rt"]) for r in batch.collect())
-    assert got == want and got  # (l0,r50), (l100,r150), ...
+    assert got == want and got  # (l0, r50), (l100, r150) excluded by 50.5
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="equality key"):
+        stream_interval_join(ls, rs, on=[])
+    with _pytest.raises(ValueError, match="upper"):
+        stream_interval_join(ls, rs, on=["user_id"], lower_seconds=9,
+                             upper_seconds=1)
