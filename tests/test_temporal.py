@@ -224,9 +224,12 @@ def test_interval_join_equals_naive(spark, sf_correctness):
     n = sorted((r["user_id"], r["event_id"], r["err_id"])
                for r in naive.collect())
     assert g == n and g
-    # the join key must include the bucket column
+    # the join key must include the bucket column, and the join must be
+    # a hash/merge equi-join — never a nested loop over key groups
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "_b" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
 
 
 def test_interval_join_rejects_inverted_bounds(spark, sf_correctness):
