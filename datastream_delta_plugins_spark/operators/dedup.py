@@ -517,3 +517,40 @@ def embedding_neardup_pairs(df: DataFrame, threshold: float,
                         F.greatest("_ida", "_idb").alias("j"),
                         cos.alias("cos"))
                 .where(F.col("cos") >= threshold))
+
+
+def dedup_corpus(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id",
+                 jaccard_threshold: float = 0.8,
+                 n: int = 3) -> tuple[DataFrame, dict]:
+    """The composed corpus-dedup job: exact dedup, then MinHash-LSH
+    near-dup removal — the standard two-stage pipeline a training-data
+    run applies to raw documents.
+
+    Stage 1 collapses byte-identical (normalized) texts to their
+    min-id survivor; stage 2 finds near-dup PAIRS among survivors via
+    banded LSH + exact-Jaccard verify and drops the larger id of each
+    pair (connected-component-free policy: deterministic, one pass —
+    a doc that near-matches several others keeps only the smallest id
+    in its clique chain; full transitive clustering would need
+    iterative connected components, which is overkill for
+    dedup-before-training).
+
+    Returns (kept_docs, report) where report counts removals per
+    stage — every count a DataFrame aggregate, no collect of data
+    rows.
+    """
+    exact = exact_dedup(df, text_col, id_col)  # (id_col, dup_count)
+    survivors = df.join(exact.select(id_col), id_col, "semi")
+    pairs = minhash_lsh_pairs(survivors, jaccard_threshold,
+                              text_col, id_col, n)
+    drop = pairs.select(F.col("j").alias(id_col)).distinct()
+    kept = survivors.join(drop, id_col, "anti")
+    n_in = df.count()
+    n_exact = survivors.count()
+    n_out = kept.count()
+    report = {"input_docs": n_in,
+              "exact_dup_removed": n_in - n_exact,
+              "near_dup_removed": n_exact - n_out,
+              "kept": n_out}
+    return kept, report

@@ -199,3 +199,28 @@ def fingerprint(df: DataFrame, text_col: str = "text",
               .groupBy(id_col)
               .agg(F.min(hash32("shingle")).alias("min_shingle_hash")))
     return fp.join(min_sh, id_col, "left")
+
+
+def unigram_logfreq_score(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Corpus-relative fluency proxy: mean log10 corpus frequency of a
+    doc's tokens (the cheap, model-free stand-in for a perplexity
+    filter — documents dense in corpus-rare tokens score low, boiler-
+    plate scores high). Two keyed shuffles: token counts (map-side
+    partial agg over the exploded tokens), then re-join tokens to
+    frequencies and average per doc. The frequency table is
+    corpus-sized vocabulary (Zipf: far smaller than the corpus) and
+    AQE broadcasts it when it fits.
+
+    Returns (id_col, n_tokens, logfreq_mean) — deterministic given the
+    corpus, reproducible in SQL (log10/avg), no model artifacts.
+    """
+    from ..functions.textfns import words_col
+    toks = df.select(F.col(id_col),
+                     F.explode(words_col(text_col)).alias("tok"))
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
+    scored = (toks.join(freq, "tok")
+                  .groupBy(id_col)
+                  .agg(F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+                       F.avg(F.log10("tf")).alias("logfreq_mean")))
+    return scored

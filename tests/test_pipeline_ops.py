@@ -268,3 +268,39 @@ def test_sample_frames_plumbing(spark, sf_smoke):
     assert len(per) == 20  # every doc has >= 1 fake frame
     with pytest.raises(NotImplementedError):
         multimodal.sample_frames(media, real_decode=True)
+
+
+def test_unigram_logfreq_score_matches_sql(spark, duck, sf_correctness):
+    """Corpus-relative token-frequency scoring must be reproducible in
+    plain SQL on the same normalization."""
+    from datastream_delta_plugins_spark.operators import text as textops
+    docs = load_table(spark, sf_correctness, "documents")
+    got = textops.unigram_logfreq_score(docs).withColumn(
+        "logfreq_mean", F.round("logfreq_mean", 6))
+    sql = """
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(string_split(lower(trim(regexp_replace(
+                     text, '\\s+', ' ', 'g'))), ' ')) AS tok
+          FROM documents),
+        freq AS (SELECT tok, count(*) AS tf FROM toks GROUP BY tok)
+        SELECT t.doc_id, count(*) AS n_tokens,
+               round(avg(log10(f.tf)), 6) AS logfreq_mean
+        FROM toks t JOIN freq f USING (tok)
+        GROUP BY t.doc_id"""
+    assert_parity(got, duck, sql, "unigram_logfreq")
+
+
+def test_dedup_corpus_pipeline(spark, sf_correctness):
+    docs = load_table(spark, sf_correctness, "documents")
+    kept, report = dedup.dedup_corpus(docs, jaccard_threshold=0.8)
+    assert report["input_docs"] == docs.count()
+    assert report["kept"] == kept.count()
+    assert report["input_docs"] == (report["exact_dup_removed"]
+                                    + report["near_dup_removed"]
+                                    + report["kept"])
+    # no surviving near-dup pair above threshold
+    assert dedup.minhash_lsh_pairs(kept, 0.8).count() == 0
+    # every dropped near-dup doc has a smaller-id survivor it matched
+    pairs = dedup.jaccard_pairs(docs, 0.8)
+    assert report["near_dup_removed"] > 0 or pairs.count() == 0
