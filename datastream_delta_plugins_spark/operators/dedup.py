@@ -554,3 +554,59 @@ def dedup_corpus(df: DataFrame, text_col: str = "text",
               "near_dup_removed": n_exact - n_out,
               "kept": n_out}
     return kept, report
+
+
+def connected_components(pairs: DataFrame, id_cols: tuple[str, str] = ("i", "j"),
+                         max_iter: int = 20) -> DataFrame:
+    """Connected components over a near-dup pair list: returns
+    (id, component) where `component` is the smallest id reachable
+    through any chain of pairs — the transitive-clustering policy
+    (A~B, B~C => one cluster) that `dedup_corpus`'s one-pass
+    larger-id drop deliberately skips.
+
+    Iterative min-label propagation: each round every node adopts the
+    smallest label in its neighborhood (its own included), via one
+    keyed aggregation over the (undirected) edge list; convergence in
+    <= diameter rounds, and near-dup graphs are unions of small
+    cliques, so 2-3 rounds in practice (max_iter bounds adversarial
+    chains). Each round is one shuffle; labels persist between rounds
+    and the previous generation is released. The driver-side loop sees
+    only a scalar changed-count per round — no row collects.
+    """
+    i, j = id_cols
+    edges = (pairs.select(F.col(i).alias("a"), F.col(j).alias("b"))
+                  .union(pairs.select(F.col(j).alias("a"),
+                                      F.col(i).alias("b"))))
+    edges = _persist_tracked("cc.edges", edges.distinct())
+    labels = _persist_tracked(
+        "cc.labels.init",
+        edges.select(F.col("a").alias("id"))
+             .distinct()
+             .withColumn("component", F.col("id")))
+    for it in range(max_iter):
+        # neighborhood minimum: join neighbor labels onto each edge,
+        # take min over (own label, every neighbor's label)
+        nbr = (edges.join(labels.withColumnRenamed("id", "b"), "b")
+                    .groupBy("a")
+                    .agg(F.min("component").alias("_nbr_min")))
+        new_labels = (labels.join(nbr.withColumnRenamed("a", "id"),
+                                  "id", "left")
+                      .select("id",
+                              F.least("component",
+                                      F.coalesce("_nbr_min",
+                                                 F.col("component")))
+                               .alias("component")))
+        # alternating generation keys: registering under it%2 releases
+        # the generation from TWO rounds ago — never the current
+        # `labels`, which lives under the other parity (or .init). One
+        # shared key for both would unpersist the frame the
+        # changed-count join below still reads.
+        new_labels = _persist_tracked(f"cc.labels.{it % 2}", new_labels)
+        changed = (labels.withColumnRenamed("component", "_old")
+                         .join(new_labels, "id")
+                         .where(F.col("_old") != F.col("component"))
+                         .count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

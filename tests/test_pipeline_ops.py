@@ -304,3 +304,42 @@ def test_dedup_corpus_pipeline(spark, sf_correctness):
     # every dropped near-dup doc has a smaller-id survivor it matched
     pairs = dedup.jaccard_pairs(docs, 0.8)
     assert report["near_dup_removed"] > 0 or pairs.count() == 0
+
+
+def test_connected_components_transitive_clusters(spark):
+    """A~B, B~C must land in one component labeled by the smallest id;
+    disjoint pairs stay separate."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "i bigint, j bigint")
+    got = {r["id"]: r["component"] for r in
+           dedup.connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20, 23: 20}
+
+
+def test_connected_components_on_real_neardups(spark, sf_correctness):
+    """On the fixture's near-dup pairs: every pair's two ids share a
+    component, and component count == pairs-graph component count
+    computed by a union-find oracle in Python."""
+    docs = load_table(spark, sf_correctness, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, 0.8).select("i", "j")
+    rows = [(r["i"], r["j"]) for r in pairs.collect()]
+    assert rows
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in rows:
+        parent[find(a)] = find(b)
+    want_n = len({find(x) for x in parent})
+    got = {r["id"]: r["component"] for r in
+           dedup.connected_components(pairs).collect()}
+    assert len(set(got.values())) == want_n
+    for a, b in rows:
+        assert got[a] == got[b]
