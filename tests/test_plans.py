@@ -109,3 +109,31 @@ def test_presentation_sort_routes_by_size_estimate(spark, sf_smoke):
     # identical ordered content either way
     assert [tuple(r) for r in small.collect()] == \
            [tuple(r) for r in big.collect()]
+
+
+def test_sampling_stays_in_codegen(spark, sf_smoke):
+    """Sampling membership is pure column expressions — a Python UDF
+    sneaking in (BatchEvalPython/ArrowEvalPython) would serialize every
+    row through the Python worker on the 100 TB path."""
+    from datastream_delta_plugins_spark.operators import sampling
+    from datastream_delta_plugins_spark.sources.tables import load_table
+    docs = load_table(spark, sf_smoke, "documents")
+    plan = formatted_plan(
+        sampling.deterministic_split(docs, "doc_id",
+                                     {"train": 0.9, "val": 0.1}))
+    assert "EvalPython" not in plan
+    assert wholestage_codegen_count(
+        sampling.sample_fraction(docs, "doc_id", 0.5)) >= 1
+
+
+def test_interval_join_no_python_eval(spark, sf_smoke):
+    from datastream_delta_plugins_spark.operators.temporal import (
+        interval_join)
+    from datastream_delta_plugins_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+    ev = load_table(spark, sf_smoke, "events")
+    j = interval_join(ev.select("user_id", "ts"),
+                      ev.select("user_id", F.col("ts").alias("rts")),
+                      on=["user_id"], right_ts="rts",
+                      lower_seconds=0, upper_seconds=60)
+    assert "EvalPython" not in formatted_plan(j)
