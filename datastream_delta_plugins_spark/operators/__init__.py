@@ -6,4 +6,7 @@ dedup        -- exact + approximate document deduplication
 similarity   -- embedding similarity search (brute force + LSH)
 text         -- text analysis (lang-id, quality, tokens, fingerprint)
 multimodal   -- binary-column (image/audio/video) plumbing
+sampling     -- deterministic hash-bucket splits / per-group caps
+temporal     -- as-of join, sessionization, sliding/interval joins
+skew         -- salted aggregation/join helpers for hot keys
 """
