@@ -230,3 +230,71 @@ def ivf_topk(df: DataFrame, query_pred: Column, k: int = 10,
     w = W.partitionBy("q_id").orderBy(F.desc("cos"), F.col(id_col))
     return (scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
                   .where(F.col("rn") <= k))
+
+
+def save_ivf_index(df: DataFrame, path: str, k: int = 8,
+                   vec_col: str = "embedding", id_col: str = "vec_id",
+                   seed: int = 42) -> None:
+    """Persist an IVF index: the corpus re-laid-out as parquet
+    PARTITIONED BY cell id, plus the cell centroids.
+
+    The partition layout IS the index: probing n cells becomes a
+    partition-pruned read of n directories — at 100 TB a query touches
+    nprobe/k of the corpus bytes on disk, the same locality a native
+    IVF index gives, with zero custom file formats. Build cost is one
+    k-means fit + one shuffle by cell; amortized across every query
+    against the index (re-fitting per query, what ivf_topk does when
+    handed raw vectors, is never the production path).
+    """
+    cells = kmeans_cells(df, k=k, vec_col=vec_col, id_col=id_col,
+                         seed=seed)
+    (cells.repartition("_cell")
+          .write.mode("overwrite").partitionBy("_cell")
+          .parquet(f"{path}/cells"))
+    cents = cell_centroids(cells, "_cell", vec_col=vec_col,
+                           id_col=id_col)
+    cents.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def ivf_topk_indexed(spark, path: str, query_df: DataFrame, k: int = 10,
+                     nprobe: int = 3, vec_col: str = "embedding",
+                     id_col: str = "vec_id") -> DataFrame:
+    """Approximate top-k against a saved IVF index.
+
+    `query_df` supplies (q_id, `vec_col`) query vectors. Centroids load
+    tiny; each query's nprobe most-similar cells are computed and the
+    UNION of probed cell ids — at most |Q| x nprobe ints — is collected
+    and applied as a STATIC `_cell IN (...)` predicate, which is what
+    turns the read into partition pruning (a dynamic join key would
+    read every cell dir). Scoring then proceeds exactly like ivf_topk:
+    per-cell equi-join, exact cosine, global rank.
+    """
+    cents = spark.read.parquet(f"{path}/centroids")
+    q = query_df.select(
+        F.col(id_col).alias("q_id"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("_qv"))
+    probe_w = W.partitionBy("q_id").orderBy(F.desc("c_cos"), F.col("_cell"))
+    probes = (F.broadcast(q).crossJoin(F.broadcast(cents))
+               .select("q_id", "_cell", "_qv",
+                       cosine(F.col("_qv"), F.col("centroid"))
+                       .alias("c_cos"))
+               .withColumn("_pr", F.row_number().over(probe_w))
+               .where(F.col("_pr") <= nprobe)
+               .select("q_id", "_cell", "_qv"))
+    from .dedup import _persist_tracked
+    probes = _persist_tracked("ivf.probes", probes)
+    cell_ids = [r[0] for r in probes.select("_cell")
+                .distinct().collect()]  # <= |Q| x nprobe ints
+    e = (spark.read.parquet(f"{path}/cells")
+         .where(F.col("_cell").isin(cell_ids))  # static -> pruned
+         .select(F.col(id_col), F.col("_cell").cast("int").alias("_cell"),
+                 F.transform(vec_col, lambda x: x.cast("double"))
+                  .alias("_v")))
+    scored = (probes.join(e, "_cell")
+                    .where(F.col("q_id") != F.col(id_col))
+                    .select("q_id", id_col,
+                            cosine(F.col("_qv"), F.col("_v"))
+                            .alias("cos")))
+    w = W.partitionBy("q_id").orderBy(F.desc("cos"), F.col(id_col))
+    return (scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
+                  .where(F.col("rn") <= k))

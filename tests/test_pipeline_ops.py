@@ -343,3 +343,29 @@ def test_connected_components_on_real_neardups(spark, sf_correctness):
     assert len(set(got.values())) == want_n
     for a, b in rows:
         assert got[a] == got[b]
+
+
+def test_ivf_index_save_probe(spark, sf_correctness, tmp_path):
+    """Persisted IVF index: probing must (a) return exactly what the
+    in-memory ivf_topk computes over the same cell assignment, and
+    (b) read ONLY the probed cells' partition dirs (PartitionFilters)."""
+    emb = load_table(spark, sf_correctness, "embeddings")
+    path = str(tmp_path / "ivf")
+    similarity.save_ivf_index(emb, path, k=8)
+    idx_cells = spark.read.parquet(f"{path}/cells") \
+        .withColumn("_cell", F.col("_cell").cast("int"))
+    pred = F.col("vec_id") % 50 == 0
+    want = sorted(
+        (r["q_id"], r["rn"], r["vec_id"], r["cos"]) for r in
+        similarity.ivf_topk(idx_cells, pred, k=5, nprobe=3,
+                            cell_col="_cell").collect())
+    got_df = similarity.ivf_topk_indexed(
+        spark, path, emb.where(pred), k=5, nprobe=3)
+    got = sorted((r["q_id"], r["rn"], r["vec_id"], r["cos"])
+                 for r in got_df.collect())
+    assert got == want and got
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    nonempty = [seg.split("]", 1)[0] for seg in
+                plan.split("PartitionFilters: [")[1:]
+                if not seg.lstrip().startswith("]")]
+    assert any("_cell" in f for f in nonempty), nonempty
