@@ -541,13 +541,21 @@ def dedup_corpus(df: DataFrame, text_col: str = "text",
     rows.
     """
     exact = exact_dedup(df, text_col, id_col)  # (id_col, dup_count)
-    survivors = df.join(exact.select(id_col), id_col, "semi")
+    # survivors feeds the LSH signature branch, its verify re-shingle
+    # branch, the kept anti-join, and a count — persist, or the md5
+    # groupBy + semi-join over the corpus replays once per action
+    # (module rule: Catalyst does not CSE across join branches)
+    survivors = _persist_tracked(
+        "corpus.survivors", df.join(exact.select(id_col), id_col, "semi"))
     pairs = minhash_lsh_pairs(survivors, jaccard_threshold,
                               text_col, id_col, n)
     drop = pairs.select(F.col("j").alias(id_col)).distinct()
-    kept = survivors.join(drop, id_col, "anti")
+    # persisted: counted for the report, then consumed by the caller —
+    # without it the whole LSH verify join re-runs on their first action
+    kept = _persist_tracked(
+        "corpus.kept", survivors.join(drop, id_col, "anti"))
     n_in = df.count()
-    n_exact = survivors.count()
+    n_exact = exact.count()  # one row per surviving group == survivors
     n_out = kept.count()
     report = {"input_docs": n_in,
               "exact_dup_removed": n_in - n_exact,
@@ -564,44 +572,52 @@ def connected_components(pairs: DataFrame, id_cols: tuple[str, str] = ("i", "j")
     (A~B, B~C => one cluster) that `dedup_corpus`'s one-pass
     larger-id drop deliberately skips.
 
-    Iterative min-label propagation: each round every node adopts the
-    smallest label in its neighborhood (its own included), via one
-    keyed aggregation over the (undirected) edge list; convergence in
-    <= diameter rounds, and near-dup graphs are unions of small
-    cliques, so 2-3 rounds in practice (max_iter bounds adversarial
-    chains). Each round is one shuffle; labels persist between rounds
-    and the previous generation is released. The driver-side loop sees
-    only a scalar changed-count per round — no row collects.
+    Min-label propagation with POINTER JUMPING: each round (a) every
+    node adopts the smallest label in its edge neighborhood, then (b)
+    adopts its current label's OWN label (label-of-label) — the
+    pointer-jumping hop halves the remaining chain each round, so
+    convergence is O(log diameter) rounds, not diameter (a 1000-doc
+    templated-edit chain converges in ~10 rounds, not 1000). Each
+    round is two keyed shuffles + a scalar changed-count — no row
+    collects. `localCheckpoint` truncates lineage per round: persist
+    alone caches DATA but the logical plan still deepens per
+    iteration, and analyzer cost goes quadratic after tens of rounds
+    (on a cluster, prefer `spark.sparkContext.setCheckpointDir` +
+    `.checkpoint()` for fault-tolerant truncation).
     """
     i, j = id_cols
     edges = (pairs.select(F.col(i).alias("a"), F.col(j).alias("b"))
                   .union(pairs.select(F.col(j).alias("a"),
                                       F.col(i).alias("b"))))
     edges = _persist_tracked("cc.edges", edges.distinct())
-    labels = _persist_tracked(
-        "cc.labels.init",
-        edges.select(F.col("a").alias("id"))
-             .distinct()
-             .withColumn("component", F.col("id")))
+    labels = (edges.select(F.col("a").alias("id"))
+                   .distinct()
+                   .withColumn("component", F.col("id"))
+                   .localCheckpoint(eager=True))
     for it in range(max_iter):
-        # neighborhood minimum: join neighbor labels onto each edge,
-        # take min over (own label, every neighbor's label)
+        # (a) neighborhood minimum: join neighbor labels onto each
+        # edge, take min over (own label, every neighbor's label)
         nbr = (edges.join(labels.withColumnRenamed("id", "b"), "b")
                     .groupBy("a")
                     .agg(F.min("component").alias("_nbr_min")))
-        new_labels = (labels.join(nbr.withColumnRenamed("a", "id"),
-                                  "id", "left")
+        stepped = (labels.join(nbr.withColumnRenamed("a", "id"),
+                               "id", "left")
+                   .select("id",
+                           F.least("component",
+                                   F.coalesce("_nbr_min",
+                                              F.col("component")))
+                            .alias("component"))
+                   # both sides of the pointer-jump self-join read this
+                   .localCheckpoint(eager=True))
+        # (b) pointer jump: component := label[component] when smaller
+        ptr = stepped.select(F.col("id").alias("component"),
+                             F.col("component").alias("_cc"))
+        new_labels = (stepped.join(ptr, "component", "left")
                       .select("id",
                               F.least("component",
-                                      F.coalesce("_nbr_min",
-                                                 F.col("component")))
-                               .alias("component")))
-        # alternating generation keys: registering under it%2 releases
-        # the generation from TWO rounds ago — never the current
-        # `labels`, which lives under the other parity (or .init). One
-        # shared key for both would unpersist the frame the
-        # changed-count join below still reads.
-        new_labels = _persist_tracked(f"cc.labels.{it % 2}", new_labels)
+                                      F.coalesce("_cc", F.col("component")))
+                               .alias("component"))
+                      .localCheckpoint(eager=True))
         changed = (labels.withColumnRenamed("component", "_old")
                          .join(new_labels, "id")
                          .where(F.col("_old") != F.col("component"))
@@ -609,4 +625,13 @@ def connected_components(pairs: DataFrame, id_cols: tuple[str, str] = ("i", "j")
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # exiting via max_iter with labels still moving means a chain
+        # longer than the iteration budget — returning silently would
+        # hand the caller SPLIT components (several labels for one true
+        # cluster), and a dedup keyed on them keeps duplicates
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            f"iterations ({changed} labels still changing) — the pair "
+            f"graph has a chain longer than max_iter; raise max_iter")
     return labels

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
-from .dedup import cosine
+from .dedup import _persist_tracked, cosine
 
 
 def _vecs(df: DataFrame, vec_col: str, id_col: str, extra: list[str] = []):
@@ -258,16 +258,25 @@ def save_ivf_index(df: DataFrame, path: str, k: int = 8,
 
 def ivf_topk_indexed(spark, path: str, query_df: DataFrame, k: int = 10,
                      nprobe: int = 3, vec_col: str = "embedding",
-                     id_col: str = "vec_id") -> DataFrame:
+                     id_col: str = "vec_id",
+                     exclude_query_ids: bool = True) -> DataFrame:
     """Approximate top-k against a saved IVF index.
 
-    `query_df` supplies (q_id, `vec_col`) query vectors. Centroids load
-    tiny; each query's nprobe most-similar cells are computed and the
-    UNION of probed cell ids — at most |Q| x nprobe ints — is collected
-    and applied as a STATIC `_cell IN (...)` predicate, which is what
-    turns the read into partition pruning (a dynamic join key would
-    read every cell dir). Scoring then proceeds exactly like ivf_topk:
-    per-cell equi-join, exact cosine, global rank.
+    `query_df` supplies (`id_col`, `vec_col`) rows — the id is emitted
+    as `q_id` in the output. Centroids load tiny; each query's nprobe
+    most-similar cells are computed and the UNION of probed cell ids —
+    at most |Q| x nprobe ints — is collected and applied as a STATIC
+    `_cell IN (...)` predicate, which is what turns the read into
+    partition pruning (a dynamic join key would read every cell dir).
+    Scoring then proceeds exactly like ivf_topk: per-cell equi-join,
+    exact cosine, global rank.
+
+    `exclude_query_ids=True` (default) drops corpus rows whose id
+    equals the query's id — correct when queries ARE corpus rows (the
+    ivf_topk contract: don't return yourself). Pass False when
+    query_df has its OWN id space: an id collision there is an
+    unrelated vector, and excluding it would silently drop a true
+    neighbor.
     """
     cents = spark.read.parquet(f"{path}/centroids")
     q = query_df.select(
@@ -281,7 +290,6 @@ def ivf_topk_indexed(spark, path: str, query_df: DataFrame, k: int = 10,
                .withColumn("_pr", F.row_number().over(probe_w))
                .where(F.col("_pr") <= nprobe)
                .select("q_id", "_cell", "_qv"))
-    from .dedup import _persist_tracked
     probes = _persist_tracked("ivf.probes", probes)
     cell_ids = [r[0] for r in probes.select("_cell")
                 .distinct().collect()]  # <= |Q| x nprobe ints
@@ -290,11 +298,11 @@ def ivf_topk_indexed(spark, path: str, query_df: DataFrame, k: int = 10,
          .select(F.col(id_col), F.col("_cell").cast("int").alias("_cell"),
                  F.transform(vec_col, lambda x: x.cast("double"))
                   .alias("_v")))
-    scored = (probes.join(e, "_cell")
-                    .where(F.col("q_id") != F.col(id_col))
-                    .select("q_id", id_col,
-                            cosine(F.col("_qv"), F.col("_v"))
-                            .alias("cos")))
+    scored = probes.join(e, "_cell")
+    if exclude_query_ids:
+        scored = scored.where(F.col("q_id") != F.col(id_col))
+    scored = scored.select("q_id", id_col,
+                           cosine(F.col("_qv"), F.col("_v")).alias("cos"))
     w = W.partitionBy("q_id").orderBy(F.desc("cos"), F.col(id_col))
     return (scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
                   .where(F.col("rn") <= k))

@@ -216,8 +216,13 @@ def unigram_logfreq_score(df: DataFrame, text_col: str = "text",
     corpus, reproducible in SQL (log10/avg), no model artifacts.
     """
     from ..functions.textfns import words_col
-    toks = df.select(F.col(id_col),
-                     F.explode(words_col(text_col)).alias("tok"))
+    from .dedup import _persist_tracked
+    # toks feeds BOTH join branches (freq aggregate + probe side) and
+    # Catalyst does not CSE across join branches — persist, or the
+    # corpus normalize+split+explode runs twice per action
+    toks = _persist_tracked(
+        "unigram.toks",
+        df.select(F.col(id_col), F.explode(words_col(text_col)).alias("tok")))
     freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
     scored = (toks.join(freq, "tok")
                   .groupBy(id_col)
