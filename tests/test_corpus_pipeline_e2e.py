@@ -1,0 +1,54 @@
+"""End-to-end training-data pipeline composition: quality filter ->
+corpus dedup -> deterministic split -> per-split token accounting,
+each stage the engine's own operator — the 'switch your corpus prep
+to this repo' proof, with conservation checks at every joint."""
+
+from pyspark.sql import functions as F
+
+from datastream_delta_plugins_spark.operators import dedup, sampling, text
+from datastream_delta_plugins_spark.sources.tables import load_table
+
+FRACS = {"train": 0.9, "val": 0.05, "test": 0.05}
+
+
+def test_corpus_prep_pipeline(spark, sf_correctness):
+    docs = load_table(spark, sf_correctness, "documents")
+    n_raw = docs.count()
+
+    # 1. quality gate (Gopher-style keep rule): score, then semi-join
+    # the keepers back to the full rows
+    scored = text.quality_score(docs)
+    quality = docs.join(scored.where(F.col("keep")).select("doc_id"),
+                        "doc_id", "semi")
+    n_quality = quality.count()
+    assert 0 < n_quality <= n_raw
+
+    # 2. dedup (exact + LSH near-dup)
+    kept, report = dedup.dedup_corpus(quality, jaccard_threshold=0.8)
+    assert report["input_docs"] == n_quality
+    assert report["kept"] == kept.count() > 0
+
+    # 3. reproducible split
+    split = sampling.deterministic_split(kept, "doc_id", FRACS,
+                                         salt="e2e")
+    sizes = {r["split"]: r["c"] for r in
+             split.groupBy("split").agg(F.count(F.lit(1)).alias("c"))
+                  .collect()}
+    assert sum(sizes.values()) == report["kept"]
+    assert sizes.get("train", 0) > sizes.get("val", 0)
+
+    # 4. per-split token accounting (whitespace tokenizer)
+    tokens = (split.withColumn(
+                  "n_tok", F.size(F.split(F.col("text"), r"\s+")))
+              .groupBy("split")
+              .agg(F.sum("n_tok").alias("tokens")))
+    toks = {r["split"]: r["tokens"] for r in tokens.collect()}
+    assert all(v > 0 for v in toks.values())
+
+    # pipeline is deterministic end-to-end: rerun == same membership
+    split2 = sampling.deterministic_split(
+        dedup.dedup_corpus(quality, jaccard_threshold=0.8)[0],
+        "doc_id", FRACS, salt="e2e")
+    a = sorted(map(tuple, split.select("doc_id", "split").collect()))
+    b = sorted(map(tuple, split2.select("doc_id", "split").collect()))
+    assert a == b
