@@ -152,3 +152,116 @@ def test_sum_s4_matches_decimal_arithmetic(spark, pairs):
     assert Decimal(out["full"]) == exact
     assert out["r4"] == float(exact.quantize(
         Decimal("0.0001"), rounding="ROUND_HALF_UP"))
+
+
+# -- connected components == union-find, for arbitrary small graphs --
+
+_edges_strategy = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=15),
+              st.integers(min_value=0, max_value=15))
+    .filter(lambda p: p[0] != p[1]),
+    min_size=1, max_size=25)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(edges=_edges_strategy)
+def test_connected_components_matches_union_find(spark, edges):
+    from datastream_delta_plugins_spark.operators import dedup
+    pairs = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges], "i bigint, j bigint")
+    got = {r["id"]: r["component"] for r in
+           dedup.connected_components(pairs, max_iter=10).collect()}
+
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    # canonical label = min node id per union-find root
+    roots: dict = {}
+    for x in parent:
+        roots.setdefault(find(x), []).append(x)
+    want = {x: min(members) for r, members in roots.items()
+            for x in members}
+    assert got == want
+
+
+# -- interval join == naive equi+filter join, arbitrary event sets --
+
+_iv_events = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=3),      # key
+              st.integers(min_value=0, max_value=5000)),  # epoch sec
+    min_size=1, max_size=30)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(left=_iv_events, right=_iv_events,
+       lo=st.integers(min_value=-120, max_value=120),
+       span=st.integers(min_value=0, max_value=600))
+def test_interval_join_matches_naive_property(spark, left, right, lo, span):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from datastream_delta_plugins_spark.operators.temporal import (
+        interval_join)
+    base = dt.datetime(2024, 1, 1)
+
+    def df(rows, tag):
+        return spark.createDataFrame(
+            [(k, base + dt.timedelta(seconds=s), f"{tag}{i}")
+             for i, (k, s) in enumerate(rows)],
+            "k bigint, ts timestamp, tag string")
+    l, r = df(left, "l"), df(right, "r")
+    hi = lo + span
+    got = sorted((x["k"], x["tag"], x["rtag"]) for x in interval_join(
+        l, r, on=["k"], lower_seconds=lo, upper_seconds=hi,
+        right_cols={"tag": "rtag"}).collect())
+    lsec = F.col("a.ts").cast("double")
+    rsec = F.col("b.ts").cast("double")
+    want = sorted((x["k"], x["tag"], x["rtag"]) for x in
+                  l.alias("a").join(r.alias("b"), "k")
+                   .where((rsec - lsec >= lo) & (rsec - lsec <= hi))
+                   .select("k", "a.tag",
+                           F.col("b.tag").alias("rtag")).collect())
+    assert got == want
+
+
+# -- deterministic split membership == python md5 reimplementation --
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(ids=st.lists(st.integers(min_value=0, max_value=10 ** 12),
+                    min_size=1, max_size=40, unique=True),
+       cuts=st.tuples(st.integers(min_value=1, max_value=9998),
+                      st.integers(min_value=1, max_value=9998)),
+       salt=st.text(alphabet="abcxyz123", max_size=8))
+def test_split_membership_is_pure_hash_function(spark, ids, cuts, salt):
+    import hashlib
+
+    from datastream_delta_plugins_spark.operators import sampling
+    c1, c2 = sorted(cuts)
+    if c1 == c2:
+        c2 = c1 + 1
+    fracs = {"a": c1 / 10000, "b": (c2 - c1) / 10000,
+             "c": (10000 - c2) / 10000}
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id bigint")
+    got = {r["doc_id"]: r["split"] for r in
+           sampling.deterministic_split(df, "doc_id", fracs,
+                                        salt=salt).collect()}
+
+    def bucket(i):
+        h = hashlib.md5(f"{i}|{salt}".encode()).hexdigest()[:8]
+        return int(h, 16) % 10000
+
+    want = {i: ("a" if bucket(i) < c1 else "b" if bucket(i) < c2
+                else "c") for i in ids}
+    assert got == want
