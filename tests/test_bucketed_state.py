@@ -188,3 +188,37 @@ def test_vacuum_clears_empty_version_dirs(spark, tmp_path):
     t.vacuum(keep_versions=0)
     assert not os.path.exists(os.path.join(t.path, "data", "v0"))
     assert _snap(t.read())    # current version intact
+
+
+def test_streaming_restart_with_bucketed_backend(spark, tmp_path):
+    """Checkpointed streaming + bucketed state across a restart: the
+    second run must only process the new file and only rewrite the
+    buckets it touches."""
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import test_streaming as ts
+    src = str(tmp_path / "src")
+    pipe = CdcPipeline(spark, "t1", src + "/*", str(tmp_path / "work"),
+                       pk_cols=["id"], state_backend="bucketed",
+                       n_state_buckets=8)
+    ts._write(spark, f"{src}/f1_oracle-cdc-logminer_0",
+              ("oracle-cdc-logminer", "INSERT", 1, 1, "a"),
+              ("oracle-cdc-logminer", "INSERT", 2, 2, "b"))
+    ts._run(pipe)
+    v1 = pipe.bstate.version()
+    m1 = pipe.bstate.current_manifest()
+    assert pipe.read_state().count() == 2
+
+    ts._write(spark, f"{src}/f2_oracle-cdc-logminer_1",
+              ("oracle-cdc-logminer", "UPDATE", 10, 1, "a2"))
+    pipe2 = CdcPipeline(spark, "t1", src + "/*", str(tmp_path / "work"),
+                        pk_cols=["id"], state_backend="bucketed",
+                        n_state_buckets=8)
+    ts._run(pipe2)  # same checkpoint dir: file 1 must NOT replay
+    assert pipe2.bstate.version() == v1 + 1
+    m2 = pipe2.bstate.current_manifest()
+    changed = {b for b in m2 if m2[b] != m1.get(b)}
+    assert len(changed) == 1  # only id=1's bucket was rewritten
+    s = {r["id"]: (r["val"], r["_is_deleted"])
+         for r in pipe2.read_state().collect()}
+    assert s == {1: ("a2", False), 2: ("b", False)}
