@@ -22,7 +22,7 @@ Re-expresses the reference's design-time type mapping in Spark terms:
 from __future__ import annotations
 
 import enum
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from pyspark.sql import types as T
 
@@ -164,8 +164,12 @@ def evaluate_column(detail: ColumnDetail) -> ColumnEvaluation:
         # Oracle DATE carries a time component -> timestamp, not date
         spark_type = T.TimestampType()
     elif dtype is OracleDataType.DECIMAL:
-        spark_type = T.DecimalType(_parse_int(dtype, "precision", p),
-                                   _parse_int(dtype, "scale", s))
+        # Oracle DECIMAL(p) / bare DECIMAL: omitted scale defaults to 0
+        # and omitted precision to the 38 maximum — raising here would
+        # abort the whole table's standardize/assess on one column
+        spark_type = T.DecimalType(
+            38 if not p else _parse_int(dtype, "precision", p),
+            0 if not s else _parse_int(dtype, "scale", s))
     elif dtype in (OracleDataType.INTEGER, OracleDataType.SMALLINT):
         spark_type = T.IntegerType()
     elif dtype is OracleDataType.NUMBER:

@@ -141,6 +141,9 @@ def decode_value(schema, dec: _Decoder):
     if t in ("bytes", "fixed") and logical == "decimal":
         raw = dec.bytes_() if t == "bytes" else dec.read(schema["size"])
         return _decimal_from_bytes(raw, schema.get("scale", 0))
+    if t == "fixed":  # plain fixed (no logical type) -> raw bytes,
+        # matching avro_mapping's fixed -> BinaryType
+        return dec.read(schema["size"])
     if isinstance(t, (list, dict)):
         return decode_value(t, dec)
     if t == "record":
@@ -360,9 +363,10 @@ def read_avro_changes(spark, path: str, columns=None, avro_schema=None):
     (reference: schema_key change -> re-describe,
     DatastreamEventReader.java:652-674).
     """
-    from pyspark.sql import functions as F, types as T
+    from pyspark.sql import types as T
 
     from ..schema.avro_mapping import avro_to_spark
+    from .changes import META_COLS, payload_output_name
 
     bin_df = spark.read.format("binaryFile").load(path)
     if avro_schema is not None:
@@ -387,6 +391,16 @@ def read_avro_changes(spark, path: str, columns=None, avro_schema=None):
     sm_out = ["src_schema", "src_table", "src_database", "row_id", "scn",
               "is_deleted", "change_type", "ssn", "rs_id", "tx_id",
               "log_file"]
+    # the Avro and parquet readers MUST emit identical frames for
+    # operators/cdc.py — guard against a changes.py/envelope.py rename
+    # that this hardcoded list misses
+    assert tuple(meta_names + sm_out) == META_COLS, \
+        "avro reader column list desynchronized from changes.META_COLS"
+
+    # payload names collide-proofed against the envelope outputs (same
+    # policy as flatten_envelope; Spark resolves case-insensitively)
+    payload_out = [(n, payload_output_name(n), t)
+                   for n, t in payload_fields]
 
     out_fields = [T.StructField(n, avro_to_spark(by_name[n]))
                   for n in meta_names]
@@ -394,17 +408,22 @@ def read_avro_changes(spark, path: str, columns=None, avro_schema=None):
                  for f in _unwrap_nullable(by_name["source_metadata"])["fields"]}
     out_fields += [T.StructField(o, avro_to_spark(sm_schema[n]))
                    for n, o in zip(sm_names, sm_out)]
-    out_fields += [T.StructField("_sk1", T.LongType()),
-                   T.StructField("_sk2", T.LongType()),
-                   T.StructField("_sk3", T.StringType()),
-                   T.StructField("_sk4", T.LongType())]
-    out_fields += [T.StructField(n, avro_to_spark(t))
-                   for n, t in payload_fields]
+    out_fields += [T.StructField(k, T.LongType() if k != "_sk3"
+                                 else T.StringType())
+                   for k in ("_sk1", "_sk2", "_sk3", "_sk4")]
+    out_fields += [T.StructField(o, avro_to_spark(t))
+                   for _, o, t in payload_out]
     out_fields += [T.StructField("_source_file", T.StringType())]
     out_schema = T.StructType(out_fields)
 
     meta_conv = {n: _converter(by_name[n]) for n in meta_names}
-    payload_conv = {n: _converter(t) for n, t in payload_fields}
+    payload_conv = {o: _converter(t) for _, o, t in payload_out}
+    # payload fields DECLARED StringType whose union admits non-string
+    # branches (e.g. ["null","string","long"], mapped to StringType by
+    # avro_mapping's cast-on-use rule) decode to Python ints — coerce
+    # at append time or the Arrow batch conversion rejects the column
+    str_payload = {o for _, o, t in payload_out
+                   if isinstance(avro_to_spark(t), T.StringType)}
 
     # payload fields the reader schema knows about, BEFORE projection:
     # drift detection must not fire on an intentional column subset
@@ -451,8 +470,12 @@ def read_avro_changes(spark, path: str, columns=None, avro_schema=None):
                                         else str(sk[2]))
                     cols["_sk4"].append(_num_sort_key(sk[3], 3, fpath))
                     p = r.get("payload") or {}
-                    for n, _t in payload_fields:
-                        cols[n].append(p.get(n))
+                    for n, o, _t in payload_out:
+                        v = p.get(n)
+                        if v is not None and o in str_payload \
+                                and not isinstance(v, str):
+                            v = str(v)  # non-string union branch
+                        cols[o].append(v)
                     cols["_source_file"].append(fpath)
             out = pd.DataFrame(cols)
             for n, conv in {**meta_conv, **payload_conv}.items():

@@ -39,6 +39,21 @@ META_COLS = (
     "log_file",
 )
 
+#: lowercase names a payload column may not take in the flattened frame
+#: (Spark resolves case-insensitively by default, so e.g. a payload
+#: CHANGE_TYPE would make normalize_ops' change_type ambiguous)
+_RESERVED_LOWER = frozenset(
+    c.lower() for c in META_COLS + SORT_KEY_COLS
+    + ("_op", "_is_snapshot", "_source_file", "_previous"))
+
+
+def payload_output_name(name: str) -> str:
+    """Collision-safe flattened name for a payload column: a payload
+    field shadowing an envelope/meta output column (case-insensitive)
+    is prefixed `payload_` — deterministic, documented, and applied
+    identically by the parquet and Avro readers."""
+    return f"payload_{name}" if name.lower() in _RESERVED_LOWER else name
+
 
 def normalize_ops(df: DataFrame,
                   change_type_col: str = "change_type",
@@ -85,7 +100,8 @@ def flatten_envelope(df: DataFrame,
         sk.getItem(1).cast("bigint").alias("_sk2"),
         sk.getItem(2).alias("_sk3"),
         sk.getItem(3).cast("bigint").alias("_sk4"),
-        *[F.col(f"payload.{c}").alias(c) for c in payload_fields],
+        *[F.col(f"payload.{c}").alias(payload_output_name(c))
+          for c in payload_fields],
     )
 
 

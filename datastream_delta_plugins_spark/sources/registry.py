@@ -19,7 +19,7 @@ control plane, so the registry is backed by a schema-registry document
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from pyspark.sql import types as T
 
@@ -160,6 +160,15 @@ class TableAssessor:
         for schema, table in tables:
             detail = self._registry.describe_table(database, schema, table)
             a = self.assess_table(detail)
-            out[TableSummary(database, schema, table).composite_name] = \
-                TableAssessment(a.columns, tuple(problems))
+            name = TableSummary(database, schema, table).composite_name
+            if name in out:
+                # the underscore join is ambiguous (FOO+BAR_X and
+                # FOO_BAR+X both yield FOO_BAR_X) — overwriting would
+                # silently drop a table's assessment from the
+                # pre-flight report
+                raise ValueError(
+                    f"composite table name collision: {name!r} maps to "
+                    f"more than one (schema, table) pair in this "
+                    f"assessment")
+            out[name] = TableAssessment(a.columns, tuple(problems))
         return out

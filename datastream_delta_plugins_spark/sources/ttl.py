@@ -54,6 +54,9 @@ class ProcessedFileTtl:
 
     def expired(self, now: datetime.datetime | None = None) -> list[str]:
         now = now or datetime.datetime.now(datetime.timezone.utc)
+        if now.tzinfo is None:  # same guard as mark_processed: stamps
+            # are stored aware, naive-minus-aware raises TypeError
+            now = now.replace(tzinfo=datetime.timezone.utc)
         out = []
         for f, stamp in self.doc.as_dict().items():
             if now - datetime.datetime.fromisoformat(stamp) >= self.ttl:

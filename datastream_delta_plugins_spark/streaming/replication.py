@@ -24,7 +24,10 @@ from dataclasses import dataclass, field
 from pyspark.sql import SparkSession
 
 from ..envelope import SNAPSHOT_FILE_MARKER
-from ..sources.ttl import ProcessedFileTtl
+# NOTE: sources.ttl is imported lazily in __init__ — ttl.py imports
+# streaming.state, whose package __init__ imports this module, so a
+# module-level import here makes `import sources.ttl` order-dependent
+# (circular when ttl loads first)
 from . import state as sk
 from .pipeline import BACKFILL_COMPLETED, CdcPipeline
 from .retry import RetryPolicy
@@ -74,6 +77,7 @@ class ReplicationJob:
         self.doc = StateDoc(os.path.join(work_dir, "job_state.json"))
         # S8: one shared manifest; marked only after a table's merge
         # commits, purged by ttl.purge_expired() (lifecycle-rule analog)
+        from ..sources.ttl import ProcessedFileTtl
         self.ttl = (ProcessedFileTtl(
             os.path.join(work_dir, "ttl_manifest.json"), ttl_days)
             if ttl_days else None)

@@ -210,3 +210,86 @@ def test_string_branch_sort_keys_coerced(spark, tmp_path):
     row = avro_ocf.read_avro_changes(spark, str(d) + "/*").first()
     assert row["_sk1"] == 1704067200042 and row["_sk2"] == 42
     assert row["_sk3"] == "rs0" and row["_sk4"] == 0
+
+
+def _mk_envelope(payload_fields):
+    return {
+        "type": "record", "name": "T", "fields": [
+            {"name": "uuid", "type": "string"},
+            {"name": "read_timestamp",
+             "type": {"type": "long", "logicalType": "timestamp-millis"}},
+            {"name": "source_timestamp",
+             "type": {"type": "long", "logicalType": "timestamp-millis"}},
+            {"name": "object", "type": "string"},
+            {"name": "read_method", "type": "string"},
+            {"name": "stream_name", "type": "string"},
+            {"name": "schema_key", "type": "string"},
+            {"name": "source_metadata", "type": {
+                "type": "record", "name": "source_metadata", "fields": [
+                    {"name": n, "type": ["null", t] if nullable else t}
+                    for n, t, nullable in SM_FIELDS]}},
+            {"name": "payload", "type": {
+                "type": "record", "name": "payload", "fields": [
+                    {"name": n, "type": t} for n, t in payload_fields]}},
+            {"name": "sort_keys", "type": {
+                "type": "array", "items": ["string", "long"]}},
+        ],
+    }
+
+
+def _mk_event(payload):
+    return {
+        "uuid": "u1", "read_timestamp": T0_MS, "source_timestamp": T0_MS,
+        "object": "T", "read_method": CDC, "stream_name": "s1",
+        "schema_key": "k1",
+        "source_metadata": {
+            "schema": "S", "table": "T", "database": "D", "row_id": "r1",
+            "scn": 1, "is_deleted": False, "change_type": "INSERT",
+            "ssn": 0, "rs_id": "rs0", "tx_id": "tx", "log_file": None},
+        "payload": payload,
+        "sort_keys": [T0_MS, 1, "rs0", 0],
+    }
+
+
+def test_payload_column_colliding_with_envelope_is_renamed(
+        spark, tmp_path):
+    """Oracle payload columns named like envelope outputs (CHANGE_TYPE,
+    uuid) must not make the flattened frame ambiguous or crash the
+    Arrow batch — they flatten as payload_<name>."""
+    schema = _mk_envelope([
+        ("ID", ["null", "long"]),
+        ("CHANGE_TYPE", ["null", "string"]),   # case-variant collision
+        ("uuid", ["null", "string"]),          # exact collision
+    ])
+    d = tmp_path / "src"
+    d.mkdir()
+    ev = _mk_event({"ID": 1, "CHANGE_TYPE": "payload-ct", "uuid": "p-u"})
+    (d / "k1_cdc_0.avro").write_bytes(avro_ocf.write_ocf(schema, [ev]))
+    df = avro_ocf.read_avro_changes(spark, str(d) + "/*")
+    row = df.first()
+    assert row["payload_CHANGE_TYPE"] == "payload-ct"
+    assert row["payload_uuid"] == "p-u"
+    assert row["change_type"] == "INSERT" and row["uuid"] == "u1"
+    assert row["_op"] == "INSERT"  # normalize_ops resolved unambiguously
+
+
+def test_payload_string_long_union_coerced(spark, tmp_path):
+    """A payload field typed [null,string,long] is declared StringType
+    (avro_mapping cast-on-use rule) — long-branch values must arrive as
+    strings, not poison the Arrow batch."""
+    schema = _mk_envelope([("K", ["null", "string", "long"])])
+    d = tmp_path / "src"
+    d.mkdir()
+    evs = [_mk_event({"K": 42}), _mk_event({"K": "s42"}),
+           _mk_event({"K": None})]
+    (d / "k1_cdc_0.avro").write_bytes(avro_ocf.write_ocf(schema, evs))
+    df = avro_ocf.read_avro_changes(spark, str(d) + "/*")
+    assert dict(df.dtypes)["K"] == "string"
+    assert sorted(r["K"] for r in df.collect()
+                  if r["K"] is not None) == ["42", "s42"]
+
+
+def test_plain_fixed_decodes_as_bytes():
+    dec = avro_ocf._Decoder(b"abcd")
+    assert avro_ocf.decode_value(
+        {"type": "fixed", "name": "f", "size": 4}, dec) == b"abcd"

@@ -111,8 +111,11 @@ def test_evaluate_unsupported(tname):
 
 
 def test_evaluate_bad_precision_raises():
+    # garbage (non-numeric) precision still raises; an OMITTED
+    # precision/scale defaults instead (see
+    # test_decimal_defaults_missing_precision_and_scale)
     with pytest.raises(ValueError):
-        _eval("DECIMAL", None, None)
+        _eval("DECIMAL", "abc", "0")
 
 
 def test_nullability_and_pk():
@@ -239,3 +242,25 @@ def test_processed_file_ttl(tmp_path):
     # purge of an already-deleted file is idempotent
     os.remove(files[2])
     assert ttl2.purge_expired(now=t0 + datetime.timedelta(days=41)) == [files[2]]
+
+
+def test_decimal_defaults_missing_precision_and_scale():
+    from pyspark.sql import types as T
+
+    from datastream_delta_plugins_spark.schema.oracle_types import (
+        ColumnDetail, evaluate_column)
+    # Oracle DECIMAL(10) — omitted scale defaults to 0, not ValueError
+    e = evaluate_column(ColumnDetail("C", "DECIMAL", precision="10"))
+    assert e.field.dataType == T.DecimalType(10, 0)
+    e2 = evaluate_column(ColumnDetail("C", "DECIMAL"))
+    assert e2.field.dataType == T.DecimalType(38, 0)
+
+
+def test_assess_raises_on_composite_name_collision():
+    import pytest as _pytest
+    cols = [ColumnDetail("ID", "NUMBER(10)", False, "10", None, True)]
+    reg = TableRegistry({"db": {"FOO": {"BAR_X": cols},
+                                "FOO_BAR": {"X": cols}}})
+    with _pytest.raises(ValueError, match="collision"):
+        TableAssessor(reg).assess("db", [("FOO", "BAR_X"),
+                                         ("FOO_BAR", "X")])
