@@ -154,3 +154,47 @@ def merge_batch(state: DataFrame,
         as_events[0].unionByName(as_events[1], allowMissingColumns=True),
         pk_cols, sort_cols, keep_sort_keys=True)
     return untouched.unionByName(remerged, allowMissingColumns=True)
+
+
+def diff_states(prev: DataFrame | None, cur: DataFrame,
+                pk_cols: Sequence[str]) -> DataFrame:
+    """Change feed between two materialized states: one row per PK
+    whose content changed, with `_change` in INSERT/UPDATE/DELETE.
+
+    The engine consumes change streams; this re-EMITS one from state
+    versions, so a downstream consumer (another replication hop, an
+    incremental index) can subscribe to the materialized table the way
+    the reference's targets subscribe to Datastream. Classification:
+      INSERT  pk absent before (or previously soft-deleted, live now)
+      DELETE  live before, soft-deleted now
+      UPDATE  live both sides, any non-pk column differing
+    Comparison is one full-outer join keyed on pk (null-safe struct
+    equality) — the standard CDF computation when storage keeps
+    versions, not deltas. The bucketed state table narrows it to the
+    buckets whose files actually changed (changes_between), so at
+    scale the diff cost tracks the delta, not the table.
+    """
+    pk = list(pk_cols)
+    val_cols = [c for c in cur.columns if c not in pk]
+    if prev is None:
+        return cur.where(~F.col("_is_deleted")) \
+                  .select(*pk, F.lit("INSERT").alias("_change"))
+    prev_cols = set(prev.columns)
+    p = prev.select(
+        *pk, F.struct(*[F.col(c) if c in prev_cols
+                        else F.lit(None).alias(c) for c in val_cols])
+        .alias("_pv"), F.col("_is_deleted").alias("_pdel"))
+    c = cur.select(*pk, F.struct(*val_cols).alias("_cv"),
+                   F.col("_is_deleted").alias("_cdel"))
+    j = p.join(c, pk, "full_outer")
+    was_live = F.col("_pdel").isNotNull() & ~F.col("_pdel")
+    is_live = F.col("_cdel").isNotNull() & ~F.col("_cdel")
+    change = (
+        F.when(~was_live & is_live, "INSERT")          # new or revived
+         .when(was_live & F.col("_cdel").isNotNull()
+               & F.col("_cdel"), "DELETE")             # soft-delete flip
+         .when(was_live & is_live
+               & ~F.col("_pv").eqNullSafe(F.col("_cv")), "UPDATE"))
+    return (j.withColumn("_change", change)
+             .where(F.col("_change").isNotNull())
+             .select(*pk, "_change"))

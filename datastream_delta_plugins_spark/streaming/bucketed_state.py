@@ -221,3 +221,35 @@ class BucketedStateTable:
                     os.remove(os.path.join(vpath, s))
                 os.rmdir(vpath)
         return removed
+
+
+    def changed_buckets(self, v_from: int, v_to: int) -> list[str]:
+        """Bucket ids whose manifest entry differs between versions —
+        the only buckets a change feed must read."""
+        a, b = self._manifest(v_from), self._manifest(v_to)
+        return sorted(set(k for k in set(a) | set(b)
+                          if a.get(k) != b.get(k)), key=int)
+
+    def changes_between(self, v_from: int, v_to: int):
+        """Change feed (pk..., _change) between two committed versions.
+
+        Reads ONLY the buckets whose files changed between the two
+        manifests (both versions' dirs for those buckets), then
+        diffs with operators.cdc.diff_states — cost tracks the delta
+        between versions, not table size. Requires v_from's data dirs
+        to still exist (vacuum keep_versions must cover it).
+        """
+        from ..operators import cdc
+        a, b = self._manifest(v_from), self._manifest(v_to)
+        changed = self.changed_buckets(v_from, v_to)
+        prev = self._read_dirs([a[k] for k in changed if k in a])
+        cur = self._read_dirs([b[k] for k in changed if k in b])
+        if cur is None:
+            # buckets can only disappear via a future compaction-style
+            # rewrite; with merge-only commits cur covers every change
+            raise ValueError(
+                f"no current-side data for buckets {changed} between "
+                f"v{v_from} and v{v_to}")
+        return cdc.diff_states(
+            prev.drop(_BUCKET) if prev is not None else None,
+            cur.drop(_BUCKET), self.pk_cols)

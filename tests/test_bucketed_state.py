@@ -222,3 +222,40 @@ def test_streaming_restart_with_bucketed_backend(spark, tmp_path):
     s = {r["id"]: (r["val"], r["_is_deleted"])
          for r in pipe2.read_state().collect()}
     assert s == {1: ("a2", False), 2: ("b", False)}
+
+
+def test_change_feed_between_versions(spark, tmp_path):
+    """changes_between reads only manifest-changed buckets and emits
+    the exact INSERT/UPDATE/DELETE delta of batch2."""
+    t = BucketedStateTable(spark, str(tmp_path / "st"), ["id"], n_buckets=8)
+    t.merge(_batch1(spark))
+    r2 = t.merge(_batch2(spark))
+    assert t.changed_buckets(0, 1) == [str(b) for b in
+                                       r2["touched_buckets"]]
+    feed = {r["id"]: r["_change"]
+            for r in t.changes_between(0, 1).collect()}
+    want = {i: "UPDATE" for i in range(5)}
+    want.update({i: "DELETE" for i in range(5, 10)})
+    want.update({i: "INSERT" for i in range(100, 105)})
+    assert feed == want
+
+
+def test_change_feed_initial_version(spark, tmp_path):
+    from datastream_delta_plugins_spark.operators import cdc
+    t = BucketedStateTable(spark, str(tmp_path / "st"), ["id"], n_buckets=4)
+    t.merge(_batch1(spark))
+    feed = cdc.diff_states(None, t.read(), ["id"])
+    assert feed.where(F.col("_change") == "INSERT").count() == 50
+
+
+def test_change_feed_revival_is_insert(spark, tmp_path):
+    """A soft-deleted PK re-inserted later must feed as INSERT."""
+    from datastream_delta_plugins_spark.operators import cdc
+    t = BucketedStateTable(spark, str(tmp_path / "st"), ["id"], n_buckets=4)
+    t.merge(_changes(spark, [(1, "a", "INSERT", 1, 1, "A", 1)]))
+    t.merge(_changes(spark, [(1, "a", "DELETE", 2, 1, "A", 1)]))
+    t.merge(_changes(spark, [(1, "a2", "INSERT", 3, 1, "A", 1)]))
+    assert {r["_change"] for r in t.changes_between(1, 2).collect()} \
+        == {"INSERT"}
+    assert {r["_change"] for r in t.changes_between(0, 1).collect()} \
+        == {"DELETE"}
