@@ -157,7 +157,8 @@ def merge_batch(state: DataFrame,
 
 
 def diff_states(prev: DataFrame | None, cur: DataFrame,
-                pk_cols: Sequence[str]) -> DataFrame:
+                pk_cols: Sequence[str],
+                ignore_cols: Sequence[str] = SORT_KEY_COLS) -> DataFrame:
     """Change feed between two materialized states: one row per PK
     whose content changed, with `_change` in INSERT/UPDATE/DELETE.
 
@@ -175,7 +176,12 @@ def diff_states(prev: DataFrame | None, cur: DataFrame,
     scale the diff cost tracks the delta, not the table.
     """
     pk = list(pk_cols)
-    val_cols = [c for c in cur.columns if c not in pk]
+    # sort keys are merge BOOKKEEPING, not content: a no-op "touch"
+    # event wins the merge with a new scn but identical payload, and
+    # comparing the keys would feed a spurious UPDATE downstream.
+    # _is_deleted is carried separately (_pdel/_cdel classification).
+    skip = set(pk) | set(ignore_cols) | {"_is_deleted"}
+    val_cols = [c for c in cur.columns if c not in skip]
     if prev is None:
         return cur.where(~F.col("_is_deleted")) \
                   .select(*pk, F.lit("INSERT").alias("_change"))

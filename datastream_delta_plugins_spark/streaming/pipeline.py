@@ -49,20 +49,27 @@ class CdcPipeline:
 
     def __init__(self, spark: SparkSession, table: str, source_dir: str,
                  work_dir: str, pk_cols: list[str],
-                 sort_cols: list[str] = list(SORT_KEY_COLS),
+                 sort_cols: tuple[str, ...] | list[str] = SORT_KEY_COLS,
                  dml_blacklist: tuple[str, ...] = (),
                  ttl: "ProcessedFileTtl | None" = None,
                  catalog_table: str | None = None,
                  retry: RetryPolicy | None = None,
                  state_backend: str = "versioned",
-                 n_state_buckets: int = 16):
+                 n_state_buckets: int = 16,
+                 columns: list[str] | None = None):
         self.spark = spark
         self.table = table
         self.source_dir = source_dir
         self.work_dir = work_dir
         self.pk_cols = pk_cols
-        self.sort_cols = sort_cols
+        # fresh list per instance: a shared mutable default would let
+        # one pipeline's append change every other pipeline's ordering
+        self.sort_cols = list(sort_cols)
         self.dml_blacklist = dml_blacklist
+        # P1: optional payload-column subset (SourceTable.columns,
+        # DatastreamEventConsumer.java:103-105) — applied per batch so
+        # BOTH ingestion modes honor it
+        self.columns = list(columns) if columns else None
         self.state_dir = os.path.join(work_dir, "state")
         # state_backend="bucketed": manifest-based bucketed table —
         # each batch rewrites only the PK-hash buckets it touches
@@ -133,8 +140,8 @@ class CdcPipeline:
     # -- schema drift (D3) --
 
     def _schema_fingerprint(self, df: DataFrame) -> str:
-        payload = [f"{c}:{t}" for c, t in df.dtypes
-                   if c in cdc.payload_columns(df)]
+        allowed = set(cdc.payload_columns(df))  # once, not per column
+        payload = [f"{c}:{t}" for c, t in df.dtypes if c in allowed]
         return json.dumps(sorted(payload))
 
     def _evolve(self, state: DataFrame, batch: DataFrame) -> DataFrame:
@@ -228,6 +235,11 @@ class CdcPipeline:
         if self.dml_blacklist:
             batch_df = batch_df.where(
                 ~F.col("_op").isin([o.upper() for o in self.dml_blacklist]))
+        if self.columns:  # P1: drop unconfigured payload columns
+            keep = set(self.columns) | set(self.pk_cols)
+            batch_df = batch_df.drop(
+                *[c for c in cdc.payload_columns(batch_df)
+                  if c not in keep])
         # apply_batch runs >= 2 actions over the batch (bookkeeping agg,
         # then the merge) and a foreachBatch DataFrame RE-READS its
         # source files on every action — persist so each change file is
@@ -324,7 +336,15 @@ class CdcPipeline:
         1 MB, Utils.java:105-106): rotation controls how much data one
         file carries, this bounds how many files one micro-batch
         swallows — together they cap per-batch merge size (and thus
-        state-merge latency) during catch-up from a backlog."""
+        state-merge latency) during catch-up from a backlog.
+
+        PACED runs disable the in-stream snapshot-completion flip: the
+        reference's rule is "no new dump rows in a FULL scan", and a
+        micro-batch truncated by maxFilesPerTrigger is not a full scan
+        — a cdc-only batch could flip `snapshot.done` while visible
+        dump files still wait in the backlog. Paced catch-up marks
+        `snapshot.seen` only; completion comes from the job-level
+        file-set barrier (ReplicationJob) or a later unpaced run."""
         reader = self.spark.readStream.format(fmt).schema(schema)
         if max_files_per_trigger is not None:
             reader = reader.option("maxFilesPerTrigger",
@@ -332,12 +352,14 @@ class CdcPipeline:
         stream = (reader.load(self.source_dir)
                   # file provenance for the S8 TTL manifest
                   .withColumn("_source_file", F.input_file_name()))
+        barrier = max_files_per_trigger is None
 
         def _apply(df: DataFrame, batch_id: int) -> None:
             if self.retry is not None:
-                self.retry.call(self.apply_batch, df, batch_id)
+                self.retry.call(self.apply_batch, df, batch_id,
+                                streaming_barrier=barrier)
             else:
-                self.apply_batch(df, batch_id)
+                self.apply_batch(df, batch_id, streaming_barrier=barrier)
 
         writer = (stream.writeStream
                   .foreachBatch(_apply)
@@ -398,7 +420,8 @@ def stream_interval_join(left, right, on: list[str],
             "stream-stream joins require >= 1 equality key (Spark "
             "hash-partitions join state by it); use the batch "
             "interval_join for key-less windows")
-    right_cols = right_cols or {right_ts: f"{right_ts}_r"}
+    if right_cols is None:  # empty dict is a legitimate "left only"
+        right_cols = {right_ts: f"{right_ts}_r"}
     lw = left.withWatermark(left_ts, watermark).alias("l")
     rw = right.withWatermark(right_ts, watermark).alias("r")
     lts, rts = F.col(f"l.{left_ts}"), F.col(f"r.{right_ts}")

@@ -94,7 +94,8 @@ class ReplicationJob:
                 catalog_table=(f"{database}.{t.name}"
                                if register_catalog else None),
                 state_backend=state_backend,
-                n_state_buckets=n_state_buckets)
+                n_state_buckets=n_state_buckets,
+                columns=t.columns)
             for t in tables
         }
         for t in tables:
@@ -126,6 +127,17 @@ class ReplicationJob:
             sk.k_snapshot_done(table)) == "true"
 
     def all_dumps_done(self) -> bool:
+        """True once every table's snapshot completed. Computed from
+        the per-table state docs (then cached in the job doc) so the
+        barrier also resolves in STREAMING deployments, where the
+        per-table flags flip inside foreachBatch and run_batch's
+        explicit _update_barrier never runs."""
+        if self.doc.get(sk.ALL_DUMPS_DONE) == "true":
+            return True
+        # re-read: streaming pipelines persist their docs out-of-band
+        for t in self.tables:
+            self.pipelines[t].doc.load()
+        self._update_barrier()
         return self.doc.get(sk.ALL_DUMPS_DONE) == "true"
 
     def _update_barrier(self) -> None:
@@ -152,27 +164,59 @@ class ReplicationJob:
         483-541).
         """
         self._ensure_database()
+        from pyspark.errors import AnalysisException
         from pyspark.sql import functions as F
         for name, cfg in self.tables.items():
             pipe = self.pipelines[name]
-            df = self.spark.read.parquet(cfg.source_dir)
+            try:
+                df = self.spark.read.parquet(cfg.source_dir)
+            except AnalysisException:
+                # no files yet (backfill not started, or a dump-less
+                # table): an EMPTY scan still advances completion — a
+                # stable empty file set with backfill COMPLETED is the
+                # reference's dump-less skip
+                # (DatastreamEventReader.java:449-467)
+                self._check_dump_complete(pipe, name, [])
+                continue
             df = df.withColumn("_source_file", F.input_file_name())
-            snap = df.where(
-                F.col("_source_file").contains(SNAPSHOT_FILE_MARKER))
-            cdc = df.where(
-                ~F.col("_source_file").contains(SNAPSHOT_FILE_MARKER))
-            # snapshot phase first, then CDC — the reference's order
-            # (correct under re-ordering anyway: merge is by sort key);
-            # _source_file rides along so the merge commit can mark the
-            # processed files in the TTL manifest
-            snap_files = sorted(
-                r["_source_file"] for r in
-                snap.select("_source_file").distinct().collect())
-            if snap_files:
-                pipe.apply_batch(snap, batch_id=0, streaming_barrier=False)
-            if not cdc.isEmpty():
-                pipe.apply_batch(cdc, batch_id=1, streaming_barrier=False)
-            self._check_dump_complete(pipe, name, snap_files)
+            # classify on the LOGICAL FILE name: the basename, or its
+            # immediate parent segment (a parquet "change file" is a
+            # directory of part-files, so the marker lives one level
+            # up). Higher path segments must NOT match — a landing
+            # root like /srv/backfill_drop/ would otherwise flag every
+            # CDC file as snapshot (the reference checks the blob name
+            # only, DatastreamEventConsumer.java:206-208)
+            parts = F.split("_source_file", "/")
+            is_snap = (F.element_at(parts, -1)
+                        .contains(SNAPSHOT_FILE_MARKER)
+                       | F.element_at(parts, -2)
+                          .contains(SNAPSHOT_FILE_MARKER))
+            df = df.withColumn("_is_snap_file", is_snap)
+            # ONE scan feeds the snapshot slice, the cdc slice, and
+            # the file-set fingerprint (Catalyst does not share scans
+            # across the branches)
+            df.persist()
+            try:
+                snap = df.where(F.col("_is_snap_file")) \
+                         .drop("_is_snap_file")
+                cdc = df.where(~F.col("_is_snap_file")) \
+                        .drop("_is_snap_file")
+                # snapshot phase first, then CDC — the reference's
+                # order (correct under re-ordering anyway: merge is by
+                # sort key); _source_file rides along so the merge
+                # commit can mark processed files in the TTL manifest
+                snap_files = sorted(
+                    r["_source_file"] for r in
+                    snap.select("_source_file").distinct().collect())
+                if snap_files:
+                    pipe.apply_batch(snap, batch_id=0,
+                                     streaming_barrier=False)
+                if not cdc.isEmpty():
+                    pipe.apply_batch(cdc, batch_id=1,
+                                     streaming_barrier=False)
+                self._check_dump_complete(pipe, name, snap_files)
+            finally:
+                df.unpersist()
         self._update_barrier()
 
     def _check_dump_complete(self, pipe: CdcPipeline, name: str,

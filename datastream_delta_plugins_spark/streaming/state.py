@@ -83,6 +83,15 @@ class StateDoc:
             with open(path) as f:
                 self._state = json.load(f)
 
+    def load(self) -> None:
+        """Re-read from disk, replacing in-memory state — for readers
+        observing a doc another writer (a foreachBatch closure, another
+        process) saves out-of-band. Writers save() after every mutation
+        here, so nothing unsaved is at risk in the built-in paths."""
+        if os.path.exists(self.path):
+            with open(self.path) as f:
+                self._state = json.load(f)
+
     def get(self, key: str, default: str | None = None) -> str | None:
         return self._state.get(key, default)
 

@@ -636,3 +636,97 @@ def test_stream_interval_join_matches_batch(spark, tmp_path):
     with _pytest.raises(ValueError, match="upper"):
         stream_interval_join(ls, rs, on=["user_id"], lower_seconds=9,
                              upper_seconds=1)
+
+
+def test_run_batch_handles_missing_source_dir(spark, tmp_path):
+    """A table whose change dir has no files yet must not crash the
+    cycle, and must complete via the stable-empty-set rule once the
+    backfill reports COMPLETED (dump-less table skip)."""
+    from datastream_delta_plugins_spark.streaming import (
+        ReplicationJob, TableConfig)
+    job = ReplicationJob(
+        spark, str(tmp_path / "work"),
+        [TableConfig("t1", str(tmp_path / "never_written") + "/*",
+                     ["id"])])
+    job.run_batch()            # records the (empty) file set
+    assert not job.snapshot_done("t1")
+    job.run_batch()            # stable empty set + COMPLETED -> done
+    assert job.snapshot_done("t1")
+    assert job.all_dumps_done()
+
+
+def test_backfill_marker_in_dir_name_not_misclassified(spark, tmp_path):
+    """'backfill' in a DIRECTORY segment must not flag CDC files as
+    snapshot (classification is by file name, like the reference's
+    blob-name test)."""
+    from datastream_delta_plugins_spark.streaming import (
+        ReplicationJob, TableConfig)
+    from datastream_delta_plugins_spark.streaming import state as sk2
+    src = str(tmp_path / "backfill_drop" / "t1")
+    _write(spark, f"{src}/f1_oracle-cdc-logminer_0",
+           ("oracle-cdc-logminer", "INSERT", 1, 1, "a"))
+    job = ReplicationJob(spark, str(tmp_path / "work"),
+                         [TableConfig("t1", src + "/*", ["id"])])
+    job.run_batch()
+    pipe = job.pipelines["t1"]
+    # CDC-only table: no snapshot rows were seen
+    assert pipe.doc.get(sk2.k_snapshot_seen("t1")) is None
+    job.run_batch()
+    assert job.snapshot_done("t1")  # empty dump set, stable
+
+
+def test_table_config_columns_projects_payload(spark, tmp_path):
+    from datastream_delta_plugins_spark.streaming import (
+        ReplicationJob, TableConfig)
+    src = str(tmp_path / "src")
+    _write(spark, f"{src}/f1_oracle-cdc-logminer_0",
+           ("oracle-cdc-logminer", "INSERT", 1, 1, "a"))
+    job = ReplicationJob(
+        spark, str(tmp_path / "work"),
+        [TableConfig("t1", src + "/*", ["id"], columns=["id"])])
+    job.run_batch()
+    state = job.pipelines["t1"].read_state()
+    assert "val" not in state.columns      # projected away (P1)
+    assert state.count() == 1
+
+
+def test_paced_stream_never_flips_barrier(spark, tmp_path):
+    """maxFilesPerTrigger batches are not full scans: a cdc-only batch
+    in a paced catch-up must not flip snapshot.done even with the
+    backfill COMPLETED and visible dump files still queued."""
+    from datastream_delta_plugins_spark.streaming.pipeline import (
+        BACKFILL_COMPLETED)
+    src = str(tmp_path / "src")
+    pipe = CdcPipeline(spark, "t1", src + "/*", str(tmp_path / "work"),
+                       pk_cols=["id"])
+    pipe.mark_backfill(BACKFILL_COMPLETED)
+    # mtime order: dump, cdc, dump — the middle cdc-only batch used to
+    # satisfy "dump-free scan" and flip the barrier with D2 pending
+    _write(spark, f"{src}/f1_oracle-backfill_0",
+           ("oracle-backfill", None, 0, 1, "a"))
+    _write(spark, f"{src}/f2_oracle-cdc-logminer_1",
+           ("oracle-cdc-logminer", "UPDATE", 5, 1, "a2"))
+    _write(spark, f"{src}/f3_oracle-backfill_2",
+           ("oracle-backfill", None, 0, 2, "b"))
+    q = pipe.start(CHANGE_SCHEMA, trigger={"availableNow": True},
+                   max_files_per_trigger=1)
+    q.awaitTermination(120)
+    assert not q.isActive
+    assert pipe.doc.get(sk.k_snapshot_seen("t1")) == "true"
+    assert pipe.doc.get(sk.k_snapshot_done("t1")) is None  # held
+    assert pipe.read_state().count() == 2
+
+
+def test_diff_states_ignores_sort_key_touch(spark):
+    """A 'touch' update (same payload, newer sort keys) must NOT feed
+    an UPDATE downstream."""
+    from datastream_delta_plugins_spark.operators import cdc as cdc_ops
+    prev = spark.createDataFrame(
+        [(1, "a", False, 1, 1, "A", 1)],
+        "id bigint, val string, _is_deleted boolean, _sk1 bigint, "
+        "_sk2 bigint, _sk3 string, _sk4 bigint")
+    cur = spark.createDataFrame(
+        [(1, "a", False, 9, 9, "Z", 9)],  # only sort keys moved
+        "id bigint, val string, _is_deleted boolean, _sk1 bigint, "
+        "_sk2 bigint, _sk3 string, _sk4 bigint")
+    assert cdc_ops.diff_states(prev, cur, ["id"]).count() == 0
