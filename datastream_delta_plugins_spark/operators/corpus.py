@@ -1,0 +1,159 @@
+"""Corpus-level training-data operators beyond per-pair dedup:
+
+  span_dup_stats       cross-document duplicated-span statistics — the
+                       C4-style "remove any span occurring in N+ docs"
+                       signal (Raffel et al. 2020 dedup three-sentence
+                       spans; this corpus has no sentence boundaries,
+                       so the span unit is an n-word window)
+  contamination_check  benchmark-contamination flags — does a corpus
+                       doc share any n-gram with the benchmark set
+                       (the train/test overlap hygiene step of
+                       Brown et al. 2020, appendix C)
+  chunk_documents      fixed-size token windows with stride (the
+                       sequence-chunking pass before tokenizer packing)
+  pack_chunks          contiguous-fill packing of chunks into fixed
+                       token budgets per shard
+
+100 TB shapes:
+  - span_dup_stats is explode + two keyed shuffles; the span-frequency
+    table is vocabulary-sized (Zipf), far smaller than the corpus.
+  - contamination_check broadcasts the benchmark shingle set — eval
+    suites are tiny next to a training corpus, so the corpus side
+    never shuffles (scan → broadcast-join → per-doc agg).
+  - chunk_documents is row-local (scan-side explode, no shuffle).
+  - pack_chunks orders within a shard column only — one keyed shuffle
+    per shard, never a global total order.
+
+All hashing is md5-prefix (functions.textfns) so the DuckDB oracle
+reproduces values exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from ..functions.textfns import hash32, words_col
+from .dedup import _persist_tracked, shingle_array
+
+
+def _shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """Distinct n-word spans per doc, one row per (doc, span)."""
+    return (shingle_array(df, text_col, id_col, n)
+            .select(id_col, F.explode_outer("_shingles").alias("span")))
+
+
+def span_dup_stats(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", n: int = 5,
+                   min_docs: int = 2) -> DataFrame:
+    """Per-document cross-corpus duplicated-span statistics.
+
+    A span is an n-word window; a span is "duplicated" when it appears
+    in >= min_docs distinct documents. Returns every input document
+    with (n_spans, n_dup_spans, dup_span_frac) — the per-doc signal a
+    C4-style span-removal or doc-drop policy consumes.
+
+    Plan: distinct spans per doc (row-local), span -> doc-count
+    aggregate (map-side partial, vocabulary-sized result), join back,
+    per-doc aggregate. Docs shorter than n words report 0 spans with a
+    NULL fraction.
+    """
+    sh = _persist_tracked(
+        "span_dup.spans",
+        _shingles(df, text_col, id_col, n).select(
+            id_col, hash32("span").alias("_h")))
+    counts = sh.groupBy("_h").agg(F.count(F.lit(1)).alias("ndocs"))
+    per_doc = (sh.join(counts, "_h")
+                 .groupBy(id_col)
+                 .agg(F.count(F.lit(1)).alias("n_spans"),
+                      F.sum(F.when(F.col("ndocs") >= min_docs, 1)
+                             .otherwise(0)).alias("n_dup_spans")))
+    return (df.select(id_col).join(per_doc, id_col, "left")
+              .select(id_col,
+                      F.coalesce("n_spans", F.lit(0)).cast("bigint")
+                       .alias("n_spans"),
+                      F.coalesce("n_dup_spans", F.lit(0)).cast("bigint")
+                       .alias("n_dup_spans"))
+              .withColumn("dup_span_frac",
+                          F.when(F.col("n_spans") > 0,
+                                 F.col("n_dup_spans").cast("double")
+                                 / F.col("n_spans").cast("double"))))
+
+
+def contamination_check(df: DataFrame, bench_pred: Column,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        n: int = 8) -> DataFrame:
+    """Benchmark-contamination flags for every non-benchmark document.
+
+    `bench_pred` selects the benchmark rows out of `df`; a corpus doc
+    is contaminated when it shares any n-word span with any benchmark
+    doc. Returns (id, n_shared_spans, contaminated) for every corpus
+    (non-benchmark) document.
+
+    The benchmark span set is explicitly broadcast: eval suites are
+    MBs against a corpus of TBs, so the corpus side is a single scan +
+    broadcast hash join + per-doc aggregate — no corpus shuffle.
+    """
+    bench_sh = (_shingles(df.where(bench_pred), text_col, id_col, n)
+                .select(hash32("span").alias("_h")).distinct())
+    corpus = df.where(~bench_pred)
+    corpus_sh = _shingles(corpus, text_col, id_col, n).select(
+        id_col, hash32("span").alias("_h"))
+    hits = (corpus_sh.join(F.broadcast(bench_sh), "_h")
+                     .groupBy(id_col)
+                     .agg(F.count(F.lit(1)).alias("n_shared_spans")))
+    return (corpus.select(id_col).join(hits, id_col, "left")
+                  .select(id_col,
+                          F.coalesce("n_shared_spans", F.lit(0))
+                           .cast("bigint").alias("n_shared_spans"),
+                          (F.coalesce("n_shared_spans", F.lit(0)) > 0)
+                          .alias("contaminated")))
+
+
+def chunk_documents(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", chunk_tokens: int = 32,
+                    stride: int = 24) -> DataFrame:
+    """Fixed-size token windows with stride — the chunking pass before
+    sequence packing. Each document yields windows starting at token
+    offsets 0, stride, 2*stride, ... < n_tokens; the final windows may
+    be short. Entirely row-local (scan-side explode): no shuffle, and
+    chunk rows land in the same partitions as their documents.
+
+    Returns (id, chunk_idx, start_tok, chunk_len, chunk_hash).
+    """
+    w = words_col(text_col)
+    base = (df.select(F.col(id_col), w.alias("_w"))
+              .where(F.size("_w") >= 1)
+              .select(id_col, "_w",
+                      F.posexplode(F.sequence(
+                          F.lit(0), F.size("_w") - 1, F.lit(stride)))
+                       .alias("chunk_idx", "start_tok")))
+    chunk = F.slice("_w", F.col("start_tok") + 1, chunk_tokens)
+    return base.select(
+        id_col,
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.col("start_tok").cast("bigint").alias("start_tok"),
+        F.size(chunk).cast("bigint").alias("chunk_len"),
+        hash32(F.concat_ws(" ", chunk)).alias("chunk_hash"))
+
+
+def pack_chunks(chunks: DataFrame, budget: int = 256,
+                part_col: str = "shard", id_col: str = "doc_id") -> DataFrame:
+    """Contiguous-fill packing: within each shard, chunks are laid out
+    in (id, chunk_idx) order and assigned to the pack whose token
+    budget their starting offset falls into — pack_id = floor(offset /
+    budget) over the shard-local running token total.
+
+    Deterministic and shard-parallel: the window partitions by the
+    shard column, so at 100 TB this is one keyed shuffle per shard
+    (the sort is within-shard), never a global total order. Greedy
+    first-fit bin packing would serialize on the whole corpus;
+    contiguous fill is the packing strategy that parallelizes.
+    """
+    win = (W.partitionBy(part_col)
+            .orderBy(id_col, "chunk_idx")
+            .rowsBetween(W.unboundedPreceding, W.currentRow))
+    off = (F.sum("chunk_len").over(win) - F.col("chunk_len"))
+    return chunks.withColumn(
+        "pack_id", F.floor(off / F.lit(budget)).cast("bigint"))

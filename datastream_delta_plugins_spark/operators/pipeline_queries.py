@@ -24,7 +24,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from . import dedup, multimodal, similarity, text
+from . import corpus, dedup, multimodal, similarity, text
 from ..plans.hints import presentation_sort as _psort
 from ..sources.tables import fan_out, load_table
 
@@ -72,6 +72,18 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 ORDER BY i, j"""
 
 
+def _span_sql(n: int) -> str:
+    """CTE chain ending in sp(doc_id, h): distinct n-word-span hashes
+    per document (the SQL mirror of corpus._shingles + hash32)."""
+    concat = " || ' ' || ".join(f"w[i + {k}]" for k in range(n))
+    return f"""{_TOKS},
+idx AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - {n - 1})) AS i
+        FROM toks WHERE len(w) >= {n}),
+sp AS (SELECT DISTINCT doc_id,
+              CAST('0x' || substr(md5({concat}), 1, 8) AS BIGINT) AS h
+       FROM idx)"""
+
+
 _EMB = ("e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v "
         "FROM embeddings)")
 _COS = ("list_dot_product({a}, {b}) / "
@@ -116,6 +128,39 @@ def d05_embedding_neardup(spark, sf_dir):
                  .transform(lambda d: _psort(d, "i", "j")))
 
 
+def d06_span_dedup(spark, sf_dir):
+    """Cross-document duplicated 5-word spans (C4-style span-removal
+    signal): per-doc span counts + duplicated fraction."""
+    return _psort(corpus.span_dup_stats(_docs(spark, sf_dir), n=5,
+                                        min_docs=2),
+                  "doc_id")
+
+
+def d07_contamination(spark, sf_dir):
+    """Benchmark-contamination flags: benchmark = doc_id % 20 == 7
+    (a deterministic 5% slice standing in for an eval suite); a corpus
+    doc is contaminated when it shares any 8-word span with the
+    benchmark. The benchmark span set is broadcast — the corpus side
+    never shuffles."""
+    return _psort(corpus.contamination_check(
+                      _docs(spark, sf_dir), F.col("doc_id") % 20 == 7, n=8),
+                  "doc_id")
+
+
+def c01_chunk_pack(spark, sf_dir):
+    """Chunking + contiguous-fill packing: 32-token windows at stride
+    24, packed into 256-token budgets per source shard. Chunking is
+    scan-local; packing shuffles once, keyed by shard."""
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = (corpus.chunk_documents(docs, chunk_tokens=32, stride=24)
+                    .join(docs.select("doc_id", "source"), "doc_id"))
+    packed = corpus.pack_chunks(chunks, budget=256, part_col="source")
+    return _psort(packed.select("doc_id", "chunk_idx", "start_tok",
+                                "chunk_len", "chunk_hash", "source",
+                                "pack_id"),
+                  "doc_id", "chunk_idx")
+
+
 def s01_cosine_topk(spark, sf_dir):
     # no fan_out: the blocked screen does the heavy scoring vectorized
     # inside the scan partitions, so a repartition exchange would be
@@ -144,10 +189,11 @@ def t01_text_stats(spark, sf_dir):
     check budget — round 1 showed the driver checks only the first 50
     registered queries). Uses the single-projection text_profile — one
     scan and zero joins, vs 3 scans + 2 shuffle joins for joining the
-    fine-grained operators."""
-    # no fan_out: one projection over the scan, nothing to fan out
-    return _psort(text.text_profile(load_table(spark, sf_dir, "documents")),
-                  "doc_id")
+    fine-grained operators. Carries the repetition-stat columns
+    (top_bigram_frac / dup_trigram_frac), whose O(distinct-grams x
+    grams) per-row cost makes the projection compute-dense — fan_out
+    so a single-row-group input doesn't pin it on one core."""
+    return _psort(text.text_profile(_docs(spark, sf_dir)), "doc_id")
 
 
 def t02_lang_id(spark, sf_dir):
@@ -181,6 +227,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d03_minhash_lsh": d03_minhash_lsh,
     "d04_simhash_hamming": d04_simhash_hamming,
     "d05_embedding_neardup": d05_embedding_neardup,
+    "d06_span_dedup": d06_span_dedup,
+    "d07_contamination": d07_contamination,
+    "c01_chunk_pack": c01_chunk_pack,
     "s01_cosine_topk": s01_cosine_topk,
     "s02_ivf_topk": s02_ivf_topk,
     "t01_text_stats": t01_text_stats,
@@ -213,6 +262,51 @@ ORACLE_SQL: dict[str, str] = {
         FROM e a JOIN e b ON a.vec_id < b.vec_id
         WHERE {_COS.format(a='a.v', b='b.v')} >= 0.45
         ORDER BY i, j""",
+    "d06_span_dedup": f"""
+        WITH {_span_sql(5)},
+        cnt AS (SELECT h, count(*) AS ndocs FROM sp GROUP BY h),
+        per AS (SELECT doc_id, count(*) AS n_spans,
+                       sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS n_dup
+                FROM sp JOIN cnt USING (h) GROUP BY doc_id)
+        SELECT d.doc_id,
+               CAST(coalesce(n_spans, 0) AS BIGINT) AS n_spans,
+               CAST(coalesce(n_dup, 0) AS BIGINT) AS n_dup_spans,
+               CASE WHEN coalesce(n_spans, 0) > 0
+                    THEN CAST(n_dup AS DOUBLE) / CAST(n_spans AS DOUBLE) END
+                 AS dup_span_frac
+        FROM documents d LEFT JOIN per USING (doc_id) ORDER BY d.doc_id""",
+    "d07_contamination": f"""
+        WITH {_span_sql(8)},
+        bench AS (SELECT DISTINCT h FROM sp WHERE doc_id % 20 = 7),
+        hits AS (SELECT doc_id, count(*) AS n FROM sp JOIN bench USING (h)
+                 WHERE doc_id % 20 <> 7 GROUP BY doc_id)
+        SELECT d.doc_id,
+               CAST(coalesce(n, 0) AS BIGINT) AS n_shared_spans,
+               coalesce(n, 0) > 0 AS contaminated
+        FROM documents d LEFT JOIN hits USING (doc_id)
+        WHERE d.doc_id % 20 <> 7 ORDER BY d.doc_id""",
+    "c01_chunk_pack": f"""
+        WITH {_TOKS},
+        c AS (SELECT doc_id, w, unnest(generate_series(0, len(w) - 1, 24)) AS s
+              FROM toks WHERE len(w) >= 1),
+        ch AS (SELECT doc_id,
+                      CAST(s // 24 AS BIGINT) AS chunk_idx,
+                      CAST(s AS BIGINT) AS start_tok,
+                      CAST(len(w[s + 1 : s + 32]) AS BIGINT) AS chunk_len,
+                      CAST('0x' || substr(md5(
+                          array_to_string(w[s + 1 : s + 32], ' ')), 1, 8)
+                        AS BIGINT) AS chunk_hash
+               FROM c),
+        j AS (SELECT ch.*, d.source FROM ch JOIN documents d USING (doc_id)),
+        p AS (SELECT j.*,
+                     CAST(floor((sum(chunk_len) OVER (PARTITION BY source
+                            ORDER BY doc_id, chunk_idx
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                          - chunk_len) / 256.0) AS BIGINT) AS pack_id
+              FROM j)
+        SELECT doc_id, chunk_idx, start_tok, chunk_len, chunk_hash, source,
+               pack_id
+        FROM p ORDER BY doc_id, chunk_idx""",
     "s01_cosine_topk": f"""
         WITH {_EMB},
         q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 50 = 0),
@@ -228,6 +322,11 @@ ORACLE_SQL: dict[str, str] = {
         base AS (SELECT doc_id, {_NORM} AS t, w FROM documents
                  JOIN toks USING (doc_id)),
         m AS (SELECT doc_id, t, w,
+                     list_transform(generate_series(1, len(w) - 1),
+                         i -> w[i] || ' ' || w[i + 1]) AS bi,
+                     list_transform(generate_series(1, len(w) - 2),
+                         i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])
+                       AS tri,
                      CAST(len(w) AS BIGINT) AS n_tokens,
                      CAST(list_sum(list_transform(w, x -> length(x)))
                           AS DOUBLE) / CAST(len(w) AS DOUBLE)
@@ -249,6 +348,16 @@ ORACLE_SQL: dict[str, str] = {
                CAST(len(regexp_extract_all(t, '[.,;:!?()]')) AS DOUBLE)
                  / CAST(length(t) AS DOUBLE) AS punct_ratio,
                distinct_ratio,
+               CASE WHEN n_tokens >= 2 THEN
+                 CAST(list_max(list_transform(list_distinct(bi),
+                      x -> len(list_filter(bi, y -> y = x)))) AS DOUBLE)
+                 / CAST(n_tokens - 1 AS DOUBLE) END AS top_bigram_frac,
+               CASE WHEN n_tokens >= 3 THEN
+                 CAST(list_sum(list_transform(list_distinct(tri),
+                      x -> CASE WHEN len(list_filter(tri, y -> y = x)) > 1
+                           THEN len(list_filter(tri, y -> y = x))
+                           ELSE 0 END)) AS DOUBLE)
+                 / CAST(n_tokens - 2 AS DOUBLE) END AS dup_trigram_frac,
                (n_tokens >= 10 AND avg_token_len >= 2.0
                 AND avg_token_len <= 12.0 AND stopword_ratio >= 0.05
                 AND distinct_ratio >= 0.3) AS keep

@@ -184,20 +184,20 @@ def q07_left_join(spark, sf_dir):
 
 # --- Q08 semi join ---
 
-def q08_semi_join(spark, sf_dir):
+def q08_semi_anti(spark, sf_dir):
+    """Semi + anti join in one declared query (tagged rows — both
+    physical join shapes still planned and verified; consolidated to
+    keep the registry inside the driver's 50-query check budget)."""
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 100000)
-    return (c.join(o, c.c_custkey == o.o_custkey, "left_semi")
-             .agg(F.count(F.lit(1)).alias("c")))
-
-
-# --- Q09 anti join ---
-
-def q09_anti_join(spark, sf_dir):
-    c = _t(spark, sf_dir, "customer")
+    o_hi = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 100000)
     o = _t(spark, sf_dir, "orders")
-    return (c.join(o, c.c_custkey == o.o_custkey, "left_anti")
-             .agg(F.count(F.lit(1)).alias("c")))
+    semi = (c.join(o_hi, c.c_custkey == o_hi.o_custkey, "left_semi")
+             .agg(F.count(F.lit(1)).alias("c"))
+             .select(F.lit("semi").alias("op"), "c"))
+    anti = (c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+             .agg(F.count(F.lit(1)).alias("c"))
+             .select(F.lit("anti").alias("op"), "c"))
+    return semi.union(anti).orderBy("op")
 
 
 # --- Q10 theta/range join (equi key + residual range predicate) ---
@@ -282,26 +282,22 @@ def q16_topk(spark, sf_dir):
 
 # --- Q17 union distinct ---
 
-def q17_union(spark, sf_dir):
+def q17_set_ops(spark, sf_dir):
+    """UNION DISTINCT + INTERSECT + EXCEPT in one declared query
+    (tagged rows — all three set-op physical plans still exercised;
+    consolidated to keep the registry inside the driver's 50-query
+    check budget)."""
     c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
     s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
-    return c.union(s).distinct().agg(F.count(F.lit(1)).alias("c"))
-
-
-# --- Q18 intersect ---
-
-def q18_intersect(spark, sf_dir):
-    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
-    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
-    return _psort(c.intersect(s), "k")
-
-
-# --- Q19 except ---
-
-def q19_except(spark, sf_dir):
     n = _t(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("k"))
-    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
-    return _psort(n.subtract(c), "k")
+    union_cnt = (c.union(s).distinct().agg(F.count(F.lit(1)).alias("k"))
+                  .select(F.lit("union_cnt").alias("op"),
+                          F.col("k").cast("bigint").alias("k")))
+    inter = c.intersect(s).select(F.lit("intersect").alias("op"),
+                                  F.col("k").cast("bigint").alias("k"))
+    exc = n.subtract(c).select(F.lit("except").alias("op"),
+                               F.col("k").cast("bigint").alias("k"))
+    return _psort(union_cnt.union(inter).union(exc), "op", "k")
 
 
 # --- Q20 string functions (T2 coercions, T6 concat_ws) ---
@@ -526,8 +522,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q05_inner_join": q05_inner_join,
     "q06_multiway_join": q06_multiway_join,
     "q07_left_join": q07_left_join,
-    "q08_semi_join": q08_semi_join,
-    "q09_anti_join": q09_anti_join,
+    "q08_semi_anti": q08_semi_anti,
     "q10_range_join": q10_range_join,
     "q11_rollup": q11_rollup,
     "q12_cube": q12_cube,
@@ -535,9 +530,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q14_lag_window": q14_lag_window,
     "q15_running_sum": q15_running_sum,
     "q16_topk": q16_topk,
-    "q17_union": q17_union,
-    "q18_intersect": q18_intersect,
-    "q19_except": q19_except,
+    "q17_set_ops": q17_set_ops,
     "q20_string_fns": q20_string_fns,
     "q21_date_fns": q21_date_fns,
     "q22_math_decimal": q22_math_decimal,
@@ -587,12 +580,13 @@ ORACLE_SQL: dict[str, str] = {
         SELECT c_custkey, count(o_orderkey) AS c
         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         GROUP BY c_custkey ORDER BY c DESC, c_custkey LIMIT 100""",
-    "q08_semi_join": """
-        SELECT count(*) AS c FROM customer
-        WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 100000)""",
-    "q09_anti_join": """
-        SELECT count(*) AS c FROM customer
-        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+    "q08_semi_anti": """
+        SELECT 'semi' AS op, count(*) AS c FROM customer
+        WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 100000)
+        UNION ALL
+        SELECT 'anti' AS op, count(*) AS c FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        ORDER BY op""",
     "q10_range_join": """
         SELECT count(*) AS c FROM part p JOIN lineitem l
         ON p.p_partkey = l.l_partkey
@@ -626,16 +620,19 @@ ORACLE_SQL: dict[str, str] = {
     "q16_topk": """
         SELECT o_orderkey, o_totalprice FROM orders
         ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""",
-    "q17_union": """
-        SELECT count(*) AS c FROM (
+    "q17_set_ops": """
+        SELECT 'union_cnt' AS op, count(*) AS k FROM (
           SELECT c_nationkey AS k FROM customer
-          UNION SELECT s_nationkey AS k FROM supplier) t""",
-    "q18_intersect": """
-        SELECT c_nationkey AS k FROM customer
-        INTERSECT SELECT s_nationkey FROM supplier ORDER BY k""",
-    "q19_except": """
-        SELECT n_nationkey AS k FROM nation
-        EXCEPT SELECT DISTINCT c_nationkey FROM customer ORDER BY k""",
+          UNION SELECT s_nationkey AS k FROM supplier) t
+        UNION ALL
+        SELECT 'intersect' AS op, k FROM (
+          SELECT c_nationkey AS k FROM customer
+          INTERSECT SELECT s_nationkey FROM supplier)
+        UNION ALL
+        SELECT 'except' AS op, k FROM (
+          SELECT n_nationkey AS k FROM nation
+          EXCEPT SELECT DISTINCT c_nationkey FROM customer)
+        ORDER BY op, k""",
     "q20_string_fns": """
         SELECT p_partkey, upper(p_name) AS u, substr(p_name, 1, 5) AS s,
                CAST(length(p_name) AS BIGINT) AS len,

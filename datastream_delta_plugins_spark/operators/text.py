@@ -126,8 +126,11 @@ def text_profile(df: DataFrame, text_col: str = "text",
     staging projection — normalization and the split run once per row.)
     """
     w = words_col(text_col)
-    base = df.select(F.col(id_col), norm_text(text_col).alias("_t"),
-                     w.alias("_w"))
+    base = (df.select(F.col(id_col), norm_text(text_col).alias("_t"),
+                      w.alias("_w"))
+              .select(id_col, "_t", "_w",
+                      _gram_expr(2).alias("_bi"),
+                      _gram_expr(3).alias("_tri")))
     n_tok = F.size("_w").cast("bigint")
     char_sum = F.aggregate(F.transform(F.col("_w"), F.length),
                            F.lit(0), lambda acc, x: acc + x)
@@ -143,6 +146,7 @@ def text_profile(df: DataFrame, text_col: str = "text",
                       / n_tok.cast("double"))
     keep = ((n_tok >= 10) & (avg_len >= 2.0) & (avg_len <= 12.0)
             & (stop_ratio >= 0.05) & (distinct_ratio >= 0.3))
+    top_bigram_frac, dup_trigram_frac = _rep_frac_exprs(n_tok)
     return base.select(
         id_col,
         n_tok.alias("n_tokens"),
@@ -152,6 +156,8 @@ def text_profile(df: DataFrame, text_col: str = "text",
         n_bpe.alias("n_bpe_tokens"),
         punct_ratio.alias("punct_ratio"),
         distinct_ratio.alias("distinct_ratio"),
+        top_bigram_frac.alias("top_bigram_frac"),
+        dup_trigram_frac.alias("dup_trigram_frac"),
         keep.alias("keep"))
 
 
@@ -199,6 +205,101 @@ def fingerprint(df: DataFrame, text_col: str = "text",
               .groupBy(id_col)
               .agg(F.min(hash32("shingle")).alias("min_shingle_hash")))
     return fp.join(min_sh, id_col, "left")
+
+
+def _gram_expr(n: int) -> F.Column:
+    """n-gram array over the staged `_w` token array (with repeats).
+    Empty for docs shorter than n — the size guard must live INSIDE
+    this expression (not in a downstream CASE) because the array is
+    staged as an unconditional projection column, and an unguarded
+    sequence(0, -1) descends to [0, -1] and indexes out of bounds."""
+    parts = " , ".join(f"_w[i + {k}]" for k in range(n))
+    return F.expr(f"CASE WHEN size(_w) >= {n} THEN "
+                  f"transform(sequence(0, size(_w) - {n}), "
+                  f"i -> concat_ws(' ', {parts})) "
+                  f"ELSE array() END")
+
+
+def _rep_frac_exprs(n_tok) -> tuple[F.Column, F.Column]:
+    """(top_bigram_frac, dup_trigram_frac) over staged `_bi`/`_tri`
+    n-gram array columns (build them with _gram_expr in the SAME
+    projection that stages `_w` — referencing the gram expression
+    inline would re-materialize the whole array once per lambda
+    iteration, measured 50x slower).
+
+    Row-local repetition signals from the Gopher filter set (Rae et al.
+    2021, table A1): the fraction of bigram occurrences taken by the
+    single most frequent bigram, and the fraction of trigram
+    occurrences whose trigram appears more than once in the document.
+    Pure array expressions — per-row cost is O(distinct-grams x grams)
+    string equality checks, scan-local with no shuffle; that bound is
+    right for web-scale documents (<= a few k tokens). For book-length
+    inputs, explode + groupBy(doc, gram) is the linear alternative at
+    one shuffle's cost. Docs shorter than the n-gram report NULL.
+    """
+    counts_bi = ("transform(array_distinct(_bi), "
+                 "x -> size(filter(_bi, y -> y = x)))")
+    counts_tri = ("transform(array_distinct(_tri), "
+                  "x -> size(filter(_tri, y -> y = x)))")
+    top_bi = F.expr(f"array_max({counts_bi})")
+    dup_tri = F.expr(f"aggregate({counts_tri}, 0, (acc, c) -> acc + "
+                     f"CASE WHEN c > 1 THEN c ELSE 0 END)")
+    top_bigram_frac = F.when(
+        n_tok >= 2, top_bi.cast("double") / (n_tok - 1).cast("double"))
+    dup_trigram_frac = F.when(
+        n_tok >= 3, dup_tri.cast("double") / (n_tok - 2).cast("double"))
+    return top_bigram_frac, dup_trigram_frac
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Standalone per-document repetition signals; see _rep_frac_exprs.
+    Also surfaced as columns of text_profile (the t01 carrier) so they
+    pass through the driver's hash gate."""
+    w = words_col(text_col)
+    base = (df.select(F.col(id_col), w.alias("_w"))
+              .select(id_col, "_w",
+                      _gram_expr(2).alias("_bi"),
+                      _gram_expr(3).alias("_tri")))
+    n_tok = F.size("_w").cast("bigint")
+    top_bigram_frac, dup_trigram_frac = _rep_frac_exprs(n_tok)
+    return base.select(id_col,
+                       top_bigram_frac.alias("top_bigram_frac"),
+                       dup_trigram_frac.alias("dup_trigram_frac"))
+
+
+#: conservative PII patterns with identical semantics under Java regex
+#: (Spark) and RE2 (DuckDB): no backreferences, no lookaround
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "url": r"https?://[^\s]+",
+    "phone": r"\+?[0-9][0-9()\- ]{6,}[0-9]",
+}
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """Replace emails / URLs / phone-shaped spans with typed placeholder
+    tokens and count the redactions — the scrubbing pass a training
+    corpus gets before packaging. Pure regexp column expressions
+    (codegen, scan-local, no shuffle). Returns
+    (id, scrubbed, n_emails, n_urls, n_phones).
+
+    The synthetic corpus carries no PII-shaped spans, so the driver
+    gate would only ever hash zeros; the operator is value-verified in
+    tests on synthesized strings instead (tests/test_text_ops.py).
+    """
+    out = df.select(F.col(id_col), F.col(text_col).alias("scrubbed"))
+    counts = []
+    for kind, pat in PII_PATTERNS.items():
+        counts.append(
+            F.size(F.regexp_extract_all("scrubbed", F.lit(pat), 0))
+             .cast("bigint").alias(f"n_{kind}s"))
+    out = out.select(id_col, "scrubbed", *counts)
+    scrubbed = F.col("scrubbed")
+    for kind, pat in PII_PATTERNS.items():
+        scrubbed = F.regexp_replace(scrubbed, pat, f"<{kind.upper()}>")
+    return out.withColumn("scrubbed", scrubbed)
 
 
 def unigram_logfreq_score(df: DataFrame, text_col: str = "text",

@@ -1,0 +1,160 @@
+"""Unit tests for the corpus-level operators (operators/corpus.py) and
+the text PII scrub / repetition stats: hand-computable fixtures so the
+semantics are pinned independently of the DuckDB parity sweep (which
+covers them at sf0.01 via d06/d07/c01 and the t01 carrier columns)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from datastream_delta_plugins_spark.operators import corpus, text
+from datastream_delta_plugins_spark.plans import final_plan, has_broadcast_join
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# ---------------------------------------------------------------- spans
+
+def test_span_dup_stats_counts(spark):
+    # doc 0 and 1 share the span "a b c d e"; doc 2 is disjoint;
+    # doc 3 is too short for any 5-gram
+    df = _docs(spark, [
+        (0, "a b c d e f"),           # spans: abcde, bcdef
+        (1, "z a b c d e"),           # spans: zabcd, abcde
+        (2, "p q r s t u"),           # spans: pqrst, qrstu
+        (3, "x y"),                   # no spans
+    ])
+    out = {r["doc_id"]: r for r in
+           corpus.span_dup_stats(df, n=5).collect()}
+    assert out[0]["n_spans"] == 2 and out[0]["n_dup_spans"] == 1
+    assert out[1]["n_spans"] == 2 and out[1]["n_dup_spans"] == 1
+    assert out[2]["n_spans"] == 2 and out[2]["n_dup_spans"] == 0
+    assert out[3]["n_spans"] == 0 and out[3]["dup_span_frac"] is None
+    assert out[0]["dup_span_frac"] == pytest.approx(0.5)
+
+
+def test_span_dup_stats_within_doc_repeat_not_dup(spark):
+    # the same span twice within ONE doc is not a cross-doc duplicate
+    df = _docs(spark, [(0, "a b c d e a b c d e"),
+                       (1, "q r s t u v")])
+    out = {r["doc_id"]: r for r in
+           corpus.span_dup_stats(df, n=5).collect()}
+    assert out[0]["n_dup_spans"] == 0
+
+
+# ---------------------------------------------------------- contamination
+
+def test_contamination_check(spark):
+    bench_text = "one two three four five six seven eight nine"
+    df = _docs(spark, [
+        (7, bench_text),                          # benchmark
+        (1, "one two three four five six seven eight extra"),  # shares 8-gram
+        (2, "totally different words in this document here now"),
+    ])
+    out = corpus.contamination_check(df, F.col("doc_id") == 7, n=8)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert set(rows) == {1, 2}  # benchmark rows excluded from output
+    assert rows[1]["contaminated"] and rows[1]["n_shared_spans"] == 1
+    assert not rows[2]["contaminated"] and rows[2]["n_shared_spans"] == 0
+
+
+def test_contamination_broadcasts_benchmark(spark):
+    df = _docs(spark, [(i, "w%d a b c d e f g h" % i) for i in range(20)])
+    out = corpus.contamination_check(df, F.col("doc_id") % 20 == 7, n=8)
+    assert has_broadcast_join(out)
+    assert "CartesianProduct" not in final_plan(out)
+
+
+# ---------------------------------------------------------------- chunking
+
+def test_chunk_documents_windows(spark):
+    words = " ".join(f"t{i}" for i in range(30))
+    df = _docs(spark, [(0, words), (1, "a b c")])
+    ch = corpus.chunk_documents(df, chunk_tokens=8, stride=6)
+    rows = sorted([(r["doc_id"], r["chunk_idx"], r["start_tok"],
+                    r["chunk_len"]) for r in ch.collect()])
+    # doc 0: starts 0,6,12,18,24 -> lens 8,8,8,8,6; doc 1: one short chunk
+    assert rows == [(0, 0, 0, 8), (0, 1, 6, 8), (0, 2, 12, 8),
+                    (0, 3, 18, 8), (0, 4, 24, 6), (1, 0, 0, 3)]
+
+
+def test_chunk_hash_is_content_hash(spark):
+    # identical chunk content in different docs hashes identically
+    df = _docs(spark, [(0, "a b c"), (1, "a b c")])
+    ch = corpus.chunk_documents(df, chunk_tokens=8, stride=6).collect()
+    assert ch[0]["chunk_hash"] == ch[1]["chunk_hash"]
+
+
+def test_pack_chunks_contiguous_fill(spark):
+    df = _docs(spark, [(0, " ".join(["w"] * 10)),
+                       (1, " ".join(["w"] * 10))])
+    ch = (corpus.chunk_documents(df, chunk_tokens=10, stride=10)
+                .withColumn("shard", F.lit("s0")))
+    packed = corpus.pack_chunks(ch, budget=16, part_col="shard")
+    rows = {(r["doc_id"], r["chunk_idx"]): r["pack_id"]
+            for r in packed.collect()}
+    # offsets 0 and 10: 0 // 16 = 0, 10 // 16 = 0 -> wait, second chunk
+    # starts at offset 10 < 16 so same pack; third would start at 20
+    assert rows[(0, 0)] == 0 and rows[(1, 0)] == 0
+
+
+def test_pack_chunks_budget_boundary(spark):
+    df = _docs(spark, [(i, " ".join(["w"] * 10)) for i in range(4)])
+    ch = (corpus.chunk_documents(df, chunk_tokens=10, stride=10)
+                .withColumn("shard", F.lit("s0")))
+    packed = corpus.pack_chunks(ch, budget=20, part_col="shard")
+    rows = {r["doc_id"]: r["pack_id"] for r in packed.collect()}
+    # offsets 0,10,20,30 with budget 20 -> packs 0,0,1,1
+    assert rows == {0: 0, 1: 0, 2: 1, 3: 1}
+
+
+def test_pack_is_shard_local(spark):
+    df = _docs(spark, [(0, "a b"), (1, "c d")])
+    ch = (corpus.chunk_documents(df, chunk_tokens=8, stride=8)
+                .withColumn("shard",
+                            F.when(F.col("doc_id") == 0, "s0")
+                             .otherwise("s1")))
+    packed = corpus.pack_chunks(ch, budget=2, part_col="shard")
+    # each shard restarts its offsets at 0
+    assert all(r["pack_id"] == 0 for r in packed.collect())
+
+
+# ---------------------------------------------------------------- text ops
+
+def test_pii_scrub(spark):
+    df = _docs(spark, [
+        (0, "mail me at alice@example.com or visit https://x.org/a?b=1"),
+        (1, "call +1 (555) 123-4567 today"),
+        (2, "no pii here"),
+    ])
+    out = {r["doc_id"]: r for r in text.pii_scrub(df).collect()}
+    assert out[0]["n_emails"] == 1 and out[0]["n_urls"] == 1
+    assert "<EMAIL>" in out[0]["scrubbed"]
+    assert "<URL>" in out[0]["scrubbed"]
+    assert "alice@example.com" not in out[0]["scrubbed"]
+    assert out[1]["n_phones"] == 1 and "<PHONE>" in out[1]["scrubbed"]
+    assert out[2]["scrubbed"] == "no pii here"
+    assert (out[2]["n_emails"], out[2]["n_urls"], out[2]["n_phones"]) \
+        == (0, 0, 0)
+
+
+def test_repetition_stats(spark):
+    df = _docs(spark, [
+        (0, "a b a b a b"),   # bigrams: ab,ba,ab,ba,ab -> top 3/5
+        (1, "a b c d e f"),   # all bigrams unique -> top 1/5
+        (2, "x"),             # too short -> NULLs
+    ])
+    out = {r["doc_id"]: r for r in text.repetition_stats(df).collect()}
+    assert out[0]["top_bigram_frac"] == pytest.approx(3 / 5)
+    assert out[1]["top_bigram_frac"] == pytest.approx(1 / 5)
+    assert out[2]["top_bigram_frac"] is None
+    # doc 0 trigrams: aba,bab,aba,bab -> all duplicated -> 4/4
+    assert out[0]["dup_trigram_frac"] == pytest.approx(1.0)
+    assert out[1]["dup_trigram_frac"] == pytest.approx(0.0)
+
+
+def test_repetition_no_python_udf(spark):
+    df = _docs(spark, [(0, "a b c")])
+    plan = final_plan(text.repetition_stats(df))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
