@@ -306,3 +306,55 @@ def ivf_topk_indexed(spark, path: str, query_df: DataFrame, k: int = 10,
     w = W.partitionBy("q_id").orderBy(F.desc("cos"), F.col(id_col))
     return (scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
                   .where(F.col("rn") <= k))
+
+
+# ------------------------------------------------------------ embedding prep
+
+def normalize_embeddings(df: DataFrame, vec_col: str = "embedding",
+                         id_col: str = "vec_id") -> DataFrame:
+    """L2-normalize vectors (double precision): after this, cosine is a
+    plain dot product — the precompute every ANN structure wants.
+    Zero vectors normalize to NULL (no direction). Pure column
+    expressions, scan-local, no shuffle.
+    """
+    v = F.transform(vec_col, lambda x: x.cast("double"))
+    df = df.select(F.col(id_col), v.alias("_v"))
+    norm = F.sqrt(F.aggregate(
+        "_v", F.lit(0.0), lambda acc, x: acc + x * x))
+    return df.select(
+        id_col,
+        F.when(norm > 0.0,
+               F.transform("_v", lambda x: x / norm)).alias("unit"),
+        norm.alias("l2_norm"))
+
+
+def quantize_embeddings(df: DataFrame, vec_col: str = "embedding",
+                        id_col: str = "vec_id") -> DataFrame:
+    """Symmetric per-vector int8 quantization: q_i = round(x_i/s) with
+    scale s = max|x_i|/127 — 4x (float32) / 8x (float64) smaller ANN
+    storage with reconstruction x_i ~ q_i*s. Emits the quantized codes,
+    the per-vector scale, and the worst-case reconstruction error.
+    All-zero vectors get scale 0 and all-zero codes. Scan-local column
+    expressions; rint() half-even on both engines keeps the codes
+    cross-engine reproducible.
+    """
+    v = F.transform(vec_col, lambda x: x.cast("double"))
+    base = (df.select(F.col(id_col), v.alias("_v"))
+              .withColumn("_scale",
+                          F.array_max(F.transform("_v", F.abs))
+                          / F.lit(127.0)))
+    codes = F.when(
+        F.col("_scale") > 0.0,
+        F.transform("_v", lambda x: F.rint(x / F.col("_scale"))
+                    .cast("tinyint"))
+    ).otherwise(F.transform("_v", lambda x: F.lit(0).cast("tinyint")))
+    staged = base.withColumn("codes", codes)
+    err = F.when(
+        F.col("_scale") > 0.0,
+        F.array_max(F.zip_with(
+            "_v", "codes",
+            lambda x, q: F.abs(x - q.cast("double") * F.col("_scale"))))
+    ).otherwise(F.lit(0.0))
+    return staged.select(id_col, "codes",
+                         F.col("_scale").alias("scale"),
+                         err.alias("max_err"))

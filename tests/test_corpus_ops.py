@@ -94,8 +94,7 @@ def test_pack_chunks_contiguous_fill(spark):
     packed = corpus.pack_chunks(ch, budget=16, part_col="shard")
     rows = {(r["doc_id"], r["chunk_idx"]): r["pack_id"]
             for r in packed.collect()}
-    # offsets 0 and 10: 0 // 16 = 0, 10 // 16 = 0 -> wait, second chunk
-    # starts at offset 10 < 16 so same pack; third would start at 20
+    # both chunks start below the 16-token budget boundary -> one pack
     assert rows[(0, 0)] == 0 and rows[(1, 0)] == 0
 
 
@@ -158,3 +157,50 @@ def test_repetition_no_python_udf(spark):
     df = _docs(spark, [(0, "a b c")])
     plan = final_plan(text.repetition_stats(df))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ------------------------------------------------------------ embedding prep
+
+def test_normalize_embeddings(spark):
+    from datastream_delta_plugins_spark.operators.similarity import (
+        normalize_embeddings)
+    df = spark.createDataFrame(
+        [(0, [3.0, 4.0]), (1, [0.0, 0.0]), (2, [1.0, 0.0])],
+        "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in normalize_embeddings(df).collect()}
+    assert out[0]["l2_norm"] == pytest.approx(5.0)
+    assert out[0]["unit"] == pytest.approx([0.6, 0.8])
+    assert out[1]["unit"] is None and out[1]["l2_norm"] == 0.0
+    assert out[2]["unit"] == pytest.approx([1.0, 0.0])
+
+
+def test_quantize_embeddings_roundtrip(spark):
+    from datastream_delta_plugins_spark.operators.similarity import (
+        quantize_embeddings)
+    df = spark.createDataFrame(
+        [(0, [1.0, -0.5, 0.25]), (1, [0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
+    assert out[0]["codes"] == [127, -64, 32]  # rint half-even: -63.5 -> -64
+    assert out[0]["scale"] == pytest.approx(1.0 / 127.0)
+    # reconstruction error bounded by scale/2
+    assert out[0]["max_err"] <= out[0]["scale"] / 2 + 1e-12
+    assert out[1]["codes"] == [0, 0, 0] and out[1]["scale"] == 0.0
+    assert out[1]["max_err"] == 0.0
+
+
+def test_quantize_embeddings_on_corpus(spark, sf_correctness):
+    from datastream_delta_plugins_spark.operators.similarity import (
+        quantize_embeddings)
+    from datastream_delta_plugins_spark.sources.tables import load_table
+    emb = load_table(spark, sf_correctness, "embeddings")
+    out = quantize_embeddings(emb)
+    mx = out.agg(F.max("max_err").alias("m"),
+                 F.max(F.array_max(F.transform(
+                     "codes", lambda c: F.abs(c.cast("int"))))).alias("c"),
+                 F.count(F.lit(1)).alias("n")).collect()[0]
+    assert mx["n"] == emb.count()
+    assert mx["c"] <= 127        # codes within int8 range
+    # per-vector error <= scale/2; scales are small for unit-ish vectors
+    bad = out.where(F.col("max_err") > F.col("scale") / 2 + 1e-12).count()
+    assert bad == 0
