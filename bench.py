@@ -35,6 +35,8 @@ HEADLINE = [
     ("q31", "q31_asof_join", event_queries.QUERIES),
     ("q32", "q32_sessionize", event_queries.QUERIES),
     ("d03", "d03_minhash_lsh", pipeline_queries.QUERIES),
+    ("d06", "d06_span_dedup", pipeline_queries.QUERIES),
+    ("c01", "c01_chunk_pack", pipeline_queries.QUERIES),
     ("s01", "s01_cosine_topk", pipeline_queries.QUERIES),
     ("t01", "t01_text_stats", pipeline_queries.QUERIES),
 ]

@@ -265,3 +265,63 @@ def test_split_membership_is_pure_hash_function(spark, ids, cuts, salt):
     want = {i: ("a" if bucket(i) < c1 else "b" if bucket(i) < c2
                 else "c") for i in ids}
     assert got == want
+
+
+# ---------------------------------------------------------------- corpus ops
+
+words = st.lists(st.sampled_from(["a", "b", "c", "d", "e"]),
+                 min_size=0, max_size=14)
+docs_strategy = st.lists(words, min_size=1, max_size=8)
+
+
+@given(docs=docs_strategy)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_span_dup_stats_matches_naive(spark, docs):
+    """span_dup_stats == the obvious per-doc set computation."""
+    from datastream_delta_plugins_spark.operators.corpus import span_dup_stats
+    n = 3
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    spans = {i: {" ".join(ws[j:j + n]) for j in range(len(ws) - n + 1)}
+             for i, ws in enumerate(docs)}
+    from collections import Counter
+    freq = Counter(s for ss in spans.values() for s in ss)
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in span_dup_stats(df, n=n).collect()}
+    assert set(got) == set(spans)
+    for i, ss in spans.items():
+        assert got[i]["n_spans"] == len(ss)
+        assert got[i]["n_dup_spans"] == sum(1 for s in ss if freq[s] >= 2)
+
+
+@given(docs=docs_strategy, chunk=st.integers(2, 6), stride=st.integers(1, 6))
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_chunking_covers_every_token(spark, docs, chunk, stride):
+    """Every token position of every doc lands in >= 1 chunk, chunks
+    never overrun the doc, and concatenating stride-aligned chunks
+    reconstructs the doc."""
+    from datastream_delta_plugins_spark.operators.corpus import chunk_documents
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs) if ws]
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_documents(df, chunk_tokens=chunk, stride=stride).collect()
+    per_doc = {}
+    for r in out:
+        per_doc.setdefault(r["doc_id"], []).append(r)
+    for i, text in rows:
+        n = len(text.split(" "))
+        chunks = sorted(per_doc[i], key=lambda r: r["start_tok"])
+        covered = set()
+        for r in chunks:
+            assert r["start_tok"] + r["chunk_len"] <= n
+            assert r["chunk_len"] >= 1
+            covered.update(range(r["start_tok"],
+                                 r["start_tok"] + r["chunk_len"]))
+        # stride <= chunk guarantees gap-free coverage; larger strides
+        # still cover every stride-start
+        if stride <= chunk:
+            assert covered == set(range(n))
+        starts = [r["start_tok"] for r in chunks]
+        assert starts == list(range(0, n, stride))
