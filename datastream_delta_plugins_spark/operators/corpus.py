@@ -157,3 +157,77 @@ def pack_chunks(chunks: DataFrame, budget: int = 256,
     off = (F.sum("chunk_len").over(win) - F.col("chunk_len"))
     return chunks.withColumn(
         "pack_id", F.floor(off / F.lit(budget)).cast("bigint"))
+
+
+def prepare_corpus(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id",
+                   shard_col: str | None = None,
+                   bench_pred: Column | None = None,
+                   jaccard_threshold: float = 0.8,
+                   max_dup_span_frac: float | None = None,
+                   chunk_tokens: int = 512, stride: int = 512,
+                   budget: int = 2048) -> tuple[DataFrame, dict]:
+    """The end-to-end training-corpus preparation job — every stage an
+    engine operator, composed in the order a production run applies
+    them:
+
+      1. PII scrub (in-place column rewrite, scan-local)
+      2. quality gate (Gopher keep rule)
+      3. benchmark-decontamination (when `bench_pred` names the
+         benchmark rows; they are removed from the corpus and any doc
+         sharing an 8-gram with them is dropped)
+      4. exact + MinHash-LSH near-dedup (dedup_corpus)
+      5. cross-doc duplicated-span gate (when `max_dup_span_frac` is
+         set: drop docs whose C4-style duplicated-span fraction
+         exceeds it)
+      6. chunk + pack into fixed token budgets per shard
+
+    Returns (packed_chunks, report); report counts survivors after
+    each stage (every count a DataFrame aggregate — no data collects).
+    The heavy stages keep their individual scale shapes (broadcast
+    benchmark set, banded LSH, shard-local packing); the gates compose
+    as semi-/anti-joins on the id column, which AQE plans as broadcast
+    joins while the id sets are small and as co-partitioned hash joins
+    at scale.
+    """
+    from .dedup import dedup_corpus
+    from .text import pii_scrub_col, quality_score
+
+    report: dict = {"input_docs": df.count()}
+    docs = df.withColumn(text_col, pii_scrub_col(text_col))
+
+    scored = quality_score(docs, text_col, id_col)
+    docs = docs.join(scored.where(F.col("keep")).select(id_col),
+                     id_col, "semi")
+    report["after_quality"] = docs.count()
+
+    if bench_pred is not None:
+        flags = contamination_check(docs, bench_pred, text_col, id_col)
+        docs = docs.join(flags.where(~F.col("contaminated"))
+                              .select(id_col), id_col, "semi")
+        report["after_decontamination"] = docs.count()
+
+    docs, dedup_report = dedup_corpus(docs, text_col, id_col,
+                                      jaccard_threshold)
+    report["exact_dup_removed"] = dedup_report["exact_dup_removed"]
+    report["near_dup_removed"] = dedup_report["near_dup_removed"]
+    report["after_dedup"] = dedup_report["kept"]
+
+    if max_dup_span_frac is not None:
+        spans = span_dup_stats(docs, text_col, id_col)
+        docs = docs.join(
+            spans.where(F.coalesce("dup_span_frac", F.lit(0.0))
+                        <= max_dup_span_frac).select(id_col),
+            id_col, "semi")
+        report["after_span_gate"] = docs.count()
+
+    chunks = chunk_documents(docs, text_col, id_col, chunk_tokens, stride)
+    if shard_col is None:
+        chunks = chunks.withColumn("shard", F.lit("all"))
+        shard = "shard"
+    else:
+        chunks = chunks.join(df.select(id_col, shard_col), id_col)
+        shard = shard_col
+    packed = pack_chunks(chunks, budget, shard, id_col)
+    report["chunks"] = packed.count()
+    return packed, report

@@ -277,6 +277,15 @@ PII_PATTERNS = {
 }
 
 
+def pii_scrub_col(text_col: str = "text") -> F.Column:
+    """The scrubbed-text column expression alone (scan-local; lets a
+    pipeline replace the text in place without a join)."""
+    scrubbed = F.col(text_col)
+    for kind, pat in PII_PATTERNS.items():
+        scrubbed = F.regexp_replace(scrubbed, pat, f"<{kind.upper()}>")
+    return scrubbed
+
+
 def pii_scrub(df: DataFrame, text_col: str = "text",
               id_col: str = "doc_id") -> DataFrame:
     """Replace emails / URLs / phone-shaped spans with typed placeholder
@@ -296,10 +305,7 @@ def pii_scrub(df: DataFrame, text_col: str = "text",
             F.size(F.regexp_extract_all("scrubbed", F.lit(pat), 0))
              .cast("bigint").alias(f"n_{kind}s"))
     out = out.select(id_col, "scrubbed", *counts)
-    scrubbed = F.col("scrubbed")
-    for kind, pat in PII_PATTERNS.items():
-        scrubbed = F.regexp_replace(scrubbed, pat, f"<{kind.upper()}>")
-    return out.withColumn("scrubbed", scrubbed)
+    return out.withColumn("scrubbed", pii_scrub_col("scrubbed"))
 
 
 def unigram_logfreq_score(df: DataFrame, text_col: str = "text",

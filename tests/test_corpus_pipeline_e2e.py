@@ -52,3 +52,53 @@ def test_corpus_prep_pipeline(spark, sf_correctness):
     a = sorted(map(tuple, split.select("doc_id", "split").collect()))
     b = sorted(map(tuple, split2.select("doc_id", "split").collect()))
     assert a == b
+
+
+def test_prepare_corpus_composition(spark, sf_correctness):
+    """prepare_corpus: pii scrub -> quality -> decontamination ->
+    dedup -> span gate -> chunk+pack, with stage-count conservation
+    and deterministic re-run."""
+    from pyspark.sql import functions as F
+
+    from datastream_delta_plugins_spark.operators.corpus import prepare_corpus
+
+    docs = load_table(spark, sf_correctness, "documents")
+    packed, report = prepare_corpus(
+        docs, shard_col="source", bench_pred=F.col("doc_id") % 20 == 7,
+        max_dup_span_frac=0.9, chunk_tokens=64, stride=64, budget=256)
+
+    # monotone non-increasing survivor counts through the gates
+    n = report
+    assert n["input_docs"] >= n["after_quality"] \
+        >= n["after_decontamination"]
+    assert n["after_decontamination"] - n["exact_dup_removed"] \
+        - n["near_dup_removed"] == n["after_dedup"]
+    assert n["after_dedup"] >= n["after_span_gate"] > 0
+    assert n["chunks"] > 0
+
+    rows = packed.collect()
+    assert len(rows) == n["chunks"]
+    # every chunk belongs to a surviving doc; packs respect budgets:
+    # within (shard, pack) the summed chunk lens minus the last chunk
+    # stays under budget (contiguous fill lets the final chunk straddle)
+    from collections import defaultdict
+    per_pack = defaultdict(list)
+    for r in rows:
+        per_pack[(r["source"], r["pack_id"])].append(r["chunk_len"])
+    for (_, _), lens in per_pack.items():
+        assert sum(lens) - lens[-1] < 256 + 64
+
+    # benchmark docs never reach the output
+    bench_ids = {r["doc_id"] for r in rows if r["doc_id"] % 20 == 7}
+    assert bench_ids == set()
+
+    # deterministic: a second run produces identical packing
+    packed2, report2 = prepare_corpus(
+        docs, shard_col="source", bench_pred=F.col("doc_id") % 20 == 7,
+        max_dup_span_frac=0.9, chunk_tokens=64, stride=64, budget=256)
+    assert report2 == report
+    a = {(r["doc_id"], r["chunk_idx"]): (r["chunk_hash"], r["pack_id"])
+         for r in rows}
+    b = {(r["doc_id"], r["chunk_idx"]): (r["chunk_hash"], r["pack_id"])
+         for r in packed2.collect()}
+    assert a == b
