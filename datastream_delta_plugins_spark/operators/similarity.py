@@ -358,3 +358,47 @@ def quantize_embeddings(df: DataFrame, vec_col: str = "embedding",
     return staged.select(id_col, "codes",
                          F.col("_scale").alias("scale"),
                          err.alias("max_err"))
+
+
+def ivf_append(spark, path: str, new_df: DataFrame,
+               vec_col: str = "embedding", id_col: str = "vec_id") -> int:
+    """Incrementally extend a saved IVF index: assign new vectors to
+    the nearest EXISTING centroid and append them to the cell layout —
+    no k-means refit, no rewrite of existing cell files.
+
+    This is the standard IVF maintenance pattern (FAISS `add` after
+    `train`): centroids stay frozen, so probe routing for old queries
+    is unchanged and append cost is one broadcast-join + one
+    partitioned write of ONLY the new rows. Centroid drift is the
+    documented trade: after heavy appends whose distribution shifts,
+    rebuild with save_ivf_index (cell-size skew is the signal — see
+    ivf_cell_stats). Returns the number of appended rows.
+    """
+    cents = spark.read.parquet(f"{path}/centroids")  # (_cell, centroid)
+    v = new_df.select(
+        F.col(id_col), F.col(vec_col),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("_v"))
+    w = W.partitionBy(id_col).orderBy(F.desc("_cos"), F.col("_cell"))
+    assigned = (v.join(F.broadcast(cents), F.lit(True))
+                 .select(id_col, vec_col, "_cell",
+                         cosine(F.col("_v"), F.col("centroid"))
+                         .alias("_cos"))
+                 .withColumn("_rn", F.row_number().over(w))
+                 .where(F.col("_rn") == 1)
+                 .select(id_col, vec_col,
+                         F.col("_cell").cast("int").alias("_cell")))
+    n = assigned.count()
+    (assigned.repartition("_cell")
+             .write.mode("append").partitionBy("_cell")
+             .parquet(f"{path}/cells"))
+    return n
+
+
+def ivf_cell_stats(spark, path: str, id_col: str = "vec_id") -> DataFrame:
+    """Per-cell row counts of a saved index — the rebuild signal: a
+    max/median cell-size ratio far above ~2-3 means appends have
+    skewed the layout and probe cost is no longer ~1/k per cell."""
+    return (spark.read.parquet(f"{path}/cells")
+                 .groupBy("_cell")
+                 .agg(F.count(F.lit(1)).alias("n_rows"))
+                 .orderBy("_cell"))

@@ -204,3 +204,39 @@ def test_quantize_embeddings_on_corpus(spark, sf_correctness):
     # per-vector error <= scale/2; scales are small for unit-ish vectors
     bad = out.where(F.col("max_err") > F.col("scale") / 2 + 1e-12).count()
     assert bad == 0
+
+
+def test_ivf_append_extends_index(spark, sf_correctness, tmp_path):
+    """Append new vectors to a saved IVF index without refit: stats
+    count the appends, and exhaustive-probe search over the appended
+    index equals brute force over the full corpus."""
+    from datastream_delta_plugins_spark.operators.similarity import (
+        cosine_topk, ivf_append, ivf_cell_stats, ivf_topk_indexed,
+        save_ivf_index)
+    from datastream_delta_plugins_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_correctness, "embeddings")
+    base = emb.where(F.col("vec_id") % 5 != 0)
+    extra = emb.where(F.col("vec_id") % 5 == 0)
+    path = str(tmp_path / "ivf")
+    K = 4
+    save_ivf_index(base, path, k=K)
+    n_base = base.count()
+    assert sum(r["n_rows"] for r in
+               ivf_cell_stats(spark, path).collect()) == n_base
+
+    n_added = ivf_append(spark, path, extra)
+    assert n_added == extra.count()
+    assert sum(r["n_rows"] for r in
+               ivf_cell_stats(spark, path).collect()) == n_base + n_added
+
+    # exhaustive probe (nprobe = all cells) over the appended index ==
+    # brute force over the full corpus
+    q = emb.where(F.col("vec_id") % 100 == 0)
+    got = {(r["q_id"], r["rn"]): r["vec_id"]
+           for r in ivf_topk_indexed(spark, path, q, k=3,
+                                     nprobe=K).collect()}
+    want = {(r["q_id"], r["rn"]): r["vec_id"]
+            for r in cosine_topk(emb, F.col("vec_id") % 100 == 0,
+                                 k=3).collect()}
+    assert got == want
