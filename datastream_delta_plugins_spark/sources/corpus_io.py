@@ -1,0 +1,112 @@
+"""Corpus ingestion/egress: the file surfaces a training-data run
+actually speaks.
+
+  read_jsonl_documents   JSONL (one JSON doc per line) — the de-facto
+                         interchange format for text corpora. Explicit
+                         schema (never inferSchema: inference is a
+                         full extra pass over 100 TB and can drift
+                         between files); malformed lines are captured,
+                         not dropped silently.
+  read_text_documents    one document per file (binaryFile-based so
+                         the path rides along as the doc id).
+  write_training_shards  packed-chunk egress: one directory per
+                         (split), files bounded by rows-per-file, laid
+                         out sorted by (shard, pack_id) so a trainer
+                         streams packs in order.
+
+JSONL reading is Spark's native json source — distributed line-split
+reads, predicate pushdown on the parsed columns, and PERMISSIVE-mode
+corrupt-record capture (the _corrupt column) so one bad line in a
+TB-sized shard surfaces as data instead of killing the job.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: default corpus schema: the documents-table shape plus a free-form
+#: string metadata map (JSONL corpora carry per-doc provenance)
+DOCUMENT_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("text", T.StringType()),
+    T.StructField("lang", T.StringType()),
+    T.StructField("source", T.StringType()),
+    T.StructField("meta", T.MapType(T.StringType(), T.StringType())),
+])
+
+CORRUPT_COL = "_corrupt_line"
+
+
+def read_jsonl_documents(spark: SparkSession, path: str,
+                         schema: T.StructType = DOCUMENT_SCHEMA,
+                         keep_corrupt: bool = False) -> DataFrame:
+    """Read a JSONL corpus with an explicit schema.
+
+    PERMISSIVE mode: a malformed line yields a row with every schema
+    column NULL and the raw line in `_corrupt_line`. By default those
+    rows are filtered out and the clean columns returned;
+    `keep_corrupt=True` returns them (schema cols + `_corrupt_line`)
+    so a pipeline can count/quarantine them — at corpus scale "how
+    many lines failed to parse per shard" is a first-class quality
+    metric, not an exception.
+    """
+    full = T.StructType(schema.fields
+                        + [T.StructField(CORRUPT_COL, T.StringType())])
+    df = (spark.read.schema(full)
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", CORRUPT_COL)
+          .json(path))
+    if keep_corrupt:
+        return df
+    return (df.where(F.col(CORRUPT_COL).isNull())
+              .select(*[f.name for f in schema.fields]))
+
+
+def read_text_documents(spark: SparkSession, path: str,
+                        encoding: str = "utf-8") -> DataFrame:
+    """One document per file: (path, mod_time, text). binaryFile-based
+    so the listing distributes and file metadata rides along; the id
+    is the stable file path. For many-small-file corpora prefer JSONL
+    shards — a task per tiny file is the small-file death the
+    compaction sink exists to prevent."""
+    return (spark.read.format("binaryFile").load(path)
+            .select(F.col("path"),
+                    F.col("modificationTime").alias("mod_time"),
+                    F.decode(F.col("content"), encoding).alias("text")))
+
+
+def write_training_shards(packed: DataFrame, path: str,
+                          split_col: str | None = None,
+                          rows_per_file: int = 100_000,
+                          fmt: str = "parquet") -> None:
+    """Write packed chunks for training consumption.
+
+    Layout: optionally partitioned by the split column (train/val/
+    test directories), files capped at `rows_per_file` rows, rows
+    sorted by (shard, pack_id, doc id, chunk idx) WITHIN each output
+    task via a shard-keyed repartition + sortWithinPartitions — a
+    trainer reading any single file sees whole packs in order, with
+    no global sort (the cross-file order is irrelevant to a shuffled
+    data loader; what matters is pack contiguity, which is per-shard).
+    """
+    sort_cols = [c for c in ("shard", "source", "pack_id", "doc_id",
+                             "chunk_idx") if c in packed.columns]
+    if split_col is not None:
+        # lead the explicit sort with the partition column: the file
+        # writer requires rows ordered by partition cols within a task
+        # and would insert its own (non-stable) sort otherwise,
+        # scrambling the pack order this function promises
+        sort_cols = [split_col] + sort_cols
+    shard_key = next((c for c in ("shard", "source")
+                      if c in packed.columns), None)
+    if shard_key is not None:
+        packed = packed.repartition(shard_key)
+    w = (packed.sortWithinPartitions(*sort_cols)
+               .write.mode("overwrite")
+               .option("maxRecordsPerFile", rows_per_file)
+               .format(fmt))
+    if split_col is not None:
+        w = w.partitionBy(split_col)
+    w.save(path)

@@ -1,0 +1,81 @@
+"""Corpus ingestion/egress surfaces (sources/corpus_io.py)."""
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from datastream_delta_plugins_spark.sources.corpus_io import (
+    CORRUPT_COL, read_jsonl_documents, read_text_documents,
+    write_training_shards)
+
+
+def _write_jsonl(tmp_path, name, lines):
+    p = str(tmp_path / name)
+    with open(p, "w") as f:
+        for line in lines:
+            f.write(line + "\n")
+    return p
+
+
+def test_read_jsonl_documents(spark, tmp_path):
+    docs = [{"doc_id": i, "text": f"doc {i}", "lang": "en",
+             "source": "s", "meta": {"k": str(i)}} for i in range(5)]
+    p = _write_jsonl(tmp_path, "a.jsonl", [json.dumps(d) for d in docs])
+    out = read_jsonl_documents(spark, p)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert len(rows) == 5
+    assert rows[3]["text"] == "doc 3" and rows[3]["meta"] == {"k": "3"}
+
+
+def test_read_jsonl_corrupt_lines_surfaced_not_dropped(spark, tmp_path):
+    good = json.dumps({"doc_id": 1, "text": "ok", "lang": "en",
+                       "source": "s", "meta": {}})
+    p = _write_jsonl(tmp_path, "b.jsonl", [good, "{not json", good.replace(
+        '"doc_id": 1', '"doc_id": 2')])
+    clean = read_jsonl_documents(spark, p)
+    assert sorted(r["doc_id"] for r in clean.collect()) == [1, 2]
+    assert CORRUPT_COL not in clean.columns
+    kept = read_jsonl_documents(spark, p, keep_corrupt=True)
+    bad = kept.where(F.col(CORRUPT_COL).isNotNull()).collect()
+    assert len(bad) == 1 and bad[0][CORRUPT_COL] == "{not json"
+
+
+def test_read_text_documents(spark, tmp_path):
+    d = tmp_path / "txts"
+    d.mkdir()
+    for i in range(3):
+        (d / f"doc{i}.txt").write_text(f"text number {i}")
+    out = read_text_documents(spark, str(d))
+    rows = sorted((os.path.basename(r["path"]), r["text"])
+                  for r in out.collect())
+    assert rows == [(f"doc{i}.txt", f"text number {i}") for i in range(3)]
+
+
+def test_write_training_shards_layout(spark, tmp_path):
+    from datastream_delta_plugins_spark.operators import corpus, sampling
+    from datastream_delta_plugins_spark.sources.tables import load_table
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    chunks = (corpus.chunk_documents(docs, chunk_tokens=32, stride=32)
+                    .join(docs.select("doc_id", "source"), "doc_id"))
+    packed = corpus.pack_chunks(chunks, budget=128, part_col="source")
+    split = sampling.deterministic_split(
+        packed.withColumn("_k", F.concat_ws(":", "doc_id", "chunk_idx")),
+        "_k", {"train": 0.9, "val": 0.1}, salt="io").drop("_k")
+    out = str(tmp_path / "shards")
+    write_training_shards(split, out, split_col="split",
+                          rows_per_file=50)
+    names = os.listdir(out)
+    assert any(n.startswith("split=train") for n in names)
+    back = spark.read.parquet(out)
+    assert back.count() == packed.count()
+    # within any single file, rows are pack-contiguous per shard
+    one = (back.withColumn("_f", F.input_file_name())
+               .where(F.col("split") == "train"))
+    files = [r["_f"] for r in one.select("_f").distinct().collect()]
+    rows = (one.where(F.col("_f") == files[0])
+               .select("source", "pack_id", "doc_id", "chunk_idx")
+               .collect())
+    seen = [(r["source"], r["pack_id"], r["doc_id"], r["chunk_idx"])
+            for r in rows]
+    assert seen == sorted(seen)
