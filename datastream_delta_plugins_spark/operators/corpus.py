@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from ..functions.textfns import hash32, words_col
-from .dedup import _persist_tracked, shingle_array
+from .dedup import _persist_tracked_if_small, shingle_array
 
 
 def _shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
@@ -58,8 +58,17 @@ def span_dup_stats(df: DataFrame, text_col: str = "text",
     aggregate (map-side partial, vocabulary-sized result), join back,
     per-doc aggregate. Docs shorter than n words report 0 spans with a
     NULL fraction.
+
+    Skew note: span frequencies are Zipf — a boilerplate span present
+    in millions of docs is a hot join key on the count join-back. The
+    aggregate itself absorbs skew in map-side partials; the join-back
+    relies on AQE's skew-join split (enabled in get_spark), which
+    fans a hot key's rows across tasks.
     """
-    sh = _persist_tracked(
+    # size-gated persist: the exploded span table is CORPUS-sized, so
+    # above the ceiling the two consumers recompute the narrow
+    # shingling instead of spilling ~3x the corpus to executor disks
+    sh = _persist_tracked_if_small(
         "span_dup.spans",
         _shingles(df, text_col, id_col, n).select(
             id_col, hash32("span").alias("_h")))

@@ -72,6 +72,28 @@ def _persist_tracked(key: str, df: DataFrame) -> DataFrame:
     return out
 
 
+#: corpus-sized-intermediate persist ceiling: above this estimated
+#: size, recomputing the (cheap, narrow) producing stage beats
+#: spilling a multiple of the corpus to executor disks
+PERSIST_CEILING_BYTES = 4 * 1024 ** 3
+
+
+def _persist_tracked_if_small(key: str, df: DataFrame,
+                              ceiling: int = PERSIST_CEILING_BYTES
+                              ) -> DataFrame:
+    """Persist only when Catalyst's static size estimate fits the
+    ceiling. For intermediates proportional to the CORPUS (exploded
+    shingles/tokens), caching trades a second narrow recompute for
+    writing ~3x the corpus bytes to executor storage — a good trade at
+    test scale, a terrible one at 100 TB. Signature/candidate tables
+    (orders of magnitude smaller than the corpus) keep the
+    unconditional _persist_tracked."""
+    from ..plans.hints import plan_size_bytes
+    if plan_size_bytes(df) <= ceiling:
+        return _persist_tracked(key, df)
+    return df
+
+
 def release_caches() -> None:
     """Unpersist every intermediate this module still holds."""
     for key in list(_CACHE_GENS):

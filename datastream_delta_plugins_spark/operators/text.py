@@ -323,11 +323,13 @@ def unigram_logfreq_score(df: DataFrame, text_col: str = "text",
     corpus, reproducible in SQL (log10/avg), no model artifacts.
     """
     from ..functions.textfns import words_col
-    from .dedup import _persist_tracked
+    from .dedup import _persist_tracked_if_small
     # toks feeds BOTH join branches (freq aggregate + probe side) and
     # Catalyst does not CSE across join branches — persist, or the
-    # corpus normalize+split+explode runs twice per action
-    toks = _persist_tracked(
+    # corpus normalize+split+explode runs twice per action. Size-gated:
+    # the exploded token table is corpus-sized, so above the ceiling
+    # the branches recompute the narrow explode instead of spilling
+    toks = _persist_tracked_if_small(
         "unigram.toks",
         df.select(F.col(id_col), F.explode(words_col(text_col)).alias("tok")))
     freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
