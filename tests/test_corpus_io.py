@@ -79,3 +79,51 @@ def test_write_training_shards_layout(spark, tmp_path):
     seen = [(r["source"], r["pack_id"], r["doc_id"], r["chunk_idx"])
             for r in rows]
     assert seen == sorted(seen)
+
+
+def test_streaming_corpus_ingest_composition(spark, tmp_path):
+    """Streaming ingest of a JSONL corpus: readStream with the same
+    explicit schema -> in-stream PII scrub (pure column expressions
+    work unchanged under streaming) -> dedup-within-watermark on
+    content fingerprint -> parquet sink. The duplicate of an
+    already-seen text is dropped in-stream."""
+    from pyspark.sql import types as T
+
+    from datastream_delta_plugins_spark.operators.text import pii_scrub_col
+    from datastream_delta_plugins_spark.sources.corpus_io import (
+        DOCUMENT_SCHEMA)
+    from datastream_delta_plugins_spark.streaming.pipeline import (
+        dedup_within_watermark)
+
+    src = tmp_path / "in"
+    src.mkdir()
+    body = ("the quick brown fox jumps over the lazy dog and then "
+            "keeps running through a long and winding field of words")
+    docs = [
+        {"doc_id": 1, "text": body + " one", "lang": "en", "source": "s",
+         "meta": {}, "ts": "2026-01-01T00:00:00Z"},
+        {"doc_id": 2, "text": body + " one", "lang": "en", "source": "s",
+         "meta": {}, "ts": "2026-01-01T00:01:00Z"},   # dup of 1
+        {"doc_id": 3, "text": body + " two", "lang": "en", "source": "s",
+         "meta": {}, "ts": "2026-01-01T00:02:00Z"},
+    ]
+    with open(src / "a.jsonl", "w") as f:
+        for d in docs:
+            f.write(json.dumps(d) + "\n")
+
+    schema = T.StructType(DOCUMENT_SCHEMA.fields
+                          + [T.StructField("ts", T.TimestampType())])
+    stream = (spark.readStream.schema(schema)
+              .json(str(src))
+              .withColumn("text", pii_scrub_col("text"))
+              .withColumn("_fp", F.md5(F.col("text").cast("binary"))))
+    deduped = dedup_within_watermark(stream, ["_fp"], "ts",
+                                     watermark="1 hour")
+    out = str(tmp_path / "out")
+    q = (deduped.writeStream.format("parquet")
+         .option("path", out)
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert got == [1, 3]  # doc 2's identical text dropped in-stream
