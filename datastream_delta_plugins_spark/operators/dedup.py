@@ -218,6 +218,22 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     return hashed.groupBy(id_col).agg(*aggs)
 
 
+def banded_signatures(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, band, sig) rows from a signature table — single-pass
+    banding via one array-of-structs projection + explode (a per-band
+    union would re-execute the whole signature pipeline per band)."""
+    rows_per_band = NUM_PERMS // NUM_BANDS
+    band_structs = []
+    for b in range(NUM_BANDS):
+        cols = [F.col(f"mh{b * rows_per_band + r}").cast("string")
+                for r in range(rows_per_band)]
+        band_structs.append(F.struct(
+            F.lit(b).alias("band"), F.concat_ws(":", *cols).alias("sig")))
+    return (sig.select(F.col(id_col),
+                       F.explode(F.array(*band_structs)).alias("e"))
+               .select(id_col, "e.band", "e.sig"))
+
+
 def minhash_lsh_pairs(df: DataFrame, threshold: float = 0.8,
                       text_col: str = "text", id_col: str = "doc_id",
                       n: int = 3) -> DataFrame:
@@ -238,19 +254,7 @@ def minhash_lsh_pairs(df: DataFrame, threshold: float = 0.8,
     # MinHashLSH caches the same way.
     sig = _persist_tracked("lsh.signatures",
                            minhash_signatures(df, text_col, id_col, n))
-    rows_per_band = NUM_PERMS // NUM_BANDS
-    # Single-pass banding: one array-of-structs projection + explode.
-    # (A per-band union would re-execute the whole shingle+signature
-    # pipeline once per band.)
-    band_structs = []
-    for b in range(NUM_BANDS):
-        cols = [F.col(f"mh{b * rows_per_band + r}").cast("string")
-                for r in range(rows_per_band)]
-        band_structs.append(F.struct(
-            F.lit(b).alias("band"), F.concat_ws(":", *cols).alias("sig")))
-    banded = (sig.select(F.col(id_col),
-                         F.explode(F.array(*band_structs)).alias("e"))
-                 .select(id_col, "e.band", "e.sig"))
+    banded = banded_signatures(sig, id_col)
     cand = (banded.alias("a")
             .join(banded.alias("b"), ["band", "sig"])
             .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
@@ -657,3 +661,91 @@ def connected_components(pairs: DataFrame, id_cols: tuple[str, str] = ("i", "j")
             f"iterations ({changed} labels still changing) — the pair "
             f"graph has a chain longer than max_iter; raise max_iter")
     return labels
+
+
+# --------------------------------------------------- incremental dedup index
+
+def _shingle_hash_arrays(df: DataFrame, text_col: str, id_col: str,
+                         n: int) -> DataFrame:
+    """(id, _sh) with _sh = sorted array of distinct shingle hash32s —
+    the compact verify payload the incremental index stores (~4 bytes/
+    token vs the text itself; Jaccard over the hash arrays equals
+    Jaccard over shingles up to 32-bit collisions, identically on both
+    the build and probe side)."""
+    return (shingle_array(df, text_col, id_col, n)
+            .select(id_col,
+                    F.array_sort(F.transform(
+                        "_shingles", lambda s: hash32(s))).alias("_sh")))
+
+
+def save_minhash_index(df: DataFrame, path: str, text_col: str = "text",
+                       id_col: str = "doc_id", n: int = 3) -> None:
+    """Persist the corpus's dedup state: banded MinHash signatures
+    (`{path}/bands`: id, band, sig) + per-doc shingle-hash arrays
+    (`{path}/shingles`: id, _sh). Together they let any FUTURE batch
+    be deduped against the corpus without touching corpus text again —
+    the index is ~8 band rows + one int array per doc, orders of
+    magnitude smaller than the corpus."""
+    sig = _persist_tracked("index.sig",
+                           minhash_signatures(df, text_col, id_col, n))
+    (banded_signatures(sig, id_col)
+     .write.mode("overwrite").parquet(f"{path}/bands"))
+    (_shingle_hash_arrays(df, text_col, id_col, n)
+     .write.mode("overwrite").parquet(f"{path}/shingles"))
+
+
+def append_minhash_index(spark, path: str, new_df: DataFrame,
+                         text_col: str = "text", id_col: str = "doc_id",
+                         n: int = 3) -> None:
+    """Append accepted new docs to a saved index (no rewrite of
+    existing files — the same append-only maintenance contract as
+    ivf_append)."""
+    sig = _persist_tracked("index.append.sig",
+                           minhash_signatures(new_df, text_col, id_col, n))
+    (banded_signatures(sig, id_col)
+     .write.mode("append").parquet(f"{path}/bands"))
+    (_shingle_hash_arrays(new_df, text_col, id_col, n)
+     .write.mode("append").parquet(f"{path}/shingles"))
+
+
+def dedup_against_index(spark, path: str, new_df: DataFrame,
+                        threshold: float = 0.8, text_col: str = "text",
+                        id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """Near-dup matches of a NEW batch against a saved corpus index:
+    returns (new_id, index_id, jac) for every new doc whose exact
+    (hash-array) Jaccard against an LSH-candidate index doc clears
+    the threshold. The caller anti-joins its batch on new_id to drop
+    matched docs, then append_minhash_index()s the survivors — the
+    incremental-ingest loop.
+
+    Scale shape: the new batch's band table is BROADCAST against the
+    stored bands, and candidate index docs are the only `shingles`
+    rows read into the verify join — per-batch cost is one scan of
+    the (signature-sized) index plus work proportional to the batch,
+    with NO shuffle of index data and NO access to corpus text.
+    """
+    sig = _persist_tracked("index.probe.sig",
+                           minhash_signatures(new_df, text_col, id_col, n))
+    new_bands = banded_signatures(sig, id_col)
+    stored = spark.read.parquet(f"{path}/bands")
+    cand = (stored.alias("a")
+            .join(F.broadcast(new_bands.alias("b")), ["band", "sig"])
+            .select(F.col(f"a.{id_col}").alias("index_id"),
+                    F.col(f"b.{id_col}").alias("new_id"))
+            .distinct())
+    cand = _persist_tracked("index.probe.cand", cand)
+    old_sh = (spark.read.parquet(f"{path}/shingles")
+              .join(F.broadcast(cand.select(F.col("index_id")
+                                            .alias(id_col)).distinct()),
+                    id_col, "semi")
+              .select(F.col(id_col).alias("index_id"),
+                      F.col("_sh").alias("_sa")))
+    new_sh = (_shingle_hash_arrays(new_df, text_col, id_col, n)
+              .select(F.col(id_col).alias("new_id"),
+                      F.col("_sh").alias("_sb")))
+    common = F.size(F.array_intersect("_sa", "_sb"))
+    jac = (common.cast("double")
+           / (F.size("_sa") + F.size("_sb") - common).cast("double"))
+    return (cand.join(old_sh, "index_id").join(new_sh, "new_id")
+                .select("new_id", "index_id", jac.alias("jac"))
+                .where(F.col("jac") >= threshold))

@@ -240,3 +240,62 @@ def test_ivf_append_extends_index(spark, sf_correctness, tmp_path):
             for r in cosine_topk(emb, F.col("vec_id") % 100 == 0,
                                  k=3).collect()}
     assert got == want
+
+
+# ------------------------------------------------------ incremental dedup
+
+def test_dedup_against_index(spark, sf_correctness, tmp_path):
+    """Build an index on half the corpus, probe the other half: the
+    cross matches equal the (i in A, j in B) pairs of the batch LSH
+    operator over the union; appended docs are then findable."""
+    from datastream_delta_plugins_spark.operators.dedup import (
+        append_minhash_index, dedup_against_index, minhash_lsh_pairs,
+        save_minhash_index)
+    from datastream_delta_plugins_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_correctness, "documents")
+    a = docs.where(F.col("doc_id") % 2 == 0)
+    b = docs.where(F.col("doc_id") % 2 == 1)
+    path = str(tmp_path / "dix")
+    save_minhash_index(a, path)
+
+    got = {(r["new_id"], r["index_id"]): r["jac"]
+           for r in dedup_against_index(spark, path, b, 0.8).collect()}
+    want = {}
+    for r in minhash_lsh_pairs(docs, 0.8).collect():
+        i, j = r["i"], r["j"]
+        if i % 2 == 0 and j % 2 == 1:
+            want[(j, i)] = r["jac"]
+        elif i % 2 == 1 and j % 2 == 0:
+            want[(i, j)] = r["jac"]
+    assert got == want and len(got) > 0
+
+    # append batch B's survivors, then a copy of a B doc must match
+    matched = {k[0] for k in got}
+    survivors = b.join(
+        spark.createDataFrame([(i,) for i in matched] or
+                              [(-1,)], "doc_id long"),
+        "doc_id", "anti")
+    append_minhash_index(spark, path, survivors)
+    probe_src = survivors.limit(1).collect()[0]
+    probe = spark.createDataFrame(
+        [(999999, probe_src["text"])], "doc_id long, text string")
+    hits = dedup_against_index(spark, path, probe, 0.8).collect()
+    assert any(r["index_id"] == probe_src["doc_id"] and r["jac"] == 1.0
+               for r in hits)
+
+
+def test_dedup_index_probe_broadcasts_batch(spark, sf_correctness, tmp_path):
+    from datastream_delta_plugins_spark.operators.dedup import (
+        dedup_against_index, save_minhash_index)
+    from datastream_delta_plugins_spark.plans import final_plan
+    from datastream_delta_plugins_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_correctness, "documents")
+    path = str(tmp_path / "dix2")
+    save_minhash_index(docs.where(F.col("doc_id") < 400), path)
+    out = dedup_against_index(
+        spark, path, docs.where(F.col("doc_id") >= 400), 0.8)
+    plan = final_plan(out)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
