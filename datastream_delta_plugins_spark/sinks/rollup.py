@@ -1,0 +1,137 @@
+"""Incremental time-rollup maintenance (continuous aggregates): keep a
+pre-aggregated table over a time-partitioned landing sink current by
+re-aggregating ONLY the partitions that changed since the last run —
+the hypertable-rollup / materialized-view-maintenance operator,
+engine-side.
+
+Invalidation is at PARTITION grain: a partition's signature is
+(file count, total bytes, max mod time) from the same FS listing the
+compactor uses. New files in a fresh hour, late data landing in an old
+hour, or a compaction rewrite all change the signature, and exactly
+those partitions are recomputed and swapped into the rollup via
+dynamic partition overwrite. Aggregates are whole-partition
+recomputes — no undo/merge math, so ANY Spark aggregate expression is
+legal (percentiles and distincts included, not just sums), which is
+the trade that keeps the operator general; the cost is proportional
+to changed partitions, not the table.
+
+Ordering follows the reference's offset-after-data rule
+(DatastreamEventReader.java:213-227): rollup data commits BEFORE the
+manifest records the new signatures, so a crash between the two
+re-aggregates those partitions (idempotent overwrite), never skips
+them.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+from collections.abc import Mapping
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .partitioned import _list_partitions, _partition_predicate
+
+MANIFEST = "_rollup_manifest.json"
+
+
+def _signatures(spark: SparkSession, source_path: str) -> dict[str, list]:
+    parts = _list_partitions(spark, source_path)
+    return {d: [len(files),
+                sum(b for _, b, _ in files),
+                max(m for _, _, m in files)]
+            for d, files in parts.items()}
+
+
+def _partition_keys(d: str) -> list[str]:
+    return [seg.split("=", 1)[0] for seg in d.split("/") if "=" in seg]
+
+
+def _load_manifest(rollup_path: str) -> dict:
+    p = os.path.join(rollup_path, MANIFEST)
+    if not os.path.exists(p):
+        return {}
+    with open(p) as f:
+        return json.load(f)
+
+
+def _store_manifest(rollup_path: str, sigs: dict) -> None:
+    os.makedirs(rollup_path, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=rollup_path, prefix="._manifest")
+    with os.fdopen(fd, "w") as f:
+        json.dump(sigs, f, sort_keys=True)
+    os.replace(tmp, os.path.join(rollup_path, MANIFEST))
+
+
+def update_rollup(spark: SparkSession, source_path: str, rollup_path: str,
+                  group_cols: list[str],
+                  aggs: Mapping[str, Column]) -> dict:
+    """Bring the rollup at `rollup_path` up to date with the
+    time-partitioned table at `source_path`.
+
+    `group_cols` are grouped IN ADDITION to the partition columns
+    (which always group, so every rollup row belongs to exactly one
+    source partition and partition-grain overwrite is sound).
+    `aggs` maps output column -> aggregate expression.
+
+    Returns {"changed": n, "removed": m, "total": k}. Cost: one pruned
+    scan + one aggregate over the changed partitions only.
+    """
+    sigs = _signatures(spark, source_path)
+    seen = _load_manifest(rollup_path)
+    changed = [d for d, s in sigs.items() if seen.get(d) != s]
+    removed = [d for d in seen if d not in sigs]
+    if not sigs or (not changed and not removed):
+        return {"changed": 0, "removed": len(removed), "total": len(sigs)}
+
+    part_cols = _partition_keys(next(iter(sigs)))
+    data_path = os.path.join(rollup_path, "data")
+    if changed:
+        pred = reduce(lambda a, b: a | b,
+                      (_partition_predicate(d, part_cols) for d in changed))
+        agg = (spark.read.parquet(source_path)
+               .where(pred)  # partition-pruned
+               .groupBy(*part_cols, *group_cols)
+               .agg(*[c.alias(name) for name, c in aggs.items()]))
+        (agg.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*part_cols)
+            .parquet(data_path))
+    # a vanished source partition's rollup rows are stale; dynamic
+    # overwrite never touches it, so drop via an empty overwrite is
+    # not expressible — record it removed and let read_rollup filter
+    live = {d for d in sigs}
+    _store_manifest(rollup_path, sigs)
+    if removed:
+        _store_live_filter(rollup_path, live, part_cols)
+    return {"changed": len(changed), "removed": len(removed),
+            "total": len(sigs)}
+
+
+def _store_live_filter(rollup_path: str, live: set, part_cols) -> None:
+    keys = sorted("/".join(seg for seg in d.split("/") if "=" in seg)
+                  for d in live)
+    fd, tmp = tempfile.mkstemp(dir=rollup_path, prefix="._live")
+    with os.fdopen(fd, "w") as f:
+        json.dump(keys, f)
+    os.replace(tmp, os.path.join(rollup_path, "_live_partitions.json"))
+
+
+def read_rollup(spark: SparkSession, rollup_path: str) -> DataFrame:
+    """Read the current rollup; partitions whose source vanished are
+    filtered out via the live-partition list (rare path — dynamic
+    overwrite cannot delete a partition's files)."""
+    df = spark.read.parquet(os.path.join(rollup_path, "data"))
+    live_p = os.path.join(rollup_path, "_live_partitions.json")
+    if os.path.exists(live_p):
+        with open(live_p) as f:
+            keys = json.load(f)
+        part_cols = _partition_keys(keys[0]) if keys else []
+        key_expr = F.concat_ws(
+            "/", *[F.concat_ws("=", F.lit(c), F.col(c).cast("string"))
+                   for c in part_cols])
+        df = df.where(key_expr.isin(keys))
+    return df

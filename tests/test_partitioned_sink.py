@@ -123,3 +123,96 @@ def test_window_read_subhour_bounds_exact(spark, sf_smoke, part_path):
     assert df.count() == expect
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [" in plan  # pruning survived the residual
+
+
+# ------------------------------------------------------------ rollup
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id long, ts timestamp, value double")
+
+
+def _ts(s):
+    import datetime
+    return datetime.datetime.fromisoformat(s)
+
+
+def test_rollup_incremental_update(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from datastream_delta_plugins_spark.sinks.partitioned import (
+        write_time_partitioned)
+    from datastream_delta_plugins_spark.sinks.rollup import (
+        read_rollup, update_rollup)
+
+    src = str(tmp_path / "land")
+    roll = str(tmp_path / "roll")
+    aggs = {"n": F.count(F.lit(1)),
+            "total": F.sum("value"),
+            "p50": F.expr("percentile(value, 0.5)")}
+
+    b1 = _events(spark, [
+        (1, _ts("2026-01-01 10:05:00"), 1.0),
+        (1, _ts("2026-01-01 10:35:00"), 3.0),
+        (2, _ts("2026-01-01 11:05:00"), 5.0),
+    ])
+    write_time_partitioned(b1, src, "ts")
+    r = update_rollup(spark, src, roll, ["user_id"], aggs)
+    assert r["changed"] == 2 and r["total"] == 2
+
+    def snap():
+        # partition-value inference types p_date as DATE on read-back
+        return {(str(row["p_date"]), row["p_hour"], row["user_id"]):
+                (row["n"], row["total"], row["p50"])
+                for row in read_rollup(spark, roll).collect()}
+    assert snap() == {
+        ("2026-01-01", 10, 1): (2, 4.0, 2.0),
+        ("2026-01-01", 11, 2): (1, 5.0, 5.0),
+    }
+
+    # idempotent no-op when nothing changed
+    assert update_rollup(spark, src, roll, ["user_id"], aggs)["changed"] == 0
+
+    # batch 2: a NEW hour + LATE data into hour 10 -> exactly those
+    # two partitions recompute; hour 11 untouched
+    b2 = _events(spark, [
+        (3, _ts("2026-01-01 12:01:00"), 7.0),     # new hour
+        (1, _ts("2026-01-01 10:55:00"), 9.0),     # late arrival
+    ])
+    write_time_partitioned(b2, src, "ts")
+    r2 = update_rollup(spark, src, roll, ["user_id"], aggs)
+    assert r2["changed"] == 2 and r2["total"] == 3
+    assert snap() == {
+        ("2026-01-01", 10, 1): (3, 13.0, 3.0),
+        ("2026-01-01", 11, 2): (1, 5.0, 5.0),
+        ("2026-01-01", 12, 3): (1, 7.0, 7.0),
+    }
+
+    # rollup always equals the direct full aggregate
+    direct = {(str(row["p_date"]), row["p_hour"], row["user_id"]):
+              (row["n"], row["total"], row["p50"])
+              for row in
+              (spark.read.parquet(src)
+               .groupBy("p_date", "p_hour", "user_id")
+               .agg(*[c.alias(k) for k, c in aggs.items()])).collect()}
+    assert snap() == direct
+
+
+def test_rollup_scan_is_partition_pruned(spark, tmp_path):
+    """The incremental update's source scan must prune to the changed
+    partitions (PartitionFilters), not rescan the table."""
+    from pyspark.sql import functions as F
+
+    from datastream_delta_plugins_spark.sinks.partitioned import (
+        _partition_predicate, write_time_partitioned)
+
+    src = str(tmp_path / "land2")
+    b1 = _events(spark, [(1, _ts("2026-01-01 10:05:00"), 1.0),
+                         (2, _ts("2026-01-02 11:05:00"), 5.0)])
+    write_time_partitioned(b1, src, "ts")
+    pred = _partition_predicate(
+        src + "/p_date=2026-01-01/p_hour=10", ["p_date", "p_hour"])
+    df = spark.read.parquet(src).where(pred)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert df.count() == 1
