@@ -35,13 +35,16 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from ..functions.textfns import hash32, words_col
-from .dedup import _persist_tracked_if_small, shingle_array
+from .dedup import _persist_tracked_if_small, ngram_shingles
 
 
 def _shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
-    """Distinct n-word spans per doc, one row per (doc, span)."""
-    return (shingle_array(df, text_col, id_col, n)
-            .select(id_col, F.explode_outer("_shingles").alias("span")))
+    """Distinct n-word spans per doc, one row per (doc, span) — the
+    dedup module's shingle operator under this module's column name
+    (one implementation; the explode_outer optimizer-rule rationale
+    lives there)."""
+    return (ngram_shingles(df, text_col, id_col, n)
+            .withColumnRenamed("shingle", "span"))
 
 
 def span_dup_stats(df: DataFrame, text_col: str = "text",
@@ -199,21 +202,29 @@ def prepare_corpus(df: DataFrame, text_col: str = "text",
     joins while the id sets are small and as co-partitioned hash joins
     at scale.
     """
-    from .dedup import dedup_corpus
+    from .dedup import _persist_tracked_if_small, dedup_corpus
     from .text import pii_scrub_col, quality_score
 
     report: dict = {"input_docs": df.count()}
     docs = df.withColumn(text_col, pii_scrub_col(text_col))
 
+    # each gate's survivor frame is (size-gated) persisted before its
+    # report count: the count is an extra action, and without the
+    # persist it would re-run the scrub regexes / broadcast joins of
+    # every stage above it once per downstream count
     scored = quality_score(docs, text_col, id_col)
-    docs = docs.join(scored.where(F.col("keep")).select(id_col),
-                     id_col, "semi")
+    docs = _persist_tracked_if_small(
+        "prep.quality",
+        docs.join(scored.where(F.col("keep")).select(id_col),
+                  id_col, "semi"))
     report["after_quality"] = docs.count()
 
     if bench_pred is not None:
         flags = contamination_check(docs, bench_pred, text_col, id_col)
-        docs = docs.join(flags.where(~F.col("contaminated"))
-                              .select(id_col), id_col, "semi")
+        docs = _persist_tracked_if_small(
+            "prep.decontaminated",
+            docs.join(flags.where(~F.col("contaminated"))
+                          .select(id_col), id_col, "semi"))
         report["after_decontamination"] = docs.count()
 
     docs, dedup_report = dedup_corpus(docs, text_col, id_col,
@@ -224,10 +235,12 @@ def prepare_corpus(df: DataFrame, text_col: str = "text",
 
     if max_dup_span_frac is not None:
         spans = span_dup_stats(docs, text_col, id_col)
-        docs = docs.join(
-            spans.where(F.coalesce("dup_span_frac", F.lit(0.0))
-                        <= max_dup_span_frac).select(id_col),
-            id_col, "semi")
+        docs = _persist_tracked_if_small(
+            "prep.span_gated",
+            docs.join(
+                spans.where(F.coalesce("dup_span_frac", F.lit(0.0))
+                            <= max_dup_span_frac).select(id_col),
+                id_col, "semi"))
         report["after_span_gate"] = docs.count()
 
     chunks = chunk_documents(docs, text_col, id_col, chunk_tokens, stride)
@@ -237,6 +250,8 @@ def prepare_corpus(df: DataFrame, text_col: str = "text",
     else:
         chunks = chunks.join(df.select(id_col, shard_col), id_col)
         shard = shard_col
-    packed = pack_chunks(chunks, budget, shard, id_col)
+    # persisted: counted for the report, then consumed by the caller
+    packed = _persist_tracked_if_small(
+        "prep.packed", pack_chunks(chunks, budget, shard, id_col))
     report["chunks"] = packed.count()
     return packed, report

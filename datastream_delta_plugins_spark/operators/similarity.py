@@ -379,14 +379,18 @@ def ivf_append(spark, path: str, new_df: DataFrame,
         F.col(id_col), F.col(vec_col),
         F.transform(vec_col, lambda x: x.cast("double")).alias("_v"))
     w = W.partitionBy(id_col).orderBy(F.desc("_cos"), F.col("_cell"))
-    assigned = (v.join(F.broadcast(cents), F.lit(True))
-                 .select(id_col, vec_col, "_cell",
-                         cosine(F.col("_v"), F.col("centroid"))
-                         .alias("_cos"))
-                 .withColumn("_rn", F.row_number().over(w))
-                 .where(F.col("_rn") == 1)
-                 .select(id_col, vec_col,
-                         F.col("_cell").cast("int").alias("_cell")))
+    # persisted: counted for the return value, then written — without
+    # it the broadcast scoring + assignment window runs twice (and a
+    # non-deterministic new_df could even write rows the count missed)
+    assigned = _persist_tracked(
+        "ivf.append.assigned",
+        v.join(F.broadcast(cents), F.lit(True))
+         .select(id_col, vec_col, "_cell",
+                 cosine(F.col("_v"), F.col("centroid")).alias("_cos"))
+         .withColumn("_rn", F.row_number().over(w))
+         .where(F.col("_rn") == 1)
+         .select(id_col, vec_col,
+                 F.col("_cell").cast("int").alias("_cell")))
     n = assigned.count()
     (assigned.repartition("_cell")
              .write.mode("append").partitionBy("_cell")

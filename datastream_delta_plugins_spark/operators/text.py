@@ -296,16 +296,25 @@ def pii_scrub(df: DataFrame, text_col: str = "text",
 
     The synthetic corpus carries no PII-shaped spans, so the driver
     gate would only ever hash zeros; the operator is value-verified in
-    tests on synthesized strings instead (tests/test_text_ops.py).
+    tests on synthesized strings instead (tests/test_corpus_ops.py).
+
+    Counts are taken SEQUENTIALLY, each on the text as already
+    scrubbed by the previous patterns — so every count corresponds to
+    placeholders actually emitted (a digit run inside a URL is
+    consumed by the URL replacement and never double-counts as a
+    phone), and `n_<kind>s == #<KIND> placeholders` holds exactly.
     """
     out = df.select(F.col(id_col), F.col(text_col).alias("scrubbed"))
-    counts = []
     for kind, pat in PII_PATTERNS.items():
-        counts.append(
-            F.size(F.regexp_extract_all("scrubbed", F.lit(pat), 0))
-             .cast("bigint").alias(f"n_{kind}s"))
-    out = out.select(id_col, "scrubbed", *counts)
-    return out.withColumn("scrubbed", pii_scrub_col("scrubbed"))
+        out = (out.withColumn(
+                   f"n_{kind}s",
+                   F.size(F.regexp_extract_all("scrubbed", F.lit(pat), 0))
+                    .cast("bigint"))
+                  .withColumn("scrubbed",
+                              F.regexp_replace("scrubbed", pat,
+                                               f"<{kind.upper()}>")))
+    return out.select(id_col, "scrubbed",
+                      *[f"n_{kind}s" for kind in PII_PATTERNS])
 
 
 def unigram_logfreq_score(df: DataFrame, text_col: str = "text",

@@ -84,12 +84,12 @@ def update_rollup(spark: SparkSession, source_path: str, rollup_path: str,
     seen = _load_manifest(rollup_path)
     changed = [d for d, s in sigs.items() if seen.get(d) != s]
     removed = [d for d in seen if d not in sigs]
-    if not sigs or (not changed and not removed):
-        return {"changed": 0, "removed": len(removed), "total": len(sigs)}
+    if not changed and not removed:
+        return {"changed": 0, "removed": 0, "total": len(sigs)}
 
-    part_cols = _partition_keys(next(iter(sigs)))
     data_path = os.path.join(rollup_path, "data")
     if changed:
+        part_cols = _partition_keys(next(iter(sigs)))
         pred = reduce(lambda a, b: a | b,
                       (_partition_predicate(d, part_cols) for d in changed))
         agg = (spark.read.parquet(source_path)
@@ -100,38 +100,31 @@ def update_rollup(spark: SparkSession, source_path: str, rollup_path: str,
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy(*part_cols)
             .parquet(data_path))
-    # a vanished source partition's rollup rows are stale; dynamic
-    # overwrite never touches it, so drop via an empty overwrite is
-    # not expressible — record it removed and let read_rollup filter
-    live = {d for d in sigs}
+    # data commits first; the manifest (whose KEY SET is the live-
+    # partition list read_rollup serves) commits last. A crash in
+    # between leaves the new data invisible until the next run's
+    # signature mismatch re-aggregates and republishes it — stale
+    # reads, never wrong ones. Vanished source partitions are handled
+    # by the same mechanism: dynamic overwrite cannot delete their
+    # files, but dropping them from the manifest drops them from reads.
     _store_manifest(rollup_path, sigs)
-    if removed:
-        _store_live_filter(rollup_path, live, part_cols)
     return {"changed": len(changed), "removed": len(removed),
             "total": len(sigs)}
 
 
-def _store_live_filter(rollup_path: str, live: set, part_cols) -> None:
-    keys = sorted("/".join(seg for seg in d.split("/") if "=" in seg)
-                  for d in live)
-    fd, tmp = tempfile.mkstemp(dir=rollup_path, prefix="._live")
-    with os.fdopen(fd, "w") as f:
-        json.dump(keys, f)
-    os.replace(tmp, os.path.join(rollup_path, "_live_partitions.json"))
-
-
 def read_rollup(spark: SparkSession, rollup_path: str) -> DataFrame:
-    """Read the current rollup; partitions whose source vanished are
-    filtered out via the live-partition list (rare path — dynamic
-    overwrite cannot delete a partition's files)."""
+    """Read the current rollup: the data files filtered to the
+    manifest's live partitions (the isin predicate is on partition
+    columns, so it prunes directories as well as hiding rows whose
+    source partition vanished)."""
     df = spark.read.parquet(os.path.join(rollup_path, "data"))
-    live_p = os.path.join(rollup_path, "_live_partitions.json")
-    if os.path.exists(live_p):
-        with open(live_p) as f:
-            keys = json.load(f)
-        part_cols = _partition_keys(keys[0]) if keys else []
-        key_expr = F.concat_ws(
-            "/", *[F.concat_ws("=", F.lit(c), F.col(c).cast("string"))
-                   for c in part_cols])
-        df = df.where(key_expr.isin(keys))
-    return df
+    live = sorted(_load_manifest(rollup_path))
+    keys = ["/".join(seg for seg in d.split("/") if "=" in seg)
+            for d in live]
+    if not keys:  # every source partition vanished: nothing is live
+        return df.where(F.lit(False))
+    part_cols = _partition_keys(keys[0])
+    key_expr = F.concat_ws(
+        "/", *[F.concat_ws("=", F.lit(c), F.col(c).cast("string"))
+               for c in part_cols])
+    return df.where(key_expr.isin(keys))

@@ -299,3 +299,14 @@ def test_dedup_index_probe_broadcasts_batch(spark, sf_correctness, tmp_path):
     plan = final_plan(out)
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_pii_scrub_counts_match_placeholders_on_overlap(spark):
+    """A digit run inside a URL is consumed by the URL replacement and
+    must NOT also count as a phone: every n_<kind>s equals the number
+    of <KIND> placeholders actually emitted."""
+    df = _docs(spark, [(0, "see http://example.com/order/12345678 now")])
+    r = text.pii_scrub(df).collect()[0]
+    assert r["n_urls"] == 1 and r["n_phones"] == 0 and r["n_emails"] == 0
+    assert r["scrubbed"].count("<URL>") == 1
+    assert "<PHONE>" not in r["scrubbed"]

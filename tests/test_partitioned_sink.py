@@ -216,3 +216,40 @@ def test_rollup_scan_is_partition_pruned(spark, tmp_path):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [" in plan
     assert df.count() == 1
+
+
+def test_rollup_removed_partition_then_new_data(spark, tmp_path):
+    """A vanished source partition disappears from reads, and — the
+    regression this pins — partitions added AFTER a removal run still
+    become visible."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from datastream_delta_plugins_spark.sinks.partitioned import (
+        write_time_partitioned)
+    from datastream_delta_plugins_spark.sinks.rollup import (
+        read_rollup, update_rollup)
+
+    src = str(tmp_path / "land3")
+    roll = str(tmp_path / "roll3")
+    aggs = {"n": F.count(F.lit(1))}
+    write_time_partitioned(_events(spark, [
+        (1, _ts("2026-01-01 10:00:00"), 1.0),
+        (2, _ts("2026-01-01 11:00:00"), 1.0)]), src, "ts")
+    update_rollup(spark, src, roll, ["user_id"], aggs)
+
+    # retention deletes hour 10
+    shutil.rmtree(src + "/p_date=2026-01-01/p_hour=10")
+    r = update_rollup(spark, src, roll, ["user_id"], aggs)
+    assert r["removed"] == 1
+    assert {row["p_hour"] for row in read_rollup(spark, roll).collect()} \
+        == {11}
+
+    # a NEW hour lands after the removal run -> must be served
+    write_time_partitioned(_events(spark, [
+        (3, _ts("2026-01-01 12:00:00"), 1.0)]), src, "ts")
+    r2 = update_rollup(spark, src, roll, ["user_id"], aggs)
+    assert r2["changed"] == 1
+    assert {row["p_hour"] for row in read_rollup(spark, roll).collect()} \
+        == {11, 12}
