@@ -310,3 +310,20 @@ def test_pii_scrub_counts_match_placeholders_on_overlap(spark):
     assert r["n_urls"] == 1 and r["n_phones"] == 0 and r["n_emails"] == 0
     assert r["scrubbed"].count("<URL>") == 1
     assert "<PHONE>" not in r["scrubbed"]
+
+
+def test_chunk_documents_is_scan_local(spark, sf_correctness):
+    """Chunking must plan no Exchange: the explode happens in the scan
+    stage, so chunk rows stay in their documents' partitions."""
+    from datastream_delta_plugins_spark.sources.tables import load_table
+    docs = load_table(spark, sf_correctness, "documents")
+    plan = final_plan(corpus.chunk_documents(docs))
+    assert "Exchange" not in plan
+
+
+def test_span_dup_stats_no_cartesian(spark, sf_correctness):
+    from datastream_delta_plugins_spark.sources.tables import load_table
+    docs = load_table(spark, sf_correctness, "documents")
+    plan = final_plan(corpus.span_dup_stats(docs))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
