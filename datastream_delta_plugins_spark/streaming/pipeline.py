@@ -442,3 +442,38 @@ def stream_interval_join(left, right, on: list[str],
                 + [F.col(f"r.{src}").alias(dst)
                    for src, dst in right_cols.items() if src not in on])
     return joined.select(*out_cols)
+
+
+def stream_to_landing_rollup(stream_df: DataFrame, landing_path: str,
+                             rollup_path: str, ts_col: str,
+                             group_cols: list[str], aggs,
+                             granularity: str = "hour",
+                             trigger: dict | None = None,
+                             checkpoint: str | None = None):
+    """Streaming continuous aggregate: each micro-batch appends to the
+    time-partitioned landing table, then brings the rollup up to date
+    — landing write FIRST, so a crash between the two replays as a
+    signature change on the next update (stale rollup, never a lost
+    batch; the landing append itself is guarded by the stream
+    checkpoint).
+
+    Late rows land in old partitions and invalidate exactly those
+    partitions' signatures — the rollup's late-data story needs no
+    watermark because invalidation is by partition state, not event
+    time. Returns the StreamingQuery.
+    """
+    from ..sinks.partitioned import write_time_partitioned
+    from ..sinks.rollup import update_rollup
+
+    def handle(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        write_time_partitioned(batch_df, landing_path, ts_col,
+                               granularity)
+        update_rollup(batch_df.sparkSession, landing_path, rollup_path,
+                      group_cols, aggs)
+
+    w = stream_df.writeStream.foreachBatch(handle)
+    if checkpoint:
+        w = w.option("checkpointLocation", checkpoint)
+    return w.trigger(**(trigger or {"availableNow": True})).start()

@@ -253,3 +253,51 @@ def test_rollup_removed_partition_then_new_data(spark, tmp_path):
     assert r2["changed"] == 1
     assert {row["p_hour"] for row in read_rollup(spark, roll).collect()} \
         == {11, 12}
+
+
+def test_streaming_rollup(spark, tmp_path):
+    """Micro-batches land time-partitioned and the rollup tracks them;
+    a second batch with late data re-aggregates its partition."""
+    from pyspark.sql import functions as F
+
+    from datastream_delta_plugins_spark.sinks.rollup import read_rollup
+    from datastream_delta_plugins_spark.streaming.pipeline import (
+        stream_to_landing_rollup)
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    land = str(tmp_path / "sland")
+    roll = str(tmp_path / "sroll")
+    aggs = {"n": F.count(F.lit(1)), "total": F.sum("value")}
+    schema = "user_id long, ts timestamp, value double"
+
+    def run_batch(rows, name):
+        _events(spark, rows).write.parquet(str(src / name))
+        stream = (spark.readStream.schema(schema)
+                  .parquet(str(src) + "/*"))
+        q = stream_to_landing_rollup(
+            stream, land, roll, "ts", ["user_id"], aggs,
+            checkpoint=str(tmp_path / "ck"))
+        q.awaitTermination(120)
+
+    run_batch([(1, _ts("2026-01-01 10:05:00"), 1.0),
+               (2, _ts("2026-01-01 11:05:00"), 5.0)], "b1")
+    got = {(r["p_hour"], r["user_id"]): (r["n"], r["total"])
+           for r in read_rollup(spark, roll).collect()}
+    assert got == {(10, 1): (1, 1.0), (11, 2): (1, 5.0)}
+
+    # batch 2: new hour + late row into hour 10 (only new files replay)
+    run_batch([(3, _ts("2026-01-01 12:05:00"), 7.0),
+               (1, _ts("2026-01-01 10:45:00"), 2.0)], "b2")
+    got = {(r["p_hour"], r["user_id"]): (r["n"], r["total"])
+           for r in read_rollup(spark, roll).collect()}
+    assert got == {(10, 1): (2, 3.0), (11, 2): (1, 5.0),
+                   (12, 3): (1, 7.0)}
+
+    # rollup equals the direct aggregate over the landing table
+    direct = {(r["p_hour"], r["user_id"]): (r["n"], r["total"])
+              for r in (spark.read.parquet(land)
+                        .groupBy("p_hour", "user_id")
+                        .agg(F.count(F.lit(1)).alias("n"),
+                             F.sum("value").alias("total"))).collect()}
+    assert got == direct
