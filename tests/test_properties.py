@@ -325,3 +325,53 @@ def test_chunking_covers_every_token(spark, docs, chunk, stride):
             assert covered == set(range(n))
         starts = [r["start_tok"] for r in chunks]
         assert starts == list(range(0, n, stride))
+
+
+@given(docs=docs_strategy)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_contamination_matches_naive(spark, docs):
+    """contamination_check == per-doc set intersection vs benchmark."""
+    from pyspark.sql import functions as F
+
+    from datastream_delta_plugins_spark.operators.corpus import (
+        contamination_check)
+    n = 3
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    spans = {i: {" ".join(ws[j:j + n]) for j in range(len(ws) - n + 1)}
+             for i, ws in enumerate(docs)}
+    bench = set().union(*(spans[i] for i in spans if i % 3 == 0)) \
+        if any(i % 3 == 0 for i in spans) else set()
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           contamination_check(df, F.col("doc_id") % 3 == 0, n=n)
+           .collect()}
+    want_ids = {i for i in spans if i % 3 != 0}
+    assert set(got) == want_ids
+    for i in want_ids:
+        shared = len(spans[i] & bench)
+        assert got[i]["n_shared_spans"] == shared
+        assert got[i]["contaminated"] == (shared > 0)
+
+
+@given(lens=st.lists(st.integers(1, 9), min_size=1, max_size=12),
+       budget=st.integers(2, 20))
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_pack_chunks_matches_sequential_fill(spark, lens, budget):
+    """pack_chunks == the sequential contiguous-fill reference: walk
+    chunks in order, pack = floor(running offset / budget)."""
+    from pyspark.sql import functions as F
+
+    from datastream_delta_plugins_spark.operators.corpus import pack_chunks
+    rows = [(i, 0, ln) for i, ln in enumerate(lens)]
+    df = (spark.createDataFrame(
+              rows, "doc_id long, chunk_idx long, chunk_len long")
+          .withColumn("shard", F.lit("s")))
+    got = {r["doc_id"]: r["pack_id"]
+           for r in pack_chunks(df, budget=budget).collect()}
+    off, want = 0, {}
+    for i, ln in enumerate(lens):
+        want[i] = off // budget
+        off += ln
+    assert got == want
