@@ -1,0 +1,162 @@
+"""Distributed BPE (byte-pair-encoding) vocabulary induction + encode —
+the subword tokenizer a training-data pipeline actually runs, as a
+Spark-first iterative job (public algorithm: Sennrich et al. 2016,
+"Neural Machine Translation of Rare Words with Subword Units").
+
+Scale shape — the part that matters at 100 TB:
+  - The CORPUS is touched exactly once: a word-frequency aggregation
+    (explode + groupBy, map-side partial). Everything after runs on
+    the VOCABULARY table (distinct words x counts), whose size is
+    bounded by the language, not the corpus — the same reduction the
+    reference algorithm's word-dict preprocessing performs.
+  - Each of the K merge rounds is one pair-count aggregation over the
+    vocab (groupBy + sum, ~vocab x avg-word-len rows) plus a narrow
+    per-row merge fold. The only driver-side data is the single best
+    pair per round (one 3-field row — the same bounded collect
+    connected_components uses for convergence).
+  - Encoding applies the learned merge ranks per word — inherently
+    iterative within a word, embarrassingly parallel across rows, so
+    it is an Arrow-batched mapInPandas with the (small) merge table
+    in the closure: the legitimate Python path, vectorized per batch.
+
+Determinism: ties on pair count break lexicographically, so the merge
+sequence is a pure function of the corpus. No rand(), no hashing.
+"""
+
+from __future__ import annotations
+
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.textfns import words_col
+
+END = "</w>"  # end-of-word marker (standard BPE word boundary symbol)
+
+
+def word_freqs(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, freq) over the corpus — the single corpus-wide pass."""
+    return (df.select(F.explode(words_col(text_col)).alias("word"))
+              .where(F.length("word") > 0)
+              .groupBy("word")
+              .agg(F.count(F.lit(1)).alias("freq")))
+
+
+def _initial_symbols() -> F.Column:
+    """word -> [c1, c2, ..., cn, </w>]"""
+    chars = F.split(F.col("word"), "")
+    return F.concat(F.filter(chars, lambda c: c != ""),
+                    F.array(F.lit(END)))
+
+
+def _merge_expr(a: str, b: str) -> F.Column:
+    """Left-to-right, non-overlapping merge of adjacent (a, b) into
+    a+b over the `syms` array — a sequential fold with a one-symbol
+    carry (greedy left-to-right is the BPE contract: 'aaa' under
+    (a,a) becomes [aa, a], not [a, aa])."""
+    la, lb = a.replace("'", "\\'"), b.replace("'", "\\'")
+    return F.expr(f"""
+        aggregate(
+          syms,
+          struct(CAST(array() AS ARRAY<STRING>) AS out,
+                 CAST(NULL AS STRING) AS carry),
+          (st, s) -> CASE
+            WHEN st.carry IS NULL
+              THEN struct(st.out AS out, s AS carry)
+            WHEN st.carry = '{la}' AND s = '{lb}'
+              THEN struct(concat(st.out, array('{la}' || '{lb}')) AS out,
+                          CAST(NULL AS STRING) AS carry)
+            ELSE struct(concat(st.out, array(st.carry)) AS out, s AS carry)
+          END,
+          st -> CASE WHEN st.carry IS NULL THEN st.out
+                     ELSE concat(st.out, array(st.carry)) END)""")
+
+
+def bpe_train(df: DataFrame, num_merges: int,
+              text_col: str = "text") -> list[tuple[str, str]]:
+    """Learn `num_merges` BPE merges from the corpus. Returns the
+    ordered merge list [(a, b), ...] (rank = position).
+
+    Driver loop bounded by num_merges; per round, only the best pair
+    (one row) crosses to the driver. The vocab table alternates cache
+    generations like connected_components so round N+1 reads a
+    materialized round N instead of replaying the whole chain.
+    """
+    vocab = (word_freqs(df, text_col)
+             .select("freq", _initial_symbols().alias("syms"))
+             .persist(StorageLevel.MEMORY_AND_DISK))
+    merges: list[tuple[str, str]] = []
+    try:
+        for _ in range(num_merges):
+            # size guard inside the expression: a fully-merged word is
+            # a single symbol and sequence(1, 0) DESCENDS to [1, 0]
+            pairs = vocab.select(
+                "freq",
+                F.explode(F.expr(
+                    "CASE WHEN size(syms) >= 2 THEN "
+                    "transform(sequence(1, size(syms) - 1), "
+                    "i -> struct(syms[i - 1] AS a, syms[i] AS b)) "
+                    "ELSE array() END"))
+                 .alias("p"))
+            best = (pairs.groupBy("p.a", "p.b")
+                         .agg(F.sum("freq").alias("c"))
+                         .orderBy(F.desc("c"), "a", "b")
+                         .limit(1).collect())
+            if not best:
+                break
+            a, b = best[0]["a"], best[0]["b"]
+            merges.append((a, b))
+            nxt = (vocab.select("freq",
+                                _merge_expr(a, b).alias("syms"))
+                        .persist(StorageLevel.MEMORY_AND_DISK))
+            nxt.count()  # materialize before dropping the parent
+            vocab.unpersist(False)
+            vocab = nxt
+    finally:
+        vocab.unpersist(False)
+    return merges
+
+
+def bpe_encode(df: DataFrame, merges: list[tuple[str, str]],
+               text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Encode documents with a learned merge list: returns
+    (id, tokens array<string>, n_bpe_tokens). Arrow-batched
+    mapInPandas; the merge-rank dict rides the task closure (a few
+    hundred KB for real vocabularies — broadcast-sized by nature).
+    Within a word, the lowest-rank mergeable pair merges first
+    (standard rank-greedy BPE encode, matching the training order).
+    """
+    import pandas as pd
+
+    ranks = {pair: i for i, pair in enumerate(merges)}
+
+    def encode_word(word: str) -> list[str]:
+        syms = list(word) + [END]
+        while len(syms) > 1:
+            pairs = [(ranks.get((syms[i], syms[i + 1]), None), i)
+                     for i in range(len(syms) - 1)]
+            ranked = [(r, i) for r, i in pairs if r is not None]
+            if not ranked:
+                break
+            r, i = min(ranked)
+            syms[i:i + 2] = [syms[i] + syms[i + 1]]
+        return syms
+
+    def run(batches):
+        for pdf in batches:
+            ids, toks = [], []
+            for _, row in pdf.iterrows():
+                words = [w for w in (row["_t"] or "").split(" ") if w]
+                out: list[str] = []
+                for w in words:
+                    out.extend(encode_word(w))
+                ids.append(row[id_col])
+                toks.append(out)
+            yield pd.DataFrame({id_col: ids, "tokens": toks})
+
+    from ..functions.textfns import norm_text
+    base = df.select(F.col(id_col), norm_text(text_col).alias("_t"))
+    enc = base.mapInPandas(run, f"{id_col} long, tokens array<string>")
+    return enc.withColumn("n_bpe_tokens",
+                          F.size("tokens").cast("bigint"))

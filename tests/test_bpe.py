@@ -1,0 +1,127 @@
+"""BPE vocabulary induction + encode (operators/bpe.py) vs a
+pure-Python reference implementation of the same public algorithm
+(Sennrich et al. 2016) — merges, tie-breaks, and encodings must agree
+exactly."""
+
+import re
+from collections import Counter
+
+import pytest
+
+from datastream_delta_plugins_spark.operators import bpe
+
+END = bpe.END
+
+
+def _norm(t):
+    return re.sub(r"\s+", " ", t).strip().lower()
+
+
+def ref_train(texts, k):
+    freq = Counter()
+    for t in texts:
+        for w in _norm(t).split(" "):
+            if w:
+                freq[w] += 1
+    vocab = {w: list(w) + [END] for w in freq}
+    merges = []
+    for _ in range(k):
+        pc = Counter()
+        for w, syms in vocab.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += freq[w]
+        if not pc:
+            break
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        a, b = best
+        for w in vocab:
+            syms, out, i = vocab[w], [], 0
+            while i < len(syms):
+                if (i + 1 < len(syms) and syms[i] == a
+                        and syms[i + 1] == b):
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    return merges
+
+
+def ref_encode(word, merges):
+    syms = list(word) + [END]
+    for a, b in merges:
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+CORPUS = [
+    "low lower lowest new newer newest",
+    "low low low new new wider wide wide",
+    "the newest widest lowest low new",
+]
+
+
+def _df(spark, texts=CORPUS):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+
+
+def test_bpe_train_matches_reference(spark):
+    got = bpe.bpe_train(_df(spark), num_merges=12)
+    assert got == ref_train(CORPUS, 12)
+    assert len(got) == 12
+
+
+def test_bpe_train_deterministic_tiebreak(spark):
+    # every pair count is 1 -> pure lexicographic merge order
+    got = bpe.bpe_train(_df(spark, ["ab cd"]), num_merges=2)
+    assert got == ref_train(["ab cd"], 2)
+    assert got[0] == ("a", "b")  # ('a','b') < ('b','</w>') < ('c','d')
+
+
+def test_bpe_encode_matches_reference_and_reconstructs(spark):
+    merges = bpe.bpe_train(_df(spark), num_merges=10)
+    enc = {r["doc_id"]: r for r in
+           bpe.bpe_encode(_df(spark), merges).collect()}
+    for i, text in enumerate(CORPUS):
+        words = _norm(text).split(" ")
+        want = []
+        for w in words:
+            want.extend(ref_encode(w, merges))
+        assert enc[i]["tokens"] == want
+        assert enc[i]["n_bpe_tokens"] == len(want)
+        # tokens reconstruct the normalized text exactly
+        rebuilt = "".join(enc[i]["tokens"]).replace(END, " ").rstrip()
+        assert rebuilt == _norm(text)
+
+
+def test_bpe_encode_unknown_chars_passthrough(spark):
+    merges = bpe.bpe_train(_df(spark), num_merges=5)
+    enc = bpe.bpe_encode(
+        _df(spark, ["zzz qqq"]), merges).collect()[0]
+    rebuilt = "".join(enc["tokens"]).replace(END, " ").rstrip()
+    assert rebuilt == "zzz qqq"
+
+
+def test_bpe_on_documents_table(spark, sf_smoke):
+    from datastream_delta_plugins_spark.sources.tables import load_table
+    docs = load_table(spark, sf_smoke, "documents")
+    merges = bpe.bpe_train(docs, num_merges=8)
+    assert len(merges) == 8
+    enc = bpe.bpe_encode(docs, merges)
+    stats = enc.agg(
+        {"n_bpe_tokens": "sum"}).collect()[0][0]
+    assert stats > 0
+    # merging can only shrink the symbol stream: n_bpe <= chars+words
+    row = enc.join(docs, "doc_id").select("tokens", "text").first()
+    assert len(row["tokens"]) <= len(row["text"]) + 2
