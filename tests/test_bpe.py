@@ -125,3 +125,25 @@ def test_bpe_on_documents_table(spark, sf_smoke):
     # merging can only shrink the symbol stream: n_bpe <= chars+words
     row = enc.join(docs, "doc_id").select("tokens", "text").first()
     assert len(row["tokens"]) <= len(row["text"]) + 2
+
+
+def test_bpe_train_property_random_corpora(spark):
+    """Merges match the reference on arbitrary small corpora
+    (hypothesis): exercises tie-breaks, repeated words, single-char
+    words, and fully-merged vocabularies."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    word = st.text(alphabet="abc", min_size=1, max_size=4)
+    texts = st.lists(
+        st.lists(word, min_size=1, max_size=6).map(" ".join),
+        min_size=1, max_size=4)
+
+    @given(corpus=texts)
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    def check(corpus):
+        got = bpe.bpe_train(_df(spark, corpus), num_merges=4)
+        assert got == ref_train(corpus, 4)
+
+    check()
