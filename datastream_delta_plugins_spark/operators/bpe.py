@@ -25,7 +25,6 @@ sequence is a pure function of the corpus. No rand(), no hashing.
 
 from __future__ import annotations
 
-from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -78,42 +77,47 @@ def bpe_train(df: DataFrame, num_merges: int,
     ordered merge list [(a, b), ...] (rank = position).
 
     Driver loop bounded by num_merges; per round, only the best pair
-    (one row) crosses to the driver. The vocab table alternates cache
-    generations like connected_components so round N+1 reads a
-    materialized round N instead of replaying the whole chain.
+    (one row) crosses to the driver.
+
+    Lineage is TRUNCATED each round (localCheckpoint), not merely
+    cached: a persist keeps the full logical plan, and with a large
+    upstream chain plus one fold expression added per round, Catalyst
+    re-analyzes a tree that grows every iteration — measured ~10s of
+    pure planning per action on a prepare_corpus-derived input, 2
+    actions per round, getting worse each round. Checkpointing pins
+    the round's 2-column vocab table (tiny: bounded by the language)
+    and restarts the plan from it. On a cluster where executor loss
+    matters, `spark.sparkContext.setCheckpointDir` + `.checkpoint()`
+    is the durable variant of the same move.
     """
     vocab = (word_freqs(df, text_col)
              .select("freq", _initial_symbols().alias("syms"))
-             .persist(StorageLevel.MEMORY_AND_DISK))
+             .localCheckpoint(eager=True))
     merges: list[tuple[str, str]] = []
-    try:
-        for _ in range(num_merges):
-            # size guard inside the expression: a fully-merged word is
-            # a single symbol and sequence(1, 0) DESCENDS to [1, 0]
-            pairs = vocab.select(
-                "freq",
-                F.explode(F.expr(
-                    "CASE WHEN size(syms) >= 2 THEN "
-                    "transform(sequence(1, size(syms) - 1), "
-                    "i -> struct(syms[i - 1] AS a, syms[i] AS b)) "
-                    "ELSE array() END"))
-                 .alias("p"))
-            best = (pairs.groupBy("p.a", "p.b")
-                         .agg(F.sum("freq").alias("c"))
-                         .orderBy(F.desc("c"), "a", "b")
-                         .limit(1).collect())
-            if not best:
-                break
-            a, b = best[0]["a"], best[0]["b"]
-            merges.append((a, b))
-            nxt = (vocab.select("freq",
-                                _merge_expr(a, b).alias("syms"))
-                        .persist(StorageLevel.MEMORY_AND_DISK))
-            nxt.count()  # materialize before dropping the parent
-            vocab.unpersist(False)
-            vocab = nxt
-    finally:
-        vocab.unpersist(False)
+    # previous rounds' checkpoint blocks are released by the
+    # ContextCleaner once the Python references drop
+    for _ in range(num_merges):
+        # size guard inside the expression: a fully-merged word is
+        # a single symbol and sequence(1, 0) DESCENDS to [1, 0]
+        pairs = vocab.select(
+            "freq",
+            F.explode(F.expr(
+                "CASE WHEN size(syms) >= 2 THEN "
+                "transform(sequence(1, size(syms) - 1), "
+                "i -> struct(syms[i - 1] AS a, syms[i] AS b)) "
+                "ELSE array() END"))
+             .alias("p"))
+        best = (pairs.groupBy("p.a", "p.b")
+                     .agg(F.sum("freq").alias("c"))
+                     .orderBy(F.desc("c"), "a", "b")
+                     .limit(1).collect())
+        if not best:
+            break
+        a, b = best[0]["a"], best[0]["b"]
+        merges.append((a, b))
+        vocab = (vocab.select("freq",
+                              _merge_expr(a, b).alias("syms"))
+                      .localCheckpoint(eager=True))
     return merges
 
 

@@ -202,27 +202,35 @@ def prepare_corpus(df: DataFrame, text_col: str = "text",
     joins while the id sets are small and as co-partitioned hash joins
     at scale.
     """
-    from .dedup import _persist_tracked_if_small, dedup_corpus
+    from .dedup import PERSIST_CEILING_BYTES, dedup_corpus
     from .text import pii_scrub_col, quality_score
+    from ..plans.hints import plan_size_bytes
+
+    def _pin_if_small(frame: DataFrame) -> DataFrame:
+        """Materialize + TRUNCATE LINEAGE when the stage result is
+        small. Each gate's report count is an extra action, and each
+        later stage stacks more plan on top — with a plain persist,
+        Catalyst still re-analyzes the ever-growing logical tree per
+        action (measured ~10s/action of pure planning by the packing
+        stage). localCheckpoint pins the rows AND restarts the plan.
+        Above the ceiling the frame stays lazy: recompute/planning
+        beats materializing a corpus-sized intermediate."""
+        if plan_size_bytes(frame) <= PERSIST_CEILING_BYTES:
+            return frame.localCheckpoint(eager=True)
+        return frame
 
     report: dict = {"input_docs": df.count()}
     docs = df.withColumn(text_col, pii_scrub_col(text_col))
 
-    # each gate's survivor frame is (size-gated) persisted before its
-    # report count: the count is an extra action, and without the
-    # persist it would re-run the scrub regexes / broadcast joins of
-    # every stage above it once per downstream count
     scored = quality_score(docs, text_col, id_col)
-    docs = _persist_tracked_if_small(
-        "prep.quality",
+    docs = _pin_if_small(
         docs.join(scored.where(F.col("keep")).select(id_col),
                   id_col, "semi"))
     report["after_quality"] = docs.count()
 
     if bench_pred is not None:
         flags = contamination_check(docs, bench_pred, text_col, id_col)
-        docs = _persist_tracked_if_small(
-            "prep.decontaminated",
+        docs = _pin_if_small(
             docs.join(flags.where(~F.col("contaminated"))
                           .select(id_col), id_col, "semi"))
         report["after_decontamination"] = docs.count()
@@ -235,8 +243,7 @@ def prepare_corpus(df: DataFrame, text_col: str = "text",
 
     if max_dup_span_frac is not None:
         spans = span_dup_stats(docs, text_col, id_col)
-        docs = _persist_tracked_if_small(
-            "prep.span_gated",
+        docs = _pin_if_small(
             docs.join(
                 spans.where(F.coalesce("dup_span_frac", F.lit(0.0))
                             <= max_dup_span_frac).select(id_col),
@@ -250,8 +257,9 @@ def prepare_corpus(df: DataFrame, text_col: str = "text",
     else:
         chunks = chunks.join(df.select(id_col, shard_col), id_col)
         shard = shard_col
-    # persisted: counted for the report, then consumed by the caller
-    packed = _persist_tracked_if_small(
-        "prep.packed", pack_chunks(chunks, budget, shard, id_col))
+    # pinned: counted for the report, then consumed by the caller —
+    # with lineage truncated, the caller's actions plan against a
+    # 7-column table instead of the whole pipeline tree
+    packed = _pin_if_small(pack_chunks(chunks, budget, shard, id_col))
     report["chunks"] = packed.count()
     return packed, report

@@ -102,3 +102,93 @@ def test_prepare_corpus_composition(spark, sf_correctness):
     b = {(r["doc_id"], r["chunk_idx"]): (r["chunk_hash"], r["pack_id"])
          for r in packed2.collect()}
     assert a == b
+
+
+def test_incremental_ingest_loop_equals_batch_dedup(spark, sf_correctness,
+                                                    tmp_path):
+    """The production ingestion loop — for each arriving batch: probe
+    the corpus index, drop matches, append survivors — keeps exactly
+    one representative per near-dup cluster ACROSS batches, matching
+    the batch LSH operator's verdict on the union."""
+    from pyspark.sql import functions as F
+
+    from datastream_delta_plugins_spark.operators.dedup import (
+        append_minhash_index, dedup_against_index, minhash_lsh_pairs,
+        save_minhash_index)
+
+    from datastream_delta_plugins_spark.operators.dedup import dedup_corpus
+
+    docs = load_table(spark, sf_correctness, "documents")
+    batches = [docs.where(F.col("doc_id") % 3 == k) for k in range(3)]
+    path = str(tmp_path / "ing")
+
+    def ingest(b, first):
+        """One loop turn: probe the index, drop matches, dedup the
+        remainder WITHIN the batch, append survivors."""
+        if not first:
+            matched = {r["new_id"] for r in
+                       dedup_against_index(spark, path, b, 0.8).collect()}
+            b = b.where(~F.col("doc_id").isin(list(matched) or [-1]))
+        survivors, _ = dedup_corpus(b, jaccard_threshold=0.8)
+        if first:
+            save_minhash_index(survivors, path)
+        else:
+            append_minhash_index(spark, path, survivors)
+        return {r["doc_id"] for r in survivors.select("doc_id").collect()}
+
+    kept_ids = set()
+    for k, b in enumerate(batches):
+        kept_ids |= ingest(b, first=(k == 0))
+
+    # exact Python mirror of the loop policy over the batch operator's
+    # pair verdicts (LSH candidacy + exact Jaccard are pair-local, so
+    # full-corpus pairs restrict correctly to any subset)
+    pairs = {}
+    for r in minhash_lsh_pairs(docs, 0.8).collect():
+        pairs.setdefault(r["i"], set()).add(r["j"])
+        pairs.setdefault(r["j"], set()).add(r["i"])
+    want = set()
+    for k, b in enumerate(batches):
+        ids = sorted(r["doc_id"] for r in b.select("doc_id").collect())
+        remaining = [d for d in ids if not (pairs.get(d, set()) & want)]
+        rem = set(remaining)
+        # dedup_corpus policy: drop the larger id of each in-batch pair
+        dropped = {j for i in remaining
+                   for j in pairs.get(i, set()) if j in rem and j > i}
+        want |= rem - dropped
+    assert kept_ids == want and len(kept_ids) > 0
+
+
+def test_full_product_demo(spark, sf_correctness, tmp_path):
+    """The complete 'switch your corpus prep to this repo' flow:
+    prepare_corpus -> BPE vocab induction on the kept docs -> encode
+    -> training shards on disk, every stage an engine operator."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from datastream_delta_plugins_spark.operators import bpe
+    from datastream_delta_plugins_spark.operators.corpus import (
+        prepare_corpus)
+    from datastream_delta_plugins_spark.sources.corpus_io import (
+        write_training_shards)
+
+    docs = load_table(spark, sf_correctness, "documents")
+    packed, report = prepare_corpus(
+        docs, shard_col="source", bench_pred=F.col("doc_id") % 20 == 7,
+        chunk_tokens=64, stride=64, budget=256)
+    assert report["chunks"] > 0
+
+    kept = docs.join(packed.select("doc_id").distinct(), "doc_id", "semi")
+    merges = bpe.bpe_train(kept, num_merges=6)
+    assert len(merges) == 6
+    enc = bpe.bpe_encode(kept, merges)
+    n_docs = kept.count()
+    assert enc.count() == n_docs
+    assert enc.where(F.col("n_bpe_tokens") <= 0).count() == 0
+
+    out = str(tmp_path / "final_shards")
+    write_training_shards(packed, out, rows_per_file=500)
+    back = spark.read.parquet(out)
+    assert back.count() == report["chunks"]
+    assert os.path.exists(out)
