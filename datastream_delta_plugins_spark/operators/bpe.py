@@ -53,7 +53,12 @@ def _merge_expr(a: str, b: str) -> F.Column:
     a+b over the `syms` array — a sequential fold with a one-symbol
     carry (greedy left-to-right is the BPE contract: 'aaa' under
     (a,a) becomes [aa, a], not [a, aa])."""
-    la, lb = a.replace("'", "\\'"), b.replace("'", "\\'")
+    def esc(s: str) -> str:
+        # backslashes BEFORE quotes, or a trailing backslash in a
+        # symbol escapes the closing quote and breaks the SQL parse
+        return s.replace("\\", "\\\\").replace("'", "\\'")
+
+    la, lb = esc(a), esc(b)
     return F.expr(f"""
         aggregate(
           syms,
@@ -150,17 +155,18 @@ def bpe_encode(df: DataFrame, merges: list[tuple[str, str]],
     def run(batches):
         for pdf in batches:
             ids, toks = [], []
-            for _, row in pdf.iterrows():
-                words = [w for w in (row["_t"] or "").split(" ") if w]
+            for rid, t in zip(pdf[id_col], pdf["_t"]):
                 out: list[str] = []
-                for w in words:
-                    out.extend(encode_word(w))
-                ids.append(row[id_col])
+                for w in (t or "").split(" "):
+                    if w:
+                        out.extend(encode_word(w))
+                ids.append(rid)
                 toks.append(out)
             yield pd.DataFrame({id_col: ids, "tokens": toks})
 
     from ..functions.textfns import norm_text
+    id_type = df.schema[id_col].dataType.simpleString()
     base = df.select(F.col(id_col), norm_text(text_col).alias("_t"))
-    enc = base.mapInPandas(run, f"{id_col} long, tokens array<string>")
+    enc = base.mapInPandas(run, f"{id_col} {id_type}, tokens array<string>")
     return enc.withColumn("n_bpe_tokens",
                           F.size("tokens").cast("bigint"))

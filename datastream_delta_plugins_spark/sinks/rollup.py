@@ -36,9 +36,37 @@ from pyspark.sql import functions as F
 from .partitioned import _list_partitions, _partition_predicate
 
 MANIFEST = "_rollup_manifest.json"
+#: committed-file manifest an at-least-once writer (the streaming
+#: landing sink) maintains at the SOURCE path: {"batch_id": N,
+#: "files": {partition_dir: [[file_path, bytes], ...]}}. When present,
+#: signatures AND aggregate reads are restricted to these files, so a
+#: crashed append's orphan files can never double-count.
+COMMITTED = "_committed_files.json"
+
+
+def load_committed(source_path: str) -> dict | None:
+    p = os.path.join(source_path, COMMITTED)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def store_committed(source_path: str, committed: dict) -> None:
+    os.makedirs(source_path, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=source_path, prefix="._committed")
+    with os.fdopen(fd, "w") as f:
+        json.dump(committed, f, sort_keys=True)
+    os.replace(tmp, os.path.join(source_path, COMMITTED))
 
 
 def _signatures(spark: SparkSession, source_path: str) -> dict[str, list]:
+    committed = load_committed(source_path)
+    if committed is not None:
+        # files are immutable once committed: (count, bytes) per
+        # partition is a complete signature, no mtime needed
+        return {d: [len(files), sum(b for _, b in files), 0.0]
+                for d, files in committed["files"].items() if files}
     parts = _list_partitions(spark, source_path)
     return {d: [len(files),
                 sum(b for _, b, _ in files),
@@ -90,11 +118,20 @@ def update_rollup(spark: SparkSession, source_path: str, rollup_path: str,
     data_path = os.path.join(rollup_path, "data")
     if changed:
         part_cols = _partition_keys(next(iter(sigs)))
-        pred = reduce(lambda a, b: a | b,
-                      (_partition_predicate(d, part_cols) for d in changed))
-        agg = (spark.read.parquet(source_path)
-               .where(pred)  # partition-pruned
-               .groupBy(*part_cols, *group_cols)
+        committed = load_committed(source_path)
+        if committed is not None:
+            # read exactly the committed files of the changed
+            # partitions — orphans from crashed appends are invisible
+            paths = [p for d in changed
+                     for p, _ in committed["files"].get(d, [])]
+            src = (spark.read.option("basePath", source_path)
+                   .parquet(*paths))
+        else:
+            pred = reduce(
+                lambda a, b: a | b,
+                (_partition_predicate(d, part_cols) for d in changed))
+            src = spark.read.parquet(source_path).where(pred)  # pruned
+        agg = (src.groupBy(*part_cols, *group_cols)
                .agg(*[c.alias(name) for name, c in aggs.items()]))
         (agg.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
@@ -128,3 +165,36 @@ def read_rollup(spark: SparkSession, rollup_path: str) -> DataFrame:
         "/", *[F.concat_ws("=", F.lit(c), F.col(c).cast("string"))
                for c in part_cols])
     return df.where(key_expr.isin(keys))
+
+
+def read_committed(spark: SparkSession, source_path: str) -> DataFrame:
+    """Read a landing table written by the streaming sink: exactly the
+    committed files (orphans from crashed appends excluded), with the
+    partition columns preserved via basePath."""
+    committed = load_committed(source_path)
+    if committed is None:
+        return spark.read.parquet(source_path)
+    paths = [p for files in committed["files"].values()
+             for p, _ in files]
+    if not paths:
+        return spark.read.parquet(source_path).where(F.lit(False))
+    return spark.read.option("basePath", source_path).parquet(*paths)
+
+
+def vacuum_landing(spark: SparkSession, source_path: str) -> list[str]:
+    """Delete files under a committed-manifest landing table that the
+    manifest does not list — the orphans a crash between append and
+    commit leaves behind (they were never readable; this reclaims the
+    space). Returns the deleted paths. No-op without a manifest."""
+    committed = load_committed(source_path)
+    if committed is None:
+        return []
+    live = {p for files in committed["files"].values() for p, _ in files}
+    removed = []
+    for files in _list_partitions(spark, source_path).values():
+        for p, _, _ in files:
+            norm = p[len("file:"):] if p.startswith("file:") else p
+            if p not in live and norm not in live:
+                os.remove(norm)
+                removed.append(norm)
+    return removed

@@ -454,23 +454,58 @@ def stream_to_landing_rollup(stream_df: DataFrame, landing_path: str,
     time-partitioned landing table, then brings the rollup up to date
     — landing write FIRST, so a crash between the two replays as a
     signature change on the next update (stale rollup, never a lost
-    batch; the landing append itself is guarded by the stream
-    checkpoint).
+    batch).
+
+    foreachBatch is at-least-once: Spark replays a micro-batch whose
+    epoch didn't commit, and a blind re-append would double-count in
+    the landing table (and therefore the rollup, forever). The sink is
+    exactly-once via a COMMITTED-FILE manifest (the bucketed-state
+    commit pattern applied to a landing dir): each batch appends its
+    files, then atomically publishes {batch_id, committed file list}.
+    Readers (update_rollup's signatures AND aggregate reads,
+    read_committed) see only manifest-listed files, so a crash between
+    append and publish leaves orphan files that are INVISIBLE — the
+    replayed batch re-appends and publishes, values stay exact, and
+    vacuum_landing reclaims the orphans. A replay of an
+    already-published batch_id is skipped outright. Single writer per
+    landing path — the Structured Streaming sink contract.
 
     Late rows land in old partitions and invalidate exactly those
     partitions' signatures — the rollup's late-data story needs no
     watermark because invalidation is by partition state, not event
     time. Returns the StreamingQuery.
     """
-    from ..sinks.partitioned import write_time_partitioned
-    from ..sinks.rollup import update_rollup
+    from ..sinks.partitioned import _list_partitions, \
+        write_time_partitioned
+    from ..sinks.rollup import load_committed, store_committed, \
+        update_rollup
 
-    def handle(batch_df: DataFrame, _batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
+    def _files_now(spark) -> dict[str, list]:
+        if not os.path.isdir(landing_path):
+            return {}
+        return {d: [(p, b) for p, b, _ in files]
+                for d, files in
+                _list_partitions(spark, landing_path).items()}
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        committed = load_committed(landing_path) \
+            or {"batch_id": -1, "files": {}}
+        if batch_id <= committed["batch_id"]:
+            return  # replay of a published batch: already landed
+        before = {p for fs in _files_now(spark).values() for p, _ in fs}
         write_time_partitioned(batch_df, landing_path, ts_col,
                                granularity)
-        update_rollup(batch_df.sparkSession, landing_path, rollup_path,
+        # publish = previous committed set + exactly this append's new
+        # files; orphans from crashed attempts (present on disk, never
+        # published) stay excluded forever
+        for d, fs in _files_now(spark).items():
+            new = [[p, b] for p, b in fs if p not in before]
+            if new:
+                committed["files"].setdefault(d, []).extend(new)
+        committed["batch_id"] = batch_id
+        store_committed(landing_path, committed)
+        update_rollup(spark, landing_path, rollup_path,
                       group_cols, aggs)
 
     w = stream_df.writeStream.foreachBatch(handle)

@@ -147,3 +147,20 @@ def test_bpe_train_property_random_corpora(spark):
         assert got == ref_train(corpus, 4)
 
     check()
+
+
+def test_bpe_handles_backslash_and_quote_symbols(spark):
+    corpus = ["a\\b a\\b don't don't"]
+    got = bpe.bpe_train(_df(spark, corpus), num_merges=4)
+    assert got == ref_train(corpus, 4)
+    enc = bpe.bpe_encode(_df(spark, corpus), got).collect()[0]
+    rebuilt = "".join(enc["tokens"]).replace(END, " ").rstrip()
+    assert rebuilt == corpus[0].lower()
+
+
+def test_bpe_encode_string_id_column(spark):
+    df = spark.createDataFrame([("docA", "low lower")],
+                               "doc_id string, text string")
+    merges = bpe.bpe_train(df, num_merges=3)
+    enc = bpe.bpe_encode(df, merges).collect()[0]
+    assert enc["doc_id"] == "docA" and enc["n_bpe_tokens"] > 0

@@ -294,10 +294,28 @@ def test_streaming_rollup(spark, tmp_path):
     assert got == {(10, 1): (2, 3.0), (11, 2): (1, 5.0),
                    (12, 3): (1, 7.0)}
 
-    # rollup equals the direct aggregate over the landing table
+    # rollup equals the direct aggregate over the committed landing rows
+    from datastream_delta_plugins_spark.sinks.rollup import read_committed
     direct = {(r["p_hour"], r["user_id"]): (r["n"], r["total"])
-              for r in (spark.read.parquet(land)
+              for r in (read_committed(spark, land)
                         .groupBy("p_hour", "user_id")
                         .agg(F.count(F.lit(1)).alias("n"),
                              F.sum("value").alias("total"))).collect()}
     assert got == direct
+
+    # crash simulation: an orphan file (append that never published)
+    # must be invisible to signatures, reads, and rollup values
+    import glob, shutil
+    some = glob.glob(land + "/p_date=*/p_hour=10/part-*.parquet")[0]
+    orphan = some.replace("part-", "part-orphan-")
+    shutil.copy(some, orphan)
+    from datastream_delta_plugins_spark.sinks.rollup import (
+        update_rollup, vacuum_landing)
+    r = update_rollup(spark, land, roll, ["user_id"], aggs)
+    assert r["changed"] == 0  # committed signature unchanged
+    got2 = {(r2["p_hour"], r2["user_id"]): (r2["n"], r2["total"])
+            for r2 in read_rollup(spark, roll).collect()}
+    assert got2 == got
+    removed = vacuum_landing(spark, land)
+    assert removed == [orphan]
+    assert not glob.glob(land + "/**/part-orphan-*", recursive=True)
