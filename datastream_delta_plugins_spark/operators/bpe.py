@@ -25,6 +25,8 @@ sequence is a pure function of the corpus. No rand(), no hashing.
 
 from __future__ import annotations
 
+import heapq
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -76,13 +78,132 @@ def _merge_expr(a: str, b: str) -> F.Column:
                      ELSE concat(st.out, array(st.carry)) END)""")
 
 
-def bpe_train(df: DataFrame, num_merges: int,
-              text_col: str = "text") -> list[tuple[str, str]]:
+#: driver-local merge-loop ceiling: distinct words held on the driver.
+#: 2M (word, freq) rows is ~100 MB — trivially driver-sized, and far
+#: beyond any natural-language vocabulary (web-scale English corpora
+#: plateau near 10^6 distinct space-split tokens after normalization).
+DRIVER_VOCAB_CEILING = 2_000_000
+
+
+def bpe_train(df: DataFrame, num_merges: int, text_col: str = "text",
+              driver_vocab_ceiling: int = DRIVER_VOCAB_CEILING
+              ) -> list[tuple[str, str]]:
     """Learn `num_merges` BPE merges from the corpus. Returns the
     ordered merge list [(a, b), ...] (rank = position).
 
-    Driver loop bounded by num_merges; per round, only the best pair
-    (one row) crosses to the driver.
+    The corpus is touched exactly ONCE (the word-frequency pass).
+    What happens next is sized by the VOCABULARY, not the corpus, and
+    vocabulary is bounded by the language — so when the distinct-word
+    table fits `driver_vocab_ceiling` it is collected and the K-merge
+    loop runs driver-local with incremental pair-count maintenance
+    (the classic subword-nmt structure). That turns K merges from
+    ~2K sequential Spark jobs (hours of pure scheduling at K=30k,
+    INDEPENDENT of corpus size) into an in-memory loop that runs
+    seconds — identical merge sequence by construction. The collect is
+    contract-bounded the same way connected_components' convergence
+    row is: by the ceiling, checked before fetching the tail.
+
+    Corpora whose post-normalization vocabulary genuinely exceeds the
+    ceiling (code, DNA, no word boundaries) fall back to the
+    distributed per-round loop, which never holds the vocab in one
+    place."""
+    freqs = word_freqs(df, text_col)
+    head = freqs.head(driver_vocab_ceiling + 1)
+    if len(head) <= driver_vocab_ceiling:
+        return _train_local([(r["word"], r["freq"]) for r in head],
+                            num_merges)
+    return _train_distributed(df.sparkSession, freqs, num_merges)
+
+
+def _train_local(word_freqs_list: list[tuple[str, int]],
+                 num_merges: int) -> list[tuple[str, str]]:
+    """Driver-local BPE merge loop over a (word, freq) table, with
+    incremental pair-count updates: each round touches only the words
+    containing the merged pair. Semantics are bit-identical to the
+    distributed rounds: overlapping adjacent pairs all count
+    (e.g. 'aaa' contributes (a,a) twice), merges apply greedy
+    left-to-right non-overlapping, ties break on the lexicographically
+    smallest (a, b) (UTF-8 byte order == code-point order, so Python
+    string compare matches Spark's UTF8String compare)."""
+    words: list[list[str]] = [list(w) + [END] for w, _ in word_freqs_list]
+    freqs = [f for _, f in word_freqs_list]
+    pair_counts: dict[tuple[str, str], int] = {}
+    pair_words: dict[tuple[str, str], set[int]] = {}
+    for idx, syms in enumerate(words):
+        f = freqs[idx]
+        for i in range(len(syms) - 1):
+            p = (syms[i], syms[i + 1])
+            pair_counts[p] = pair_counts.get(p, 0) + f
+            pair_words.setdefault(p, set()).add(idx)
+
+    # lazy max-heap over pair counts: every count change pushes a new
+    # entry; stale entries are discarded at pop time by checking the
+    # live count. Keeps each round ~O(changed pairs * log P) instead
+    # of a full O(P) scan per merge.
+    heap: list[tuple[int, tuple[str, str]]] = [
+        (-c, p) for p, c in pair_counts.items()]
+    heapq.heapify(heap)
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        best = None
+        while heap:
+            negc, p = heapq.heappop(heap)
+            if pair_counts.get(p) == -negc:
+                best = p
+                break
+        if best is None:
+            break
+        a, b = best
+        merges.append(best)
+        ab = a + b
+        for idx in list(pair_words.get(best, ())):
+            syms, f = words[idx], freqs[idx]
+            # retract the word's old pair contributions
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                c = pair_counts[p] - f
+                if c:
+                    pair_counts[p] = c
+                    heapq.heappush(heap, (-c, p))
+                else:
+                    del pair_counts[p]
+                # pair_words is a SET (once per word) while this loop
+                # visits one entry per OCCURRENCE — get() tolerates a
+                # repeated pair whose set was already dropped
+                s = pair_words.get(p)
+                if s is not None:
+                    s.discard(idx)
+                    if not s:
+                        del pair_words[p]
+            # greedy left-to-right non-overlapping merge
+            out: list[str] = []
+            i = 0
+            while i < len(syms):
+                if (i < len(syms) - 1 and syms[i] == a
+                        and syms[i + 1] == b):
+                    out.append(ab)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[idx] = out
+            # add the new contributions
+            for i in range(len(out) - 1):
+                p = (out[i], out[i + 1])
+                c = pair_counts.get(p, 0) + f
+                pair_counts[p] = c
+                heapq.heappush(heap, (-c, p))
+                pair_words.setdefault(p, set()).add(idx)
+    return merges
+
+
+def _train_distributed(spark, freqs: DataFrame,
+                       num_merges: int) -> list[tuple[str, str]]:
+    """Per-round distributed merge loop — the overflow path when the
+    vocabulary itself is beyond driver memory.
+
+    Per round, only the best pair (one row) crosses to the driver.
 
     Lineage is TRUNCATED each round (localCheckpoint), not merely
     cached: a persist keeps the full logical plan, and with a large
@@ -95,7 +216,7 @@ def bpe_train(df: DataFrame, num_merges: int,
     matters, `spark.sparkContext.setCheckpointDir` + `.checkpoint()`
     is the durable variant of the same move.
     """
-    vocab = (word_freqs(df, text_col)
+    vocab = (freqs
              .select("freq", _initial_symbols().alias("syms"))
              .localCheckpoint(eager=True))
     merges: list[tuple[str, str]] = []

@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from ..functions.textfns import hash32, words_col
-from .dedup import _persist_tracked_if_small, ngram_shingles
+from .dedup import _persist_tracked_if_small, ngram_shingles, shingle_array
 
 
 def _shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
@@ -57,10 +57,12 @@ def span_dup_stats(df: DataFrame, text_col: str = "text",
     with (n_spans, n_dup_spans, dup_span_frac) — the per-doc signal a
     C4-style span-removal or doc-drop policy consumes.
 
-    Plan: distinct spans per doc (row-local), span -> doc-count
-    aggregate (map-side partial, vocabulary-sized result), join back,
-    per-doc aggregate. Docs shorter than n words report 0 spans with a
-    NULL fraction.
+    Plan: distinct spans per doc (row-local; short docs kept as a
+    single NULL-span row so every input doc reaches the final
+    aggregate without a corpus re-scan + join-back), span -> doc-count
+    aggregate (map-side partial, vocabulary-sized result), left join
+    of the span rows against the counts, per-doc aggregate. Docs
+    shorter than n words report 0 spans with a NULL fraction.
 
     Skew note: span frequencies are Zipf — a boilerplate span present
     in millions of docs is a hot join key on the count join-back. The
@@ -70,23 +72,24 @@ def span_dup_stats(df: DataFrame, text_col: str = "text",
     """
     # size-gated persist: the exploded span table is CORPUS-sized, so
     # above the ceiling the two consumers recompute the narrow
-    # shingling instead of spilling ~3x the corpus to executor disks
+    # shingling instead of spilling ~3x the corpus to executor disks.
+    # keep_empty + explode_outer: a short doc contributes one NULL-hash
+    # row, which the left join preserves (NULL never equi-matches) and
+    # count(_h) ignores.
     sh = _persist_tracked_if_small(
         "span_dup.spans",
-        _shingles(df, text_col, id_col, n).select(
-            id_col, hash32("span").alias("_h")))
-    counts = sh.groupBy("_h").agg(F.count(F.lit(1)).alias("ndocs"))
-    per_doc = (sh.join(counts, "_h")
-                 .groupBy(id_col)
-                 .agg(F.count(F.lit(1)).alias("n_spans"),
-                      F.sum(F.when(F.col("ndocs") >= min_docs, 1)
-                             .otherwise(0)).alias("n_dup_spans")))
-    return (df.select(id_col).join(per_doc, id_col, "left")
-              .select(id_col,
-                      F.coalesce("n_spans", F.lit(0)).cast("bigint")
-                       .alias("n_spans"),
-                      F.coalesce("n_dup_spans", F.lit(0)).cast("bigint")
-                       .alias("n_dup_spans"))
+        shingle_array(df, text_col, id_col, n, keep_empty=True)
+        .select(id_col, F.explode_outer("_shingles").alias("span"))
+        .select(id_col, hash32("span").alias("_h")))
+    counts = (sh.where(F.col("_h").isNotNull())
+                .groupBy("_h").agg(F.count(F.lit(1)).alias("ndocs")))
+    return (sh.join(counts, "_h", "left")
+              .groupBy(id_col)
+              .agg(F.count("_h").alias("n_spans"),
+                   F.coalesce(F.sum(F.when(F.col("ndocs") >= min_docs, 1)
+                                     .otherwise(0)),
+                              F.lit(0)).cast("bigint")
+                    .alias("n_dup_spans"))
               .withColumn("dup_span_frac",
                           F.when(F.col("n_spans") > 0,
                                  F.col("n_dup_spans").cast("double")

@@ -116,18 +116,30 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
 
 
 def shingle_array(df: DataFrame, text_col: str = "text",
-                  id_col: str = "doc_id", n: int = 3) -> DataFrame:
+                  id_col: str = "doc_id", n: int = 3,
+                  keep_empty: bool = False) -> DataFrame:
     """Per-doc array of DISTINCT n-word shingles — all narrow ops.
 
     Shingle dedup is per-document, so `array_distinct` inside the row
     does it without the global shuffle an explode+distinct would cost
-    (at scale that shuffle is ~10x the corpus bytes)."""
+    (at scale that shuffle is ~10x the corpus bytes).
+
+    keep_empty=True keeps docs shorter than n words as EMPTY arrays
+    (instead of dropping the rows) — callers that must report on every
+    input doc avoid a corpus re-scan + join-back later."""
     w = words_col(text_col)
-    df = df.select(F.col(id_col), w.alias("_w")).where(F.size("_w") >= n)
+    df = df.select(F.col(id_col), w.alias("_w"))
+    if not keep_empty:
+        df = df.where(F.size("_w") >= n)
     parts = " , ".join(f"_w[i + {k}]" for k in range(n))
     sh = F.expr(
         f"array_distinct(transform(sequence(0, size(_w) - {n}), "
         f"i -> concat_ws(' ', {parts})))")
+    if keep_empty:
+        # sequence(0, negative) counts DOWN — guard short docs to an
+        # explicit empty array rather than garbage negative indexing
+        sh = F.when(F.size("_w") >= n, sh).otherwise(
+            F.array().cast("array<string>"))
     return df.select(id_col, sh.alias("_shingles"))
 
 
@@ -193,7 +205,8 @@ def jaccard_pairs(df: DataFrame, threshold: float,
 
 
 def minhash_signatures(df: DataFrame, text_col: str = "text",
-                       id_col: str = "doc_id", n: int = 3) -> DataFrame:
+                       id_col: str = "doc_id", n: int = 3,
+                       verify_hashes: bool = False) -> DataFrame:
     """Per-doc MinHash signature: one column per permutation, plus the
     doc's distinct-shingle count `n_sh` (the LSH verify step needs it
     for exact Jaccard).
@@ -208,13 +221,29 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     bitwise-identical signatures). The groupBy shuffle is NOT a scale
     cost: map-side partial aggregation combines to one 33-long row per
     doc per partition before the exchange — at 100 TB the shuffle
-    carries signatures, never shingles."""
+    carries signatures, never shingles.
+
+    verify_hashes=True additionally collects the doc's 60-bit
+    shingle-hash set as `_hset` (array<bigint>) in the SAME
+    aggregation — the exact-Jaccard verify payload.
+    |A cap B| over 60-bit hashes equals the string intersection up to
+    collisions (expected << 1e-6 false commons across a 1M-doc
+    corpus), and carrying it here removes the verify stage's whole
+    candidate-doc semi-join + re-shingle subplan. Shuffle cost: the
+    partial-agg state grows from 33 longs/doc to 33 longs + one
+    8-byte hash per distinct shingle (~= the tokenized corpus bytes,
+    carried ONCE) — still no shingle STRINGS on the wire."""
     sh = ngram_shingles(df, text_col, id_col, n)
-    hashed = sh.select(F.col(id_col), hash32("shingle").alias("_h"))
+    cols = [F.col(id_col), hash32("shingle").alias("_h")]
+    if verify_hashes:
+        cols.append(hash64("shingle").alias("_h64"))
+    hashed = sh.select(*cols)
     aggs = [F.min((F.col("_h") * F.lit(PERM_A[i]) + F.lit(PERM_B[i]))
                   % F.lit(MINHASH_PRIME)).alias(f"mh{i}")
             for i in range(NUM_PERMS)]
     aggs.append(F.count(F.lit(1)).cast("bigint").alias("n_sh"))
+    if verify_hashes:
+        aggs.append(F.collect_set("_h64").alias("_hset"))
     return hashed.groupBy(id_col).agg(*aggs)
 
 
@@ -245,40 +274,53 @@ def minhash_lsh_pairs(df: DataFrame, threshold: float = 0.8,
     threshold, so the output has no false positives (recall is the
     banding probability: >0.999999 at jac >= 0.95).
     """
-    # Persist the signature table: it feeds banding, candidate-doc
-    # selection, and Jaccard counts, and Catalyst does not CSE a
-    # subtree repeated across join branches — without the persist the
-    # whole shingle+hash pipeline re-executes per use. Signatures are
-    # ~33 longs/doc (orders of magnitude smaller than the corpus), and
-    # MEMORY_AND_DISK spills instead of OOMing at scale. Spark ML's
-    # MinHashLSH caches the same way.
-    sig = _persist_tracked("lsh.signatures",
-                           minhash_signatures(df, text_col, id_col, n))
+    # Persist the signature table: it feeds banding AND both verify
+    # joins, and Catalyst does not CSE a subtree repeated across join
+    # branches — without the persist the whole shingle+hash pipeline
+    # re-executes per use. With verify_hashes the cached rows carry the
+    # per-doc 60-bit shingle-hash set, so the verify stage needs NO
+    # second pass over corpus text (the previous shape's candidate-id
+    # distinct + semi-join + re-shingle subplan — 3 exchanges — is
+    # gone). MEMORY_AND_DISK spills instead of OOMing at scale.
+    sig = _persist_tracked(
+        "lsh.signatures",
+        minhash_signatures(df, text_col, id_col, n, verify_hashes=True))
     banded = banded_signatures(sig, id_col)
-    cand = (banded.alias("a")
-            .join(banded.alias("b"), ["band", "sig"])
-            .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-            .select(F.col(f"a.{id_col}").alias("i"),
-                    F.col(f"b.{id_col}").alias("j"))
-            .distinct())
-    cand = _persist_tracked("lsh.candidates", cand)  # used 3x in verify
-    # Verify via per-doc shingle ARRAYS + array_intersect, not the
-    # exploded self-join jaccard_pairs uses for its all-pairs contract:
-    # candidate pairs are few by construction (LSH collisions), so two
-    # equi-joins of the candidate list against candidate-doc shingle
-    # arrays replace shingle explode + self-join + groupBy + two count
-    # joins (~5 fewer jobs/shuffles for the same exact math). Per-pair
-    # cost is O(na+nb) either way; only candidate docs are re-shingled.
-    ids = (cand.select(F.col("i").alias(id_col))
-               .union(cand.select(F.col("j").alias(id_col)))
-               .distinct())
-    sha = shingle_array(df.join(ids, id_col, "semi"), text_col, id_col, n)
-    a = sha.select(F.col(id_col).alias("i"), F.col("_shingles").alias("_sa"))
-    b = sha.select(F.col(id_col).alias("j"), F.col("_shingles").alias("_sb"))
+    # Candidate pairs via ONE bucket aggregation: collect each
+    # (band,sig) bucket's doc ids and emit its i<j pairs row-locally —
+    # a single keyed exchange where the banded self-join costs an
+    # exchange per side plus the join. Bucket sizes are collision
+    # groups (near-dup cluster sized; identical-text mega-clusters
+    # belong to exact_dedup upstream), so the k^2 expansion matches
+    # what the self-join would emit anyway. The DISTINCT collapses
+    # multi-band collisions (~b x for true dups) BEFORE the verify
+    # joins — at scale that multiplicity would otherwise re-join the
+    # (heavy) hash-set payload per colliding band.
+    pair_expr = F.expr(
+        "filter(flatten(transform(_ids, x -> transform(_ids, y -> "
+        "struct(x AS i, y AS j)))), p -> p.i < p.j)")
+    cand = (banded.groupBy("band", "sig")
+                  .agg(F.collect_list(F.col(id_col)).alias("_ids"))
+                  .where(F.size("_ids") >= 2)
+                  # explode_outer: see ngram_shingles on the
+                  # InferFiltersFromGenerate double-eval rule
+                  .select(F.explode_outer(pair_expr).alias("p"))
+                  .select("p.i", "p.j")
+                  .distinct())
+    # Verify against the CACHED signature table's hash sets: two
+    # equi-joins (AQE broadcasts the small pair list at runtime) and a
+    # row-local intersection. Same exact math as string-shingle
+    # Jaccard up to 60-bit hash collisions (expected false-common
+    # rate << 1e-6 corpus-wide); n_sh keeps the string-distinct
+    # denominator.
+    a = sig.select(F.col(id_col).alias("i"), F.col("_hset").alias("_sa"),
+                   F.col("n_sh").alias("_na"))
+    b = sig.select(F.col(id_col).alias("j"), F.col("_hset").alias("_sb"),
+                   F.col("n_sh").alias("_nb"))
     common = F.size(F.array_intersect("_sa", "_sb"))
     # same integer->double op order as the exploded form / SQL oracle
     jac = (common.cast("double")
-           / (F.size("_sa") + F.size("_sb") - common).cast("double"))
+           / (F.col("_na") + F.col("_nb") - common).cast("double"))
     return (cand.join(a, "i").join(b, "j")
                 .select("i", "j", jac.alias("jac"))
                 .where(F.col("jac") >= threshold))

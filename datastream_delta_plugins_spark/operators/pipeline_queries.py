@@ -95,13 +95,17 @@ _STOPLIST = "[" + ", ".join(f"'{s}'" for s in text.STOPWORDS) + "]"
 
 
 def _docs(spark, sf_dir):
-    # fan_out: shingling/hashing multiplies work ~100x per input byte
-    return fan_out(load_table(spark, sf_dir, "documents"))
+    # fan_out: shingling/hashing multiplies work ~100x per input byte.
+    # Hash-partitioned by doc_id: every doc-keyed aggregation downstream
+    # (MinHash signatures, SimHash word counts, text stats) reuses this
+    # exchange instead of planning its own (see fan_out's docstring).
+    return fan_out(load_table(spark, sf_dir, "documents"), by="doc_id")
 
 
 def _embs(spark, sf_dir):
-    # fan_out: pairwise cosine multiplies work ~|queries|x per row
-    return fan_out(load_table(spark, sf_dir, "embeddings"))
+    # fan_out: pairwise cosine multiplies work ~|queries|x per row;
+    # vec_id hash-partitioning lets vec-keyed aggregations reuse it
+    return fan_out(load_table(spark, sf_dir, "embeddings"), by="vec_id")
 
 
 def d01_dedup_exact(spark, sf_dir):

@@ -148,23 +148,26 @@ def q06_multiway_join(spark, sf_dir):
     # (<= 2e13 per row, no overflow), summed exactly via _sum_s4
     rev = (_s4("l_extendedprice")
            * _s4(F.lit(1).cast("double") - F.col("l_discount")))
-    # Largest-table-probe shape: lineitem streams through two build
-    # sides instead of the written-order ((c><o)><li)><n chain, which
-    # makes Spark materialize the c><o intermediate as its own
-    # broadcast build (an extra probe pass over orders + one more
-    # broadcast job per execution — measured 1.4x slower). Build sides
-    # are hinted by Catalyst's size estimate (auto_broadcast), so at
-    # cluster scale where orders/customer outgrow the threshold the
-    # same plan degrades to shuffle joins instead of exploding.
-    cn = (c.select("c_custkey", "c_nationkey")
-           .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-           .select("c_custkey", "n_name"))
+    # Largest-table-probe shape: lineitem streams through THREE
+    # base-table broadcast builds (orders keys, customer keys, nation)
+    # with no pre-joined intermediate anywhere. A pre-joined dim-dim
+    # build (customer><nation) defeats auto_broadcast: Catalyst's
+    # static size estimate INFLATES through a join, so the hint gate
+    # refuses a 300 KB build and the plan degrades to a sort-merge
+    # join that exchanges+sorts the whole fact side (measured 2x
+    # slower). Base-table leaves estimate from file sizes — accurate —
+    # so each dim is hinted independently, and at cluster scale
+    # whichever dim outgrows the threshold degrades to a shuffle join
+    # on its own.
     o2 = o.select("o_orderkey", "o_custkey")
+    c2 = c.select("c_custkey", "c_nationkey")
     return (li.select("l_orderkey", "l_extendedprice", "l_discount")
               .join(auto_broadcast(o2),
                     F.col("l_orderkey") == F.col("o_orderkey"))
-              .join(auto_broadcast(cn),
+              .join(auto_broadcast(c2),
                     F.col("o_custkey") == F.col("c_custkey"))
+              .join(F.broadcast(n),
+                    F.col("c_nationkey") == F.col("n_nationkey"))
               .groupBy("n_name")
               .agg(F.round(_sum_s4(rev, 8), 4).cast("double").alias("rev"))
               .transform(lambda d: _psort(d, "n_name")))

@@ -71,10 +71,60 @@ def presentation_sort(df: DataFrame, *cols,
     pass. Results estimated above `threshold` keep the distributed
     range sort — at 100 TB the estimate grows with the data and this
     helper degrades to plain `orderBy`, never a single-task funnel.
+
+    When a row-REDUCING shuffle boundary (grouping aggregate /
+    dropDuplicates) sits directly below the sort — with only
+    projections/filters in between, which then run on the already-
+    reduced rows — `coalesce(1)` is used instead of `repartition(1)`:
+    coalesce is NARROW, so the single-task sort fuses into the reduce
+    stage above the aggregate's own exchange — zero extra exchanges —
+    while the map side keeps its parallelism (partial aggregation
+    still runs per input partition). Any other shape keeps the
+    repartition(1) exchange: fusing there would collapse whatever
+    compute sits below (a scan, a compute-dense projection above a
+    bare fan-out repartition, a window) onto one task.
     """
     if plan_size_bytes(df) <= threshold:
+        if _reduces_before_sort(df):
+            return df.coalesce(1).sortWithinPartitions(*cols)
         return df.repartition(1).sortWithinPartitions(*cols)
     return df.orderBy(*cols)
+
+
+#: physical nodes the single-task fusion may sit above: cheap row-wise
+#: ops plus FINAL aggregation modes, whose input is the exchange's
+#: already-combined partial states
+_FUSABLE = frozenset({"Project", "Filter", "HashAggregate",
+                      "ObjectHashAggregate", "SortAggregate"})
+
+
+def _reduces_before_sort(df: DataFrame) -> bool:
+    """True iff the physical plan, walked from the root through
+    fusable nodes only, reaches a shuffle Exchange — i.e. the region
+    coalesce(1) would collapse holds nothing but the reduce side of an
+    aggregation. A Generate/Scan/Join/Window encountered first means
+    real per-row compute would collapse too (e.g. an
+    aggregation whose exchange was elided by an upstream fan_out sits
+    in the SAME stage as the corpus scan) — not fusable. Driver-side
+    plan inspection only — no job runs."""
+    node = df._jdf.queryExecution().executedPlan()
+    if node.nodeName() == "AdaptiveSparkPlan":
+        node = node.initialPlan()
+    while True:
+        name = node.nodeName()
+        if name == "Exchange":
+            # only planner-inserted exchanges qualify: they guarantee
+            # the aggregate walked through is the FINAL mode over
+            # map-side partials. A user repartition (fan_out) under a
+            # COMPLETE-mode aggregate would put the whole agg input
+            # through the one fused task.
+            return node.shuffleOrigin().toString() == "ENSURE_REQUIREMENTS"
+        if name not in _FUSABLE:
+            return False
+        children = node.children()
+        if children.size() != 1:
+            return False
+        node = children.apply(0)
 
 
 def _parse_bytes(s: str) -> int:

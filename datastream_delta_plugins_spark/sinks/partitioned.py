@@ -117,26 +117,41 @@ def read_time_window(spark: SparkSession, path: str,
     return df
 
 
-def _list_partitions(spark: SparkSession, path: str) -> dict[str, list]:
+def _list_partitions(spark: SparkSession, path: str,
+                     subdirs: Sequence[str] | None = None
+                     ) -> dict[str, list]:
     """Leaf partition dir -> [(file_path, bytes)], via the Hadoop FS
-    API (works on HDFS/S3A/GCS connectors, not just local)."""
+    API (works on HDFS/S3A/GCS connectors, not just local).
+
+    `subdirs`: relative partition dirs ("p_date=2024-01-02/p_hour=3")
+    to restrict the walk to — listing cost becomes proportional to
+    len(subdirs) instead of the table's whole partition history (the
+    per-batch contract a streaming sink needs). Missing dirs (a
+    partition this batch creates) are skipped, not errors."""
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
     jpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = jpath.getFileSystem(conf)
+    if subdirs is None:
+        roots = [jpath]
+    else:
+        roots = [jvm.org.apache.hadoop.fs.Path(path, d) for d in subdirs]
+        roots = [r for r in roots if fs.exists(r)]
     out: dict[str, list] = {}
-    it = fs.listFiles(jpath, True)  # recursive
-    while it.hasNext():
-        st = it.next()
-        p = st.getPath()
-        name = p.getName()
-        if name.startswith(("_", ".")):  # _SUCCESS, hidden, manifests
-            continue
-        parent = p.getParent().toString()
-        if "=" not in parent.rsplit("/", 1)[-1]:
-            continue  # unpartitioned stray file
-        out.setdefault(parent, []).append(
-            (p.toString(), st.getLen(), st.getModificationTime() / 1000.0))
+    for root in roots:
+        it = fs.listFiles(root, True)  # recursive
+        while it.hasNext():
+            st = it.next()
+            p = st.getPath()
+            name = p.getName()
+            if name.startswith(("_", ".")):  # _SUCCESS, hidden, manifests
+                continue
+            parent = p.getParent().toString()
+            if "=" not in parent.rsplit("/", 1)[-1]:
+                continue  # unpartitioned stray file
+            out.setdefault(parent, []).append(
+                (p.toString(), st.getLen(),
+                 st.getModificationTime() / 1000.0))
     return out
 
 

@@ -23,8 +23,33 @@ TABLE_NAMES = (
 BROADCAST_TABLES = frozenset({"region", "nation"})
 
 
+#: analyzed-DataFrame cache: every spark.read.parquet() call runs a
+#: 1-task schema-inference job (footer read) plus a fresh file listing
+#: — pure per-query latency when the same static table is loaded
+#: repeatedly in one session. Keyed by (application, path, mtime) so a
+#: rewritten file (or a new session) never serves a stale plan.
+_TABLE_CACHE: dict[tuple[str, str, float], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        key = (spark.sparkContext.applicationId, os.path.abspath(path),
+               os.path.getmtime(path))
+    except OSError:
+        key = None
+    if key is not None:
+        hit = _TABLE_CACHE.get(key)
+        if hit is not None:
+            return hit
+    df = _load_table_uncached(spark, path, name)
+    if key is not None:
+        _TABLE_CACHE[key] = df
+    return df
+
+
+def _load_table_uncached(spark: SparkSession, path: str,
+                         name: str) -> DataFrame:
     if name == "events":
         # events.ts has varied across driver data generations: parquet
         # TIMESTAMP(NANOS) (which Spark's vectorized reader rejects —
@@ -47,7 +72,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
-def fan_out(df: DataFrame, target: int | None = None) -> DataFrame:
+def fan_out(df: DataFrame, target: int | None = None,
+            by: str | None = None) -> DataFrame:
     """Repartition to the session's parallelism ahead of compute-heavy
     row-expansion stages (shingling, pairwise scoring, media decode).
 
@@ -56,8 +82,18 @@ def fan_out(df: DataFrame, target: int | None = None) -> DataFrame:
     fix is partitioning by available compute. At cluster scale inputs
     already arrive in >= cores splits and the shuffle cost here is the
     input size — negligible next to the expansion it unblocks.
+
+    `by`: hash-partition on that column instead of round-robin. When
+    the downstream aggregation clusters on the same key (or a superset
+    — e.g. groupBy(doc_id, word) under a doc_id fan-out), the fan-out
+    exchange SATISFIES the aggregate's required distribution, so
+    Catalyst elides the aggregation's own shuffle: one exchange does
+    both jobs. Safe whenever `by` is near-unique (doc ids / vector
+    ids); a skewed key would undo the compute spreading.
     """
     target = target or df.sparkSession.sparkContext.defaultParallelism
+    if by is not None:
+        return df.repartition(target, F.col(by))
     return df.repartition(target)
 
 

@@ -475,17 +475,30 @@ def stream_to_landing_rollup(stream_df: DataFrame, landing_path: str,
     watermark because invalidation is by partition state, not event
     time. Returns the StreamingQuery.
     """
-    from ..sinks.partitioned import _list_partitions, \
-        write_time_partitioned
+    from ..sinks.partitioned import _list_partitions, partition_cols, \
+        with_time_partitions, write_time_partitioned
     from ..sinks.rollup import load_committed, store_committed, \
         update_rollup
 
-    def _files_now(spark) -> dict[str, list]:
-        if not os.path.isdir(landing_path):
+    pcols = partition_cols(granularity)
+
+    def _touched_dirs(batch_df: DataFrame) -> list[str]:
+        """Partition dirs THIS batch writes to, derived from its
+        timestamps — a distinct over the batch, bounded by the batch's
+        time span / granularity (a handful of rows), never by table
+        history."""
+        rows = (with_time_partitions(batch_df.select(ts_col), ts_col,
+                                     granularity)
+                .select(*pcols).distinct().collect())
+        return ["/".join(f"{c}={r[c]}" for c in pcols) for r in rows]
+
+    def _files_in(spark, dirs: list[str]) -> dict[str, list]:
+        if not dirs or not os.path.isdir(landing_path):
             return {}
         return {d: [(p, b) for p, b, _ in files]
                 for d, files in
-                _list_partitions(spark, landing_path).items()}
+                _list_partitions(spark, landing_path, subdirs=dirs)
+                .items()}
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -493,18 +506,30 @@ def stream_to_landing_rollup(stream_df: DataFrame, landing_path: str,
             or {"batch_id": -1, "files": {}}
         if batch_id <= committed["batch_id"]:
             return  # replay of a published batch: already landed
-        before = {p for fs in _files_now(spark).values() for p, _ in fs}
-        write_time_partitioned(batch_df, landing_path, ts_col,
-                               granularity)
-        # publish = previous committed set + exactly this append's new
-        # files; orphans from crashed attempts (present on disk, never
-        # published) stay excluded forever
-        for d, fs in _files_now(spark).items():
-            new = [[p, b] for p, b in fs if p not in before]
-            if new:
-                committed["files"].setdefault(d, []).extend(new)
-        committed["batch_id"] = batch_id
-        store_committed(landing_path, committed)
+        # the batch feeds two passes (touched-partition distinct, then
+        # the append) — pin it so the source isn't re-read
+        batch_df.persist()
+        try:
+            # before/after listings are SCOPED to the partitions this
+            # batch touches: per-batch cost is O(batch partitions + a
+            # trigger's files), never O(table history) — months of
+            # hourly partitions cost the same as one.
+            dirs = _touched_dirs(batch_df)
+            before = {p for fs in _files_in(spark, dirs).values()
+                      for p, _ in fs}
+            write_time_partitioned(batch_df, landing_path, ts_col,
+                                   granularity)
+            # publish = previous committed set + exactly this append's
+            # new files; orphans from crashed attempts (present on
+            # disk, never published) stay excluded forever
+            for d, fs in _files_in(spark, dirs).items():
+                new = [[p, b] for p, b in fs if p not in before]
+                if new:
+                    committed["files"].setdefault(d, []).extend(new)
+            committed["batch_id"] = batch_id
+            store_committed(landing_path, committed)
+        finally:
+            batch_df.unpersist()
         update_rollup(spark, landing_path, rollup_path,
                       group_cols, aggs)
 

@@ -319,3 +319,59 @@ def test_streaming_rollup(spark, tmp_path):
     removed = vacuum_landing(spark, land)
     assert removed == [orphan]
     assert not glob.glob(land + "/**/part-orphan-*", recursive=True)
+
+
+def test_streaming_rollup_listing_partition_scoped(spark, tmp_path,
+                                                   monkeypatch):
+    """The landing sink's before/after file diff lists ONLY the
+    partitions the current batch touches: with a day of pre-existing
+    hourly partitions in history, a one-hour batch's listing calls
+    carry exactly that one partition dir (cost proportional to the
+    batch, never to table history)."""
+    from datastream_delta_plugins_spark.sinks import partitioned as P
+    from datastream_delta_plugins_spark.sinks.rollup import read_rollup
+    from datastream_delta_plugins_spark.streaming.pipeline import (
+        stream_to_landing_rollup)
+
+    src = tmp_path / "scoped_src"
+    src.mkdir()
+    land = str(tmp_path / "scoped_land")
+    roll = str(tmp_path / "scoped_roll")
+    aggs = {"n": F.count(F.lit(1))}
+    schema = "user_id long, ts timestamp, value double"
+
+    def run_batch(rows, name):
+        _events(spark, rows).write.parquet(str(src / name))
+        stream = (spark.readStream.schema(schema)
+                  .parquet(str(src) + "/*"))
+        q = stream_to_landing_rollup(
+            stream, land, roll, "ts", ["user_id"], aggs,
+            checkpoint=str(tmp_path / "scoped_ck"))
+        q.awaitTermination(120)
+
+    # history: one batch covering 24 hourly partitions
+    run_batch([(h, _ts(f"2026-02-01 {h:02d}:05:00"), 1.0)
+               for h in range(24)], "hist")
+
+    calls: list = []
+    orig = P._list_partitions
+
+    def spy(sess, path, subdirs=None):
+        calls.append(subdirs)
+        return orig(sess, path, subdirs)
+
+    monkeypatch.setattr(P, "_list_partitions", spy)
+
+    # one-hour batch against 24 partitions of history
+    run_batch([(99, _ts("2026-02-01 13:40:00"), 2.0)], "b2")
+
+    assert calls, "sink should have listed through _list_partitions"
+    for subdirs in calls:
+        assert subdirs is not None, \
+            "unscoped full-tree listing in the streaming sink"
+        assert list(subdirs) == ["p_date=2026-02-01/p_hour=13"]
+
+    got = {(r["p_hour"], r["user_id"]): r["n"]
+           for r in read_rollup(spark, roll).collect()}
+    assert got[(13, 13)] == 1 and got[(13, 99)] == 1
+    assert len(got) == 25
