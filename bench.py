@@ -42,6 +42,105 @@ HEADLINE = [
 ]
 
 
+def avro_decode_mb_s(spark) -> float:
+    """Measured throughput ceiling of the pure-Python Avro OCF ingest
+    path (sources/avro_ocf.py): MB of object-container-file bytes
+    decoded per second of wall clock across the session's cores. The
+    container has no spark-avro datasource jar and no Python avro
+    package, so this Python decoder IS the wire-format read path —
+    this number makes its cost a measured fact instead of a caveat.
+
+    One representative CDC-envelope file is generated driver-side and
+    replicated (decode cost is content-dependent, not name-dependent);
+    timing is best-of-2 on a warm session, full pipeline to a noop
+    sink."""
+    import shutil
+    import tempfile
+
+    from datastream_delta_plugins_spark.sources import avro_ocf
+
+    envelope = {
+        "type": "record", "name": "CHANGES", "fields": [
+            {"name": "uuid", "type": "string"},
+            {"name": "read_timestamp",
+             "type": {"type": "long", "logicalType": "timestamp-millis"}},
+            {"name": "source_timestamp",
+             "type": {"type": "long", "logicalType": "timestamp-millis"}},
+            {"name": "object", "type": "string"},
+            {"name": "read_method", "type": "string"},
+            {"name": "stream_name", "type": "string"},
+            {"name": "schema_key", "type": "string"},
+            {"name": "source_metadata", "type": {
+                "type": "record", "name": "source_metadata", "fields": [
+                    {"name": "schema", "type": "string"},
+                    {"name": "table", "type": "string"},
+                    {"name": "database", "type": "string"},
+                    {"name": "row_id", "type": ["null", "string"]},
+                    {"name": "scn", "type": ["null", "long"]},
+                    {"name": "is_deleted", "type": ["null", "boolean"]},
+                    {"name": "change_type", "type": ["null", "string"]},
+                    {"name": "ssn", "type": ["null", "long"]},
+                    {"name": "rs_id", "type": ["null", "string"]},
+                    {"name": "tx_id", "type": ["null", "string"]},
+                    {"name": "log_file", "type": ["null", "string"]}]}},
+            {"name": "payload", "type": {
+                "type": "record", "name": "payload", "fields": [
+                    {"name": "ID", "type": ["null", "long"]},
+                    {"name": "NAME", "type": ["null", "string"]},
+                    {"name": "TS", "type": ["null", {
+                        "type": "long",
+                        "logicalType": "timestamp-micros"}]},
+                    {"name": "AMOUNT", "type": ["null", "double"]}]}},
+            {"name": "sort_keys",
+             "type": {"type": "array", "items": ["string", "long"]}},
+        ],
+    }
+    # file sized so per-task decode time >> task scheduling (~90ms):
+    # ~10k records ~= 0.7s of single-core decode per file
+    recs = []
+    for i in range(10000):
+        ts = 1700000000000 + i
+        recs.append({
+            "uuid": f"uuid-{i:08d}", "read_timestamp": ts + 5,
+            "source_timestamp": ts, "object": "APP_ORDERS",
+            "read_method": "oracle-cdc-logminer", "stream_name": "s1",
+            "schema_key": "k1",
+            "source_metadata": {
+                "schema": "APP", "table": "ORDERS", "database": "ORCL",
+                "row_id": f"AAA{i:06d}", "scn": 1000 + i,
+                "is_deleted": False, "change_type": "INSERT",
+                "ssn": 0, "rs_id": f"rs{i % 7}", "tx_id": f"tx{i % 13}",
+                "log_file": "redo01.log"},
+            "payload": {"ID": i, "NAME": f"customer-{i % 997}",
+                        "TS": ts * 1000, "AMOUNT": i * 1.25},
+            "sort_keys": [ts, 1000 + i, f"rs{i % 7}", 0],
+        })
+    blob = avro_ocf.write_ocf(envelope, recs, codec="deflate")
+    # throughput is normalized by UNCOMPRESSED record bytes (the
+    # null-codec encoding): deflate squeezes this synthetic corpus
+    # ~10x, and "change bytes ingested per second" is the number a
+    # capacity plan needs, independent of the file codec
+    raw_mb = len(avro_ocf.write_ocf(envelope, recs, codec="null")) / 1e6
+    tmp = tempfile.mkdtemp(prefix="avro_bench_")
+    try:
+        n_files = 32
+        for i in range(n_files):
+            with open(os.path.join(tmp, f"f{i:03d}.avro"), "wb") as f:
+                f.write(blob)
+        total_mb = raw_mb * n_files
+        df = avro_ocf.read_avro_changes(spark, tmp)
+        df.write.format("noop").mode("overwrite").save()  # warm
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            avro_ocf.read_avro_changes(spark, tmp) \
+                .write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        return total_mb / best
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
@@ -100,12 +199,14 @@ def main() -> None:
 
     timings = {short: round(best[short], 4) for short, _, _ in HEADLINE}
     total = sum(best.values())
+    avro_rate = avro_decode_mb_s(spark)
 
     print(json.dumps({
         "metric": "headline_queries_total_wall",
         "value": round(total, 4),
         "unit": "sec",
         "queries": timings,
+        "avro_decode_mb_s": round(avro_rate, 1),
         "sf": sf,
     }))
     spark.stop()

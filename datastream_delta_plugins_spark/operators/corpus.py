@@ -153,25 +153,47 @@ def chunk_documents(df: DataFrame, text_col: str = "text",
         hash32(F.concat_ws(" ", chunk)).alias("chunk_hash"))
 
 
-def pack_chunks(chunks: DataFrame, budget: int = 256,
-                part_col: str = "shard", id_col: str = "doc_id") -> DataFrame:
-    """Contiguous-fill packing: within each shard, chunks are laid out
-    in (id, chunk_idx) order and assigned to the pack whose token
-    budget their starting offset falls into — pack_id = floor(offset /
-    budget) over the shard-local running token total.
+#: fixed sub-shard fan-out inside every shard. A CONSTANT, not the
+#: cluster's core count: pack assignment must be a pure function of
+#: the data (bit-identical reruns on any cluster size — the
+#: determinism convention every operator here follows).
+PACK_SUB_SHARDS = 32
 
-    Deterministic and shard-parallel: the window partitions by the
-    shard column, so at 100 TB this is one keyed shuffle per shard
-    (the sort is within-shard), never a global total order. Greedy
-    first-fit bin packing would serialize on the whole corpus;
-    contiguous fill is the packing strategy that parallelizes.
+
+def pack_chunks(chunks: DataFrame, budget: int = 256,
+                part_col: str = "shard", id_col: str = "doc_id",
+                sub_shards: int = PACK_SUB_SHARDS) -> DataFrame:
+    """Contiguous-fill packing: chunks are laid out in (id, chunk_idx)
+    order and assigned to the pack whose token budget their starting
+    offset falls into — floor(offset / budget) over the running token
+    total.
+
+    Parallelism is (shards x sub_shards), NOT shard cardinality: each
+    doc hashes to one of `sub_shards` deterministic sub-streams inside
+    its shard (all chunks of a doc stay together), the window
+    partitions by (shard, sub_stream), and pack_id = local_pack *
+    sub_shards + sub_stream keeps ids disjoint across sub-streams. A
+    window keyed by the shard column alone sorts an ENTIRE shard in
+    one task — with the default single-shard corpus, that is a
+    single-task sort over everything. Greedy first-fit bin packing
+    would serialize the same way; contiguous fill over hashed
+    sub-streams is the packing strategy that parallelizes. At 100 TB,
+    size shards (date/source) so shards x sub_shards >> cores; each
+    sub-stream's sort is one keyed shuffle, never a global total
+    order.
     """
-    win = (W.partitionBy(part_col)
+    sub = F.pmod(hash32(F.col(id_col).cast("string")),
+                 F.lit(sub_shards))
+    win = (W.partitionBy(part_col, "_sub")
             .orderBy(id_col, "chunk_idx")
             .rowsBetween(W.unboundedPreceding, W.currentRow))
     off = (F.sum("chunk_len").over(win) - F.col("chunk_len"))
-    return chunks.withColumn(
-        "pack_id", F.floor(off / F.lit(budget)).cast("bigint"))
+    return (chunks.withColumn("_sub", sub)
+                  .withColumn("pack_id",
+                              (F.floor(off / F.lit(budget))
+                               * F.lit(sub_shards) + F.col("_sub"))
+                              .cast("bigint"))
+                  .drop("_sub"))
 
 
 def prepare_corpus(df: DataFrame, text_col: str = "text",

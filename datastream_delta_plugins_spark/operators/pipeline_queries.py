@@ -301,12 +301,17 @@ ORACLE_SQL: dict[str, str] = {
                           array_to_string(w[s + 1 : s + 32], ' ')), 1, 8)
                         AS BIGINT) AS chunk_hash
                FROM c),
-        j AS (SELECT ch.*, d.source FROM ch JOIN documents d USING (doc_id)),
-        p AS (SELECT j.*,
-                     CAST(floor((sum(chunk_len) OVER (PARTITION BY source
+        j AS (SELECT ch.*, d.source,
+                     CAST('0x' || substr(md5(CAST(ch.doc_id AS VARCHAR)),
+                          1, 8) AS BIGINT) % {corpus.PACK_SUB_SHARDS}
+                       AS sub
+              FROM ch JOIN documents d USING (doc_id)),
+        p AS (SELECT j.* EXCLUDE (sub),
+                     CAST(floor((sum(chunk_len) OVER (PARTITION BY source, sub
                             ORDER BY doc_id, chunk_idx
                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                          - chunk_len) / 256.0) AS BIGINT) AS pack_id
+                          - chunk_len) / 256.0) AS BIGINT)
+                       * {corpus.PACK_SUB_SHARDS} + sub AS pack_id
               FROM j)
         SELECT doc_id, chunk_idx, start_tok, chunk_len, chunk_hash, source,
                pack_id

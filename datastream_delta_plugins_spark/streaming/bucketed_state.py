@@ -188,6 +188,66 @@ class BucketedStateTable:
             if own_persist:
                 batch_df.unpersist()
 
+    # -- D2 catalog registration (bucketed form) --
+
+    def sync_catalog(self, catalog_table: str,
+                     touched_buckets: Sequence[int] | None = None,
+                     properties: dict[str, str] | None = None) -> None:
+        """Keep `catalog_table` pointing at the CURRENT manifest.
+
+        The manifest's bucket->directory map is exactly a partitioned
+        external table with per-partition locations, so the catalog
+        form is: CREATE TABLE ... PARTITIONED BY (_state_bucket int)
+        once, then per commit an ADD/SET PARTITION LOCATION for each
+        touched bucket — catalog maintenance is O(touched), matching
+        the merge itself. Schema drift adds columns via ALTER TABLE
+        ADD COLUMNS (older bucket files read the new columns as NULL,
+        the same mergeSchema contract read() uses).
+        """
+        spark = self.spark
+        manifest = self.current_manifest()
+        if not manifest:
+            return
+        qname = ".".join(f"`{p}`" for p in catalog_table.split("."))
+
+        def sq(s: str) -> str:  # SQL string-literal escape
+            return s.replace("'", "''")
+
+        state = self.read()  # schema source (mergeSchema across buckets)
+        if not spark.catalog.tableExists(catalog_table):
+            cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
+                             for f in state.schema.fields)
+            props = ", ".join(f"'{sq(k)}' = '{sq(v)}'"
+                              for k, v in (properties or {}).items())
+            tbl_props = f"TBLPROPERTIES ({props}) " if props else ""
+            spark.sql(
+                f"CREATE TABLE {qname} ({cols}) USING parquet "
+                f"PARTITIONED BY (_state_bucket int) "
+                f"{tbl_props}"
+                f"LOCATION '{sq(os.path.join(self.path, 'table_root'))}'")
+            touched_buckets = None  # register every bucket once
+        else:
+            have = set(spark.table(catalog_table).columns)
+            missing = [f for f in state.schema.fields
+                       if f.name not in have]
+            if missing:
+                add = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
+                                for f in missing)
+                spark.sql(f"ALTER TABLE {qname} ADD COLUMNS ({add})")
+        buckets = ([str(b) for b in touched_buckets]
+                   if touched_buckets is not None else list(manifest))
+        for b in buckets:
+            if b not in manifest:
+                continue
+            loc = sq(os.path.join(self.path, manifest[b]))
+            spark.sql(f"ALTER TABLE {qname} ADD IF NOT EXISTS "
+                      f"PARTITION (_state_bucket={int(b)}) "
+                      f"LOCATION '{loc}'")
+            spark.sql(f"ALTER TABLE {qname} "
+                      f"PARTITION (_state_bucket={int(b)}) "
+                      f"SET LOCATION '{loc}'")
+        spark.catalog.refreshTable(catalog_table)
+
     # -- maintenance --
 
     def vacuum(self, keep_versions: int = 1) -> list[str]:

@@ -76,14 +76,12 @@ class CdcPipeline:
         # (O(touched) not O(state); the 100 TB path). "versioned" (the
         # default) rewrites the full state per batch with a
         # CURRENT-pointer swap — simplest, and fine while state is
-        # small. Catalog registration needs a single stable location,
-        # which only the versioned layout provides.
+        # small. Both support catalog_table: versioned re-points one
+        # external LOCATION per swap; bucketed maps the manifest onto
+        # a partitioned table with per-partition locations (see
+        # BucketedStateTable.sync_catalog).
         if state_backend not in ("versioned", "bucketed"):
             raise ValueError(f"unknown state_backend {state_backend!r}")
-        if state_backend == "bucketed" and catalog_table:
-            raise ValueError(
-                "catalog_table requires the versioned state backend "
-                "(a manifest table has no single LOCATION to register)")
         self.bstate = None
         if state_backend == "bucketed":
             from .bucketed_state import BucketedStateTable
@@ -287,7 +285,12 @@ class CdcPipeline:
             # mergeSchema reads)
             if self.bstate.version() < 0:
                 self.doc.put(state_keys.DB_CREATED, "true")  # D1 analog
-            self.bstate.merge(batch_df)
+            res = self.bstate.merge(batch_df)
+            if self.catalog_table:  # D2: O(touched) catalog update
+                self.bstate.sync_catalog(
+                    self.catalog_table, res["touched_buckets"],
+                    properties={"primaryKey": ",".join(self.pk_cols),
+                                "sourceTable": self.table})
         else:
             state = self.read_state()
             if state is None:

@@ -107,10 +107,39 @@ def test_cdc_pipeline_bucketed_backend(spark, tmp_path):
         _batch1(spark).unionByName(_batch2(spark)), ["id"],
         keep_sort_keys=True)
     assert _snap(p.read_state()) == _snap(oneshot)
-    with pytest.raises(ValueError, match="versioned state backend"):
-        CdcPipeline(spark, "t2", str(tmp_path / "s2"),
-                    str(tmp_path / "w2"), ["id"],
-                    state_backend="bucketed", catalog_table="db.t")
+
+
+def test_cdc_pipeline_bucketed_catalog(spark, tmp_path):
+    """D2 with the bucketed backend: the catalog table maps manifest
+    buckets to partitions — PK readable from TBLPROPERTIES, catalog
+    reads see post-merge state after every commit, and updates land
+    without re-registering untouched buckets."""
+    name = "bucketed_cat_t1"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    p = CdcPipeline(spark, "t1", str(tmp_path / "src"),
+                    str(tmp_path / "work"), ["id"],
+                    state_backend="bucketed", n_state_buckets=8,
+                    catalog_table=name)
+    p.apply_batch(_batch1(spark), 0, streaming_barrier=False)
+    tbl = spark.table(name).drop("_state_bucket")
+    assert _snap(tbl) == _snap(p.read_state())
+
+    props = {r["key"]: r["value"] for r in spark.sql(
+        f"SHOW TBLPROPERTIES {name}").collect()}
+    assert props["primaryKey"] == "id"
+    assert props["sourceTable"] == "t1"
+
+    p.apply_batch(_batch2(spark), 1, streaming_barrier=False)
+    oneshot = cdc.materialize(
+        _batch1(spark).unionByName(_batch2(spark)), ["id"],
+        keep_sort_keys=True)
+    got = spark.table(name).drop("_state_bucket")
+    assert _snap(got) == _snap(oneshot)
+    # partition pruning works against the bucketed layout
+    one = spark.sql(
+        f"SELECT count(*) c FROM {name} WHERE _state_bucket = 0")
+    assert one.collect()[0]["c"] >= 0
+    spark.sql(f"DROP TABLE {name}")
 
 
 def test_out_of_order_batch_cannot_regress_state(spark, tmp_path):

@@ -91,7 +91,8 @@ def test_pack_chunks_contiguous_fill(spark):
                        (1, " ".join(["w"] * 10))])
     ch = (corpus.chunk_documents(df, chunk_tokens=10, stride=10)
                 .withColumn("shard", F.lit("s0")))
-    packed = corpus.pack_chunks(ch, budget=16, part_col="shard")
+    packed = corpus.pack_chunks(ch, budget=16, part_col="shard",
+                                sub_shards=1)
     rows = {(r["doc_id"], r["chunk_idx"]): r["pack_id"]
             for r in packed.collect()}
     # both chunks start below the 16-token budget boundary -> one pack
@@ -102,7 +103,8 @@ def test_pack_chunks_budget_boundary(spark):
     df = _docs(spark, [(i, " ".join(["w"] * 10)) for i in range(4)])
     ch = (corpus.chunk_documents(df, chunk_tokens=10, stride=10)
                 .withColumn("shard", F.lit("s0")))
-    packed = corpus.pack_chunks(ch, budget=20, part_col="shard")
+    packed = corpus.pack_chunks(ch, budget=20, part_col="shard",
+                                sub_shards=1)
     rows = {r["doc_id"]: r["pack_id"] for r in packed.collect()}
     # offsets 0,10,20,30 with budget 20 -> packs 0,0,1,1
     assert rows == {0: 0, 1: 0, 2: 1, 3: 1}
@@ -114,7 +116,8 @@ def test_pack_is_shard_local(spark):
                 .withColumn("shard",
                             F.when(F.col("doc_id") == 0, "s0")
                              .otherwise("s1")))
-    packed = corpus.pack_chunks(ch, budget=2, part_col="shard")
+    packed = corpus.pack_chunks(ch, budget=2, part_col="shard",
+                                sub_shards=1)
     # each shard restarts its offsets at 0
     assert all(r["pack_id"] == 0 for r in packed.collect())
 
@@ -327,3 +330,39 @@ def test_span_dup_stats_no_cartesian(spark, sf_correctness):
     plan = final_plan(corpus.span_dup_stats(docs))
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_pack_chunks_sub_shard_parallel(spark):
+    """Default packing fans a single shard across hashed sub-streams:
+    pack ids are disjoint per sub-stream (pack_id % sub_shards
+    recovers the stream), every doc's chunks stay in one stream, each
+    stream fills sequentially, and the window runs >1 task even with
+    ONE literal shard."""
+    import hashlib
+
+    n_docs, k = 40, corpus.PACK_SUB_SHARDS
+    df = _docs(spark, [(i, " ".join(["w"] * 10)) for i in range(n_docs)])
+    ch = (corpus.chunk_documents(df, chunk_tokens=10, stride=10)
+                .withColumn("shard", F.lit("all")))
+    rows = corpus.pack_chunks(ch, budget=20).collect()
+
+    def sub(doc_id):
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8],
+                   16) % k
+
+    # reference: per-sub-stream sequential fill in (doc_id, chunk_idx)
+    # order; pack_id = local * k + sub
+    per = {}
+    want = {}
+    for r in sorted(rows, key=lambda r: (r["doc_id"], r["chunk_idx"])):
+        s = sub(r["doc_id"])
+        off = per.get(s, 0)
+        want[(r["doc_id"], r["chunk_idx"])] = (off // 20) * k + s
+        per[s] = off + r["chunk_len"]
+    got = {(r["doc_id"], r["chunk_idx"]): r["pack_id"] for r in rows}
+    assert got == want
+    # the plan genuinely parallelizes: window partition count > 1
+    n_parts = (corpus.pack_chunks(ch, budget=20)
+               .select(F.spark_partition_id().alias("p"))
+               .distinct().count())
+    assert n_parts > 1

@@ -369,7 +369,7 @@ def test_pack_chunks_matches_sequential_fill(spark, lens, budget):
               rows, "doc_id long, chunk_idx long, chunk_len long")
           .withColumn("shard", F.lit("s")))
     got = {r["doc_id"]: r["pack_id"]
-           for r in pack_chunks(df, budget=budget).collect()}
+           for r in pack_chunks(df, budget=budget, sub_shards=1).collect()}
     off, want = 0, {}
     for i, ln in enumerate(lens):
         want[i] = off // budget
