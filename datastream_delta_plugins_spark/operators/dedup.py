@@ -37,9 +37,17 @@ from ..functions.textfns import hash32, hash64, norm_text, words_col
 
 # Fixed MinHash permutation parameters (public construction:
 # h_i(x) = (a_i * x + b_i) mod P over a 32-bit hash universe).
+# 16 bands x 4 rows: at 4 rows/band a pair of Jaccard j collides per
+# band with prob j^4, so miss = (1 - j^4)^16 — 3.8e-8 at j=0.9, the
+# worst planted-pair similarity observed across driver data
+# generations (test_minhash_lsh_oracle_recall_bound_on_current_data
+# re-derives the bound from the live corpus every run). 8 bands
+# (the previous layout) missed j=0.9 pairs at 2e-4 — too weak for an
+# exact-Jaccard oracle gate. Background pairs (j <= 0.15) still
+# collide at < 1e-5 per pair, so candidates stay collision-bound.
 MINHASH_PRIME = 4294967311  # smallest prime > 2^32
-NUM_PERMS = 32
-NUM_BANDS = 8  # 8 bands x 4 rows
+NUM_PERMS = 64
+NUM_BANDS = 16  # 16 bands x 4 rows
 # deterministic, coprime-ish parameters
 PERM_A = [2 * i + 1 for i in range(1, NUM_PERMS + 1)]
 PERM_B = [7919 * i + 104729 for i in range(NUM_PERMS)]
@@ -268,11 +276,12 @@ def minhash_lsh_pairs(df: DataFrame, threshold: float = 0.8,
                       n: int = 3) -> DataFrame:
     """MinHash-LSH near-dup pairs, exact-Jaccard-verified.
 
-    Banding: 8 bands x 4 rows over 32 perms. A pair collides in a band
-    iff all 4 row signatures match; candidates are the union over bands.
-    Verification keeps only candidates whose exact Jaccard clears the
-    threshold, so the output has no false positives (recall is the
-    banding probability: >0.999999 at jac >= 0.95).
+    Banding: 16 bands x 4 rows over 64 perms. A pair collides in a
+    band iff all 4 row signatures match; candidates are the union over
+    bands. Verification keeps only candidates whose exact Jaccard
+    clears the threshold, so the output has no false positives (recall
+    is the banding probability: miss = (1-j^4)^16, 3.8e-8 at j=0.9 —
+    see the NUM_BANDS comment for the layout derivation).
     """
     # Persist the signature table: it feeds banding AND both verify
     # joins, and Catalyst does not CSE a subtree repeated across join

@@ -6,10 +6,14 @@ Oracle notes:
     in both engines;
   - cosine is a sequential fold in both engines — verified bitwise
     equal on every pair at sf0.01;
-  - d03 (MinHash-LSH) is oracled by *exact* Jaccard: on this corpus the
-    similarity profile is bimodal (planted near-dups >= 0.97, background
-    <= 0.14), so banded LSH recall at threshold 0.8 is exact (miss
-    probability < 1e-9 per pair at jac 0.97);
+  - d03 (MinHash-LSH) is oracled by *exact* Jaccard: on this corpus
+    the similarity profile is bimodal (planted near-dups >= 0.9 across
+    observed driver data generations, background <= 0.15), so banded
+    LSH recall at threshold 0.8 is effectively exact — 16x4 banding
+    misses a j=0.9 pair with prob 3.8e-8, and
+    test_minhash_lsh_oracle_recall_bound_on_current_data re-derives
+    the total expected-miss bound (< 1e-6) from the live corpus after
+    every regeneration;
   - d04 (SimHash banding) needs no such argument: 4x15-bit banding is
     COMPLETE for Hamming <= 3 by pigeonhole;
   - s02 (IVF) runs exhaustive-probe (nprobe=None) for the driver, where

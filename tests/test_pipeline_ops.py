@@ -34,6 +34,31 @@ def test_minhash_lsh_equals_exact(spark, sf_correctness):
     assert exact and lsh == exact
 
 
+def test_minhash_lsh_oracle_recall_bound_on_current_data(
+        spark, sf_correctness):
+    """Re-verify the d03 oracle argument against the CURRENT testdata
+    (the driver regenerates it between rounds): d03 is oracled by
+    EXACT Jaccard, which is only sound if banded-LSH recall on this
+    corpus is effectively 1. Banding misses a pair of similarity j
+    with probability (1 - j^r)^b (r rows/band, b bands, independent
+    permutations); summed over every pair the oracle expects, the
+    total expected misses must stay < 1e-6. A regeneration that
+    narrowed the similarity gap (planted pairs drifting toward the
+    0.8 threshold, where per-pair miss is ~1.5%) fails here LOUDLY
+    instead of as a driver hash flake."""
+    docs = load_table(spark, sf_correctness, "documents")
+    jacs = [r["jac"] for r in
+            dedup.jaccard_pairs(docs, 0.8).select("jac").collect()]
+    assert jacs, "corpus lost its planted near-dup pairs"
+    r = dedup.NUM_PERMS // dedup.NUM_BANDS
+    expected_misses = sum(
+        (1.0 - j ** r) ** dedup.NUM_BANDS for j in jacs)
+    assert expected_misses < 1e-6, (
+        f"similarity gap too narrow for the exact-Jaccard oracle: "
+        f"expected banding misses {expected_misses:.3g} over "
+        f"{len(jacs)} pairs (min jac {min(jacs):.3f})")
+
+
 def test_ivf_recall_vs_bruteforce(spark, sf_correctness):
     emb = load_table(spark, sf_correctness, "embeddings")
     pred = F.col("vec_id") % 50 == 0
