@@ -44,17 +44,34 @@ def q31_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- Q32: session windows (30-min inactivity gap, per user)
 
 def q32_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization AND sliding windows as one tagged union (the
+    q08/q17 consolidation pattern: both temporal operators stay
+    hash-gated inside one of the driver's 50 query slots). tag
+    'session' rows carry (user_id, t_start=session_start, n, sv);
+    tag 'window' rows carry (user_id NULL, t_start=w_start, n,
+    sv NULL)."""
     ev = _events(spark, sf_dir)
     s = temporal.session_agg(
         ev, ["user_id"], "ts", "30 minutes",
         aggs=[F.count(F.lit(1)).alias("n_events"),
               F.round(F.sum("value"), 4).alias("sum_value")])
-    return _psort(
-        s.select("user_id", "session_start", "n_events", "sum_value"),
-        "user_id", "session_start")
+    sessions = s.select(
+        F.lit("session").alias("tag"), F.col("user_id"),
+        F.col("session_start").alias("t_start"),
+        F.col("n_events").alias("n"), F.col("sum_value").alias("sv"))
+    w = temporal.sliding_agg(ev, "ts", "1 hour", "30 minutes",
+                             aggs=[F.count(F.lit(1)).alias("c")])
+    windows = w.select(
+        F.lit("window").alias("tag"),
+        F.lit(None).cast("bigint").alias("user_id"),
+        F.col("w_start").alias("t_start"), F.col("c").alias("n"),
+        F.lit(None).cast("double").alias("sv"))
+    return _psort(sessions.unionByName(windows),
+                  "tag", "user_id", "t_start")
 
 
-# --- Q33: sliding windows (1h window / 30m slide)
+# --- Q33: sliding windows (1h window / 30m slide) — gated inside q32's
+# tagged union; kept callable for plan tests and direct users
 
 def q33_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
@@ -77,7 +94,6 @@ def q34_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q31_asof_join": q31_asof_join,
     "q32_sessionize": q32_sessionize,
-    "q33_sliding_window": q33_sliding_window,
     "q34_json_extract": q34_json_extract,
 }
 
@@ -99,18 +115,23 @@ ORACLE_SQL: dict[str, str] = {
                              THEN 1 ELSE 0 END AS brk FROM o),
         s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
                                        ROWS UNBOUNDED PRECEDING) AS sid
-              FROM m)
-        SELECT user_id, min(ts) AS session_start,
-               count(*) AS n_events, round(sum(value), 4) AS sum_value
-        FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""",
-    "q33_sliding_window": """
-        WITH b AS (SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS b0, ts
-                   FROM events),
+              FROM m),
+        sess AS (SELECT 'session' AS tag, user_id,
+                        min(ts) AS t_start, count(*) AS n,
+                        round(sum(value), 4) AS sv
+                 FROM s GROUP BY user_id, sid),
+        b AS (SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS b0, ts
+              FROM events),
         w AS (SELECT unnest([b0, b0 - INTERVAL 30 MINUTE]) AS w_start, ts
-              FROM b)
-        SELECT w_start, CAST(count(*) AS BIGINT) AS c
-        FROM w WHERE ts >= w_start AND ts < w_start + INTERVAL 60 MINUTE
-        GROUP BY 1 ORDER BY 1""",
+              FROM b),
+        wind AS (SELECT 'window' AS tag, CAST(NULL AS BIGINT) AS user_id,
+                        w_start AS t_start, CAST(count(*) AS BIGINT) AS n,
+                        CAST(NULL AS DOUBLE) AS sv
+                 FROM w WHERE ts >= w_start
+                   AND ts < w_start + INTERVAL 60 MINUTE
+                 GROUP BY w_start)
+        SELECT * FROM (SELECT * FROM sess UNION ALL SELECT * FROM wind)
+        ORDER BY tag, user_id, t_start""",
     "q34_json_extract": """
         SELECT event_type,
                CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS kb,

@@ -23,6 +23,8 @@ Oracle notes:
 
 from __future__ import annotations
 
+import os
+
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -229,6 +231,47 @@ def m02_multimodal_decode(spark, sf_dir):
                .transform(lambda d: _psort(d, "doc_id", "dim")))
 
 
+def r01_incremental_rollup(spark, sf_dir):
+    """Incremental materialized-view maintenance, hard-gated: a
+    time-partitioned landing table is built in two update cycles —
+    batch 1 (event_id % 3 != 0) rolls up first, then batch 2 lands the
+    REMAINING rows, including late rows into partitions the first
+    cycle already aggregated — and update_rollup re-aggregates only
+    the signature-changed partitions. The returned rollup must equal
+    the one-shot aggregate over ALL events (the DuckDB oracle): any
+    invalidation miss (a late partition not re-aggregated, a stale
+    signature served) is a value mismatch, not a silent staleness.
+
+    Work dirs are fresh per call (tempdir) so reruns are bit-identical
+    from scratch; at sf0.01 the two cycles write a few hundred KB.
+    """
+    import tempfile
+
+    from ..sinks.partitioned import write_time_partitioned
+    from ..sinks.rollup import read_rollup, update_rollup
+
+    ev = load_table(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="r01_rollup_")
+    land = os.path.join(tmp, "land")
+    roll = os.path.join(tmp, "roll")
+    aggs = {"n": F.count(F.lit(1)),
+            "sv": F.round(F.sum("value"), 4)}
+    write_time_partitioned(ev.where(F.col("event_id") % 3 != 0),
+                           land, "ts")
+    update_rollup(spark, land, roll, ["event_type"], aggs)
+    write_time_partitioned(ev.where(F.col("event_id") % 3 == 0),
+                           land, "ts")
+    update_rollup(spark, land, roll, ["event_type"], aggs)
+    out = read_rollup(spark, roll).select(
+        F.col("p_date").cast("string").alias("p_date"),
+        F.col("p_hour").cast("int").alias("p_hour"),
+        "event_type", "n", "sv")
+    # localCheckpoint: the result must outlive this call's temp paths'
+    # lazy plans (the driver collects later) — pin the (small) rows
+    return _psort(out.localCheckpoint(eager=True),
+                  "p_date", "p_hour", "event_type")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d01_dedup_exact": d01_dedup_exact,
     "d02_ngram_jaccard": d02_ngram_jaccard,
@@ -243,6 +286,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t01_text_stats": t01_text_stats,
     "t02_lang_id": t02_lang_id,
     "m02_multimodal_decode": m02_multimodal_decode,
+    "r01_incremental_rollup": r01_incremental_rollup,
 }
 
 _LANG_SCORES = ",\n       ".join(
@@ -388,6 +432,17 @@ ORACLE_SQL: dict[str, str] = {
         JOIN scores USING (doc_id)
         LEFT JOIN ms ON ms.doc_id = d.doc_id
         ORDER BY d.doc_id""",
+    # the incrementally-maintained rollup must equal the one-shot
+    # aggregate over all events — the materialized-view invariant
+    "r01_incremental_rollup": """
+        SELECT strftime(ts, '%Y-%m-%d') AS p_date,
+               CAST(hour(ts) AS INT) AS p_hour,
+               event_type,
+               count(*) AS n,
+               round(sum(value), 4) AS sv
+        FROM events
+        GROUP BY 1, 2, 3
+        ORDER BY 1, 2, 3""",
     "m02_multimodal_decode": """
         WITH m AS (SELECT doc_id,
                           (['png', 'jpeg', 'wav'])[CAST(doc_id % 3 AS INTEGER) + 1] AS fmt,

@@ -155,16 +155,23 @@ def _list_partitions(spark: SparkSession, path: str,
     return out
 
 
-def _partition_predicate(parent: str, root_cols: list[str]):
-    """dir `.../p_date=2024-01-02/p_hour=3` -> (p_date='2024-01-02')
-    AND (p_hour='3') as partition-column equality (prunable)."""
-    conds = []
-    for seg in parent.split("/"):
-        if "=" in seg:
-            k, v = seg.split("=", 1)
-            if k in root_cols:
-                conds.append(F.col(k) == v)
-    return reduce(lambda a, b: a & b, conds)
+def _partitions_predicate(parents, root_cols: list[str]):
+    """Membership predicate selecting a SET of partition dirs: the
+    partition columns are rendered to the dir's canonical
+    `col=value/...` key and matched with one flat isin. References
+    only partition columns, so Catalyst still prunes directories —
+    and unlike a reduce-OR chain of per-dir equalities it stays
+    shallow: an OR tree over a few hundred hourly partitions
+    overflows the analyzer's recursion (StackOverflowError)."""
+    keys = []
+    for parent in parents:
+        segs = [s for s in parent.split("/")
+                if "=" in s and s.split("=", 1)[0] in root_cols]
+        keys.append("/".join(segs))
+    key_expr = F.concat_ws(
+        "/", *[F.concat_ws("=", F.lit(c), F.col(c).cast("string"))
+               for c in root_cols])
+    return key_expr.isin(keys)
 
 
 def compact_partitions(spark: SparkSession, path: str,
@@ -214,9 +221,7 @@ def compact_partitions(spark: SparkSession, path: str,
 
     df = spark.read.parquet(path)
     pcols = [c for c in (DATE_COL, HOUR_COL) if c in df.columns]
-    pred = reduce(lambda a, b: a | b,
-                  (_partition_predicate(p, pcols) for p in victims))
-    sel = df.where(pred)
+    sel = df.where(_partitions_predicate(victims, pcols))
 
     total_bytes = sum(s for _, s in victims.values())
     rows = sel.count()  # parquet footer-only job on the pruned subset

@@ -33,7 +33,7 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .partitioned import _list_partitions, _partition_predicate
+from .partitioned import _list_partitions, _partitions_predicate
 
 MANIFEST = "_rollup_manifest.json"
 #: committed-file manifest an at-least-once writer (the streaming
@@ -127,10 +127,8 @@ def update_rollup(spark: SparkSession, source_path: str, rollup_path: str,
             src = (spark.read.option("basePath", source_path)
                    .parquet(*paths))
         else:
-            pred = reduce(
-                lambda a, b: a | b,
-                (_partition_predicate(d, part_cols) for d in changed))
-            src = spark.read.parquet(source_path).where(pred)  # pruned
+            src = (spark.read.parquet(source_path)
+                   .where(_partitions_predicate(changed, part_cols)))
         agg = (src.groupBy(*part_cols, *group_cols)
                .agg(*[c.alias(name) for name, c in aggs.items()]))
         (agg.write.mode("overwrite")

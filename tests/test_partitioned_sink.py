@@ -204,14 +204,14 @@ def test_rollup_scan_is_partition_pruned(spark, tmp_path):
     from pyspark.sql import functions as F
 
     from datastream_delta_plugins_spark.sinks.partitioned import (
-        _partition_predicate, write_time_partitioned)
+        _partitions_predicate, write_time_partitioned)
 
     src = str(tmp_path / "land2")
     b1 = _events(spark, [(1, _ts("2026-01-01 10:05:00"), 1.0),
                          (2, _ts("2026-01-02 11:05:00"), 5.0)])
     write_time_partitioned(b1, src, "ts")
-    pred = _partition_predicate(
-        src + "/p_date=2026-01-01/p_hour=10", ["p_date", "p_hour"])
+    pred = _partitions_predicate(
+        [src + "/p_date=2026-01-01/p_hour=10"], ["p_date", "p_hour"])
     df = spark.read.parquet(src).where(pred)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [" in plan
