@@ -82,6 +82,17 @@ def test_bpe_train_matches_reference(spark):
     assert len(got) == 12
 
 
+def test_bpe_train_distributed_path_matches_local(spark):
+    """The overflow (distributed per-round) path must produce the
+    IDENTICAL merge sequence as the driver-local loop — forced here
+    via a zero driver-vocab ceiling, since realistic vocabularies now
+    always take the local path."""
+    local = bpe.bpe_train(_df(spark), num_merges=12)
+    dist = bpe.bpe_train(_df(spark), num_merges=12,
+                         driver_vocab_ceiling=0)
+    assert dist == local == ref_train(CORPUS, 12)
+
+
 def test_bpe_train_deterministic_tiebreak(spark):
     # every pair count is 1 -> pure lexicographic merge order
     got = bpe.bpe_train(_df(spark, ["ab cd"]), num_merges=2)
