@@ -718,15 +718,18 @@ def connected_components(pairs: DataFrame, id_cols: tuple[str, str] = ("i", "j")
 
 def _shingle_hash_arrays(df: DataFrame, text_col: str, id_col: str,
                          n: int) -> DataFrame:
-    """(id, _sh) with _sh = sorted array of distinct shingle hash32s —
-    the compact verify payload the incremental index stores (~4 bytes/
-    token vs the text itself; Jaccard over the hash arrays equals
-    Jaccard over shingles up to 32-bit collisions, identically on both
-    the build and probe side)."""
+    """(id, _sh) with _sh = sorted array of distinct 60-bit shingle
+    hashes — the compact verify payload the incremental index stores
+    (~8 bytes/token vs the text itself). Jaccard over the hash arrays
+    equals Jaccard over shingles up to collisions, identically on both
+    the build and probe side; 60 bits puts the corpus-wide expected
+    false-common count below 1e-6 (the same argument as
+    minhash_signatures' verify_hashes payload), which an exact-Jaccard
+    oracle gate needs — 32 bits left ~1e-4 per probe batch."""
     return (shingle_array(df, text_col, id_col, n)
             .select(id_col,
                     F.array_sort(F.transform(
-                        "_shingles", lambda s: hash32(s))).alias("_sh")))
+                        "_shingles", lambda s: hash64(s))).alias("_sh")))
 
 
 def save_minhash_index(df: DataFrame, path: str, text_col: str = "text",

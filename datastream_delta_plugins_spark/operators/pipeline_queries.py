@@ -119,17 +119,23 @@ def d01_dedup_exact(spark, sf_dir):
 
 
 def d02_ngram_jaccard(spark, sf_dir):
-    return (dedup.jaccard_pairs(_docs(spark, sf_dir), 0.5)
-                 .transform(lambda d: _psort(d, "i", "j")))
+    """Exact n-gram Jaccard pairs AND SimHash Hamming pairs as one
+    tagged union (the q08/q17/q32 consolidation pattern — both exact
+    pairwise operators stay hash-gated in one of the driver's 50
+    slots; the slot this freed gates i01, the incremental dedup
+    index). tag 'jaccard' rows carry val=jac (double); tag 'simhash'
+    rows carry val=hamming cast to double."""
+    jac = (dedup.jaccard_pairs(_docs(spark, sf_dir), 0.5)
+           .select(F.lit("jaccard").alias("tag"), "i", "j",
+                   F.col("jac").alias("val")))
+    sim = (dedup.simhash_pairs(_docs(spark, sf_dir), 3)
+           .select(F.lit("simhash").alias("tag"), "i", "j",
+                   F.col("hamming").cast("double").alias("val")))
+    return _psort(jac.unionByName(sim), "tag", "i", "j")
 
 
 def d03_minhash_lsh(spark, sf_dir):
     return (dedup.minhash_lsh_pairs(_docs(spark, sf_dir), 0.8)
-                 .transform(lambda d: _psort(d, "i", "j")))
-
-
-def d04_simhash_hamming(spark, sf_dir):
-    return (dedup.simhash_pairs(_docs(spark, sf_dir), 3)
                  .transform(lambda d: _psort(d, "i", "j")))
 
 
@@ -231,6 +237,27 @@ def m02_multimodal_decode(spark, sf_dir):
                .transform(lambda d: _psort(d, "doc_id", "dim")))
 
 
+def i01_dedup_index(spark, sf_dir):
+    """Incremental dedup index, hard-gated: the corpus MINUS a probe
+    slice (doc_id % 4 != 0) is indexed once — banded MinHash
+    signatures + 60-bit shingle-hash arrays saved to parquet — then
+    the probe slice (doc_id % 4 == 0) is near-dup-matched AGAINST the
+    stored index without touching indexed text (the incremental-ingest
+    loop's per-batch step). The oracle recomputes the cross-set exact
+    Jaccard in SQL; recall soundness is the same 16x4 banding bound
+    test_minhash_lsh_oracle_recall_bound_on_current_data re-derives
+    per data regeneration (cross-set pairs come from the same planted
+    near-dup population). Index dirs are fresh per call (tempdir)."""
+    import tempfile
+
+    docs = _docs(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="i01_index_")
+    dedup.save_minhash_index(docs.where(F.col("doc_id") % 4 != 0), tmp)
+    probes = docs.where(F.col("doc_id") % 4 == 0)
+    out = dedup.dedup_against_index(spark, tmp, probes, threshold=0.8)
+    return _psort(out.localCheckpoint(eager=True), "new_id", "index_id")
+
+
 def r01_incremental_rollup(spark, sf_dir):
     """Incremental materialized-view maintenance, hard-gated: a
     time-partitioned landing table is built in two update cycles —
@@ -275,8 +302,8 @@ def r01_incremental_rollup(spark, sf_dir):
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d01_dedup_exact": d01_dedup_exact,
     "d02_ngram_jaccard": d02_ngram_jaccard,
+    "i01_dedup_index": i01_dedup_index,
     "d03_minhash_lsh": d03_minhash_lsh,
-    "d04_simhash_hamming": d04_simhash_hamming,
     "d05_embedding_neardup": d05_embedding_neardup,
     "d06_span_dedup": d06_span_dedup,
     "d07_contamination": d07_contamination,
@@ -304,9 +331,33 @@ ORACLE_SQL: dict[str, str] = {
         SELECT min(doc_id) AS doc_id, count(*) AS dup_count
         FROM (SELECT doc_id, md5({_NORM}) AS h FROM documents)
         GROUP BY h ORDER BY doc_id""",
-    "d02_ngram_jaccard": _JACCARD.format(thr=0.5),
+    "d02_ngram_jaccard": f"""
+        SELECT * FROM (
+          SELECT 'jaccard' AS tag, i, j, jac AS val
+          FROM ({_JACCARD.format(thr=0.5)})
+          UNION ALL
+          SELECT 'simhash' AS tag, i, j, CAST(hamming AS DOUBLE) AS val
+          FROM ({_simhash_sql()})
+        ) ORDER BY tag, i, j""",
+    # cross-set exact Jaccard: probe slice vs indexed remainder — the
+    # truth dedup_against_index must reproduce from its stored index
+    "i01_dedup_index": f"""
+        WITH {_SHINGLES},
+        n AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY 1),
+        pairs AS (SELECT a.doc_id AS new_id, b.doc_id AS index_id,
+                         count(*) AS common
+                  FROM sh a JOIN sh b ON a.s = b.s
+                  WHERE a.doc_id % 4 = 0 AND b.doc_id % 4 <> 0
+                  GROUP BY 1, 2)
+        SELECT new_id, index_id,
+               CAST(common AS DOUBLE)
+                 / CAST(na.c + nb.c - common AS DOUBLE) AS jac
+        FROM pairs JOIN n na ON na.doc_id = new_id
+                   JOIN n nb ON nb.doc_id = index_id
+        WHERE CAST(common AS DOUBLE)
+                / CAST(na.c + nb.c - common AS DOUBLE) >= 0.8
+        ORDER BY new_id, index_id""",
     "d03_minhash_lsh": _JACCARD.format(thr=0.8),
-    "d04_simhash_hamming": _simhash_sql(),
     "d05_embedding_neardup": f"""
         WITH {_EMB}
         SELECT a.vec_id AS i, b.vec_id AS j,
