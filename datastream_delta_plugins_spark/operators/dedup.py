@@ -231,20 +231,29 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     doc per partition before the exchange — at 100 TB the shuffle
     carries signatures, never shingles.
 
-    verify_hashes=True additionally collects the doc's 60-bit
+    verify_hashes=True additionally collects the doc's 64-bit
     shingle-hash set as `_hset` (array<bigint>) in the SAME
     aggregation — the exact-Jaccard verify payload.
-    |A cap B| over 60-bit hashes equals the string intersection up to
+    |A cap B| over 64-bit hashes equals the string intersection up to
     collisions (expected << 1e-6 false commons across a 1M-doc
     corpus), and carrying it here removes the verify stage's whole
     candidate-doc semi-join + re-shingle subplan. Shuffle cost: the
     partial-agg state grows from 33 longs/doc to 33 longs + one
     8-byte hash per distinct shingle (~= the tokenized corpus bytes,
-    carried ONCE) — still no shingle STRINGS on the wire."""
+    carried ONCE) — still no shingle STRINGS on the wire.
+
+    Hashing here is xxhash64 (JVM-intrinsic), NOT the oracle-mirrored
+    md5 prefix: d03's correctness gate is exact STRING Jaccard, so no
+    engine needs to reproduce these values — only permutation
+    uniformity and set-membership fidelity matter, and native hashing
+    is several times cheaper than md5 + hex-conv per shingle (the
+    signature aggregation is the measured bulk of d03's runtime)."""
     sh = ngram_shingles(df, text_col, id_col, n)
-    cols = [F.col(id_col), hash32("shingle").alias("_h")]
+    h = F.xxhash64("shingle")
+    cols = [F.col(id_col),
+            h.bitwiseAND(F.lit(0xFFFFFFFF)).alias("_h")]
     if verify_hashes:
-        cols.append(hash64("shingle").alias("_h64"))
+        cols.append(h.alias("_h64"))
     hashed = sh.select(*cols)
     aggs = [F.min((F.col("_h") * F.lit(PERM_A[i]) + F.lit(PERM_B[i]))
                   % F.lit(MINHASH_PRIME)).alias(f"mh{i}")
