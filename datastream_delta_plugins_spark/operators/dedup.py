@@ -125,7 +125,8 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
 
 def shingle_array(df: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id", n: int = 3,
-                  keep_empty: bool = False) -> DataFrame:
+                  keep_empty: bool = False,
+                  distinct: bool = True) -> DataFrame:
     """Per-doc array of DISTINCT n-word shingles — all narrow ops.
 
     Shingle dedup is per-document, so `array_distinct` inside the row
@@ -134,15 +135,20 @@ def shingle_array(df: DataFrame, text_col: str = "text",
 
     keep_empty=True keeps docs shorter than n words as EMPTY arrays
     (instead of dropping the rows) — callers that must report on every
-    input doc avoid a corpus re-scan + join-back later."""
+    input doc avoid a corpus re-scan + join-back later.
+
+    distinct=False skips the array_distinct for callers that dedup
+    downstream anyway (see minhash_signatures' id_clustered path)."""
     w = words_col(text_col)
     df = df.select(F.col(id_col), w.alias("_w"))
     if not keep_empty:
         df = df.where(F.size("_w") >= n)
     parts = " , ".join(f"_w[i + {k}]" for k in range(n))
     sh = F.expr(
-        f"array_distinct(transform(sequence(0, size(_w) - {n}), "
-        f"i -> concat_ws(' ', {parts})))")
+        f"transform(sequence(0, size(_w) - {n}), "
+        f"i -> concat_ws(' ', {parts}))")
+    if distinct:
+        sh = F.array_distinct(sh)
     if keep_empty:
         # sequence(0, negative) counts DOWN — guard short docs to an
         # explicit empty array rather than garbage negative indexing
@@ -214,7 +220,8 @@ def jaccard_pairs(df: DataFrame, threshold: float,
 
 def minhash_signatures(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", n: int = 3,
-                       verify_hashes: bool = False) -> DataFrame:
+                       verify_hashes: bool = False,
+                       id_clustered: bool = False) -> DataFrame:
     """Per-doc MinHash signature: one column per permutation, plus the
     doc's distinct-shingle count `n_sh` (the LSH verify step needs it
     for exact Jaccard).
@@ -247,9 +254,25 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     engine needs to reproduce these values — only permutation
     uniformity and set-membership fidelity matter, and native hashing
     is several times cheaper than md5 + hex-conv per shingle (the
-    signature aggregation is the measured bulk of d03's runtime)."""
-    sh = ngram_shingles(df, text_col, id_col, n)
+    signature aggregation is the measured bulk of d03's runtime).
+
+    id_clustered=True: the caller guarantees `df` is already
+    hash-partitioned by `id_col` (fan_out(by=id_col)). Per-doc shingle
+    dedup then runs as a groupBy(id, shingle) whose exchange Catalyst
+    ELIDES (the id-clustering satisfies its distribution), replacing
+    shingle_array's row-local array_distinct — measured ~1.6x faster
+    (array_distinct's per-row set build is interpreted). With
+    arbitrary partitioning that groupBy would SHUFFLE every shingle
+    string corpus-wide, so the default keeps the row-local dedup and
+    ships only signature partial states."""
     h = F.xxhash64("shingle")
+    if id_clustered:
+        sh = (shingle_array(df, text_col, id_col, n, distinct=False)
+              .select(id_col, F.explode_outer("_shingles").alias("shingle"))
+              .groupBy(id_col, "shingle").agg(F.lit(1))
+              .select(id_col, "shingle"))
+    else:
+        sh = ngram_shingles(df, text_col, id_col, n)
     cols = [F.col(id_col),
             h.bitwiseAND(F.lit(0xFFFFFFFF)).alias("_h")]
     if verify_hashes:
@@ -282,7 +305,8 @@ def banded_signatures(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 def minhash_lsh_pairs(df: DataFrame, threshold: float = 0.8,
                       text_col: str = "text", id_col: str = "doc_id",
-                      n: int = 3) -> DataFrame:
+                      n: int = 3,
+                      id_clustered: bool = False) -> DataFrame:
     """MinHash-LSH near-dup pairs, exact-Jaccard-verified.
 
     Banding: 16 bands x 4 rows over 64 perms. A pair collides in a
@@ -302,7 +326,8 @@ def minhash_lsh_pairs(df: DataFrame, threshold: float = 0.8,
     # gone). MEMORY_AND_DISK spills instead of OOMing at scale.
     sig = _persist_tracked(
         "lsh.signatures",
-        minhash_signatures(df, text_col, id_col, n, verify_hashes=True))
+        minhash_signatures(df, text_col, id_col, n, verify_hashes=True,
+                           id_clustered=id_clustered))
     banded = banded_signatures(sig, id_col)
     # Candidate pairs via ONE bucket aggregation: collect each
     # (band,sig) bucket's doc ids and emit its i<j pairs row-locally —

@@ -135,7 +135,11 @@ def d02_ngram_jaccard(spark, sf_dir):
 
 
 def d03_minhash_lsh(spark, sf_dir):
-    return (dedup.minhash_lsh_pairs(_docs(spark, sf_dir), 0.8)
+    # id_clustered: _docs fan-out hash-partitions by doc_id, so the
+    # per-doc shingle dedup's groupBy exchange is elided (see
+    # minhash_signatures)
+    return (dedup.minhash_lsh_pairs(_docs(spark, sf_dir), 0.8,
+                                    id_clustered=True)
                  .transform(lambda d: _psort(d, "i", "j")))
 
 
