@@ -20,8 +20,11 @@ DataFrame-native and shuffle-conscious:
 
 100 TB notes: every operator is a chain of narrow ops + keyed shuffles;
 no collect(), no Python UDFs. The LSH/banding ops exist precisely so the
-n^2 exact ops are only the verification tail. All hashes are md5-prefix
-based (functions.textfns) so the DuckDB oracle reproduces them exactly.
+n^2 exact ops are only the verification tail. Hashes the DuckDB oracle
+must reproduce (exact dedup, SimHash, span/chunk hashes) are md5-prefix
+based (functions.textfns); hashes that only need uniformity (MinHash
+signatures + their verify sets, whose gate is exact STRING Jaccard)
+use the cheaper JVM-native xxhash64 — see minhash_signatures.
 """
 
 from __future__ import annotations
