@@ -5,8 +5,8 @@ DataFrame-native and shuffle-conscious:
   ngram_shingles     distinct n-word shingles per doc
   jaccard_pairs      exact n-gram Jaccard via shingle self-join (the
                      oracle-grade op; O(sum of per-shingle doc-list^2))
-  minhash_signatures 32-perm MinHash over shingle hashes — one groupBy
-                     with 32 min() aggregates (map-side combine)
+  minhash_signatures 64-perm MinHash over shingle hashes — one groupBy
+                     with 64 min() aggregates (map-side combine)
   minhash_lsh_pairs  banded LSH candidate join + exact-Jaccard verify:
                      only candidate pairs are verified, so the expensive
                      join is proportional to collisions, not n^2
