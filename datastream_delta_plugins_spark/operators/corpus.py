@@ -60,16 +60,25 @@ def span_dup_stats(df: DataFrame, text_col: str = "text",
     Plan: distinct spans per doc (row-local; short docs kept as a
     single NULL-span row so every input doc reaches the final
     aggregate without a corpus re-scan + join-back), span -> doc-count
-    aggregate (map-side partial, vocabulary-sized result), left join
-    of the span rows against the counts, per-doc aggregate. Docs
-    shorter than n words report 0 spans with a NULL fraction.
+    aggregate (map-side partial, vocabulary-sized result), then the
+    DUPLICATED-span subset (ndocs >= min_docs — a gated fraction of
+    the vocabulary) joins back as a stats-gated BROADCAST membership
+    flag, and the per-doc aggregate runs in the same stage as the span
+    rows (when the caller fanned out by doc id, its exchange elides
+    entirely). Docs shorter than n words report 0 spans with a NULL
+    fraction.
 
     Skew note: span frequencies are Zipf — a boilerplate span present
-    in millions of docs is a hot join key on the count join-back. The
-    aggregate itself absorbs skew in map-side partials; the join-back
-    relies on AQE's skew-join split (enabled in get_spark), which
-    fans a hot key's rows across tasks.
+    in millions of docs is a hot key. The count aggregate absorbs skew
+    in map-side partials; the flag join-back either broadcasts (no
+    shuffle at all — the local/bench path, and any corpus whose
+    duplicated-span vocabulary fits the threshold) or degrades to a
+    shuffle join where AQE's skew-join split fans hot keys across
+    tasks (auto_broadcast's estimate grows with the corpus, so the
+    degradation is automatic at 100 TB).
     """
+    from ..plans.hints import auto_broadcast
+
     # size-gated persist: the exploded span table is CORPUS-sized, so
     # above the ceiling the two consumers recompute the narrow
     # shingling instead of spilling ~3x the corpus to executor disks.
@@ -81,12 +90,14 @@ def span_dup_stats(df: DataFrame, text_col: str = "text",
         shingle_array(df, text_col, id_col, n, keep_empty=True)
         .select(id_col, F.explode_outer("_shingles").alias("span"))
         .select(id_col, hash32("span").alias("_h")))
-    counts = (sh.where(F.col("_h").isNotNull())
-                .groupBy("_h").agg(F.count(F.lit(1)).alias("ndocs")))
-    return (sh.join(counts, "_h", "left")
+    dup = (sh.where(F.col("_h").isNotNull())
+             .groupBy("_h").agg(F.count(F.lit(1)).alias("ndocs"))
+             .where(F.col("ndocs") >= min_docs)
+             .select("_h", F.lit(True).alias("_dup")))
+    return (sh.join(auto_broadcast(dup), "_h", "left")
               .groupBy(id_col)
               .agg(F.count("_h").alias("n_spans"),
-                   F.coalesce(F.sum(F.when(F.col("ndocs") >= min_docs, 1)
+                   F.coalesce(F.sum(F.when(F.col("_dup"), 1)
                                      .otherwise(0)),
                               F.lit(0)).cast("bigint")
                     .alias("n_dup_spans"))
