@@ -137,3 +137,35 @@ def test_interval_join_no_python_eval(spark, sf_smoke):
                       on=["user_id"], right_ts="rts",
                       lower_seconds=0, upper_seconds=60)
     assert "EvalPython" not in formatted_plan(j)
+
+
+def test_d03_verify_joins_broadcast_no_smj(spark, sf_smoke):
+    """The LSH verify joins must never sort-merge (an SMJ would
+    exchange + sort the cached signature table twice), and q06-style
+    plans must not reappear: candidates join the cached signatures via
+    broadcast hash joins only."""
+    from datastream_delta_plugins_spark.operators import pipeline_queries
+    df = pipeline_queries.QUERIES["d03_minhash_lsh"](spark, sf_smoke)
+    plan = formatted_plan(df)
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_d06_dup_flag_join_broadcasts(spark, sf_smoke):
+    """span_dup_stats' duplicated-span membership flag joins back as a
+    broadcast at test scale (the stats-gated hint fires), keeping the
+    span rows shuffle-free after the count aggregate."""
+    from datastream_delta_plugins_spark.operators import pipeline_queries
+    df = pipeline_queries.QUERIES["d06_span_dedup"](spark, sf_smoke)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q06_no_sort_merge_join(spark, sf_smoke):
+    """The flat probe chain must broadcast all three dimension builds —
+    a pre-joined dim-dim build defeats the stats gate and degrades the
+    whole fact side to an exchanged sort-merge join."""
+    df = relational.q06_multiway_join(spark, sf_smoke)
+    plan = formatted_plan(df)
+    assert "SortMergeJoin" not in plan
