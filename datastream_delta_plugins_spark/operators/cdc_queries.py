@@ -65,43 +65,71 @@ def _event_struct(pk, price, change_type, read_method, sk1, sk2, sk4):
 
 def simulate_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-scan construction: each orders row expands to its event
-    list via a conditional struct array + explode (one parquet scan and
-    one narrow stage, vs. a 7-way union re-scanning the table).
+    list in one narrow stage (one parquet scan, vs. a 7-way union
+    re-scanning the table).
 
-    No repartition before the event generation: struct building +
-    explode is cheap per row (measured ~0.1s serial for 150k rows —
-    an exchange + AQE job costs more than it saves), and the groupBy
-    shuffle right after fans the merge out regardless. Real change
-    streams arrive as many files and parallelize at the scan."""
+    Expansion order matters for expression count: the row explodes a
+    cheap array of conditional VARIANT TAGS (7 ints) first, and every
+    output field is then computed ONCE per surviving event via a CASE
+    on the tag — ~12 case-expressions per event row. The previous
+    shape built all 7 twelve-field structs per input row (~84
+    expressions, most discarded) and measured ~2.5x slower on the
+    single-split scan stage.
+
+    No repartition before the event generation: the groupBy shuffle
+    right after fans the merge out regardless, and an exchange + AQE
+    job costs more than it saves at this size. Real change streams
+    arrive as many files and parallelize at the scan."""
     o = _orders(spark, sf_dir)
     k = F.col("o_orderkey")
     p = F.col("o_totalprice")
 
-    def cond(c, s):
-        return F.when(c, s)  # null when condition is false
+    def cond(c, tag):
+        return F.when(c, F.lit(tag))  # null when condition is false
 
-    events = F.array(
-        _event_struct(k, p, None, _SNAP, 0, k, 0).alias("e"),
-        cond(k % 7 == 0, _event_struct(k, p + 1000, "UPDATE", _CDC, 1, k, 1)),
-        cond(k % 21 == 0, _event_struct(k, p + 3000, "UPDATE", _CDC, 2, k, 1)),
-        cond(k % 13 == 0, _event_struct(k, p, "DELETE", _CDC, 3, k, 1)),
-        cond(k % 97 == 0, _event_struct(k, p, "UPDATE-DELETE", _CDC, 4, k, 0)),
-        cond(k % 97 == 0, _event_struct(k + 10_000_000, p,
-                                        "UPDATE-INSERT", _CDC, 4, k, 1)),
-        cond(k % 11 == 0, _event_struct(k + 20_000_000, p,
-                                        "INSERT", _CDC, 1, k + 20_000_000, 0)),
+    tags = F.array(
+        F.lit(0),                        # snapshot INSERT
+        cond(k % 7 == 0, 1),             # UPDATE #1
+        cond(k % 21 == 0, 2),            # UPDATE #2
+        cond(k % 13 == 0, 3),            # DELETE
+        cond(k % 97 == 0, 4),            # UPDATE-DELETE (old pk)
+        cond(k % 97 == 0, 5),            # UPDATE-INSERT (new pk)
+        cond(k % 11 == 0, 6),            # CDC INSERT (new pk)
     )
     # explode_outer: blocks InferFiltersFromGenerate from duplicating
-    # the whole event-array expression into a pre-exchange filter (the
-    # array is never empty — the snapshot event is unconditional).
-    # Null elements (unmet conditions) are dropped by a PLAIN filter
-    # after the explode, not a higher-order F.filter on the array:
-    # lambda functions evaluate interpreted per element, and that one
-    # filter measured ~2x the entire simulation (codegen row filter is
-    # ~free).
-    return (o.select(F.explode_outer(events).alias("e"))
-             .where(F.col("e").isNotNull())
-             .select("e.*"))
+    # the tag-array expression into a pre-exchange filter (the array is
+    # never empty — the snapshot tag is unconditional). Null elements
+    # (unmet conditions) are dropped by a PLAIN codegen filter after
+    # the explode, not a higher-order F.filter on the array (lambda
+    # functions evaluate interpreted per element).
+    t = F.col("_tag")
+    base = (o.select("o_custkey", "o_orderstatus", "o_totalprice",
+                     "o_orderdate", "o_orderpriority", "o_orderkey",
+                     F.explode_outer(tags).alias("_tag"))
+             .where(t.isNotNull()))
+    pk = (F.when(t == 5, k + 10_000_000)
+           .when(t == 6, k + 20_000_000)
+           .otherwise(k)).cast("bigint")
+    price = (F.when(t == 1, p + 1000)
+              .when(t == 2, p + 3000)
+              .otherwise(p))
+    change_type = (F.when(t == 1, "UPDATE").when(t == 2, "UPDATE")
+                    .when(t == 3, "DELETE")
+                    .when(t == 4, "UPDATE-DELETE")
+                    .when(t == 5, "UPDATE-INSERT")
+                    .when(t == 6, "INSERT")
+                    .otherwise(F.lit(None).cast("string")))
+    read_method = F.when(t == 0, _SNAP).otherwise(_CDC)
+    sk1 = (F.when(t == 0, 0).when(t.isin(1, 6), 1).when(t == 2, 2)
+            .when(t == 3, 3).otherwise(4)).cast("bigint")
+    sk2 = (F.when(t == 6, k + 20_000_000).otherwise(k)).cast("bigint")
+    sk4 = (F.when(t.isin(1, 2, 3, 5), 1).otherwise(0)).cast("bigint")
+    return base.select(
+        pk.alias("pk"), "o_custkey", "o_orderstatus",
+        price.alias("o_totalprice"), "o_orderdate", "o_orderpriority",
+        change_type.alias("change_type"), read_method.alias("read_method"),
+        sk1.alias("_sk1"), sk2.alias("_sk2"),
+        F.lit("na").alias("_sk3"), sk4.alias("_sk4"))
 
 
 # The identical change stream in DuckDB SQL + the Q26 latest-row window.
