@@ -75,6 +75,21 @@ def _persist_tracked(key: str, df: DataFrame) -> DataFrame:
     old = _CACHE_GENS.get(key)
     if old is not None:
         try:
+            # Same-input reuse (Spark CacheManager semantics): when the
+            # new call's ANALYZED plan is semantically identical to the
+            # cached generation's, the cached rows ARE this call's
+            # result — hand back the warm generation instead of
+            # evicting and recomputing. Iterative pipelines
+            # (prepare_corpus stages, repeated queries over an
+            # unchanged corpus) skip the whole shingle+signature
+            # recompute. Staleness guard: a changed source file yields
+            # a different analyzed plan (load_table keys its reader by
+            # file mtime), so a stale hit requires mutating files
+            # behind an open reader — the same caveat Spark's own
+            # .cache() carries.
+            if old._jdf.queryExecution().analyzed().sameResult(
+                    df._jdf.queryExecution().analyzed()):
+                return old
             old.unpersist(False)
         except Exception:  # pragma: no cover - session already stopped
             pass
