@@ -30,6 +30,8 @@ reproduces values exactly.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
@@ -139,19 +141,26 @@ def contamination_check(df: DataFrame, bench_pred: Column,
 
 def chunk_documents(df: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id", chunk_tokens: int = 32,
-                    stride: int = 24) -> DataFrame:
+                    stride: int = 24,
+                    carry_cols: Sequence[str] = ()) -> DataFrame:
     """Fixed-size token windows with stride — the chunking pass before
     sequence packing. Each document yields windows starting at token
     offsets 0, stride, 2*stride, ... < n_tokens; the final windows may
     be short. Entirely row-local (scan-side explode): no shuffle, and
     chunk rows land in the same partitions as their documents.
 
-    Returns (id, chunk_idx, start_tok, chunk_len, chunk_hash).
+    `carry_cols`: document columns copied onto every chunk row (shard
+    keys like `source`) — carrying them through the explode is free,
+    where fetching them later costs a join back to the corpus.
+
+    Returns (id, chunk_idx, start_tok, chunk_len, chunk_hash,
+    *carry_cols).
     """
     w = words_col(text_col)
-    base = (df.select(F.col(id_col), w.alias("_w"))
+    carry = [F.col(c) for c in carry_cols]
+    base = (df.select(F.col(id_col), *carry, w.alias("_w"))
               .where(F.size("_w") >= 1)
-              .select(id_col, "_w",
+              .select(id_col, *carry, "_w",
                       F.posexplode(F.sequence(
                           F.lit(0), F.size("_w") - 1, F.lit(stride)))
                        .alias("chunk_idx", "start_tok")))
@@ -161,7 +170,8 @@ def chunk_documents(df: DataFrame, text_col: str = "text",
         F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
         F.col("start_tok").cast("bigint").alias("start_tok"),
         F.size(chunk).cast("bigint").alias("chunk_len"),
-        hash32(F.concat_ws(" ", chunk)).alias("chunk_hash"))
+        hash32(F.concat_ws(" ", chunk)).alias("chunk_hash"),
+        *carry)
 
 
 #: fixed sub-shard fan-out inside every shard. A CONSTANT, not the
@@ -286,12 +296,16 @@ def prepare_corpus(df: DataFrame, text_col: str = "text",
                 id_col, "semi"))
         report["after_span_gate"] = docs.count()
 
-    chunks = chunk_documents(docs, text_col, id_col, chunk_tokens, stride)
     if shard_col is None:
-        chunks = chunks.withColumn("shard", F.lit("all"))
+        chunks = (chunk_documents(docs, text_col, id_col, chunk_tokens,
+                                  stride)
+                  .withColumn("shard", F.lit("all")))
         shard = "shard"
     else:
-        chunks = chunks.join(df.select(id_col, shard_col), id_col)
+        # shard key rides the chunk explode (carry_cols) instead of a
+        # join back to the corpus
+        chunks = chunk_documents(docs, text_col, id_col, chunk_tokens,
+                                 stride, carry_cols=(shard_col,))
         shard = shard_col
     # pinned: counted for the report, then consumed by the caller —
     # with lineage truncated, the caller's actions plan against a

@@ -172,8 +172,10 @@ def c01_chunk_pack(spark, sf_dir):
     24, packed into 256-token budgets per source shard. Chunking is
     scan-local; packing shuffles once, keyed by shard."""
     docs = load_table(spark, sf_dir, "documents")
-    chunks = (corpus.chunk_documents(docs, chunk_tokens=32, stride=24)
-                    .join(docs.select("doc_id", "source"), "doc_id"))
+    # `source` rides the chunk explode (carry_cols) — fetching it
+    # later would cost a join back to the corpus
+    chunks = corpus.chunk_documents(docs, chunk_tokens=32, stride=24,
+                                    carry_cols=("source",))
     packed = corpus.pack_chunks(chunks, budget=256, part_col="source")
     return _psort(packed.select("doc_id", "chunk_idx", "start_tok",
                                 "chunk_len", "chunk_hash", "source",
