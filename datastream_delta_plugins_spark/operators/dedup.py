@@ -36,7 +36,7 @@ from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.textfns import hash32, hash64, norm_text, words_col
+from ..functions.textfns import hash64, norm_text, words_col
 
 # Fixed MinHash permutation parameters (public construction:
 # h_i(x) = (a_i * x + b_i) mod P over a 32-bit hash universe).
