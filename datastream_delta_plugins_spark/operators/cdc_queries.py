@@ -76,10 +76,13 @@ def simulate_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     expressions, most discarded) and measured ~2.5x slower on the
     single-split scan stage.
 
-    No repartition before the event generation: the groupBy shuffle
-    right after fans the merge out regardless, and an exchange + AQE
-    job costs more than it saves at this size. Real change streams
-    arrive as many files and parallelize at the scan."""
+    Callers that merge on pk should wrap the result in
+    fan_out(..., by="pk"): that exchange is NOT an extra shuffle — it
+    SUBSTITUTES the merge aggregation's own exchange (pk-clustering
+    satisfies the groupBy's distribution, so Catalyst elides it) while
+    moving the shuffle BELOW the per-event expression work, which
+    otherwise runs serially on a single-split scan. Real change
+    streams arrive as many files and parallelize at the scan."""
     o = _orders(spark, sf_dir)
     k = F.col("o_orderkey")
     p = F.col("o_totalprice")
@@ -194,8 +197,15 @@ def _cte(blacklist: str = "") -> str:
 
 # --- Q26 latest-row materialization ---
 
+def _changes(spark, sf_dir):
+    # pk fan-out: substitutes the merge's own exchange (see
+    # simulate_changes docstring) and parallelizes event generation
+    from ..sources.tables import fan_out
+    return fan_out(simulate_changes(spark, sf_dir), by="pk")
+
+
 def q26_cdc_latest(spark, sf_dir):
-    changes = simulate_changes(spark, sf_dir)
+    changes = _changes(spark, sf_dir)
     latest = materialize(changes, ["pk"])
     return _psort(latest.select("pk", *PAYLOAD), "pk")
 
@@ -203,7 +213,7 @@ def q26_cdc_latest(spark, sf_dir):
 # --- Q27 soft delete ---
 
 def q27_cdc_soft_delete(spark, sf_dir):
-    changes = simulate_changes(spark, sf_dir)
+    changes = _changes(spark, sf_dir)
     latest = materialize(changes, ["pk"])
     return _psort(latest.select("pk", "_is_deleted"), "pk")
 
@@ -211,7 +221,7 @@ def q27_cdc_soft_delete(spark, sf_dir):
 # --- Q28 snapshot + CDC union -> live row count ---
 
 def q28_cdc_live_count(spark, sf_dir):
-    changes = simulate_changes(spark, sf_dir)
+    changes = _changes(spark, sf_dir)
     live = materialize(changes, ["pk"], soft_delete=False)
     return live.agg(F.count(F.lit(1)).alias("c"))
 
@@ -219,7 +229,7 @@ def q28_cdc_live_count(spark, sf_dir):
 # --- Q29 PK-update split: old pk soft-deleted, new pk live ---
 
 def q29_cdc_pk_update(spark, sf_dir):
-    changes = simulate_changes(spark, sf_dir)
+    changes = _changes(spark, sf_dir)
     latest = materialize(changes, ["pk"])
     pair = ((F.col("pk") % 97 == 0) & (F.col("pk") < 10_000_000)) | \
            ((F.col("pk") >= 10_000_000) & (F.col("pk") < 20_000_000))
@@ -230,7 +240,7 @@ def q29_cdc_pk_update(spark, sf_dir):
 # --- Q30 DML blacklist: DELETEs filtered pre-merge ---
 
 def q30_cdc_blacklist(spark, sf_dir):
-    changes = simulate_changes(spark, sf_dir)
+    changes = _changes(spark, sf_dir)
     latest = materialize(changes, ["pk"], dml_blacklist=("DELETE",))
     return _psort(
         latest.where((F.col("pk") % 13 == 0) & (F.col("pk") < 10_000_000))
