@@ -442,3 +442,22 @@ def test_ivf_indexed_external_query_ids(spark, sf_correctness, tmp_path):
                                       exclude_query_ids=False).collect()
     first = min(got, key=lambda r: r["rn"])
     assert first["vec_id"] == 7 and abs(first["cos"] - 1.0) < 1e-12
+
+
+def test_persist_tracked_reuses_identical_input(spark):
+    """Same-input calls hand back the WARM cache generation (plan
+    sameResult match); a different input evicts it and builds a new
+    one — the memoization contract repeated queries and iterative
+    pipelines rely on."""
+    df1 = spark.createDataFrame([(1, "a b c d"), (2, "b c d e")],
+                                "doc_id long, text string")
+    df2 = spark.createDataFrame([(3, "x y z w")],
+                                "doc_id long, text string")
+    key = "test.reuse"
+    a = dedup._persist_tracked(key, dedup.minhash_signatures(df1))
+    b = dedup._persist_tracked(key, dedup.minhash_signatures(df1))
+    assert b is a  # warm generation reused
+    c = dedup._persist_tracked(key, dedup.minhash_signatures(df2))
+    assert c is not a  # changed input evicts
+    assert c.count() == 1
+    dedup._CACHE_GENS.pop(key).unpersist()
