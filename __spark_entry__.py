@@ -50,7 +50,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # gate. The former no-oracle entries were made checkable instead of
     # hidden: q37 emits exact count + HLL error-bound boolean, s02 runs
     # IVF in exhaustive-probe mode where it is provably exact
-    # (pruned-probe recall stays asserted in tests).
+    # (pruned-probe recall stays asserted in tests). Round 4 tagged-
+    # union consolidations freed slots for incremental maintenance:
+    # q33 rides q32, d04 rides d02; the freed slots gate
+    # r01_incremental_rollup and i01_dedup_index.
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for registry in (relational.QUERIES, cdc_queries.QUERIES,
                      event_queries.QUERIES, pipeline_queries.QUERIES):
