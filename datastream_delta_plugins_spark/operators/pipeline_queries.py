@@ -219,10 +219,18 @@ def t01_text_stats(spark, sf_dir):
 
 
 def t02_lang_id(spark, sf_dir):
-    """lang_id + fingerprint columns in one declared query (same
-    consolidation rationale and single-projection shape as t01)."""
-    return _psort(text.doc_signature(load_table(spark, sf_dir, "documents")),
-                  "doc_id")
+    """lang_id + fingerprint + tf-idf salient-term columns in one
+    declared query (same consolidation rationale as t01: carrier
+    columns keep every operator hash-gated within the 50-slot budget).
+    The salient-term triple (term, tf, df_t) is integers + a string —
+    see text.salient_terms for the cross-engine determinism argument.
+    Docs with no terms carry NULLs via the left join."""
+    sig = text.doc_signature(load_table(spark, sf_dir, "documents"))
+    top = (text.salient_terms(_docs(spark, sf_dir), k=1)
+           .select("doc_id", F.col("term").alias("top_term"),
+                   F.col("tf").alias("top_term_tf"),
+                   F.col("df_t").alias("top_term_df")))
+    return _psort(sig.join(top, "doc_id", "left"), "doc_id")
 
 
 def m02_multimodal_decode(spark, sf_dir):
@@ -482,12 +490,26 @@ ORACLE_SQL: dict[str, str] = {
         ms AS (SELECT doc_id,
                       min(CAST('0x' || substr(md5(s), 1, 8) AS BIGINT))
                         AS min_shingle_hash
-               FROM sh GROUP BY doc_id)
+               FROM sh GROUP BY doc_id),
+        wexp AS (SELECT doc_id, unnest(w) AS term FROM toks),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM wexp
+               WHERE len(term) > 0 GROUP BY 1, 2),
+        dft AS (SELECT term, count(*) AS df_t FROM tf GROUP BY 1),
+        top AS (SELECT doc_id, term AS top_term, tf AS top_term_tf,
+                       df_t AS top_term_df
+                FROM (SELECT tf.*, dft.df_t,
+                             row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY CAST(tf AS DOUBLE)/df_t DESC,
+                                          term) AS rn
+                      FROM tf JOIN dft USING (term))
+                WHERE rn = 1)
         SELECT d.doc_id, {_LANG_CASE} AS pred_lang, {_LANG_MAX} AS score,
-               md5({_NORM}) AS fp, ms.min_shingle_hash
+               md5({_NORM}) AS fp, ms.min_shingle_hash,
+               top.top_term, top.top_term_tf, top.top_term_df
         FROM documents d
         JOIN scores USING (doc_id)
         LEFT JOIN ms ON ms.doc_id = d.doc_id
+        LEFT JOIN top ON top.doc_id = d.doc_id
         ORDER BY d.doc_id""",
     # the incrementally-maintained rollup must equal the one-shot
     # aggregate over all events — the materialized-view invariant

@@ -207,6 +207,44 @@ def fingerprint(df: DataFrame, text_col: str = "text",
     return fp.join(min_sh, id_col, "left")
 
 
+def salient_terms(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", k: int = 1) -> DataFrame:
+    """Per-document top-k most DISTINCTIVE terms by tf-idf ordering:
+    salience sorts on tf/df_t descending (tf = in-doc occurrences,
+    df_t = number of docs containing the term), term ascending on
+    ties. Returns (id, term, tf, df_t, rank), rank 1..k — the
+    keyword-extraction signal a corpus explorer or labeling pass
+    consumes.
+
+    Determinism across engines: tf and df_t are small ints, so the
+    double division is exactly reproducible (every small-int rational
+    rounds to one double) and ties break on the term string — no
+    float-sum order sensitivity anywhere.
+
+    Shapes: explode words -> per-(doc,term) count (exchange ELIDED
+    when the caller fanned out by doc id) -> vocabulary-sized
+    document-frequency aggregate joined back under the same
+    stats-gated broadcast as span_dup_stats -> per-doc top-k window
+    (doc-clustered: sort only, no exchange). At 100 TB the df_t join
+    degrades to a shuffle join with AQE skew handling; nothing
+    collects."""
+    from ..plans.hints import auto_broadcast
+
+    w = (df.select(F.col(id_col), F.explode(words_col(text_col))
+                    .alias("term"))
+           .where(F.length("term") > 0))
+    tf = w.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    from pyspark.sql import Window as W
+    win = (W.partitionBy(id_col)
+            .orderBy((F.col("tf").cast("double") / F.col("df_t")).desc(),
+                     "term"))
+    return (tf.join(auto_broadcast(dft), "term")
+              .withColumn("rank", F.row_number().over(win).cast("bigint"))
+              .where(F.col("rank") <= k)
+              .select(id_col, "term", "tf", "df_t", "rank"))
+
+
 def _gram_expr(n: int) -> F.Column:
     """n-gram array over the staged `_w` token array (with repeats).
     Empty for docs shorter than n — the size guard must live INSIDE

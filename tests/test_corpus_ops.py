@@ -366,3 +366,21 @@ def test_pack_chunks_sub_shard_parallel(spark):
                .select(F.spark_partition_id().alias("p"))
                .distinct().count())
     assert n_parts > 1
+
+
+def test_salient_terms_tfidf_ordering(spark):
+    """Hand-computed tf-idf salience: highest tf/df wins, ties break
+    on the lexicographically smallest term, k bounds ranks."""
+    df = _docs(spark, [(0, "apple apple banana"),
+                       (1, "banana cherry"),
+                       (2, "apple cherry cherry cherry")])
+    got = {r["doc_id"]: (r["term"], r["tf"], r["df_t"], r["rank"])
+           for r in text.salient_terms(df, k=1).collect()}
+    # df_t: apple 2, banana 2, cherry 2
+    assert got[0] == ("apple", 2, 2, 1)     # 2/2 beats banana 1/2
+    assert got[1] == ("banana", 1, 2, 1)    # 1/2 tie -> smallest term
+    assert got[2] == ("cherry", 3, 2, 1)    # 3/2 beats apple 1/2
+    two = text.salient_terms(df, k=2).where(F.col("doc_id") == 0)
+    assert [(r["term"], r["rank"]) for r in
+            two.orderBy("rank").collect()] == [("apple", 1),
+                                               ("banana", 2)]
