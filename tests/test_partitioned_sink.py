@@ -375,3 +375,31 @@ def test_streaming_rollup_listing_partition_scoped(spark, tmp_path,
            for r in read_rollup(spark, roll).collect()}
     assert got[(13, 13)] == 1 and got[(13, 99)] == 1
     assert len(got) == 25
+
+
+def test_compaction_predicate_survives_many_partitions(spark, tmp_path):
+    """Regression: the victim-partition predicate used to be a
+    reduce-OR chain of per-directory equalities, which overflowed the
+    analyzer's recursion a few hundred hourly partitions in. 300
+    victim partitions must compact without error and keep row counts.
+    """
+    import datetime
+
+    from datastream_delta_plugins_spark.sinks.partitioned import (
+        compact_partitions, write_time_partitioned)
+
+    src = str(tmp_path / "many")
+    base = datetime.datetime(2026, 3, 1)
+    rows = []
+    for i in range(300):
+        ts = base + datetime.timedelta(hours=i)
+        rows.append((i, ts, 1.0))
+        rows.append((i + 1000, ts, 2.0))
+    # two appends -> >= 2 files per partition, so every partition is a
+    # small-file victim
+    write_time_partitioned(_events(spark, rows), src, "ts")
+    write_time_partitioned(_events(spark, rows), src, "ts")
+    before = spark.read.parquet(src).count()
+    r = compact_partitions(spark, src, min_age_seconds=0.0)
+    assert r["partitions"] == 300
+    assert spark.read.parquet(src).count() == before
