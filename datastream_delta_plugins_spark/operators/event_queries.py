@@ -80,21 +80,57 @@ def q33_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _psort(s.select("w_start", "c"), "w_start")
 
 
-# --- Q34: JSON property extraction + aggregation
+# --- Q34: JSON property extraction + hourly time bucketing (tagged)
 
 def q34_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON property aggregation AND hourly time bucketing (the former
+    q25) as one tagged union — both stay hash-gated in one of the 50
+    slots; the freed slot gates x01_interval_join. tag 'json' rows
+    carry (event_type, kb, c, sv); tag 'hour' rows carry (h, c)."""
     ev = _events(spark, sf_dir)
     k = F.get_json_object("props", "$.k").cast("bigint")
-    return (ev.groupBy("event_type", (k % 10).alias("kb"))
-              .agg(F.count(F.lit(1)).alias("c"),
-                   F.round(F.sum("value"), 4).alias("sv"))
-              .transform(lambda d: _psort(d, "event_type", "kb")))
+    json_rows = (ev.groupBy("event_type", (k % 10).alias("kb"))
+                   .agg(F.count(F.lit(1)).alias("c"),
+                        F.round(F.sum("value"), 4).alias("sv"))
+                   .select(F.lit("json").alias("tag"), "event_type",
+                           "kb", F.lit(None).cast("timestamp_ntz")
+                           .alias("h"), "c", "sv"))
+    hour_rows = (ev.groupBy(F.date_trunc("hour", "ts").alias("h"))
+                   .agg(F.count(F.lit(1)).alias("c"))
+                   .select(F.lit("hour").alias("tag"),
+                           F.lit(None).cast("string").alias("event_type"),
+                           F.lit(None).cast("bigint").alias("kb"),
+                           "h", "c",
+                           F.lit(None).cast("double").alias("sv")))
+    return _psort(json_rows.unionByName(hour_rows),
+                  "tag", "event_type", "kb", "h")
+
+
+# --- X01: event-time interval join (bucketed candidate generation)
+
+def x01_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch interval join, hard-gated: every (click, error) pair per
+    user with 0 <= err_ts - click_ts <= 300 s. Exercises the bucketed
+    candidate generation (time joins the equi-key, then the exact
+    window trims) against a plain range-join SQL truth."""
+    ev = _events(spark, sf_dir)
+    clicks = (ev.where(F.col("event_type") == "click")
+                .select("user_id", F.col("event_id").alias("c_id"), "ts"))
+    errors = (ev.where(F.col("event_type") == "error")
+                .select("user_id", F.col("event_id").alias("e_id"), "ts"))
+    out = temporal.interval_join(
+        clicks, errors, on=["user_id"], left_ts="ts", right_ts="ts",
+        lower_seconds=0.0, upper_seconds=300.0,
+        right_cols={"ts": "err_ts", "e_id": "e_id"})
+    return _psort(out.select("user_id", "c_id", "ts", "err_ts", "e_id"),
+                  "c_id", "e_id")
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q31_asof_join": q31_asof_join,
     "q32_sessionize": q32_sessionize,
     "q34_json_extract": q34_json_extract,
+    "x01_interval_join": x01_interval_join,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -133,8 +169,26 @@ ORACLE_SQL: dict[str, str] = {
         SELECT * FROM (SELECT * FROM sess UNION ALL SELECT * FROM wind)
         ORDER BY tag, user_id, t_start""",
     "q34_json_extract": """
-        SELECT event_type,
-               CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS kb,
-               count(*) AS c, round(sum(value), 4) AS sv
-        FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+        WITH j AS (SELECT 'json' AS tag, event_type,
+                          CAST(json_extract_string(props, '$.k')
+                               AS BIGINT) % 10 AS kb,
+                          CAST(NULL AS TIMESTAMP) AS h,
+                          count(*) AS c, round(sum(value), 4) AS sv
+                   FROM events GROUP BY 1, 2, 3),
+        hr AS (SELECT 'hour' AS tag, CAST(NULL AS VARCHAR) AS event_type,
+                      CAST(NULL AS BIGINT) AS kb,
+                      date_trunc('hour', ts) AS h,
+                      count(*) AS c, CAST(NULL AS DOUBLE) AS sv
+               FROM events GROUP BY 4)
+        SELECT * FROM (SELECT * FROM j UNION ALL SELECT * FROM hr)
+        ORDER BY tag, event_type, kb, h""",
+    "x01_interval_join": """
+        SELECT c.user_id, c.event_id AS c_id, c.ts,
+               e.ts AS err_ts, e.event_id AS e_id
+        FROM events c JOIN events e
+          ON c.user_id = e.user_id
+         AND e.ts >= c.ts
+         AND e.ts <= c.ts + INTERVAL 300 SECOND
+        WHERE c.event_type = 'click' AND e.event_type = 'error'
+        ORDER BY c_id, e_id""",
 }

@@ -193,15 +193,32 @@ def s01_cosine_topk(spark, sf_dir):
 
 
 def s02_ivf_topk(spark, sf_dir):
-    """IVF in exhaustive-probe mode (nprobe=None): every cell probed,
-    so the output is provably exact and hash-checks against the same
-    SQL oracle as brute force — verifying the whole cell-routing
-    machinery through the hard gate via a second, independent physical
-    plan (cell equi-joins vs s01's blocked screen). Pruned-probe
-    (nprobe=3) recall is asserted in tests/test_pipeline_ops.py."""
-    return (similarity.ivf_topk(_embs(spark, sf_dir),
-                                F.col("vec_id") % 50 == 0, k=5, nprobe=None)
-                      .transform(lambda d: _psort(d, "q_id", "rn")))
+    """IVF in exhaustive-probe mode, BOTH execution paths, as one
+    tagged union: tag 'direct' runs ivf_topk over raw vectors
+    (in-memory cell routing), tag 'indexed' builds a PERSISTED IVF
+    index (fresh tempdir: k-means cells laid out as partitioned
+    parquet + centroids) and probes it with nprobe = n_cells. With
+    every cell probed both are provably exact, so one SQL truth
+    hash-checks the whole routing machinery twice — including the
+    index save/load + partition-pruned probe path, which was
+    previously only value-tested. Pruned-probe (nprobe=3) recall is
+    asserted in tests/test_pipeline_ops.py."""
+    import tempfile
+
+    pred = F.col("vec_id") % 50 == 0
+    direct = (similarity.ivf_topk(_embs(spark, sf_dir), pred, k=5,
+                                  nprobe=None)
+              .select(F.lit("direct").alias("tag"), "q_id", "vec_id",
+                      "cos", "rn"))
+    emb = load_table(spark, sf_dir, "embeddings")
+    tmp = tempfile.mkdtemp(prefix="s02_ivf_")
+    n_cells = 8
+    similarity.save_ivf_index(emb, tmp, k=n_cells)
+    indexed = (similarity.ivf_topk_indexed(spark, tmp, emb.where(pred),
+                                           k=5, nprobe=n_cells)
+               .select(F.lit("indexed").alias("tag"), "q_id", "vec_id",
+                       "cos", "rn"))
+    return _psort(direct.unionByName(indexed), "tag", "q_id", "rn")
 
 
 def t01_text_stats(spark, sf_dir):
@@ -545,10 +562,15 @@ ORACLE_SQL: dict[str, str] = {
         WITH {_EMB},
         q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 50 = 0),
         scored AS (SELECT q_id, vec_id, {_COS.format(a='qv', b='v')} AS cos
-                   FROM q CROSS JOIN e WHERE vec_id <> q_id)
-        SELECT q_id, vec_id, cos, rn FROM (
+                   FROM q CROSS JOIN e WHERE vec_id <> q_id),
+        topk AS (SELECT q_id, vec_id, cos, rn FROM (
           SELECT q_id, vec_id, cos,
                  CAST(row_number() OVER (PARTITION BY q_id
                       ORDER BY cos DESC, vec_id) AS BIGINT) AS rn
-          FROM scored) WHERE rn <= 5 ORDER BY q_id, rn""",
+          FROM scored) WHERE rn <= 5)
+        SELECT * FROM (
+          SELECT 'direct' AS tag, * FROM topk
+          UNION ALL
+          SELECT 'indexed' AS tag, * FROM topk
+        ) ORDER BY tag, q_id, rn""",
 }

@@ -375,6 +375,7 @@ def q24_correlated_subquery(spark, sf_dir):
 
 # --- Q25 time bucketing (tumbling window, batch-checkable) ---
 
+# gated inside q34_json_extract's tagged union; kept callable
 def q25_time_bucket(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
     return (e.groupBy(F.date_trunc("hour", "ts").alias("h"))
@@ -539,7 +540,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q22_math_decimal": q22_math_decimal,
     "q23_case": q23_case,
     "q24_correlated_subquery": q24_correlated_subquery,
-    "q25_time_bucket": q25_time_bucket,
     "q35_percentiles": q35_percentiles,
     "q36_pivot": q36_pivot,
     "q37_approx_distinct": q37_approx_distinct,
@@ -667,9 +667,6 @@ ORACLE_SQL: dict[str, str] = {
               * (SELECT count(*) FROM part p2 WHERE p2.p_brand = p.p_brand)
               > (SELECT sum(CAST(p2.p_retailprice AS DECIMAL(18,4)))
                  FROM part p2 WHERE p2.p_brand = p.p_brand)""",
-    "q25_time_bucket": """
-        SELECT date_trunc('hour', ts) AS h, count(*) AS c
-        FROM events GROUP BY 1 ORDER BY h""",
     "q35_percentiles": """
         SELECT l_returnflag,
                round(quantile_cont(l_quantity, 0.5), 4) AS p50,
