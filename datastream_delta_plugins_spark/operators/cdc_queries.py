@@ -247,12 +247,32 @@ def q30_cdc_blacklist(spark, sf_dir):
               .select("pk", "o_totalprice", "_is_deleted"), "pk")
 
 
+# --- X02: change feed between two materialized state versions ---
+
+def x02_state_diff(spark, sf_dir):
+    """diff_states hard-gated: prev = the snapshot-only merge, cur =
+    the full merge over the same change stream; the emitted change
+    feed (pk, _change in INSERT/UPDATE/DELETE) must equal the SQL
+    oracle's classification derived from the same two windowed states
+    (full-outer compare, soft-delete flips, null-safe payload
+    inequality)."""
+    from .cdc import diff_states
+
+    ch = _changes(spark, sf_dir)
+    prev = (materialize(ch.where(F.col("read_method") == _SNAP), ["pk"])
+            .select("pk", *PAYLOAD, "_is_deleted"))
+    cur = (materialize(ch, ["pk"])
+           .select("pk", *PAYLOAD, "_is_deleted"))
+    return _psort(diff_states(prev, cur, ["pk"]), "pk")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q26_cdc_latest": q26_cdc_latest,
     "q27_cdc_soft_delete": q27_cdc_soft_delete,
     "q28_cdc_live_count": q28_cdc_live_count,
     "q29_cdc_pk_update": q29_cdc_pk_update,
     "q30_cdc_blacklist": q30_cdc_blacklist,
+    "x02_state_diff": x02_state_diff,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -275,4 +295,28 @@ ORACLE_SQL: dict[str, str] = {
         SELECT pk, o_totalprice, (_op = 'DELETE') AS _is_deleted
         FROM latest WHERE rn = 1 AND pk % 13 = 0 AND pk < 10000000
         ORDER BY pk""",
+    "x02_state_diff": _cte() + """,
+cur AS (SELECT pk, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+               o_orderpriority, (_op = 'DELETE') AS del
+        FROM latest WHERE rn = 1),
+prev AS (SELECT pk, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+                o_orderpriority, (_op = 'DELETE') AS del
+         FROM (SELECT *, row_number() OVER (PARTITION BY pk
+                   ORDER BY _sk1 DESC, _sk2 DESC, _sk3 DESC, _sk4 DESC)
+                   AS rn2
+               FROM normalized
+               WHERE read_method LIKE '%backfill%')
+         WHERE rn2 = 1)
+SELECT pk, _change FROM (
+  SELECT COALESCE(c.pk, p.pk) AS pk,
+         CASE WHEN NOT (p.pk IS NOT NULL AND NOT p.del)
+                   AND (c.pk IS NOT NULL AND NOT c.del) THEN 'INSERT'
+              WHEN (p.pk IS NOT NULL AND NOT p.del)
+                   AND (c.pk IS NOT NULL AND c.del) THEN 'DELETE'
+              WHEN (p.pk IS NOT NULL AND NOT p.del)
+                   AND (c.pk IS NOT NULL AND NOT c.del)
+                   AND (p.o_custkey IS DISTINCT FROM c.o_custkey OR p.o_orderstatus IS DISTINCT FROM c.o_orderstatus OR p.o_totalprice IS DISTINCT FROM c.o_totalprice OR p.o_orderdate IS DISTINCT FROM c.o_orderdate OR p.o_orderpriority IS DISTINCT FROM c.o_orderpriority)
+                THEN 'UPDATE' END AS _change
+  FROM prev p FULL OUTER JOIN cur c ON p.pk = c.pk)
+WHERE _change IS NOT NULL ORDER BY pk""",
 }

@@ -217,15 +217,33 @@ def q10_range_join(spark, sf_dir):
 # --- Q11 rollup ---
 
 def q11_rollup(spark, sf_dir):
+    """ROLLUP over orders AND CUBE over lineitem (the former q12) as
+    one tagged union — both grouping-set operators stay hash-gated in
+    one of the 50 slots; the freed slot gates x02_state_diff. tag
+    'rollup' rows carry (g1=o_orderstatus, g2=o_orderpriority, c);
+    tag 'cube' rows carry (g1=l_returnflag, g2=l_linestatus, s).
+    l_quantity is integral-valued, so the double sum is exact in any
+    aggregation order."""
     o = _t(spark, sf_dir, "orders")
-    return (o.rollup("o_orderstatus", "o_orderpriority")
+    li = _t(spark, sf_dir, "lineitem")
+    roll = (o.rollup("o_orderstatus", "o_orderpriority")
              .agg(F.count(F.lit(1)).alias("c"))
-             .transform(lambda d: _psort(
-                 d, F.col("o_orderstatus").asc_nulls_first(),
-                 F.col("o_orderpriority").asc_nulls_first(), "c")))
+             .select(F.lit("rollup").alias("tag"),
+                     F.col("o_orderstatus").alias("g1"),
+                     F.col("o_orderpriority").alias("g2"),
+                     "c", F.lit(None).cast("double").alias("s")))
+    cube = (li.cube("l_returnflag", "l_linestatus")
+              .agg(F.sum("l_quantity").alias("s"))
+              .select(F.lit("cube").alias("tag"),
+                      F.col("l_returnflag").alias("g1"),
+                      F.col("l_linestatus").alias("g2"),
+                      F.lit(None).cast("bigint").alias("c"), "s"))
+    return _psort(roll.unionByName(cube),
+                  "tag", F.col("g1").asc_nulls_first(),
+                  F.col("g2").asc_nulls_first(), "c", "s")
 
 
-# --- Q12 cube ---
+# --- Q12 cube — gated inside q11's tagged union; kept callable ---
 
 def q12_cube(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
@@ -529,7 +547,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q08_semi_anti": q08_semi_anti,
     "q10_range_join": q10_range_join,
     "q11_rollup": q11_rollup,
-    "q12_cube": q12_cube,
     "q13_rank_window": q13_rank_window,
     "q14_lag_window": q14_lag_window,
     "q15_running_sum": q15_running_sum,
@@ -595,13 +612,18 @@ ORACLE_SQL: dict[str, str] = {
         ON p.p_partkey = l.l_partkey
            AND l.l_quantity BETWEEN p.p_size - 5 AND p.p_size + 5""",
     "q11_rollup": """
-        SELECT o_orderstatus, o_orderpriority, count(*) AS c FROM orders
-        GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
-        ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST, c""",
-    "q12_cube": """
-        SELECT l_returnflag, l_linestatus, sum(l_quantity) AS s FROM lineitem
-        GROUP BY CUBE (l_returnflag, l_linestatus)
-        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST, s""",
+        WITH r AS (SELECT 'rollup' AS tag, o_orderstatus AS g1,
+                          o_orderpriority AS g2, count(*) AS c,
+                          CAST(NULL AS DOUBLE) AS s
+                   FROM orders
+                   GROUP BY ROLLUP (o_orderstatus, o_orderpriority)),
+        cb AS (SELECT 'cube' AS tag, l_returnflag AS g1,
+                      l_linestatus AS g2, CAST(NULL AS BIGINT) AS c,
+                      sum(l_quantity) AS s
+               FROM lineitem
+               GROUP BY CUBE (l_returnflag, l_linestatus))
+        SELECT * FROM (SELECT * FROM r UNION ALL SELECT * FROM cb)
+        ORDER BY tag, g1 NULLS FIRST, g2 NULLS FIRST, c, s""",
     "q13_rank_window": """
         SELECT * FROM (
           SELECT o_custkey, o_orderkey,
