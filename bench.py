@@ -95,10 +95,11 @@ def avro_decode_mb_s(spark) -> float:
              "type": {"type": "array", "items": ["string", "long"]}},
         ],
     }
-    # file sized so per-task decode time >> task scheduling (~90ms):
-    # ~10k records ~= 0.7s of single-core decode per file
+    # File sized like a real change blob (~20 MB of records, hundreds
+    # of 64 KiB sync blocks) so the wavefront decoder has lanes and
+    # per-task decode time >> task scheduling (~90 ms).
     recs = []
-    for i in range(10000):
+    for i in range(120000):
         ts = 1700000000000 + i
         recs.append({
             "uuid": f"uuid-{i:08d}", "read_timestamp": ts + 5,

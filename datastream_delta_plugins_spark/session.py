@@ -20,11 +20,25 @@ from pyspark.sql import SparkSession
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def _tune_worker_allocator() -> None:
+    """Python workers inherit the JVM's env (set here, pre-launch).
+
+    numpy frees/reallocates MB-scale temporaries constantly in the
+    Arrow-batched decode paths; glibc's default 128 KiB mmap threshold
+    turns each into an mmap/munmap pair, and at local[32] the resulting
+    page-fault storm serializes in the kernel (measured: 16-way
+    avro_vector decode 2.8 s -> 2.0 s per file with these settings).
+    Large thresholds keep big blocks on the reusable heap instead."""
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "1073741824")
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "1073741824")
+
+
 def get_spark(app_name: str = "datastream-delta-spark",
               cpus: int | None = None,
               shuffle_partitions: int | None = None) -> SparkSession:
     cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle_partitions = shuffle_partitions or cpus
+    _tune_worker_allocator()
     builder = (
         SparkSession.builder
         .master(f"local[{cpus}]")

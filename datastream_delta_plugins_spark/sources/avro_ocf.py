@@ -29,6 +29,8 @@ import struct
 import zlib
 from decimal import Decimal
 
+import numpy as np
+
 MAGIC = b"Obj\x01"
 SYNC = b"\x00\x01\x02\x03\x04\x05\x06\x07\x08\x09\x0a\x0b\x0c\x0d\x0e\x0f"
 
@@ -371,9 +373,16 @@ def read_ocf(raw: bytes) -> tuple[dict, list[dict]]:
     return schema, records
 
 
-def write_ocf(schema: dict, records: list[dict],
-              codec: str = "deflate") -> bytes:
-    """Serialize records into an Avro object-container file."""
+def write_ocf(schema: dict, records: list[dict], codec: str = "deflate",
+              sync_interval: int = 64 * 1024) -> bytes:
+    """Serialize records into an Avro object-container file.
+
+    Like the stock Avro ``DataFileWriter``, a block is flushed whenever
+    the pending encoded bytes reach ``sync_interval`` (Java default
+    64 KiB) — multi-block files are what real writers produce, and what
+    gives `avro_vector`'s wavefront decoder its lanes. ``sync_interval
+    <= 0`` forces a single block (the degenerate shape the fallback
+    reader covers)."""
     enc = _Encoder()
     enc.raw(MAGIC)
     meta = {"avro.schema": json.dumps(schema).encode(),
@@ -384,18 +393,28 @@ def write_ocf(schema: dict, records: list[dict],
         enc.bytes_(v)
     enc.long(0)
     enc.raw(SYNC)
+
+    def flush(count: int, body: bytes) -> None:
+        if codec == "deflate":
+            body = zlib.compress(body)[2:-4]  # raw deflate, no wrapper
+        elif codec != "null":
+            raise ValueError(f"unsupported Avro codec {codec!r}")
+        enc.long(count)
+        enc.long(len(body))
+        enc.raw(body)
+        enc.raw(SYNC)
+
     body = _Encoder()
+    pending = 0
     for r in records:
         encode_value(schema, r, body)
-    block = body.value()
-    if codec == "deflate":
-        block = zlib.compress(block)[2:-4]  # raw deflate, no zlib wrapper
-    elif codec != "null":
-        raise ValueError(f"unsupported Avro codec {codec!r}")
-    enc.long(len(records))
-    enc.long(len(block))
-    enc.raw(block)
-    enc.raw(SYNC)
+        pending += 1
+        if sync_interval > 0 and len(body.out.getbuffer()) >= sync_interval:
+            flush(pending, body.value())
+            body = _Encoder()
+            pending = 0
+    if pending or not records:
+        flush(pending, body.value())
     return enc.value()
 
 
@@ -442,11 +461,19 @@ def _num_sort_key(v, pos: int, fpath: str):
             f"long here; fix the producer or remap sort columns") from None
 
 
-def read_avro_changes(spark, path: str, columns=None, avro_schema=None):
+def read_avro_changes(spark, path: str, columns=None, avro_schema=None,
+                      decoder: str = "auto"):
     """Distributed Avro change-file ingestion: binaryFile scan ->
-    mapInPandas decode -> the flattened change schema of
+    mapInArrow decode -> the flattened change schema of
     sources.changes (FIXTURES.md F1), plus `_source_file` for
     snapshot/CDC classification.
+
+    Decode is the vectorized wavefront of `avro_vector` whenever the
+    file shape allows (multi-block, envelope-subset schema) — columns
+    flow from the block bytes into Arrow buffers without building
+    Python row objects — and falls back to the closure-tree decoder
+    per file otherwise. Both paths emit identical Arrow batches
+    (pinned by tests/test_avro_source.py).
 
     The reader schema is `avro_schema` (the registry-described envelope,
     the reference's source of truth after a schema_key change) or, when
@@ -457,7 +484,14 @@ def read_avro_changes(spark, path: str, columns=None, avro_schema=None):
     columns — that is the drift signal to re-describe and re-read
     (reference: schema_key change -> re-describe,
     DatastreamEventReader.java:652-674).
+
+    ``decoder`` pins the per-file decode path: "auto" (vectorized with
+    per-file fallback), "scalar" (closure tree only — the equivalence
+    tests diff the two), or "vector" (raise instead of falling back —
+    pins that a fixture really exercises the fast path).
     """
+    if decoder not in ("auto", "scalar", "vector"):
+        raise ValueError(f"unknown decoder {decoder!r}")
     from pyspark.sql import types as T
 
     from ..schema.avro_mapping import avro_to_spark
@@ -525,60 +559,150 @@ def read_avro_changes(spark, path: str, columns=None, avro_schema=None):
     known_payload = {f["name"] for f in payload_schema["fields"]}
     strict = columns is None
 
-    def decode(batches):
+    import pyarrow as pa
+
+    from . import avro_vector
+
+    # target Arrow schema: Spark's own mapping of out_schema, with
+    # naive timestamps — both decode paths produce epoch-derived wall
+    # values exactly like the historical pandas path did
+    from pyspark.sql.pandas.types import to_arrow_schema
+    target = to_arrow_schema(out_schema)
+    target = pa.schema([
+        f.with_type(pa.timestamp(f.type.unit))
+        if pa.types.is_timestamp(f.type) else f for f in target])
+
+    def check_drift(fschema, fpath):
+        if not strict:
+            return
+        fp = _unwrap_nullable(
+            {f["name"]: f["type"] for f in fschema["fields"]}["payload"])
+        unknown = {f["name"] for f in fp["fields"]} - known_payload
+        if unknown:
+            raise ValueError(
+                f"{fpath}: payload fields {sorted(unknown)} "
+                f"are not in the reader schema — schema "
+                f"drift; re-describe the table and re-read "
+                f"with the evolved schema")
+
+    def decode_scalar(fpath, raw):
+        """Closure-tree fallback: one pandas frame for one file."""
         pd = _pd()
-        for pdf in batches:
-            cols: dict[str, list] = {f.name: [] for f in out_fields}
-            for fpath, content in zip(pdf["path"], pdf["content"]):
-                fschema, records = read_ocf(bytes(content))
-                if strict:
-                    fp = _unwrap_nullable(
-                        {f["name"]: f["type"]
-                         for f in fschema["fields"]}["payload"])
-                    unknown = {f["name"] for f in fp["fields"]} \
-                        - known_payload
-                    if unknown:
-                        raise ValueError(
-                            f"{fpath}: payload fields {sorted(unknown)} "
-                            f"are not in the reader schema — schema "
-                            f"drift; re-describe the table and re-read "
-                            f"with the evolved schema")
-                for r in records:
-                    for n in meta_names:
-                        cols[n].append(r.get(n))
-                    sm = r.get("source_metadata") or {}
-                    for n, o in zip(sm_names, sm_out):
-                        cols[o].append(sm.get(n))
-                    sk = r.get("sort_keys") or [None] * 4
-                    sk = list(sk) + [None] * (4 - len(sk))
-                    # sort_keys is array<union[string,long]>: either
-                    # branch is legal at ANY position, so coerce to the
-                    # output column types (long/long/string/long) — a
-                    # string-branch "20" at position 1 must not poison
-                    # the Arrow batch. A string that is NOT numeric at
-                    # a numeric position cannot be ordered as a long;
-                    # fail with the file/position, not a bare int()
-                    # traceback (same style as the drift error above).
-                    cols["_sk1"].append(_num_sort_key(sk[0], 0, fpath))
-                    cols["_sk2"].append(_num_sort_key(sk[1], 1, fpath))
-                    cols["_sk3"].append(None if sk[2] is None
-                                        else str(sk[2]))
-                    cols["_sk4"].append(_num_sort_key(sk[3], 3, fpath))
-                    p = r.get("payload") or {}
-                    for n, o, _t in payload_out:
-                        v = p.get(n)
-                        if v is not None and o in str_payload \
-                                and not isinstance(v, str):
-                            v = str(v)  # non-string union branch
-                        cols[o].append(v)
-                    cols["_source_file"].append(fpath)
-            out = pd.DataFrame(cols)
-            for n, conv in {**meta_conv, **payload_conv}.items():
-                if conv is not None and n in out.columns:
-                    out[n] = conv(out[n])
-            yield out
+        cols: dict[str, list] = {f.name: [] for f in out_fields}
+        fschema, records = read_ocf(raw)
+        check_drift(fschema, fpath)
+        for r in records:
+            for n in meta_names:
+                cols[n].append(r.get(n))
+            sm = r.get("source_metadata") or {}
+            for n, o in zip(sm_names, sm_out):
+                cols[o].append(sm.get(n))
+            sk = r.get("sort_keys") or [None] * 4
+            sk = list(sk) + [None] * (4 - len(sk))
+            # sort_keys is array<union[string,long]>: either
+            # branch is legal at ANY position, so coerce to the
+            # output column types (long/long/string/long) — a
+            # string-branch "20" at position 1 must not poison
+            # the Arrow batch. A string that is NOT numeric at
+            # a numeric position cannot be ordered as a long;
+            # fail with the file/position, not a bare int()
+            # traceback (same style as the drift error above).
+            cols["_sk1"].append(_num_sort_key(sk[0], 0, fpath))
+            cols["_sk2"].append(_num_sort_key(sk[1], 1, fpath))
+            cols["_sk3"].append(None if sk[2] is None else str(sk[2]))
+            cols["_sk4"].append(_num_sort_key(sk[3], 3, fpath))
+            p = r.get("payload") or {}
+            for n, o, _t in payload_out:
+                v = p.get(n)
+                if v is not None and o in str_payload \
+                        and not isinstance(v, str):
+                    v = str(v)  # non-string union branch
+                cols[o].append(v)
+            cols["_source_file"].append(fpath)
+        out = pd.DataFrame(cols)
+        for n, conv in {**meta_conv, **payload_conv}.items():
+            if conv is not None and n in out.columns:
+                out[n] = conv(out[n])
+        tbl = pa.Table.from_pandas(out, preserve_index=False)
+        return pa.RecordBatch.from_arrays(
+            [_to_target(tbl.column(f.name).combine_chunks(), f.type)
+             for f in target], schema=target)
+
+    def _to_target(arr, typ):
+        """Cast one decoded column to its target Arrow type."""
+        if isinstance(arr, np.ndarray):  # decimal objects
+            return pa.array(arr, type=typ, from_pandas=True)
+        if arr.type.equals(typ):
+            return arr
+        if pa.types.is_date32(typ) and pa.types.is_integer(arr.type):
+            return arr.cast(pa.int32()).cast(typ)
+        return arr.cast(typ)
+
+    def _sk_cols(sk, fpath, n):
+        """Split the sort_keys list column into _sk1.._sk4 (positions
+        0/1/3 long, 2 string — Oracle key order, SURVEY §1.3)."""
+        import pyarrow.compute as pc
+        offs, valid, items = sk["offsets"], sk["valid"], sk["items"]
+        counts = np.diff(offs)
+        out = []
+        for j, numeric in ((0, True), (1, True), (2, False), (3, True)):
+            present = valid & (counts > j)
+            if not present.any() or len(items) == 0:
+                out.append(pa.nulls(n, pa.int64() if numeric
+                                    else pa.string()))
+                continue
+            idx = np.minimum(offs[:-1] + j, len(items) - 1)
+            col = items.take(pa.array(idx, pa.int64(), mask=~present))
+            if numeric:
+                try:
+                    col = pc.cast(col, pa.int64())
+                except pa.ArrowInvalid:
+                    # locate the offender for the contract error message
+                    for rid, v in enumerate(col.to_pylist()):
+                        if v is not None:
+                            _num_sort_key(v, j, fpath)
+                    raise
+            out.append(col)
+        return out
+
+    def decode_vector(fpath, raw):
+        """Wavefront fast path: block bytes -> Arrow, no row objects."""
+        fschema, n, fin = avro_vector.decode_columnar(raw)
+        check_drift(fschema, fpath)
+        arrays = {}
+        for name in meta_names:
+            arrays[name] = fin[name]
+        sm = fin["source_metadata"]
+        for name, o in zip(sm_names, sm_out):
+            arrays[o] = sm[name]
+        sk1, sk2, sk3, sk4 = _sk_cols(fin["sort_keys"], fpath, n)
+        arrays.update({"_sk1": sk1, "_sk2": sk2,
+                       "_sk3": sk3, "_sk4": sk4})
+        p = fin["payload"]
+        for name, o, _t in payload_out:
+            arrays[o] = p[name]
+        arrays["_source_file"] = pa.array([fpath] * n, pa.string())
+        return pa.RecordBatch.from_arrays(
+            [_to_target(arrays[f.name], f.type) for f in target],
+            schema=target)
+
+    def decode(batches):
+        for batch in batches:
+            paths = batch.column(0).to_pylist()
+            contents = batch.column(1)
+            for fpath, cell in zip(paths, contents):
+                raw = cell.as_py()
+                if decoder == "scalar":
+                    yield decode_scalar(fpath, raw)
+                elif decoder == "vector":
+                    yield decode_vector(fpath, raw)
+                else:
+                    try:
+                        yield decode_vector(fpath, raw)
+                    except avro_vector.Unsupported:
+                        yield decode_scalar(fpath, raw)
 
     decoded = (bin_df.select("path", "content")
-                     .mapInPandas(decode, out_schema))
+                     .mapInArrow(decode, out_schema))
     from .changes import normalize_ops
     return normalize_ops(decoded)

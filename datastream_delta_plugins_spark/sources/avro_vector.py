@@ -1,0 +1,683 @@
+"""Vectorized (wavefront) Avro OCF block decoder.
+
+The pure-Python closure decoder in `avro_ocf` costs ~0.2 µs/field of
+interpreter time; measured end-to-end that caps wire ingest at
+~27 MB/s across 32 cores (BENCH_r04) — the dominant 100 TB cost, since
+the reference's whole job is this decode loop (reference:
+DatastreamEventConsumer.java:182-199). This module removes the
+per-value Python from the hot path by decoding COLUMNS, not records:
+
+Real Avro writers emit a sync-marker-delimited block every ~16-64 KB
+(`DataFileWriter` sync interval), so a file is many independently
+decodable byte ranges. We treat each block as a *lane*: a numpy int64
+cursor per lane, and a wavefront that decodes record `i` of EVERY lane
+in one step — each field becomes a handful of numpy array ops over all
+lanes (vectorized zigzag-varint, gather-sliced strings, strided
+doubles) instead of per-record Python. String bytes go straight from
+the block buffer into Arrow offset/data buffers; no Python `str`
+objects are ever built. Output is one pyarrow column set per file,
+ready for `mapInArrow`.
+
+Scope: the Datastream envelope subset — records, nullable unions,
+scalar unions that map to StringType (e.g. ``["null","string","long"]``,
+cast-on-use per SURVEY §1.3), string/bytes/long/int/boolean/double/
+float/fixed/enum, decimal-on-bytes, and one level of arrays of scalar/
+union items (``sort_keys``). Anything else (maps, nested arrays) raises
+:class:`Unsupported` and the caller falls back to the closure decoder,
+as it also does for effectively single-block files where the wavefront
+has no width (`MIN_LANES`).
+"""
+
+from __future__ import annotations
+
+import json
+import zlib
+from decimal import Decimal
+
+import numpy as np
+import pyarrow as pa
+
+from .avro_ocf import MAGIC, _Decoder
+
+#: below this lane count the numpy per-op overhead beats the win;
+#: callers should use the closure decoder instead (a file written with
+#: a standard 16-64 KB sync interval has hundreds of lanes)
+MIN_LANES = 8
+
+
+class Unsupported(Exception):
+    """Schema shape outside the vectorized subset — use the fallback."""
+
+
+# ------------------------------------------------------------ primitives
+
+_U1 = np.uint64(1)
+_U7F = np.uint64(0x7F)
+_U80 = np.uint64(0x80)
+_IOTA10 = np.arange(10, dtype=np.int32)
+_SHIFT7 = (np.arange(10, dtype=np.uint64) * np.uint64(7))
+
+#: buffers handed to the readers must be padded by this many zero bytes
+#: past the logical end so the flat 10-byte varint window never reads
+#: out of bounds
+PAD = 16
+
+
+def _zig(u: np.ndarray) -> np.ndarray:
+    return (u >> _U1).astype(np.int64) ^ -(u & _U1).astype(np.int64)
+
+
+def _vlong(buf: np.ndarray, pos: np.ndarray, hint=None) -> np.ndarray:
+    """Zigzag-varint decode at each cursor; advances ``pos`` in place.
+
+    Flat (loop-free) form: read a fixed byte window per cursor and mask
+    bytes past each value's terminator — the window never escapes the
+    buffer because callers pad by :data:`PAD`. A one-byte fast path
+    covers the common small values (lengths, branch indexes, counts).
+    ``hint`` is a mutable one-element list remembering the widest value
+    this call site saw, so a timestamp column reads 6-byte windows and
+    an SCN column 3-byte ones instead of always 10.
+    """
+    b0 = buf[pos]
+    if not (b0 & 0x80).any():
+        pos += 1
+        return _zig(b0.astype(np.uint64))
+    h = hint[0] if hint is not None else 10
+    while True:
+        w = buf[pos[:, None] + _IOTA10[:h]].astype(np.uint64)
+        stop = (w & _U80) == 0
+        if h == 10 or stop.any(1).all():
+            break
+        h = 10  # a value outgrew the remembered window — take the max
+    nb = stop.argmax(1).astype(np.int32) + 1
+    u = (w & _U7F) << _SHIFT7[:h]
+    u[_IOTA10[:h] >= nb[:, None]] = 0
+    pos += nb
+    if hint is not None:
+        m = int(nb.max())
+        if m > hint[0]:
+            hint[0] = m
+    # 7-bit groups at disjoint shifts: sum == bitwise-or
+    return _zig(u.sum(1, dtype=np.uint64))
+
+
+def _gather(buf: np.ndarray, starts: np.ndarray, lens: np.ndarray):
+    """Concatenate buf[starts[i]:starts[i]+lens[i]] slices (row-major).
+
+    int32 index math: per-file buffers are well under 2 GiB (enforced
+    in decode_columnar), and the index array is the dominant memory
+    traffic of the whole decode — halving it matters at 32-way."""
+    total = int(lens.sum())
+    if total == 0:
+        return np.empty(0, np.uint8)
+    lens32 = lens.astype(np.int32, copy=False)
+    out_start = np.cumsum(lens32, dtype=np.int32) - lens32
+    idx = np.arange(total, dtype=np.int32) \
+        + np.repeat(starts.astype(np.int32, copy=False) - out_start, lens32)
+    return buf[idx]
+
+
+def _bitmap(valid: np.ndarray) -> pa.Buffer:
+    return pa.py_buffer(np.packbits(valid, bitorder="little").tobytes())
+
+
+def _order(dest_chunks, n):
+    """Row order of chunk-order entries: inverse permutation (dense
+    dest = one entry per output row) or stable sort (keyed dest from
+    array items)."""
+    dest = np.concatenate(dest_chunks) if dest_chunks else \
+        np.empty(0, np.int64)
+    if n is not None and dest.size == n:
+        inv = np.empty(n, np.int64)
+        inv[dest] = np.arange(n, dtype=np.int64)
+        return inv
+    return np.argsort(dest, kind="stable")
+
+
+# ------------------------------------------------------------ leaf nodes
+
+
+def _expand_valid(dests, flags):
+    """Per-chunk validity markers (True/False scalars) -> bool array."""
+    return np.concatenate([np.full(d.shape[0], f, bool)
+                           for d, f in zip(dests, flags)]) if dests \
+        else np.empty(0, bool)
+
+
+class _Scalar:
+    """Fixed-width leaf: long/int (+timestamp logicals), double, float,
+    boolean, enum index."""
+
+    def __init__(self, kind: str, logical=None, symbols=None):
+        self.kind = kind
+        self.logical = logical
+        self.symbols = symbols
+        self._hint = [2]
+        self.reset()
+
+    def reset(self):
+        self._dest, self._vals, self._valid = [], [], []
+
+    def null(self, dest):
+        k = dest.shape[0]
+        self._dest.append(dest)
+        self._vals.append(np.zeros(k, self._dtype()))
+        self._valid.append(False)
+
+    def _dtype(self):
+        return {"long": np.int64, "double": np.float64,
+                "float": np.float32, "boolean": bool,
+                "enum": np.int64}[self.kind]
+
+    def read(self, buf, pos, dest):
+        if self.kind in ("long", "enum"):
+            vals = _vlong(buf, pos, self._hint)
+        elif self.kind == "boolean":
+            vals = buf[pos] != 0
+            pos += 1
+        else:
+            w = 8 if self.kind == "double" else 4
+            raw = buf[pos[:, None] + _IOTA10[:w]]
+            vals = np.ascontiguousarray(raw).view(
+                "<f8" if w == 8 else "<f4").ravel()
+            pos += w
+        self._dest.append(dest)
+        self._vals.append(vals)
+        self._valid.append(True)
+
+    def finish(self, n, buf):
+        o = _order(self._dest, n)
+        vals = np.concatenate(self._vals)[o] if self._vals else \
+            np.empty(0, self._dtype())
+        valid = _expand_valid(self._dest, self._valid)[o]
+        m = vals.shape[0]
+        if self.kind == "enum":
+            idx = pa.Array.from_buffers(
+                pa.int64(), m, [_bitmap(valid), pa.py_buffer(vals.tobytes())])
+            return pa.compute.take(pa.array(self.symbols), idx)
+        typ = {"long": pa.int64(), "double": pa.float64(),
+               "float": pa.float32(), "boolean": None}[self.kind]
+        if self.kind == "boolean":
+            return pa.Array.from_buffers(
+                pa.bool_(), m, [_bitmap(valid), _bitmap(vals)])
+        arr = pa.Array.from_buffers(
+            typ, m, [_bitmap(valid), pa.py_buffer(vals.tobytes())])
+        if self.logical in ("timestamp-millis", "local-timestamp-millis"):
+            arr = arr.cast(pa.timestamp("ms")).cast(pa.timestamp("us"))
+        elif self.logical in ("timestamp-micros", "local-timestamp-micros"):
+            arr = arr.cast(pa.timestamp("us"))
+        return arr
+
+
+class _Strings:
+    """Var-size leaf: string/bytes, plus scalar-union-to-string and
+    decimal-on-bytes storage.
+
+    Chunks reference the shared block buffer by (start, len) — the
+    bytes are gathered ONCE per leaf at finish time, not per wavefront
+    step. Converted chunks (union long/bool branches rendered as text)
+    carry their own bytes instead and are spliced in at finish."""
+
+    def __init__(self, utf8=True, decimal_scale=None):
+        self.utf8 = utf8
+        self.decimal_scale = decimal_scale
+        self._hint = [2]
+        self.reset()
+
+    def reset(self):
+        # parallel chunk lists; _starts[i] is None for own-data chunks
+        self._dest, self._starts, self._lens = [], [], []
+        self._data, self._valid = [], []
+
+    def null(self, dest):
+        k = dest.shape[0]
+        self._dest.append(dest)
+        self._starts.append(None)
+        self._data.append(np.empty(0, np.uint8))
+        self._lens.append(np.zeros(k, np.int64))
+        self._valid.append(False)
+
+    def read(self, buf, pos, dest):
+        lens = _vlong(buf, pos, self._hint)
+        self._dest.append(dest)
+        self._starts.append(pos.copy())
+        self._data.append(None)
+        self._lens.append(lens)
+        self._valid.append(True)
+        pos += lens.astype(np.int32, copy=False)
+
+    def append(self, dest, data, lens):
+        self._dest.append(dest)
+        self._starts.append(None)
+        self._data.append(data)
+        self._lens.append(lens)
+        self._valid.append(True)
+
+    def append_ref(self, dest, starts, lens):
+        self._dest.append(dest)
+        self._starts.append(starts)
+        self._data.append(None)
+        self._lens.append(lens)
+        self._valid.append(True)
+
+    def finish(self, n, buf):
+        o = _order(self._dest, n)
+        # one global gather builds the bytes in CHUNK order; the row
+        # reorder is a single C++ take (cheaper than a second python
+        # index-array gather — string traffic dominates the decode)
+        ref = [i for i, s in enumerate(self._starts) if s is not None]
+        lens = np.concatenate(self._lens) if self._lens else \
+            np.empty(0, np.int64)
+        if len(ref) == len(self._starts):
+            starts = np.concatenate(self._starts) if self._starts else \
+                np.empty(0, np.int64)
+            data = _gather(buf, starts, lens)
+        else:
+            # splice own-data chunks (converted union branches) between
+            # the buffer-backed ones, preserving chunk order
+            if ref:
+                rstarts = np.concatenate([self._starts[i] for i in ref])
+                rlens = np.concatenate([self._lens[i] for i in ref])
+                big = _gather(buf, rstarts, rlens)
+                sizes = np.cumsum(
+                    [int(self._lens[i].sum()) for i in ref])
+                for i, end, size in zip(
+                        ref, sizes, np.diff(np.concatenate([[0], sizes]))):
+                    self._data[i] = big[end - size:end]
+            data = np.concatenate(self._data) if self._data else \
+                np.empty(0, np.uint8)
+        valid = _expand_valid(self._dest, self._valid)
+        offsets = np.zeros(lens.shape[0] + 1, np.int64)
+        np.cumsum(lens, out=offsets[1:])
+        typ = pa.large_utf8() if self.utf8 else pa.large_binary()
+        if self.decimal_scale is not None:
+            typ = pa.large_binary()
+        arr = pa.Array.from_buffers(
+            typ, lens.shape[0],
+            [_bitmap(valid), pa.py_buffer(offsets), pa.py_buffer(data)])
+        arr = arr.take(pa.array(o))
+        if self.decimal_scale is not None:
+            scale = self.decimal_scale
+            return np.array(
+                [None if b is None else
+                 Decimal(int.from_bytes(b, "big",
+                                        signed=True)).scaleb(-scale)
+                 for b in arr.to_pylist()], dtype=object)
+        return arr.cast(pa.string() if self.utf8 else pa.binary())
+
+
+class _FixedBytes:
+    def __init__(self, size):
+        self.size = size
+        self.store = _Strings(utf8=False)
+
+    def reset(self):
+        self.store.reset()
+
+    def null(self, dest):
+        self.store.null(dest)
+
+    def read(self, buf, pos, dest):
+        k = pos.shape[0]
+        lens = np.full(k, self.size, np.int64)
+        self.store.append_ref(dest, pos.copy(), lens)
+        pos += self.size
+
+    def finish(self, n, buf):
+        return self.store.finish(n, buf)
+
+
+class _UnionToString:
+    """Scalar union whose Spark mapping is StringType (cast-on-use,
+    SURVEY §1.3): every branch renders into one string store."""
+
+    def __init__(self, branches):
+        # branches: list of "null"|"string"|"long"|"int"|"boolean"
+        self.branches = branches
+        self._bhint = [1]
+        self._lhint = [2]
+        self.store = _Strings(utf8=True)
+
+    def reset(self):
+        self.store.reset()
+
+    def null(self, dest):
+        self.store.null(dest)
+
+    def read(self, buf, pos, dest):
+        bidx = _vlong(buf, pos, self._bhint)
+        for i, kind in enumerate(self.branches):
+            sel = np.flatnonzero(bidx == i)
+            if not sel.size:
+                continue
+            if sel.size == bidx.shape[0]:
+                self._branch(kind, buf, pos, dest)
+            else:
+                sub = pos[sel]
+                self._branch(kind, buf, sub, dest[sel])
+                pos[sel] = sub
+
+    def _branch(self, kind, buf, pos, dest):
+        if kind == "null":
+            self.store.null(dest)
+        elif kind == "string":
+            self.store.read(buf, pos, dest)
+        elif kind == "boolean":
+            vals = buf[pos] != 0
+            pos += 1
+            # match the scalar path's python str(bool) rendering
+            self._from_fixed(np.where(vals, b"True", b"False")
+                             .astype("S5"), dest)
+        else:  # long / int
+            self._from_fixed(_vlong(buf, pos, self._lhint).astype("S21"),
+                             dest)
+
+    def _from_fixed(self, svals, dest):
+        # compact a NUL-padded fixed-width 'S' array into (data, lens)
+        w = svals.dtype.itemsize
+        raw = np.frombuffer(svals.tobytes(), np.uint8)
+        lens = np.char.str_len(svals).astype(np.int64)
+        starts = np.arange(svals.shape[0], dtype=np.int64) * w
+        self.store.append(dest, _gather(raw, starts, lens), lens)
+
+    def finish(self, n, buf):
+        return self.store.finish(n, buf)
+
+
+# ------------------------------------------------------------ composites
+
+
+class _Nullable:
+    """General union: one value node + optional null branch; branch
+    order preserved from the writer schema."""
+
+    def __init__(self, branches):
+        # branches: list of (node_or_None) in schema order; exactly one
+        # non-null node (multi-type scalar unions use _UnionToString)
+        self.branches = branches
+        self._bhint = [1]
+        self.child = next(b for b in branches if b is not None)
+
+    def reset(self):
+        self.child.reset()
+
+    def null(self, dest):
+        self.child.null(dest)
+
+    def read(self, buf, pos, dest):
+        bidx = _vlong(buf, pos, self._bhint)
+        lo = int(bidx[0])
+        if (bidx == lo).all():  # homogeneous wave (the common case)
+            node = self.branches[lo]
+            if node is None:
+                self.child.null(dest)
+            else:
+                node.read(buf, pos, dest)
+            return
+        for i, node in enumerate(self.branches):
+            sel = np.flatnonzero(bidx == i)
+            if not sel.size:
+                continue
+            if node is None:
+                self.child.null(dest[sel])
+            else:
+                sub = pos[sel]
+                node.read(buf, sub, dest[sel])
+                pos[sel] = sub
+
+    def finish(self, n, buf):
+        return self.child.finish(n, buf)
+
+
+class _Record:
+    def __init__(self, fields):
+        self.fields = fields  # list[(name, node)]
+
+    def reset(self):
+        for _, f in self.fields:
+            f.reset()
+
+    def null(self, dest):
+        for _, f in self.fields:
+            f.null(dest)
+
+    def read(self, buf, pos, dest):
+        for _, f in self.fields:
+            f.read(buf, pos, dest)
+
+    def finish(self, n, buf):
+        return {name: f.finish(n, buf) for name, f in self.fields}
+
+
+class _Array:
+    """One level of array-of-scalar/union items (``sort_keys``). Item
+    dest keys are ``row << 20 | seq`` so the item store's keyed finish
+    restores row-major order; rows with >2**20 items are out of scope
+    (sort_keys has 4)."""
+
+    SEQ_BITS = 20
+
+    def __init__(self, item):
+        self.item = item
+        self._chint = [1]
+        self.reset()
+
+    def reset(self):
+        self.item.reset()
+        self._dest, self._counts, self._valid = [], [], []
+
+    def null(self, dest):
+        k = dest.shape[0]
+        self._dest.append(dest)
+        self._counts.append(np.zeros(k, np.int64))
+        self._valid.append(np.zeros(k, bool))
+
+    def read(self, buf, pos, dest):
+        k = pos.shape[0]
+        total = np.zeros(k, np.int64)
+        live = np.arange(k)
+        while live.size:
+            sub = pos[live]
+            cnt = _vlong(buf, sub, self._chint)
+            neg = np.flatnonzero(cnt < 0)
+            if neg.size:
+                s2 = sub[neg]
+                _vlong(buf, s2)  # skip the block byte-size prefix
+                sub[neg] = s2
+                cnt[neg] = -cnt[neg]
+            pos[live] = sub
+            if (cnt >> self.SEQ_BITS).any():
+                raise Unsupported("array block too large for keyed order")
+            # decode cnt[i] items for each live row, item-wavefront
+            seq0 = total[live].copy()
+            j = 0
+            ilive = live
+            icnt = cnt
+            iseq = seq0
+            while ilive.size:
+                keep = icnt > j
+                ilive, iseq = ilive[keep], iseq[keep]
+                icnt = icnt[keep]
+                if not ilive.size:
+                    break
+                sub = pos[ilive]
+                keys = (dest[ilive] << self.SEQ_BITS) + iseq + j
+                self.item.read(buf, sub, keys)
+                pos[ilive] = sub
+                j += 1
+            total[live] += cnt
+            live = live[cnt != 0]  # count==0 terminates that row
+        self._dest.append(dest)
+        self._counts.append(total)
+        self._valid.append(np.ones(k, bool))
+
+    def finish(self, n, buf):
+        o = _order(self._dest, n)
+        counts = np.concatenate(self._counts)[o]
+        valid = np.concatenate(self._valid)[o]
+        items = self.item.finish(None, buf)  # keyed sort inside
+        offsets = np.zeros(n + 1, np.int64)
+        np.cumsum(counts, out=offsets[1:])
+        if (counts >> self.SEQ_BITS).any():
+            raise Unsupported("array row too large for keyed order")
+        return {"offsets": offsets, "valid": valid, "items": items}
+
+
+# ------------------------------------------------------------ compile
+
+
+def _compile(schema):
+    if isinstance(schema, str):
+        if schema in ("long", "int"):
+            return _Scalar("long")
+        if schema == "double":
+            return _Scalar("double")
+        if schema == "float":
+            return _Scalar("float")
+        if schema == "boolean":
+            return _Scalar("boolean")
+        if schema == "string":
+            return _Strings(utf8=True)
+        if schema == "bytes":
+            return _Strings(utf8=False)
+        if schema == "null":
+            return None
+        raise Unsupported(f"primitive {schema!r}")
+    if isinstance(schema, list):
+        kinds = [b if isinstance(b, str) else b.get("type")
+                 for b in schema]
+        non_null = [k for k in kinds if k != "null"]
+        if len(non_null) > 1:
+            # scalar multi-branch union -> StringType (cast-on-use)
+            if all(k in ("null", "string", "long", "int", "boolean")
+                   for k in kinds):
+                return _UnionToString(kinds)
+            raise Unsupported(f"union {kinds!r}")
+        return _Nullable([_compile(b) for b in schema])
+    t = schema["type"]
+    logical = schema.get("logicalType")
+    if t in ("bytes", "fixed") and logical == "decimal":
+        scale = schema.get("scale", 0)
+        if t == "bytes":
+            return _Strings(utf8=False, decimal_scale=scale)
+        raise Unsupported("decimal on fixed")
+    if t == "fixed":
+        return _FixedBytes(schema["size"])
+    if isinstance(t, (list, dict)):
+        return _compile(t)
+    if t in ("long", "int") and logical:
+        return _Scalar("long", logical=logical)
+    if t == "record":
+        return _Record([(f["name"], _compile(f["type"]))
+                        for f in schema["fields"]])
+    if t == "array":
+        item = _compile(schema["items"])
+        if isinstance(item, (_Record, _Array)) or item is None:
+            raise Unsupported("nested array items")
+        return _Array(item)
+    if t == "enum":
+        return _Scalar("enum", symbols=schema["symbols"])
+    if t == "map":
+        raise Unsupported("map")
+    return _compile(t)
+
+
+_COMPILED: dict[bytes, object] = {}
+
+
+def compile_schema(schema_json: bytes, schema) -> object:
+    """Compile (and cache) the wavefront tree for one writer schema.
+    The tree is stateful across read/finish — single-thread per worker,
+    which is what a Python executor worker is."""
+    node = _COMPILED.get(schema_json)
+    if node is None:
+        node = _compile(schema)
+        if not isinstance(node, _Record):
+            raise Unsupported("top-level schema must be a record")
+        _COMPILED[schema_json] = node
+    return node
+
+
+# ------------------------------------------------------------ container
+
+
+def scan_blocks(raw: bytes):
+    """Parse the OCF header and decompress every block.
+
+    Returns ``(meta, counts, datas)`` where ``counts[i]`` records and
+    ``datas[i]`` bytes form block *i*.
+    """
+    dec = _Decoder(raw)
+    if dec.read(4) != MAGIC:
+        raise ValueError("not an Avro object-container file")
+    meta = {}
+    while True:
+        n = dec.long()
+        if n == 0:
+            break
+        if n < 0:
+            n = -n
+            dec.long()
+        for _ in range(n):
+            k = dec.string()
+            meta[k] = dec.bytes_()
+    codec = meta.get("avro.codec", b"null").decode()
+    sync = dec.read(16)
+    counts, datas = [], []
+    while dec.pos < len(dec.buf):
+        count = dec.long()
+        size = dec.long()
+        block = dec.read(size)
+        if codec == "deflate":
+            block = zlib.decompress(block, -15)
+        elif codec != "null":
+            raise ValueError(f"unsupported Avro codec {codec!r}")
+        counts.append(count)
+        datas.append(block)
+        if dec.read(16) != sync:
+            raise ValueError("sync marker mismatch")
+    return meta, counts, datas
+
+
+def decode_columnar(raw: bytes):
+    """Decode one OCF file into columns.
+
+    Returns ``(schema, n_rows, finished)`` where ``finished`` is the
+    nested dict of pyarrow arrays / numpy object arrays produced by the
+    compiled tree, or raises :class:`Unsupported` when the schema or
+    block shape is outside the vectorized subset (callers fall back to
+    ``avro_ocf.read_ocf``).
+    """
+    meta, counts, datas = scan_blocks(raw)
+    schema = json.loads(meta["avro.schema"])
+    n = int(sum(counts))
+    if len(counts) < MIN_LANES and n > 4 * max(len(counts), 1):
+        raise Unsupported("too few blocks for the wavefront")
+    root = compile_schema(meta["avro.schema"], schema)
+    # PAD trailing zeros so the flat varint window never reads past end
+    buf = np.frombuffer(b"".join(datas) + bytes(PAD), np.uint8)
+    if buf.size > 2**31 - 64:
+        # int32 cursor math caps a single file at 2 GiB decompressed —
+        # far above any real change file; fall back past it
+        raise Unsupported("file larger than the int32 cursor range")
+    lens = np.array([len(d) for d in datas], np.int32)
+    ends = np.cumsum(lens, dtype=np.int32)
+    starts = ends - lens
+    cnts = np.array(counts, np.int64)
+    row_off = np.cumsum(cnts) - cnts
+    root.reset()
+    pos = starts.copy()
+    lanes = np.arange(len(counts), dtype=np.int64)
+    it = 0
+    while lanes.size:
+        lanes = lanes[cnts[lanes] > it]
+        if not lanes.size:
+            break
+        sub = pos[lanes]
+        root.read(buf, sub, row_off[lanes] + it)
+        pos[lanes] = sub
+        it += 1
+    if not (pos == ends).all():
+        raise ValueError("block not fully consumed — corrupt file or "
+                         "decoder bug; refusing to emit")
+    return schema, n, root.finish(n, buf)

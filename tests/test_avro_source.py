@@ -293,3 +293,61 @@ def test_plain_fixed_decodes_as_bytes():
     dec = avro_ocf._Decoder(b"abcd")
     assert avro_ocf.decode_value(
         {"type": "fixed", "name": "f", "size": 4}, dec) == b"abcd"
+
+
+def _varied_event(i):
+    """Exercise every branch the wavefront decoder dispatches on:
+    mixed nulls, string-branch sort keys, long-vs-string unions."""
+    e = _event(f"v{i:05d}", CDC if i % 2 else SNAP,
+               None if i % 2 == 0 else "UPDATE", i,
+               None if i % 11 == 0 else f"emp{i}",
+               Decimal(f"{1000 + i}.25"), i)
+    if i % 7 == 0:
+        e["source_metadata"]["scn"] = None
+        e["source_metadata"]["is_deleted"] = None
+    if i % 5 == 0:  # string branch at numeric sort-key positions
+        e["sort_keys"] = [str(T0_MS + i), str(i), f"rs{i % 3}", 0]
+    if i % 13 == 0:
+        e["sort_keys"] = []
+    return e
+
+
+def test_vector_and_scalar_decoders_identical(spark, tmp_path):
+    """The wavefront (avro_vector) and closure-tree decode paths must
+    produce byte-identical frames; a tiny sync interval makes even this
+    small fixture multi-block so the vector path genuinely runs."""
+    from datastream_delta_plugins_spark.sources import avro_vector
+
+    recs = [_varied_event(i) for i in range(400)]
+    blob = avro_ocf.write_ocf(ENVELOPE, recs, sync_interval=512)
+    meta, counts, _ = avro_vector.scan_blocks(blob)
+    assert len(counts) >= avro_vector.MIN_LANES, "fixture must be multi-block"
+    d = tmp_path / "vec"
+    d.mkdir()
+    (d / "k1_oracle-cdc-logminer_0.avro").write_bytes(blob)
+
+    fast = avro_ocf.read_avro_changes(spark, str(d), decoder="vector") \
+        .orderBy("uuid").collect()
+    slow = avro_ocf.read_avro_changes(spark, str(d), decoder="scalar") \
+        .orderBy("uuid").collect()
+    assert len(fast) == len(slow) == 400
+    assert fast == slow
+
+
+def test_vector_decoder_falls_back_on_single_block(spark, tmp_path):
+    """A single-block file (no lanes) must silently use the closure
+    decoder under decoder='auto' and still parse correctly."""
+    from datastream_delta_plugins_spark.sources import avro_vector
+
+    recs = [_varied_event(i) for i in range(120)]
+    blob = avro_ocf.write_ocf(ENVELOPE, recs, sync_interval=0)
+    meta, counts, _ = avro_vector.scan_blocks(blob)
+    assert len(counts) == 1
+    import pytest as _pytest
+    with _pytest.raises(avro_vector.Unsupported):
+        avro_vector.decode_columnar(blob)
+    d = tmp_path / "single"
+    d.mkdir()
+    (d / "k1_oracle-cdc-logminer_0.avro").write_bytes(blob)
+    rows = avro_ocf.read_avro_changes(spark, str(d)).collect()
+    assert len(rows) == 120
