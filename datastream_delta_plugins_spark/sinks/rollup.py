@@ -33,31 +33,30 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..streaming.commitlog import make_commit_log
 from .partitioned import _list_partitions, _partitions_predicate
 
-MANIFEST = "_rollup_manifest.json"
-#: committed-file manifest an at-least-once writer (the streaming
-#: landing sink) maintains at the SOURCE path: {"batch_id": N,
-#: "files": {partition_dir: [[file_path, bytes], ...]}}. When present,
-#: signatures AND aggregate reads are restricted to these files, so a
-#: crashed append's orphan files can never double-count.
-COMMITTED = "_committed_files.json"
+#: log subdir holding the committed-file manifest an at-least-once
+#: writer (the streaming landing sink) maintains at the SOURCE path:
+#: {"batch_id": N, "files": {partition_dir: [[file_path, bytes], ...]}}.
+#: When present, signatures AND aggregate reads are restricted to these
+#: files, so a crashed append's orphan files can never double-count.
+#: Underscore-prefixed so Spark dataset readers skip it.
+COMMITTED_LOG = "_committed_log"
+ROLLUP_LOG = "_rollup_log"
 
 
-def load_committed(source_path: str) -> dict | None:
-    p = os.path.join(source_path, COMMITTED)
-    if not os.path.exists(p):
-        return None
-    with open(p) as f:
-        return json.load(f)
+def load_committed(source_path: str, commit_impl: str = "pointer") -> dict | None:
+    rc = make_commit_log(source_path, commit_impl,
+                         subdir=COMMITTED_LOG).read_committed()
+    return None if rc is None else rc[1]["doc"]
 
 
-def store_committed(source_path: str, committed: dict) -> None:
+def store_committed(source_path: str, committed: dict,
+                    commit_impl: str = "pointer") -> None:
     os.makedirs(source_path, exist_ok=True)
-    fd, tmp = tempfile.mkstemp(dir=source_path, prefix="._committed")
-    with os.fdopen(fd, "w") as f:
-        json.dump(committed, f, sort_keys=True)
-    os.replace(tmp, os.path.join(source_path, COMMITTED))
+    make_commit_log(source_path, commit_impl,
+                    subdir=COMMITTED_LOG).commit({"doc": committed})
 
 
 def _signatures(spark: SparkSession, source_path: str) -> dict[str, list]:
@@ -78,20 +77,17 @@ def _partition_keys(d: str) -> list[str]:
     return [seg.split("=", 1)[0] for seg in d.split("/") if "=" in seg]
 
 
-def _load_manifest(rollup_path: str) -> dict:
-    p = os.path.join(rollup_path, MANIFEST)
-    if not os.path.exists(p):
-        return {}
-    with open(p) as f:
-        return json.load(f)
+def _load_manifest(rollup_path: str, commit_impl: str = "pointer") -> dict:
+    rc = make_commit_log(rollup_path, commit_impl,
+                         subdir=ROLLUP_LOG).read_committed()
+    return {} if rc is None else rc[1]["doc"]
 
 
-def _store_manifest(rollup_path: str, sigs: dict) -> None:
+def _store_manifest(rollup_path: str, sigs: dict,
+                    commit_impl: str = "pointer") -> None:
     os.makedirs(rollup_path, exist_ok=True)
-    fd, tmp = tempfile.mkstemp(dir=rollup_path, prefix="._manifest")
-    with os.fdopen(fd, "w") as f:
-        json.dump(sigs, f, sort_keys=True)
-    os.replace(tmp, os.path.join(rollup_path, MANIFEST))
+    make_commit_log(rollup_path, commit_impl,
+                    subdir=ROLLUP_LOG).commit({"doc": sigs})
 
 
 def update_rollup(spark: SparkSession, source_path: str, rollup_path: str,

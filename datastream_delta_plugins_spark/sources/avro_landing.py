@@ -1,0 +1,126 @@
+"""Decode-once Avro landing: wire bytes -> parquet, exactly once per file.
+
+Even vectorized, Avro decode is the priciest step of the ingest path
+(BENCH `avro_decode_mb_s`); at 100 TB nothing may read a change file's
+bytes twice. The reference consumes each Datastream blob exactly once
+and relies on the bucket's TTL to retire it (reference:
+DatastreamEventConsumer.java:182-199, DatastreamEventReader.java:213-281
+mark-after-commit). This module is that discipline for the Spark
+engine: an incremental converter that decodes each new Avro file ONCE
+(through `read_avro_changes`, so the wavefront fast path applies) into
+a parquet landing directory, after which every consumer — the CDC
+merge stream, re-merges, rollups, ad-hoc queries — reads parquet and
+never touches Avro again.
+
+Crash safety rides the commit seam (streaming/commitlog.py):
+
+  - each conversion batch writes parquet under ``data/b{N}/`` FIRST,
+    then commits ``{files: <cumulative converted set>, batch_dir}``;
+  - a crash between data and commit leaves an orphan ``b{N}`` dir that
+    the retry OVERWRITES (the batch number is derived from the
+    committed version), so no file is ever represented twice in the
+    committed landing;
+  - ``read_landing`` serves exactly the committed batch dirs.
+
+A streaming consumer watching ``data/`` directly may glimpse a not-yet-
+committed batch (at-least-once); the CDC merge is idempotent under row
+replay (sort-key max), so end-to-end state remains exactly-once — the
+same argument the reference makes for its rescans. The cumulative file
+set in the payload stays bounded by the same mechanism that bounds the
+source bucket: entries older than ``retention_days`` drop off the
+manifest as the TTL'd blobs they describe leave the bucket (S8).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import time
+
+from .avro_ocf import read_avro_changes
+
+LOG_SUBDIR = "_landing_log"
+
+
+class AvroLandingConverter:
+    """Single-writer incremental Avro->parquet landing at `landing_dir`."""
+
+    def __init__(self, spark, avro_dir: str, landing_dir: str,
+                 avro_schema=None, columns=None,
+                 commit_impl: str = "pointer", decoder: str = "auto",
+                 retention_days: float | None = 30.0):
+        from ..streaming.commitlog import make_commit_log
+        self.spark = spark
+        self.avro_dir = avro_dir
+        self.landing_dir = landing_dir
+        self.data_dir = os.path.join(landing_dir, "data")
+        self.avro_schema = avro_schema
+        self.columns = columns
+        self.decoder = decoder
+        self.retention_days = retention_days
+        self.clog = make_commit_log(landing_dir, commit_impl,
+                                    subdir=LOG_SUBDIR)
+
+    # -- manifest --
+
+    def _committed(self) -> dict:
+        rc = self.clog.read_committed()
+        return rc[1] if rc else {"files": {}, "batch_dirs": []}
+
+    def converted_files(self) -> set[str]:
+        return set(self._committed()["files"])
+
+    def committed_batch_dirs(self) -> list[str]:
+        return list(self._committed()["batch_dirs"])
+
+    # -- conversion --
+
+    def _list_source(self) -> list[str]:
+        return sorted(
+            p for p in glob.glob(os.path.join(self.avro_dir, "**", "*.avro"),
+                                 recursive=True) if os.path.isfile(p))
+
+    def convert_new(self) -> dict:
+        """Decode every not-yet-converted Avro file into one new landing
+        batch. Returns {"converted": n, "batch_dir": str | None}."""
+        committed = self._committed()
+        seen = committed["files"]
+        new = [p for p in self._list_source() if p not in seen]
+        if not new:
+            return {"converted": 0, "batch_dir": None}
+        batch = self.clog.version() + 1
+        bdir = f"b{batch}"
+        out = os.path.join(self.data_dir, bdir)
+        df = read_avro_changes(self.spark, new, columns=self.columns,
+                               avro_schema=self.avro_schema,
+                               decoder=self.decoder)
+        # data first, commit last (an orphan bdir from a crash here is
+        # overwritten by the retry, which recomputes the same batch id)
+        df.write.mode("overwrite").parquet(out)
+        now = time.time()
+        files = {p: now for p in new}
+        if self.retention_days is not None:
+            horizon = now - self.retention_days * 86400.0
+            files.update({p: t for p, t in seen.items() if t >= horizon})
+        else:
+            files.update(seen)
+        self.clog.commit({
+            "files": files,
+            "batch_dirs": committed["batch_dirs"] + [bdir]})
+        return {"converted": len(new), "batch_dir": bdir}
+
+    # -- consumption --
+
+    def read_landing(self):
+        """Batch read of exactly the committed landing batches (orphan
+        dirs from crashed conversions are invisible here)."""
+        dirs = self.committed_batch_dirs()
+        if not dirs:
+            return None
+        return (self.spark.read
+                .option("basePath", self.data_dir)
+                .parquet(*[os.path.join(self.data_dir, d) for d in dirs]))
+
+    def landing_schema(self):
+        df = self.read_landing()
+        return None if df is None else df.schema

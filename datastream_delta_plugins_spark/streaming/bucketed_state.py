@@ -46,48 +46,48 @@ from pyspark.sql import functions as F
 
 from ..envelope import SORT_KEY_COLS
 from ..operators import cdc
+from .commitlog import make_commit_log
 
 _BUCKET = "_state_bucket"
 
 
 class BucketedStateTable:
-    """Single-writer bucketed CDC state table at `path`."""
+    """Single-writer bucketed CDC state table at `path`.
+
+    The manifest swap goes through the commit-protocol seam
+    (streaming/commitlog.py): ``commit_impl="pointer"`` is the POSIX
+    pointer swap, ``"log"`` the object-store-safe version log."""
 
     def __init__(self, spark: SparkSession, path: str,
                  pk_cols: Sequence[str],
                  sort_cols: Sequence[str] = SORT_KEY_COLS,
-                 n_buckets: int = 16):
+                 n_buckets: int = 16,
+                 commit_impl: str = "pointer"):
         self.spark = spark
         self.path = path
         self.pk_cols = list(pk_cols)
         self.sort_cols = list(sort_cols)
         self.n_buckets = n_buckets
+        self.clog = make_commit_log(path, commit_impl, subdir="manifest")
         os.makedirs(os.path.join(path, "manifest"), exist_ok=True)
 
     # -- manifest plumbing --
 
     def version(self) -> int:
-        ptr = os.path.join(self.path, "CURRENT")
-        if not os.path.exists(ptr):
-            return -1
-        with open(ptr) as f:
-            v = int(f.read().strip())
-        # both backends use a CURRENT pointer in the state dir; a
-        # pointer without a matching manifest means the dir was written
-        # by the VERSIONED backend — fail with the real cause instead
-        # of a FileNotFoundError deep in a merge
-        if not os.path.exists(
-                os.path.join(self.path, "manifest", f"v{v}.json")):
+        # the versioned backend keeps its commit log under commitlog/;
+        # finding one here means the dir was written by THAT backend —
+        # fail with the real cause instead of a FileNotFoundError deep
+        # in a merge (the mirror check lives in
+        # CdcPipeline._current_version)
+        if os.path.isdir(os.path.join(self.path, "commitlog")):
             raise ValueError(
-                f"state dir {self.path} has CURRENT={v} but no "
-                f"manifest/v{v}.json — it was written by the versioned "
+                f"state dir {self.path} was written by the versioned "
                 f"state backend; a table cannot switch backends in "
                 f"place")
-        return v
+        return self.clog.version()
 
     def _manifest(self, v: int) -> dict[str, str]:
-        with open(os.path.join(self.path, "manifest", f"v{v}.json")) as f:
-            doc = json.load(f)
+        doc = self.clog._payload(v)
         if doc.get("n_buckets") != self.n_buckets:
             raise ValueError(
                 f"table at {self.path} was written with "
@@ -101,17 +101,8 @@ class BucketedStateTable:
         return {} if v < 0 else self._manifest(v)
 
     def _commit(self, buckets: dict[str, str]) -> int:
-        v = self.version() + 1
-        doc = {"version": v, "n_buckets": self.n_buckets,
-               "buckets": buckets}
-        mpath = os.path.join(self.path, "manifest", f"v{v}.json")
-        with open(mpath, "w") as f:
-            json.dump(doc, f, indent=1, sort_keys=True)
-        tmp = os.path.join(self.path, "CURRENT.tmp")
-        with open(tmp, "w") as f:
-            f.write(str(v))
-        os.replace(tmp, os.path.join(self.path, "CURRENT"))
-        return v
+        return self.clog.commit({"n_buckets": self.n_buckets,
+                                 "buckets": buckets})
 
     def _read_dirs(self, dirs: Sequence[str]) -> DataFrame | None:
         if not dirs:

@@ -1,0 +1,193 @@
+"""Commit protocol seam for every manifest the engine maintains.
+
+The versioned state table, the bucketed state manifest, the rollup
+manifest, and the Avro landing manifest all need the same primitive:
+"publish a new JSON payload as the committed version, atomically, so a
+crash between data files and the commit leaves the previous version
+readable". Historically each site did its own ``os.replace`` pointer
+swap — correct for a single writer on a POSIX filesystem, undefined on
+GCS/S3 where rename is copy+delete and listings lag writes.
+
+This module makes the protocol explicit and pluggable:
+
+``PointerSwapLog`` (default)
+    today's behavior: payload written to ``<dir>/<sub>/v{N}.json``,
+    then a one-line ``CURRENT`` pointer swapped in with ``os.replace``.
+    Single-writer POSIX semantics.
+
+``VersionLog`` (object-store shape)
+    no pointer and no rename: a commit IS the (atomic, conditional)
+    PUT of ``v{N}.json``; the reader lists the log and takes the
+    highest CONTIGUOUS version — a listing that temporarily misses
+    ``v3`` while showing ``v4`` (object-store list-after-write lag)
+    resolves to ``v2`` and converges, never to a torn state. Payload
+    files are immutable once committed. Concurrent writers are
+    detected by create-exclusive (the local stand-in for a
+    conditional PUT / if-generation-match write); a half-written
+    payload left by a crashed writer fails JSON validation and is
+    treated as never committed (an object store's PUT is atomic, so
+    this arises locally only).
+
+Both speak ``read_committed() -> (version, payload) | None`` and
+``commit(payload) -> version``. On a real deployment the VersionLog
+maps 1:1 onto GCS generation-match / S3 If-None-Match conditional
+writes, or is replaced outright by a Delta/Iceberg commit when those
+bindings exist (SURVEY §2.4 D-group). Data-file layout is unchanged:
+writers still write parquet under version-named directories FIRST and
+commit LAST, so readers never observe data without its manifest.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import tempfile
+
+_VFILE = re.compile(r"^v(\d+)\.json$")
+
+
+class ConcurrentWriterError(RuntimeError):
+    """Another writer committed this version first (split-brain guard)."""
+
+
+class CommitLog:
+    """Versioned JSON payload log rooted at ``<path>/<subdir>``."""
+
+    def __init__(self, path: str, subdir: str = "commitlog"):
+        self.path = path
+        self.log_dir = os.path.join(path, subdir)
+
+    # -- interface --
+
+    def version(self) -> int:
+        """Highest committed version, -1 before the first commit."""
+        raise NotImplementedError
+
+    def read_committed(self) -> tuple[int, dict] | None:
+        v = self.version()
+        if v < 0:
+            return None
+        return v, self._payload(v)
+
+    def commit(self, payload: dict) -> int:
+        raise NotImplementedError
+
+    # -- shared plumbing --
+
+    def _payload(self, v: int) -> dict:
+        with open(os.path.join(self.log_dir, f"v{v}.json")) as f:
+            return json.load(f)
+
+    def _listed_versions(self) -> list[int]:
+        if not os.path.isdir(self.log_dir):
+            return []
+        return sorted(int(m.group(1)) for n in os.listdir(self.log_dir)
+                      if (m := _VFILE.match(n)))
+
+    def _prune(self, keep_from: int) -> None:
+        """Drop payload files older than ``keep_from`` (data-dir GC is
+        the caller's job — it knows which files a stale reader may
+        still hold open)."""
+        for v in self._listed_versions():
+            if v < keep_from:
+                try:
+                    os.remove(os.path.join(self.log_dir, f"v{v}.json"))
+                except OSError:
+                    pass
+
+
+class PointerSwapLog(CommitLog):
+    """POSIX single-writer commit: payload file + os.replace pointer.
+
+    The pointer lives INSIDE the (underscore-ignorable) log subdir so a
+    commit log can sit in a directory Spark also reads as a dataset
+    root without the pointer being mistaken for a data file."""
+
+    POINTER = "CURRENT"
+
+    def version(self) -> int:
+        ptr = os.path.join(self.log_dir, self.POINTER)
+        if not os.path.exists(ptr):
+            return -1
+        with open(ptr) as f:
+            return int(f.read().strip())
+
+    def commit(self, payload: dict) -> int:
+        v = self.version() + 1
+        os.makedirs(self.log_dir, exist_ok=True)
+        with open(os.path.join(self.log_dir, f"v{v}.json"), "w") as f:
+            json.dump({"version": v, **payload}, f, indent=1,
+                      sort_keys=True)
+        fd, tmp = tempfile.mkstemp(dir=self.log_dir, prefix=".commit")
+        with os.fdopen(fd, "w") as f:
+            f.write(str(v))
+        os.replace(tmp, os.path.join(self.log_dir, self.POINTER))
+        self._prune(v - 8)
+        return v
+
+
+class VersionLog(CommitLog):
+    """Object-store-safe commit: the payload PUT is the commit."""
+
+    def _valid(self, v: int) -> bool:
+        try:
+            doc = self._payload(v)
+        except (OSError, json.JSONDecodeError):
+            return False
+        return doc.get("version") == v
+
+    def version(self) -> int:
+        listed = self._listed_versions()
+        if not listed:
+            return -1
+        # highest contiguous run: tolerate a listing that lags a
+        # middle version; a gap below the floor means those versions
+        # were pruned, so contiguity is measured from the lowest
+        # listed version, not from zero
+        best = -1
+        prev = None
+        for v in listed:
+            if prev is not None and v != prev + 1:
+                break
+            if not self._valid(v):
+                break
+            best, prev = v, v
+        return best
+
+    def commit(self, payload: dict) -> int:
+        os.makedirs(self.log_dir, exist_ok=True)
+        v = self.version() + 1
+        doc = json.dumps({"version": v, **payload}, indent=1,
+                         sort_keys=True)
+        target = os.path.join(self.log_dir, f"v{v}.json")
+        # local stand-in for a conditional PUT: atomic publish via a
+        # same-dir rename onto a create-exclusive claim. A real object
+        # store needs neither step — its PUT is atomic and
+        # if-not-exists is a request header.
+        try:
+            fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.close(fd)
+        except FileExistsError:
+            if self._valid(v):
+                raise ConcurrentWriterError(
+                    f"version {v} at {self.log_dir} was committed by "
+                    f"another writer") from None
+            # torn leftover from a crashed local writer — never
+            # committed (readers reject it), safe to reclaim
+        fd, tmp = tempfile.mkstemp(dir=self.log_dir, prefix=".put")
+        with os.fdopen(fd, "w") as f:
+            f.write(doc)
+        os.replace(tmp, target)
+        self._prune(v - 8)
+        return v
+
+
+def make_commit_log(path: str, impl: str = "pointer",
+                    subdir: str = "commitlog") -> CommitLog:
+    if impl == "pointer":
+        return PointerSwapLog(path, subdir)
+    if impl == "log":
+        return VersionLog(path, subdir)
+    raise ValueError(f"unknown commit-log impl {impl!r} "
+                     f"(expected 'pointer' or 'log')")

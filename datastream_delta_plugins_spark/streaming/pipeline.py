@@ -34,6 +34,7 @@ from ..envelope import SORT_KEY_COLS
 from ..operators import cdc
 from ..sources.changes import normalize_ops
 from . import state as state_keys
+from .commitlog import make_commit_log
 from .retry import RetryPolicy
 from .state import StateDoc
 
@@ -56,7 +57,8 @@ class CdcPipeline:
                  retry: RetryPolicy | None = None,
                  state_backend: str = "versioned",
                  n_state_buckets: int = 16,
-                 columns: list[str] | None = None):
+                 columns: list[str] | None = None,
+                 commit_impl: str = "pointer"):
         self.spark = spark
         self.table = table
         self.source_dir = source_dir
@@ -82,12 +84,19 @@ class CdcPipeline:
         # BucketedStateTable.sync_catalog).
         if state_backend not in ("versioned", "bucketed"):
             raise ValueError(f"unknown state_backend {state_backend!r}")
+        # commit_impl plumbs the commit-protocol seam (commitlog.py)
+        # through to every manifest this pipeline maintains: "pointer"
+        # (POSIX os.replace swap) or "log" (object-store-safe version
+        # log, no renames)
+        self.commit_impl = commit_impl
         self.bstate = None
         if state_backend == "bucketed":
             from .bucketed_state import BucketedStateTable
             self.bstate = BucketedStateTable(
                 spark, self.state_dir, pk_cols, sort_cols,
-                n_buckets=n_state_buckets)
+                n_buckets=n_state_buckets, commit_impl=commit_impl)
+        else:
+            self.clog = make_commit_log(self.state_dir, commit_impl)
         self.checkpoint_dir = os.path.join(work_dir, "checkpoint")
         self.doc = StateDoc(os.path.join(work_dir, "state.json"))
         self.ttl = ttl  # S8: mark processed files after the merge commits
@@ -109,11 +118,7 @@ class CdcPipeline:
                 f"state dir {self.state_dir} was written by the "
                 f"bucketed state backend; a table cannot switch "
                 f"backends in place")
-        ptr = os.path.join(self.state_dir, "CURRENT")
-        if not os.path.exists(ptr):
-            return -1
-        with open(ptr) as f:
-            return int(f.read().strip())
+        return self.clog.version()
 
     def read_state(self) -> DataFrame | None:
         if self.bstate is not None:
@@ -121,16 +126,18 @@ class CdcPipeline:
         v = self._current_version()
         if v < 0:
             return None
-        return self.spark.read.parquet(os.path.join(self.state_dir, f"v{v}"))
+        committed = self.clog.read_committed()[1]
+        return self.spark.read.parquet(
+            os.path.join(self.state_dir, committed["data_dir"]))
 
     def _write_state(self, df: DataFrame) -> None:
+        # data first, commit last: a crash in between leaves the
+        # previous committed version readable and the orphan v{N} dir
+        # is overwritten by the retry (same next version number)
         v = self._current_version() + 1
         path = os.path.join(self.state_dir, f"v{v}")
         df.write.mode("overwrite").parquet(path)
-        tmp = os.path.join(self.state_dir, "CURRENT.tmp")
-        with open(tmp, "w") as f:
-            f.write(str(v))
-        os.replace(tmp, os.path.join(self.state_dir, "CURRENT"))
+        self.clog.commit({"data_dir": f"v{v}"})
         old = os.path.join(self.state_dir, f"v{v - 2}")
         if os.path.exists(old):  # keep current + previous
             shutil.rmtree(old, ignore_errors=True)

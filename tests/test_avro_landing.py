@@ -1,0 +1,123 @@
+"""Decode-once Avro landing tests: each wire file is decoded into
+exactly one committed landing batch, crashes between data and commit
+don't duplicate rows, and the CDC merge consumes the landing parquet
+with results identical to merging the Avro directly."""
+
+import os
+from decimal import Decimal
+
+import pytest
+from test_avro_source import CDC, ENVELOPE, SNAP, _event
+
+from datastream_delta_plugins_spark.operators import cdc
+from datastream_delta_plugins_spark.sources import avro_ocf
+from datastream_delta_plugins_spark.sources.avro_landing import \
+    AvroLandingConverter
+
+
+def _write_avro(d, name, events):
+    (d / name).write_bytes(avro_ocf.write_ocf(ENVELOPE, events))
+
+
+def _events(lo, hi, method=CDC, ct="INSERT"):
+    return [_event(f"u{i:05d}", method, None if method == SNAP else ct,
+                   i, f"emp{i}", Decimal(f"{1000 + i}.50"), i)
+            for i in range(lo, hi)]
+
+
+@pytest.fixture(params=["pointer", "log"])
+def conv(request, spark, tmp_path):
+    src = tmp_path / "avro"
+    src.mkdir()
+    return src, AvroLandingConverter(
+        spark, str(src), str(tmp_path / "landing"),
+        commit_impl=request.param)
+
+
+def test_each_file_converted_exactly_once(spark, conv):
+    src, c = conv
+    _write_avro(src, "k1_oracle-backfill_0.avro", _events(0, 30, SNAP))
+    _write_avro(src, "k1_oracle-cdc-logminer_1.avro", _events(30, 40))
+    assert c.convert_new()["converted"] == 2
+    # steady state: nothing new -> no decode, no new batch
+    assert c.convert_new() == {"converted": 0, "batch_dir": None}
+    assert c.convert_new() == {"converted": 0, "batch_dir": None}
+    # a new file joins the next batch alone; old files are not re-read
+    _write_avro(src, "k1_oracle-cdc-logminer_2.avro", _events(40, 45))
+    assert c.convert_new()["converted"] == 1
+    assert len(c.committed_batch_dirs()) == 2
+    assert c.read_landing().count() == 45
+    # provenance: every source file appears exactly once in the manifest
+    assert len(c.converted_files()) == 3
+
+
+def test_crash_between_data_and_commit_does_not_duplicate(spark, conv,
+                                                          monkeypatch):
+    src, c = conv
+    _write_avro(src, "k1_oracle-cdc-logminer_0.avro", _events(0, 25))
+    c.convert_new()
+    _write_avro(src, "k1_oracle-cdc-logminer_1.avro", _events(25, 50))
+
+    real_commit = c.clog.commit
+    monkeypatch.setattr(c.clog, "commit",
+                        lambda payload: (_ for _ in ()).throw(
+                            RuntimeError("crash before commit")))
+    with pytest.raises(RuntimeError, match="crash before commit"):
+        c.convert_new()  # data for b1 written, commit never happened
+    monkeypatch.setattr(c.clog, "commit", real_commit)
+
+    # the orphan batch is invisible to committed reads
+    assert c.read_landing().count() == 25
+    # the retry converts the SAME file into the SAME batch dir (no dupe)
+    res = c.convert_new()
+    assert res == {"converted": 1, "batch_dir": "b1"}
+    assert c.read_landing().count() == 50
+    assert c.read_landing().select("uuid").distinct().count() == 50
+
+
+def test_landing_merge_equals_direct_avro_merge(spark, conv):
+    """The decode-once path must be semantically invisible: CDC
+    materialization from the landing parquet == from the Avro files."""
+    src, c = conv
+    _write_avro(src, "k1_oracle-backfill_0.avro", _events(0, 40, SNAP))
+    upd = [_event("c1", CDC, "UPDATE", 5, "emp5b", Decimal("9.99"), 100),
+           _event("c2", CDC, "DELETE", 7, "emp7", Decimal("1007.50"), 101)]
+    _write_avro(src, "k1_oracle-cdc-logminer_1.avro", upd)
+    c.convert_new()
+
+    direct = cdc.materialize(
+        avro_ocf.read_avro_changes(spark, str(src)), ["EMPLOYEE_ID"])
+    landed = cdc.materialize(c.read_landing(), ["EMPLOYEE_ID"])
+    cols = sorted(direct.columns)
+    assert sorted(landed.columns) == cols
+    a = {tuple(r) for r in direct.select(*cols).collect()}
+    b = {tuple(r) for r in landed.select(*cols).collect()}
+    assert a == b
+    # 40 inserts; the delete stays as a tombstone row (_is_deleted)
+    assert landed.where("NOT _is_deleted").count() == 39
+
+
+def test_streaming_pipeline_consumes_landing(spark, conv, tmp_path):
+    """CdcPipeline.start() pointed at the landing data dir: the stream
+    merges parquet the converter produced — Avro is decoded exactly
+    once per file and never by the stream itself."""
+    from datastream_delta_plugins_spark.streaming.pipeline import CdcPipeline
+
+    src, c = conv
+    _write_avro(src, "k1_oracle-backfill_0.avro", _events(0, 20, SNAP))
+    c.convert_new()
+    schema = c.landing_schema()
+
+    pipe = CdcPipeline(spark, "t1", os.path.join(c.data_dir, "*"),
+                       str(tmp_path / "work"), ["EMPLOYEE_ID"])
+    q = pipe.start(schema, trigger={"availableNow": True})
+    q.awaitTermination(120)
+    assert pipe.read_state().count() == 20
+
+    # a later Avro file flows through: convert, then another stream run
+    upd = [_event("c1", CDC, "DELETE", 3, "emp3", Decimal("1.00"), 99)]
+    _write_avro(src, "k1_oracle-cdc-logminer_1.avro", upd)
+    c.convert_new()
+    q = pipe.start(schema, trigger={"availableNow": True})
+    q.awaitTermination(120)
+    assert pipe.read_state().where("NOT _is_deleted").count() == 19

@@ -1,0 +1,176 @@
+"""Commit-protocol seam tests (streaming/commitlog.py): crash between
+data and commit, torn payloads, listing lag, concurrent writers, and
+the three sinks (versioned state, bucketed state, rollup) running on
+the object-store-safe impl end-to-end."""
+
+import json
+import os
+
+import pytest
+
+from datastream_delta_plugins_spark.streaming.commitlog import (
+    ConcurrentWriterError, PointerSwapLog, VersionLog, make_commit_log)
+
+
+@pytest.mark.parametrize("impl", ["pointer", "log"])
+def test_empty_log_reads_none(tmp_path, impl):
+    log = make_commit_log(str(tmp_path), impl)
+    assert log.version() == -1
+    assert log.read_committed() is None
+
+
+@pytest.mark.parametrize("impl", ["pointer", "log"])
+def test_commit_read_roundtrip_and_monotonic_versions(tmp_path, impl):
+    log = make_commit_log(str(tmp_path), impl)
+    assert log.commit({"doc": {"a": 1}}) == 0
+    assert log.commit({"doc": {"a": 2}}) == 1
+    v, payload = log.read_committed()
+    assert v == 1 and payload["doc"] == {"a": 2}
+    # a fresh instance (restart) sees the same committed state
+    log2 = make_commit_log(str(tmp_path), impl)
+    assert log2.read_committed()[0] == 1
+
+
+@pytest.mark.parametrize("impl", ["pointer", "log"])
+def test_crash_between_data_and_commit_keeps_previous(tmp_path, impl):
+    """Data files land first, the commit publishes last: a writer that
+    dies in between must leave the previous version the committed one,
+    and the retry must reuse the same next version number (so the
+    orphan data dir is overwritten, not leaked under a new name)."""
+    log = make_commit_log(str(tmp_path), impl)
+    log.commit({"data_dir": "v0"})
+    # simulated crash: the v1 data dir exists, commit never ran
+    os.makedirs(tmp_path / "v1")
+    assert log.read_committed() == (0, {"version": 0, "data_dir": "v0"})
+    # retry plans the same version and succeeds
+    assert log.version() + 1 == 1
+    assert log.commit({"data_dir": "v1"}) == 1
+
+
+def test_version_log_ignores_torn_payload(tmp_path):
+    """A half-written payload (no valid JSON / wrong version stamp)
+    must read as uncommitted, and a retrying writer may reclaim it."""
+    log = VersionLog(str(tmp_path))
+    log.commit({"doc": 1})
+    os.makedirs(log.log_dir, exist_ok=True)
+    with open(os.path.join(log.log_dir, "v1.json"), "w") as f:
+        f.write('{"version": 1, "doc"')  # torn write
+    assert log.version() == 0
+    assert log.commit({"doc": 2}) == 1  # reclaimed
+    assert log.read_committed()[1]["doc"] == 2
+
+
+def test_version_log_concurrent_writer_detected(tmp_path, monkeypatch):
+    a = VersionLog(str(tmp_path))
+    b = VersionLog(str(tmp_path))
+    a.commit({"doc": "a0"})
+    # both plan v1 from the same stale view; a commits first
+    a.commit({"doc": "a1"})
+    monkeypatch.setattr(b, "version", lambda: 0)  # stale read
+    with pytest.raises(ConcurrentWriterError):
+        b.commit({"doc": "b"})
+    monkeypatch.undo()
+    # normal retry lands on the next free version
+    assert b.commit({"doc": "b"}) == 2
+
+
+def test_version_log_listing_lag_is_conservative(tmp_path):
+    """A listing that misses a middle version (object-store lag) must
+    resolve to the last version BEFORE the gap — stale, never torn."""
+    log = VersionLog(str(tmp_path))
+    for i in range(4):
+        log.commit({"doc": i})
+    # simulate lag: v2 temporarily invisible
+    hidden = os.path.join(log.log_dir, "v2.json")
+    os.rename(hidden, hidden + ".lagged")
+    assert log.version() == 1
+    assert log.read_committed()[1]["doc"] == 1
+    os.rename(hidden + ".lagged", hidden)
+    assert log.version() == 3
+
+
+def test_version_log_tolerates_pruned_floor(tmp_path):
+    """Contiguity is measured from the lowest listed version, so the
+    prune window doesn't make old logs unreadable."""
+    log = VersionLog(str(tmp_path))
+    for i in range(12):
+        log.commit({"doc": i})
+    listed = sorted(int(n[1:-5]) for n in os.listdir(log.log_dir)
+                    if n.startswith("v"))
+    assert listed[0] > 0  # pruning actually happened
+    assert log.version() == 11
+
+
+def test_pointer_log_pointer_is_inside_log_subdir(tmp_path):
+    """The pointer must not pollute a directory Spark reads as a
+    dataset root (underscore subdirs are skipped by Spark)."""
+    log = PointerSwapLog(str(tmp_path), subdir="_committed_log")
+    log.commit({"doc": 1})
+    assert not os.path.exists(tmp_path / "CURRENT")
+    assert os.path.exists(tmp_path / "_committed_log" / "CURRENT")
+
+
+@pytest.mark.parametrize("impl", ["pointer", "log"])
+def test_stale_reader_survives_new_commit(tmp_path, impl):
+    """A reader holding version N keeps a readable payload while the
+    writer commits N+1 (the prune window protects recent versions)."""
+    log = make_commit_log(str(tmp_path), impl)
+    log.commit({"doc": "old"})
+    held_v, held_payload = log.read_committed()
+    log.commit({"doc": "new"})
+    # the held version's payload file is still on disk and re-readable
+    assert log._payload(held_v)["doc"] == "old"
+    assert log.read_committed()[1]["doc"] == "new"
+
+
+# -- the three sinks on the object-store-safe impl --
+
+
+def _batch(spark, n=20):
+    rows = [(i, f"n{i}", "INSERT", 100 + i, i % 4) for i in range(n)]
+    df = spark.createDataFrame(
+        rows, "id long, name string, _op string, _sk1 long, _sk2 long")
+    return df.withColumn("_sk3", df.id.cast("string")) \
+             .withColumn("_sk4", df.id % 2)
+
+
+def test_versioned_pipeline_on_version_log(spark, tmp_path):
+    from datastream_delta_plugins_spark.streaming.pipeline import CdcPipeline
+    p = CdcPipeline(spark, "t1", str(tmp_path / "src"),
+                    str(tmp_path / "w"), ["id"],
+                    sort_cols=("_sk1", "_sk2", "_sk3", "_sk4"),
+                    commit_impl="log")
+    p.apply_batch(_batch(spark), 0, streaming_barrier=False)
+    assert p.read_state().count() == 20
+    p.apply_batch(_batch(spark, 5), 1, streaming_barrier=False)
+    assert p.read_state().count() == 20
+    assert not os.path.exists(tmp_path / "w" / "state" / "CURRENT")
+
+
+def test_bucketed_state_on_version_log(spark, tmp_path):
+    from datastream_delta_plugins_spark.streaming.bucketed_state import \
+        BucketedStateTable
+    t = BucketedStateTable(spark, str(tmp_path / "st"), ["id"],
+                           sort_cols=("_sk1", "_sk2", "_sk3", "_sk4"),
+                           n_buckets=4, commit_impl="log")
+    t.merge(_batch(spark))
+    assert t.read().count() == 20
+    t.merge(_batch(spark, 3))
+    assert t.read().count() == 20
+    assert t.version() == 1
+    assert not os.path.exists(tmp_path / "st" / "CURRENT")
+
+
+def test_rollup_manifest_on_version_log(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from datastream_delta_plugins_spark.sinks.rollup import (
+        _load_manifest, _store_manifest, load_committed, store_committed)
+    _store_manifest(str(tmp_path), {"d=1": [1, 10, 0.0]},
+                    commit_impl="log")
+    assert _load_manifest(str(tmp_path), commit_impl="log") == \
+        {"d=1": [1, 10, 0.0]}
+    store_committed(str(tmp_path), {"batch_id": 3, "files": {}},
+                    commit_impl="log")
+    assert load_committed(str(tmp_path),
+                          commit_impl="log")["batch_id"] == 3
