@@ -118,6 +118,26 @@ class BucketedStateTable:
         """Current state (all buckets), or None before the first commit."""
         return self._read_dirs(sorted(self.current_manifest().values()))
 
+    def seed(self, state_df: DataFrame) -> dict:
+        """One-time bulk load of an existing materialized state (the
+        sort-key-carrying ``cdc.materialize(keep_sort_keys=True)``
+        shape) — the migration path CdcPipeline's auto backend takes
+        when a versioned table outgrows full-rewrite-per-batch. One
+        bucketed write of the whole state, one manifest commit."""
+        if self.version() >= 0:
+            raise ValueError(
+                f"bucketed table at {self.path} is not empty — seed is "
+                f"a one-time bulk load")
+        vdir = os.path.join("data", "v0")
+        out = os.path.join(self.path, vdir)
+        (state_df.withColumn(_BUCKET, self._bucket_of())
+         .write.mode("overwrite").partitionBy(_BUCKET).parquet(out))
+        buckets = {seg.split("=", 1)[1]: os.path.join(vdir, seg)
+                   for seg in os.listdir(out)
+                   if seg.startswith(f"{_BUCKET}=")}
+        v = self._commit(buckets)
+        return {"version": v, "buckets": sorted(buckets, key=int)}
+
     # -- the merge --
 
     def _bucket_of(self):

@@ -55,10 +55,11 @@ class CdcPipeline:
                  ttl: "ProcessedFileTtl | None" = None,
                  catalog_table: str | None = None,
                  retry: RetryPolicy | None = None,
-                 state_backend: str = "versioned",
+                 state_backend: str = "auto",
                  n_state_buckets: int = 16,
                  columns: list[str] | None = None,
-                 commit_impl: str = "pointer"):
+                 commit_impl: str = "pointer",
+                 auto_bucket_rows: int = 5_000_000):
         self.spark = spark
         self.table = table
         self.source_dir = source_dir
@@ -73,32 +74,49 @@ class CdcPipeline:
         # BOTH ingestion modes honor it
         self.columns = list(columns) if columns else None
         self.state_dir = os.path.join(work_dir, "state")
-        # state_backend="bucketed": manifest-based bucketed table —
-        # each batch rewrites only the PK-hash buckets it touches
-        # (O(touched) not O(state); the 100 TB path). "versioned" (the
-        # default) rewrites the full state per batch with a
-        # CURRENT-pointer swap — simplest, and fine while state is
-        # small. Both support catalog_table: versioned re-points one
+        # state_backend:
+        #   "bucketed"  — manifest-based bucketed table: each batch
+        #     rewrites only the PK-hash buckets it touches (O(touched)
+        #     not O(state); the 100 TB path);
+        #   "versioned" — full state rewrite per batch behind an atomic
+        #     commit: simplest, fine while state is SMALL;
+        #   "auto" (default) — start versioned, and once the committed
+        #     state exceeds `auto_bucket_rows` seed a bucketed table
+        #     from it and switch over (recorded in the state doc, so
+        #     restarts reopen the right layout). Versioned is kept as
+        #     the small-state simplification, never the scale default.
+        # All backends support catalog_table: versioned re-points one
         # external LOCATION per swap; bucketed maps the manifest onto
         # a partitioned table with per-partition locations (see
-        # BucketedStateTable.sync_catalog).
-        if state_backend not in ("versioned", "bucketed"):
+        # BucketedStateTable.sync_catalog); auto drops and re-registers
+        # at migration time.
+        if state_backend not in ("versioned", "bucketed", "auto"):
             raise ValueError(f"unknown state_backend {state_backend!r}")
         # commit_impl plumbs the commit-protocol seam (commitlog.py)
         # through to every manifest this pipeline maintains: "pointer"
         # (POSIX os.replace swap) or "log" (object-store-safe version
         # log, no renames)
         self.commit_impl = commit_impl
+        self.state_backend = state_backend
+        self.n_state_buckets = n_state_buckets
+        self.auto_bucket_rows = auto_bucket_rows
+        self.checkpoint_dir = os.path.join(work_dir, "checkpoint")
+        self.doc = StateDoc(os.path.join(work_dir, "state.json"))
+        # the auto backend keeps its bucketed table beside the
+        # versioned dir — the backend guards refuse in-place switches
+        self.bucketed_dir = self.state_dir if state_backend == "bucketed"             else os.path.join(work_dir, "state_bucketed")
+        active = state_backend
+        if state_backend == "auto":
+            active = self.doc.get(
+                state_keys.k_state_backend(table)) or "versioned"
         self.bstate = None
-        if state_backend == "bucketed":
+        if active == "bucketed":
             from .bucketed_state import BucketedStateTable
             self.bstate = BucketedStateTable(
-                spark, self.state_dir, pk_cols, sort_cols,
+                spark, self.bucketed_dir, pk_cols, sort_cols,
                 n_buckets=n_state_buckets, commit_impl=commit_impl)
         else:
             self.clog = make_commit_log(self.state_dir, commit_impl)
-        self.checkpoint_dir = os.path.join(work_dir, "checkpoint")
-        self.doc = StateDoc(os.path.join(work_dir, "state.json"))
         self.ttl = ttl  # S8: mark processed files after the merge commits
         # D2: when set ("db.table"), the materialized state is kept
         # registered in the Spark catalog with the PK in table properties
@@ -314,6 +332,8 @@ class CdcPipeline:
             self._write_state(merged)
             self._sync_catalog(os.path.join(self.state_dir,
                                             f"v{self._current_version()}"))
+            if self.state_backend == "auto":
+                self._maybe_migrate_to_bucketed()
 
         t = self.table
         self.doc.set(**{
@@ -335,6 +355,39 @@ class CdcPipeline:
         if want_files and stats["files"]:
             self.ttl.mark_processed([f.removeprefix("file://")
                                      for f in stats["files"]])
+
+    def _maybe_migrate_to_bucketed(self) -> None:
+        """Auto backend: a versioned table rewrites O(state) per batch
+        — the wrong cost once state is large. When the committed state
+        outgrows `auto_bucket_rows` (a parquet metadata count, no data
+        scan), seed a bucketed table from it once and flip the recorded
+        backend; every later batch is O(touched buckets). The doc flip
+        is the migration's commit point: a crash after the seed but
+        before the flip leaves versioned authoritative, and the retry
+        wipes the stale seed and reseeds from the newer state."""
+        cur = self.read_state()
+        if cur is None or cur.count() <= self.auto_bucket_rows:
+            return
+        from .bucketed_state import BucketedStateTable
+        if os.path.isdir(self.bucketed_dir):
+            shutil.rmtree(self.bucketed_dir, ignore_errors=True)
+        b = BucketedStateTable(
+            self.spark, self.bucketed_dir, self.pk_cols, self.sort_cols,
+            n_buckets=self.n_state_buckets, commit_impl=self.commit_impl)
+        b.seed(cur)
+        self.bstate = b
+        self.doc.put(state_keys.k_state_backend(self.table), "bucketed")
+        self.doc.save()
+        if self.catalog_table:
+            qname = ".".join(f"`{p}`"
+                             for p in self.catalog_table.split("."))
+            # the versioned registration is an unpartitioned external
+            # table — replace it with the bucketed partitioned form
+            self.spark.sql(f"DROP TABLE IF EXISTS {qname}")
+            b.sync_catalog(
+                self.catalog_table,
+                properties={"primaryKey": ",".join(self.pk_cols),
+                            "sourceTable": self.table})
 
     # -- streaming entry --
 

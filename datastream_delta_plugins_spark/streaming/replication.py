@@ -63,7 +63,7 @@ class ReplicationJob:
                  retry: RetryPolicy | None = None,
                  register_catalog: bool = True,
                  validate: bool = True,
-                 state_backend: str = "versioned",
+                 state_backend: str = "auto",
                  n_state_buckets: int = 16):
         if validate:  # design-time shape validation (SURVEY §3.3)
             from ..config import ConfigValidationError, validate_tables
@@ -82,9 +82,11 @@ class ReplicationJob:
             os.path.join(work_dir, "ttl_manifest.json"), ttl_days)
             if ttl_days else None)
         # bucketed state has no single LOCATION to register (see
-        # CdcPipeline) — catalog registration applies only to the
-        # versioned backend
-        register_catalog = register_catalog and state_backend == "versioned"
+        # CdcPipeline) — catalog registration applies to the versioned
+        # backend, including auto mode (which re-registers the
+        # partitioned form at migration time)
+        register_catalog = register_catalog and \
+            state_backend in ("versioned", "auto")
         self.pipelines = {
             t.name: CdcPipeline(
                 spark, t.name, t.source_dir,

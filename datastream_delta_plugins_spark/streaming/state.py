@@ -49,6 +49,13 @@ def k_backfill_status(t: str) -> str:
     return f"{t}.backfill.status"
 
 
+def k_state_backend(t: str) -> str:
+    """Active state backend for the table ("versioned"/"bucketed"),
+    recorded when the auto backend migrates — restarts must reopen the
+    layout the last commit wrote."""
+    return f"{t}.state.backend"
+
+
 def k_processed_time(t: str) -> str:
     return f"{t}.processed.time"
 

@@ -288,3 +288,43 @@ def test_change_feed_revival_is_insert(spark, tmp_path):
         == {"INSERT"}
     assert {r["_change"] for r in t.changes_between(0, 1).collect()} \
         == {"DELETE"}
+
+
+def test_auto_backend_migrates_at_threshold(spark, tmp_path):
+    """state_backend='auto' (the default): versioned while small, then
+    one seed migration to bucketed once the committed state crosses
+    auto_bucket_rows — with the catalog registration surviving the
+    switch and later merges running O(touched buckets)."""
+    import os
+
+    from datastream_delta_plugins_spark.streaming import state as sk
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS autodb")
+    work = str(tmp_path / "w")
+    pipe = CdcPipeline(spark, "t1", str(tmp_path / "src"), work, ["id"],
+                       auto_bucket_rows=60, n_state_buckets=4,
+                       catalog_table="autodb.t1_auto")
+    # small batches stay versioned
+    pipe.apply_batch(_batch1(spark), 0, streaming_barrier=False)  # 50 rows
+    assert pipe.bstate is None
+    assert os.path.isdir(os.path.join(work, "state", "commitlog"))
+    # crossing the threshold triggers the seed + flip
+    big = _batch1(spark).withColumn("id", F.col("id") + 100)
+    pipe.apply_batch(big, 1, streaming_barrier=False)  # state -> 100 rows
+    assert pipe.bstate is not None
+    assert pipe.doc.get(sk.k_state_backend("t1")) == "bucketed"
+    assert pipe.read_state().count() == 100
+    # catalog survived the switch as the partitioned form
+    assert spark.catalog.tableExists("autodb.t1_auto")
+    assert spark.table("autodb.t1_auto").count() == 100
+    # a restart reopens the bucketed layout
+    pipe2 = CdcPipeline(spark, "t1", str(tmp_path / "src"), work, ["id"],
+                        auto_bucket_rows=60, n_state_buckets=4,
+                        catalog_table="autodb.t1_auto")
+    assert pipe2.bstate is not None
+    # and later merges go through the bucketed path (version advances)
+    v0 = pipe2.bstate.version()
+    upd = _batch1(spark).limit(3)
+    pipe2.apply_batch(upd, 2, streaming_barrier=False)
+    assert pipe2.bstate.version() == v0 + 1
+    assert pipe2.read_state().count() == 100
