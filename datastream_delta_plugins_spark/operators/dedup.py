@@ -74,6 +74,7 @@ _CACHE_GENS: dict[str, DataFrame] = {}
 def _persist_tracked(key: str, df: DataFrame) -> DataFrame:
     old = _CACHE_GENS.get(key)
     if old is not None:
+        same = False
         try:
             # Same-input reuse (Spark CacheManager semantics): when the
             # new call's ANALYZED plan is semantically identical to the
@@ -87,9 +88,16 @@ def _persist_tracked(key: str, df: DataFrame) -> DataFrame:
             # file mtime), so a stale hit requires mutating files
             # behind an open reader — the same caveat Spark's own
             # .cache() carries.
-            if old._jdf.queryExecution().analyzed().sameResult(
-                    df._jdf.queryExecution().analyzed()):
-                return old
+            same = old._jdf.queryExecution().analyzed().sameResult(
+                df._jdf.queryExecution().analyzed())
+        except Exception:  # pragma: no cover - session already stopped
+            pass
+        if same:
+            return old
+        # a failed comparison must still release the old generation,
+        # or the overwrite below leaks it in executor memory for the
+        # session's lifetime
+        try:
             old.unpersist(False)
         except Exception:  # pragma: no cover - session already stopped
             pass
@@ -338,11 +346,16 @@ def minhash_lsh_pairs(df: DataFrame, threshold: float = 0.8,
     # joins, and Catalyst does not CSE a subtree repeated across join
     # branches — without the persist the whole shingle+hash pipeline
     # re-executes per use. With verify_hashes the cached rows carry the
-    # per-doc 60-bit shingle-hash set, so the verify stage needs NO
-    # second pass over corpus text (the previous shape's candidate-id
-    # distinct + semi-join + re-shingle subplan — 3 exchanges — is
-    # gone). MEMORY_AND_DISK spills instead of OOMing at scale.
-    sig = _persist_tracked(
+    # per-doc full-64-bit shingle-hash set (xxhash64; the 60-bit
+    # md5-derived hash64 exists only on the index path), so the verify
+    # stage needs NO second pass over corpus text (the previous shape's
+    # candidate-id distinct + semi-join + re-shingle subplan — 3
+    # exchanges — is gone). The _hset payload is roughly
+    # tokenized-corpus-sized, so the persist is SIZE-GATED like the
+    # other corpus-scale intermediates: above the ceiling the narrow
+    # producing stage recomputes per use instead of spilling ~1x the
+    # corpus to executor disks.
+    sig = _persist_tracked_if_small(
         "lsh.signatures",
         minhash_signatures(df, text_col, id_col, n, verify_hashes=True,
                            id_clustered=id_clustered))
@@ -368,10 +381,10 @@ def minhash_lsh_pairs(df: DataFrame, threshold: float = 0.8,
                   .select(F.explode_outer(pair_expr).alias("p"))
                   .select("p.i", "p.j")
                   .distinct())
-    # Verify against the CACHED signature table's hash sets: two
+    # Verify against the signature table's hash sets: two
     # equi-joins (AQE broadcasts the small pair list at runtime) and a
     # row-local intersection. Same exact math as string-shingle
-    # Jaccard up to 60-bit hash collisions (expected false-common
+    # Jaccard up to 64-bit xxhash64 collisions (expected false-common
     # rate << 1e-6 corpus-wide); n_sh keeps the string-distinct
     # denominator.
     a = sig.select(F.col(id_col).alias("i"), F.col("_hset").alias("_sa"),

@@ -203,6 +203,7 @@ def s02_ivf_topk(spark, sf_dir):
     index save/load + partition-pruned probe path, which was
     previously only value-tested. Pruned-probe (nprobe=3) recall is
     asserted in tests/test_pipeline_ops.py."""
+    import shutil
     import tempfile
 
     pred = F.col("vec_id") % 50 == 0
@@ -218,7 +219,12 @@ def s02_ivf_topk(spark, sf_dir):
                                            k=5, nprobe=n_cells)
                .select(F.lit("indexed").alias("tag"), "q_id", "vec_id",
                        "cos", "rn"))
-    return _psort(direct.unionByName(indexed), "tag", "q_id", "rn")
+    out = _psort(direct.unionByName(indexed), "tag", "q_id", "rn") \
+        .localCheckpoint(eager=True)
+    # the checkpoint pinned the (small) rows — the per-call index dir
+    # must not accumulate across the driver's best-of-N repetitions
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
 
 
 def t01_text_stats(spark, sf_dir):
@@ -278,7 +284,9 @@ def i01_dedup_index(spark, sf_dir):
     Jaccard in SQL; recall soundness is the same 16x4 banding bound
     test_minhash_lsh_oracle_recall_bound_on_current_data re-derives
     per data regeneration (cross-set pairs come from the same planted
-    near-dup population). Index dirs are fresh per call (tempdir)."""
+    near-dup population). Index dirs are fresh per call (tempdir) and
+    removed once the checkpoint pins the result rows."""
+    import shutil
     import tempfile
 
     docs = _docs(spark, sf_dir)
@@ -286,7 +294,9 @@ def i01_dedup_index(spark, sf_dir):
     dedup.save_minhash_index(docs.where(F.col("doc_id") % 4 != 0), tmp)
     probes = docs.where(F.col("doc_id") % 4 == 0)
     out = dedup.dedup_against_index(spark, tmp, probes, threshold=0.8)
-    return _psort(out.localCheckpoint(eager=True), "new_id", "index_id")
+    res = _psort(out.localCheckpoint(eager=True), "new_id", "index_id")
+    shutil.rmtree(tmp, ignore_errors=True)
+    return res
 
 
 def r01_incremental_rollup(spark, sf_dir):
@@ -300,9 +310,11 @@ def r01_incremental_rollup(spark, sf_dir):
     invalidation miss (a late partition not re-aggregated, a stale
     signature served) is a value mismatch, not a silent staleness.
 
-    Work dirs are fresh per call (tempdir) so reruns are bit-identical
-    from scratch; at sf0.01 the two cycles write a few hundred KB.
+    Work dirs are fresh per call (tempdir, removed after the result is
+    pinned) so reruns are bit-identical from scratch; at sf0.01 the two
+    cycles write a few hundred KB.
     """
+    import shutil
     import tempfile
 
     from ..sinks.partitioned import write_time_partitioned
@@ -326,8 +338,10 @@ def r01_incremental_rollup(spark, sf_dir):
         "event_type", "n", "sv")
     # localCheckpoint: the result must outlive this call's temp paths'
     # lazy plans (the driver collects later) — pin the (small) rows
-    return _psort(out.localCheckpoint(eager=True),
-                  "p_date", "p_hour", "event_type")
+    res = _psort(out.localCheckpoint(eager=True),
+                 "p_date", "p_hour", "event_type")
+    shutil.rmtree(tmp, ignore_errors=True)
+    return res
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

@@ -278,30 +278,41 @@ def interval_join(left: DataFrame, right: DataFrame,
         raise ValueError(f"upper {upper_seconds} < lower {lower_seconds}")
     right_cols = right_cols or {right_ts: f"{right_ts}_r"}
     on = list(on)
-    w = int(upper_seconds - lower_seconds) + 1
+    # all window arithmetic in INTEGER MICROSECONDS: a sub-second pair
+    # landing exactly on a bound must round identically to an oracle
+    # doing exact timestamp interval arithmetic — epoch doubles lose
+    # sub-microsecond exactness right where the boundary sits
+    lo_us = int(round(lower_seconds * 1_000_000))
+    hi_us = int(round(upper_seconds * 1_000_000))
+    w = (hi_us - lo_us) + 1
 
-    def _epoch_sec(c):
-        # TIMESTAMP_NTZ has no direct numeric cast; the intermediate
+    def _epoch_us(c):
+        # TIMESTAMP_NTZ has no unix_* accessor; the intermediate
         # timestamp cast is exact, and only DIFFERENCES are used below
         # (shift-invariant)
-        return F.col(c).cast("timestamp").cast("double")
+        return F.unix_micros(F.col(c).cast("timestamp"))
 
-    lsec = _epoch_sec(left_ts)
-    rsec = _epoch_sec(right_ts)
+    def _bucket(a):
+        # exact integer floor-division: subtract the remainder first,
+        # so the final double division is of an exact multiple
+        return ((a - F.pmod(a, F.lit(w))) / F.lit(w)).cast("long")
 
-    b_lo = F.floor((lsec + F.lit(lower_seconds)) / F.lit(w)).cast("long")
-    b_hi = F.floor((lsec + F.lit(upper_seconds)) / F.lit(w)).cast("long")
+    lus = _epoch_us(left_ts)
+    rus = _epoch_us(right_ts)
+
+    b_lo = _bucket(lus + F.lit(lo_us))
+    b_hi = _bucket(lus + F.lit(hi_us))
     # at most two distinct buckets (w spans the whole interval);
     # array_distinct collapses the boundary case where both coincide
     l = (left.withColumn("_b",
                          F.explode(F.array_distinct(F.array(b_lo, b_hi)))))
     r = right.select(
-        *on, F.floor(rsec / F.lit(w)).cast("long").alias("_b"),
-        rsec.alias("_rsec"),
+        *on, _bucket(rus).alias("_b"),
+        rus.alias("_rus"),
         *[F.col(src).alias(dst) for src, dst in right_cols.items()
           if src not in on])
     out = (l.join(r, on + ["_b"])
-            .where((F.col("_rsec") - lsec >= F.lit(lower_seconds))
-                   & (F.col("_rsec") - lsec <= F.lit(upper_seconds)))
-            .drop("_b", "_rsec"))
+            .where((F.col("_rus") - lus >= F.lit(lo_us))
+                   & (F.col("_rus") - lus <= F.lit(hi_us)))
+            .drop("_b", "_rus"))
     return out

@@ -26,16 +26,39 @@ BROADCAST_TABLES = frozenset({"region", "nation"})
 #: analyzed-DataFrame cache: every spark.read.parquet() call runs a
 #: 1-task schema-inference job (footer read) plus a fresh file listing
 #: — pure per-query latency when the same static table is loaded
-#: repeatedly in one session. Keyed by (application, path, mtime) so a
-#: rewritten file (or a new session) never serves a stale plan.
-_TABLE_CACHE: dict[tuple[str, str, float], DataFrame] = {}
+#: repeatedly in one session. Keyed by (application, path, content
+#: signature) so a rewritten file — including part files replaced
+#: in-place under an unchanged directory mtime — never serves a stale
+#: InMemoryFileIndex snapshot. Bounded FIFO so regenerated paths don't
+#: accumulate dead plans.
+_TABLE_CACHE: dict[tuple, DataFrame] = {}
+_TABLE_CACHE_MAX = 64
+
+
+def _content_signature(path: str) -> tuple:
+    """(relative name, size, mtime) over the leaf files of `path` (the
+    path itself when it's a single file) — changes whenever any data
+    file is added, removed, or rewritten in place."""
+    if os.path.isfile(path):
+        st = os.stat(path)
+        return ((os.path.basename(path), st.st_size, st.st_mtime),)
+    sig = []
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.startswith((".", "_")):
+                continue  # markers/temp files are not data
+            fp = os.path.join(root, f)
+            st = os.stat(fp)
+            sig.append((os.path.relpath(fp, path), st.st_size,
+                        st.st_mtime))
+    return tuple(sorted(sig))
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     try:
         key = (spark.sparkContext.applicationId, os.path.abspath(path),
-               os.path.getmtime(path))
+               _content_signature(path))
     except OSError:
         key = None
     if key is not None:
@@ -44,6 +67,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             return hit
     df = _load_table_uncached(spark, path, name)
     if key is not None:
+        while len(_TABLE_CACHE) >= _TABLE_CACHE_MAX:
+            _TABLE_CACHE.pop(next(iter(_TABLE_CACHE)))
         _TABLE_CACHE[key] = df
     return df
 
