@@ -200,13 +200,43 @@ def main() -> None:
 
     timings = {short: round(best[short], 4) for short, _, _ in HEADLINE}
     total = sum(best.values())
+
+    # COLD passes: the warm number above benefits from two
+    # staleness-guarded caches (the tracked-persist warm-generation
+    # reuse in operators.dedup and the analyzed-plan table cache in
+    # sources.tables) and measures interactive repeat-query latency.
+    # The cold number clears every engine-side cache BEFORE EACH RUN —
+    # first-touch latency on a warm JVM — so the report's meaning is
+    # explicit and a future change that silently leans on cache reuse
+    # shows up here. Interleaved best-of-3 (no consecutive pair-min:
+    # the pair's second run would be warm by construction).
+    def clear_engine_caches() -> None:
+        from datastream_delta_plugins_spark.operators import dedup
+        from datastream_delta_plugins_spark.sources import tables
+        dedup.release_caches()
+        tables._TABLE_CACHE.clear()
+        spark.catalog.clearCache()
+
+    best_cold: dict[str, float] = {}
+    for _ in range(3):
+        for short, name, registry in HEADLINE:
+            clear_engine_caches()
+            dt = run(short, name, registry)
+            if dt < best_cold.get(short, float("inf")):
+                best_cold[short] = dt
+    timings_cold = {short: round(best_cold[short], 4)
+                    for short, _, _ in HEADLINE}
+    total_cold = sum(best_cold.values())
+
     avro_rate = avro_decode_mb_s(spark)
 
     print(json.dumps({
         "metric": "headline_queries_total_wall",
         "value": round(total, 4),
+        "value_cold": round(total_cold, 4),
         "unit": "sec",
         "queries": timings,
+        "queries_cold": timings_cold,
         "avro_decode_mb_s": round(avro_rate, 1),
         "sf": sf,
     }))
