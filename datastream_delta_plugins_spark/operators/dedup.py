@@ -590,7 +590,7 @@ def hyperplane_lsh_pairs(df: DataFrame, threshold: float,
 def embedding_neardup_pairs(df: DataFrame, threshold: float,
                             vec_col: str = "embedding",
                             id_col: str = "vec_id",
-                            n_cells: int = 8) -> DataFrame:
+                            n_cells: int | None = None) -> DataFrame:
     """Embedding-cosine near-duplicate pairs — EXACT, via k-means cell
     partitioning with triangle-inequality cell-pair pruning.
 
@@ -618,8 +618,12 @@ def embedding_neardup_pairs(df: DataFrame, threshold: float,
     """
     import math
 
-    from .similarity import cell_centroids, kmeans_cells
+    from .similarity import auto_n_cells, cell_centroids, kmeans_cells
 
+    # default: size the cell count to the corpus (sqrt rule) — a fixed
+    # k would let per-cell verify joins grow quadratic blocks at scale
+    if n_cells is None:
+        n_cells = auto_n_cells(df.count())
     cells = kmeans_cells(df, k=n_cells, vec_col=vec_col, id_col=id_col)
     norm = F.sqrt(_dot(F.col("_v"), F.col("_v")))
     ev = (cells.select(

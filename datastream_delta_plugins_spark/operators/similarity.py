@@ -147,7 +147,25 @@ def _screen_scored(e: DataFrame, q: DataFrame, k: int,
     return e.mapInPandas(screen, f"q_id long, {id_col} long, cos double")
 
 
-def kmeans_cells(df: DataFrame, k: int = 8,
+#: auto-sized cell counts aim at this many rows per cell at the point
+#: where the sqrt rule and the per-cell budget meet (see auto_n_cells)
+TARGET_CELL_ROWS = 100_000
+
+
+def auto_n_cells(n_rows: int, target: int = TARGET_CELL_ROWS,
+                 lo: int = 8, hi: int = 4096) -> int:
+    """Cell count for a corpus of `n_rows`: clamp(sqrt(n/target), 8,
+    4096). A FIXED cell count degrades the per-cell verify join toward
+    big quadratic blocks as the corpus grows; the sqrt rule grows cells
+    with the corpus while keeping the centroid pair table (k^2 rows)
+    trivially broadcastable even at the 4096 cap."""
+    import math
+
+    return max(lo, min(hi, int(math.ceil(
+        math.sqrt(max(n_rows, 1) / float(target))))))
+
+
+def kmeans_cells(df: DataFrame, k: int | None = 8,
                  vec_col: str = "embedding", id_col: str = "vec_id",
                  max_iter: int = 5, seed: int = 42) -> DataFrame:
     """Production cell assignment for IVF: distributed k-means
@@ -155,9 +173,13 @@ def kmeans_cells(df: DataFrame, k: int = 8,
     hood) over the embedding column. Returns (id_col, vec_col...,
     _cell int). At 100 TB the fit runs on a sample and transform is a
     narrow map — pass the fitted assignment straight into ivf_topk via
-    cell_col="_cell"."""
+    cell_col="_cell". ``k=None`` sizes the cell count from the input
+    (auto_n_cells) — one metadata-cheap count."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
+
+    if k is None:
+        k = auto_n_cells(df.count())
 
     # L2-normalize for clustering: Euclidean k-means on unit vectors
     # approximates spherical (cosine) k-means — unnormalized magnitudes

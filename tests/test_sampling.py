@@ -105,3 +105,16 @@ def test_null_id_fails_loudly(spark):
     df = spark.createDataFrame([(1,), (None,)], "doc_id bigint")
     with pytest.raises(Exception, match="NULL"):
         sampling.sample_fraction(df, "doc_id", 0.5).collect()
+
+
+def test_auto_n_cells_scales_with_corpus():
+    """Cell counts must grow with input size (sqrt rule, clamped) —
+    the fixed-k shape the round-4 review flagged."""
+    from datastream_delta_plugins_spark.operators.similarity import \
+        auto_n_cells
+    assert auto_n_cells(1_000) == 8            # lo clamp
+    assert auto_n_cells(2_000_000) == 8        # still within lo
+    small = auto_n_cells(100_000_000)          # 1e8/1e5 -> sqrt(1000)
+    big = auto_n_cells(10_000_000_000)         # 1e10/1e5 -> sqrt(1e5)
+    assert 8 < small < big
+    assert auto_n_cells(10**14) == 4096        # hi clamp
