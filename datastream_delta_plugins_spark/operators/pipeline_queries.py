@@ -241,19 +241,51 @@ def t01_text_stats(spark, sf_dir):
     return _psort(text.text_profile(_docs(spark, sf_dir)), "doc_id")
 
 
+def _pii_sample_col() -> F.Column:
+    """PII-shaped text synthesized deterministically from doc_id: the
+    corpus itself carries no PII spans, so a value gate on pii_scrub
+    needs planted ones whose per-kind counts the oracle can compute
+    ANALYTICALLY (doc_id arithmetic, no SQL regex dialect risk) —
+    doc_id%3 emails, doc_id%2 urls, (doc_id+2)%3 phones, each segment
+    isolated by non-matching words so the greedy patterns cannot merge
+    repeats. Scrubbing runs sequentially (email, url, phone), so the
+    placeholders of earlier kinds never feed later counts."""
+    sid = F.col("doc_id").cast("string")
+    email = F.repeat(
+        F.concat(F.lit("mail user"), sid, F.lit("@example.org then ")),
+        (F.col("doc_id") % 3).cast("int"))
+    url = F.repeat(
+        F.concat(F.lit("see https://ex.org/d/"), sid, F.lit(" go ")),
+        (F.col("doc_id") % 2).cast("int"))
+    phone = F.repeat(
+        F.concat(F.lit("call +1 415 555 01"),
+                 F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+                 F.lit(" stop ")),
+        ((F.col("doc_id") + 2) % 3).cast("int"))
+    return F.concat(F.lit("hello "), email, url, phone)
+
+
 def t02_lang_id(spark, sf_dir):
-    """lang_id + fingerprint + tf-idf salient-term columns in one
-    declared query (same consolidation rationale as t01: carrier
-    columns keep every operator hash-gated within the 50-slot budget).
-    The salient-term triple (term, tf, df_t) is integers + a string —
-    see text.salient_terms for the cross-engine determinism argument.
-    Docs with no terms carry NULLs via the left join."""
+    """lang_id + fingerprint + tf-idf salient-term + pii_scrub count
+    columns in one declared query (same consolidation rationale as
+    t01: carrier columns keep every operator hash-gated within the
+    50-slot budget). The salient-term triple (term, tf, df_t) is
+    integers + a string — see text.salient_terms for the cross-engine
+    determinism argument. Docs with no terms carry NULLs via the left
+    join. The scrub counts run over _pii_sample_col-synthesized text
+    (the corpus has none), so the regex counting path is value-gated
+    by the driver, not just unit-tested."""
     sig = text.doc_signature(load_table(spark, sf_dir, "documents"))
     top = (text.salient_terms(_docs(spark, sf_dir), k=1)
            .select("doc_id", F.col("term").alias("top_term"),
                    F.col("tf").alias("top_term_tf"),
                    F.col("df_t").alias("top_term_df")))
-    return _psort(sig.join(top, "doc_id", "left"), "doc_id")
+    synth = load_table(spark, sf_dir, "documents") \
+        .select("doc_id", _pii_sample_col().alias("text"))
+    scrub = text.pii_scrub(synth).select(
+        "doc_id", "n_emails", "n_urls", "n_phones")
+    return _psort(sig.join(top, "doc_id", "left").join(scrub, "doc_id"),
+                  "doc_id")
 
 
 def m02_multimodal_decode(spark, sf_dir):
@@ -275,16 +307,19 @@ def m02_multimodal_decode(spark, sf_dir):
 
 
 def i01_dedup_index(spark, sf_dir):
-    """Incremental dedup index, hard-gated: the corpus MINUS a probe
-    slice (doc_id % 4 != 0) is indexed once — banded MinHash
-    signatures + 60-bit shingle-hash arrays saved to parquet — then
-    the probe slice (doc_id % 4 == 0) is near-dup-matched AGAINST the
-    stored index without touching indexed text (the incremental-ingest
-    loop's per-batch step). The oracle recomputes the cross-set exact
-    Jaccard in SQL; recall soundness is the same 16x4 banding bound
+    """Incremental dedup index + connected components, hard-gated as a
+    tagged union: the corpus MINUS a probe slice (doc_id % 4 != 0) is
+    indexed once — banded MinHash signatures + 60-bit shingle-hash
+    arrays saved to parquet — then the probe slice (doc_id % 4 == 0)
+    is near-dup-matched AGAINST the stored index without touching
+    indexed text (tag 'match'), and min-label + pointer-jumping
+    connected components run over that cross-set match graph (tag
+    'component' — the transitive-clustering policy). The oracle
+    recomputes the cross-set exact Jaccard in SQL and the components
+    via a recursive-CTE transitive closure with min-label fold; recall
+    soundness is the same 16x4 banding bound
     test_minhash_lsh_oracle_recall_bound_on_current_data re-derives
-    per data regeneration (cross-set pairs come from the same planted
-    near-dup population). Index dirs are fresh per call (tempdir) and
+    per data regeneration. Index dirs are fresh per call (tempdir) and
     removed once the checkpoint pins the result rows."""
     import shutil
     import tempfile
@@ -293,8 +328,19 @@ def i01_dedup_index(spark, sf_dir):
     tmp = tempfile.mkdtemp(prefix="i01_index_")
     dedup.save_minhash_index(docs.where(F.col("doc_id") % 4 != 0), tmp)
     probes = docs.where(F.col("doc_id") % 4 == 0)
-    out = dedup.dedup_against_index(spark, tmp, probes, threshold=0.8)
-    res = _psort(out.localCheckpoint(eager=True), "new_id", "index_id")
+    out = dedup.dedup_against_index(spark, tmp, probes, threshold=0.8) \
+        .localCheckpoint(eager=True)  # matches feed BOTH union branches
+    comp = dedup.connected_components(out, id_cols=("new_id", "index_id"))
+    union = (out.select(F.lit("match").alias("tag"),
+                        F.col("new_id").alias("a"),
+                        F.col("index_id").alias("b"),
+                        F.col("jac").alias("val"))
+             .unionByName(comp.select(
+                 F.lit("component").alias("tag"),
+                 F.col("id").alias("a"),
+                 F.col("component").alias("b"),
+                 F.lit(None).cast("double").alias("val"))))
+    res = _psort(union.localCheckpoint(eager=True), "tag", "a", "b")
     shutil.rmtree(tmp, ignore_errors=True)
     return res
 
@@ -384,24 +430,44 @@ ORACLE_SQL: dict[str, str] = {
           SELECT 'simhash' AS tag, i, j, CAST(hamming AS DOUBLE) AS val
           FROM ({_simhash_sql()})
         ) ORDER BY tag, i, j""",
-    # cross-set exact Jaccard: probe slice vs indexed remainder — the
-    # truth dedup_against_index must reproduce from its stored index
+    # cross-set exact Jaccard (tag 'match'): probe slice vs indexed
+    # remainder — the truth dedup_against_index must reproduce from its
+    # stored index — plus connected components over that match graph
+    # (tag 'component'): transitive closure by recursive CTE, folded to
+    # the min reachable id, the same policy as min-label + pointer
+    # jumping on the Spark side
     "i01_dedup_index": f"""
-        WITH {_SHINGLES},
+        WITH RECURSIVE {_SHINGLES},
         n AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY 1),
         pairs AS (SELECT a.doc_id AS new_id, b.doc_id AS index_id,
                          count(*) AS common
                   FROM sh a JOIN sh b ON a.s = b.s
                   WHERE a.doc_id % 4 = 0 AND b.doc_id % 4 <> 0
-                  GROUP BY 1, 2)
-        SELECT new_id, index_id,
-               CAST(common AS DOUBLE)
-                 / CAST(na.c + nb.c - common AS DOUBLE) AS jac
-        FROM pairs JOIN n na ON na.doc_id = new_id
-                   JOIN n nb ON nb.doc_id = index_id
-        WHERE CAST(common AS DOUBLE)
-                / CAST(na.c + nb.c - common AS DOUBLE) >= 0.8
-        ORDER BY new_id, index_id""",
+                  GROUP BY 1, 2),
+        match AS (
+          SELECT new_id, index_id,
+                 CAST(common AS DOUBLE)
+                   / CAST(na.c + nb.c - common AS DOUBLE) AS jac
+          FROM pairs JOIN n na ON na.doc_id = new_id
+                     JOIN n nb ON nb.doc_id = index_id
+          WHERE CAST(common AS DOUBLE)
+                  / CAST(na.c + nb.c - common AS DOUBLE) >= 0.8),
+        edges AS (SELECT new_id AS s, index_id AS t FROM match
+                  UNION SELECT index_id, new_id FROM match),
+        reach AS (
+          SELECT s AS id, s AS r FROM edges
+          UNION
+          SELECT e.s, reach.r FROM edges e
+          JOIN reach ON reach.id = e.t),
+        comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+        SELECT * FROM (
+          SELECT 'match' AS tag, new_id AS a, index_id AS b, jac AS val
+          FROM match
+          UNION ALL
+          SELECT 'component' AS tag, id AS a, component AS b,
+                 CAST(NULL AS DOUBLE) AS val
+          FROM comp
+        ) ORDER BY tag, a, b""",
     "d03_minhash_lsh": _JACCARD.format(thr=0.8),
     "d05_embedding_neardup": f"""
         WITH {_EMB}
@@ -536,7 +602,12 @@ ORACLE_SQL: dict[str, str] = {
                 WHERE rn = 1)
         SELECT d.doc_id, {_LANG_CASE} AS pred_lang, {_LANG_MAX} AS score,
                md5({_NORM}) AS fp, ms.min_shingle_hash,
-               top.top_term, top.top_term_tf, top.top_term_df
+               top.top_term, top.top_term_tf, top.top_term_df,
+               -- pii_scrub over doc_id-synthesized spans: the planted
+               -- counts are pure arithmetic (see _pii_sample_col)
+               CAST(d.doc_id % 3 AS BIGINT) AS n_emails,
+               CAST(d.doc_id % 2 AS BIGINT) AS n_urls,
+               CAST((d.doc_id + 2) % 3 AS BIGINT) AS n_phones
         FROM documents d
         JOIN scores USING (doc_id)
         LEFT JOIN ms ON ms.doc_id = d.doc_id
