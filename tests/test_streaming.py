@@ -730,3 +730,54 @@ def test_diff_states_ignores_sort_key_touch(spark):
         "id bigint, val string, _is_deleted boolean, _sk1 bigint, "
         "_sk2 bigint, _sk3 string, _sk4 bigint")
     assert cdc_ops.diff_states(prev, cur, ["id"]).count() == 0
+
+
+def test_soak_per_batch_latency_does_not_trend_up(spark, tmp_path):
+    """Sustained-load soak (round-3/4 listing fixes claim O(batch) per
+    micro-batch): drain a 100-file backlog as 100 single-file
+    micro-batches over a fixed PK set and assert per-batch wall time
+    does NOT trend upward as processed-file history accumulates —
+    an O(history) regression in listing, state rewrite, or manifest
+    maintenance would grow late batches by ~5-10x over the run, far
+    beyond this host's noise envelope."""
+    import statistics
+
+    from datastream_delta_plugins_spark.streaming import PipelineMetrics
+
+    N = 100
+    src = str(tmp_path / "src")
+    # bucketed backend (the scale path): merges scoped to touched
+    # buckets; fixed PK set keeps intended state size constant, so any
+    # latency trend is pure history cost
+    pipe = CdcPipeline(spark, "t1", src + "/*", str(tmp_path / "work"),
+                       pk_cols=["id"], state_backend="bucketed",
+                       n_state_buckets=4)
+    for b in range(N):
+        _write(spark, f"{src}/f{b:03d}_oracle-cdc-logminer_{b}",
+               *[("oracle-cdc-logminer",
+                  "INSERT" if b == 0 else "UPDATE",
+                  b * 10 + k, k, f"v{b}") for k in range(5)])
+
+    m = PipelineMetrics()
+    spark.streams.addListener(m)
+    try:
+        q = pipe.start(CHANGE_SCHEMA, trigger={"availableNow": True},
+                       max_files_per_trigger=1)
+        q.awaitTermination(1200)
+        assert not q.isActive
+        assert m.wait_for(N, timeout=120)
+    finally:
+        spark.streams.removeListener(m)
+
+    prog = sorted((e for e in m.progress if e["num_input_rows"]),
+                  key=lambda e: e["batch_id"])
+    assert len(prog) >= N
+    walls = [e["duration_ms"].get("triggerExecution", 0) for e in prog]
+    early = statistics.median(walls[10:30])
+    late = statistics.median(walls[-20:])
+    assert late <= max(3 * early, early + 1500), \
+        f"per-batch latency trended up: early median {early}ms, " \
+        f"late median {late}ms"
+    # the merged state is the last update per PK
+    s = {r["id"]: r["val"] for r in pipe.read_state().collect()}
+    assert s == {k: f"v{N - 1}" for k in range(5)}
