@@ -132,7 +132,8 @@ def avro_decode_mb_s(spark) -> float:
         df = avro_ocf.read_avro_changes(spark, tmp)
         df.write.format("noop").mode("overwrite").save()  # warm
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):  # best-of-3: this host has multi-second
+            # contention bursts; 2 samples can both land inside one
             t0 = time.perf_counter()
             avro_ocf.read_avro_changes(spark, tmp) \
                 .write.format("noop").mode("overwrite").save()
