@@ -53,6 +53,12 @@ class TableConfig:
     schema: object = None  # StructType for the streaming reader
     backfill_status: str = BACKFILL_COMPLETED
     skip_snapshot: bool = False
+    #: "parquet" (pre-decoded change files) or "avro" (raw Datastream
+    #: OCF blobs — what the reference consumes). Avro tables route
+    #: through a decode-once landing (sources.avro_landing): each blob
+    #: is decoded exactly once into committed parquet, and both batch
+    #: and streaming modes consume the landing.
+    source_format: str = "parquet"
     extra: dict = field(default_factory=dict)
 
 
@@ -87,9 +93,26 @@ class ReplicationJob:
         # partitioned form at migration time)
         register_catalog = register_catalog and \
             state_backend in ("versioned", "auto")
+        # avro tables: decode-once landing between the blob dir and the
+        # pipeline — the pipeline's source becomes the landing parquet
+        from ..sources.avro_landing import AvroLandingConverter
+        self.converters = {
+            t.name: AvroLandingConverter(
+                spark, t.source_dir,
+                os.path.join(work_dir, "tables", t.name, "landing"),
+                columns=t.columns)
+            for t in tables if t.source_format == "avro"
+        }
+        for t in tables:
+            if t.source_format not in ("parquet", "avro"):
+                raise ValueError(
+                    f"table {t.name}: unknown source_format "
+                    f"{t.source_format!r}")
         self.pipelines = {
             t.name: CdcPipeline(
-                spark, t.name, t.source_dir,
+                spark, t.name,
+                (os.path.join(self.converters[t.name].data_dir, "*")
+                 if t.name in self.converters else t.source_dir),
                 os.path.join(work_dir, "tables", t.name),
                 pk_cols=t.pk_cols, dml_blacklist=t.dml_blacklist,
                 ttl=self.ttl, retry=retry,
@@ -170,24 +193,35 @@ class ReplicationJob:
         from pyspark.sql import functions as F
         for name, cfg in self.tables.items():
             pipe = self.pipelines[name]
-            try:
-                df = self.spark.read.parquet(cfg.source_dir)
-            except AnalysisException:
-                # no files yet (backfill not started, or a dump-less
-                # table): an EMPTY scan still advances completion — a
-                # stable empty file set with backfill COMPLETED is the
-                # reference's dump-less skip
-                # (DatastreamEventReader.java:449-467)
-                self._check_dump_complete(pipe, name, [])
-                continue
-            df = df.withColumn("_source_file", F.input_file_name())
+            conv = self.converters.get(name)
+            if conv is not None:
+                # decode-once: convert any new blobs, read the landing
+                conv.convert_new()
+                df = conv.read_landing()
+                if df is None:
+                    self._check_dump_complete(pipe, name, [])
+                    continue
+            else:
+                try:
+                    df = self.spark.read.parquet(cfg.source_dir)
+                except AnalysisException:
+                    # no files yet (backfill not started, or a dump-less
+                    # table): an EMPTY scan still advances completion — a
+                    # stable empty file set with backfill COMPLETED is
+                    # the reference's dump-less skip
+                    # (DatastreamEventReader.java:449-467)
+                    self._check_dump_complete(pipe, name, [])
+                    continue
+                df = df.withColumn("_source_file", F.input_file_name())
             # classify on the LOGICAL FILE name: the basename, or its
             # immediate parent segment (a parquet "change file" is a
             # directory of part-files, so the marker lives one level
             # up). Higher path segments must NOT match — a landing
             # root like /srv/backfill_drop/ would otherwise flag every
             # CDC file as snapshot (the reference checks the blob name
-            # only, DatastreamEventConsumer.java:206-208)
+            # only, DatastreamEventConsumer.java:206-208). Landing rows
+            # already carry the ORIGINAL blob path in _source_file, so
+            # the same rule applies to both formats.
             parts = F.split("_source_file", "/")
             is_snap = (F.element_at(parts, -1)
                         .contains(SNAPSHOT_FILE_MARKER)
@@ -239,10 +273,20 @@ class ReplicationJob:
         self._ensure_database()
         queries = []
         for name, cfg in self.tables.items():
-            if cfg.schema is None:
+            schema = cfg.schema
+            conv = self.converters.get(name)
+            if conv is not None:
+                # convert the current backlog so the landing (the
+                # stream's source) exists and has a schema; steady-state
+                # conversion is the converter's scheduler loop
+                # (convert_new per scan interval), mirroring the
+                # reference's 30 s blob scan
+                conv.convert_new()
+                schema = schema or conv.landing_schema()
+            if schema is None:
                 raise ValueError(f"table {name}: streaming needs a schema")
             queries.append(self.pipelines[name].start(
-                cfg.schema, trigger=trigger))
+                schema, trigger=trigger))
         return queries
 
     def state_report(self) -> dict[str, str]:

@@ -121,3 +121,47 @@ def test_streaming_pipeline_consumes_landing(spark, conv, tmp_path):
     q = pipe.start(schema, trigger={"availableNow": True})
     q.awaitTermination(120)
     assert pipe.read_state().where("NOT _is_deleted").count() == 19
+
+
+def test_replication_job_ingests_raw_avro(spark, tmp_path):
+    """source_format='avro': ReplicationJob consumes raw Datastream OCF
+    blobs end-to-end — decode-once landing in between — with snapshot
+    classification on the ORIGINAL blob names and the dump barrier
+    advancing exactly as it does for parquet tables."""
+    from datastream_delta_plugins_spark.streaming import state as sk
+    from datastream_delta_plugins_spark.streaming.replication import (
+        ReplicationJob, TableConfig)
+
+    src = tmp_path / "blobs"
+    src.mkdir()
+    _write_avro(src, "k1_oracle-backfill_0.avro", _events(0, 30, SNAP))
+    upd = [_event("c1", CDC, "UPDATE", 5, "emp5b", Decimal("9.99"), 100),
+           _event("c2", CDC, "DELETE", 7, "emp7", Decimal("1.00"), 101)]
+    _write_avro(src, "k1_oracle-cdc-logminer_1.avro", upd)
+
+    job = ReplicationJob(
+        spark, str(tmp_path / "work"),
+        [TableConfig("t1", str(src), ["EMPLOYEE_ID"],
+                     source_format="avro")],
+        register_catalog=False)
+    job.run_batch()
+    pipe = job.pipelines["t1"]
+    state = {r["EMPLOYEE_ID"]: (r["FIRST_NAME"], r["_is_deleted"])
+             for r in pipe.read_state().collect()}
+    assert state[5] == ("emp5b", False)
+    assert state[7][1] is True
+    assert len(state) == 30
+    assert pipe.doc.get(sk.k_snapshot_seen("t1")) == "true"
+    # second cycle: no new blobs -> no re-decode, stable file set ->
+    # dump barrier completes
+    job.run_batch()
+    assert job.converters["t1"].convert_new()["converted"] == 0
+    assert pipe.doc.get(sk.k_snapshot_done("t1")) == "true"
+    # a late CDC blob flows through the landing on the next cycle
+    _write_avro(src, "k1_oracle-cdc-logminer_2.avro",
+                [_event("c3", CDC, "UPDATE", 9, "emp9z",
+                        Decimal("2.00"), 102)])
+    job.run_batch()
+    state = {r["EMPLOYEE_ID"]: r["FIRST_NAME"]
+             for r in pipe.read_state().collect()}
+    assert state[9] == "emp9z"
