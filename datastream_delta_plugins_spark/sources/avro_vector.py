@@ -101,19 +101,36 @@ def _vlong(buf: np.ndarray, pos: np.ndarray, hint=None) -> np.ndarray:
     return _zig(u.sum(1, dtype=np.uint64))
 
 
+def _vbranch(buf: np.ndarray, pos: np.ndarray) -> np.ndarray:
+    """Union branch index: always a single zigzag byte (every union
+    here has <= 3 branches, and zigzag(i) = 2i for i >= 0). Corrupt
+    multi-byte encodings surface at the final pos==ends check."""
+    b = buf[pos] >> 1
+    pos += 1
+    return b
+
+
 def _gather(buf: np.ndarray, starts: np.ndarray, lens: np.ndarray):
     """Concatenate buf[starts[i]:starts[i]+lens[i]] slices (row-major).
 
     int32 index math: per-file buffers are well under 2 GiB (enforced
     in decode_columnar), and the index array is the dominant memory
-    traffic of the whole decode — halving it matters at 32-way."""
+    traffic of the whole decode — halving it matters at 32-way. A
+    constant-width column (table/schema names, read_method, uuids of
+    one format — most envelope strings) skips the per-item repeat and
+    builds the index by broadcast."""
     total = int(lens.sum())
     if total == 0:
         return np.empty(0, np.uint8)
     lens32 = lens.astype(np.int32, copy=False)
+    starts32 = starts.astype(np.int32, copy=False)
+    w = int(lens32[0])
+    if w > 0 and (lens32 == w).all():
+        idx = starts32[:, None] + np.arange(w, dtype=np.int32)
+        return buf[idx].reshape(-1)
     out_start = np.cumsum(lens32, dtype=np.int32) - lens32
     idx = np.arange(total, dtype=np.int32) \
-        + np.repeat(starts.astype(np.int32, copy=False) - out_start, lens32)
+        + np.repeat(starts32 - out_start, lens32)
     return buf[idx]
 
 
@@ -334,7 +351,6 @@ class _UnionToString:
     def __init__(self, branches):
         # branches: list of "null"|"string"|"long"|"int"|"boolean"
         self.branches = branches
-        self._bhint = [1]
         self._lhint = [2]
         self.store = _Strings(utf8=True)
 
@@ -345,7 +361,7 @@ class _UnionToString:
         self.store.null(dest)
 
     def read(self, buf, pos, dest):
-        bidx = _vlong(buf, pos, self._bhint)
+        bidx = _vbranch(buf, pos)
         for i, kind in enumerate(self.branches):
             sel = np.flatnonzero(bidx == i)
             if not sel.size:
@@ -395,7 +411,6 @@ class _Nullable:
         # branches: list of (node_or_None) in schema order; exactly one
         # non-null node (multi-type scalar unions use _UnionToString)
         self.branches = branches
-        self._bhint = [1]
         self.child = next(b for b in branches if b is not None)
 
     def reset(self):
@@ -405,7 +420,7 @@ class _Nullable:
         self.child.null(dest)
 
     def read(self, buf, pos, dest):
-        bidx = _vlong(buf, pos, self._bhint)
+        bidx = _vbranch(buf, pos)
         lo = int(bidx[0])
         if (bidx == lo).all():  # homogeneous wave (the common case)
             node = self.branches[lo]
