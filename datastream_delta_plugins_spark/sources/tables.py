@@ -73,6 +73,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def _schema_from_footer(spark: SparkSession, path: str):
+    """Parquet schema read driver-side (pyarrow footer, ~ms) instead of
+    Spark's 1-task inference job — the dominant first-touch cost of a
+    cold query is one such job per table referenced. Returns None when
+    the footer carries types Spark's arrow mapping can't express or the
+    path is a multi-file directory (fall back to inference)."""
+    try:
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import from_arrow_schema
+        if not os.path.isfile(path):
+            return None
+        arrow = pq.read_schema(path)
+        if any(getattr(f.type, "unit", None) == "ns" for f in arrow):
+            return None  # nanos timestamps need the legacy long read
+        return from_arrow_schema(arrow)
+    except Exception:
+        return None
+
+
 def _load_table_uncached(spark: SparkSession, path: str,
                          name: str) -> DataFrame:
     if name == "events":
@@ -88,12 +107,17 @@ def _load_table_uncached(spark: SparkSession, path: str,
         # execution — so every nanos column in the session reads as
         # long, and conversion is cast-on-use like this one.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
+        sch = _schema_from_footer(spark, path)
+        df = spark.read.schema(sch).parquet(path) if sch is not None \
+            else spark.read.parquet(path)
         if dict(df.dtypes)["ts"] == "bigint":  # nanos generation
             return df.withColumn(
                 "ts",
                 F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"))
         return df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    sch = _schema_from_footer(spark, path)
+    if sch is not None:
+        return spark.read.schema(sch).parquet(path)
     return spark.read.parquet(path)
 
 
