@@ -124,3 +124,45 @@ class AvroLandingConverter:
     def landing_schema(self):
         df = self.read_landing()
         return None if df is None else df.schema
+
+    # -- maintenance --
+
+    def compact(self, min_batches: int = 8) -> dict:
+        """Rewrite the committed batch dirs into ONE when enough small
+        batches accumulated (a 30 s conversion cadence makes one dir
+        per scan — unbounded dir counts degrade listing and read
+        planning exactly like the 15 s file-rotation problem the
+        partitioned sink compacts). Data first, commit last: the
+        compacted dir lands under the NEXT version's name, the commit
+        swaps the manifest to reference only it, and the superseded
+        batch dirs become orphans for vacuum(). Returns
+        {"compacted": n_dirs | 0}."""
+        committed = self._committed()
+        dirs = committed["batch_dirs"]
+        if len(dirs) < min_batches:
+            return {"compacted": 0}
+        df = self.read_landing()
+        batch = self.clog.version() + 1
+        bdir = f"b{batch}"
+        df.write.mode("overwrite").parquet(
+            os.path.join(self.data_dir, bdir))
+        self.clog.commit({"files": committed["files"],
+                          "batch_dirs": [bdir]})
+        return {"compacted": len(dirs)}
+
+    def vacuum(self) -> list[str]:
+        """Delete data dirs the CURRENT manifest no longer references —
+        crash orphans and batches superseded by compact(). In-flight
+        readers of the previous version should finish first (same
+        contract as BucketedStateTable.vacuum keep_versions=0)."""
+        live = set(self.committed_batch_dirs())
+        removed = []
+        if not os.path.isdir(self.data_dir):
+            return removed
+        import shutil
+        for d in sorted(os.listdir(self.data_dir)):
+            if d.startswith("b") and d not in live:
+                shutil.rmtree(os.path.join(self.data_dir, d),
+                              ignore_errors=True)
+                removed.append(d)
+        return removed

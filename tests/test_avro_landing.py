@@ -165,3 +165,26 @@ def test_replication_job_ingests_raw_avro(spark, tmp_path):
     state = {r["EMPLOYEE_ID"]: r["FIRST_NAME"]
              for r in pipe.read_state().collect()}
     assert state[9] == "emp9z"
+
+
+def test_compact_and_vacuum_landing(spark, conv):
+    """Many small conversion batches compact into one committed dir;
+    vacuum removes the superseded dirs; rows and manifest provenance
+    are unchanged throughout."""
+    src, c = conv
+    for b in range(8):
+        _write_avro(src, f"k1_oracle-cdc-logminer_{b}.avro",
+                    _events(b * 5, b * 5 + 5))
+        assert c.convert_new()["converted"] == 1
+    assert len(c.committed_batch_dirs()) == 8
+    assert c.compact()["compacted"] == 8
+    assert len(c.committed_batch_dirs()) == 1
+    assert c.read_landing().count() == 40
+    assert len(c.converted_files()) == 8  # provenance survives
+    removed = c.vacuum()
+    assert len(removed) == 8
+    assert c.read_landing().count() == 40
+    # steady state: no new blobs, no re-decode after the rewrite
+    assert c.convert_new() == {"converted": 0, "batch_dir": None}
+    # below the threshold nothing compacts
+    assert c.compact()["compacted"] == 0
