@@ -485,12 +485,12 @@ def read_avro_changes(spark, path: str, columns=None, avro_schema=None,
     (reference: schema_key change -> re-describe,
     DatastreamEventReader.java:652-674).
 
-    ``decoder`` pins the per-file decode path: "auto" (vectorized with
-    per-file fallback), "scalar" (closure tree only — the equivalence
-    tests diff the two), or "vector" (raise instead of falling back —
-    pins that a fixture really exercises the fast path).
+    ``decoder`` pins the per-file decode path: "auto" (C kernel when
+    available, then the vectorized wavefront, then the closure tree,
+    per file), "ckernel"/"vector"/"scalar" (that tier only — raise
+    instead of falling back; the equivalence tests diff the tiers).
     """
-    if decoder not in ("auto", "scalar", "vector"):
+    if decoder not in ("auto", "scalar", "vector", "ckernel"):
         raise ValueError(f"unknown decoder {decoder!r}")
     from pyspark.sql import types as T
 
@@ -665,26 +665,38 @@ def read_avro_changes(spark, path: str, columns=None, avro_schema=None,
             out.append(col)
         return out
 
-    def decode_vector(fpath, raw):
-        """Wavefront fast path: block bytes -> Arrow, no row objects."""
-        fschema, n, fin = avro_vector.decode_columnar(raw)
+    def _assemble(fpath, fschema, n, fin):
         check_drift(fschema, fpath)
+        # a field in the READER schema but absent from this file's
+        # writer schema (registry re-describe after drift) reads as
+        # all-null — the same evolution rule the row path applies via
+        # .get()
         arrays = {}
         for name in meta_names:
-            arrays[name] = fin[name]
+            arrays[name] = fin.get(name)
         sm = fin["source_metadata"]
         for name, o in zip(sm_names, sm_out):
-            arrays[o] = sm[name]
+            arrays[o] = sm.get(name)
         sk1, sk2, sk3, sk4 = _sk_cols(fin["sort_keys"], fpath, n)
         arrays.update({"_sk1": sk1, "_sk2": sk2,
                        "_sk3": sk3, "_sk4": sk4})
         p = fin["payload"]
         for name, o, _t in payload_out:
-            arrays[o] = p[name]
+            arrays[o] = p.get(name)
         arrays["_source_file"] = pa.array([fpath] * n, pa.string())
         return pa.RecordBatch.from_arrays(
-            [_to_target(arrays[f.name], f.type) for f in target],
+            [pa.nulls(n, f.type) if arrays[f.name] is None
+             else _to_target(arrays[f.name], f.type) for f in target],
             schema=target)
+
+    def decode_vector(fpath, raw):
+        """Wavefront fast path: block bytes -> Arrow, no row objects."""
+        return _assemble(fpath, *avro_vector.decode_columnar(raw))
+
+    def decode_ckernel(fpath, raw):
+        """Native tier: the ctypes C block decoder (avro_ckernel)."""
+        from . import avro_ckernel
+        return _assemble(fpath, *avro_ckernel.decode_columnar(raw))
 
     def decode(batches):
         for batch in batches:
@@ -696,11 +708,16 @@ def read_avro_changes(spark, path: str, columns=None, avro_schema=None,
                     yield decode_scalar(fpath, raw)
                 elif decoder == "vector":
                     yield decode_vector(fpath, raw)
+                elif decoder == "ckernel":
+                    yield decode_ckernel(fpath, raw)
                 else:
                     try:
-                        yield decode_vector(fpath, raw)
+                        yield decode_ckernel(fpath, raw)
                     except avro_vector.Unsupported:
-                        yield decode_scalar(fpath, raw)
+                        try:
+                            yield decode_vector(fpath, raw)
+                        except avro_vector.Unsupported:
+                            yield decode_scalar(fpath, raw)
 
     decoded = (bin_df.select("path", "content")
                      .mapInArrow(decode, out_schema))

@@ -332,6 +332,11 @@ def test_vector_and_scalar_decoders_identical(spark, tmp_path):
         .orderBy("uuid").collect()
     assert len(fast) == len(slow) == 400
     assert fast == slow
+    from datastream_delta_plugins_spark.sources import avro_ckernel
+    if avro_ckernel.available():
+        native = avro_ocf.read_avro_changes(
+            spark, str(d), decoder="ckernel").orderBy("uuid").collect()
+        assert native == slow
 
 
 def test_vector_decoder_falls_back_on_single_block(spark, tmp_path):

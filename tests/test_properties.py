@@ -441,6 +441,18 @@ def test_vector_decoder_matches_closure_decoder(recs, codec, sync):
         # path falls back to the closure decoder there by design
         return
     assert n == len(ref)
+    _check_decoded(fin, ref)
+
+    # the native (C) tier must agree too, wherever it's available
+    from datastream_delta_plugins_spark.sources import avro_ckernel
+    if avro_ckernel.available():
+        _, n2, fin2 = avro_ckernel.decode_columnar(raw)
+        assert n2 == len(ref)
+        _check_decoded(fin2, ref)
+
+
+def _check_decoded(fin, ref):
+    import pyarrow as pa
     assert fin["id"].to_pylist() == [r["id"] for r in ref]
     assert fin["ts"].cast(pa.int64()).to_pylist() == \
         [r["ts"] * 1000 for r in ref]
