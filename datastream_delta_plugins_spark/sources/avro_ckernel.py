@@ -193,6 +193,9 @@ static int run(Ctx *c, int32_t pc, int64_t *p) {
                     rc = vlong(c, p, &sz); if (rc) return rc;
                 }
                 for (int64_t i = 0; i < cnt; i++) {
+                    /* corrupt counts must not march the cursor past
+                       the block (and eventually the buffer) */
+                    if (*p > c->limit) return -6;
                     int rc2 = run(c, ioff, p); if (rc2) return rc2;
                 }
                 total += cnt;
@@ -542,7 +545,12 @@ def decode_columnar(raw: bytes):
     ops, kinds, leaves, shape = compile_program(meta["avro.schema"],
                                                 schema)
     n_rows = int(sum(counts))
-    buf = np.frombuffer(b"".join(datas) + bytes(PAD), np.uint8)
+    # pad generously: a corrupt record can overrun its block by at most
+    # one record's worth of unchecked varint reads (<= 10 bytes per op)
+    # before the per-record boundary check rejects it — keep that
+    # overrun inside the buffer
+    buf = np.frombuffer(
+        b"".join(datas) + bytes(PAD + 10 * int(ops.shape[0])), np.uint8)
     lens = np.array([len(d) for d in datas], np.int64)
     bend = np.cumsum(lens)
     bstart = bend - lens

@@ -356,3 +356,20 @@ def test_vector_decoder_falls_back_on_single_block(spark, tmp_path):
     (d / "k1_oracle-cdc-logminer_0.avro").write_bytes(blob)
     rows = avro_ocf.read_avro_changes(spark, str(d)).collect()
     assert len(rows) == 120
+
+
+def test_ckernel_rejects_corrupt_blocks():
+    """Truncated/garbled block bytes must fail loudly on the native
+    tier (boundary mismatch), never read out of bounds or emit rows."""
+    from datastream_delta_plugins_spark.sources import avro_ckernel
+    if not avro_ckernel.available():
+        import pytest as _p
+        _p.skip("no C compiler in this environment")
+    recs = [_varied_event(i) for i in range(50)]
+    blob = bytearray(avro_ocf.write_ocf(ENVELOPE, recs, codec="null"))
+    # flip bytes in the record body region (after header+sync)
+    for off in (len(blob) // 2, len(blob) // 2 + 7, len(blob) - 40):
+        blob[off] ^= 0xFF
+    import pytest as _p
+    with _p.raises((ValueError, Exception)):
+        avro_ckernel.decode_columnar(bytes(blob))
