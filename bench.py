@@ -52,7 +52,7 @@ def avro_decode_mb_s(spark) -> float:
 
     One representative CDC-envelope file is generated driver-side and
     replicated (decode cost is content-dependent, not name-dependent);
-    timing is best-of-2 on a warm session, full pipeline to a noop
+    timing is best-of-3 on a warm session, full pipeline to a noop
     sink."""
     import shutil
     import tempfile

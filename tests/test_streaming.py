@@ -775,7 +775,10 @@ def test_soak_per_batch_latency_does_not_trend_up(spark, tmp_path):
     walls = [e["duration_ms"].get("triggerExecution", 0) for e in prog]
     early = statistics.median(walls[10:30])
     late = statistics.median(walls[-20:])
-    assert late <= max(3 * early, early + 1500), \
+    # cushion absorbs this host's multi-second contention bursts (a
+    # burst can straddle the final batches); a genuine O(history)
+    # regression grows 5-10x over 100 batches and still fails
+    assert late <= max(3 * early, early + 2500), \
         f"per-batch latency trended up: early median {early}ms, " \
         f"late median {late}ms"
     # the merged state is the last update per PK
