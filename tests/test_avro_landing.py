@@ -188,3 +188,35 @@ def test_compact_and_vacuum_landing(spark, conv):
     assert c.convert_new() == {"converted": 0, "batch_dir": None}
     # below the threshold nothing compacts
     assert c.compact()["compacted"] == 0
+
+
+def test_replication_job_streams_raw_avro(spark, tmp_path):
+    """Streaming mode for source_format='avro': start_all converts the
+    blob backlog, derives the stream schema from the landing, and the
+    checkpointed stream merges it; a second cycle (new blob -> convert
+    -> restart) flows deltas through without re-reading old blobs."""
+    from datastream_delta_plugins_spark.streaming.replication import (
+        ReplicationJob, TableConfig)
+
+    src = tmp_path / "blobs"
+    src.mkdir()
+    _write_avro(src, "k1_oracle-backfill_0.avro", _events(0, 15, SNAP))
+    job = ReplicationJob(
+        spark, str(tmp_path / "work"),
+        [TableConfig("t1", str(src), ["EMPLOYEE_ID"],
+                     source_format="avro")],
+        register_catalog=False)
+    queries = job.start_all(trigger={"availableNow": True})
+    for q in queries:
+        q.awaitTermination(180)
+    pipe = job.pipelines["t1"]
+    assert pipe.read_state().count() == 15
+
+    _write_avro(src, "k1_oracle-cdc-logminer_1.avro",
+                [_event("c1", CDC, "DELETE", 3, "emp3",
+                        Decimal("1.00"), 99)])
+    assert job.converters["t1"].convert_new()["converted"] == 1
+    queries = job.start_all(trigger={"availableNow": True})
+    for q in queries:
+        q.awaitTermination(180)
+    assert pipe.read_state().where("NOT _is_deleted").count() == 14
