@@ -665,6 +665,36 @@ def embedding_neardup_pairs(df: DataFrame, threshold: float,
                 .where(F.col("cos") >= threshold))
 
 
+def semantic_dedup(df: DataFrame, threshold: float = 0.9,
+                   vec_col: str = "embedding",
+                   id_col: str = "vec_id") -> tuple[DataFrame, DataFrame]:
+    """Embedding-space deduplication (the SemDeDup recipe applied with
+    EXACT pair generation): items whose cosine similarity clears the
+    threshold are transitively clustered and each cluster keeps its
+    min-id representative — the semantic complement to text-level
+    `dedup_corpus` for corpora where paraphrases, translations, and
+    template edits share no n-grams.
+
+    Composition of already-scale-shaped parts: cell-pruned exact pair
+    generation (`embedding_neardup_pairs`, keyed shuffles only) ->
+    min-label pointer-jumping `connected_components` (O(log diameter)
+    rounds) -> one anti-join dropping non-representatives. Returns
+    (kept_rows, assignment) where assignment is (id, component) for
+    every item that had a near-duplicate — rows absent from it were
+    untouched singletons.
+    """
+    pairs = embedding_neardup_pairs(df, threshold, vec_col=vec_col,
+                                    id_col=id_col)
+    assignment = connected_components(pairs)
+    drop = (assignment.where(F.col("id") != F.col("component"))
+                      .select(F.col("id").alias(id_col)))
+    # plain anti-join: the drop list is duplicate-count-sized, so let
+    # AQE broadcast it when small rather than forcing a broadcast that
+    # could not ship a heavily-duplicated corpus's list
+    kept = df.join(drop, id_col, "left_anti")
+    return kept, assignment.withColumnRenamed("id", id_col)
+
+
 def dedup_corpus(df: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id",
                  jaccard_threshold: float = 0.8,

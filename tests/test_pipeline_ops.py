@@ -462,3 +462,37 @@ def test_persist_tracked_reuses_identical_input(spark):
     assert c is not a  # changed input evicts
     assert c.count() == 1
     dedup._CACHE_GENS.pop(key).unpersist()
+
+
+def test_semantic_dedup_keeps_cluster_representatives(spark, sf_correctness):
+    """semantic_dedup must keep exactly one (min-id) representative per
+    transitive cosine cluster and leave singletons untouched."""
+    from datastream_delta_plugins_spark.sources.tables import load_table
+    emb = load_table(spark, sf_correctness, "embeddings")
+    kept, assignment = dedup.semantic_dedup(emb, threshold=0.45)
+    pairs = {(r["i"], r["j"]) for r in
+             dedup.embedding_neardup_pairs(emb, 0.45).collect()}
+    # union-find ground truth over the pair graph
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for i, j in pairs:
+        ri, rj = find(i), find(j)
+        if ri != rj:
+            parent[max(ri, rj)] = min(ri, rj)
+    clustered = set(parent)
+    reps = {min(m for m in parent if find(m) == find(x))
+            for x in clustered}
+    all_ids = {r["vec_id"] for r in emb.select("vec_id").collect()}
+    expect_kept = (all_ids - clustered) | reps
+    got_kept = {r["vec_id"] for r in kept.select("vec_id").collect()}
+    assert got_kept == expect_kept
+    # assignment covers exactly the clustered ids, labeled by min id
+    amap = {r["vec_id"]: r["component"] for r in assignment.collect()}
+    assert set(amap) == clustered
+    for x in clustered:
+        assert amap[x] == find(x)
