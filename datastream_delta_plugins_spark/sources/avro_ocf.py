@@ -13,9 +13,11 @@ logical types timestamp-millis/micros and decimal(p,s)-on-bytes.
 
 Distributed read path (the Spark-first part): files land as rows of
 `spark.read.format("binaryFile")` (path, content) and are decoded in
-executors via mapInPandas — Arrow-batched, one Python pass per file,
-schema enforced from the registry. At 100 TB the unit of parallelism
-is the file, exactly like the reference's per-blob consumer loop.
+executors via mapInArrow — per file, the native opcode decoder
+(avro_ckernel) when a compiler is available, else the vectorized
+wavefront (avro_vector), else this module's closure tree; all three
+emit identical Arrow batches. At 100 TB the unit of parallelism is
+the file, exactly like the reference's per-blob consumer loop.
 
 The writer exists to build golden fixtures shaped like the reference's
 test corpus (dump/insert/update/delete/update-pk.avro, FIXTURES.md F1).
