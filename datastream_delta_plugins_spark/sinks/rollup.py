@@ -59,8 +59,9 @@ def store_committed(source_path: str, committed: dict,
                     subdir=COMMITTED_LOG).commit({"doc": committed})
 
 
-def _signatures(spark: SparkSession, source_path: str) -> dict[str, list]:
-    committed = load_committed(source_path)
+def _signatures(spark: SparkSession, source_path: str,
+                commit_impl: str = "pointer") -> dict[str, list]:
+    committed = load_committed(source_path, commit_impl)
     if committed is not None:
         # files are immutable once committed: (count, bytes) per
         # partition is a complete signature, no mtime needed
@@ -92,7 +93,8 @@ def _store_manifest(rollup_path: str, sigs: dict,
 
 def update_rollup(spark: SparkSession, source_path: str, rollup_path: str,
                   group_cols: list[str],
-                  aggs: Mapping[str, Column]) -> dict:
+                  aggs: Mapping[str, Column],
+                  commit_impl: str = "pointer") -> dict:
     """Bring the rollup at `rollup_path` up to date with the
     time-partitioned table at `source_path`.
 
@@ -104,8 +106,8 @@ def update_rollup(spark: SparkSession, source_path: str, rollup_path: str,
     Returns {"changed": n, "removed": m, "total": k}. Cost: one pruned
     scan + one aggregate over the changed partitions only.
     """
-    sigs = _signatures(spark, source_path)
-    seen = _load_manifest(rollup_path)
+    sigs = _signatures(spark, source_path, commit_impl)
+    seen = _load_manifest(rollup_path, commit_impl)
     changed = [d for d, s in sigs.items() if seen.get(d) != s]
     removed = [d for d in seen if d not in sigs]
     if not changed and not removed:
@@ -114,7 +116,7 @@ def update_rollup(spark: SparkSession, source_path: str, rollup_path: str,
     data_path = os.path.join(rollup_path, "data")
     if changed:
         part_cols = _partition_keys(next(iter(sigs)))
-        committed = load_committed(source_path)
+        committed = load_committed(source_path, commit_impl)
         if committed is not None:
             # read exactly the committed files of the changed
             # partitions — orphans from crashed appends are invisible
@@ -138,18 +140,19 @@ def update_rollup(spark: SparkSession, source_path: str, rollup_path: str,
     # reads, never wrong ones. Vanished source partitions are handled
     # by the same mechanism: dynamic overwrite cannot delete their
     # files, but dropping them from the manifest drops them from reads.
-    _store_manifest(rollup_path, sigs)
+    _store_manifest(rollup_path, sigs, commit_impl)
     return {"changed": len(changed), "removed": len(removed),
             "total": len(sigs)}
 
 
-def read_rollup(spark: SparkSession, rollup_path: str) -> DataFrame:
+def read_rollup(spark: SparkSession, rollup_path: str,
+                commit_impl: str = "pointer") -> DataFrame:
     """Read the current rollup: the data files filtered to the
     manifest's live partitions (the isin predicate is on partition
     columns, so it prunes directories as well as hiding rows whose
     source partition vanished)."""
     df = spark.read.parquet(os.path.join(rollup_path, "data"))
-    live = sorted(_load_manifest(rollup_path))
+    live = sorted(_load_manifest(rollup_path, commit_impl))
     keys = ["/".join(seg for seg in d.split("/") if "=" in seg)
             for d in live]
     if not keys:  # every source partition vanished: nothing is live
@@ -161,11 +164,12 @@ def read_rollup(spark: SparkSession, rollup_path: str) -> DataFrame:
     return df.where(key_expr.isin(keys))
 
 
-def read_committed(spark: SparkSession, source_path: str) -> DataFrame:
+def read_committed(spark: SparkSession, source_path: str,
+                   commit_impl: str = "pointer") -> DataFrame:
     """Read a landing table written by the streaming sink: exactly the
     committed files (orphans from crashed appends excluded), with the
     partition columns preserved via basePath."""
-    committed = load_committed(source_path)
+    committed = load_committed(source_path, commit_impl)
     if committed is None:
         return spark.read.parquet(source_path)
     paths = [p for files in committed["files"].values()
@@ -175,12 +179,13 @@ def read_committed(spark: SparkSession, source_path: str) -> DataFrame:
     return spark.read.option("basePath", source_path).parquet(*paths)
 
 
-def vacuum_landing(spark: SparkSession, source_path: str) -> list[str]:
+def vacuum_landing(spark: SparkSession, source_path: str,
+                   commit_impl: str = "pointer") -> list[str]:
     """Delete files under a committed-manifest landing table that the
     manifest does not list — the orphans a crash between append and
     commit leaves behind (they were never readable; this reclaims the
     space). Returns the deleted paths. No-op without a manifest."""
-    committed = load_committed(source_path)
+    committed = load_committed(source_path, commit_impl)
     if committed is None:
         return []
     live = {p for files in committed["files"].values() for p, _ in files}

@@ -148,7 +148,9 @@ static int run(Ctx *c, int32_t pc, int64_t *p) {
         case OP_STRING: {
             int32_t L = c->ops[pc++];
             int64_t len; int rc = vlong(c, p, &len); if (rc) return rc;
-            if (len < 0 || *p + len > c->limit) return -4;
+            /* len > limit - p, NOT p + len > limit: a crafted ~2^63
+               length would overflow the addition and defeat the check */
+            if (len < 0 || len > c->limit - *p) return -4;
             int64_t k = c->n[L]++;
             if (c->fill) {
                 memcpy(c->sdata[L] + c->sb[L], c->buf + *p, len);

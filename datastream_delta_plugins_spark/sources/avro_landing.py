@@ -85,7 +85,8 @@ class AvroLandingConverter:
         batch. Returns {"converted": n, "batch_dir": str | None}."""
         committed = self._committed()
         seen = committed["files"]
-        new = [p for p in self._list_source() if p not in seen]
+        listed = self._list_source()
+        new = [p for p in listed if p not in seen]
         if not new:
             return {"converted": 0, "batch_dir": None}
         batch = self.clog.version() + 1
@@ -100,8 +101,13 @@ class AvroLandingConverter:
         now = time.time()
         files = {p: now for p in new}
         if self.retention_days is not None:
+            # drop an entry only when it is BOTH older than retention
+            # AND gone from the source dir — pruning a still-present
+            # blob would re-convert it and duplicate its rows
             horizon = now - self.retention_days * 86400.0
-            files.update({p: t for p, t in seen.items() if t >= horizon})
+            present = set(listed)
+            files.update({p: t for p, t in seen.items()
+                          if t >= horizon or p in present})
         else:
             files.update(seen)
         self.clog.commit({

@@ -676,13 +676,18 @@ def read_avro_changes(spark, path: str, columns=None, avro_schema=None,
         arrays = {}
         for name in meta_names:
             arrays[name] = fin.get(name)
-        sm = fin["source_metadata"]
+        sm = fin.get("source_metadata") or {}
         for name, o in zip(sm_names, sm_out):
             arrays[o] = sm.get(name)
-        sk1, sk2, sk3, sk4 = _sk_cols(fin["sort_keys"], fpath, n)
+        sk = fin.get("sort_keys")
+        if sk is None:
+            sk1 = sk2 = sk4 = pa.nulls(n, pa.int64())
+            sk3 = pa.nulls(n, pa.string())
+        else:
+            sk1, sk2, sk3, sk4 = _sk_cols(sk, fpath, n)
         arrays.update({"_sk1": sk1, "_sk2": sk2,
                        "_sk3": sk3, "_sk4": sk4})
-        p = fin["payload"]
+        p = fin.get("payload") or {}
         for name, o, _t in payload_out:
             arrays[o] = p.get(name)
         arrays["_source_file"] = pa.array([fpath] * n, pa.string())

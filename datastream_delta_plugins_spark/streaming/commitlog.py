@@ -17,16 +17,16 @@ This module makes the protocol explicit and pluggable:
 
 ``VersionLog`` (object-store shape)
     no pointer and no rename: a commit IS the (atomic, conditional)
-    PUT of ``v{N}.json``; the reader lists the log and takes the
-    highest CONTIGUOUS version — a listing that temporarily misses
-    ``v3`` while showing ``v4`` (object-store list-after-write lag)
-    resolves to ``v2`` and converges, never to a torn state. Payload
-    files are immutable once committed. Concurrent writers are
-    detected by create-exclusive (the local stand-in for a
-    conditional PUT / if-generation-match write); a half-written
-    payload left by a crashed writer fails JSON validation and is
-    treated as never committed (an object store's PUT is atomic, so
-    this arises locally only).
+    PUT of ``v{N}.json``, so any valid listed version file is by
+    construction committed; the reader takes the highest valid listed
+    version. Listing lag can only hide versions (a stale read that
+    converges), never surface an uncommitted one. Payload files are
+    immutable once committed. Concurrent writers are detected by
+    create-exclusive (the local stand-in for a conditional PUT /
+    if-generation-match write); a half-written payload left by a
+    crashed writer fails JSON validation and is treated as never
+    committed (an object store's PUT is atomic, so this arises
+    locally only).
 
 Both speak ``read_committed() -> (version, payload) | None`` and
 ``commit(payload) -> version``. On a real deployment the VersionLog
@@ -138,22 +138,18 @@ class VersionLog(CommitLog):
         return doc.get("version") == v
 
     def version(self) -> int:
-        listed = self._listed_versions()
-        if not listed:
-            return -1
-        # highest contiguous run: tolerate a listing that lags a
-        # middle version; a gap below the floor means those versions
-        # were pruned, so contiguity is measured from the lowest
-        # listed version, not from zero
-        best = -1
-        prev = None
-        for v in listed:
-            if prev is not None and v != prev + 1:
-                break
-            if not self._valid(v):
-                break
-            best, prev = v, v
-        return best
+        # Highest VALID listed version. A version file exists only
+        # because a commit PUT it (atomically), so any valid listed
+        # file IS committed; listing lag can only HIDE versions, never
+        # show uncommitted ones — so the worst failure mode is a stale
+        # (lower) read, never a torn or shadowed one. (An earlier
+        # contiguity rule could be fooled by a partially-failed prune
+        # into resurrecting an old version as current.) Torn local
+        # claim files fail _valid and are skipped.
+        for v in reversed(self._listed_versions()):
+            if self._valid(v):
+                return v
+        return -1
 
     def commit(self, payload: dict) -> int:
         os.makedirs(self.log_dir, exist_ok=True)

@@ -412,9 +412,14 @@ class CdcPipeline:
         if max_files_per_trigger is not None:
             reader = reader.option("maxFilesPerTrigger",
                                    max_files_per_trigger)
-        stream = (reader.load(self.source_dir)
-                  # file provenance for the S8 TTL manifest
-                  .withColumn("_source_file", F.input_file_name()))
+        stream = reader.load(self.source_dir)
+        # file provenance for the S8 TTL manifest — but a landing
+        # source (decode-once Avro) already carries the ORIGINAL blob
+        # path; overwriting it would TTL-mark landing part-files
+        # instead of source blobs
+        if "_source_file" not in stream.columns:
+            stream = stream.withColumn("_source_file",
+                                       F.input_file_name())
         barrier = max_files_per_trigger is None
 
         def _apply(df: DataFrame, batch_id: int) -> None:
@@ -512,7 +517,8 @@ def stream_to_landing_rollup(stream_df: DataFrame, landing_path: str,
                              group_cols: list[str], aggs,
                              granularity: str = "hour",
                              trigger: dict | None = None,
-                             checkpoint: str | None = None):
+                             checkpoint: str | None = None,
+                             commit_impl: str = "pointer"):
     """Streaming continuous aggregate: each micro-batch appends to the
     time-partitioned landing table, then brings the rollup up to date
     — landing write FIRST, so a crash between the two replays as a
@@ -565,7 +571,7 @@ def stream_to_landing_rollup(stream_df: DataFrame, landing_path: str,
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        committed = load_committed(landing_path) \
+        committed = load_committed(landing_path, commit_impl) \
             or {"batch_id": -1, "files": {}}
         if batch_id <= committed["batch_id"]:
             return  # replay of a published batch: already landed
@@ -590,11 +596,11 @@ def stream_to_landing_rollup(stream_df: DataFrame, landing_path: str,
                 if new:
                     committed["files"].setdefault(d, []).extend(new)
             committed["batch_id"] = batch_id
-            store_committed(landing_path, committed)
+            store_committed(landing_path, committed, commit_impl)
         finally:
             batch_df.unpersist()
         update_rollup(spark, landing_path, rollup_path,
-                      group_cols, aggs)
+                      group_cols, aggs, commit_impl=commit_impl)
 
     w = stream_df.writeStream.foreachBatch(handle)
     if checkpoint:

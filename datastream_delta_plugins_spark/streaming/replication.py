@@ -70,7 +70,8 @@ class ReplicationJob:
                  register_catalog: bool = True,
                  validate: bool = True,
                  state_backend: str = "auto",
-                 n_state_buckets: int = 16):
+                 n_state_buckets: int = 16,
+                 commit_impl: str = "pointer"):
         if validate:  # design-time shape validation (SURVEY §3.3)
             from ..config import ConfigValidationError, validate_tables
             problems = validate_tables(tables)
@@ -100,7 +101,7 @@ class ReplicationJob:
             t.name: AvroLandingConverter(
                 spark, t.source_dir,
                 os.path.join(work_dir, "tables", t.name, "landing"),
-                columns=t.columns)
+                columns=t.columns, commit_impl=commit_impl)
             for t in tables if t.source_format == "avro"
         }
         for t in tables:
@@ -120,7 +121,8 @@ class ReplicationJob:
                                if register_catalog else None),
                 state_backend=state_backend,
                 n_state_buckets=n_state_buckets,
-                columns=t.columns)
+                columns=t.columns,
+                commit_impl=commit_impl)
             for t in tables
         }
         for t in tables:

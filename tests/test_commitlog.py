@@ -75,23 +75,43 @@ def test_version_log_concurrent_writer_detected(tmp_path, monkeypatch):
 
 
 def test_version_log_listing_lag_is_conservative(tmp_path):
-    """A listing that misses a middle version (object-store lag) must
-    resolve to the last version BEFORE the gap — stale, never torn."""
+    """Listing lag can only HIDE committed versions, so the read is at
+    worst stale (a lower committed version), never torn — and a hidden
+    MIDDLE version cannot shadow the newest commit."""
     log = VersionLog(str(tmp_path))
     for i in range(4):
         log.commit({"doc": i})
-    # simulate lag: v2 temporarily invisible
     hidden = os.path.join(log.log_dir, "v2.json")
     os.rename(hidden, hidden + ".lagged")
+    # v3 is still listed and valid -> still the committed version
+    assert log.version() == 3
+    # hiding the TOP version yields the previous committed one
+    top = os.path.join(log.log_dir, "v3.json")
+    os.rename(top, top + ".lagged")
     assert log.version() == 1
     assert log.read_committed()[1]["doc"] == 1
     os.rename(hidden + ".lagged", hidden)
+    os.rename(top + ".lagged", top)
     assert log.version() == 3
 
 
+def test_version_log_partial_prune_cannot_shadow_new_commits(tmp_path):
+    """A prune that failed partway (old versions surviving below a
+    gap) must not regress version() — an earlier contiguity rule could
+    be fooled into re-claiming a pruned slot and shadowing the real
+    head with an old payload."""
+    log = VersionLog(str(tmp_path))
+    for i in range(6):
+        log.commit({"doc": i})
+    os.remove(os.path.join(log.log_dir, "v4.json"))  # partial prune
+    assert log.version() == 5
+    assert log.commit({"doc": "new"}) == 6
+    assert log.read_committed()[1]["doc"] == "new"
+
+
 def test_version_log_tolerates_pruned_floor(tmp_path):
-    """Contiguity is measured from the lowest listed version, so the
-    prune window doesn't make old logs unreadable."""
+    """Pruned low versions never affect the committed head (version()
+    is the highest valid listed file)."""
     log = VersionLog(str(tmp_path))
     for i in range(12):
         log.commit({"doc": i})
