@@ -151,6 +151,23 @@ def test_d03_verify_joins_broadcast_no_smj(spark, sf_smoke):
     assert "BroadcastHashJoin" in plan
 
 
+def test_d03_shuffles_signatures_never_shingles(spark, sf_smoke):
+    """The 100 TB contract of the MinHash path: no plan node groups or
+    exchanges by shingle STRINGS — shingles are hashed to longs inside
+    the scan stage and only per-doc signature state crosses the wire.
+    Pins (a) no aggregate keyed on a shingle column, (b) the signature
+    aggregate's exchange is ELIDED under the fan_out id-clustering:
+    exactly 4 exchanges remain (fan_out, band-bucket groupBy, candidate
+    distinct, presentation sort) and none carries shingle data."""
+    import re
+
+    from datastream_delta_plugins_spark.operators import pipeline_queries
+    df = pipeline_queries.QUERIES["d03_minhash_lsh"](spark, sf_smoke)
+    plan = formatted_plan(df)
+    assert not re.search(r"Keys.*shingle", plan)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 4
+
+
 def test_d06_dup_flag_join_broadcasts(spark, sf_smoke):
     """span_dup_stats' duplicated-span membership flag joins back as a
     broadcast at test scale (the stats-gated hint fires), keeping the
