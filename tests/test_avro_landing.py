@@ -51,6 +51,32 @@ def test_each_file_converted_exactly_once(spark, conv):
     assert len(c.converted_files()) == 3
 
 
+def test_retention_never_forgets_a_still_present_blob(spark, tmp_path):
+    """Manifest entries past the retention horizon must survive as long
+    as the blob itself is still listed in the source dir — pruning the
+    entry while the file exists would re-convert it on the next cycle
+    and duplicate its rows in the landing."""
+    src = tmp_path / "avro"
+    src.mkdir()
+    c = AvroLandingConverter(spark, str(src), str(tmp_path / "landing"),
+                             retention_days=0.0)  # everything expires
+    _write_avro(src, "k1_oracle-cdc-logminer_0.avro", _events(0, 10))
+    assert c.convert_new()["converted"] == 1
+    # horizon has passed (retention 0) but the blob is still present:
+    # the entry must be kept, so nothing is re-converted
+    assert c.convert_new() == {"converted": 0, "batch_dir": None}
+    assert c.read_landing().count() == 10
+    # once the blob is actually gone, the entry may be pruned
+    os.remove(src / "k1_oracle-cdc-logminer_0.avro")
+    _write_avro(src, "k1_oracle-cdc-logminer_1.avro", _events(10, 15))
+    assert c.convert_new()["converted"] == 1
+    assert "k1_oracle-cdc-logminer_0.avro" not in {
+        os.path.basename(p) for p in c.converted_files()}
+    # the pruned file's rows remain in the landing (GC of batches is
+    # compaction's job, not the manifest's)
+    assert c.read_landing().count() == 15
+
+
 def test_crash_between_data_and_commit_does_not_duplicate(spark, conv,
                                                           monkeypatch):
     src, c = conv
