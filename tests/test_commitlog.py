@@ -194,3 +194,65 @@ def test_rollup_manifest_on_version_log(spark, tmp_path):
                     commit_impl="log")
     assert load_committed(str(tmp_path),
                           commit_impl="log")["batch_id"] == 3
+
+
+# ----------------------------------------------- randomized crash schedules
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=40, deadline=None)
+@given(schedule=st.lists(
+    st.sampled_from(["ok", "crash_replace", "crash_after_claim"]),
+    min_size=1, max_size=24))
+@pytest.mark.parametrize("impl", ["pointer", "log"])
+def test_crash_schedule_never_loses_or_tears_commits(tmp_path_factory,
+                                                     impl, schedule):
+    """Safety property under any interleaving of successful commits and
+    commits that crash at the atomic-publish boundary: a fresh reader
+    always observes exactly the last commit() call that RETURNED —
+    never a torn payload, never a lost commit, never a crashed one —
+    and the writer always recovers (the next commit succeeds and
+    becomes readable)."""
+    tmp = tmp_path_factory.mktemp("sched")
+    log = make_commit_log(str(tmp), impl)
+    committed = []  # payloads whose commit() returned
+
+    for i, action in enumerate(schedule):
+        if action == "ok":
+            v = log.commit({"doc": i})
+            committed.append((v, i))
+        else:
+            # crash at the os.replace publish step: for the pointer
+            # impl that's the pointer swap (payload file already
+            # written), for the version log it's the payload PUT onto
+            # the create-exclusive claim (claim file exists, empty)
+            import datastream_delta_plugins_spark.streaming.commitlog \
+                as clmod
+            real_replace = clmod.os.replace
+            try:
+                clmod.os.replace = lambda *a: (_ for _ in ()).throw(
+                    OSError("injected crash at publish"))
+                with pytest.raises(OSError, match="injected"):
+                    log.commit({"doc": f"crashed-{i}"})
+            finally:
+                clmod.os.replace = real_replace
+        # a FRESH reader (no in-memory state) sees exactly the last
+        # successful commit, at its returned version
+        reader = make_commit_log(str(tmp), impl)
+        if not committed:
+            assert reader.read_committed() is None
+        else:
+            v, doc = committed[-1]
+            got = reader.read_committed()
+            assert got is not None
+            assert got[0] == v
+            assert got[1]["doc"] == doc
+            # no crashed payload is ever visible
+            assert not str(got[1]["doc"]).startswith("crashed-")
+
+    # recovery: one more commit always succeeds and is readable
+    v = log.commit({"doc": "final"})
+    assert make_commit_log(str(tmp), impl).read_committed() == \
+        (v, {"version": v, "doc": "final"})
