@@ -71,7 +71,8 @@ class ReplicationJob:
                  validate: bool = True,
                  state_backend: str = "auto",
                  n_state_buckets: int = 16,
-                 commit_impl: str = "pointer"):
+                 commit_impl: str = "pointer",
+                 auto_bucket_rows: int = 5_000_000):
         if validate:  # design-time shape validation (SURVEY §3.3)
             from ..config import ConfigValidationError, validate_tables
             problems = validate_tables(tables)
@@ -122,7 +123,8 @@ class ReplicationJob:
                 state_backend=state_backend,
                 n_state_buckets=n_state_buckets,
                 columns=t.columns,
-                commit_impl=commit_impl)
+                commit_impl=commit_impl,
+                auto_bucket_rows=auto_bucket_rows)
             for t in tables
         }
         for t in tables:

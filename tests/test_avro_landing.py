@@ -246,3 +246,59 @@ def test_replication_job_streams_raw_avro(spark, tmp_path):
     for q in queries:
         q.awaitTermination(180)
     assert pipe.read_state().where("NOT _is_deleted").count() == 14
+
+
+def test_replication_all_scale_features_combined(spark, tmp_path):
+    """The full 100 TB configuration in one run: raw-Avro blobs through
+    the decode-once landing, every manifest on the object-store-safe
+    version log, and the auto state backend crossing its threshold and
+    migrating to the bucketed table mid-job — results identical to the
+    simple configuration, no os.replace pointer files anywhere."""
+    from datastream_delta_plugins_spark.streaming import state as sk
+    from datastream_delta_plugins_spark.streaming.replication import (
+        ReplicationJob, TableConfig)
+
+    src = tmp_path / "blobs"
+    src.mkdir()
+    _write_avro(src, "k1_oracle-backfill_0.avro", _events(0, 30, SNAP))
+    job = ReplicationJob(
+        spark, str(tmp_path / "work"),
+        [TableConfig("t1", str(src), ["EMPLOYEE_ID"],
+                     source_format="avro")],
+        register_catalog=False, commit_impl="log",
+        state_backend="auto", auto_bucket_rows=10, n_state_buckets=4)
+    job.run_batch()
+    pipe = job.pipelines["t1"]
+    # 30 rows > auto_bucket_rows=10: the first committed state already
+    # triggered the seeded switchover
+    assert pipe.doc.get(sk.k_state_backend("t1")) == "bucketed"
+    assert pipe.bstate is not None
+    assert pipe.read_state().count() == 30
+
+    # CDC continues against the BUCKETED state via the landing
+    _write_avro(src, "k1_oracle-cdc-logminer_1.avro",
+                [_event("c1", CDC, "UPDATE", 5, "emp5b",
+                        Decimal("9.99"), 100),
+                 _event("c2", CDC, "DELETE", 7, "emp7",
+                        Decimal("1.00"), 101)])
+    job.run_batch()
+    state = {r["EMPLOYEE_ID"]: (r["FIRST_NAME"], r["_is_deleted"])
+             for r in pipe.read_state().collect()}
+    assert state[5] == ("emp5b", False)
+    assert state[7][1] is True
+    assert len(state) == 30
+
+    # a RESTARTED job reopens the bucketed layout from the state doc
+    job2 = ReplicationJob(
+        spark, str(tmp_path / "work"),
+        [TableConfig("t1", str(src), ["EMPLOYEE_ID"],
+                     source_format="avro")],
+        register_catalog=False, commit_impl="log",
+        state_backend="auto", auto_bucket_rows=10, n_state_buckets=4)
+    assert job2.pipelines["t1"].bstate is not None
+    assert job2.pipelines["t1"].read_state().count() == 30
+
+    # version-log impl end to end: no pointer files under any manifest
+    pointers = [p for p, _, names in os.walk(tmp_path / "work")
+                for n in names if n == "CURRENT"]
+    assert pointers == []
