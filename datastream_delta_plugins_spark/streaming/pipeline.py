@@ -375,15 +375,23 @@ class CdcPipeline:
             self.spark, self.bucketed_dir, self.pk_cols, self.sort_cols,
             n_buckets=self.n_state_buckets, commit_impl=self.commit_impl)
         b.seed(cur)
+        if self.catalog_table:
+            # the versioned registration is an unpartitioned external
+            # table — drop it BEFORE the doc flip. Every crash window
+            # then self-heals: before the flip, versioned stays
+            # authoritative and its next merge re-creates the plain
+            # registration; after the flip, the first bucketed merge's
+            # sync_catalog finds no table and creates the partitioned
+            # form. Dropping AFTER the flip instead would strand the
+            # unpartitioned table where the bucketed sync's ADD
+            # PARTITION statements fail on it forever.
+            qname = ".".join(f"`{p}`"
+                             for p in self.catalog_table.split("."))
+            self.spark.sql(f"DROP TABLE IF EXISTS {qname}")
         self.bstate = b
         self.doc.put(state_keys.k_state_backend(self.table), "bucketed")
         self.doc.save()
         if self.catalog_table:
-            qname = ".".join(f"`{p}`"
-                             for p in self.catalog_table.split("."))
-            # the versioned registration is an unpartitioned external
-            # table — replace it with the bucketed partitioned form
-            self.spark.sql(f"DROP TABLE IF EXISTS {qname}")
             b.sync_catalog(
                 self.catalog_table,
                 properties={"primaryKey": ",".join(self.pk_cols),

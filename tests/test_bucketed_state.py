@@ -328,3 +328,53 @@ def test_auto_backend_migrates_at_threshold(spark, tmp_path):
     pipe2.apply_batch(upd, 2, streaming_barrier=False)
     assert pipe2.bstate.version() == v0 + 1
     assert pipe2.read_state().count() == 100
+
+
+def test_auto_migration_crash_windows_self_heal(spark, tmp_path,
+                                                monkeypatch):
+    """Crashes inside the migration must leave a restartable pipeline
+    with a working catalog. The dangerous window is after the backend
+    doc flip with the catalog re-registration still pending: because
+    the migration DROPs the old unpartitioned registration BEFORE the
+    flip, the restarted bucketed merge finds no table and creates the
+    partitioned form — instead of issuing ADD PARTITION against the
+    stale unpartitioned table forever."""
+    import os
+
+    from datastream_delta_plugins_spark.streaming import state as sk
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS autodb")
+    spark.sql("DROP TABLE IF EXISTS autodb.t1_crash")
+    work = str(tmp_path / "w")
+    pipe = CdcPipeline(spark, "t1", str(tmp_path / "src"), work, ["id"],
+                       auto_bucket_rows=60, n_state_buckets=4,
+                       catalog_table="autodb.t1_crash")
+    pipe.apply_batch(_batch1(spark), 0, streaming_barrier=False)
+    assert spark.catalog.tableExists("autodb.t1_crash")
+
+    # crash at the WORST point: seed done, old catalog dropped, doc
+    # flipped, partitioned re-registration never ran
+    monkeypatch.setattr(
+        BucketedStateTable, "sync_catalog",
+        lambda *a, **k: (_ for _ in ()).throw(
+            RuntimeError("crash before catalog re-registration")))
+    big = _batch1(spark).withColumn("id", F.col("id") + 100)
+    try:
+        pipe.apply_batch(big, 1, streaming_barrier=False)
+    except RuntimeError:
+        pass
+    monkeypatch.undo()
+    assert pipe.doc.get(sk.k_state_backend("t1")) == "bucketed"
+    assert not spark.catalog.tableExists("autodb.t1_crash")
+
+    # restart: bucketed layout reopens, and the next merge re-creates
+    # the catalog in the partitioned form
+    pipe2 = CdcPipeline(spark, "t1", str(tmp_path / "src"), work, ["id"],
+                        auto_bucket_rows=60, n_state_buckets=4,
+                        catalog_table="autodb.t1_crash")
+    assert pipe2.bstate is not None
+    pipe2.apply_batch(_batch1(spark).limit(3), 2, streaming_barrier=False)
+    assert spark.catalog.tableExists("autodb.t1_crash")
+    assert spark.table("autodb.t1_crash").count() == \
+        pipe2.read_state().count()
+    spark.sql("DROP TABLE IF EXISTS autodb.t1_crash")
