@@ -59,7 +59,8 @@ class CdcPipeline:
                  n_state_buckets: int = 16,
                  columns: list[str] | None = None,
                  commit_impl: str = "pointer",
-                 auto_bucket_rows: int = 5_000_000):
+                 auto_bucket_rows: int = 5_000_000,
+                 bucket_keep_versions: int | None = 1):
         self.spark = spark
         self.table = table
         self.source_dir = source_dir
@@ -100,6 +101,15 @@ class CdcPipeline:
         self.state_backend = state_backend
         self.n_state_buckets = n_state_buckets
         self.auto_bucket_rows = auto_bucket_rows
+        # the versioned backend prunes itself to current+previous in
+        # _write_state; this is the bucketed-path equivalent — without
+        # it a long-running stream accumulates a superseded copy of
+        # every touched bucket per batch. keep_versions=1 keeps
+        # current+previous (same change-feed window as versioned);
+        # None disables auto-vacuum for deployments that want a longer
+        # changes_between() horizon and run vacuum() on their own
+        # schedule
+        self.bucket_keep_versions = bucket_keep_versions
         self.checkpoint_dir = os.path.join(work_dir, "checkpoint")
         self.doc = StateDoc(os.path.join(work_dir, "state.json"))
         # the auto backend keeps its bucketed table beside the
@@ -316,6 +326,10 @@ class CdcPipeline:
                     self.catalog_table, res["touched_buckets"],
                     properties={"primaryKey": ",".join(self.pk_cols),
                                 "sourceTable": self.table})
+            if self.bucket_keep_versions is not None:
+                # with auto-vacuum every batch, at most keep+1 version
+                # dirs exist, so the listing walk is O(touched buckets)
+                self.bstate.vacuum(self.bucket_keep_versions)
         else:
             state = self.read_state()
             if state is None:

@@ -72,7 +72,8 @@ class ReplicationJob:
                  state_backend: str = "auto",
                  n_state_buckets: int = 16,
                  commit_impl: str = "pointer",
-                 auto_bucket_rows: int = 5_000_000):
+                 auto_bucket_rows: int = 5_000_000,
+                 bucket_keep_versions: int | None = 1):
         if validate:  # design-time shape validation (SURVEY §3.3)
             from ..config import ConfigValidationError, validate_tables
             problems = validate_tables(tables)
@@ -124,7 +125,8 @@ class ReplicationJob:
                 n_state_buckets=n_state_buckets,
                 columns=t.columns,
                 commit_impl=commit_impl,
-                auto_bucket_rows=auto_bucket_rows)
+                auto_bucket_rows=auto_bucket_rows,
+                bucket_keep_versions=bucket_keep_versions)
             for t in tables
         }
         for t in tables:

@@ -378,3 +378,30 @@ def test_auto_migration_crash_windows_self_heal(spark, tmp_path,
     assert spark.table("autodb.t1_crash").count() == \
         pipe2.read_state().count()
     spark.sql("DROP TABLE IF EXISTS autodb.t1_crash")
+
+
+def test_pipeline_auto_vacuums_bucketed_state(spark, tmp_path):
+    """The bucketed backend must not leak superseded bucket dirs over
+    a long run: with the default bucket_keep_versions=1 the pipeline
+    vacuums after each merge.  Every batch here upserts the same 8 pks
+    (all 4 buckets rewritten each version), so without the auto-vacuum
+    every superseded copy of every bucket would survive; with it, only
+    the current + previous version dirs may hold data."""
+    import os
+
+    work = str(tmp_path / "w")
+    pipe = CdcPipeline(spark, "t1", str(tmp_path / "src"), work, ["id"],
+                       state_backend="bucketed", n_state_buckets=4)
+    for b in range(4):
+        pipe.apply_batch(
+            _changes(spark, [(i, f"x{b}", "INSERT" if b == 0 else
+                              "UPDATE", b + 1, 1, "A", 1)
+                             for i in range(8)]),
+            b, streaming_barrier=False)
+    data_root = os.path.join(work, "state", "data")
+    assert len(os.listdir(data_root)) <= 2  # current + previous only
+    v = pipe.bstate.version()
+    assert v == 3
+    # the change-feed window the keep policy promises still works
+    assert pipe.bstate.changes_between(v - 1, v).count() == 8
+    assert pipe.read_state().count() == 8
