@@ -45,18 +45,38 @@ from .partitioned import _list_partitions, _partitions_predicate
 COMMITTED_LOG = "_committed_log"
 ROLLUP_LOG = "_rollup_log"
 
+#: pre-seam single-file manifests these logs replaced; adopted into
+#: the commit log on first touch so an upgraded deployment never reads
+#: its live manifest as "empty" (which would let orphan files
+#: double-count / force a full re-aggregation over a reset signature
+#: map)
+_LEGACY_COMMITTED = "_committed_files.json"
+_LEGACY_ROLLUP = "_rollup_manifest.json"
+
+
+def _log_with_legacy(path: str, commit_impl: str, subdir: str,
+                     legacy_file: str):
+    log = make_commit_log(path, commit_impl, subdir=subdir)
+    lp = os.path.join(path, legacy_file)
+    if os.path.exists(lp):
+        if log.version() < 0:
+            with open(lp) as f:
+                log.commit({"doc": json.load(f)})
+        os.remove(lp)  # removed LAST: a crash re-runs the adoption
+    return log
+
 
 def load_committed(source_path: str, commit_impl: str = "pointer") -> dict | None:
-    rc = make_commit_log(source_path, commit_impl,
-                         subdir=COMMITTED_LOG).read_committed()
+    rc = _log_with_legacy(source_path, commit_impl, COMMITTED_LOG,
+                          _LEGACY_COMMITTED).read_committed()
     return None if rc is None else rc[1]["doc"]
 
 
 def store_committed(source_path: str, committed: dict,
                     commit_impl: str = "pointer") -> None:
     os.makedirs(source_path, exist_ok=True)
-    make_commit_log(source_path, commit_impl,
-                    subdir=COMMITTED_LOG).commit({"doc": committed})
+    _log_with_legacy(source_path, commit_impl, COMMITTED_LOG,
+                     _LEGACY_COMMITTED).commit({"doc": committed})
 
 
 def _signatures(spark: SparkSession, source_path: str,
@@ -79,16 +99,16 @@ def _partition_keys(d: str) -> list[str]:
 
 
 def _load_manifest(rollup_path: str, commit_impl: str = "pointer") -> dict:
-    rc = make_commit_log(rollup_path, commit_impl,
-                         subdir=ROLLUP_LOG).read_committed()
+    rc = _log_with_legacy(rollup_path, commit_impl, ROLLUP_LOG,
+                          _LEGACY_ROLLUP).read_committed()
     return {} if rc is None else rc[1]["doc"]
 
 
 def _store_manifest(rollup_path: str, sigs: dict,
                     commit_impl: str = "pointer") -> None:
     os.makedirs(rollup_path, exist_ok=True)
-    make_commit_log(rollup_path, commit_impl,
-                    subdir=ROLLUP_LOG).commit({"doc": sigs})
+    _log_with_legacy(rollup_path, commit_impl, ROLLUP_LOG,
+                     _LEGACY_ROLLUP).commit({"doc": sigs})
 
 
 def update_rollup(spark: SparkSession, source_path: str, rollup_path: str,

@@ -46,7 +46,7 @@ from pyspark.sql import functions as F
 
 from ..envelope import SORT_KEY_COLS
 from ..operators import cdc
-from .commitlog import make_commit_log
+from .commitlog import legacy_root_version, make_commit_log
 
 _BUCKET = "_state_bucket"
 
@@ -62,14 +62,50 @@ class BucketedStateTable:
                  pk_cols: Sequence[str],
                  sort_cols: Sequence[str] = SORT_KEY_COLS,
                  n_buckets: int = 16,
-                 commit_impl: str = "pointer"):
+                 commit_impl: str = "pointer",
+                 keep_versions: int | None = 1):
         self.spark = spark
         self.path = path
         self.pk_cols = list(pk_cols)
         self.sort_cols = list(sort_cols)
         self.n_buckets = n_buckets
-        self.clog = make_commit_log(path, commit_impl, subdir="manifest")
+        # the commit log must retain manifest payloads for at least the
+        # advertised changes_between() horizon: keep_versions=None means
+        # "user-scheduled vacuum, unbounded horizon" so pruning is off
+        # entirely; otherwise retain max(8, keep+1) so every version a
+        # reader may diff against still has its manifest json
+        self.clog = make_commit_log(
+            path, commit_impl, subdir="manifest",
+            keep=None if keep_versions is None
+            else max(8, keep_versions + 1))
         os.makedirs(os.path.join(path, "manifest"), exist_ok=True)
+        self._adopt_legacy_layout()
+
+    def _adopt_legacy_layout(self) -> None:
+        """Migrate a pre-seam layout (root-level CURRENT pointer next
+        to manifest/v{N}.json raw bucket maps) into the commit log.
+        Un-adopted, the log reads as version -1 and the next merge
+        would materialize over the live table. The old manifest json
+        was the bare bucket->dir map (no version/n_buckets keys);
+        adoption republishes it in the current format stamped with the
+        opener's n_buckets (the old layout never recorded one)."""
+        if os.path.isdir(os.path.join(self.path, "commitlog")):
+            return  # old VERSIONED dir: version() raises cross-backend
+        lv = legacy_root_version(self.path)
+        if lv is None:
+            return
+        old = os.path.join(self.path, "manifest", f"v{lv}.json")
+        if not os.path.exists(old):
+            raise ValueError(
+                f"state dir {self.path} has a root CURRENT={lv} but no "
+                f"manifest/v{lv}.json — it was written by the versioned "
+                f"state backend; a table cannot switch backends in "
+                f"place")
+        with open(old) as f:
+            doc = json.load(f)
+        buckets = doc["buckets"] if "buckets" in doc else doc
+        self.clog.adopt_legacy({"n_buckets": self.n_buckets,
+                                "buckets": buckets})
 
     # -- manifest plumbing --
 
@@ -88,6 +124,11 @@ class BucketedStateTable:
 
     def _manifest(self, v: int) -> dict[str, str]:
         doc = self.clog._payload(v)
+        if "buckets" not in doc:
+            # pre-seam manifest json: the bare bucket->dir map (older
+            # versions inside the retention window survive adoption
+            # un-rewritten; the old layout never recorded n_buckets)
+            return {k: p for k, p in doc.items() if k != "version"}
         if doc.get("n_buckets") != self.n_buckets:
             raise ValueError(
                 f"table at {self.path} was written with "

@@ -22,11 +22,13 @@ This module makes the protocol explicit and pluggable:
     version. Listing lag can only hide versions (a stale read that
     converges), never surface an uncommitted one. Payload files are
     immutable once committed. Concurrent writers are detected by
-    create-exclusive (the local stand-in for a conditional PUT /
-    if-generation-match write); a half-written payload left by a
-    crashed writer fails JSON validation and is treated as never
-    committed (an object store's PUT is atomic, so this arises
-    locally only).
+    create-exclusive: the payload is fully written to a temp file
+    FIRST and published with ``os.link`` (an atomic
+    create-exclusive that carries the complete content — the local
+    stand-in for a conditional PUT / if-generation-match write), so a
+    listed version file is either absent or a complete committed
+    payload; there is no window in which a LIVE writer's claim looks
+    like a crashed leftover.
 
 Both speak ``read_committed() -> (version, payload) | None`` and
 ``commit(payload) -> version``. On a real deployment the VersionLog
@@ -35,6 +37,14 @@ writes, or is replaced outright by a Delta/Iceberg commit when those
 bindings exist (SURVEY §2.4 D-group). Data-file layout is unchanged:
 writers still write parquet under version-named directories FIRST and
 commit LAST, so readers never observe data without its manifest.
+
+Legacy layout: before this seam existed, call sites swapped a
+``CURRENT`` pointer at the dataset ROOT (not under the log subdir).
+An un-migrated directory must not read as "no commits yet" — the next
+batch would silently reset the table over live data — so
+``version()`` refuses to treat a root-level pointer as empty, and
+``adopt_legacy()`` migrates it into the log (call sites know the
+payload shape their old layout implied).
 """
 
 from __future__ import annotations
@@ -46,17 +56,38 @@ import tempfile
 
 _VFILE = re.compile(r"^v(\d+)\.json$")
 
+#: pre-seam root-level pointer name (same string the in-log pointer
+#: uses, but at the dataset root instead of the log subdir)
+LEGACY_POINTER = "CURRENT"
+
+
+def legacy_root_version(path: str) -> int | None:
+    """Version from a pre-seam root-level ``CURRENT`` pointer, if any."""
+    p = os.path.join(path, LEGACY_POINTER)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return int(f.read().strip())
+
 
 class ConcurrentWriterError(RuntimeError):
     """Another writer committed this version first (split-brain guard)."""
 
 
 class CommitLog:
-    """Versioned JSON payload log rooted at ``<path>/<subdir>``."""
+    """Versioned JSON payload log rooted at ``<path>/<subdir>``.
 
-    def __init__(self, path: str, subdir: str = "commitlog"):
+    ``keep`` bounds how many committed payload files are retained
+    (current + keep-1 older); ``None`` disables pruning entirely for
+    deployments that need an unbounded history horizon (e.g. a long
+    ``changes_between()`` window with user-scheduled vacuum).
+    """
+
+    def __init__(self, path: str, subdir: str = "commitlog",
+                 keep: int | None = 8):
         self.path = path
         self.log_dir = os.path.join(path, subdir)
+        self.keep = keep
 
     # -- interface --
 
@@ -71,6 +102,57 @@ class CommitLog:
         return v, self._payload(v)
 
     def commit(self, payload: dict) -> int:
+        v = self.version() + 1
+        os.makedirs(self.log_dir, exist_ok=True)
+        self._publish(v, payload)
+        if self.keep is not None:
+            self._prune(v - self.keep)
+        return v
+
+    def _publish(self, v: int, payload: dict) -> None:
+        raise NotImplementedError
+
+    # -- legacy (pre-seam) layout --
+
+    def _check_legacy(self, v: int) -> int:
+        """Refuse to read an un-migrated pre-seam directory as empty.
+
+        A root-level ``CURRENT`` with nothing committed in the log
+        means the directory was written before the commit seam
+        existed; returning -1 would let the next commit silently reset
+        the table over the live data that pointer still references.
+        """
+        if v < 0 and legacy_root_version(self.path) is not None:
+            raise RuntimeError(
+                f"{self.path} has a root-level {LEGACY_POINTER} pointer "
+                f"from the pre-commit-seam layout but no commits under "
+                f"{self.log_dir} — migrate it with adopt_legacy() "
+                f"before reading or writing this log")
+        return v
+
+    def adopt_legacy(self, payload: dict) -> int | None:
+        """Migrate a pre-seam root-level pointer into this log.
+
+        Re-publishes the pointed version through this log with
+        ``payload`` (the call site knows what the old layout implied),
+        then removes the root pointer. Idempotent and crash-safe: the
+        pointer is removed LAST, and a re-run that finds the log
+        already at >= the pointed version only clears the leftover
+        pointer. Returns the adopted version, or None if there was no
+        legacy pointer.
+        """
+        lv = legacy_root_version(self.path)
+        if lv is None:
+            return None
+        if self._raw_version() < lv:
+            os.makedirs(self.log_dir, exist_ok=True)
+            self._publish(lv, payload)
+        os.remove(os.path.join(self.path, LEGACY_POINTER))
+        return lv
+
+    def _raw_version(self) -> int:
+        """version() without the legacy-pointer guard (adoption runs
+        while the pointer still exists)."""
         raise NotImplementedError
 
     # -- shared plumbing --
@@ -106,16 +188,17 @@ class PointerSwapLog(CommitLog):
 
     POINTER = "CURRENT"
 
-    def version(self) -> int:
+    def _raw_version(self) -> int:
         ptr = os.path.join(self.log_dir, self.POINTER)
         if not os.path.exists(ptr):
             return -1
         with open(ptr) as f:
             return int(f.read().strip())
 
-    def commit(self, payload: dict) -> int:
-        v = self.version() + 1
-        os.makedirs(self.log_dir, exist_ok=True)
+    def version(self) -> int:
+        return self._check_legacy(self._raw_version())
+
+    def _publish(self, v: int, payload: dict) -> None:
         with open(os.path.join(self.log_dir, f"v{v}.json"), "w") as f:
             json.dump({"version": v, **payload}, f, indent=1,
                       sort_keys=True)
@@ -123,8 +206,6 @@ class PointerSwapLog(CommitLog):
         with os.fdopen(fd, "w") as f:
             f.write(str(v))
         os.replace(tmp, os.path.join(self.log_dir, self.POINTER))
-        self._prune(v - 8)
-        return v
 
 
 class VersionLog(CommitLog):
@@ -137,7 +218,7 @@ class VersionLog(CommitLog):
             return False
         return doc.get("version") == v
 
-    def version(self) -> int:
+    def _raw_version(self) -> int:
         # Highest VALID listed version. A version file exists only
         # because a commit PUT it (atomically), so any valid listed
         # file IS committed; listing lag can only HIDE versions, never
@@ -145,45 +226,64 @@ class VersionLog(CommitLog):
         # (lower) read, never a torn or shadowed one. (An earlier
         # contiguity rule could be fooled by a partially-failed prune
         # into resurrecting an old version as current.) Torn local
-        # claim files fail _valid and are skipped.
+        # files (pre-link-protocol leftovers) fail _valid and are
+        # skipped.
         for v in reversed(self._listed_versions()):
             if self._valid(v):
                 return v
         return -1
 
-    def commit(self, payload: dict) -> int:
-        os.makedirs(self.log_dir, exist_ok=True)
-        v = self.version() + 1
+    def version(self) -> int:
+        return self._check_legacy(self._raw_version())
+
+    def _publish(self, v: int, payload: dict) -> None:
         doc = json.dumps({"version": v, **payload}, indent=1,
                          sort_keys=True)
         target = os.path.join(self.log_dir, f"v{v}.json")
-        # local stand-in for a conditional PUT: atomic publish via a
-        # same-dir rename onto a create-exclusive claim. A real object
-        # store needs neither step — its PUT is atomic and
-        # if-not-exists is a request header.
-        try:
-            fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            os.close(fd)
-        except FileExistsError:
-            if self._valid(v):
-                raise ConcurrentWriterError(
-                    f"version {v} at {self.log_dir} was committed by "
-                    f"another writer") from None
-            # torn leftover from a crashed local writer — never
-            # committed (readers reject it), safe to reclaim
+        # local stand-in for a conditional PUT: the payload is COMPLETE
+        # in a temp file before os.link atomically publishes it as the
+        # create-exclusive claim — a listed version file is therefore
+        # either absent or a complete committed payload, so a racer
+        # hitting FileExistsError knows the other writer's commit is
+        # real (no window where a live writer's claim reads as a
+        # crashed leftover). A real object store needs neither step —
+        # its PUT is atomic and if-not-exists is a request header.
         fd, tmp = tempfile.mkstemp(dir=self.log_dir, prefix=".put")
-        with os.fdopen(fd, "w") as f:
-            f.write(doc)
-        os.replace(tmp, target)
-        self._prune(v - 8)
-        return v
+        try:
+            with os.fdopen(fd, "w") as f:
+                f.write(doc)
+            try:
+                os.link(tmp, target)
+            except FileExistsError:
+                if self._valid(v):
+                    raise ConcurrentWriterError(
+                        f"version {v} at {self.log_dir} was committed "
+                        f"by another writer") from None
+                # invalid target: a torn pre-link-protocol leftover
+                # (with the link protocol a published file is complete
+                # by construction, so no LIVE writer can own it) —
+                # reclaim and retry the exclusive publish once
+                os.remove(target)
+                try:
+                    os.link(tmp, target)
+                except FileExistsError:
+                    raise ConcurrentWriterError(
+                        f"version {v} at {self.log_dir} was committed "
+                        f"by another writer during leftover "
+                        f"reclamation") from None
+        finally:
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
 
 
 def make_commit_log(path: str, impl: str = "pointer",
-                    subdir: str = "commitlog") -> CommitLog:
+                    subdir: str = "commitlog",
+                    keep: int | None = 8) -> CommitLog:
     if impl == "pointer":
-        return PointerSwapLog(path, subdir)
+        return PointerSwapLog(path, subdir, keep=keep)
     if impl == "log":
-        return VersionLog(path, subdir)
+        return VersionLog(path, subdir, keep=keep)
     raise ValueError(f"unknown commit-log impl {impl!r} "
                      f"(expected 'pointer' or 'log')")

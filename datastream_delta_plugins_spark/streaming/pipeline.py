@@ -34,7 +34,7 @@ from ..envelope import SORT_KEY_COLS
 from ..operators import cdc
 from ..sources.changes import normalize_ops
 from . import state as state_keys
-from .commitlog import make_commit_log
+from .commitlog import legacy_root_version, make_commit_log
 from .retry import RetryPolicy
 from .state import StateDoc
 
@@ -43,6 +43,18 @@ DEFAULT_WATERMARK = "72 hours"  # the reference's 3-day SLO window
 
 BACKFILL_COMPLETED = "COMPLETED"
 BACKFILL_RUNNING = "RUNNING"
+
+
+def _parquet_footer_rows(path: str) -> int:
+    """Row count of a parquet directory from file footers — a
+    driver-side metadata read, deliberately NOT a Spark job (callers
+    run once per micro-batch)."""
+    import pyarrow.parquet as pq
+    total = 0
+    for entry in os.scandir(path):
+        if entry.name.endswith(".parquet") and entry.is_file():
+            total += pq.read_metadata(entry.path).num_rows
+    return total
 
 
 class CdcPipeline:
@@ -124,9 +136,22 @@ class CdcPipeline:
             from .bucketed_state import BucketedStateTable
             self.bstate = BucketedStateTable(
                 spark, self.bucketed_dir, pk_cols, sort_cols,
-                n_buckets=n_state_buckets, commit_impl=commit_impl)
+                n_buckets=n_state_buckets, commit_impl=commit_impl,
+                keep_versions=bucket_keep_versions)
         else:
             self.clog = make_commit_log(self.state_dir, commit_impl)
+            # pre-seam layouts swapped CURRENT at the state-dir ROOT
+            # (commitlog/ didn't exist); an un-adopted pointer would
+            # read as version -1 and the next batch would silently
+            # reset the table over live state. The old layout implied
+            # payload {"data_dir": "v{N}"} — adopt it into the log.
+            # (A root pointer NEXT TO a manifest/ dir is the old
+            # bucketed layout instead; leave it for the cross-backend
+            # guard in _current_version to reject.)
+            if not os.path.isdir(os.path.join(self.state_dir, "manifest")):
+                lv = legacy_root_version(self.state_dir)
+                if lv is not None:
+                    self.clog.adopt_legacy({"data_dir": f"v{lv}"})
         self.ttl = ttl  # S8: mark processed files after the merge commits
         # D2: when set ("db.table"), the materialized state is kept
         # registered in the Spark catalog with the PK in table properties
@@ -165,7 +190,12 @@ class CdcPipeline:
         v = self._current_version() + 1
         path = os.path.join(self.state_dir, f"v{v}")
         df.write.mode("overwrite").parquet(path)
-        self.clog.commit({"data_dir": f"v{v}"})
+        # n_rows from the just-written footers (driver-side pyarrow
+        # metadata read, no Spark job): the auto backend's migration
+        # trigger reads it from the payload instead of re-counting the
+        # state every micro-batch
+        self.clog.commit({"data_dir": f"v{v}",
+                          "n_rows": _parquet_footer_rows(path)})
         old = os.path.join(self.state_dir, f"v{v - 2}")
         if os.path.exists(old):  # keep current + previous
             shutil.rmtree(old, ignore_errors=True)
@@ -379,15 +409,23 @@ class CdcPipeline:
         is the migration's commit point: a crash after the seed but
         before the flip leaves versioned authoritative, and the retry
         wipes the stale seed and reseeds from the newer state."""
-        cur = self.read_state()
-        if cur is None or cur.count() <= self.auto_bucket_rows:
+        rc = self.clog.read_committed()
+        if rc is None:
             return
+        n = rc[1].get("n_rows")
+        if n is None:  # commit from before n_rows rode the payload
+            n = _parquet_footer_rows(
+                os.path.join(self.state_dir, rc[1]["data_dir"]))
+        if n <= self.auto_bucket_rows:
+            return
+        cur = self.read_state()
         from .bucketed_state import BucketedStateTable
         if os.path.isdir(self.bucketed_dir):
             shutil.rmtree(self.bucketed_dir, ignore_errors=True)
         b = BucketedStateTable(
             self.spark, self.bucketed_dir, self.pk_cols, self.sort_cols,
-            n_buckets=self.n_state_buckets, commit_impl=self.commit_impl)
+            n_buckets=self.n_state_buckets, commit_impl=self.commit_impl,
+            keep_versions=self.bucket_keep_versions)
         b.seed(cur)
         if self.catalog_table:
             # the versioned registration is an unpartitioned external

@@ -275,7 +275,18 @@ class ReplicationJob:
 
     # -- streaming mode: one query per table --
 
-    def start_all(self, trigger: dict | None = None) -> list:
+    def start_all(self, trigger: dict | None = None,
+                  convert_interval: float = 30.0) -> list:
+        """Start one streaming query per table. Avro tables also get a
+        scan-interval converter loop: a daemon thread calling
+        `convert_new()` every `convert_interval` seconds (the
+        reference's 30 s blob scan, DatastreamEventReader.java:95,170)
+        so blobs arriving AFTER start keep flowing into the landing the
+        stream reads — without it a long-running stream would only ever
+        see the backlog present at start. The loop exits on `stop_all()`
+        or once every query is inactive; conversion errors are recorded
+        on `self.converter_error` and retried next cycle (scan-task
+        semantics: one bad cycle must not kill ingestion)."""
         self._ensure_database()
         queries = []
         for name, cfg in self.tables.items():
@@ -283,17 +294,42 @@ class ReplicationJob:
             conv = self.converters.get(name)
             if conv is not None:
                 # convert the current backlog so the landing (the
-                # stream's source) exists and has a schema; steady-state
-                # conversion is the converter's scheduler loop
-                # (convert_new per scan interval), mirroring the
-                # reference's 30 s blob scan
+                # stream's source) exists and has a schema
                 conv.convert_new()
                 schema = schema or conv.landing_schema()
             if schema is None:
                 raise ValueError(f"table {name}: streaming needs a schema")
             queries.append(self.pipelines[name].start(
                 schema, trigger=trigger))
+        self._queries = queries
+        self.converter_error = None
+        if self.converters:
+            import threading
+            self._conv_stop = threading.Event()
+
+            def _loop() -> None:
+                while not self._conv_stop.wait(convert_interval):
+                    if not any(q.isActive for q in queries):
+                        return
+                    for conv in self.converters.values():
+                        try:
+                            conv.convert_new()
+                            self.converter_error = None
+                        except Exception as e:  # noqa: BLE001
+                            self.converter_error = e
+            self._conv_thread = threading.Thread(
+                target=_loop, name="avro-converter-loop", daemon=True)
+            self._conv_thread.start()
         return queries
+
+    def stop_all(self) -> None:
+        """Stop the converter loop and every streaming query."""
+        if getattr(self, "_conv_stop", None) is not None:
+            self._conv_stop.set()
+            self._conv_thread.join(timeout=30)
+        for q in getattr(self, "_queries", []):
+            if q.isActive:
+                q.stop()
 
     def state_report(self) -> dict[str, str]:
         """Merged state view: job keys + every table's offset keys (the

@@ -302,3 +302,53 @@ def test_replication_all_scale_features_combined(spark, tmp_path):
     pointers = [p for p, _, names in os.walk(tmp_path / "work")
                 for n in names if n == "CURRENT"]
     assert pointers == []
+
+
+def test_converter_loop_feeds_a_running_stream(spark, tmp_path):
+    """Blobs that arrive AFTER start_all must still flow: the running
+    job drives convert_new() on its scan interval (the reference's
+    30 s blob scan, DatastreamEventReader.java:95,170), so a
+    long-running stream never stalls on the backlog present at start
+    (round-5 ADVICE finding)."""
+    import time
+
+    from datastream_delta_plugins_spark.streaming.replication import (
+        ReplicationJob, TableConfig)
+
+    src = tmp_path / "blobs"
+    src.mkdir()
+    _write_avro(src, "k1_oracle-backfill_0.avro", _events(0, 10, SNAP))
+    job = ReplicationJob(
+        spark, str(tmp_path / "work"),
+        [TableConfig("t1", str(src), ["EMPLOYEE_ID"],
+                     source_format="avro")],
+        register_catalog=False)
+    try:
+        job.start_all(trigger={"processingTime": "500 milliseconds"},
+                      convert_interval=0.5)
+        pipe = job.pipelines["t1"]
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            st = pipe.read_state()
+            if st is not None and st.count() == 10:
+                break
+            time.sleep(1)
+        else:
+            raise AssertionError("backlog never materialized")
+        # a blob landing AFTER start flows through without any manual
+        # convert_new() call
+        _write_avro(src, "k1_oracle-cdc-logminer_1.avro",
+                    _events(10, 15))
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if pipe.read_state().count() == 15:
+                break
+            time.sleep(1)
+        else:
+            raise AssertionError(
+                f"post-start blob never flowed; converter_error="
+                f"{job.converter_error!r}")
+        assert job.converter_error is None
+    finally:
+        job.stop_all()
+    assert not job._conv_thread.is_alive()

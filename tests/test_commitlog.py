@@ -224,20 +224,25 @@ def test_crash_schedule_never_loses_or_tears_commits(tmp_path_factory,
             v = log.commit({"doc": i})
             committed.append((v, i))
         else:
-            # crash at the os.replace publish step: for the pointer
-            # impl that's the pointer swap (payload file already
-            # written), for the version log it's the payload PUT onto
-            # the create-exclusive claim (claim file exists, empty)
+            # crash at the atomic publish step: for the pointer impl
+            # that's the os.replace pointer swap (payload file already
+            # written), for the version log it's the os.link
+            # create-exclusive publish of the complete temp payload
+            # (temp file written, target never appears)
             import datastream_delta_plugins_spark.streaming.commitlog \
                 as clmod
-            real_replace = clmod.os.replace
+            real_replace, real_link = clmod.os.replace, clmod.os.link
+
+            def _boom(*a):
+                raise OSError("injected crash at publish")
             try:
-                clmod.os.replace = lambda *a: (_ for _ in ()).throw(
-                    OSError("injected crash at publish"))
+                clmod.os.replace = _boom
+                clmod.os.link = _boom
                 with pytest.raises(OSError, match="injected"):
                     log.commit({"doc": f"crashed-{i}"})
             finally:
                 clmod.os.replace = real_replace
+                clmod.os.link = real_link
         # a FRESH reader (no in-memory state) sees exactly the last
         # successful commit, at its returned version
         reader = make_commit_log(str(tmp), impl)
