@@ -191,9 +191,18 @@ static int run(Ctx *c, int32_t pc, int64_t *p) {
                 if (cnt == 0) break;
                 if (cnt < 0) {
                     int64_t sz;
+                    /* INT64_MIN would survive negation (UB) */
+                    if (cnt == INT64_MIN) return -2;
                     cnt = -cnt;
                     rc = vlong(c, p, &sz); if (rc) return rc;
                 }
+                /* every item consumes >= 1 byte (zero-width item
+                   programs are rejected at compile time), so a count
+                   beyond the remaining block bytes is corrupt — and
+                   without this bound a crafted huge count would spin
+                   the item loop ~2^63 times without moving the
+                   cursor (non-termination, not just bad data) */
+                if (cnt > c->limit - *p) return -6;
                 for (int64_t i = 0; i < cnt; i++) {
                     /* corrupt counts must not march the cursor past
                        the block (and eventually the buffer) */
@@ -379,6 +388,12 @@ def _compile_node(schema, prog: _Program):
         prog.ops += [_STRING, i]
         return ("leaf", i)
     if t == "fixed":
+        # size-0 fixed is a zero-width program: inside an array a
+        # crafted huge item count would spin the C item loop without
+        # consuming bytes (the kernel's count bound assumes every item
+        # consumes >= 1 byte), so reject at compile time
+        if int(schema["size"]) <= 0:
+            raise Unsupported("fixed size must be positive")
         i = prog.leaf(_Leaf("str", utf8=False))
         prog.ops += [_FIXED, i, int(schema["size"])]
         return ("leaf", i)
@@ -394,6 +409,10 @@ def _compile_node(schema, prog: _Program):
         prog.ops += [_LONG, i]
         return ("leaf", i)
     if t == "record":
+        # a record with no fields is a zero-width program — same
+        # non-termination hazard as fixed(0) (see above)
+        if not schema["fields"]:
+            raise Unsupported("record with no fields")
         fields = []
         for f in schema["fields"]:
             fields.append((f["name"], _compile_node(f["type"], prog)))

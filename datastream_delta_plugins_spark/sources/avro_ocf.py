@@ -54,6 +54,8 @@ class _Decoder:
     def long(self) -> int:  # zigzag varint
         shift, acc = 0, 0
         while True:
+            if self.pos >= len(self.buf):
+                raise EOFError("truncated Avro data")
             b = self.buf[self.pos]
             self.pos += 1
             acc |= (b & 0x7F) << shift
@@ -298,6 +300,13 @@ def _compile_reader(schema):
                 if n < 0:  # block with byte size prefix
                     n = -n
                     d.long()
+                # items consume >= 1 byte each: a count beyond the
+                # remaining bytes is corrupt, and unguarded a crafted
+                # huge count would spin this loop ~2^63 times
+                if n > len(d.buf) - d.pos:
+                    raise ValueError(
+                        f"corrupt Avro array block: {n} items with "
+                        f"{len(d.buf) - d.pos} bytes left")
                 for _ in range(n):
                     append(_i(d))
         return array
@@ -313,6 +322,10 @@ def _compile_reader(schema):
                 if n < 0:
                     n = -n
                     d.long()
+                if n > len(d.buf) - d.pos:  # see array: DoS guard
+                    raise ValueError(
+                        f"corrupt Avro map block: {n} entries with "
+                        f"{len(d.buf) - d.pos} bytes left")
                 for _ in range(n):
                     k = d.string()  # key MUST be read before the value
                     out[k] = _v(d)
@@ -367,6 +380,14 @@ def read_ocf(raw: bytes) -> tuple[dict, list[dict]]:
             block = zlib.decompress(block, -15)
         elif codec != "null":
             raise ValueError(f"unsupported Avro codec {codec!r}")
+        # records consume >= 1 byte each: bound the per-block record
+        # loop by the block's bytes so a crafted huge count cannot
+        # spin it ~2^63 times (the zero-width schemas this would
+        # reject — empty records — carry no data anyway)
+        if count < 0 or count > len(block):
+            raise ValueError(
+                f"corrupt Avro block: {count} records in "
+                f"{len(block)} bytes")
         bdec = _Decoder(block)
         for _ in range(count):
             append(reader(bdec))

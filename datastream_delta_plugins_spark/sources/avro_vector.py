@@ -647,6 +647,15 @@ def scan_blocks(raw: bytes):
             block = zlib.decompress(block, -15)
         elif codec != "null":
             raise ValueError(f"unsupported Avro codec {codec!r}")
+        # every record consumes >= 1 byte for the schemas these tiers
+        # decode (zero-width programs are rejected at compile time), so
+        # a count beyond the block's bytes is corrupt — and unguarded
+        # it would drive ~2^63 per-record decode iterations and
+        # count-sized output allocations (executor CPU/memory DoS)
+        if count < 0 or count > len(block):
+            raise ValueError(
+                f"corrupt Avro block: {count} records in "
+                f"{len(block)} bytes")
         counts.append(count)
         datas.append(block)
         if dec.read(16) != sync:

@@ -373,3 +373,104 @@ def test_ckernel_rejects_corrupt_blocks():
     import pytest as _p
     with _p.raises((ValueError, Exception)):
         avro_ckernel.decode_columnar(bytes(blob))
+
+
+# ------------------------------------------- crafted-input DoS guards
+
+def _craft_ocf(schema, count, body: bytes) -> bytes:
+    """Hand-build a one-block null-codec OCF with an arbitrary block
+    record count (write_ocf always stamps the true count)."""
+    import json as _json
+
+    from datastream_delta_plugins_spark.sources.avro_ocf import (
+        MAGIC, SYNC, _Encoder)
+    enc = _Encoder()
+    enc.raw(MAGIC)
+    meta = {"avro.schema": _json.dumps(schema).encode(),
+            "avro.codec": b"null"}
+    enc.long(len(meta))
+    for k, v in meta.items():
+        enc.string(k)
+        enc.bytes_(v)
+    enc.long(0)
+    enc.raw(SYNC)
+    enc.long(count)
+    enc.long(len(body))
+    enc.raw(body)
+    enc.raw(SYNC)
+    return enc.value()
+
+
+_SIMPLE = {"type": "record", "name": "R",
+           "fields": [{"name": "a", "type": "long"}]}
+_ARR = {"type": "record", "name": "R",
+        "fields": [{"name": "a", "type": {"type": "array",
+                                          "items": "long"}}]}
+
+
+def _enc_longs(*vals) -> bytes:
+    from datastream_delta_plugins_spark.sources.avro_ocf import _Encoder
+    e = _Encoder()
+    for v in vals:
+        e.long(v)
+    return e.value()
+
+
+def test_huge_block_record_count_rejected_every_tier():
+    """A crafted block claiming ~2^60 records over a few bytes must be
+    rejected by bounds checking on EVERY decode tier — unguarded it
+    spins the per-record loop (and sizes output allocations) off the
+    claimed count (executor CPU/memory DoS, round-5 ADVICE)."""
+    from datastream_delta_plugins_spark.sources import (
+        avro_ckernel, avro_vector)
+    blob = _craft_ocf(_SIMPLE, 2**60, _enc_longs(7))
+    with pytest.raises(ValueError, match="corrupt Avro block"):
+        avro_ocf.read_ocf(blob)
+    with pytest.raises(ValueError, match="corrupt Avro block"):
+        avro_vector.scan_blocks(blob)  # guards vector AND ckernel
+    if avro_ckernel.available():
+        with pytest.raises(ValueError, match="corrupt Avro block"):
+            avro_ckernel.decode_columnar(blob)
+
+
+def test_negative_block_record_count_rejected():
+    blob = _craft_ocf(_SIMPLE, -5, _enc_longs(7))
+    with pytest.raises(ValueError, match="corrupt Avro block"):
+        avro_ocf.read_ocf(blob)
+
+
+@pytest.mark.parametrize("cnt", [2**60, -(2**63)])
+def test_huge_array_item_count_rejected(cnt):
+    """An array block claiming ~2^60 items (or the INT64_MIN negation
+    trap) must fail fast on both the scalar tier and the C kernel —
+    zero-byte items would otherwise make the item loop spin without
+    moving the cursor."""
+    from datastream_delta_plugins_spark.sources import avro_ckernel
+    body = _enc_longs(cnt) + (b"" if cnt < 0 else b"")
+    blob = _craft_ocf(_ARR, 1, body)
+    with pytest.raises((ValueError, EOFError)):
+        avro_ocf.read_ocf(blob)
+    if avro_ckernel.available():
+        with pytest.raises(ValueError):
+            avro_ckernel.decode_columnar(blob)
+
+
+def test_zero_width_programs_rejected_at_compile():
+    """fixed(0) fields and empty records compile to zero-width decode
+    programs — the C kernel's termination bound assumes every item
+    consumes a byte, so these must be rejected before the kernel runs
+    (they fall back to the scalar tier, whose block-count guard bounds
+    them)."""
+    import json as _json
+
+    from datastream_delta_plugins_spark.sources import avro_ckernel
+    fx = {"type": "record", "name": "R",
+          "fields": [{"name": "f", "type": {"type": "fixed", "name": "Z",
+                                            "size": 0}}]}
+    with pytest.raises(avro_ckernel.Unsupported):
+        avro_ckernel.compile_program(_json.dumps(fx).encode(), fx)
+    empty = {"type": "record", "name": "R",
+             "fields": [{"name": "e", "type": {
+                 "type": "record", "name": "E", "fields": []}}]}
+    with pytest.raises(avro_ckernel.Unsupported):
+        avro_ckernel.compile_program(_json.dumps(empty).encode(), empty)
