@@ -697,7 +697,9 @@ def embedding_neardup_pairs(df: DataFrame, threshold: float,
 
 def semantic_dedup(df: DataFrame, threshold: float = 0.9,
                    vec_col: str = "embedding",
-                   id_col: str = "vec_id") -> tuple[DataFrame, DataFrame]:
+                   id_col: str = "vec_id",
+                   pairs: DataFrame | None = None
+                   ) -> tuple[DataFrame, DataFrame]:
     """Embedding-space deduplication (the SemDeDup recipe applied with
     EXACT pair generation): items whose cosine similarity clears the
     threshold are transitively clustered and each cluster keeps its
@@ -712,9 +714,14 @@ def semantic_dedup(df: DataFrame, threshold: float = 0.9,
     (kept_rows, assignment) where assignment is (id, component) for
     every item that had a near-duplicate — rows absent from it were
     untouched singletons.
+
+    ``pairs`` lets a caller that already materialized the near-dup
+    pair list (columns i, j) feed it in instead of recomputing it —
+    e.g. when the pairs themselves are also an output.
     """
-    pairs = embedding_neardup_pairs(df, threshold, vec_col=vec_col,
-                                    id_col=id_col)
+    if pairs is None:
+        pairs = embedding_neardup_pairs(df, threshold, vec_col=vec_col,
+                                        id_col=id_col)
     assignment = connected_components(pairs)
     drop = (assignment.where(F.col("id") != F.col("component"))
                       .select(F.col("id").alias(id_col)))

@@ -144,8 +144,33 @@ def d03_minhash_lsh(spark, sf_dir):
 
 
 def d05_embedding_neardup(spark, sf_dir):
-    return (dedup.embedding_neardup_pairs(_embs(spark, sf_dir), 0.45)
-                 .transform(lambda d: _psort(d, "i", "j")))
+    """Embedding near-dup pairs AND the full SemDeDup-style semantic
+    dedup composition, hard-gated as one tagged union (the i01
+    pattern): tag 'pair' carries the exact cell-pruned cosine pairs
+    (val=cos, bitwise vs the oracle's brute-force SQL), tag
+    'component' the transitive min-label clustering of those pairs,
+    tag 'kept' the ids `semantic_dedup` retains (cluster min-id
+    representatives plus untouched singletons). The oracle recomputes
+    pairs exactly in SQL and the components via a recursive-CTE
+    min-label closure."""
+    embs = _embs(spark, sf_dir)
+    pairs = (dedup.embedding_neardup_pairs(embs, 0.45)
+             .localCheckpoint(eager=True))  # feeds all three branches
+    kept, assignment = dedup.semantic_dedup(embs, 0.45, pairs=pairs)
+    union = (pairs.select(F.lit("pair").alias("tag"),
+                          F.col("i").alias("a"), F.col("j").alias("b"),
+                          F.col("cos").alias("val"))
+             .unionByName(assignment.select(
+                 F.lit("component").alias("tag"),
+                 F.col("vec_id").alias("a"),
+                 F.col("component").alias("b"),
+                 F.lit(None).cast("double").alias("val")))
+             .unionByName(kept.select(
+                 F.lit("kept").alias("tag"),
+                 F.col("vec_id").alias("a"),
+                 F.lit(None).cast("long").alias("b"),
+                 F.lit(None).cast("double").alias("val"))))
+    return _psort(union, "tag", "a", "b")
 
 
 def d06_span_dedup(spark, sf_dir):
@@ -469,13 +494,35 @@ ORACLE_SQL: dict[str, str] = {
           FROM comp
         ) ORDER BY tag, a, b""",
     "d03_minhash_lsh": _JACCARD.format(thr=0.8),
+    # exact cosine pairs (tag 'pair'), their transitive min-label
+    # closure by recursive CTE (tag 'component'), and the semantic-
+    # dedup survivor set: everything except non-representative cluster
+    # members (tag 'kept')
     "d05_embedding_neardup": f"""
-        WITH {_EMB}
-        SELECT a.vec_id AS i, b.vec_id AS j,
-               {_COS.format(a='a.v', b='b.v')} AS cos
-        FROM e a JOIN e b ON a.vec_id < b.vec_id
-        WHERE {_COS.format(a='a.v', b='b.v')} >= 0.45
-        ORDER BY i, j""",
+        WITH RECURSIVE {_EMB},
+        p AS (SELECT a.vec_id AS i, b.vec_id AS j,
+                     {_COS.format(a='a.v', b='b.v')} AS val
+              FROM e a JOIN e b ON a.vec_id < b.vec_id
+              WHERE {_COS.format(a='a.v', b='b.v')} >= 0.45),
+        edges AS (SELECT i AS s, j AS t FROM p
+                  UNION SELECT j, i FROM p),
+        reach AS (
+          SELECT s AS id, s AS r FROM edges
+          UNION
+          SELECT g.s, reach.r FROM edges g
+          JOIN reach ON reach.id = g.t),
+        comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+        SELECT * FROM (
+          SELECT 'pair' AS tag, i AS a, j AS b, val FROM p
+          UNION ALL
+          SELECT 'component' AS tag, id AS a, component AS b,
+                 CAST(NULL AS DOUBLE) AS val FROM comp
+          UNION ALL
+          SELECT 'kept' AS tag, vec_id AS a, CAST(NULL AS BIGINT) AS b,
+                 CAST(NULL AS DOUBLE) AS val
+          FROM e WHERE vec_id NOT IN (SELECT id FROM comp
+                                      WHERE id <> component)
+        ) ORDER BY tag, a, b""",
     "d06_span_dedup": f"""
         WITH {_span_sql(5)},
         cnt AS (SELECT h, count(*) AS ndocs FROM sp GROUP BY h),
