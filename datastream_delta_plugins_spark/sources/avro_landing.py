@@ -15,7 +15,7 @@ never touches Avro again.
 Crash safety rides the commit seam (streaming/commitlog.py):
 
   - each conversion batch writes parquet under ``data/b{N}/`` FIRST,
-    then commits ``{files: <cumulative converted set>, batch_dir}``;
+    then commits the manifest;
   - a crash between data and commit leaves an orphan ``b{N}`` dir that
     the retry OVERWRITES (the batch number is derived from the
     committed version), so no file is ever represented twice in the
@@ -25,21 +25,52 @@ Crash safety rides the commit seam (streaming/commitlog.py):
 A streaming consumer watching ``data/`` directly may glimpse a not-yet-
 committed batch (at-least-once); the CDC merge is idempotent under row
 replay (sort-key max), so end-to-end state remains exactly-once — the
-same argument the reference makes for its rescans. The cumulative file
-set in the payload stays bounded by the same mechanism that bounds the
-source bucket: entries older than ``retention_days`` drop off the
-manifest as the TTL'd blobs they describe leave the bucket (S8).
+same argument the reference makes for its rescans.
+
+Manifest scale (the reference's production shape: 15 s blob rotation x
+30-day retention ~= 173k live blobs PER TABLE): the converted-file set
+is sharded into per-day SEGMENT files under ``_landing_log/segments/``
+and the commit payload carries only {day -> segment file} references —
+each commit rewrites ONE segment (the active day's), so payload and
+per-commit write stay O(days of retention) and O(day's files), never
+O(history). Segment files are immutable and version-named (a crashed
+retry overwrites the same name, mirroring the batch-dir rule). A
+segment drops off the manifest when it is BOTH older than
+``retention_days`` AND none of its files still exist in the source
+(pruning a still-present blob would re-convert it and duplicate rows);
+the existence probe runs only for horizon-crossing segments.
+
+Source listing at that scale must not glob 173k blobs per 30 s scan:
+``path_layout="datestream"`` prunes the walk to date-partitioned
+subtrees (yyyy/mm/dd[/hh/mm], the Datastream layout) lexicographically
+at or after the retention horizon — the reference's startOffset trick
+(DatastreamEventReader.java:543-556). Non-date directory names are
+walked conservatively (never pruned).
 """
 
 from __future__ import annotations
 
 import glob
+import hashlib
+import json
 import os
 import time
 
 from .avro_ocf import read_avro_changes
 
 LOG_SUBDIR = "_landing_log"
+SEG_SUBDIR = "segments"
+
+
+def _schema_fp(schema) -> str:
+    """Order-insensitive fingerprint of a Spark schema (names+types)."""
+    fields = sorted((f.name, f.dataType.simpleString(), f.nullable)
+                    for f in schema.fields)
+    return hashlib.sha256(repr(fields).encode()).hexdigest()[:16]
+
+
+def _day(ts: float) -> str:
+    return time.strftime("%Y-%m-%d", time.gmtime(ts))
 
 
 class AvroLandingConverter:
@@ -48,8 +79,11 @@ class AvroLandingConverter:
     def __init__(self, spark, avro_dir: str, landing_dir: str,
                  avro_schema=None, columns=None,
                  commit_impl: str = "pointer", decoder: str = "auto",
-                 retention_days: float | None = 30.0):
+                 retention_days: float | None = 30.0,
+                 path_layout: str = "flat"):
         from ..streaming.commitlog import make_commit_log
+        if path_layout not in ("flat", "datestream"):
+            raise ValueError(f"unknown path_layout {path_layout!r}")
         self.spark = spark
         self.avro_dir = avro_dir
         self.landing_dir = landing_dir
@@ -58,6 +92,8 @@ class AvroLandingConverter:
         self.columns = columns
         self.decoder = decoder
         self.retention_days = retention_days
+        self.path_layout = path_layout
+        self.seg_dir = os.path.join(landing_dir, LOG_SUBDIR, SEG_SUBDIR)
         self.clog = make_commit_log(landing_dir, commit_impl,
                                     subdir=LOG_SUBDIR)
 
@@ -65,10 +101,27 @@ class AvroLandingConverter:
 
     def _committed(self) -> dict:
         rc = self.clog.read_committed()
-        return rc[1] if rc else {"files": {}, "batch_dirs": []}
+        if rc is None:
+            return {"segments": {}, "batch_dirs": [], "schemas": {}}
+        doc = dict(rc[1])
+        if "files" in doc and "segments" not in doc:
+            # pre-segment payload (inline cumulative file dict): expose
+            # it through the same interface; the next commit migrates
+            # the whole set into day segments
+            doc.setdefault("segments", {})
+        doc.setdefault("schemas", {})
+        return doc
+
+    def _segment_files(self, committed: dict) -> dict[str, float]:
+        """Union of every referenced segment (+ any legacy inline set)."""
+        out: dict[str, float] = dict(committed.get("files", {}))
+        for seg in committed.get("segments", {}).values():
+            with open(os.path.join(self.seg_dir, seg)) as f:
+                out.update(json.load(f))
+        return out
 
     def converted_files(self) -> set[str]:
-        return set(self._committed()["files"])
+        return set(self._segment_files(self._committed()))
 
     def committed_batch_dirs(self) -> list[str]:
         return list(self._committed()["batch_dirs"])
@@ -76,15 +129,54 @@ class AvroLandingConverter:
     # -- conversion --
 
     def _list_source(self) -> list[str]:
+        if self.path_layout == "datestream" \
+                and self.retention_days is not None:
+            horizon = time.time() - self.retention_days * 86400.0
+            return self._list_datestream(time.strftime(
+                "%Y/%m/%d", time.gmtime(horizon)))
         return sorted(
             p for p in glob.glob(os.path.join(self.avro_dir, "**", "*.avro"),
                                  recursive=True) if os.path.isfile(p))
+
+    def _list_datestream(self, horizon_path: str) -> list[str]:
+        """Walk yyyy/mm/dd[...] subtrees, pruning date directories
+        lexicographically BELOW the horizon day. Only all-digit
+        component chains are compared (zero-padded date components
+        order lexicographically); anything else is walked
+        conservatively — pruning may only skip provably-expired
+        subtrees, never unrecognized ones."""
+        out: list[str] = []
+        hparts = horizon_path.split("/")
+
+        def walk(d: str, parts: list[str]) -> None:
+            try:
+                entries = sorted(os.scandir(d), key=lambda e: e.name)
+            except OSError:
+                return
+            for e in entries:
+                if e.is_file():
+                    if e.name.endswith(".avro"):
+                        out.append(e.path)
+                    continue
+                nxt = parts + [e.name]
+                # prune only while every component so far is digits and
+                # the partial date path is strictly below the horizon's
+                # corresponding prefix (equal prefixes must descend:
+                # later components may still reach the horizon)
+                k = len(nxt)
+                if k <= len(hparts) and all(p.isdigit() for p in nxt) \
+                        and nxt < hparts[:k]:
+                    continue
+                walk(e.path, nxt)
+
+        walk(self.avro_dir, [])
+        return sorted(out)
 
     def convert_new(self) -> dict:
         """Decode every not-yet-converted Avro file into one new landing
         batch. Returns {"converted": n, "batch_dir": str | None}."""
         committed = self._committed()
-        seen = committed["files"]
+        seen = self._segment_files(committed)
         listed = self._list_source()
         new = [p for p in listed if p not in seen]
         if not new:
@@ -99,33 +191,108 @@ class AvroLandingConverter:
         # overwritten by the retry, which recomputes the same batch id)
         df.write.mode("overwrite").parquet(out)
         now = time.time()
-        files = {p: now for p in new}
-        if self.retention_days is not None:
-            # drop an entry only when it is BOTH older than retention
-            # AND gone from the source dir — pruning a still-present
-            # blob would re-convert it and duplicate its rows
-            horizon = now - self.retention_days * 86400.0
-            present = set(listed)
-            files.update({p: t for p, t in seen.items()
-                          if t >= horizon or p in present})
-        else:
-            files.update(seen)
+        segments = self._updated_segments(committed, seen, new, now,
+                                          set(listed), batch)
+        schemas = dict(committed["schemas"])
+        schemas[bdir] = _schema_fp(df.schema)
         self.clog.commit({
-            "files": files,
-            "batch_dirs": committed["batch_dirs"] + [bdir]})
+            "segments": segments,
+            "batch_dirs": committed["batch_dirs"] + [bdir],
+            "schemas": schemas})
         return {"converted": len(new), "batch_dir": bdir}
+
+    def _updated_segments(self, committed: dict, seen: dict,
+                          new: list[str], now: float,
+                          present: set[str], batch: int) -> dict:
+        """Next commit's {day -> segment file} map.
+
+        Rewrites ONLY segments with changes this commit: the active
+        day's (new files; plus, on first commit after an upgrade, the
+        legacy inline set folded in by day) — every other day's
+        reference is carried forward untouched. Segment files are
+        immutable and named for the committing version, so a crashed
+        retry overwrites its own orphans and never a committed file.
+        """
+        segments = dict(committed.get("segments", {}))
+        dirty: dict[str, dict[str, float]] = {_day(now): {}}
+        if committed.get("files"):
+            # legacy inline payload: fold into segments once, by entry
+            # timestamp
+            for p, t in committed["files"].items():
+                dirty.setdefault(_day(t), {})[p] = t
+        for p in new:
+            dirty[_day(now)][p] = now
+        horizon, hday = None, None
+        if self.retention_days is not None:
+            horizon = now - self.retention_days * 86400.0
+            hday = _day(horizon)
+
+            def kept(files: dict) -> dict:
+                # an entry survives the horizon while its blob is still
+                # present — re-converting a live blob would duplicate
+                # its rows (the existence probe runs only for segments
+                # at the boundary, never per scan for the whole set)
+                return {p: t for p, t in files.items()
+                        if t >= horizon or p in present
+                        or os.path.exists(p)}
+
+            for day in list(segments):
+                if day in dirty or day > hday:
+                    continue  # fresh segments can't hold expired rows
+                with open(os.path.join(self.seg_dir, segments[day])) as f:
+                    files = json.load(f)
+                k = kept(files)
+                if not k:
+                    del segments[day]
+                elif len(k) < len(files):
+                    dirty[day] = k  # boundary-day entry-level rewrite
+        os.makedirs(self.seg_dir, exist_ok=True)
+        for day, add in dirty.items():
+            base = {}
+            # the active day extends its committed segment; retention
+            # rewrites and legacy folds already carry their full set
+            if day == _day(now) and day in committed.get("segments", {}) \
+                    and day not in ((hday,) if hday else ()):
+                with open(os.path.join(self.seg_dir,
+                                       segments[day])) as f:
+                    base = json.load(f)
+            elif day == _day(now) and day in committed.get("segments", {}):
+                # the active day IS the horizon boundary (sub-day
+                # retention): extend AND entry-prune its segment
+                with open(os.path.join(self.seg_dir,
+                                       segments[day])) as f:
+                    base = kept(json.load(f))
+            base.update(add)
+            if not base:
+                segments.pop(day, None)
+                continue
+            name = f"{day}.v{batch}.json"
+            with open(os.path.join(self.seg_dir, name), "w") as f:
+                json.dump(base, f)
+            segments[day] = name
+        return segments
 
     # -- consumption --
 
     def read_landing(self):
         """Batch read of exactly the committed landing batches (orphan
-        dirs from crashed conversions are invisible here)."""
-        dirs = self.committed_batch_dirs()
+        dirs from crashed conversions are invisible here). Batches
+        written across a payload schema drift carry different schema
+        fingerprints in the manifest; the read then unions vintages
+        with ``mergeSchema`` — pre-drift batches null-fill the evolved
+        columns (the `_evolve` contract) instead of whichever footer
+        Spark happened to sample planing the new column away."""
+        committed = self._committed()
+        dirs = committed["batch_dirs"]
         if not dirs:
             return None
-        return (self.spark.read
-                .option("basePath", self.data_dir)
-                .parquet(*[os.path.join(self.data_dir, d) for d in dirs]))
+        fps = {committed["schemas"].get(d) for d in dirs}
+        reader = self.spark.read.option("basePath", self.data_dir)
+        if len(fps) > 1 or None in fps:
+            # drifted vintages (or pre-fingerprint batches): merge
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(*[os.path.join(self.data_dir, d)
+                                for d in dirs])
 
     def landing_schema(self):
         df = self.read_landing()
@@ -141,7 +308,9 @@ class AvroLandingConverter:
         partitioned sink compacts). Data first, commit last: the
         compacted dir lands under the NEXT version's name, the commit
         swaps the manifest to reference only it, and the superseded
-        batch dirs become orphans for vacuum(). Returns
+        batch dirs become orphans for vacuum(). A compaction across
+        drifted vintages materializes the MERGED schema, so the new
+        dir's single fingerprint is the union schema's. Returns
         {"compacted": n_dirs | 0}."""
         committed = self._committed()
         dirs = committed["batch_dirs"]
@@ -152,23 +321,34 @@ class AvroLandingConverter:
         bdir = f"b{batch}"
         df.write.mode("overwrite").parquet(
             os.path.join(self.data_dir, bdir))
-        self.clog.commit({"files": committed["files"],
-                          "batch_dirs": [bdir]})
+        payload = {"segments": committed.get("segments", {}),
+                   "batch_dirs": [bdir],
+                   "schemas": {bdir: _schema_fp(df.schema)}}
+        if committed.get("files"):
+            payload["files"] = committed["files"]  # legacy set rides on
+        self.clog.commit(payload)
         return {"compacted": len(dirs)}
 
     def vacuum(self) -> list[str]:
         """Delete data dirs the CURRENT manifest no longer references —
-        crash orphans and batches superseded by compact(). In-flight
-        readers of the previous version should finish first (same
-        contract as BucketedStateTable.vacuum keep_versions=0)."""
-        live = set(self.committed_batch_dirs())
+        crash orphans and batches superseded by compact() — and
+        segment files superseded by later rewrites. In-flight readers
+        of the previous version should finish first (same contract as
+        BucketedStateTable.vacuum keep_versions=0)."""
+        committed = self._committed()
+        live = set(committed["batch_dirs"])
         removed = []
-        if not os.path.isdir(self.data_dir):
-            return removed
-        import shutil
-        for d in sorted(os.listdir(self.data_dir)):
-            if d.startswith("b") and d not in live:
-                shutil.rmtree(os.path.join(self.data_dir, d),
-                              ignore_errors=True)
-                removed.append(d)
+        if os.path.isdir(self.data_dir):
+            import shutil
+            for d in sorted(os.listdir(self.data_dir)):
+                if d.startswith("b") and d not in live:
+                    shutil.rmtree(os.path.join(self.data_dir, d),
+                                  ignore_errors=True)
+                    removed.append(d)
+        live_segs = set(committed.get("segments", {}).values())
+        if os.path.isdir(self.seg_dir):
+            for s in sorted(os.listdir(self.seg_dir)):
+                if s not in live_segs:
+                    os.remove(os.path.join(self.seg_dir, s))
+                    removed.append(os.path.join(SEG_SUBDIR, s))
         return removed
