@@ -350,6 +350,30 @@ def _reader_for(schema_json: bytes, schema) -> object:
     return reader
 
 
+def read_ocf_schema(raw: bytes) -> dict:
+    """Writer schema from the OCF header alone — no block decode.
+
+    The reader-construction peek (`read_avro_changes` with
+    avro_schema=None) only needs the schema; decoding the whole first
+    blob for it cost ~4 s per plan on a 22 MB change file (measured:
+    4.3 s construct vs 0.95 s for the entire 700 MB decode job)."""
+    dec = _Decoder(raw)
+    if dec.read(4) != MAGIC:
+        raise ValueError("not an Avro object-container file")
+    meta = {}
+    while True:
+        n = dec.long()
+        if n == 0:
+            break
+        if n < 0:
+            n = -n
+            dec.long()
+        for _ in range(n):
+            k = dec.string()
+            meta[k] = dec.bytes_()
+    return json.loads(meta["avro.schema"])
+
+
 def read_ocf(raw: bytes) -> tuple[dict, list[dict]]:
     """Parse one Avro object-container file -> (schema, records)."""
     dec = _Decoder(raw)
@@ -527,7 +551,7 @@ def read_avro_changes(spark, path: str, columns=None, avro_schema=None,
         head = bin_df.select("content").head()
         if head is None:
             raise ValueError(f"no Avro files under {path!r}")
-        schema, _ = read_ocf(bytes(head[0]))
+        schema = read_ocf_schema(bytes(head[0]))
     by_name = {f["name"]: f["type"] for f in schema["fields"]}
     payload_schema = _unwrap_nullable(by_name["payload"])
     payload_fields = [(f["name"], f["type"])
@@ -566,6 +590,13 @@ def read_avro_changes(spark, path: str, columns=None, avro_schema=None,
     out_fields += [T.StructField(o, avro_to_spark(t))
                    for _, o, t in payload_out]
     out_fields += [T.StructField("_source_file", T.StringType())]
+    # T3 normalization (_op, _is_snapshot) is computed IN the worker,
+    # vectorized over the Arrow batch: as a JVM projection above the
+    # Python node it re-materialized every row (no whole-stage codegen
+    # over a PythonMapInArrow child) and measured ~3x the entire
+    # decode; two pyarrow.compute kernels are ~free
+    out_fields += [T.StructField("_op", T.StringType()),
+                   T.StructField("_is_snapshot", T.BooleanType())]
     out_schema = T.StructType(out_fields)
 
     meta_conv = {n: _converter(by_name[n]) for n in meta_names}
@@ -594,6 +625,36 @@ def read_avro_changes(spark, path: str, columns=None, avro_schema=None,
     target = pa.schema([
         f.with_type(pa.timestamp(f.type.unit))
         if pa.types.is_timestamp(f.type) else f for f in target])
+    # decoders fill `base` (the file-derived columns); _with_ops
+    # derives the two T3 columns from the finished batch
+    base = pa.schema([f for f in target
+                      if f.name not in ("_op", "_is_snapshot")])
+
+    from ..envelope import SNAPSHOT_FILE_MARKER
+
+    def _with_ops(batch):
+        """Append _op/_is_snapshot (sources.changes.normalize_ops
+        semantics, bit-for-bit: snapshot rows are INSERT, PK-update
+        pairs normalize to DELETE + UPDATE, null change_type on a
+        non-snapshot row stays null)."""
+        import pyarrow.compute as pc
+        rm = batch.column(base.get_field_index("read_method"))
+        ct = batch.column(base.get_field_index("change_type"))
+        is_snap = pc.fill_null(
+            pc.match_substring(rm, SNAPSHOT_FILE_MARKER), False)
+        ctu = pc.utf8_upper(ct)
+
+        def eq(a, v):
+            return pc.fill_null(pc.equal(a, v), False)
+
+        op = pc.if_else(
+            is_snap, pa.scalar("INSERT", pa.string()),
+            pc.if_else(eq(ctu, "UPDATE-DELETE"),
+                       pa.scalar("DELETE", pa.string()),
+                       pc.if_else(eq(ctu, "UPDATE-INSERT"),
+                                  pa.scalar("UPDATE", pa.string()), ctu)))
+        return pa.RecordBatch.from_arrays(
+            batch.columns + [op, is_snap], schema=target)
 
     def check_drift(fschema, fpath):
         if not strict:
@@ -611,7 +672,7 @@ def read_avro_changes(spark, path: str, columns=None, avro_schema=None,
     def decode_scalar(fpath, raw):
         """Closure-tree fallback: one pandas frame for one file."""
         pd = _pd()
-        cols: dict[str, list] = {f.name: [] for f in out_fields}
+        cols: dict[str, list] = {f.name: [] for f in base}
         fschema, records = read_ocf(raw)
         check_drift(fschema, fpath)
         for r in records:
@@ -647,9 +708,9 @@ def read_avro_changes(spark, path: str, columns=None, avro_schema=None,
             if conv is not None and n in out.columns:
                 out[n] = conv(out[n])
         tbl = pa.Table.from_pandas(out, preserve_index=False)
-        return pa.RecordBatch.from_arrays(
+        return _with_ops(pa.RecordBatch.from_arrays(
             [_to_target(tbl.column(f.name).combine_chunks(), f.type)
-             for f in target], schema=target)
+             for f in base], schema=base))
 
     def _to_target(arr, typ):
         """Cast one decoded column to its target Arrow type."""
@@ -712,10 +773,10 @@ def read_avro_changes(spark, path: str, columns=None, avro_schema=None,
         for name, o, _t in payload_out:
             arrays[o] = p.get(name)
         arrays["_source_file"] = pa.array([fpath] * n, pa.string())
-        return pa.RecordBatch.from_arrays(
+        return _with_ops(pa.RecordBatch.from_arrays(
             [pa.nulls(n, f.type) if arrays[f.name] is None
-             else _to_target(arrays[f.name], f.type) for f in target],
-            schema=target)
+             else _to_target(arrays[f.name], f.type) for f in base],
+            schema=base))
 
     def decode_vector(fpath, raw):
         """Wavefront fast path: block bytes -> Arrow, no row objects."""
@@ -747,7 +808,5 @@ def read_avro_changes(spark, path: str, columns=None, avro_schema=None,
                         except avro_vector.Unsupported:
                             yield decode_scalar(fpath, raw)
 
-    decoded = (bin_df.select("path", "content")
-                     .mapInArrow(decode, out_schema))
-    from .changes import normalize_ops
-    return normalize_ops(decoded)
+    return (bin_df.select("path", "content")
+                  .mapInArrow(decode, out_schema))
