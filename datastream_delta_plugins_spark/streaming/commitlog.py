@@ -103,11 +103,14 @@ class CommitLog:
 
     def commit(self, payload: dict) -> int:
         v = self.version() + 1
-        os.makedirs(self.log_dir, exist_ok=True)
+        self._ensure_log_dir()
         self._publish(v, payload)
         if self.keep is not None:
             self._prune(v - self.keep)
         return v
+
+    def _ensure_log_dir(self) -> None:
+        os.makedirs(self.log_dir, exist_ok=True)  # object stores: no-op
 
     def _publish(self, v: int, payload: dict) -> None:
         raise NotImplementedError
@@ -145,7 +148,7 @@ class CommitLog:
         if lv is None:
             return None
         if self._raw_version() < lv:
-            os.makedirs(self.log_dir, exist_ok=True)
+            self._ensure_log_dir()
             self._publish(lv, payload)
         os.remove(os.path.join(self.path, LEGACY_POINTER))
         return lv
@@ -278,6 +281,171 @@ class VersionLog(CommitLog):
                 pass
 
 
+# ------------------------------------------------- object-store client
+
+class ObjectStoreClient:
+    """Request-level contract a real GCS/S3 binding must satisfy for
+    ``ObjectStoreLog`` to be correct. Semantics (both stores provide
+    them today):
+
+    - ``put_if_absent`` is ATOMIC and CONDITIONAL (GCS
+      ``ifGenerationMatch=0``, S3 ``If-None-Match: *``): exactly one
+      concurrent writer of a key succeeds; a failed put writes
+      nothing.
+    - ``get`` of a known key is strongly consistent (read-after-write).
+    - ``list_keys`` may LAG puts — it may omit recently written keys,
+      but never invents keys and never returns a partial object.
+    """
+
+    def put_if_absent(self, key: str, data: bytes) -> bool:
+        raise NotImplementedError
+
+    def get(self, key: str) -> bytes | None:
+        raise NotImplementedError
+
+    def list_keys(self, prefix: str) -> list[str]:
+        raise NotImplementedError
+
+    def delete(self, key: str) -> None:
+        raise NotImplementedError
+
+
+class InMemoryObjectStore(ObjectStoreClient):
+    """Mock object store with the REAL request semantics — injectable
+    per-request latency and bounded listing lag — so the seam's
+    contract is proven against conditional-PUT behavior rather than
+    POSIX. A production GCS/S3 binding is then config-only: implement
+    the four requests over the SDK and hand it to ObjectStoreLog.
+
+    ``listing_lag=N``: a freshly put key stays invisible to the next N
+    ``list_keys`` calls (eventual listing). ``latency_s``: sleep per
+    request (request-interleaving realism for concurrency tests).
+    """
+
+    def __init__(self, latency_s: float = 0.0, listing_lag: int = 0):
+        import threading
+        self._objects: dict[str, bytes] = {}
+        self._lock = threading.Lock()
+        self.latency_s = latency_s
+        self.listing_lag = int(listing_lag)
+        self._list_calls = 0
+        self._visible_at: dict[str, int] = {}
+        self.requests: list[tuple[str, str]] = []  # (op, key) audit log
+
+    def _request(self, op: str, key: str) -> None:
+        self.requests.append((op, key))
+        if self.latency_s:
+            import time
+            time.sleep(self.latency_s)
+
+    def put_if_absent(self, key: str, data: bytes) -> bool:
+        self._request("put", key)
+        with self._lock:
+            if key in self._objects:
+                return False
+            self._objects[key] = bytes(data)
+            if self.listing_lag:
+                self._visible_at[key] = self._list_calls + self.listing_lag
+            return True
+
+    def get(self, key: str) -> bytes | None:
+        self._request("get", key)
+        with self._lock:
+            return self._objects.get(key)
+
+    def list_keys(self, prefix: str) -> list[str]:
+        self._request("list", prefix)
+        with self._lock:
+            self._list_calls += 1
+            return sorted(
+                k for k in self._objects
+                if k.startswith(prefix)
+                and self._list_calls > self._visible_at.get(k, 0))
+
+    def delete(self, key: str) -> None:
+        self._request("delete", key)
+        with self._lock:
+            self._objects.pop(key, None)
+            self._visible_at.pop(key, None)
+
+
+class ObjectStoreLog(CommitLog):
+    """VersionLog over an ObjectStoreClient: the conditional PUT of
+    ``v{N}.json`` IS the commit. Same reader rule as VersionLog
+    (highest valid listed version; listing lag only hides versions),
+    but every filesystem call is a client request — this is the class
+    a real GCS/S3 deployment instantiates."""
+
+    def __init__(self, path: str, subdir: str = "commitlog",
+                 keep: int | None = 8,
+                 client: ObjectStoreClient | None = None):
+        super().__init__(path, subdir, keep=keep)
+        self.client = client if client is not None \
+            else InMemoryObjectStore()
+        # keys are bucket-relative: "<path>/<subdir>/v{N}.json"
+        self._prefix = self.log_dir.rstrip("/") + "/"
+        # writer-local floor: listing lag must not hide THIS writer's
+        # own commits from its next version() (it would re-plan a
+        # taken version and self-conflict on the conditional PUT);
+        # other writers' lagged commits remain a stale-read-then-retry
+        self._floor = -1
+
+    def _key(self, v: int) -> str:
+        return f"{self._prefix}v{v}.json"
+
+    def _ensure_log_dir(self) -> None:
+        pass  # object stores have no directories
+
+    # -- reads --
+
+    def _listed_versions(self) -> list[int]:
+        out = []
+        for k in self.client.list_keys(self._prefix):
+            m = _VFILE.match(k[len(self._prefix):])
+            if m:
+                out.append(int(m.group(1)))
+        return sorted(out)
+
+    def _payload(self, v: int) -> dict:
+        raw = self.client.get(self._key(v))
+        if raw is None:
+            raise FileNotFoundError(self._key(v))
+        return json.loads(raw)
+
+    def _valid(self, v: int) -> bool:
+        # a PUT object is complete by construction; validate the
+        # version stamp anyway (same invariant VersionLog checks)
+        try:
+            return self._payload(v).get("version") == v
+        except (FileNotFoundError, json.JSONDecodeError):
+            return False
+
+    def _raw_version(self) -> int:
+        for v in reversed(self._listed_versions()):
+            if self._valid(v):
+                return max(v, self._floor)
+        return self._floor
+
+    def version(self) -> int:
+        return self._raw_version()  # no POSIX legacy layout to guard
+
+    # -- writes --
+
+    def _publish(self, v: int, payload: dict) -> None:
+        doc = json.dumps({"version": v, **payload}, indent=1,
+                         sort_keys=True).encode()
+        if not self.client.put_if_absent(self._key(v), doc):
+            raise ConcurrentWriterError(
+                f"version {v} at {self._prefix} was committed by "
+                f"another writer")
+        self._floor = max(self._floor, v)
+
+    def _prune(self, keep_from: int) -> None:
+        for v in self._listed_versions():
+            if v < keep_from:
+                self.client.delete(self._key(v))
+
+
 def make_commit_log(path: str, impl: str = "pointer",
                     subdir: str = "commitlog",
                     keep: int | None = 8) -> CommitLog:
@@ -285,5 +453,15 @@ def make_commit_log(path: str, impl: str = "pointer",
         return PointerSwapLog(path, subdir, keep=keep)
     if impl == "log":
         return VersionLog(path, subdir, keep=keep)
+    if impl == "object-mock":
+        # shared per-(path) in-memory "bucket": independent log
+        # instances over the same dataset path see each other's
+        # commits, like real clients of one bucket — lets the whole
+        # pipeline run its manifests through request semantics
+        client = _MOCK_BUCKETS.setdefault(path, InMemoryObjectStore())
+        return ObjectStoreLog(path, subdir, keep=keep, client=client)
     raise ValueError(f"unknown commit-log impl {impl!r} "
-                     f"(expected 'pointer' or 'log')")
+                     f"(expected 'pointer', 'log', or 'object-mock')")
+
+
+_MOCK_BUCKETS: dict[str, InMemoryObjectStore] = {}
