@@ -7,10 +7,11 @@ and relies on the bucket's TTL to retire it (reference:
 DatastreamEventConsumer.java:182-199, DatastreamEventReader.java:213-281
 mark-after-commit). This module is that discipline for the Spark
 engine: an incremental converter that decodes each new Avro file ONCE
-(through `read_avro_changes`, so the wavefront fast path applies) into
-a parquet landing directory, after which every consumer — the CDC
-merge stream, re-merges, rollups, ad-hoc queries — reads parquet and
-never touches Avro again.
+(default: `convert_avro_to_parquet`, the worker-side pyarrow writer —
+decode to one Arrow batch, write parquet in place, no JVM row
+materialization) into a parquet landing directory, after which every
+consumer — the CDC merge stream, re-merges, rollups, ad-hoc queries —
+reads parquet and never touches Avro again.
 
 Crash safety rides the commit seam (streaming/commitlog.py):
 
@@ -56,7 +57,7 @@ import json
 import os
 import time
 
-from .avro_ocf import read_avro_changes
+from .avro_ocf import convert_avro_to_parquet, read_avro_changes
 
 LOG_SUBDIR = "_landing_log"
 SEG_SUBDIR = "segments"
@@ -80,10 +81,13 @@ class AvroLandingConverter:
                  avro_schema=None, columns=None,
                  commit_impl: str = "pointer", decoder: str = "auto",
                  retention_days: float | None = 30.0,
-                 path_layout: str = "flat"):
+                 path_layout: str = "flat",
+                 conversion: str = "direct"):
         from ..streaming.commitlog import make_commit_log
         if path_layout not in ("flat", "datestream"):
             raise ValueError(f"unknown path_layout {path_layout!r}")
+        if conversion not in ("direct", "spark"):
+            raise ValueError(f"unknown conversion {conversion!r}")
         self.spark = spark
         self.avro_dir = avro_dir
         self.landing_dir = landing_dir
@@ -93,6 +97,12 @@ class AvroLandingConverter:
         self.decoder = decoder
         self.retention_days = retention_days
         self.path_layout = path_layout
+        # "direct" (default): workers decode each blob to ONE Arrow
+        # batch and write parquet with pyarrow in place — no JVM row
+        # materialization on the conversion path (the 100 TB shape);
+        # "spark": decode -> DataFrame -> Spark parquet writer (kept
+        # for comparison; byte-compatible schemas either way)
+        self.conversion = conversion
         self.seg_dir = os.path.join(landing_dir, LOG_SUBDIR, SEG_SUBDIR)
         self.clog = make_commit_log(landing_dir, commit_impl,
                                     subdir=LOG_SUBDIR)
@@ -184,17 +194,29 @@ class AvroLandingConverter:
         batch = self.clog.version() + 1
         bdir = f"b{batch}"
         out = os.path.join(self.data_dir, bdir)
-        df = read_avro_changes(self.spark, new, columns=self.columns,
-                               avro_schema=self.avro_schema,
-                               decoder=self.decoder)
         # data first, commit last (an orphan bdir from a crash here is
-        # overwritten by the retry, which recomputes the same batch id)
-        df.write.mode("overwrite").parquet(out)
+        # overwritten by the retry, which recomputes the same batch id;
+        # the direct path clears the dir first so a retry over a
+        # CHANGED file set leaves no crashed-attempt orphans behind)
+        if self.conversion == "direct":
+            import shutil
+            if os.path.isdir(out):
+                shutil.rmtree(out)
+            convert_avro_to_parquet(
+                self.spark, new, out, columns=self.columns,
+                avro_schema=self.avro_schema, decoder=self.decoder)
+            schema = self.spark.read.parquet(out).schema
+        else:
+            df = read_avro_changes(self.spark, new, columns=self.columns,
+                                   avro_schema=self.avro_schema,
+                                   decoder=self.decoder)
+            df.write.mode("overwrite").parquet(out)
+            schema = df.schema
         now = time.time()
         segments = self._updated_segments(committed, seen, new, now,
                                           set(listed), batch)
         schemas = dict(committed["schemas"])
-        schemas[bdir] = _schema_fp(df.schema)
+        schemas[bdir] = _schema_fp(schema)
         self.clog.commit({
             "segments": segments,
             "batch_dirs": committed["batch_dirs"] + [bdir],

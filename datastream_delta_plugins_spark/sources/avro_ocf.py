@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import io
 import json
+import os
 import struct
 import zlib
 from decimal import Decimal
@@ -508,12 +509,12 @@ def _num_sort_key(v, pos: int, fpath: str):
             f"long here; fix the producer or remap sort columns") from None
 
 
-def read_avro_changes(spark, path: str, columns=None, avro_schema=None,
-                      decoder: str = "auto"):
-    """Distributed Avro change-file ingestion: binaryFile scan ->
-    mapInArrow decode -> the flattened change schema of
-    sources.changes (FIXTURES.md F1), plus `_source_file` for
-    snapshot/CDC classification.
+def _arrow_decode_plan(spark, path, columns=None, avro_schema=None,
+                       decoder: str = "auto"):
+    """Shared decode-plan builder: (bin_df, decode generator, Spark
+    out_schema). `read_avro_changes` maps the generator into a
+    DataFrame; `convert_avro_to_parquet` wraps it to write parquet in
+    the worker without ever materializing JVM rows.
 
     Decode is the vectorized wavefront of `avro_vector` whenever the
     file shape allows (multi-block, envelope-subset schema) — columns
@@ -808,5 +809,102 @@ def read_avro_changes(spark, path: str, columns=None, avro_schema=None,
                         except avro_vector.Unsupported:
                             yield decode_scalar(fpath, raw)
 
+    return bin_df, decode, out_schema
+
+
+def read_avro_changes(spark, path: str, columns=None, avro_schema=None,
+                      decoder: str = "auto"):
+    """Distributed Avro change-file ingestion: binaryFile scan ->
+    mapInArrow decode -> the flattened change schema of
+    sources.changes (FIXTURES.md F1), plus `_source_file` for
+    snapshot/CDC classification.
+
+    Decode is per file: the native opcode decoder (avro_ckernel) when a
+    compiler is available, else the vectorized wavefront (avro_vector),
+    else the closure tree — all three emit identical Arrow batches
+    (pinned by tests/test_avro_source.py). T3 normalization (_op,
+    _is_snapshot) is computed vectorized inside the worker's batch.
+
+    The reader schema is `avro_schema` (the registry-described envelope,
+    the reference's source of truth after a schema_key change) or, when
+    omitted, the first file's header (header-only driver peek, like
+    Spark's JSON inference), mapped through schema.avro_mapping (T1).
+    Without a `columns` projection, a record carrying payload fields
+    absent from the reader schema raises instead of silently dropping
+    the new columns — that is the drift signal to re-describe and
+    re-read (reference: schema_key change -> re-describe,
+    DatastreamEventReader.java:652-674).
+
+    ``decoder`` pins the per-file decode path: "auto" (C kernel when
+    available, then the vectorized wavefront, then the closure tree,
+    per file), "ckernel"/"vector"/"scalar" (that tier only — raise
+    instead of falling back; the equivalence tests diff the tiers).
+    """
+    bin_df, decode, out_schema = _arrow_decode_plan(
+        spark, path, columns=columns, avro_schema=avro_schema,
+        decoder=decoder)
     return (bin_df.select("path", "content")
                   .mapInArrow(decode, out_schema))
+
+
+def convert_avro_to_parquet(spark, path, out_dir: str, columns=None,
+                            avro_schema=None, decoder: str = "auto",
+                            compression: str = "snappy") -> list[dict]:
+    """Decode-once Avro -> parquet conversion that never materializes a
+    JVM row: each worker decodes a file to ONE Arrow batch and writes
+    it to parquet with pyarrow directly (timestamps stamped UTC so the
+    files read back with the exact schema Spark's own writer would
+    produce) — only a per-file manifest row crosses back to the driver.
+    Skipping the Arrow->InternalRow->parquet round trip is the
+    conversion-path analog of the worker-side T3 normalization: the
+    decode itself stopped being the bound once the rows did.
+
+    The output file name is a digest of the source path, so a crashed
+    conversion's retry overwrites its own partial files (the same
+    idempotence rule as the landing's batch dirs).
+
+    Returns the collected manifest: [{"source_file", "file", "n_rows"}]
+    (contract-bounded driver collect: one row per converted file).
+    """
+    bin_df, decode, _out_schema = _arrow_decode_plan(
+        spark, path, columns=columns, avro_schema=avro_schema,
+        decoder=decoder)
+    from pyspark.sql import types as T
+    manifest_schema = T.StructType([
+        T.StructField("source_file", T.StringType()),
+        T.StructField("file", T.StringType()),
+        T.StructField("n_rows", T.LongType())])
+    os.makedirs(out_dir, exist_ok=True)
+
+    def convert(batches):
+        import hashlib as _hl
+
+        import pyarrow as _pa
+        import pyarrow.parquet as _pq
+        for batch in decode(batches):
+            sf_idx = batch.schema.get_field_index("_source_file")
+            src = (batch.column(sf_idx)[0].as_py()
+                   if batch.num_rows else "")
+            # Spark writes TimestampType as UTC-adjusted micros; stamp
+            # the naive decode columns the same way so mixed-writer
+            # landings merge under one schema
+            cols, fields = [], []
+            for f, col in zip(batch.schema, batch.columns):
+                if _pa.types.is_timestamp(f.type) and f.type.tz is None:
+                    t = _pa.timestamp(f.type.unit, tz="UTC")
+                    col, f = col.cast(t), f.with_type(t)
+                cols.append(col)
+                fields.append(f)
+            name = _hl.sha256(src.encode()).hexdigest()[:20] + ".parquet"
+            _pq.write_table(
+                _pa.Table.from_arrays(cols, schema=_pa.schema(fields)),
+                os.path.join(out_dir, name), compression=compression)
+            yield _pa.RecordBatch.from_arrays(
+                [_pa.array([src], _pa.string()),
+                 _pa.array([name], _pa.string()),
+                 _pa.array([batch.num_rows], _pa.int64())],
+                names=["source_file", "file", "n_rows"])
+
+    rows = (bin_df.select("path", "content")
+                  .mapInArrow(convert, manifest_schema).collect())
+    return [r.asDict() for r in rows]
