@@ -474,3 +474,35 @@ def test_zero_width_programs_rejected_at_compile():
                  "type": "record", "name": "E", "fields": []}}]}
     with pytest.raises(avro_ckernel.Unsupported):
         avro_ckernel.compile_program(_json.dumps(empty).encode(), empty)
+
+
+def test_plan_construction_never_decodes_blocks(spark, tmp_path, monkeypatch):
+    """Building the read plan must peek only the OCF HEADER: the old
+    peek scalar-decoded the entire first blob per plan (~4.3s on a
+    22MB change file — more than the whole decode job)."""
+    d = tmp_path / "avro"
+    d.mkdir()
+    (d / "k1_oracle-cdc-logminer_0.avro").write_bytes(
+        avro_ocf.write_ocf(ENVELOPE, [_varied_event(i) for i in range(50)]))
+
+    def no_full_decode(raw):
+        raise AssertionError("plan construction decoded record blocks")
+    monkeypatch.setattr(avro_ocf, "read_ocf", no_full_decode)
+    df = avro_ocf.read_avro_changes(spark, str(d))  # must not raise
+    assert "_op" in df.columns
+
+
+def test_no_jvm_projection_above_python_decode(spark, tmp_path):
+    """_op/_is_snapshot ride the worker's Arrow batch: a JVM projection
+    above the PythonMapInArrow node gets no whole-stage codegen and
+    re-materializes every row (measured ~3x the decode cost) — pin the
+    plan so it never comes back."""
+    d = tmp_path / "avro"
+    d.mkdir()
+    (d / "k1_oracle-cdc-logminer_0.avro").write_bytes(
+        avro_ocf.write_ocf(ENVELOPE, [_varied_event(i) for i in range(10)]))
+    plan = (avro_ocf.read_avro_changes(spark, str(d))
+            ._jdf.queryExecution().optimizedPlan().toString())
+    first = plan.splitlines()[0]
+    assert "PythonMapInArrow" in first or "MapInArrow" in first, \
+        f"decode output is no longer the plan root: {first!r}"
