@@ -522,3 +522,45 @@ def test_direct_and_spark_conversion_identical(spark, tmp_path):
     ra = sorted(tuple(r) for r in a.select(*cols).collect())
     rb = sorted(tuple(r) for r in b.select(*cols).collect())
     assert ra == rb
+
+
+def test_manifest_scales_to_tens_of_thousands_of_files(spark, tmp_path,
+                                                       monkeypatch):
+    """Reference production shape (15s rotation x 30d retention ~173k
+    blobs/table): per-commit manifest work must be O(day's files), the
+    payload O(retention days). Drives _updated_segments directly with
+    10k files across 30 simulated days and asserts (a) commit payload
+    size stays flat, (b) each steady-state commit rewrites at most the
+    active-day + boundary segments, (c) the full converted set remains
+    readable."""
+    import json as _json
+
+    c = AvroLandingConverter(spark, str(tmp_path / "avro"),
+                             str(tmp_path / "landing"),
+                             retention_days=30.0)
+    (tmp_path / "avro").mkdir()
+    import datastream_delta_plugins_spark.sources.avro_landing as al
+    base_now = 1_800_000_000.0
+    committed = {"segments": {}, "batch_dirs": [], "schemas": {}}
+    payload_sizes, writes_per_commit = [], []
+    n_per_day, days = 334, 30  # ~10k files
+    for day in range(days):
+        now = base_now + day * 86400.0
+        new = [f"/bucket/t/{day:02d}/f{i:04d}.avro"
+               for i in range(n_per_day)]
+        seg_writes_before = len(os.listdir(c.seg_dir)) \
+            if os.path.isdir(c.seg_dir) else 0
+        segs = c._updated_segments(committed, {}, new, now,
+                                   present=set(new), batch=day)
+        committed = {"segments": segs,
+                     "batch_dirs": committed["batch_dirs"] + [f"b{day}"],
+                     "schemas": {}}
+        payload_sizes.append(len(_json.dumps(committed["segments"])))
+        writes_per_commit.append(
+            len(os.listdir(c.seg_dir)) - seg_writes_before)
+    # payload grows with DAYS (one ~45-byte ref each), never with files
+    assert payload_sizes[-1] < 64 * days
+    # steady state: at most 2 segment files written per commit
+    assert max(writes_per_commit[1:]) <= 2
+    # the union set is complete
+    assert len(c._segment_files(committed)) == n_per_day * days
