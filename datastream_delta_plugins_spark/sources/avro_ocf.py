@@ -896,9 +896,15 @@ def convert_avro_to_parquet(spark, path, out_dir: str, columns=None,
                 cols.append(col)
                 fields.append(f)
             name = _hl.sha256(src.encode()).hexdigest()[:20] + ".parquet"
+            # write-then-rename: a streaming consumer listing the
+            # batch dir must never open a half-written file (Spark's
+            # own writer gets this from its _temporary rename; an
+            # object-store PUT is atomic by itself)
+            tmp = os.path.join(out_dir, "." + name + ".tmp")
             _pq.write_table(
                 _pa.Table.from_arrays(cols, schema=_pa.schema(fields)),
-                os.path.join(out_dir, name), compression=compression)
+                tmp, compression=compression)
+            os.replace(tmp, os.path.join(out_dir, name))
             yield _pa.RecordBatch.from_arrays(
                 [_pa.array([src], _pa.string()),
                  _pa.array([name], _pa.string()),
