@@ -863,6 +863,11 @@ def convert_avro_to_parquet(spark, path, out_dir: str, columns=None,
     conversion's retry overwrites its own partial files (the same
     idempotence rule as the landing's batch dirs).
 
+    ``out_dir`` must be visible to every executor (shared filesystem
+    locally; on a cluster, a fuse mount or a pyarrow.fs URI — pyarrow's
+    parquet writer speaks GCS/S3/HDFS natively, so pointing this at an
+    object store is a filesystem-handle change, not a redesign).
+
     Returns the collected manifest: [{"source_file", "file", "n_rows"}]
     (contract-bounded driver collect: one row per converted file).
     """
