@@ -564,3 +564,64 @@ def test_manifest_scales_to_tens_of_thousands_of_files(spark, tmp_path,
     assert max(writes_per_commit[1:]) <= 2
     # the union set is complete
     assert len(c._segment_files(committed)) == n_per_day * days
+
+
+# ---------------------------------------- segment-manifest property
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.tuples(
+    st.floats(min_value=0.0, max_value=5.0),   # day offset of the scan
+    st.integers(min_value=0, max_value=4),     # new files this scan
+    st.booleans(),                             # delete an old source file
+), min_size=1, max_size=12))
+def test_segment_manifest_never_loses_a_live_file(tmp_path_factory,
+                                                  schedule):
+    """Invariant under any scan schedule: a file is dropped from the
+    converted set ONLY when it is both past the retention horizon and
+    gone from the source — and files are NEVER double-counted (every
+    listed source file is in the set exactly once once converted).
+    Exercises the segment logic without Spark jobs."""
+    import datastream_delta_plugins_spark.sources.avro_landing as al
+
+    tmp = tmp_path_factory.mktemp("segprop")
+    (tmp / "avro").mkdir()
+    c = al.AvroLandingConverter(None, str(tmp / "avro"),
+                                str(tmp / "landing"), retention_days=2.0)
+    base = 1_800_000_000.0
+    committed = {"segments": {}, "batch_dirs": [], "schemas": {}}
+    on_disk: dict[str, float] = {}  # source file -> created at
+    batch, counter, day_cursor = 0, 0, 0.0
+    for day_step, n_new, do_delete in schedule:
+        day_cursor += day_step  # time only moves forward
+        now = base + day_cursor * 86400.0
+        if do_delete and on_disk:
+            victim = sorted(on_disk)[0]
+            os.remove(victim)
+            del on_disk[victim]
+        new = []
+        for _ in range(n_new):
+            path = str(tmp / "avro" / f"f{counter:04d}.avro")
+            open(path, "w").close()
+            on_disk[path] = now
+            counter += 1
+            new.append(path)
+        seen = c._segment_files(committed)
+        new = [p for p in new if p not in seen]
+        present = set(on_disk)
+        segs = c._updated_segments(committed, seen, new, now,
+                                   present=present, batch=batch)
+        committed = {"segments": segs,
+                     "batch_dirs": committed["batch_dirs"],
+                     "schemas": {}}
+        batch += 1
+        files = c._segment_files(committed)
+        horizon = now - 2.0 * 86400.0
+        for p, created in on_disk.items():
+            assert p in files, f"live source file {p} lost from manifest"
+        for p, t in files.items():
+            # an entry may outlive its blob only until it expires
+            assert t >= horizon or p in present or os.path.exists(p)
