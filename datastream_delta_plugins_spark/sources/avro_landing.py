@@ -213,7 +213,7 @@ class AvroLandingConverter:
             df.write.mode("overwrite").parquet(out)
             schema = df.schema
         now = time.time()
-        segments = self._updated_segments(committed, seen, new, now,
+        segments = self._updated_segments(committed, new, now,
                                           set(listed), batch)
         schemas = dict(committed["schemas"])
         schemas[bdir] = _schema_fp(schema)
@@ -223,9 +223,9 @@ class AvroLandingConverter:
             "schemas": schemas})
         return {"converted": len(new), "batch_dir": bdir}
 
-    def _updated_segments(self, committed: dict, seen: dict,
-                          new: list[str], now: float,
-                          present: set[str], batch: int) -> dict:
+    def _updated_segments(self, committed: dict, new: list[str],
+                          now: float, present: set[str],
+                          batch: int) -> dict:
         """Next commit's {day -> segment file} map.
 
         Rewrites ONLY segments with changes this commit: the active

@@ -550,7 +550,7 @@ def test_manifest_scales_to_tens_of_thousands_of_files(spark, tmp_path,
                for i in range(n_per_day)]
         seg_writes_before = len(os.listdir(c.seg_dir)) \
             if os.path.isdir(c.seg_dir) else 0
-        segs = c._updated_segments(committed, {}, new, now,
+        segs = c._updated_segments(committed, new, now,
                                    present=set(new), batch=day)
         committed = {"segments": segs,
                      "batch_dirs": committed["batch_dirs"] + [f"b{day}"],
@@ -612,7 +612,7 @@ def test_segment_manifest_never_loses_a_live_file(tmp_path_factory,
         seen = c._segment_files(committed)
         new = [p for p in new if p not in seen]
         present = set(on_disk)
-        segs = c._updated_segments(committed, seen, new, now,
+        segs = c._updated_segments(committed, new, now,
                                    present=present, batch=batch)
         committed = {"segments": segs,
                      "batch_dirs": committed["batch_dirs"],
