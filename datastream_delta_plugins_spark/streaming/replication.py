@@ -59,6 +59,12 @@ class TableConfig:
     #: is decoded exactly once into committed parquet, and both batch
     #: and streaming modes consume the landing.
     source_format: str = "parquet"
+    #: source-blob directory layout for avro tables: "datestream"
+    #: prunes the converter's 30 s listing to yyyy/mm/dd subtrees at or
+    #: after the retention horizon (the reference's lexicographic
+    #: startOffset pruning) — the right setting for real Datastream
+    #: buckets; "flat" walks everything (fixtures, ad-hoc dirs)
+    path_layout: str = "flat"
     extra: dict = field(default_factory=dict)
 
 
@@ -103,7 +109,8 @@ class ReplicationJob:
             t.name: AvroLandingConverter(
                 spark, t.source_dir,
                 os.path.join(work_dir, "tables", t.name, "landing"),
-                columns=t.columns, commit_impl=commit_impl)
+                columns=t.columns, commit_impl=commit_impl,
+                path_layout=t.path_layout)
             for t in tables if t.source_format == "avro"
         }
         for t in tables:
