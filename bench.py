@@ -218,13 +218,16 @@ def main() -> None:
     # The cold number clears every engine-side cache BEFORE EACH RUN —
     # first-touch latency on a warm JVM — so the report's meaning is
     # explicit and a future change that silently leans on cache reuse
-    # shows up here. Interleaved, adaptive best-of-N with the SAME
-    # convergence rule as the warm loop (min 3 / max 8 passes, stop
-    # when the best-total improves <1%): each sample is still fully
-    # cold (caches cleared before every run, no consecutive pair-min —
-    # the pair's second run would be warm by construction), but this
-    # host's multi-second contention bursts need as many decorrelated
-    # chances at a quiet window cold as they do warm.
+    # shows up here. Methodology mirrors the warm loop exactly:
+    # interleaved adaptive passes (min 3 / max 8, stop when the
+    # best-total improves <1%) with a consecutive PAIR-MIN per query —
+    # and the pair's second run is just as cache-cold as the first,
+    # because the clear precedes EACH run. The pair-min strips the same
+    # confound it strips warm: a query's first run after a DIFFERENT
+    # query pays up to 2x in evicted executor-local JVM state (measured
+    # on this host; d03 1.33 s interleaved-single vs 0.85 s paired,
+    # identical cache state) — that eviction noise is orthogonal to the
+    # cache-cold cost this number exists to expose.
     def clear_engine_caches() -> None:
         from datastream_delta_plugins_spark.operators import dedup
         from datastream_delta_plugins_spark.sources import tables
@@ -232,19 +235,20 @@ def main() -> None:
         tables._TABLE_CACHE.clear()
         spark.catalog.clearCache()
 
+    def run_cold(short, name, registry):
+        clear_engine_caches()
+        return run(short, name, registry)
+
     best_cold: dict[str, float] = {}
     prev_total = float("inf")
     for p in range(8):
         for short, name, registry in HEADLINE:
-            clear_engine_caches()
-            dt = run(short, name, registry)
+            dt = min(run_cold(short, name, registry),
+                     run_cold(short, name, registry))
             if dt < best_cold.get(short, float("inf")):
                 best_cold[short] = dt
         cur_total = sum(best_cold.values())
-        # min 4 passes (vs warm's 3): cold has no pair-min defense, so
-        # each query gets ONE sample per pass — more passes is the only
-        # variance control available to it
-        if p >= 3 and cur_total > prev_total * 0.99:
+        if p >= 2 and cur_total > prev_total * 0.99:
             break
         prev_total = cur_total
     timings_cold = {short: round(best_cold[short], 4)
