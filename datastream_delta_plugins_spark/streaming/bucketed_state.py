@@ -159,6 +159,15 @@ class BucketedStateTable:
         """Current state (all buckets), or None before the first commit."""
         return self._read_dirs(sorted(self.current_manifest().values()))
 
+    def read_at(self, version: int) -> DataFrame | None:
+        """Time travel: the table as of a committed version. Available
+        while the version's manifest payload (commit-log ``keep`` /
+        ``keep_versions``) and its data dirs (``vacuum``) are retained —
+        the same horizon contract as ``changes_between``."""
+        if version < 0:
+            return None
+        return self._read_dirs(sorted(self._manifest(version).values()))
+
     def seed(self, state_df: DataFrame) -> dict:
         """One-time bulk load of an existing materialized state (the
         sort-key-carrying ``cdc.materialize(keep_sort_keys=True)``

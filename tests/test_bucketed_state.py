@@ -405,3 +405,23 @@ def test_pipeline_auto_vacuums_bucketed_state(spark, tmp_path):
     # the change-feed window the keep policy promises still works
     assert pipe.bstate.changes_between(v - 1, v).count() == 8
     assert pipe.read_state().count() == 8
+
+
+def test_read_at_time_travel(spark, tmp_path):
+    """read_at(v) reproduces the table as of any retained version —
+    the manifest payloads ARE the snapshot isolation."""
+    from test_commitlog import _batch
+
+    from datastream_delta_plugins_spark.streaming.bucketed_state import \
+        BucketedStateTable
+    t = BucketedStateTable(spark, str(tmp_path), ["id"],
+                           sort_cols=("_sk1", "_sk2", "_sk3", "_sk4"),
+                           n_buckets=4, keep_versions=None)
+    t.merge(_batch(spark, 10))
+    v0 = t.version()
+    t.merge(_batch(spark, 20))
+    v1 = t.version()
+    assert t.read_at(v0).count() == 10
+    assert t.read_at(v1).count() == 20
+    assert t.read().count() == 20
+    assert t.read_at(-1) is None
