@@ -788,27 +788,36 @@ def _arrow_decode_plan(spark, path, columns=None, avro_schema=None,
         from . import avro_ckernel
         return _assemble(fpath, *avro_ckernel.decode_columnar(raw))
 
-    def decode(batches):
+    def decode_one(fpath, raw):
+        if decoder == "scalar":
+            return decode_scalar(fpath, raw)
+        if decoder == "vector":
+            return decode_vector(fpath, raw)
+        if decoder == "ckernel":
+            return decode_ckernel(fpath, raw)
+        try:
+            return decode_ckernel(fpath, raw)
+        except avro_vector.Unsupported:
+            try:
+                return decode_vector(fpath, raw)
+            except avro_vector.Unsupported:
+                return decode_scalar(fpath, raw)
+
+    def decode_files(batches):
+        """(fpath, RecordBatch) per input file — the path rides beside
+        the batch so consumers handle zero-row files (whose
+        _source_file column is empty)."""
         for batch in batches:
             paths = batch.column(0).to_pylist()
             contents = batch.column(1)
             for fpath, cell in zip(paths, contents):
-                raw = cell.as_py()
-                if decoder == "scalar":
-                    yield decode_scalar(fpath, raw)
-                elif decoder == "vector":
-                    yield decode_vector(fpath, raw)
-                elif decoder == "ckernel":
-                    yield decode_ckernel(fpath, raw)
-                else:
-                    try:
-                        yield decode_ckernel(fpath, raw)
-                    except avro_vector.Unsupported:
-                        try:
-                            yield decode_vector(fpath, raw)
-                        except avro_vector.Unsupported:
-                            yield decode_scalar(fpath, raw)
+                yield fpath, decode_one(fpath, cell.as_py())
 
+    def decode(batches):
+        for _fpath, out in decode_files(batches):
+            yield out
+
+    decode.per_file = decode_files
     return bin_df, decode, out_schema
 
 
@@ -886,10 +895,7 @@ def convert_avro_to_parquet(spark, path, out_dir: str, columns=None,
 
         import pyarrow as _pa
         import pyarrow.parquet as _pq
-        for batch in decode(batches):
-            sf_idx = batch.schema.get_field_index("_source_file")
-            src = (batch.column(sf_idx)[0].as_py()
-                   if batch.num_rows else "")
+        for src, batch in decode.per_file(batches):
             # Spark writes TimestampType as UTC-adjusted micros; stamp
             # the naive decode columns the same way so mixed-writer
             # landings merge under one schema

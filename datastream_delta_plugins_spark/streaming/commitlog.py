@@ -334,6 +334,8 @@ class InMemoryObjectStore(ObjectStoreClient):
 
     def _request(self, op: str, key: str) -> None:
         self.requests.append((op, key))
+        if len(self.requests) > 10_000:  # bounded audit window
+            del self.requests[:5_000]
         if self.latency_s:
             import time
             time.sleep(self.latency_s)
