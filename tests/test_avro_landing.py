@@ -625,3 +625,22 @@ def test_segment_manifest_never_loses_a_live_file(tmp_path_factory,
         for p, t in files.items():
             # an entry may outlive its blob only until it expires
             assert t >= horizon or p in present or os.path.exists(p)
+
+
+def test_zero_record_blob_converts_without_collision(spark, tmp_path):
+    """Empty change blobs (a rotation window with no events) must
+    convert cleanly: distinct output names per source path (the name
+    digests the path, not the empty content), marked converted exactly
+    once, and invisible to the merged read."""
+    src = tmp_path / "avro"
+    src.mkdir()
+    _write_avro(src, "k1_oracle-cdc-logminer_0.avro", [])
+    _write_avro(src, "k1_oracle-cdc-logminer_1.avro", [])
+    _write_avro(src, "k1_oracle-cdc-logminer_2.avro", _events(0, 5))
+    c = AvroLandingConverter(spark, str(src), str(tmp_path / "landing"))
+    assert c.convert_new()["converted"] == 3
+    bdir = os.path.join(c.data_dir, c.committed_batch_dirs()[0])
+    names = [n for n in os.listdir(bdir) if n.endswith(".parquet")]
+    assert len(names) == 3  # one parquet per blob, empties included
+    assert c.read_landing().count() == 5
+    assert c.convert_new() == {"converted": 0, "batch_dir": None}
