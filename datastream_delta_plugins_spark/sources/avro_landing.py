@@ -333,7 +333,13 @@ class AvroLandingConverter:
         batch dirs become orphans for vacuum(). A compaction across
         drifted vintages materializes the MERGED schema, so the new
         dir's single fingerprint is the union schema's. Returns
-        {"compacted": n_dirs | 0}."""
+        {"compacted": n_dirs | 0}.
+
+        Run this in maintenance windows, not under a LIVE streaming
+        consumer: the stream's file source sees the compacted dir as
+        new data and re-merges every row it contains — correct (the
+        CDC merge is idempotent under replay) but O(landing) of wasted
+        work per compaction."""
         committed = self._committed()
         dirs = committed["batch_dirs"]
         if len(dirs) < min_batches:
