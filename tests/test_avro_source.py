@@ -506,3 +506,38 @@ def test_no_jvm_projection_above_python_decode(spark, tmp_path):
     first = plan.splitlines()[0]
     assert "PythonMapInArrow" in first or "MapInArrow" in first, \
         f"decode output is no longer the plan root: {first!r}"
+
+
+@pytest.mark.parametrize("tier", ["scalar", "vector", "ckernel"])
+def test_fuzzed_mutations_never_hang_or_crash(tier):
+    """Byte-flip fuzz over a valid null-codec OCF: every decode tier
+    either succeeds or raises a controlled error — never hangs, never
+    segfaults — complementing the crafted-count DoS tests with random
+    corruption (sync markers, varints, block headers, record bodies)."""
+    import random
+
+    from datastream_delta_plugins_spark.sources import (
+        avro_ckernel, avro_vector)
+    if tier == "ckernel" and not avro_ckernel.available():
+        pytest.skip("no C compiler")
+    recs = [_varied_event(i) for i in range(40)]
+    blob = avro_ocf.write_ocf(ENVELOPE, recs, codec="null",
+                              sync_interval=2048)
+    rng = random.Random(20260815)
+    for trial in range(60):
+        b = bytearray(blob)
+        for _ in range(rng.randint(1, 4)):
+            b[rng.randrange(len(b))] ^= 1 << rng.randrange(8)
+        data = bytes(b)
+        try:
+            if tier == "scalar":
+                avro_ocf.read_ocf(data)
+            elif tier == "vector":
+                avro_vector.decode_columnar(data)
+            else:
+                avro_ckernel.decode_columnar(data)
+        except (ValueError, EOFError, KeyError, OverflowError,
+                UnicodeDecodeError, avro_vector.Unsupported,
+                avro_ckernel.Unsupported, IndexError, OSError,
+                MemoryError, TypeError):
+            pass  # controlled rejection is a pass; hangs/crashes fail
