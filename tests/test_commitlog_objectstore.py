@@ -253,3 +253,30 @@ def test_make_commit_log_object_mock_shares_bucket(tmp_path):
     a.commit({"doc": 1})
     assert b.read_committed()[1]["doc"] == 1
     assert json.loads(a.client.get(a._key(0)))["doc"] == 1
+
+
+def test_landing_manifest_on_object_store_mock(spark, tmp_path):
+    """The Avro landing's commit log rides request semantics too: the
+    manifest versions live in the mock bucket while parquet batches and
+    day segments stay on (executor-visible) storage."""
+    import sys
+    sys.path.insert(0, "tests")
+    from test_avro_landing import _events, _write_avro
+
+    from datastream_delta_plugins_spark.sources.avro_landing import \
+        AvroLandingConverter
+    src = tmp_path / "avro"
+    src.mkdir()
+    _write_avro(src, "k1_oracle-cdc-logminer_0.avro", _events(0, 10))
+    c = AvroLandingConverter(spark, str(src), str(tmp_path / "landing"),
+                             commit_impl="object-mock")
+    assert c.convert_new()["converted"] == 1
+    assert c.read_landing().count() == 10
+    # a fresh converter instance over the same bucket sees the commit
+    c2 = AvroLandingConverter(spark, str(src), str(tmp_path / "landing"),
+                              commit_impl="object-mock")
+    assert c2.convert_new() == {"converted": 0, "batch_dir": None}
+    # no POSIX version files in the landing log dir (segments only)
+    log_dir = tmp_path / "landing" / "_landing_log"
+    names = {n for n in __import__("os").listdir(log_dir)}
+    assert names <= {"segments"}

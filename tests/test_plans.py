@@ -186,3 +186,30 @@ def test_q06_no_sort_merge_join(spark, sf_smoke):
     df = relational.q06_multiway_join(spark, sf_smoke)
     plan = formatted_plan(df)
     assert "SortMergeJoin" not in plan
+
+
+def test_direct_conversion_plan_is_scan_plus_map_only(spark, tmp_path):
+    """convert_avro_to_parquet must stay binaryFile scan -> MapInArrow:
+    no exchange (conversion parallelism = input splits) and no JVM
+    projection (rows never materialize engine-side)."""
+    from test_avro_source import ENVELOPE, _varied_event
+
+    from datastream_delta_plugins_spark.sources import avro_ocf
+    d = tmp_path / "avro"
+    d.mkdir()
+    (d / "k1_oracle-cdc-logminer_0.avro").write_bytes(
+        avro_ocf.write_ocf(ENVELOPE, [_varied_event(i) for i in range(5)]))
+    bin_df, decode, _schema = avro_ocf._arrow_decode_plan(spark, str(d))
+    from pyspark.sql import types as T
+    man = T.StructType([T.StructField("n", T.LongType())])
+
+    def probe(batches):
+        import pyarrow as pa
+        for _ in decode(batches):
+            pass
+        yield pa.RecordBatch.from_arrays([pa.array([1], pa.int64())],
+                                         names=["n"])
+    plan = (bin_df.select("path", "content").mapInArrow(probe, man)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan
+    assert "FileScan binaryFile" in plan
