@@ -321,9 +321,15 @@ class BucketedStateTable:
             return []
         live: set[str] = set()
         for v in range(max(0, cur - keep_versions), cur + 1):
-            mpath = os.path.join(self.path, "manifest", f"v{v}.json")
-            if os.path.exists(mpath):
+            # through the commit-log interface, NOT a POSIX probe: an
+            # object-store log keeps payloads in the bucket, where a
+            # filesystem exists() is always False — an empty live set
+            # would vacuum the CURRENT version's data out from under
+            # the table
+            try:
                 live.update(self._manifest(v).values())
+            except FileNotFoundError:
+                continue  # payload pruned out of the keep window
         removed = []
         data_root = os.path.join(self.path, "data")
         for vdir in sorted(os.listdir(data_root)):

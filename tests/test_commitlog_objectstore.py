@@ -280,3 +280,30 @@ def test_landing_manifest_on_object_store_mock(spark, tmp_path):
     log_dir = tmp_path / "landing" / "_landing_log"
     names = {n for n in __import__("os").listdir(log_dir)}
     assert names <= {"segments"}
+
+
+def test_auto_migration_on_object_store_mock(spark, tmp_path):
+    """The auto backend's versioned->bucketed switchover commits both
+    layouts' manifests through the mock bucket: migration fires off
+    the committed n_rows payload, and the restarted pipeline reopens
+    the bucketed layout."""
+    from test_commitlog import _batch
+
+    from datastream_delta_plugins_spark.streaming.pipeline import CdcPipeline
+
+    def mk():
+        return CdcPipeline(spark, "t1", str(tmp_path / "src"),
+                           str(tmp_path / "w"), ["id"],
+                           sort_cols=("_sk1", "_sk2", "_sk3", "_sk4"),
+                           state_backend="auto", auto_bucket_rows=5,
+                           n_state_buckets=4, commit_impl="object-mock")
+
+    p = mk()
+    p.apply_batch(_batch(spark), 0, streaming_barrier=False)
+    assert p.bstate is not None  # crossed the threshold and migrated
+    assert p.read_state().count() == 20
+    p.apply_batch(_batch(spark, 30), 1, streaming_barrier=False)
+    assert p.read_state().count() == 30
+    p2 = mk()
+    assert p2.bstate is not None
+    assert p2.read_state().count() == 30
