@@ -42,7 +42,7 @@ HEADLINE = [
 ]
 
 
-def avro_decode_mb_s(spark) -> float:
+def avro_decode_mb_s(spark) -> tuple[float, float]:
     """Measured throughput ceiling of the pure-Python Avro OCF ingest
     path (sources/avro_ocf.py): MB of object-container-file bytes
     decoded per second of wall clock across the session's cores. The
@@ -53,7 +53,7 @@ def avro_decode_mb_s(spark) -> float:
     One representative CDC-envelope file is generated driver-side and
     replicated (decode cost is content-dependent, not name-dependent);
     timing is best-of-3 on a warm session, full pipeline to a noop
-    sink."""
+    sink. Returns (read-path MB/s, convert-to-parquet MB/s)."""
     import shutil
     import tempfile
 

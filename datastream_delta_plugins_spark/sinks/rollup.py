@@ -56,20 +56,50 @@ _LEGACY_ROLLUP = "_rollup_manifest.json"
 
 def _log_with_legacy(path: str, commit_impl: str, subdir: str,
                      legacy_file: str):
+    """Commit log with one-time adoption of the pre-seam single-file
+    manifest. Adoption is best-effort race- and read-only-safe: a
+    racing adopter losing the commit defers to the winner, a missing
+    legacy file was removed by the winner, and a read-only mount (or
+    any other failed write) leaves the legacy file in place — readers
+    then serve the legacy view via the fallback in the load helpers
+    rather than crashing a pure read API."""
+    from ..streaming.commitlog import ConcurrentWriterError
     log = make_commit_log(path, commit_impl, subdir=subdir)
     lp = os.path.join(path, legacy_file)
     if os.path.exists(lp):
-        if log.version() < 0:
-            with open(lp) as f:
-                log.commit({"doc": json.load(f)})
-        os.remove(lp)  # removed LAST: a crash re-runs the adoption
+        try:
+            if log.version() < 0:
+                with open(lp) as f:
+                    doc = json.load(f)
+                try:
+                    log.commit({"doc": doc})
+                except ConcurrentWriterError:
+                    pass  # a racing caller adopted first
+            # removed LAST: a crash re-runs the adoption
+            try:
+                os.remove(lp)
+            except FileNotFoundError:
+                pass  # the racing winner removed it
+        except OSError:
+            pass  # read-only mount: legacy fallback serves reads
     return log
+
+
+def _legacy_doc(path: str, legacy_file: str) -> dict | None:
+    """Un-adopted legacy manifest content (read-only deployments)."""
+    lp = os.path.join(path, legacy_file)
+    if not os.path.exists(lp):
+        return None
+    with open(lp) as f:
+        return json.load(f)
 
 
 def load_committed(source_path: str, commit_impl: str = "pointer") -> dict | None:
     rc = _log_with_legacy(source_path, commit_impl, COMMITTED_LOG,
                           _LEGACY_COMMITTED).read_committed()
-    return None if rc is None else rc[1]["doc"]
+    if rc is None:
+        return _legacy_doc(source_path, _LEGACY_COMMITTED)
+    return rc[1]["doc"]
 
 
 def store_committed(source_path: str, committed: dict,
@@ -101,7 +131,9 @@ def _partition_keys(d: str) -> list[str]:
 def _load_manifest(rollup_path: str, commit_impl: str = "pointer") -> dict:
     rc = _log_with_legacy(rollup_path, commit_impl, ROLLUP_LOG,
                           _LEGACY_ROLLUP).read_committed()
-    return {} if rc is None else rc[1]["doc"]
+    if rc is None:
+        return _legacy_doc(rollup_path, _LEGACY_ROLLUP) or {}
+    return rc[1]["doc"]
 
 
 def _store_manifest(rollup_path: str, sigs: dict,

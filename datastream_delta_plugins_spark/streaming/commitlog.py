@@ -78,7 +78,7 @@ class CommitLog:
     """Versioned JSON payload log rooted at ``<path>/<subdir>``.
 
     ``keep`` bounds how many committed payload files are retained
-    (current + keep-1 older); ``None`` disables pruning entirely for
+    (current + ``keep`` older); ``None`` disables pruning entirely for
     deployments that need an unbounded history horizon (e.g. a long
     ``changes_between()`` window with user-scheduled vacuum).
     """
@@ -264,9 +264,16 @@ class VersionLog(CommitLog):
                         f"by another writer") from None
                 # invalid target: a torn pre-link-protocol leftover
                 # (with the link protocol a published file is complete
-                # by construction, so no LIVE writer can own it) —
-                # reclaim and retry the exclusive publish once
-                os.remove(target)
+                # by construction, so no LIVE writer can own it).
+                # Reclaim EXCLUSIVELY by renaming it aside to a
+                # writer-unique name: of two racers, exactly one
+                # rename succeeds — a blind remove here would let the
+                # loser delete the winner's just-published commit
+                # (remove-then-link TOCTOU).
+                try:
+                    os.rename(target, tmp + ".reclaimed")
+                except FileNotFoundError:
+                    pass  # another racer took it aside already
                 try:
                     os.link(tmp, target)
                 except FileExistsError:
@@ -275,10 +282,11 @@ class VersionLog(CommitLog):
                         f"by another writer during leftover "
                         f"reclamation") from None
         finally:
-            try:
-                os.remove(tmp)
-            except OSError:
-                pass
+            for leftover in (tmp, tmp + ".reclaimed"):
+                try:
+                    os.remove(leftover)
+                except OSError:
+                    pass
 
 
 # ------------------------------------------------- object-store client
@@ -423,10 +431,18 @@ class ObjectStoreLog(CommitLog):
             return False
 
     def _raw_version(self) -> int:
+        best = -1
         for v in reversed(self._listed_versions()):
             if self._valid(v):
-                return max(v, self._floor)
-        return self._floor
+                best = v
+                break
+        if self._floor > best and self._valid(self._floor):
+            # the floor's payload must still exist: another writer may
+            # have advanced far past it AND pruned it while our listing
+            # lags — returning it would crash read_committed instead of
+            # degrading to the stale listed read the contract allows
+            return self._floor
+        return best
 
     def version(self) -> int:
         return self._raw_version()  # no POSIX legacy layout to guard

@@ -292,8 +292,10 @@ class ReplicationJob:
         stream reads — without it a long-running stream would only ever
         see the backlog present at start. The loop exits on `stop_all()`
         or once every query is inactive; conversion errors are recorded
-        on `self.converter_error` and retried next cycle (scan-task
-        semantics: one bad cycle must not kill ingestion)."""
+        per table on `self.converter_errors` and retried next cycle
+        (scan-task semantics: one bad cycle must not kill ingestion —
+        and one table's success must not mask another's persistent
+        failure)."""
         self._ensure_database()
         queries = []
         for name, cfg in self.tables.items():
@@ -309,7 +311,7 @@ class ReplicationJob:
             queries.append(self.pipelines[name].start(
                 schema, trigger=trigger))
         self._queries = queries
-        self.converter_error = None
+        self.converter_errors: dict[str, Exception] = {}
         if self.converters:
             import threading
             self._conv_stop = threading.Event()
@@ -318,12 +320,12 @@ class ReplicationJob:
                 while not self._conv_stop.wait(convert_interval):
                     if not any(q.isActive for q in queries):
                         return
-                    for conv in self.converters.values():
+                    for name, conv in self.converters.items():
                         try:
                             conv.convert_new()
-                            self.converter_error = None
+                            self.converter_errors.pop(name, None)
                         except Exception as e:  # noqa: BLE001
-                            self.converter_error = e
+                            self.converter_errors[name] = e
             self._conv_thread = threading.Thread(
                 target=_loop, name="avro-converter-loop", daemon=True)
             self._conv_thread.start()

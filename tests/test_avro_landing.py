@@ -348,9 +348,9 @@ def test_converter_loop_feeds_a_running_stream(spark, tmp_path):
             time.sleep(1)
         else:
             raise AssertionError(
-                f"post-start blob never flowed; converter_error="
-                f"{job.converter_error!r}")
-        assert job.converter_error is None
+                f"post-start blob never flowed; converter_errors="
+                f"{job.converter_errors!r}")
+        assert job.converter_errors == {}
     finally:
         job.stop_all()
     assert not job._conv_thread.is_alive()

@@ -261,3 +261,54 @@ def test_crash_schedule_never_loses_or_tears_commits(tmp_path_factory,
     v = log.commit({"doc": "final"})
     assert make_commit_log(str(tmp), impl).read_committed() == \
         (v, {"version": v, "doc": "final"})
+
+
+def test_reclamation_race_never_deletes_a_winners_commit(tmp_path,
+                                                         monkeypatch):
+    """Two writers racing to reclaim the SAME torn pre-link-protocol
+    leftover: reclamation is an exclusive rename-aside, so the loser
+    can never blind-remove the winner's just-published payload
+    (remove-then-link TOCTOU) and never escapes with a bare
+    FileNotFoundError."""
+    log = VersionLog(str(tmp_path))
+    log.commit({"doc": 0})
+    target = os.path.join(log.log_dir, "v1.json")
+    open(target, "w").close()  # torn leftover both writers see
+
+    # simulate the loser's view: the winner reclaimed the leftover and
+    # published between the loser's validity check and its reclaim
+    real_rename = os.rename
+    state = {"fired": False}
+
+    def winner_interleaves(src, dst):
+        if src == target and not state["fired"]:
+            state["fired"] = True
+            real_rename(src, dst)  # loser's rename-aside succeeds...
+            # ...but the winner publishes v1 before the loser links
+            with open(target, "w") as f:
+                json.dump({"version": 1, "doc": "winner"}, f)
+            return
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", winner_interleaves)
+    with pytest.raises(ConcurrentWriterError):
+        log.commit({"doc": "loser"})
+    monkeypatch.undo()
+    # the winner's commit survived intact
+    assert make_commit_log(str(tmp_path), "log").read_committed() == \
+        (1, {"version": 1, "doc": "winner"})
+
+    # and the symmetric view: the other racer takes the leftover aside
+    # between our link failure and our rename — rename raises
+    # FileNotFoundError, the leftover is gone, and our retry link wins
+    t2 = os.path.join(log.log_dir, "v2.json")
+    open(t2, "w").close()
+
+    def already_taken(src, dst):
+        if src == t2:
+            os.remove(src)  # the racer's rename-aside
+            raise FileNotFoundError(src)
+        return real_rename(src, dst)
+    monkeypatch.setattr(os, "rename", already_taken)
+    assert log.commit({"doc": 2}) == 2  # no unhandled FileNotFoundError
+    assert log.read_committed()[1]["doc"] == 2
