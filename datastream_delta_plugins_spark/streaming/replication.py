@@ -342,8 +342,11 @@ class ReplicationJob:
 
     def state_report(self) -> dict[str, str]:
         """Merged state view: job keys + every table's offset keys (the
-        reference's Offset map vocabulary)."""
+        reference's Offset map vocabulary) + any live conversion
+        failures from the scan loop."""
         out = self.doc.as_dict()
         for name, pipe in self.pipelines.items():
             out.update(pipe.doc.as_dict())
+        for name, err in getattr(self, "converter_errors", {}).items():
+            out[f"{name}.converter.error"] = repr(err)
         return out
