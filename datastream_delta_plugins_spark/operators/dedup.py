@@ -125,6 +125,15 @@ def _persist_tracked_if_small(key: str, df: DataFrame,
     from ..plans.hints import plan_size_bytes
     if plan_size_bytes(df) <= ceiling:
         return _persist_tracked(key, df)
+    # over the ceiling: release any SMALLER previous generation under
+    # this key, or its cached blocks leak for the session (the exact
+    # accumulation the lifecycle tracking exists to prevent)
+    old = _CACHE_GENS.pop(key, None)
+    if old is not None:
+        try:
+            old.unpersist(False)
+        except Exception:  # pragma: no cover - session already stopped
+            pass
     return df
 
 
@@ -253,14 +262,14 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     for exact Jaccard).
 
     Shape: explode distinct shingles -> md5 hash as a PLAIN column
-    expression -> groupBy(doc) with 32 min() aggregates. Spark's
+    expression -> groupBy(doc) with 64 min() aggregates. Spark's
     higher-order functions (transform/array_min lambdas) evaluate
     INTERPRETED per element, so the earlier shuffle-free formulation
-    (array_min(transform(_h, ...)) x32 per row) paid ~33 interpreted
+    (array_min(transform(_h, ...)) x64 per row) paid ~65 interpreted
     passes over every shingle; the exploded form keeps md5 and the
     permutations inside whole-stage codegen (measured 2.3x faster,
     bitwise-identical signatures). The groupBy shuffle is NOT a scale
-    cost: map-side partial aggregation combines to one 33-long row per
+    cost: map-side partial aggregation combines to one 65-long row per
     doc per partition before the exchange — at 100 TB the shuffle
     carries signatures, never shingles.
 
@@ -271,7 +280,7 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     collisions (expected << 1e-6 false commons across a 1M-doc
     corpus), and carrying it here removes the verify stage's whole
     candidate-doc semi-join + re-shingle subplan. Shuffle cost: the
-    partial-agg state grows from 33 longs/doc to 33 longs + one
+    partial-agg state grows from 65 longs/doc to 65 longs + one
     8-byte hash per distinct shingle (~= the tokenized corpus bytes,
     carried ONCE) — still no shingle STRINGS on the wire.
 
@@ -495,8 +504,16 @@ def _dot(a: Column, b: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     """Cosine similarity between two array<double> columns, computed as
-    a sequential fold (bitwise-reproducible by the DuckDB oracle)."""
-    return _dot(a, b) / F.sqrt(_dot(a, a) * _dot(b, b))
+    a sequential fold (bitwise-reproducible by the DuckDB oracle).
+
+    Zero-norm vectors have no direction: their cosine is DEFINED as
+    0.0 (they match nothing) — the bare division would raise
+    DIVIDE_BY_ZERO under ANSI mode (the Spark 4 default this engine
+    runs with) and poison plans with NaN without it. The guard is a
+    CASE around the same fold, so nonzero-denominator values stay
+    bitwise identical to the oracle's."""
+    denom = F.sqrt(_dot(a, a) * _dot(b, b))
+    return F.when(denom == 0, F.lit(0.0)).otherwise(_dot(a, b) / denom)
 
 
 def _l2dist(a: Column, b: Column) -> Column:
@@ -606,9 +623,13 @@ def hyperplane_lsh_pairs(df: DataFrame, threshold: float,
             .select(F.col(f"a.{id_col}").alias("i"),
                     F.col(f"b.{id_col}").alias("j"))
             .distinct())
-    e = df.select(F.col(id_col),
+    # both verify branches read e; persist (size-gated) or the source
+    # scans + casts twice per action (module rule: no CSE across joins)
+    e = _persist_tracked_if_small(
+        "hplsh.vectors",
+        df.select(F.col(id_col),
                   F.transform(vec_col, lambda x: x.cast("double"))
-                   .alias("_v"))
+                   .alias("_v")))
     a = e.select(F.col(id_col).alias("i"), F.col("_v").alias("_va"))
     b = e.select(F.col(id_col).alias("j"), F.col("_v").alias("_vb"))
     return (cand.join(a, "i").join(b, "j")
@@ -656,10 +677,18 @@ def embedding_neardup_pairs(df: DataFrame, threshold: float,
         n_cells = auto_n_cells(df.count())
     cells = kmeans_cells(df, k=n_cells, vec_col=vec_col, id_col=id_col)
     norm = F.sqrt(_dot(F.col("_v"), F.col("_v")))
+    # zero-norm guard: dividing by 0 would make _u all-NaN, poisoning
+    # the cell's centroid and radius — Spark's NaN-is-largest
+    # comparison then prunes EVERY cell pair involving that cell,
+    # silently dropping qualifying pairs among its NORMAL members. A
+    # zero vector maps to the origin instead (well-defined, inside the
+    # unit ball); its own NaN-cosine pairs still flow to the exact
+    # filter through cell pairs within the bound.
+    safe_norm = F.when(norm == 0, F.lit(1.0)).otherwise(norm)
     ev = (cells.select(
               F.col(id_col), F.col("_cell"),
               F.transform(vec_col, lambda x: x.cast("double")).alias("_v"))
-          .withColumn("_u", F.transform("_v", lambda x: x / norm)))
+          .withColumn("_u", F.transform("_v", lambda x: x / safe_norm)))
     ev = _persist_tracked("neardup.vectors", ev)
     # per-cell centroid of the NORMALIZED members (shared distributed
     # posexplode->avg->re-pack helper) and max member distance
@@ -768,7 +797,7 @@ def dedup_corpus(df: DataFrame, text_col: str = "text",
     kept = _persist_tracked(
         "corpus.kept", survivors.join(drop, id_col, "anti"))
     n_in = df.count()
-    n_exact = exact.count()  # one row per surviving group == survivors
+    n_exact = survivors.count()  # == exact group count, from cache
     n_out = kept.count()
     report = {"input_docs": n_in,
               "exact_dup_removed": n_in - n_exact,
@@ -852,6 +881,20 @@ def connected_components(pairs: DataFrame, id_cols: tuple[str, str] = ("i", "j")
 
 # --------------------------------------------------- incremental dedup index
 
+def _index_content_sig(path: str) -> str:
+    """Cheap content signature of an index dir (file names + sizes +
+    mtimes) — changes whenever save/append rewrites or adds files."""
+    import hashlib as _hl
+    import os as _os
+    h = _hl.sha256()
+    for root, _dirs, files in sorted(_os.walk(path)):
+        for name in sorted(files):
+            st = _os.stat(_os.path.join(root, name))
+            h.update(f"{root}/{name}:{st.st_size}:"
+                     f"{st.st_mtime_ns};".encode())
+    return h.hexdigest()[:16]
+
+
 def _shingle_hash_arrays(df: DataFrame, text_col: str, id_col: str,
                          n: int) -> DataFrame:
     """(id, _sh) with _sh = sorted array of distinct 60-bit shingle
@@ -868,20 +911,53 @@ def _shingle_hash_arrays(df: DataFrame, text_col: str, id_col: str,
                         "_shingles", lambda s: hash64(s))).alias("_sh")))
 
 
+def _index_meta() -> dict:
+    """The layout constants an index's probes must agree on."""
+    return {"num_perms": NUM_PERMS, "num_bands": NUM_BANDS,
+            "rows_per_band": NUM_PERMS // NUM_BANDS, "hash": "md5-60bit"}
+
+
+def _check_index_meta(path: str, n: int) -> None:
+    """Refuse to probe/append an index built under a different banding
+    layout: the (band, sig) equi-join would match NOTHING and every
+    probe doc would silently look novel (the layout already changed
+    once, 8 bands -> 16). Indexes from before the stamp existed are
+    tolerated (nothing to check against)."""
+    import json as _json
+    import os as _os
+    mp = _os.path.join(path, "_index_meta.json")
+    if not _os.path.exists(mp):
+        return
+    with open(mp) as f:
+        meta = _json.load(f)
+    want = {**_index_meta(), "shingle_n": n}
+    if meta != want:
+        raise ValueError(
+            f"index at {path} was built with layout {meta}, this "
+            f"engine probes with {want} — rebuild the index "
+            f"(save_minhash_index) before deduping against it")
+
+
 def save_minhash_index(df: DataFrame, path: str, text_col: str = "text",
                        id_col: str = "doc_id", n: int = 3) -> None:
     """Persist the corpus's dedup state: banded MinHash signatures
     (`{path}/bands`: id, band, sig) + per-doc shingle-hash arrays
-    (`{path}/shingles`: id, _sh). Together they let any FUTURE batch
-    be deduped against the corpus without touching corpus text again —
-    the index is ~8 band rows + one int array per doc, orders of
-    magnitude smaller than the corpus."""
+    (`{path}/shingles`: id, _sh) + the banding-layout stamp
+    (`_index_meta.json`). Together they let any FUTURE batch be deduped
+    against the corpus without touching corpus text again — the index
+    is ~16 band rows + one int array per doc, orders of magnitude
+    smaller than the corpus."""
+    import json as _json
+    import os as _os
     sig = _persist_tracked("index.sig",
                            minhash_signatures(df, text_col, id_col, n))
     (banded_signatures(sig, id_col)
      .write.mode("overwrite").parquet(f"{path}/bands"))
     (_shingle_hash_arrays(df, text_col, id_col, n)
      .write.mode("overwrite").parquet(f"{path}/shingles"))
+    _os.makedirs(path, exist_ok=True)
+    with open(_os.path.join(path, "_index_meta.json"), "w") as f:
+        _json.dump({**_index_meta(), "shingle_n": n}, f)
 
 
 def append_minhash_index(spark, path: str, new_df: DataFrame,
@@ -890,6 +966,7 @@ def append_minhash_index(spark, path: str, new_df: DataFrame,
     """Append accepted new docs to a saved index (no rewrite of
     existing files — the same append-only maintenance contract as
     ivf_append)."""
+    _check_index_meta(path, n)
     sig = _persist_tracked("index.append.sig",
                            minhash_signatures(new_df, text_col, id_col, n))
     (banded_signatures(sig, id_col)
@@ -914,6 +991,7 @@ def dedup_against_index(spark, path: str, new_df: DataFrame,
     the (signature-sized) index plus work proportional to the batch,
     with NO shuffle of index data and NO access to corpus text.
     """
+    _check_index_meta(path, n)
     sig = _persist_tracked("index.probe.sig",
                            minhash_signatures(new_df, text_col, id_col, n))
     new_bands = banded_signatures(sig, id_col)
@@ -923,6 +1001,13 @@ def dedup_against_index(spark, path: str, new_df: DataFrame,
             .select(F.col(f"a.{id_col}").alias("index_id"),
                     F.col(f"b.{id_col}").alias("new_id"))
             .distinct())
+    # the index CONTENT rides the plan as a dropped literal: Spark
+    # canonicalizes path-based reads by root path, so after
+    # append_minhash_index the re-probe's plan would otherwise
+    # sameResult-match the pre-append generation and serve STALE
+    # candidates (missing every match against the appended docs)
+    cand = (cand.withColumn("_isig", F.lit(_index_content_sig(path)))
+                .drop("_isig"))
     cand = _persist_tracked("index.probe.cand", cand)
     old_sh = (spark.read.parquet(f"{path}/shingles")
               .join(F.broadcast(cand.select(F.col("index_id")

@@ -122,6 +122,12 @@ def _screen_scored(e: DataFrame, q: DataFrame, k: int,
             vecs = list(pdf["_v"])
             m = np.array(vecs, dtype=np.float64)
             s = (m @ qm.T) / np.outer(np.sqrt((m * m).sum(axis=1)), qn)
+            # NaN scores (zero-norm vectors: 0/0) become the policy
+            # cosine 0.0 ("no direction matches nothing" — same CASE
+            # the Catalyst cosine() fold applies): an un-mapped NaN
+            # sorts LAST in np.partition, inflating kth and silently
+            # screening out true top-k members
+            s[np.isnan(s)] = 0.0
             s[ids[:, None] == qids[None, :]] = -np.inf  # self pairs
             out_q, out_i, out_c = [], [], []
             for j in range(len(qids)):
@@ -129,14 +135,16 @@ def _screen_scored(e: DataFrame, q: DataFrame, k: int,
                 kth = (np.partition(col, -k)[-k] if len(col) > k
                        else -np.inf)
                 qv, qd = qvs[j], qdots[j]
-                # isfinite drops the -inf-masked self pairs: when the
-                # batch holds <= k rows kth is -inf, and -inf >= -inf
-                # would otherwise readmit the query as its own neighbor
-                keep = (col >= kth - SCREEN_MARGIN) & np.isfinite(col)
+                # the != -inf term drops the masked self pairs: when
+                # the batch holds <= k rows kth is -inf, and
+                # -inf >= -inf would otherwise readmit the query as its
+                # own neighbor (+inf NaN-mapped rows must stay)
+                keep = (col >= kth - SCREEN_MARGIN) & (col != -np.inf)
                 for row in np.nonzero(keep)[0]:
                     v = vecs[row]
-                    cos = (_seq_dot(qv, v)
-                           / math.sqrt(qd * _seq_dot(v, v)))
+                    d2 = qd * _seq_dot(v, v)
+                    cos = (_seq_dot(qv, v) / math.sqrt(d2)
+                           if d2 != 0.0 else 0.0)  # cosine() policy
                     out_q.append(qids[j])
                     out_i.append(ids[row])
                     out_c.append(cos)
@@ -187,7 +195,10 @@ def kmeans_cells(df: DataFrame, k: int | None = 8,
     v = F.transform(vec_col, lambda x: x.cast("double"))
     norm = F.sqrt(F.aggregate(v, F.lit(0.0),
                               lambda acc, x: acc + x * x))
-    unit = F.transform(v, lambda x: x / norm)
+    # zero-norm guard: a zero vector clusters at the origin instead of
+    # raising DIVIDE_BY_ZERO (ANSI) / feeding NaN features to KMeans
+    safe = F.when(norm == 0, F.lit(1.0)).otherwise(norm)
+    unit = F.transform(v, lambda x: x / safe)
     feat = df.withColumn("_features", array_to_vector(unit))
     model = KMeans(k=k, maxIter=max_iter, seed=seed,
                    featuresCol="_features", predictionCol="_cell") \
@@ -420,7 +431,7 @@ def ivf_append(spark, path: str, new_df: DataFrame,
     return n
 
 
-def ivf_cell_stats(spark, path: str, id_col: str = "vec_id") -> DataFrame:
+def ivf_cell_stats(spark, path: str) -> DataFrame:
     """Per-cell row counts of a saved index — the rebuild signal: a
     max/median cell-size ratio far above ~2-3 means appends have
     skewed the layout and probe cost is no longer ~1/k per cell."""

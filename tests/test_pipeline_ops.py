@@ -496,3 +496,105 @@ def test_semantic_dedup_keeps_cluster_representatives(spark, sf_correctness):
     assert set(amap) == clustered
     for x in clustered:
         assert amap[x] == find(x)
+
+
+# ------------------------- round-6 review regressions (NaN / staleness)
+
+def test_embedding_neardup_survives_zero_vector(spark):
+    """A zero-norm embedding must not poison its cell: before the
+    guard, its all-NaN normalized form made the cell centroid/radius
+    NaN and Spark's NaN-is-largest pruning silently dropped EVERY pair
+    involving that cell — including qualifying pairs among its normal
+    members."""
+    from datastream_delta_plugins_spark.operators.dedup import \
+        embedding_neardup_pairs
+    rows = [(0, [1.0, 0.0, 0.0]),
+            (1, [0.999, 0.04, 0.0]),     # near-dup of 0
+            (2, [100.0, 100.0, 100.0]),  # far cluster (own cell)
+            (3, [101.0, 100.0, 100.0]),
+            (4, [0.0, 0.0, 0.0])]        # poison pill: joins 0/1's cell
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = {(r["i"], r["j"])
+             for r in embedding_neardup_pairs(df, 0.9, n_cells=2).collect()}
+    assert (0, 1) in pairs
+
+
+def test_cosine_topk_screen_survives_zero_vector(spark):
+    """A zero-norm corpus vector makes its screen scores NaN; numpy
+    partitions NaN as LARGEST, so an unmapped NaN inflated the k-th
+    threshold and silently screened out true top-k members."""
+    from datastream_delta_plugins_spark.operators.similarity import \
+        cosine_topk
+    rows = [(0, [1.0, 0.0]), (1, [0.95, 0.3]), (2, [0.0, 0.0]),
+            (3, [0.0, 1.0]), (4, [-1.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = cosine_topk(df, F.col("vec_id") == 0, k=1)
+    got = {(r["q_id"], r["vec_id"]) for r in out.collect()
+           if r["cos"] == r["cos"]}  # NaN-cos rows excluded here
+    assert (0, 1) in got or not got, \
+        "true best neighbor screened out by the NaN column"
+
+
+def test_index_layout_stamp_rejects_mismatched_probe(spark, tmp_path):
+    """An index saved under a different banding layout must REFUSE the
+    probe instead of silently matching nothing (the layout already
+    changed once: 8 bands -> 16)."""
+    import json
+
+    from datastream_delta_plugins_spark.operators import dedup
+    docs = spark.createDataFrame(
+        [(i, f"some shared text body number {i}") for i in range(8)],
+        "doc_id long, text string")
+    idx = str(tmp_path / "idx")
+    dedup.save_minhash_index(docs, idx)
+    meta = json.load(open(f"{idx}/_index_meta.json"))
+    meta["num_bands"] = 8
+    json.dump(meta, open(f"{idx}/_index_meta.json", "w"))
+    with pytest.raises(ValueError, match="rebuild the index"):
+        dedup.dedup_against_index(spark, idx, docs)
+    with pytest.raises(ValueError, match="rebuild the index"):
+        dedup.append_minhash_index(spark, idx, docs)
+
+
+def test_probe_after_append_sees_new_index_docs(spark, tmp_path):
+    """Re-probing an identical batch AFTER the index grew must see
+    matches against the appended docs: the candidate persist is keyed
+    by plan, and Spark canonicalizes parquet reads by root path, so an
+    un-tagged plan served the pre-append candidate cache (missing every
+    new match)."""
+    from datastream_delta_plugins_spark.operators import dedup
+    base = spark.createDataFrame(
+        [(i, f"completely unrelated document body {i} {i*7} xyz {i*13}")
+         for i in range(4)],
+        "doc_id long, text string")
+    idx = str(tmp_path / "idx")
+    dedup.save_minhash_index(base, idx)
+    probe = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog repeatedly "
+               "in the warm afternoon sun near the river bank")],
+        "doc_id long, text string")
+    assert dedup.dedup_against_index(spark, idx, probe).count() == 0
+    # append a near-identical doc to the index, then re-probe the SAME
+    # batch (identical plan): the match must now surface
+    twin = spark.createDataFrame(
+        [(200, "the quick brown fox jumps over the lazy dog repeatedly "
+               "in the warm afternoon sun near the river bend")],
+        "doc_id long, text string")
+    dedup.append_minhash_index(spark, idx, twin)
+    matches = dedup.dedup_against_index(spark, idx, probe, threshold=0.5)
+    assert {(r["new_id"], r["index_id"]) for r in matches.collect()} == \
+        {(100, 200)}
+
+
+def test_size_gated_persist_releases_previous_generation(spark):
+    from datastream_delta_plugins_spark.operators import dedup
+    df = spark.range(10)
+    kept = dedup._persist_tracked_if_small("t.leak", df)
+    assert "t.leak" in dedup._CACHE_GENS
+    # a later over-ceiling call under the same key must release it
+    out = dedup._persist_tracked_if_small("t.leak", spark.range(20),
+                                          ceiling=0)
+    assert "t.leak" not in dedup._CACHE_GENS
+    from pyspark import StorageLevel
+    assert kept.storageLevel == StorageLevel.NONE  # unpersisted
+    assert out.storageLevel == StorageLevel.NONE  # never persisted
