@@ -431,10 +431,14 @@ def ivf_append(spark, path: str, new_df: DataFrame,
     return n
 
 
-def ivf_cell_stats(spark, path: str) -> DataFrame:
+def ivf_cell_stats(spark, path: str, id_col: str | None = None) -> DataFrame:
     """Per-cell row counts of a saved index — the rebuild signal: a
     max/median cell-size ratio far above ~2-3 means appends have
-    skewed the layout and probe cost is no longer ~1/k per cell."""
+    skewed the layout and probe cost is no longer ~1/k per cell.
+
+    ``id_col`` is accepted and ignored for backward compatibility (the
+    stats are pure per-cell counts and never needed it); it will be
+    removed in a future release."""
     return (spark.read.parquet(f"{path}/cells")
                  .groupBy("_cell")
                  .agg(F.count(F.lit(1)).alias("n_rows"))

@@ -80,8 +80,12 @@ def _log_with_legacy(path: str, commit_impl: str, subdir: str,
                 os.remove(lp)
             except FileNotFoundError:
                 pass  # the racing winner removed it
-        except OSError:
-            pass  # read-only mount: legacy fallback serves reads
+        except (OSError, ValueError):
+            # read-only mount OR a corrupt legacy manifest
+            # (json.JSONDecodeError is a ValueError): adoption never
+            # crashes the pure read APIs; a corrupt file also makes
+            # _legacy_doc raise, which load helpers tolerate below
+            pass
     return log
 
 
@@ -90,8 +94,13 @@ def _legacy_doc(path: str, legacy_file: str) -> dict | None:
     lp = os.path.join(path, legacy_file)
     if not os.path.exists(lp):
         return None
-    with open(lp) as f:
-        return json.load(f)
+    try:
+        with open(lp) as f:
+            return json.load(f)
+    except ValueError as e:
+        raise RuntimeError(
+            f"corrupt legacy manifest {lp}: {e} — repair or remove it "
+            f"(adoption skipped it for the same reason)") from e
 
 
 def load_committed(source_path: str, commit_impl: str = "pointer") -> dict | None:

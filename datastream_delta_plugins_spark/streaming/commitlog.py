@@ -215,11 +215,15 @@ class VersionLog(CommitLog):
     """Object-store-safe commit: the payload PUT is the commit."""
 
     def _valid(self, v: int) -> bool:
+        return self._valid_doc(os.path.join(self.log_dir, f"v{v}.json"), v)
+
+    @staticmethod
+    def _valid_doc(path: str, v: int) -> bool:
         try:
-            doc = self._payload(v)
+            with open(path) as f:
+                return json.load(f).get("version") == v
         except (OSError, json.JSONDecodeError):
             return False
-        return doc.get("version") == v
 
     def _raw_version(self) -> int:
         # Highest VALID listed version. A version file exists only
@@ -274,6 +278,23 @@ class VersionLog(CommitLog):
                     os.rename(target, tmp + ".reclaimed")
                 except FileNotFoundError:
                     pass  # another racer took it aside already
+                else:
+                    # Between our _valid check and the rename a racer
+                    # may have reclaimed the leftover and published a
+                    # VALID commit at target (a fresh inode — rename is
+                    # not conditional), so what we just moved aside
+                    # could be a durable commit. Restore it with a
+                    # create-exclusive link (never clobbers a third
+                    # racer's fresh commit) and report the conflict.
+                    if self._valid_doc(tmp + ".reclaimed", v):
+                        try:
+                            os.link(tmp + ".reclaimed", target)
+                        except FileExistsError:
+                            pass  # a third racer committed v meanwhile
+                        raise ConcurrentWriterError(
+                            f"version {v} at {self.log_dir} was "
+                            f"committed by another writer during "
+                            f"leftover reclamation") from None
                 try:
                     os.link(tmp, target)
                 except FileExistsError:

@@ -312,3 +312,40 @@ def test_reclamation_race_never_deletes_a_winners_commit(tmp_path,
     monkeypatch.setattr(os, "rename", already_taken)
     assert log.commit({"doc": 2}) == 2  # no unhandled FileNotFoundError
     assert log.read_committed()[1]["doc"] == 2
+
+
+def test_reclamation_validates_what_it_moved_aside(tmp_path,
+                                                   monkeypatch):
+    """The residual TOCTOU in leftover reclamation: the winner
+    reclaims the torn leftover AND publishes a valid commit between
+    the loser's validity check and the loser's rename-aside. The
+    rename then moves aside a fresh inode holding a DURABLE commit —
+    the loser must notice (validate what it moved aside), restore it
+    with a create-exclusive link, and raise, instead of linking its
+    own payload over the winner's."""
+    log = VersionLog(str(tmp_path))
+    log.commit({"doc": 0})
+    target = os.path.join(log.log_dir, "v1.json")
+    open(target, "w").close()  # torn leftover both writers see
+
+    real_rename = os.rename
+    state = {"fired": False}
+
+    def winner_publishes_first(src, dst):
+        if src == target and not state["fired"]:
+            state["fired"] = True
+            # winner's reclaim + publish land BEFORE our rename runs
+            # (our _valid check above already read the torn file)
+            with open(target, "w") as f:
+                json.dump({"version": 1, "doc": "winner"}, f)
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", winner_publishes_first)
+    with pytest.raises(ConcurrentWriterError):
+        log.commit({"doc": "loser"})
+    monkeypatch.undo()
+    # the winner's durable commit was restored intact, not lost
+    assert make_commit_log(str(tmp_path), "log").read_committed() == \
+        (1, {"version": 1, "doc": "winner"})
+    # and no temp/reclaimed litter remains
+    assert sorted(os.listdir(log.log_dir)) == ["v0.json", "v1.json"]

@@ -256,3 +256,20 @@ def _batch(spark, n=20):
         rows, "id long, name string, _op string, _sk1 long, _sk2 long")
     return df.withColumn("_sk3", df.id.cast("string")) \
              .withColumn("_sk4", df.id % 2)
+
+
+def test_rollup_corrupt_legacy_manifest_is_survivable(tmp_path):
+    """A corrupt (truncated) pre-seam manifest must not crash the
+    pure read APIs with a bare JSONDecodeError from the adoption
+    block; adoption skips it and the fallback read surfaces a clear
+    'corrupt legacy manifest' error naming the file."""
+    from datastream_delta_plugins_spark.sinks.rollup import (
+        load_committed, store_committed)
+    with open(tmp_path / "_committed_files.json", "w") as f:
+        f.write('{"batch_id": 7, "files"')  # torn write
+    with pytest.raises(RuntimeError, match="corrupt legacy manifest"):
+        load_committed(str(tmp_path))
+    # the corrupt file is left in place for repair, and a writer that
+    # commits through the log makes reads healthy again (log wins)
+    store_committed(str(tmp_path), {"batch_id": 9, "files": {}})
+    assert load_committed(str(tmp_path))["batch_id"] == 9
