@@ -241,11 +241,17 @@ def read_committed(spark: SparkSession, source_path: str,
 
 
 def vacuum_landing(spark: SparkSession, source_path: str,
-                   commit_impl: str = "pointer") -> list[str]:
+                   commit_impl: str = "pointer",
+                   data_store=None) -> list[str]:
     """Delete files under a committed-manifest landing table that the
     manifest does not list — the orphans a crash between append and
     commit leaves behind (they were never readable; this reclaims the
-    space). Returns the deleted paths. No-op without a manifest."""
+    space). Returns the deleted paths. No-op without a manifest.
+    ``data_store`` (an ObjectStoreClient, default the local POSIX
+    binding) performs the deletes, so a bucket deployment passes its
+    client and the reclaim is request-based."""
+    from ..streaming.commitlog import PosixStore
+    data_store = data_store or PosixStore()
     committed = load_committed(source_path, commit_impl)
     if committed is None:
         return []
@@ -255,6 +261,6 @@ def vacuum_landing(spark: SparkSession, source_path: str,
         for p, _, _ in files:
             norm = p[len("file:"):] if p.startswith("file:") else p
             if p not in live and norm not in live:
-                os.remove(norm)
+                data_store.delete(norm)
                 removed.append(norm)
     return removed

@@ -15,12 +15,13 @@ reads parquet and never touches Avro again.
 
 Crash safety rides the commit seam (streaming/commitlog.py):
 
-  - each conversion batch writes parquet under ``data/b{N}/`` FIRST,
-    then commits the manifest;
-  - a crash between data and commit leaves an orphan ``b{N}`` dir that
-    the retry OVERWRITES (the batch number is derived from the
-    committed version), so no file is ever represented twice in the
-    committed landing;
+  - each conversion batch writes parquet under an attempt-unique
+    ``data/b{N}-{nonce}/`` dir FIRST, then commits the manifest;
+  - a crash (or a lost OCC race) between data and commit leaves an
+    UNREFERENCED orphan dir that ``vacuum()`` retires — the retry
+    writes a fresh dir, so no file is ever represented twice in the
+    committed landing and concurrent writers never clobber each
+    other's in-flight data (the Delta/Iceberg unique-file-name rule);
   - ``read_landing`` serves exactly the committed batch dirs.
 
 A streaming consumer watching ``data/`` directly may glimpse a not-yet-
@@ -34,8 +35,11 @@ is sharded into per-day SEGMENT files under ``_landing_log/segments/``
 and the commit payload carries only {day -> segment file} references —
 each commit rewrites ONE segment (the active day's), so payload and
 per-commit write stay O(days of retention) and O(day's files), never
-O(history). Segment files are immutable and version-named (a crashed
-retry overwrites the same name, mirroring the batch-dir rule). A
+O(history). Segment files are immutable and attempt-uniquely named
+(version + nonce; a crashed retry publishes a fresh name and leaves
+the orphan for vacuum, mirroring the batch-dir rule), which makes a
+per-name parse cache safe — the driver's steady-state scan parses
+only CHANGED segments. A
 segment drops off the manifest when it is BOTH older than
 ``retention_days`` AND none of its files still exist in the source
 (pruning a still-present blob would re-convert it and duplicate rows);
@@ -51,16 +55,22 @@ walked conservatively (never pruned).
 
 from __future__ import annotations
 
-import glob
 import hashlib
 import json
 import os
+import re
 import time
+import uuid
 
 from .avro_ocf import convert_avro_to_parquet, read_avro_changes
 
 LOG_SUBDIR = "_landing_log"
 SEG_SUBDIR = "segments"
+
+#: batch dir: b{version}[-nonce]
+_BDIR = re.compile(r"^b(\d+)(?:-[0-9a-f]+)?$")
+#: segment file: {day}.v{version}[-nonce].json
+_SEGV = re.compile(r"\.v(\d+)(?:-[0-9a-f]+)?\.json$")
 
 
 def _schema_fp(schema) -> str:
@@ -82,8 +92,10 @@ class AvroLandingConverter:
                  commit_impl: str = "pointer", decoder: str = "auto",
                  retention_days: float | None = 30.0,
                  path_layout: str = "flat",
-                 conversion: str = "direct"):
-        from ..streaming.commitlog import make_commit_log
+                 conversion: str = "direct",
+                 source_store=None, data_store=None):
+        from ..streaming.commitlog import (PosixStore, make_commit_log,
+                                           sidecar_store_for)
         if path_layout not in ("flat", "datestream"):
             raise ValueError(f"unknown path_layout {path_layout!r}")
         if conversion not in ("direct", "spark"):
@@ -106,6 +118,21 @@ class AvroLandingConverter:
         self.seg_dir = os.path.join(landing_dir, LOG_SUBDIR, SEG_SUBDIR)
         self.clog = make_commit_log(landing_dir, commit_impl,
                                     subdir=LOG_SUBDIR)
+        # every sidecar request rides the client interface so the
+        # whole landing protocol (segments, listings, vacuum) can run
+        # against real object-store request semantics; bytes Spark /
+        # the decoder read and write (parquet, avro blobs) stay on the
+        # engine's filesystem connectors as in any Spark deployment
+        self.store = sidecar_store_for(self.clog)   # segments + log GC
+        self.source_store = source_store or PosixStore()  # blob listing
+        self.data_store = data_store or PosixStore()      # batch-dir GC
+        # segment files are immutable once referenced by a commit and
+        # attempt-uniquely named, so a parse cache keyed by name never
+        # serves stale content; write-through on publish keeps a
+        # single-process crash/retry coherent. Bounds the per-scan
+        # driver cost at production shape (~173k files / 30 days) to
+        # O(changed segments) instead of O(history).
+        self._seg_cache: dict[str, dict[str, float]] = {}
 
     # -- manifest --
 
@@ -122,12 +149,33 @@ class AvroLandingConverter:
         doc.setdefault("schemas", {})
         return doc
 
+    def _read_segment(self, name: str) -> dict[str, float]:
+        """Parse one (immutable, attempt-uniquely-named) segment file,
+        through the cache."""
+        hit = self._seg_cache.get(name)
+        if hit is not None:
+            return hit
+        raw = self.store.get(os.path.join(self.seg_dir, name))
+        if raw is None:
+            raise FileNotFoundError(
+                f"segment {name} referenced by the committed manifest "
+                f"is missing under {self.seg_dir}")
+        doc = json.loads(raw)
+        self._seg_cache[name] = doc
+        return doc
+
+    def _prune_seg_cache(self, live: set[str]) -> None:
+        if len(self._seg_cache) > 2 * len(live) + 64:
+            for n in [n for n in self._seg_cache if n not in live]:
+                del self._seg_cache[n]
+
     def _segment_files(self, committed: dict) -> dict[str, float]:
         """Union of every referenced segment (+ any legacy inline set)."""
         out: dict[str, float] = dict(committed.get("files", {}))
-        for seg in committed.get("segments", {}).values():
-            with open(os.path.join(self.seg_dir, seg)) as f:
-                out.update(json.load(f))
+        segs = committed.get("segments", {})
+        self._prune_seg_cache(set(segs.values()))
+        for seg in segs.values():
+            out.update(self._read_segment(seg))
         return out
 
     def converted_files(self) -> set[str]:
@@ -139,48 +187,24 @@ class AvroLandingConverter:
     # -- conversion --
 
     def _list_source(self) -> list[str]:
+        """Source-blob listing as ONE client LIST request.
+
+        ``path_layout='datestream'`` passes the retention horizon as
+        ``start_after`` (GCS ``startOffset`` / S3 ``StartAfter``,
+        yyyy/mm/dd paths order lexicographically) — the reference's
+        startOffset trick (DatastreamEventReader.java:543-556) — so a
+        30-day bucket with months of expired blobs never lists them.
+        The POSIX binding prunes date-shaped subtrees conservatively
+        and walks anything else, matching the pre-seam walk."""
+        prefix = self.avro_dir.rstrip("/") + "/"
+        start = None
         if self.path_layout == "datestream" \
                 and self.retention_days is not None:
             horizon = time.time() - self.retention_days * 86400.0
-            return self._list_datestream(time.strftime(
-                "%Y/%m/%d", time.gmtime(horizon)))
-        return sorted(
-            p for p in glob.glob(os.path.join(self.avro_dir, "**", "*.avro"),
-                                 recursive=True) if os.path.isfile(p))
-
-    def _list_datestream(self, horizon_path: str) -> list[str]:
-        """Walk yyyy/mm/dd[...] subtrees, pruning date directories
-        lexicographically BELOW the horizon day. Only all-digit
-        component chains are compared (zero-padded date components
-        order lexicographically); anything else is walked
-        conservatively — pruning may only skip provably-expired
-        subtrees, never unrecognized ones."""
-        out: list[str] = []
-        hparts = horizon_path.split("/")
-
-        def walk(d: str, parts: list[str]) -> None:
-            try:
-                entries = sorted(os.scandir(d), key=lambda e: e.name)
-            except OSError:
-                return
-            for e in entries:
-                if e.is_file():
-                    if e.name.endswith(".avro"):
-                        out.append(e.path)
-                    continue
-                nxt = parts + [e.name]
-                # prune only while every component so far is digits and
-                # the partial date path is strictly below the horizon's
-                # corresponding prefix (equal prefixes must descend:
-                # later components may still reach the horizon)
-                k = len(nxt)
-                if k <= len(hparts) and all(p.isdigit() for p in nxt) \
-                        and nxt < hparts[:k]:
-                    continue
-                walk(e.path, nxt)
-
-        walk(self.avro_dir, [])
-        return sorted(out)
+            start = prefix + time.strftime("%Y/%m/%d",
+                                           time.gmtime(horizon))
+        return sorted(k for k in self.source_store.list_keys(
+            prefix, start_after=start) if k.endswith(".avro"))
 
     def convert_new(self) -> dict:
         """Decode every not-yet-converted Avro file into one new landing
@@ -192,16 +216,15 @@ class AvroLandingConverter:
         if not new:
             return {"converted": 0, "batch_dir": None}
         batch = self.clog.version() + 1
-        bdir = f"b{batch}"
+        # attempt-unique name (version + nonce): data first, commit
+        # last — a crashed or OCC-conflicted attempt leaves an
+        # UNREFERENCED orphan dir for vacuum() and can never clobber
+        # a concurrent writer's in-flight batch (two writers planning
+        # the same version write disjoint dirs; the conditional-PUT
+        # commit then picks exactly one manifest)
+        bdir = f"b{batch}-{uuid.uuid4().hex[:8]}"
         out = os.path.join(self.data_dir, bdir)
-        # data first, commit last (an orphan bdir from a crash here is
-        # overwritten by the retry, which recomputes the same batch id;
-        # the direct path clears the dir first so a retry over a
-        # CHANGED file set leaves no crashed-attempt orphans behind)
         if self.conversion == "direct":
-            import shutil
-            if os.path.isdir(out):
-                shutil.rmtree(out)
             convert_avro_to_parquet(
                 self.spark, new, out, columns=self.columns,
                 avro_schema=self.avro_schema, decoder=self.decoder)
@@ -232,8 +255,11 @@ class AvroLandingConverter:
         day's (new files; plus, on first commit after an upgrade, the
         legacy inline set folded in by day) — every other day's
         reference is carried forward untouched. Segment files are
-        immutable and named for the committing version, so a crashed
-        retry overwrites its own orphans and never a committed file.
+        immutable once referenced and attempt-uniquely NAMED (version
+        + nonce), published with a plain PUT: a crashed or
+        OCC-conflicted attempt leaves an unreferenced orphan for
+        vacuum() and can never clobber a committed segment another
+        writer's manifest references.
         """
         segments = dict(committed.get("segments", {}))
         dirty: dict[str, dict[str, float]] = {_day(now): {}}
@@ -256,41 +282,36 @@ class AvroLandingConverter:
                 # at the boundary, never per scan for the whole set)
                 return {p: t for p, t in files.items()
                         if t >= horizon or p in present
-                        or os.path.exists(p)}
+                        or self.source_store.head(p)}
 
             for day in list(segments):
                 if day in dirty or day > hday:
                     continue  # fresh segments can't hold expired rows
-                with open(os.path.join(self.seg_dir, segments[day])) as f:
-                    files = json.load(f)
+                files = self._read_segment(segments[day])
                 k = kept(files)
                 if not k:
                     del segments[day]
                 elif len(k) < len(files):
                     dirty[day] = k  # boundary-day entry-level rewrite
-        os.makedirs(self.seg_dir, exist_ok=True)
         for day, add in dirty.items():
             base = {}
             # the active day extends its committed segment; retention
             # rewrites and legacy folds already carry their full set
             if day == _day(now) and day in committed.get("segments", {}) \
                     and day not in ((hday,) if hday else ()):
-                with open(os.path.join(self.seg_dir,
-                                       segments[day])) as f:
-                    base = json.load(f)
+                base = dict(self._read_segment(segments[day]))
             elif day == _day(now) and day in committed.get("segments", {}):
                 # the active day IS the horizon boundary (sub-day
                 # retention): extend AND entry-prune its segment
-                with open(os.path.join(self.seg_dir,
-                                       segments[day])) as f:
-                    base = kept(json.load(f))
+                base = kept(self._read_segment(segments[day]))
             base.update(add)
             if not base:
                 segments.pop(day, None)
                 continue
-            name = f"{day}.v{batch}.json"
-            with open(os.path.join(self.seg_dir, name), "w") as f:
-                json.dump(base, f)
+            name = f"{day}.v{batch}-{uuid.uuid4().hex[:8]}.json"
+            self.store.put(os.path.join(self.seg_dir, name),
+                           json.dumps(base).encode())
+            self._seg_cache[name] = base  # write-through
             segments[day] = name
         return segments
 
@@ -346,7 +367,7 @@ class AvroLandingConverter:
             return {"compacted": 0}
         df = self.read_landing()
         batch = self.clog.version() + 1
-        bdir = f"b{batch}"
+        bdir = f"b{batch}-{uuid.uuid4().hex[:8]}"
         df.write.mode("overwrite").parquet(
             os.path.join(self.data_dir, bdir))
         payload = {"segments": committed.get("segments", {}),
@@ -363,20 +384,31 @@ class AvroLandingConverter:
         segment files superseded by later rewrites. In-flight readers
         of the previous version should finish first (same contract as
         BucketedStateTable.vacuum keep_versions=0)."""
+        cur = self.clog.version()
         committed = self._committed()
         live = set(committed["batch_dirs"])
         removed = []
-        if os.path.isdir(self.data_dir):
-            import shutil
-            for d in sorted(os.listdir(self.data_dir)):
-                if d.startswith("b") and d not in live:
-                    shutil.rmtree(os.path.join(self.data_dir, d),
-                                  ignore_errors=True)
-                    removed.append(d)
+        dprefix = self.data_dir.rstrip("/") + "/"
+        dead_dirs: list[str] = []
+        for k in self.data_store.list_keys(dprefix):
+            d = k[len(dprefix):].split("/", 1)[0]
+            m = _BDIR.match(d)
+            # version guard: an unreferenced dir stamped ABOVE the
+            # current version may be a concurrent writer's in-flight
+            # attempt — spare it (it becomes vacuumable once any
+            # commit advances past its version)
+            if m and d not in live and int(m.group(1)) <= cur:
+                self.data_store.delete(k)
+                if d not in dead_dirs:
+                    dead_dirs.append(d)
+        removed.extend(sorted(dead_dirs))
         live_segs = set(committed.get("segments", {}).values())
-        if os.path.isdir(self.seg_dir):
-            for s in sorted(os.listdir(self.seg_dir)):
-                if s not in live_segs:
-                    os.remove(os.path.join(self.seg_dir, s))
-                    removed.append(os.path.join(SEG_SUBDIR, s))
+        sprefix = self.seg_dir.rstrip("/") + "/"
+        for k in sorted(self.store.list_keys(sprefix)):
+            s = k[len(sprefix):]
+            m = _SEGV.search(s)
+            if s not in live_segs and m and int(m.group(1)) <= cur:
+                self.store.delete(k)
+                self._seg_cache.pop(s, None)
+                removed.append(os.path.join(SEG_SUBDIR, s))
         return removed

@@ -31,9 +31,17 @@ MARK_BATCH_SIZE = 100  # reference batches 100 blobs per request (:270-275)
 
 class ProcessedFileTtl:
     def __init__(self, manifest_path: str,
-                 ttl_days: int = DEFAULT_TTL_DAYS):
+                 ttl_days: int = DEFAULT_TTL_DAYS,
+                 blob_store=None):
         self.doc = StateDoc(manifest_path)
         self.ttl = datetime.timedelta(days=ttl_days)
+        # the purge deletes SOURCE blobs through the client interface
+        # (reference analog: GCS lifecycle/batched deletes) — a bucket
+        # deployment passes its ObjectStoreClient
+        if blob_store is None:
+            from ..streaming.commitlog import PosixStore
+            blob_store = PosixStore()
+        self.blob_store = blob_store
 
     def mark_processed(self, files: list[str],
                        when: datetime.datetime | None = None) -> int:
@@ -68,10 +76,7 @@ class ProcessedFileTtl:
         Missing files are fine (idempotent re-run after a crash)."""
         gone = self.expired(now)
         for f in gone:
-            try:
-                os.remove(f)
-            except FileNotFoundError:
-                pass
+            self.blob_store.delete(f)  # idempotent: missing is fine
             self.doc.delete(f)
         if gone:
             self.doc.save()

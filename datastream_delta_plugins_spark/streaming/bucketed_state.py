@@ -38,7 +38,8 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
+import re
+import uuid
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -46,9 +47,13 @@ from pyspark.sql import functions as F
 
 from ..envelope import SORT_KEY_COLS
 from ..operators import cdc
-from .commitlog import legacy_root_version, make_commit_log
+from .commitlog import (ObjectStoreLog, PosixStore, legacy_root_version,
+                        make_commit_log)
 
 _BUCKET = "_state_bucket"
+
+#: version data dir: v{version}[-nonce]
+_VDIR = re.compile(r"^v(\d+)(?:-[0-9a-f]+)?$")
 
 
 class BucketedStateTable:
@@ -63,7 +68,8 @@ class BucketedStateTable:
                  sort_cols: Sequence[str] = SORT_KEY_COLS,
                  n_buckets: int = 16,
                  commit_impl: str = "pointer",
-                 keep_versions: int | None = 1):
+                 keep_versions: int | None = 1,
+                 data_store=None):
         self.spark = spark
         self.path = path
         self.pk_cols = list(pk_cols)
@@ -78,7 +84,12 @@ class BucketedStateTable:
             path, commit_impl, subdir="manifest",
             keep=None if keep_versions is None
             else max(8, keep_versions + 1))
-        os.makedirs(os.path.join(path, "manifest"), exist_ok=True)
+        # data-plane maintenance (seed/merge dir discovery, vacuum)
+        # rides the client interface; Spark reads/writes the parquet
+        # bytes through its own connectors as in any deployment
+        self.data_store = data_store or PosixStore()
+        if not isinstance(self.clog, ObjectStoreLog):
+            os.makedirs(os.path.join(path, "manifest"), exist_ok=True)
         self._adopt_legacy_layout()
 
     def _adopt_legacy_layout(self) -> None:
@@ -178,15 +189,30 @@ class BucketedStateTable:
             raise ValueError(
                 f"bucketed table at {self.path} is not empty — seed is "
                 f"a one-time bulk load")
-        vdir = os.path.join("data", "v0")
+        vdir = os.path.join("data", self._vdir_name(0))
         out = os.path.join(self.path, vdir)
         (state_df.withColumn(_BUCKET, self._bucket_of())
          .write.mode("overwrite").partitionBy(_BUCKET).parquet(out))
-        buckets = {seg.split("=", 1)[1]: os.path.join(vdir, seg)
-                   for seg in os.listdir(out)
-                   if seg.startswith(f"{_BUCKET}=")}
+        buckets = self._written_buckets(vdir)
         v = self._commit(buckets)
         return {"version": v, "buckets": sorted(buckets, key=int)}
+
+    @staticmethod
+    def _vdir_name(v: int) -> str:
+        # attempt-unique (version + nonce): concurrent writers planning
+        # the same version write disjoint dirs; the conditional-PUT
+        # manifest commit picks exactly one, the loser's dir becomes a
+        # vacuumable orphan (the Delta/Iceberg unique-file-name rule)
+        return f"v{v}-{uuid.uuid4().hex[:8]}"
+
+    def _written_buckets(self, vdir_rel: str) -> dict[str, str]:
+        """{bucket id -> rel dir} for the bucket partitions a write
+        just produced under ``vdir_rel``, via the client interface."""
+        out = os.path.join(self.path, vdir_rel).rstrip("/") + "/"
+        segs = {k[len(out):].split("/", 1)[0]
+                for k in self.data_store.list_keys(out)}
+        return {seg.split("=", 1)[1]: os.path.join(vdir_rel, seg)
+                for seg in segs if seg.startswith(f"{_BUCKET}=")}
 
     # -- the merge --
 
@@ -230,17 +256,13 @@ class BucketedStateTable:
                                          self.pk_cols, self.sort_cols)
             merged = merged.withColumn(_BUCKET, self._bucket_of())
             v_next = self.version() + 1
-            data_dir = os.path.join(self.path, "data", f"v{v_next}")
+            vdir = os.path.join("data", self._vdir_name(v_next))
             # one dir per touched bucket; bucket id is recomputed from
             # the PK (pure function), so batch and state rows agree
             (merged.repartition(_BUCKET)
                    .write.mode("overwrite").partitionBy(_BUCKET)
-                   .parquet(data_dir))
-            written = {
-                seg.split("=", 1)[1]: os.path.join(
-                    "data", f"v{v_next}", seg)
-                for seg in os.listdir(data_dir)
-                if seg.startswith(f"{_BUCKET}=")}
+                   .parquet(os.path.join(self.path, vdir)))
+            written = self._written_buckets(vdir)
             new_manifest = dict(manifest)
             new_manifest.update(written)
             v = self._commit(new_manifest)
@@ -330,23 +352,31 @@ class BucketedStateTable:
                 live.update(self._manifest(v).values())
             except FileNotFoundError:
                 continue  # payload pruned out of the keep window
-        removed = []
-        data_root = os.path.join(self.path, "data")
-        for vdir in sorted(os.listdir(data_root)):
-            vpath = os.path.join(data_root, vdir)
-            for seg in sorted(os.listdir(vpath)):
-                rel = os.path.join("data", vdir, seg)
-                if seg.startswith(f"{_BUCKET}=") and rel not in live:
-                    shutil.rmtree(os.path.join(self.path, rel),
-                                  ignore_errors=True)
-                    removed.append(rel)
-            # once no bucket dirs remain, only write markers (_SUCCESS)
-            # are left — clear them so the version dir can go too
-            left = os.listdir(vpath)
-            if not any(s.startswith(f"{_BUCKET}=") for s in left):
-                for s in left:
-                    os.remove(os.path.join(vpath, s))
-                os.rmdir(vpath)
+        removed: list[str] = []
+        droot = os.path.join(self.path, "data").rstrip("/") + "/"
+        seen: set[str] = set()
+        for k in sorted(self.data_store.list_keys(droot)):
+            parts = k[len(droot):].split("/")
+            m = _VDIR.match(parts[0])
+            # version guard: a dir stamped ABOVE the current version
+            # may be a concurrent writer's in-flight attempt — spare
+            # it (vacuumable once a commit passes its version); spare
+            # unrecognized names entirely
+            if not m or int(m.group(1)) > cur:
+                continue
+            vdir = parts[0]
+            if len(parts) >= 2 and parts[1].startswith(f"{_BUCKET}="):
+                rel = os.path.join("data", vdir, parts[1])
+                if rel not in live:
+                    self.data_store.delete(k)
+                    if rel not in seen:
+                        seen.add(rel)
+                        removed.append(rel)
+            elif not any(r.startswith(os.path.join("data", vdir) + "/")
+                         for r in live):
+                # version-root stragglers (_SUCCESS markers) of a
+                # version no live manifest references
+                self.data_store.delete(k)
         return removed
 
 

@@ -314,25 +314,47 @@ class VersionLog(CommitLog):
 
 class ObjectStoreClient:
     """Request-level contract a real GCS/S3 binding must satisfy for
-    ``ObjectStoreLog`` to be correct. Semantics (both stores provide
-    them today):
+    ``ObjectStoreLog`` — and for every engine SIDECAR file (landing
+    segments, vacuum listings, source-blob listings) — to be correct.
+    Semantics (both stores provide them today):
 
     - ``put_if_absent`` is ATOMIC and CONDITIONAL (GCS
       ``ifGenerationMatch=0``, S3 ``If-None-Match: *``): exactly one
       concurrent writer of a key succeeds; a failed put writes
       nothing.
+    - ``put`` is an ATOMIC unconditional overwrite (a plain PUT): a
+      reader sees either the old or the new complete object, never a
+      torn one. Callers use it only for keys whose NAME is unique per
+      attempt (immutable-once-referenced files), so overwrite races
+      cannot clobber committed content.
     - ``get`` of a known key is strongly consistent (read-after-write).
+    - ``head`` is a metadata-only existence probe (GCS objects.get
+      metadata, S3 HeadObject) with ``get``'s consistency.
     - ``list_keys`` may LAG puts — it may omit recently written keys,
       but never invents keys and never returns a partial object.
+      ``start_after`` maps to GCS ``startOffset`` / S3 ``StartAfter``:
+      only keys lexicographically AFTER it are required in the result
+      (the reference's retention-horizon listing prune,
+      DatastreamEventReader.java:543-556). It is a lower-bound HINT:
+      an implementation may conservatively return extra keys at or
+      below it (the POSIX binding does, for non-date-shaped paths);
+      callers needing exactness re-filter.
     """
 
     def put_if_absent(self, key: str, data: bytes) -> bool:
         raise NotImplementedError
 
+    def put(self, key: str, data: bytes) -> None:
+        raise NotImplementedError
+
     def get(self, key: str) -> bytes | None:
         raise NotImplementedError
 
-    def list_keys(self, prefix: str) -> list[str]:
+    def head(self, key: str) -> bool:
+        raise NotImplementedError
+
+    def list_keys(self, prefix: str,
+                  start_after: str | None = None) -> list[str]:
         raise NotImplementedError
 
     def delete(self, key: str) -> None:
@@ -379,18 +401,33 @@ class InMemoryObjectStore(ObjectStoreClient):
                 self._visible_at[key] = self._list_calls + self.listing_lag
             return True
 
+    def put(self, key: str, data: bytes) -> None:
+        self._request("put", key)
+        with self._lock:
+            fresh = key not in self._objects
+            self._objects[key] = bytes(data)
+            if fresh and self.listing_lag:
+                self._visible_at[key] = self._list_calls + self.listing_lag
+
     def get(self, key: str) -> bytes | None:
         self._request("get", key)
         with self._lock:
             return self._objects.get(key)
 
-    def list_keys(self, prefix: str) -> list[str]:
+    def head(self, key: str) -> bool:
+        self._request("head", key)
+        with self._lock:
+            return key in self._objects
+
+    def list_keys(self, prefix: str,
+                  start_after: str | None = None) -> list[str]:
         self._request("list", prefix)
         with self._lock:
             self._list_calls += 1
             return sorted(
                 k for k in self._objects
                 if k.startswith(prefix)
+                and (start_after is None or k > start_after)
                 and self._list_calls > self._visible_at.get(k, 0))
 
     def delete(self, key: str) -> None:
@@ -398,6 +435,120 @@ class InMemoryObjectStore(ObjectStoreClient):
         with self._lock:
             self._objects.pop(key, None)
             self._visible_at.pop(key, None)
+
+
+class PosixStore(ObjectStoreClient):
+    """Local-filesystem binding of the client contract: keys are
+    absolute file paths (the local "bucket" is the FS root). This is
+    NOT a test double — it is the deployment adapter that lets every
+    sidecar code path (landing segments, vacuum listings, source-blob
+    listings) speak the one request interface, so moving a table to a
+    real bucket swaps the client instance, not the code.
+
+    - ``put`` / ``put_if_absent`` are atomic (tmp + ``os.replace`` /
+      ``os.link``), parents auto-created (object stores have no
+      directories, so callers never mkdir).
+    - ``delete`` removes the key and then any parent directories it
+      emptied (the local analog of keys simply ceasing to exist).
+    - ``list_keys(prefix, start_after=...)`` walks the tree under the
+      prefix. ``start_after`` prunes conservatively: a subtree is
+      skipped only when its path components from the walk root are
+      all-digit AND lexicographically below the corresponding
+      components of ``start_after`` (zero-padded date layouts order
+      correctly; anything non-date-shaped is walked and returned, per
+      the contract's lower-bound-hint semantics).
+    """
+
+    def put_if_absent(self, key: str, data: bytes) -> bool:
+        os.makedirs(os.path.dirname(key), exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(key),
+                                   prefix=".put")
+        try:
+            with os.fdopen(fd, "wb") as f:
+                f.write(data)
+            try:
+                os.link(tmp, key)
+                return True
+            except FileExistsError:
+                return False
+        finally:
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
+
+    def put(self, key: str, data: bytes) -> None:
+        os.makedirs(os.path.dirname(key), exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(key),
+                                   prefix=".put")
+        with os.fdopen(fd, "wb") as f:
+            f.write(data)
+        os.replace(tmp, key)
+
+    def get(self, key: str) -> bytes | None:
+        try:
+            with open(key, "rb") as f:
+                return f.read()
+        except (FileNotFoundError, IsADirectoryError):
+            return None
+
+    def head(self, key: str) -> bool:
+        return os.path.isfile(key)
+
+    def delete(self, key: str) -> None:
+        try:
+            os.remove(key)
+        except FileNotFoundError:
+            return
+        try:
+            os.removedirs(os.path.dirname(key))  # stops at non-empty
+        except OSError:
+            pass
+
+    def list_keys(self, prefix: str,
+                  start_after: str | None = None) -> list[str]:
+        base = prefix if os.path.isdir(prefix) \
+            else os.path.dirname(prefix)
+        sparts: list[str] = []
+        if start_after and start_after.startswith(base.rstrip("/") + "/"):
+            sparts = start_after[len(base.rstrip("/")) + 1:].split("/")
+        out: list[str] = []
+
+        def walk(d: str, parts: list[str]) -> None:
+            try:
+                entries = sorted(os.scandir(d), key=lambda e: e.name)
+            except OSError:
+                return
+            for e in entries:
+                if e.is_file(follow_symlinks=False):
+                    if e.path.startswith(prefix):
+                        out.append(e.path)
+                    continue
+                if not e.is_dir(follow_symlinks=False):
+                    continue
+                nxt = parts + [e.name]
+                k = len(nxt)
+                # prune only provably-expired date-shaped subtrees:
+                # equal prefixes must descend (later components may
+                # still reach the horizon)
+                if sparts and k <= len(sparts) \
+                        and all(p.isdigit() for p in nxt) \
+                        and nxt < sparts[:k]:
+                    continue
+                walk(e.path, nxt)
+
+        walk(base, [])
+        return sorted(out)
+
+
+def sidecar_store_for(log: CommitLog) -> ObjectStoreClient:
+    """The client the engine's sidecar files should ride on: the
+    commit log's own bucket client when the log is object-store
+    backed, else the local POSIX binding — so data/metadata always
+    live in the same store as their manifest."""
+    if isinstance(log, ObjectStoreLog):
+        return log.client
+    return PosixStore()
 
 
 class ObjectStoreLog(CommitLog):

@@ -95,11 +95,17 @@ def test_crash_between_data_and_commit_does_not_duplicate(spark, conv,
 
     # the orphan batch is invisible to committed reads
     assert c.read_landing().count() == 25
-    # the retry converts the SAME file into the SAME batch dir (no dupe)
+    # the retry converts the SAME file into a FRESH attempt-unique
+    # batch dir (no dupe; the crashed attempt's dir stays orphaned)
     res = c.convert_new()
-    assert res == {"converted": 1, "batch_dir": "b1"}
+    assert res["converted"] == 1
+    assert res["batch_dir"].startswith("b1-")
     assert c.read_landing().count() == 50
     assert c.read_landing().select("uuid").distinct().count() == 50
+    # vacuum retires the crashed attempt's orphan dir
+    assert any(d.startswith("b1-") and d != res["batch_dir"]
+               for d in c.vacuum())
+    assert c.read_landing().count() == 50
 
 
 def test_landing_merge_equals_direct_avro_merge(spark, conv):
@@ -398,10 +404,12 @@ def test_commit_payload_is_constant_size_in_history(spark, tmp_path,
     assert sizes[2] - sizes[0] < 200
     # day-0/1 segments were not rewritten by day-2 commits: their
     # version stamps predate day 2's first commit (v6)
+    import re as _re
     segs = c._committed()["segments"]
     days = sorted(segs)
-    assert segs[days[0]].endswith(".v2.json")
-    assert segs[days[1]].endswith(".v5.json")
+    stamp = lambda n: int(_re.search(r"\.v(\d+)", n).group(1))  # noqa: E731
+    assert stamp(segs[days[0]]) == 2
+    assert stamp(segs[days[1]]) == 5
 
 
 def test_segment_retention_drops_expired_days(spark, tmp_path,
@@ -544,20 +552,36 @@ def test_manifest_scales_to_tens_of_thousands_of_files(spark, tmp_path,
     committed = {"segments": {}, "batch_dirs": [], "schemas": {}}
     payload_sizes, writes_per_commit = [], []
     n_per_day, days = 334, 30  # ~10k files
+    gets = {"n": 0}
+    real_get = c.store.get
+    c.store.get = lambda k: (gets.__setitem__("n", gets["n"] + 1),
+                             real_get(k))[1]
+    gets_per_commit = []
     for day in range(days):
         now = base_now + day * 86400.0
         new = [f"/bucket/t/{day:02d}/f{i:04d}.avro"
                for i in range(n_per_day)]
         seg_writes_before = len(os.listdir(c.seg_dir)) \
             if os.path.isdir(c.seg_dir) else 0
+        g0 = gets["n"]
         segs = c._updated_segments(committed, new, now,
                                    present=set(new), batch=day)
+        # the full converted set stays readable every scan (what
+        # convert_new's seen-set derivation does)
+        assert len(c._segment_files(
+            {"segments": segs, "batch_dirs": [], "schemas": {}})) \
+            == n_per_day * (day + 1)
+        gets_per_commit.append(gets["n"] - g0)
         committed = {"segments": segs,
                      "batch_dirs": committed["batch_dirs"] + [f"b{day}"],
                      "schemas": {}}
         payload_sizes.append(len(_json.dumps(committed["segments"])))
         writes_per_commit.append(
             len(os.listdir(c.seg_dir)) - seg_writes_before)
+    # the parse cache (immutable attempt-unique segments, write-through)
+    # makes the steady-state scan O(changed segments): ZERO store reads
+    # per scan once warm — never O(retention history) re-parses
+    assert max(gets_per_commit[1:]) == 0
     # payload grows with DAYS (one ~45-byte ref each), never with files
     assert payload_sizes[-1] < 64 * days
     # steady state: at most 2 segment files written per commit

@@ -256,9 +256,11 @@ def test_make_commit_log_object_mock_shares_bucket(tmp_path):
 
 
 def test_landing_manifest_on_object_store_mock(spark, tmp_path):
-    """The Avro landing's commit log rides request semantics too: the
-    manifest versions live in the mock bucket while parquet batches and
-    day segments stay on (executor-visible) storage."""
+    """The Avro landing's ENTIRE sidecar plane rides request
+    semantics: manifest versions AND day segments live in the mock
+    bucket; only parquet batches (Spark/executor-written data) stay
+    on filesystem storage — no _landing_log ever touches POSIX."""
+    import os as _os
     import sys
     sys.path.insert(0, "tests")
     from test_avro_landing import _events, _write_avro
@@ -276,10 +278,12 @@ def test_landing_manifest_on_object_store_mock(spark, tmp_path):
     c2 = AvroLandingConverter(spark, str(src), str(tmp_path / "landing"),
                               commit_impl="object-mock")
     assert c2.convert_new() == {"converted": 0, "batch_dir": None}
-    # no POSIX version files in the landing log dir (segments only)
-    log_dir = tmp_path / "landing" / "_landing_log"
-    names = {n for n in __import__("os").listdir(log_dir)}
-    assert names <= {"segments"}
+    # the landing-log plane left ZERO files on the local filesystem —
+    # manifest and segments are bucket objects only
+    assert not _os.path.exists(tmp_path / "landing" / "_landing_log")
+    keys = c.store.list_keys(str(tmp_path / "landing") + "/")
+    assert any("/segments/" in k for k in keys)
+    assert any(k.endswith("v0.json") for k in keys)
 
 
 def test_auto_migration_on_object_store_mock(spark, tmp_path):
@@ -307,3 +311,84 @@ def test_auto_migration_on_object_store_mock(spark, tmp_path):
     p2 = mk()
     assert p2.bstate is not None
     assert p2.read_state().count() == 30
+
+
+def test_full_landing_lifecycle_on_lagging_mock_bucket(spark, tmp_path,
+                                                       monkeypatch):
+    """The ENTIRE landing protocol — convert, read, compact, vacuum,
+    retention — runs against object-store request semantics with
+    listing lag: every sidecar operation is a client request, zero
+    landing-log files ever touch POSIX, and the converter's
+    steady-state scan parses only changed segments (the parse cache)."""
+    import os as _os
+    import sys
+    sys.path.insert(0, "tests")
+    from test_avro_landing import _at_day, _events, _write_avro
+
+    from datastream_delta_plugins_spark.sources.avro_landing import \
+        AvroLandingConverter
+    from datastream_delta_plugins_spark.streaming import commitlog as cl
+
+    src = tmp_path / "avro"
+    src.mkdir()
+    landing = str(tmp_path / "landing")
+    bucket = cl.InMemoryObjectStore(listing_lag=1)
+    monkeypatch.setitem(cl._MOCK_BUCKETS, landing, bucket)
+    c = AvroLandingConverter(spark, str(src), landing,
+                             commit_impl="object-mock",
+                             retention_days=1.5)
+    assert c.store is bucket  # sidecars ride the SAME bucket client
+
+    # day 0: convert a backlog of small batches
+    _at_day(monkeypatch, 0)
+    for b in range(4):
+        _write_avro(src, f"k1_oracle-cdc-logminer_{b}.avro",
+                    _events(b * 5, b * 5 + 5))
+        assert c.convert_new()["converted"] == 1
+    assert c.read_landing().count() == 20
+
+    # steady-state scan: the segment parse cache means a no-op scan
+    # issues ZERO segment GETs (manifest reads only)
+    before = len(bucket.requests)
+    assert c.convert_new() == {"converted": 0, "batch_dir": None}
+    seg_gets = [r for r in bucket.requests[before:]
+                if r[0] == "get" and "/segments/" in r[1]]
+    assert seg_gets == []
+
+    # a FRESH converter (cold cache) parses each live segment once
+    c2 = AvroLandingConverter(spark, str(src), landing,
+                              commit_impl="object-mock",
+                              retention_days=1.5)
+    before = len(bucket.requests)
+    assert c2.convert_new() == {"converted": 0, "batch_dir": None}
+    seg_gets = [r for r in bucket.requests[before:]
+                if r[0] == "get" and "/segments/" in r[1]]
+    assert len(seg_gets) == len(c2._committed()["segments"])
+
+    # day 1: more data, then compact + vacuum under the lagging LIST
+    _at_day(monkeypatch, 1)
+    _write_avro(src, "k1_oracle-cdc-logminer_d1.avro", _events(20, 30))
+    assert c.convert_new()["converted"] == 1
+    assert c.compact(min_batches=2)["compacted"] == 5
+    assert c.read_landing().count() == 30
+    removed = c.vacuum()
+    assert len([d for d in removed if d.startswith("b")]) == 5
+    assert c.read_landing().count() == 30
+
+    # day 3: day-0 blobs expire once deleted at the source
+    _at_day(monkeypatch, 3)
+    for b in range(4):
+        _os.remove(src / f"k1_oracle-cdc-logminer_{b}.avro")
+    _write_avro(src, "k1_oracle-cdc-logminer_d3.avro", _events(30, 35))
+    assert c.convert_new()["converted"] == 1
+    days = set(c._committed()["segments"])
+    assert len(days) == 2  # day-0 segment dropped, day-1 + day-3 live
+    assert c.read_landing().count() == 35
+    assert c.convert_new() == {"converted": 0, "batch_dir": None}
+
+    # the audit: the landing-log plane left NOTHING on local disk —
+    # manifest versions and segments are bucket objects only, and all
+    # four request kinds were exercised against it
+    assert not _os.path.exists(tmp_path / "landing" / "_landing_log")
+    ops = {op for op, k in bucket.requests if "_landing_log" in k}
+    assert {"put", "get", "list", "delete"} <= ops
