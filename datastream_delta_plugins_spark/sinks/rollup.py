@@ -165,8 +165,18 @@ def update_rollup(spark: SparkSession, source_path: str, rollup_path: str,
     `aggs` maps output column -> aggregate expression.
 
     Returns {"changed": n, "removed": m, "total": k}. Cost: one pruned
-    scan + one aggregate over the changed partitions only.
+    scan + one aggregate over the changed partitions only. Losing the
+    manifest commit to a concurrent writer re-reads signatures and
+    re-aggregates with a bounded OCC retry (the aggregate write is
+    idempotent per partition, so the converged state is the same).
     """
+    from ..streaming.retry import occ_retry
+    return occ_retry(lambda: _update_rollup_attempt(
+        spark, source_path, rollup_path, group_cols, aggs, commit_impl))
+
+
+def _update_rollup_attempt(spark, source_path, rollup_path, group_cols,
+                           aggs, commit_impl) -> dict:
     sigs = _signatures(spark, source_path, commit_impl)
     seen = _load_manifest(rollup_path, commit_impl)
     changed = [d for d, s in sigs.items() if seen.get(d) != s]

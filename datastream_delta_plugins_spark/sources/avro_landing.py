@@ -93,7 +93,8 @@ class AvroLandingConverter:
                  retention_days: float | None = 30.0,
                  path_layout: str = "flat",
                  conversion: str = "direct",
-                 source_store=None, data_store=None):
+                 source_store=None, data_store=None,
+                 occ_retries: int = 5):
         from ..streaming.commitlog import (PosixStore, make_commit_log,
                                            sidecar_store_for)
         if path_layout not in ("flat", "datestream"):
@@ -115,6 +116,7 @@ class AvroLandingConverter:
         # "spark": decode -> DataFrame -> Spark parquet writer (kept
         # for comparison; byte-compatible schemas either way)
         self.conversion = conversion
+        self.occ_retries = occ_retries
         self.seg_dir = os.path.join(landing_dir, LOG_SUBDIR, SEG_SUBDIR)
         self.clog = make_commit_log(landing_dir, commit_impl,
                                     subdir=LOG_SUBDIR)
@@ -137,9 +139,14 @@ class AvroLandingConverter:
     # -- manifest --
 
     def _committed(self) -> dict:
+        return self._committed_versioned()[1]
+
+    def _committed_versioned(self) -> tuple[int, dict]:
+        """(version, normalized payload) in ONE read — OCC attempts
+        plan and commit against this single version."""
         rc = self.clog.read_committed()
         if rc is None:
-            return {"segments": {}, "batch_dirs": [], "schemas": {}}
+            return -1, {"segments": {}, "batch_dirs": [], "schemas": {}}
         doc = dict(rc[1])
         if "files" in doc and "segments" not in doc:
             # pre-segment payload (inline cumulative file dict): expose
@@ -147,7 +154,7 @@ class AvroLandingConverter:
             # the whole set into day segments
             doc.setdefault("segments", {})
         doc.setdefault("schemas", {})
-        return doc
+        return rc[0], doc
 
     def _read_segment(self, name: str) -> dict[str, float]:
         """Parse one (immutable, attempt-uniquely-named) segment file,
@@ -208,39 +215,65 @@ class AvroLandingConverter:
 
     def convert_new(self) -> dict:
         """Decode every not-yet-converted Avro file into one new landing
-        batch. Returns {"converted": n, "batch_dir": str | None}."""
-        committed = self._committed()
+        batch. Returns {"converted": n, "batch_dir": str | None}.
+
+        Losing the conditional-PUT commit to a concurrent writer (a
+        compactor or vacuum racing this converter) re-plans against
+        the new CURRENT with a bounded OCC retry; the expensive decode
+        is REUSED when the re-plan finds the same still-unconverted
+        file set (the normal maintenance race), and redone only when
+        another converter took files from under us."""
+        from ..streaming.retry import occ_retry
+        ctx: dict = {}
+        return occ_retry(lambda: self._convert_attempt(ctx),
+                         retries=self.occ_retries)
+
+    def _convert_attempt(self, ctx: dict) -> dict:
+        ver, committed = self._committed_versioned()
         seen = self._segment_files(committed)
         listed = self._list_source()
         new = [p for p in listed if p not in seen]
         if not new:
             return {"converted": 0, "batch_dir": None}
-        batch = self.clog.version() + 1
-        # attempt-unique name (version + nonce): data first, commit
-        # last — a crashed or OCC-conflicted attempt leaves an
-        # UNREFERENCED orphan dir for vacuum() and can never clobber
-        # a concurrent writer's in-flight batch (two writers planning
-        # the same version write disjoint dirs; the conditional-PUT
-        # commit then picks exactly one manifest)
-        bdir = f"b{batch}-{uuid.uuid4().hex[:8]}"
-        out = os.path.join(self.data_dir, bdir)
-        if self.conversion == "direct":
-            convert_avro_to_parquet(
-                self.spark, new, out, columns=self.columns,
-                avro_schema=self.avro_schema, decoder=self.decoder)
-            schema = self.spark.read.parquet(out).schema
+        batch = ver + 1
+        if ctx.get("files") == new:
+            # a previous attempt already decoded exactly this file set
+            # into a still-orphaned dir — reference it instead of
+            # decoding twice (dir names are attempt-unique, so it
+            # cannot have been clobbered)
+            bdir, schema = ctx["bdir"], ctx["schema"]
         else:
-            df = read_avro_changes(self.spark, new, columns=self.columns,
-                                   avro_schema=self.avro_schema,
-                                   decoder=self.decoder)
-            df.write.mode("overwrite").parquet(out)
-            schema = df.schema
+            # attempt-unique name (version + nonce): data first,
+            # commit last — a crashed or OCC-conflicted attempt
+            # leaves an UNREFERENCED orphan dir for vacuum() and can
+            # never clobber a concurrent writer's in-flight batch
+            # (two writers planning the same version write disjoint
+            # dirs; the conditional-PUT commit picks exactly one
+            # manifest)
+            bdir = f"b{batch}-{uuid.uuid4().hex[:8]}"
+            out = os.path.join(self.data_dir, bdir)
+            if self.conversion == "direct":
+                convert_avro_to_parquet(
+                    self.spark, new, out, columns=self.columns,
+                    avro_schema=self.avro_schema, decoder=self.decoder)
+                schema = self.spark.read.parquet(out).schema
+            else:
+                df = read_avro_changes(self.spark, new,
+                                       columns=self.columns,
+                                       avro_schema=self.avro_schema,
+                                       decoder=self.decoder)
+                df.write.mode("overwrite").parquet(out)
+                schema = df.schema
+            ctx.update(files=new, bdir=bdir, schema=schema)
         now = time.time()
         segments = self._updated_segments(committed, new, now,
                                           set(listed), batch)
         schemas = dict(committed["schemas"])
         schemas[bdir] = _schema_fp(schema)
-        self.clog.commit({
+        # commit AT the planned version: a concurrent commit since our
+        # read surfaces as ConcurrentWriterError (occ_retry re-plans)
+        # instead of this stale plan landing later and erasing it
+        self.clog.commit_at(batch, {
             "segments": segments,
             "batch_dirs": committed["batch_dirs"] + [bdir],
             "schemas": schemas})
@@ -326,7 +359,9 @@ class AvroLandingConverter:
         columns (the `_evolve` contract) instead of whichever footer
         Spark happened to sample planing the new column away."""
         committed = self._committed()
-        dirs = committed["batch_dirs"]
+        return self._read_dirs(committed, committed["batch_dirs"])
+
+    def _read_dirs(self, committed: dict, dirs: list):
         if not dirs:
             return None
         fps = {committed["schemas"].get(d) for d in dirs}
@@ -360,22 +395,33 @@ class AvroLandingConverter:
         consumer: the stream's file source sees the compacted dir as
         new data and re-merges every row it contains — correct (the
         CDC merge is idempotent under replay) but O(landing) of wasted
-        work per compaction."""
-        committed = self._committed()
+        work per compaction. Racing a converter's commit re-plans with
+        a bounded OCC retry (the converter's new batch joins the next
+        compaction instead of being lost)."""
+        from ..streaming.retry import occ_retry
+        return occ_retry(lambda: self._compact_attempt(min_batches),
+                         retries=self.occ_retries)
+
+    def _compact_attempt(self, min_batches: int) -> dict:
+        ver, committed = self._committed_versioned()
         dirs = committed["batch_dirs"]
         if len(dirs) < min_batches:
             return {"compacted": 0}
-        df = self.read_landing()
-        batch = self.clog.version() + 1
+        df = self._read_dirs(committed, dirs)
+        batch = ver + 1
         bdir = f"b{batch}-{uuid.uuid4().hex[:8]}"
         df.write.mode("overwrite").parquet(
             os.path.join(self.data_dir, bdir))
+        # segments ride through unchanged from the SAME read the plan
+        # used; commit_at makes any racing advance (e.g. a converter's
+        # new batch, absent from our rewrite) a conflict that re-plans
+        # the whole attempt
         payload = {"segments": committed.get("segments", {}),
                    "batch_dirs": [bdir],
                    "schemas": {bdir: _schema_fp(df.schema)}}
         if committed.get("files"):
             payload["files"] = committed["files"]  # legacy set rides on
-        self.clog.commit(payload)
+        self.clog.commit_at(batch, payload)
         return {"compacted": len(dirs)}
 
     def vacuum(self) -> list[str]:

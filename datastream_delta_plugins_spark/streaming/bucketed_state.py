@@ -57,11 +57,15 @@ _VDIR = re.compile(r"^v(\d+)(?:-[0-9a-f]+)?$")
 
 
 class BucketedStateTable:
-    """Single-writer bucketed CDC state table at `path`.
+    """Bucketed CDC state table at `path`.
 
     The manifest swap goes through the commit-protocol seam
     (streaming/commitlog.py): ``commit_impl="pointer"`` is the POSIX
-    pointer swap, ``"log"`` the object-store-safe version log."""
+    pointer swap, ``"log"`` the object-store-safe version log.
+    Concurrent writers (maintenance racing ingest) are safe on the
+    conditional-PUT impls: commits that lose the race re-plan with a
+    bounded OCC retry, and every data dir is attempt-uniquely named
+    so in-flight writers never clobber each other."""
 
     def __init__(self, spark: SparkSession, path: str,
                  pk_cols: Sequence[str],
@@ -69,7 +73,7 @@ class BucketedStateTable:
                  n_buckets: int = 16,
                  commit_impl: str = "pointer",
                  keep_versions: int | None = 1,
-                 data_store=None):
+                 data_store=None, occ_retries: int = 5):
         self.spark = spark
         self.path = path
         self.pk_cols = list(pk_cols)
@@ -88,6 +92,7 @@ class BucketedStateTable:
         # rides the client interface; Spark reads/writes the parquet
         # bytes through its own connectors as in any deployment
         self.data_store = data_store or PosixStore()
+        self.occ_retries = occ_retries
         if not isinstance(self.clog, ObjectStoreLog):
             os.makedirs(os.path.join(path, "manifest"), exist_ok=True)
         self._adopt_legacy_layout()
@@ -152,9 +157,15 @@ class BucketedStateTable:
         v = self.version()
         return {} if v < 0 else self._manifest(v)
 
-    def _commit(self, buckets: dict[str, str]) -> int:
-        return self.clog.commit({"n_buckets": self.n_buckets,
-                                 "buckets": buckets})
+    def _commit(self, buckets: dict[str, str],
+                at_version: int | None = None) -> int:
+        payload = {"n_buckets": self.n_buckets, "buckets": buckets}
+        if at_version is None:
+            return self.clog.commit(payload)
+        # OCC: commit AT the version the plan read, so a concurrent
+        # commit conflicts (and re-plans) instead of this stale
+        # manifest landing later and erasing the other writer's
+        return self.clog.commit_at(at_version, payload)
 
     def _read_dirs(self, dirs: Sequence[str]) -> DataFrame | None:
         if not dirs:
@@ -194,7 +205,9 @@ class BucketedStateTable:
         (state_df.withColumn(_BUCKET, self._bucket_of())
          .write.mode("overwrite").partitionBy(_BUCKET).parquet(out))
         buckets = self._written_buckets(vdir)
-        v = self._commit(buckets)
+        # at_version=0: a concurrent seed is a loud conflict, not a
+        # silent double-load (seed is one-time by contract)
+        v = self._commit(buckets, at_version=0)
         return {"version": v, "buckets": sorted(buckets, key=int)}
 
     @staticmethod
@@ -227,49 +240,61 @@ class BucketedStateTable:
         The batch's PKs are hashed to buckets and the sort-key-correct
         `cdc.merge_batch` runs against ONLY those bucket dirs. The
         distinct-bucket collect is bounded by n_buckets (ints), never
-        by batch or state size.
+        by batch or state size. Losing the manifest commit to a
+        concurrent writer (a maintenance job racing ingest) re-reads
+        the new CURRENT and re-merges with a bounded OCC retry — the
+        stale attempt's data dir is an attempt-unique orphan vacuum()
+        retires.
         """
         from pyspark import StorageLevel
+
+        from .retry import occ_retry
         # respect a caller-held cache (CdcPipeline.apply_batch persists
         # the batch for ITS lifetime): unpersisting here would silently
         # drop the caller's cache — Spark unpersist is not
-        # reference-counted
+        # reference-counted. Held across OCC retries: every attempt
+        # re-reads STATE, but the batch itself never changes.
         own_persist = batch_df.storageLevel == StorageLevel.NONE
         if own_persist:
             batch_df.persist()
         try:
-            touched = sorted(
-                r[0] for r in
-                batch_df.select(self._bucket_of().alias(_BUCKET))
-                        .distinct().collect())
-            if not touched:
-                return {"version": self.version(), "touched_buckets": []}
-            manifest = self.current_manifest()
-            cur = self._read_dirs(
-                [manifest[str(b)] for b in touched if str(b) in manifest])
-            if cur is None:
-                merged = cdc.materialize(batch_df, self.pk_cols,
-                                         self.sort_cols,
-                                         keep_sort_keys=True)
-            else:
-                merged = cdc.merge_batch(cur, batch_df,
-                                         self.pk_cols, self.sort_cols)
-            merged = merged.withColumn(_BUCKET, self._bucket_of())
-            v_next = self.version() + 1
-            vdir = os.path.join("data", self._vdir_name(v_next))
-            # one dir per touched bucket; bucket id is recomputed from
-            # the PK (pure function), so batch and state rows agree
-            (merged.repartition(_BUCKET)
-                   .write.mode("overwrite").partitionBy(_BUCKET)
-                   .parquet(os.path.join(self.path, vdir)))
-            written = self._written_buckets(vdir)
-            new_manifest = dict(manifest)
-            new_manifest.update(written)
-            v = self._commit(new_manifest)
-            return {"version": v, "touched_buckets": touched}
+            return occ_retry(lambda: self._merge_attempt(batch_df),
+                             retries=self.occ_retries)
         finally:
             if own_persist:
                 batch_df.unpersist()
+
+    def _merge_attempt(self, batch_df: DataFrame) -> dict:
+        touched = sorted(
+            r[0] for r in
+            batch_df.select(self._bucket_of().alias(_BUCKET))
+                    .distinct().collect())
+        if not touched:
+            return {"version": self.version(), "touched_buckets": []}
+        v_cur = self.version()  # ONE read: plan and commit against it
+        manifest = {} if v_cur < 0 else self._manifest(v_cur)
+        cur = self._read_dirs(
+            [manifest[str(b)] for b in touched if str(b) in manifest])
+        if cur is None:
+            merged = cdc.materialize(batch_df, self.pk_cols,
+                                     self.sort_cols,
+                                     keep_sort_keys=True)
+        else:
+            merged = cdc.merge_batch(cur, batch_df,
+                                     self.pk_cols, self.sort_cols)
+        merged = merged.withColumn(_BUCKET, self._bucket_of())
+        v_next = v_cur + 1
+        vdir = os.path.join("data", self._vdir_name(v_next))
+        # one dir per touched bucket; bucket id is recomputed from
+        # the PK (pure function), so batch and state rows agree
+        (merged.repartition(_BUCKET)
+               .write.mode("overwrite").partitionBy(_BUCKET)
+               .parquet(os.path.join(self.path, vdir)))
+        written = self._written_buckets(vdir)
+        new_manifest = dict(manifest)
+        new_manifest.update(written)
+        v = self._commit(new_manifest, at_version=v_next)
+        return {"version": v, "touched_buckets": touched}
 
     # -- D2 catalog registration (bucketed form) --
 

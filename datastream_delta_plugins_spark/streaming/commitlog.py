@@ -102,7 +102,17 @@ class CommitLog:
         return v, self._payload(v)
 
     def commit(self, payload: dict) -> int:
-        v = self.version() + 1
+        return self.commit_at(self.version() + 1, payload)
+
+    def commit_at(self, v: int, payload: dict) -> int:
+        """Commit exactly version ``v`` — the OCC primitive: a caller
+        that planned against version ``v-1`` commits AT ``v``, so a
+        concurrent writer taking ``v`` first surfaces as
+        ConcurrentWriterError (on the conditional-PUT impls) instead
+        of the stale plan silently landing on a later version and
+        erasing the other writer's manifest changes (lost update).
+        ``commit()`` is ``commit_at(version()+1, ...)`` — fine for
+        payloads not derived from a prior read."""
         self._ensure_log_dir()
         self._publish(v, payload)
         if self.keep is not None:

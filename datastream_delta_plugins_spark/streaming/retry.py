@@ -75,3 +75,30 @@ class RetryPolicy:
                     raise
                 self.sleep(backoff)
                 backoff = min(backoff * self.multiplier, self.max_backoff)
+
+
+def occ_retry(attempt: Callable, *, retries: int = 5,
+              initial_backoff: float = 0.05, max_backoff: float = 2.0,
+              sleep: Callable[[float], None] = time.sleep):
+    """Optimistic-concurrency loop over the commit seam.
+
+    ``attempt`` is a closure that RE-READS the committed state,
+    re-plans against it, and commits — so losing a conditional-PUT
+    race to another writer (a converter racing a compactor, a
+    maintenance job racing ingest) is handled by re-running the
+    attempt against the new CURRENT instead of surfacing
+    ConcurrentWriterError to the operator. Bounded exponential
+    backoff; the last conflict re-raises when the budget is spent
+    (the reference's bounded Failsafe discipline, Utils.java:901-925,
+    applied to commit contention instead of transient I/O).
+    """
+    from .commitlog import ConcurrentWriterError
+    backoff = initial_backoff
+    for i in range(retries + 1):
+        try:
+            return attempt()
+        except ConcurrentWriterError:
+            if i == retries:
+                raise
+            sleep(backoff)
+            backoff = min(backoff * 2.0, max_backoff)

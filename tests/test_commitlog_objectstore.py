@@ -392,3 +392,113 @@ def test_full_landing_lifecycle_on_lagging_mock_bucket(spark, tmp_path,
     assert not _os.path.exists(tmp_path / "landing" / "_landing_log")
     ops = {op for op, k in bucket.requests if "_landing_log" in k}
     assert {"put", "get", "list", "delete"} <= ops
+
+
+def test_converter_racing_compactor_both_effects_land(spark, tmp_path,
+                                                      monkeypatch):
+    """OCC above the seam: a converter whose commit loses the
+    conditional PUT to a concurrent compactor re-plans against the
+    new CURRENT and lands — both writers' effects survive, no rows
+    lost or duplicated, and the expensive decode is NOT redone (the
+    re-plan reuses the attempt's already-converted dir)."""
+    import sys
+    sys.path.insert(0, "tests")
+    from test_avro_landing import _events, _write_avro
+
+    import datastream_delta_plugins_spark.sources.avro_landing as al
+    from datastream_delta_plugins_spark.sources.avro_landing import \
+        AvroLandingConverter
+
+    src = tmp_path / "avro"
+    src.mkdir()
+    landing = str(tmp_path / "landing")
+    c1 = AvroLandingConverter(spark, str(src), landing,
+                              commit_impl="object-mock")
+    c2 = AvroLandingConverter(spark, str(src), landing,
+                              commit_impl="object-mock")
+    _write_avro(src, "k1_oracle-cdc-logminer_0.avro", _events(0, 10))
+    assert c1.convert_new()["converted"] == 1
+
+    decodes = {"n": 0}
+    real_convert = al.convert_avro_to_parquet
+
+    def counting_convert(*a, **k):
+        decodes["n"] += 1
+        return real_convert(*a, **k)
+    monkeypatch.setattr(al, "convert_avro_to_parquet", counting_convert)
+
+    # interleave: c2 compacts BETWEEN c1's plan and c1's commit
+    _write_avro(src, "k1_oracle-cdc-logminer_1.avro", _events(10, 25))
+    real_commit_at = c1.clog.commit_at
+    fired = {"done": False}
+
+    def compact_first(v, payload):
+        if not fired["done"]:
+            fired["done"] = True
+            assert c2.compact(min_batches=1)["compacted"] == 1
+        return real_commit_at(v, payload)
+    monkeypatch.setattr(c1.clog, "commit_at", compact_first)
+
+    res = c1.convert_new()  # loses v1 to the compactor, retries at v2
+    assert res["converted"] == 1
+    assert decodes["n"] == 1  # the re-plan reused the decoded dir
+    monkeypatch.undo()
+
+    # both effects landed: compacted dir + the converter's new batch
+    assert c1.clog.version() == 2
+    assert c1.read_landing().count() == 25
+    assert c1.read_landing().select("uuid").distinct().count() == 25
+    assert len(c1.converted_files()) == 2
+    # steady state converges for both writers
+    assert c1.convert_new() == {"converted": 0, "batch_dir": None}
+    assert c2.convert_new() == {"converted": 0, "batch_dir": None}
+    # vacuum retires the conflicted attempt's orphan, reads survive
+    c1.vacuum()
+    assert c1.read_landing().count() == 25
+
+
+def test_bucketed_merge_racing_merge_no_lost_update(spark, tmp_path,
+                                                    monkeypatch):
+    """Two writers merging into one bucketed table: the loser's stale
+    manifest must NOT land over the winner's (lost update) — commit_at
+    conflicts and the re-merge folds the batch into the winner's
+    state. Every row from both writers survives."""
+    from test_bucketed_state import _changes
+
+    from datastream_delta_plugins_spark.streaming.bucketed_state import \
+        BucketedStateTable
+
+    path = str(tmp_path / "state")
+
+    def mk():
+        return BucketedStateTable(spark, path, ["id"], n_buckets=4,
+                                  commit_impl="object-mock")
+
+    def rows(*items):  # (id, val, sk) triples -> change batch
+        return _changes(spark, [(i, v, "INSERT", sk, 1, "A", 1)
+                                for i, v, sk in items])
+    a, b = mk(), mk()
+    a.merge(rows((1, "a1", 100), (2, "a2", 100)))
+
+    real_commit_at = a.clog.commit_at
+    fired = {"done": False}
+
+    def b_merges_first(v, payload):
+        if not fired["done"]:
+            fired["done"] = True
+            b.merge(rows((3, "b3", 100), (4, "b4", 100)))
+        return real_commit_at(v, payload)
+    monkeypatch.setattr(a.clog, "commit_at", b_merges_first)
+    res = a.merge(rows((2, "a2v2", 200), (5, "a5", 100)))
+    monkeypatch.undo()
+
+    assert res["version"] == 2  # planned v1, lost it to b, landed v2
+    rows = {(r["id"], r["val"]) for r in
+            mk().read().select("id", "val").collect()}
+    assert rows == {(1, "a1"), (2, "a2v2"), (3, "b3"), (4, "b4"),
+                    (5, "a5")}
+    # the conflicted attempt's data dir is an orphan vacuum retires
+    a.vacuum(keep_versions=0)
+    rows2 = {(r["id"], r["val"]) for r in
+             mk().read().select("id", "val").collect()}
+    assert rows2 == rows
