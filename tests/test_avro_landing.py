@@ -85,13 +85,13 @@ def test_crash_between_data_and_commit_does_not_duplicate(spark, conv,
     c.convert_new()
     _write_avro(src, "k1_oracle-cdc-logminer_1.avro", _events(25, 50))
 
-    real_commit = c.clog.commit
-    monkeypatch.setattr(c.clog, "commit",
-                        lambda payload: (_ for _ in ()).throw(
+    real_commit_at = c.clog.commit_at
+    monkeypatch.setattr(c.clog, "commit_at",
+                        lambda v, payload: (_ for _ in ()).throw(
                             RuntimeError("crash before commit")))
     with pytest.raises(RuntimeError, match="crash before commit"):
         c.convert_new()  # data for b1 written, commit never happened
-    monkeypatch.setattr(c.clog, "commit", real_commit)
+    monkeypatch.setattr(c.clog, "commit_at", real_commit_at)
 
     # the orphan batch is invisible to committed reads
     assert c.read_landing().count() == 25
