@@ -247,6 +247,28 @@ def _train_distributed(spark, freqs: DataFrame,
     return merges
 
 
+def encode_word_ranked(word: str,
+                       ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Rank-greedy BPE encode of one word: the lowest-rank mergeable
+    pair (leftmost on ties) merges first, repeated to fixpoint —
+    standard encode order, matching training. Equivalent to applying
+    the merges in training order with greedy left-to-right passes,
+    because a pair involving a symbol created by merge k can only
+    have been learned AFTER round k (rank > k) — the property the
+    b01_bpe SQL oracle's ordered-replace encode relies on
+    (tests/test_bpe.py::test_ordered_apply_equals_rank_greedy)."""
+    syms = list(word) + [END]
+    while len(syms) > 1:
+        pairs = [(ranks.get((syms[i], syms[i + 1]), None), i)
+                 for i in range(len(syms) - 1)]
+        ranked = [(r, i) for r, i in pairs if r is not None]
+        if not ranked:
+            break
+        r, i = min(ranked)
+        syms[i:i + 2] = [syms[i] + syms[i + 1]]
+    return syms
+
+
 def bpe_encode(df: DataFrame, merges: list[tuple[str, str]],
                text_col: str = "text",
                id_col: str = "doc_id") -> DataFrame:
@@ -262,16 +284,7 @@ def bpe_encode(df: DataFrame, merges: list[tuple[str, str]],
     ranks = {pair: i for i, pair in enumerate(merges)}
 
     def encode_word(word: str) -> list[str]:
-        syms = list(word) + [END]
-        while len(syms) > 1:
-            pairs = [(ranks.get((syms[i], syms[i + 1]), None), i)
-                     for i in range(len(syms) - 1)]
-            ranked = [(r, i) for r, i in pairs if r is not None]
-            if not ranked:
-                break
-            r, i = min(ranked)
-            syms[i:i + 2] = [syms[i] + syms[i + 1]]
-        return syms
+        return encode_word_ranked(word, ranks)
 
     def run(batches):
         for pdf in batches:

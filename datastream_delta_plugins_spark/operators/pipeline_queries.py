@@ -415,6 +415,125 @@ def r01_incremental_rollup(spark, sf_dir):
     return res
 
 
+#: merge rounds the BPE gate trains/verifies; small enough that the
+#: unrolled DuckDB oracle (one MATERIALIZED CTE trio per round) stays
+#: fast, large enough to exercise multi-level merges (symbols built
+#: from earlier merged symbols appear well before round 32 on the
+#: synthetic corpus)
+_BPE_K = 32
+
+
+def b01_bpe(spark, sf_dir):
+    """Distributed BPE train + encode, hard-gated as a tagged union:
+    'merge' rows carry the learned merge table (rank, a, b) and
+    'encode' rows the per-doc token sequence + count. The oracle
+    re-derives the merges with K unrolled pair-count/argmax/rewrite
+    rounds in SQL (symbols ride '|sym|'-wrapped strings so replace()
+    IS the greedy left-to-right non-overlapping merge, even for
+    consecutive occurrences like 'aaaa'), and re-encodes by applying
+    the merges in training order — equivalent to the engine's
+    rank-greedy encode because a pair created by merge k always has
+    rank > k (tested: test_bpe.test_ordered_apply_equals_rank_greedy).
+    Tokens are restricted to ^[a-z]+$ on both sides so the '|'
+    delimiter and SQL string literals are trivially safe."""
+    from . import bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    from ..functions.textfns import words_col
+    prep = docs.select(
+        "doc_id",
+        F.array_join(F.filter(words_col("text"),
+                              lambda w: w.rlike("^[a-z]+$")), " ")
+         .alias("text"))
+    merges = bpe.bpe_train(prep, _BPE_K)
+    enc = bpe.bpe_encode(prep, merges)
+    mdf = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "rank bigint, a string, b string")
+    union = (mdf.select(F.lit("merge").alias("tag"), "rank", "a", "b",
+                        F.lit(None).cast("bigint").alias("doc_id"),
+                        F.lit(None).cast("bigint").alias("n_tokens"),
+                        F.lit(None).cast("string").alias("toks"))
+             .unionByName(enc.select(
+                 F.lit("encode").alias("tag"),
+                 F.lit(None).cast("bigint").alias("rank"),
+                 F.lit(None).cast("string").alias("a"),
+                 F.lit(None).cast("string").alias("b"),
+                 F.col("doc_id").cast("bigint").alias("doc_id"),
+                 F.col("n_bpe_tokens").alias("n_tokens"),
+                 F.array_join("tokens", " ").alias("toks"))))
+    return _psort(union, "tag", "rank", "doc_id")
+
+
+def _bpe_oracle_sql(k: int) -> str:
+    """Machine-generated DuckDB oracle for b01_bpe: K unrolled merge
+    rounds (pair counts -> lexicographic-tiebreak argmax -> greedy
+    rewrite), then the same K merges applied in order to every doc.
+    MATERIALIZED CTEs are load-bearing: DuckDB inlines plain CTEs, and
+    each round references the previous twice — inlining would blow up
+    exponentially in K."""
+    from .bpe import END
+    rounds = []
+    for r in range(k):
+        rounds.append(f"""
+p{r} AS MATERIALIZED (
+  SELECT parts[i] AS a, parts[i+1] AS b, sum(freq) AS c
+  FROM (SELECT freq, string_split(trim(s, '|'), '||') AS parts
+        FROM w{r}),
+       LATERAL (SELECT unnest(range(1, len(parts))) AS i) t
+  GROUP BY 1, 2),
+b{r} AS MATERIALIZED (
+  SELECT a, b FROM p{r} ORDER BY c DESC, a, b LIMIT 1),
+w{r + 1} AS MATERIALIZED (
+  SELECT freq, CASE WHEN (SELECT count(*) FROM b{r}) = 0 THEN s
+    ELSE replace(s, '|' || (SELECT a FROM b{r}) || '||' ||
+                    (SELECT b FROM b{r}) || '|',
+                 '|' || (SELECT a FROM b{r}) ||
+                        (SELECT b FROM b{r}) || '|') END AS s
+  FROM w{r}),
+e{r + 1} AS MATERIALIZED (
+  SELECT doc_id, CASE WHEN (SELECT count(*) FROM b{r}) = 0 THEN s
+    ELSE replace(s, '|' || (SELECT a FROM b{r}) || '||' ||
+                    (SELECT b FROM b{r}) || '|',
+                 '|' || (SELECT a FROM b{r}) ||
+                        (SELECT b FROM b{r}) || '|') END AS s
+  FROM e{r})""")
+    merge_rows = " UNION ALL ".join(
+        f"SELECT {r} AS rank, a, b FROM b{r}" for r in range(k))
+    norm = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+    return f"""
+WITH dw AS MATERIALIZED (
+  SELECT doc_id, list_filter(string_split({norm}, ' '),
+                             w -> regexp_matches(w, '^[a-z]+$')) AS words
+  FROM documents),
+tok AS (SELECT unnest(words) AS word FROM dw),
+w0 AS MATERIALIZED (
+  SELECT count(*) AS freq,
+         '|' || list_aggregate(string_split(word, ''), 'string_agg', '||')
+             || '||{END}|' AS s
+  FROM tok GROUP BY word),
+e0 AS MATERIALIZED (
+  SELECT doc_id, CASE WHEN len(words) = 0 THEN ''
+    ELSE list_aggregate(list_transform(words, w ->
+           '|' || list_aggregate(string_split(w, ''), 'string_agg', '||')
+               || '||{END}|'), 'string_agg', '') END AS s
+  FROM dw),
+{','.join(rounds)},
+merges AS ({merge_rows})
+SELECT 'merge' AS tag, CAST(rank AS BIGINT) AS rank, a, b,
+       CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS n_tokens,
+       CAST(NULL AS VARCHAR) AS toks
+FROM merges
+UNION ALL
+SELECT 'encode', NULL, NULL, NULL, doc_id,
+       CAST(CASE WHEN s = '' THEN 0
+                 ELSE len(string_split(trim(s, '|'), '||')) END AS BIGINT),
+       CASE WHEN s = '' THEN ''
+            ELSE replace(trim(s, '|'), '||', ' ') END
+FROM e{k}
+ORDER BY tag, rank, doc_id"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d01_dedup_exact": d01_dedup_exact,
     "d02_ngram_jaccard": d02_ngram_jaccard,
@@ -428,6 +547,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s02_ivf_topk": s02_ivf_topk,
     "t01_text_stats": t01_text_stats,
     "t02_lang_id": t02_lang_id,
+    "b01_bpe": b01_bpe,
     "m02_multimodal_decode": m02_multimodal_decode,
     "r01_incremental_rollup": r01_incremental_rollup,
 }
@@ -443,6 +563,7 @@ _LANG_CASE = ("CASE " + " ".join(
     + " END")
 
 ORACLE_SQL: dict[str, str] = {
+    "b01_bpe": _bpe_oracle_sql(_BPE_K),
     "d01_dedup_exact": f"""
         SELECT min(doc_id) AS doc_id, count(*) AS dup_count
         FROM (SELECT doc_id, md5({_NORM}) AS h FROM documents)

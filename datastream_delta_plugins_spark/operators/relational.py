@@ -321,32 +321,39 @@ def q17_set_ops(spark, sf_dir):
     return _psort(union_cnt.union(inter).union(exc), "op", "k")
 
 
-# --- Q20 string functions (T2 coercions, T6 concat_ws) ---
+# --- Q20 scalar functions (T2 coercions, T6 concat_ws, P7 date math) ---
+# tagged union of the former q20_string_fns + q21_date_fns: one driver
+# slot gates both scalar-function families (the d02/q32 consolidation
+# pattern), freeing a slot for the BPE hard gate (b01_bpe). Every
+# former output value still rides a gated column: 'str' rows carry
+# upper/substr/length/concat_ws over part, 'date' rows carry
+# year/month/date_add/datediff over orders.
 
-def q20_string_fns(spark, sf_dir):
+def q20_scalar_fns(spark, sf_dir):
     p = _t(spark, sf_dir, "part")
-    return (p.select("p_partkey",
-                     F.upper("p_name").alias("u"),
-                     F.substring("p_name", 1, 5).alias("s"),
-                     F.length("p_name").cast("bigint").alias("len"),
-                     F.concat_ws("_", "p_brand", "p_type").alias("cw"))
-             .orderBy("p_partkey")
-             .limit(100))
-
-
-# --- Q21 date functions (P7 window math) ---
-
-def q21_date_fns(spark, sf_dir):
+    s = (p.select(F.lit("str").alias("tag"),
+                  F.col("p_partkey").cast("bigint").alias("key"),
+                  F.upper("p_name").alias("s1"),
+                  F.concat_ws("|", F.substring("p_name", 1, 5),
+                              F.concat_ws("_", "p_brand", "p_type"))
+                   .alias("s2"),
+                  F.length("p_name").cast("bigint").alias("n1"),
+                  F.lit(None).cast("bigint").alias("n2"),
+                  F.lit(None).cast("bigint").alias("n3"))
+          .orderBy("key").limit(100))
     o = _t(spark, sf_dir, "orders")
     od = F.col("o_orderdate").cast("date")
-    return (o.select("o_orderkey",
-                     F.year("o_orderdate").cast("bigint").alias("y"),
-                     F.month("o_orderdate").cast("bigint").alias("m"),
-                     F.date_add(od, 90).alias("d90"),
-                     F.datediff(F.lit(datetime.date(1998, 12, 1)), od)
-                      .cast("bigint").alias("dd"))
-             .orderBy("o_orderkey")
-             .limit(100))
+    d = (o.select(F.lit("date").alias("tag"),
+                  F.col("o_orderkey").cast("bigint").alias("key"),
+                  F.date_format(F.date_add(od, 90), "yyyy-MM-dd")
+                   .alias("s1"),
+                  F.lit(None).cast("string").alias("s2"),
+                  F.year("o_orderdate").cast("bigint").alias("n1"),
+                  F.month("o_orderdate").cast("bigint").alias("n2"),
+                  F.datediff(F.lit(datetime.date(1998, 12, 1)), od)
+                   .cast("bigint").alias("n3"))
+          .orderBy("key").limit(100))
+    return _psort(s.unionByName(d), "tag", "key")
 
 
 # --- Q22 math/decimal expressions (§1.3 NUMBER rules applied in DECIMAL) ---
@@ -552,8 +559,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q15_running_sum": q15_running_sum,
     "q16_topk": q16_topk,
     "q17_set_ops": q17_set_ops,
-    "q20_string_fns": q20_string_fns,
-    "q21_date_fns": q21_date_fns,
+    "q20_scalar_fns": q20_scalar_fns,
     "q22_math_decimal": q22_math_decimal,
     "q23_case": q23_case,
     "q24_correlated_subquery": q24_correlated_subquery,
@@ -658,19 +664,24 @@ ORACLE_SQL: dict[str, str] = {
           SELECT n_nationkey AS k FROM nation
           EXCEPT SELECT DISTINCT c_nationkey FROM customer)
         ORDER BY op, k""",
-    "q20_string_fns": """
-        SELECT p_partkey, upper(p_name) AS u, substr(p_name, 1, 5) AS s,
-               CAST(length(p_name) AS BIGINT) AS len,
-               concat_ws('_', p_brand, p_type) AS cw
-        FROM part ORDER BY p_partkey LIMIT 100""",
-    "q21_date_fns": """
-        SELECT o_orderkey,
-               CAST(year(o_orderdate) AS BIGINT) AS y,
-               CAST(month(o_orderdate) AS BIGINT) AS m,
-               CAST(o_orderdate AS DATE) + 90 AS d90,
-               CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '1998-12-01')
-                    AS BIGINT) AS dd
-        FROM orders ORDER BY o_orderkey LIMIT 100""",
+    "q20_scalar_fns": """
+        SELECT 'str' AS tag, CAST(p_partkey AS BIGINT) AS key,
+               upper(p_name) AS s1,
+               substr(p_name, 1, 5) || '|' ||
+                 concat_ws('_', p_brand, p_type) AS s2,
+               CAST(length(p_name) AS BIGINT) AS n1,
+               CAST(NULL AS BIGINT) AS n2, CAST(NULL AS BIGINT) AS n3
+        FROM (SELECT * FROM part ORDER BY p_partkey LIMIT 100)
+        UNION ALL
+        SELECT 'date', CAST(o_orderkey AS BIGINT),
+               strftime(CAST(o_orderdate AS DATE) + 90, '%Y-%m-%d'),
+               CAST(NULL AS VARCHAR),
+               CAST(year(o_orderdate) AS BIGINT),
+               CAST(month(o_orderdate) AS BIGINT),
+               CAST(datediff('day', CAST(o_orderdate AS DATE),
+                             DATE '1998-12-01') AS BIGINT)
+        FROM (SELECT * FROM orders ORDER BY o_orderkey LIMIT 100)
+        ORDER BY tag, key""",
     "q22_math_decimal": """
         SELECT l_orderkey,
                CAST(round(CAST(l_extendedprice AS DECIMAL(18,4))

@@ -94,8 +94,9 @@ class AvroLandingConverter:
                  path_layout: str = "flat",
                  conversion: str = "direct",
                  source_store=None, data_store=None,
-                 occ_retries: int = 5):
-        from ..streaming.commitlog import (PosixStore, make_commit_log,
+                 occ_retries: int = 5, client=None):
+        from ..streaming.commitlog import (ObjectStoreLog, PosixStore,
+                                           make_commit_log,
                                            sidecar_store_for)
         if path_layout not in ("flat", "datestream"):
             raise ValueError(f"unknown path_layout {path_layout!r}")
@@ -118,8 +119,15 @@ class AvroLandingConverter:
         self.conversion = conversion
         self.occ_retries = occ_retries
         self.seg_dir = os.path.join(landing_dir, LOG_SUBDIR, SEG_SUBDIR)
-        self.clog = make_commit_log(landing_dir, commit_impl,
-                                    subdir=LOG_SUBDIR)
+        if client is not None:
+            # config-only bucket deployment: a real ObjectStoreClient
+            # (e.g. objectstores.GcsClient/S3Client) carries the whole
+            # sidecar plane; commit_impl is ignored
+            self.clog = ObjectStoreLog(landing_dir, subdir=LOG_SUBDIR,
+                                       client=client)
+        else:
+            self.clog = make_commit_log(landing_dir, commit_impl,
+                                        subdir=LOG_SUBDIR)
         # every sidecar request rides the client interface so the
         # whole landing protocol (segments, listings, vacuum) can run
         # against real object-store request semantics; bytes Spark /

@@ -73,7 +73,7 @@ class BucketedStateTable:
                  n_buckets: int = 16,
                  commit_impl: str = "pointer",
                  keep_versions: int | None = 1,
-                 data_store=None, occ_retries: int = 5):
+                 data_store=None, occ_retries: int = 5, client=None):
         self.spark = spark
         self.path = path
         self.pk_cols = list(pk_cols)
@@ -84,10 +84,15 @@ class BucketedStateTable:
         # "user-scheduled vacuum, unbounded horizon" so pruning is off
         # entirely; otherwise retain max(8, keep+1) so every version a
         # reader may diff against still has its manifest json
-        self.clog = make_commit_log(
-            path, commit_impl, subdir="manifest",
-            keep=None if keep_versions is None
-            else max(8, keep_versions + 1))
+        keep = None if keep_versions is None else max(8, keep_versions + 1)
+        if client is not None:
+            # config-only bucket deployment (objectstores.GcsClient /
+            # S3Client); commit_impl is ignored
+            self.clog = ObjectStoreLog(path, subdir="manifest",
+                                       keep=keep, client=client)
+        else:
+            self.clog = make_commit_log(path, commit_impl,
+                                        subdir="manifest", keep=keep)
         # data-plane maintenance (seed/merge dir discovery, vacuum)
         # rides the client interface; Spark reads/writes the parquet
         # bytes through its own connectors as in any deployment

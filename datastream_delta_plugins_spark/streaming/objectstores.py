@@ -1,0 +1,305 @@
+"""Production GCS / S3 bindings of the ``ObjectStoreClient`` contract.
+
+The engine's whole manifest/sidecar stack (commit logs, landing
+segments, vacuum, source-blob listing — streaming/commitlog.py) runs
+against the four-request client contract; these adapters make a real
+bucket deployment config-only. Each adapter is split in two layers:
+
+``*_request(...)`` (pure)
+    builds the exact HTTP request (method, url, params, headers) the
+    operation needs and interprets the response status — the part
+    that encodes the STORE SEMANTICS the seam relies on:
+
+    - GCS conditional create: ``ifGenerationMatch=0`` upload, 412 on
+      conflict (docs: generation preconditions). Listing prune:
+      ``startOffset``.
+    - S3 conditional create: ``If-None-Match: *`` PUT, 412 on
+      conflict. Listing prune: ``start-after`` (ListObjectsV2).
+
+``transport``
+    a callable ``(method, url, params, headers, data) ->
+    (status, headers, body)``. The default (``urllib_transport``)
+    speaks plain HTTPS with a caller-supplied auth-header provider —
+    no SDK import required; deployments with the vendor SDK installed
+    can pass an SDK-backed transport instead. Tests replay the full
+    client contract against an in-memory transport that implements
+    the documented REST semantics (tests/test_objectstore_bindings.py),
+    so the request layer is proven without network or SDK.
+
+Reference analog: every blob and offset the reference touches lives
+in GCS and is manipulated through exactly these request shapes
+(DatastreamEventReader.java:444-479 blob reads,
+Utils.java:548-899 control-plane writes).
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Callable
+from urllib.parse import quote
+
+from .commitlog import ObjectStoreClient
+
+#: (method, url, params, headers, data) -> (status, headers, body)
+Transport = Callable[..., tuple[int, dict, bytes]]
+
+
+def urllib_transport(auth_headers: Callable[[], dict] | None = None
+                     ) -> Transport:
+    """SDK-free HTTPS transport. ``auth_headers`` supplies
+    authentication per request (e.g. a metadata-server token fetcher
+    on GCE, or a static ``{"Authorization": "Bearer ..."}``)."""
+    def run(method, url, params=None, headers=None, data=None):
+        import urllib.error
+        import urllib.parse
+        import urllib.request
+        if params:
+            url = url + "?" + urllib.parse.urlencode(params)
+        h = dict(headers or {})
+        if auth_headers:
+            h.update(auth_headers())
+        req = urllib.request.Request(url, data=data, headers=h,
+                                     method=method)
+        try:
+            with urllib.request.urlopen(req) as resp:
+                return resp.status, dict(resp.headers), resp.read()
+        except urllib.error.HTTPError as e:
+            return e.code, dict(e.headers), e.read()
+    return run
+
+
+class _RestClient(ObjectStoreClient):
+    """Shared shape: request-building methods return
+    (method, url, params, headers, data); ``_call`` sends them."""
+
+    def __init__(self, transport: Transport):
+        self.transport = transport
+
+    def _call(self, req):
+        method, url, params, headers, data = req
+        return self.transport(method, url, params=params,
+                              headers=headers, data=data)
+
+
+class GcsClient(_RestClient):
+    """GCS JSON-API binding. Keys are object names within ``bucket``.
+
+    Semantics mapping (all documented GCS behavior):
+    - ``put_if_absent``: media upload with ``ifGenerationMatch=0`` —
+      atomic create-if-absent; 412 means another writer's object
+      exists (the conditional-PUT commit primitive).
+    - ``get``/``head``: strongly consistent reads (GCS is
+      read-after-write consistent for objects).
+    - ``list_keys``: ``startOffset`` prunes lexicographically (the
+      reference's DatastreamEventReader.java:543-556 trick); paged
+      via ``nextPageToken``. Listings are strongly consistent on GCS,
+      which SATISFIES the contract (lag is permitted, not required).
+    """
+
+    def __init__(self, bucket: str, transport: Transport):
+        super().__init__(transport)
+        self.bucket = bucket
+        self._base = "https://storage.googleapis.com"
+
+    # -- request builders (pure; unit-tested without network) --
+
+    def put_request(self, key: str, data: bytes, *,
+                    if_absent: bool = False):
+        params = {"uploadType": "media", "name": key}
+        if if_absent:
+            params["ifGenerationMatch"] = "0"
+        return ("POST",
+                f"{self._base}/upload/storage/v1/b/{self.bucket}/o",
+                params, {"Content-Type": "application/octet-stream"},
+                data)
+
+    def get_request(self, key: str, *, media: bool = True):
+        url = (f"{self._base}/storage/v1/b/{self.bucket}/o/"
+               f"{quote(key, safe='')}")
+        return ("GET", url, {"alt": "media"} if media else {}, {}, None)
+
+    def list_request(self, prefix: str, start_after: str | None,
+                     page_token: str | None):
+        params = {"prefix": prefix, "fields": "items/name,nextPageToken"}
+        if start_after is not None:
+            # startOffset is INCLUSIVE; the contract's start_after is
+            # exclusive, but it is a lower-bound hint — the caller
+            # re-filters, and commit-log listings never pass one
+            params["startOffset"] = start_after
+        if page_token:
+            params["pageToken"] = page_token
+        return ("GET", f"{self._base}/storage/v1/b/{self.bucket}/o",
+                params, {}, None)
+
+    def delete_request(self, key: str):
+        return ("DELETE",
+                f"{self._base}/storage/v1/b/{self.bucket}/o/"
+                f"{quote(key, safe='')}",
+                {}, {}, None)
+
+    # -- the client contract --
+
+    def put_if_absent(self, key: str, data: bytes) -> bool:
+        status, _, _ = self._call(self.put_request(key, data,
+                                                   if_absent=True))
+        if status == 412:
+            return False
+        if status // 100 != 2:
+            raise OSError(f"GCS put {key}: HTTP {status}")
+        return True
+
+    def put(self, key: str, data: bytes) -> None:
+        status, _, _ = self._call(self.put_request(key, data))
+        if status // 100 != 2:
+            raise OSError(f"GCS put {key}: HTTP {status}")
+
+    def get(self, key: str) -> bytes | None:
+        status, _, body = self._call(self.get_request(key))
+        if status == 404:
+            return None
+        if status // 100 != 2:
+            raise OSError(f"GCS get {key}: HTTP {status}")
+        return body
+
+    def head(self, key: str) -> bool:
+        status, _, _ = self._call(self.get_request(key, media=False))
+        if status == 404:
+            return False
+        if status // 100 != 2:
+            raise OSError(f"GCS head {key}: HTTP {status}")
+        return True
+
+    def list_keys(self, prefix: str,
+                  start_after: str | None = None) -> list[str]:
+        out, token = [], None
+        while True:
+            status, _, body = self._call(
+                self.list_request(prefix, start_after, token))
+            if status // 100 != 2:
+                raise OSError(f"GCS list {prefix}: HTTP {status}")
+            doc = json.loads(body or b"{}")
+            out.extend(i["name"] for i in doc.get("items", []))
+            token = doc.get("nextPageToken")
+            if not token:
+                break
+        if start_after is not None:  # startOffset is inclusive
+            out = [k for k in out if k > start_after]
+        return sorted(out)
+
+    def delete(self, key: str) -> None:
+        status, _, _ = self._call(self.delete_request(key))
+        if status not in (204, 404) and status // 100 != 2:
+            raise OSError(f"GCS delete {key}: HTTP {status}")
+
+
+class S3Client(_RestClient):
+    """S3 REST binding (virtual-hosted style URLs; the transport is
+    responsible for SigV4 signing — an SDK- or botocore-backed
+    transport signs, the stub transport in tests does not need to).
+
+    Semantics mapping (documented S3 behavior since the 2020
+    strong-consistency change + 2024 conditional writes):
+    - ``put_if_absent``: PUT with ``If-None-Match: *`` — atomic
+      create-if-absent; 412 on existing object.
+    - ``get``/``head``: strongly consistent.
+    - ``list_keys``: ListObjectsV2 ``start-after`` (exclusive — maps
+      1:1 to the contract), paged via continuation tokens.
+    """
+
+    def __init__(self, bucket: str, transport: Transport,
+                 region: str = "us-east-1"):
+        super().__init__(transport)
+        self.bucket = bucket
+        self._base = f"https://{bucket}.s3.{region}.amazonaws.com"
+
+    # -- request builders --
+
+    def put_request(self, key: str, data: bytes, *,
+                    if_absent: bool = False):
+        headers = {"Content-Type": "application/octet-stream"}
+        if if_absent:
+            headers["If-None-Match"] = "*"
+        return ("PUT", f"{self._base}/{quote(key)}", {}, headers, data)
+
+    def get_request(self, key: str, *, head: bool = False):
+        return ("HEAD" if head else "GET",
+                f"{self._base}/{quote(key)}", {}, {}, None)
+
+    def list_request(self, prefix: str, start_after: str | None,
+                     token: str | None):
+        params = {"list-type": "2", "prefix": prefix}
+        if start_after is not None:
+            params["start-after"] = start_after
+        if token:
+            params["continuation-token"] = token
+        return ("GET", f"{self._base}/", params, {}, None)
+
+    def delete_request(self, key: str):
+        return ("DELETE", f"{self._base}/{quote(key)}", {}, {}, None)
+
+    # -- the client contract --
+
+    def put_if_absent(self, key: str, data: bytes) -> bool:
+        status, _, _ = self._call(self.put_request(key, data,
+                                                   if_absent=True))
+        if status == 412:
+            return False
+        if status // 100 != 2:
+            raise OSError(f"S3 put {key}: HTTP {status}")
+        return True
+
+    def put(self, key: str, data: bytes) -> None:
+        status, _, _ = self._call(self.put_request(key, data))
+        if status // 100 != 2:
+            raise OSError(f"S3 put {key}: HTTP {status}")
+
+    def get(self, key: str) -> bytes | None:
+        status, _, body = self._call(self.get_request(key))
+        if status == 404:
+            return None
+        if status // 100 != 2:
+            raise OSError(f"S3 get {key}: HTTP {status}")
+        return body
+
+    def head(self, key: str) -> bool:
+        status, _, _ = self._call(self.get_request(key, head=True))
+        if status == 404:
+            return False
+        if status // 100 != 2:
+            raise OSError(f"S3 head {key}: HTTP {status}")
+        return True
+
+    def list_keys(self, prefix: str,
+                  start_after: str | None = None) -> list[str]:
+        out, token = [], None
+        while True:
+            status, _, body = self._call(
+                self.list_request(prefix, start_after, token))
+            if status // 100 != 2:
+                raise OSError(f"S3 list {prefix}: HTTP {status}")
+            keys, token = _parse_list_v2(body)
+            out.extend(keys)
+            if not token:
+                break
+        return sorted(out)
+
+    def delete(self, key: str) -> None:
+        status, _, _ = self._call(self.delete_request(key))
+        if status not in (204, 404) and status // 100 != 2:
+            raise OSError(f"S3 delete {key}: HTTP {status}")
+
+
+def _parse_list_v2(body: bytes) -> tuple[list[str], str | None]:
+    """Minimal ListObjectsV2 XML parse (stdlib only)."""
+    import xml.etree.ElementTree as ET
+    root = ET.fromstring(body.decode() if body else "<r/>")
+    ns = ""
+    if root.tag.startswith("{"):
+        ns = root.tag[:root.tag.index("}") + 1]
+    keys = [k.text or "" for k in root.iter(f"{ns}Key")]
+    token = None
+    for t in root.iter(f"{ns}NextContinuationToken"):
+        token = t.text
+    truncated = any((t.text or "").lower() == "true"
+                    for t in root.iter(f"{ns}IsTruncated"))
+    return keys, token if truncated else None

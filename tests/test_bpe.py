@@ -175,3 +175,47 @@ def test_bpe_encode_string_id_column(spark):
     merges = bpe.bpe_train(df, num_merges=3)
     enc = bpe.bpe_encode(df, merges).collect()[0]
     assert enc["doc_id"] == "docA" and enc["n_bpe_tokens"] > 0
+
+
+# ------------------- ordered-apply == rank-greedy (the oracle's lemma)
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(st.text(alphabet="abcde", min_size=1, max_size=7),
+                min_size=1, max_size=40),
+       st.integers(min_value=1, max_value=16))
+def test_ordered_apply_equals_rank_greedy(words, k):
+    """The b01_bpe SQL oracle encodes by applying the K merges in
+    TRAINING order (each a greedy left-to-right non-overlapping pass);
+    the engine encodes rank-greedy (lowest-rank pair first). These are
+    equivalent because any pair involving a symbol created by merge k
+    has rank > k — verified here over random corpora, including runs
+    ('aaaa') where overlapping-merge bookkeeping bites."""
+    from collections import Counter
+
+    from datastream_delta_plugins_spark.operators.bpe import (
+        END, _train_local, encode_word_ranked)
+
+    merges = _train_local(sorted(Counter(words).items()), k)
+    ranks = {p: i for i, p in enumerate(merges)}
+
+    def ordered_apply(word):
+        syms = list(word) + [END]
+        for a, b in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    for w in set(words) | {"aaaa", "abab", "edcba"}:
+        assert ordered_apply(w) == encode_word_ranked(w, ranks), (
+            w, merges)
