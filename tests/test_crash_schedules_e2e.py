@@ -1,0 +1,147 @@
+"""Randomized crash-schedule e2e across the replication composition:
+Avro blobs -> landing converter -> bucketed CDC state, all sidecars on
+one lagging mock bucket, with commit-point crashes injected before AND
+after the conditional PUT at random steps. The invariant trio holds at
+every readable moment and at convergence:
+
+  - no loss: every written blob's rows are eventually in the landing
+    and the merged state;
+  - no duplicates: landing uuids stay distinct through crashed
+    retries, compactions, and vacuum;
+  - reads never torn: read_landing()/read() always serve a complete
+    committed prefix (counts are a multiple of the blob size, state
+    reads parse), regardless of where the last crash landed.
+
+The commit-log layer has its own schedule property
+(test_commitlog.test_crash_schedule_never_loses_or_tears_commits);
+this drives the PIPELINE-level retry/idempotency contracts
+(convert_new orphan retry, OCC re-plan, replay-idempotent CDC merge)
+through the same storm. The rollup sink's crash matrix lives in
+test_sinks.py.
+"""
+
+import random
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from datastream_delta_plugins_spark.operators import cdc
+from datastream_delta_plugins_spark.sources.avro_landing import (
+    AvroLandingConverter)
+from datastream_delta_plugins_spark.sources.avro_ocf import (
+    read_avro_changes)
+from datastream_delta_plugins_spark.streaming.bucketed_state import (
+    BucketedStateTable)
+from datastream_delta_plugins_spark.streaming.commitlog import (
+    InMemoryObjectStore)
+
+ROWS_PER_BLOB = 5
+
+
+def _inject_crash(log, rng):
+    """Make the NEXT commit_at crash: before the PUT (nothing lands)
+    or after it (committed, caller sees failure). Returns a restore
+    function."""
+    real = log.commit_at
+    after = rng.random() < 0.5
+
+    def crashing(v, payload):
+        if after:
+            real(v, payload)
+        raise OSError("injected crash "
+                      + ("after" if after else "before") + " commit")
+
+    log.commit_at = crashing
+    return lambda: setattr(log, "commit_at", real)
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from datastream_delta_plugins_spark.session import get_spark
+    return get_spark("crash-e2e", cpus=8)
+
+
+@settings(max_examples=4, deadline=None)
+@given(seed=st.integers(min_value=0, max_value=2**32 - 1),
+       lag=st.integers(min_value=0, max_value=2))
+def test_randomized_crash_schedule_full_composition(
+        spark, tmp_path_factory, seed, lag):
+    import sys
+    sys.path.insert(0, "tests")
+    from test_avro_landing import _events, _write_avro
+
+    rng = random.Random(seed)
+    tmp = tmp_path_factory.mktemp(f"storm{seed % 10_000}")
+    src = tmp / "avro"
+    src.mkdir()
+    bucket = InMemoryObjectStore(listing_lag=lag)
+    conv = AvroLandingConverter(spark, str(src), str(tmp / "landing"),
+                                client=bucket)
+    table = BucketedStateTable(spark, str(tmp / "state"),
+                               ["EMPLOYEE_ID"], n_buckets=4,
+                               client=bucket)
+
+    n_blobs = 0
+
+    def write_blob():
+        nonlocal n_blobs
+        lo = n_blobs * ROWS_PER_BLOB
+        _write_avro(src, f"k1_oracle-cdc-logminer_{n_blobs}.avro",
+                    _events(lo, lo + ROWS_PER_BLOB))
+        n_blobs += 1
+
+    write_blob()
+    ops = ["blob", "convert", "convert", "merge", "compact", "vacuum"]
+    schedule = [rng.choice(ops) for _ in range(rng.randint(5, 9))]
+    for op in schedule:
+        crashed = rng.random() < 0.4
+        restore = None
+        try:
+            if op == "blob":
+                write_blob()
+            elif op == "convert":
+                if crashed:
+                    restore = _inject_crash(conv.clog, rng)
+                conv.convert_new()
+            elif op == "merge":
+                landed = conv.read_landing()
+                if landed is not None:
+                    if crashed:
+                        restore = _inject_crash(table.clog, rng)
+                    table.merge(landed)  # full replay: idempotent
+            elif op == "compact":
+                if crashed:
+                    restore = _inject_crash(conv.clog, rng)
+                conv.compact(min_batches=2)
+            elif op == "vacuum":
+                conv.vacuum()
+                table.vacuum()
+        except OSError as e:
+            assert "injected crash" in str(e)
+        finally:
+            if restore:
+                restore()
+        # reads are never torn: a complete committed prefix only
+        landed = conv.read_landing()
+        n = 0 if landed is None else landed.count()
+        assert n % ROWS_PER_BLOB == 0
+        assert n == ROWS_PER_BLOB * len(conv.converted_files())
+        if n:
+            assert landed.select("uuid").distinct().count() == n
+
+    # convergence: plain retries finish whatever the storm left undone
+    conv.convert_new()
+    conv.convert_new()  # lag<=2: second scan sees everything listed
+    assert len(conv.converted_files()) == n_blobs
+    table.merge(conv.read_landing())
+    conv.vacuum()
+    table.vacuum()
+
+    reference = cdc.materialize(read_avro_changes(spark, str(src)),
+                                ["EMPLOYEE_ID"])
+    cols = sorted(c for c in reference.columns)
+    got = {tuple(r) for r in table.read().select(*cols).collect()}
+    want = {tuple(r) for r in reference.select(*cols).collect()}
+    assert got == want
+    assert conv.read_landing().count() == n_blobs * ROWS_PER_BLOB
