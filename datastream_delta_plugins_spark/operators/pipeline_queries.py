@@ -442,7 +442,7 @@ def b01_bpe(spark, sf_dir):
     from ..functions.textfns import words_col
     prep = docs.select(
         "doc_id",
-        F.array_join(F.filter(words_col("text"),
+        F.array_join(F.filter(words_col(F.coalesce("text", F.lit(""))),
                               lambda w: w.rlike("^[a-z]+$")), " ")
          .alias("text"))
     merges = bpe.bpe_train(prep, _BPE_K)
@@ -500,7 +500,8 @@ e{r + 1} AS MATERIALIZED (
   FROM e{r})""")
     merge_rows = " UNION ALL ".join(
         f"SELECT {r} AS rank, a, b FROM b{r}" for r in range(k))
-    norm = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+    norm = ("lower(trim(regexp_replace(coalesce(text, ''), "
+            "'\\s+', ' ', 'g')))")
     return f"""
 WITH dw AS MATERIALIZED (
   SELECT doc_id, list_filter(string_split({norm}, ' '),
