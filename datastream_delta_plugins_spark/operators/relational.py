@@ -667,8 +667,11 @@ ORACLE_SQL: dict[str, str] = {
     "q20_scalar_fns": """
         SELECT 'str' AS tag, CAST(p_partkey AS BIGINT) AS key,
                upper(p_name) AS s1,
-               substr(p_name, 1, 5) || '|' ||
-                 concat_ws('_', p_brand, p_type) AS s2,
+               -- concat_ws (not ||): Spark's concat_ws SKIPS a NULL
+               -- operand while || propagates it — a NULL p_name must
+               -- not hash-diverge the gate on a semantics artifact
+               concat_ws('|', substr(p_name, 1, 5),
+                         concat_ws('_', p_brand, p_type)) AS s2,
                CAST(length(p_name) AS BIGINT) AS n1,
                CAST(NULL AS BIGINT) AS n2, CAST(NULL AS BIGINT) AS n3
         FROM (SELECT * FROM part ORDER BY p_partkey LIMIT 100)

@@ -178,7 +178,19 @@ def update_rollup(spark: SparkSession, source_path: str, rollup_path: str,
 def _update_rollup_attempt(spark, source_path, rollup_path, group_cols,
                            aggs, commit_impl) -> dict:
     sigs = _signatures(spark, source_path, commit_impl)
-    seen = _load_manifest(rollup_path, commit_impl)
+    # ONE read of the rollup log: the manifest the plan diffs against
+    # and the version the commit lands at come from the same snapshot,
+    # so a concurrent rollup writer conflicts (occ_retry re-plans)
+    # instead of this attempt landing later over its manifest
+    log = _log_with_legacy(rollup_path, commit_impl, ROLLUP_LOG,
+                           _LEGACY_ROLLUP)
+    rc = log.read_committed()
+    if rc is None:
+        seen = _legacy_doc(rollup_path, _LEGACY_ROLLUP) or {}
+        planned = 0
+    else:
+        seen = rc[1]["doc"]
+        planned = rc[0] + 1
     changed = [d for d, s in sigs.items() if seen.get(d) != s]
     removed = [d for d in seen if d not in sigs]
     if not changed and not removed:
@@ -211,7 +223,7 @@ def _update_rollup_attempt(spark, source_path, rollup_path, group_cols,
     # reads, never wrong ones. Vanished source partitions are handled
     # by the same mechanism: dynamic overwrite cannot delete their
     # files, but dropping them from the manifest drops them from reads.
-    _store_manifest(rollup_path, sigs, commit_impl)
+    log.commit_at(planned, {"doc": sigs})
     return {"changed": len(changed), "removed": len(removed),
             "total": len(sigs)}
 

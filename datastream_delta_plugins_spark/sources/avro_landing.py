@@ -209,8 +209,17 @@ class AvroLandingConverter:
         yyyy/mm/dd paths order lexicographically) — the reference's
         startOffset trick (DatastreamEventReader.java:543-556) — so a
         30-day bucket with months of expired blobs never lists them.
-        The POSIX binding prunes date-shaped subtrees conservatively
-        and walks anything else, matching the pre-seam walk."""
+
+        CONTRACT: ``datestream`` declares the source tree IS
+        date-pathed (the Datastream layout). On exact-filter bindings
+        (GCS/S3/mock) any key sorting lexicographically below the
+        horizon string is never listed — exactly the reference's
+        startOffset semantics, which treats sub-horizon keys as
+        expired regardless of why they sort there. The POSIX binding
+        is a conservative superset: it prunes only provably-expired
+        date-shaped subtrees and walks non-date names (they would be
+        skipped on a bucket). Blobs under non-date paths need
+        ``path_layout='flat'``."""
         prefix = self.avro_dir.rstrip("/") + "/"
         start = None
         if self.path_layout == "datestream" \
@@ -244,11 +253,15 @@ class AvroLandingConverter:
         if not new:
             return {"converted": 0, "batch_dir": None}
         batch = ver + 1
-        if ctx.get("files") == new:
+        if ctx.get("files") == new and ctx.get("stamp", -1) >= ver:
             # a previous attempt already decoded exactly this file set
             # into a still-orphaned dir — reference it instead of
-            # decoding twice (dir names are attempt-unique, so it
-            # cannot have been clobbered)
+            # decoding twice. Safe ONLY while the dir's version stamp
+            # is >= the version we just read: vacuum deletes orphans
+            # stamped strictly BELOW current, so a reusable dir is by
+            # construction inside vacuum's spared window (a dir whose
+            # stamp fell behind after repeated lost races is decoded
+            # fresh rather than raced against the collector)
             bdir, schema = ctx["bdir"], ctx["schema"]
         else:
             # attempt-unique name (version + nonce): data first,
@@ -272,7 +285,7 @@ class AvroLandingConverter:
                                        decoder=self.decoder)
                 df.write.mode("overwrite").parquet(out)
                 schema = df.schema
-            ctx.update(files=new, bdir=bdir, schema=schema)
+            ctx.update(files=new, bdir=bdir, schema=schema, stamp=batch)
         now = time.time()
         segments = self._updated_segments(committed, new, now,
                                           set(listed), batch)
@@ -447,11 +460,14 @@ class AvroLandingConverter:
         for k in self.data_store.list_keys(dprefix):
             d = k[len(dprefix):].split("/", 1)[0]
             m = _BDIR.match(d)
-            # version guard: an unreferenced dir stamped ABOVE the
-            # current version may be a concurrent writer's in-flight
-            # attempt — spare it (it becomes vacuumable once any
-            # commit advances past its version)
-            if m and d not in live and int(m.group(1)) <= cur:
+            # version guard: an unreferenced dir stamped AT or above
+            # the current version may belong to a live writer — a
+            # concurrent first attempt (stamp cur+1) or an OCC retry
+            # reusing its decode (stamp == cur; convert_new's reuse
+            # condition mirrors this bound). Only strictly-older
+            # orphans are collectable; they become so as soon as any
+            # commit advances past their stamp.
+            if m and d not in live and int(m.group(1)) < cur:
                 self.data_store.delete(k)
                 if d not in dead_dirs:
                     dead_dirs.append(d)
@@ -461,7 +477,7 @@ class AvroLandingConverter:
         for k in sorted(self.store.list_keys(sprefix)):
             s = k[len(sprefix):]
             m = _SEGV.search(s)
-            if s not in live_segs and m and int(m.group(1)) <= cur:
+            if s not in live_segs and m and int(m.group(1)) < cur:
                 self.store.delete(k)
                 self._seg_cache.pop(s, None)
                 removed.append(os.path.join(SEG_SUBDIR, s))

@@ -21,7 +21,6 @@ reference gets by marking after the offset commit.
 from __future__ import annotations
 
 import datetime
-import os
 
 from ..streaming.state import StateDoc
 
@@ -37,10 +36,12 @@ class ProcessedFileTtl:
         self.ttl = datetime.timedelta(days=ttl_days)
         # the purge deletes SOURCE blobs through the client interface
         # (reference analog: GCS lifecycle/batched deletes) — a bucket
-        # deployment passes its ObjectStoreClient
+        # deployment passes its ObjectStoreClient. The source tree
+        # belongs to the PRODUCER, so the local binding must never
+        # remove its directories, only the expired blobs.
         if blob_store is None:
             from ..streaming.commitlog import PosixStore
-            blob_store = PosixStore()
+            blob_store = PosixStore(rmdir_empty_parent=False)
         self.blob_store = blob_store
 
     def mark_processed(self, files: list[str],

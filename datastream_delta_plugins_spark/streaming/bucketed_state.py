@@ -207,9 +207,15 @@ class BucketedStateTable:
                 f"a one-time bulk load")
         vdir = os.path.join("data", self._vdir_name(0))
         out = os.path.join(self.path, vdir)
-        (state_df.withColumn(_BUCKET, self._bucket_of())
-         .write.mode("overwrite").partitionBy(_BUCKET).parquet(out))
-        buckets = self._written_buckets(vdir)
+        df = state_df.withColumn(_BUCKET, self._bucket_of())
+        df.write.mode("overwrite").partitionBy(_BUCKET).parquet(out)
+        # the bucket set comes from the DATA (bounded collect, <=
+        # n_buckets ints), never from listing the just-written keys: a
+        # lagging listing would silently drop fresh partitions from
+        # the manifest — permanent row loss with no error
+        seeded = sorted(r[0] for r in
+                        df.select(_BUCKET).distinct().collect())
+        buckets = self._bucket_dirs(vdir, seeded)
         # at_version=0: a concurrent seed is a loud conflict, not a
         # silent double-load (seed is one-time by contract)
         v = self._commit(buckets, at_version=0)
@@ -223,14 +229,15 @@ class BucketedStateTable:
         # vacuumable orphan (the Delta/Iceberg unique-file-name rule)
         return f"v{v}-{uuid.uuid4().hex[:8]}"
 
-    def _written_buckets(self, vdir_rel: str) -> dict[str, str]:
-        """{bucket id -> rel dir} for the bucket partitions a write
-        just produced under ``vdir_rel``, via the client interface."""
-        out = os.path.join(self.path, vdir_rel).rstrip("/") + "/"
-        segs = {k[len(out):].split("/", 1)[0]
-                for k in self.data_store.list_keys(out)}
-        return {seg.split("=", 1)[1]: os.path.join(vdir_rel, seg)
-                for seg in segs if seg.startswith(f"{_BUCKET}=")}
+    @staticmethod
+    def _bucket_dirs(vdir_rel: str, buckets) -> dict[str, str]:
+        """{bucket id -> rel dir} for the KNOWN bucket set a write just
+        produced under ``vdir_rel`` (Spark's partitionBy layout is
+        deterministic: one ``_state_bucket=<id>`` dir per non-empty
+        bucket, and every bucket in the set has rows by construction —
+        tombstones are rows)."""
+        return {str(b): os.path.join(vdir_rel, f"{_BUCKET}={int(b)}")
+                for b in buckets}
 
     # -- the merge --
 
@@ -295,7 +302,11 @@ class BucketedStateTable:
         (merged.repartition(_BUCKET)
                .write.mode("overwrite").partitionBy(_BUCKET)
                .parquet(os.path.join(self.path, vdir)))
-        written = self._written_buckets(vdir)
+        # every touched bucket has >= 1 merged row (the batch rows that
+        # made it touched; deletes persist as tombstones), so the
+        # written partition set IS `touched` — no listing of the fresh
+        # keys, which the client contract allows to lag
+        written = self._bucket_dirs(vdir, touched)
         new_manifest = dict(manifest)
         new_manifest.update(written)
         v = self._commit(new_manifest, at_version=v_next)
@@ -385,14 +396,20 @@ class BucketedStateTable:
         removed: list[str] = []
         droot = os.path.join(self.path, "data").rstrip("/") + "/"
         seen: set[str] = set()
+        stragglers: list[str] = []  # version-root markers: deleted
+        # LAST so their single-level empty-dir cleanup removes the
+        # then-empty version dir itself
         for k in sorted(self.data_store.list_keys(droot)):
             parts = k[len(droot):].split("/")
             m = _VDIR.match(parts[0])
-            # version guard: a dir stamped ABOVE the current version
-            # may be a concurrent writer's in-flight attempt — spare
-            # it (vacuumable once a commit passes its version); spare
-            # unrecognized names entirely
-            if not m or int(m.group(1)) > cur:
+            # version guard: a dir stamped AT or above the current
+            # version may be a concurrent writer's in-flight attempt
+            # (first attempts stamp cur+1; an OCC loser's dir carries
+            # the version the winner just took). Only strictly-older
+            # orphans are collectable — they become so as soon as any
+            # commit advances past their stamp. Unrecognized names
+            # are spared entirely.
+            if not m or int(m.group(1)) >= cur:
                 continue
             vdir = parts[0]
             if len(parts) >= 2 and parts[1].startswith(f"{_BUCKET}="):
@@ -406,7 +423,9 @@ class BucketedStateTable:
                          for r in live):
                 # version-root stragglers (_SUCCESS markers) of a
                 # version no live manifest references
-                self.data_store.delete(k)
+                stragglers.append(k)
+        for k in stragglers:
+            self.data_store.delete(k)
         return removed
 
 

@@ -458,8 +458,12 @@ class PosixStore(ObjectStoreClient):
     - ``put`` / ``put_if_absent`` are atomic (tmp + ``os.replace`` /
       ``os.link``), parents auto-created (object stores have no
       directories, so callers never mkdir).
-    - ``delete`` removes the key and then any parent directories it
-      emptied (the local analog of keys simply ceasing to exist).
+    - ``delete`` removes the key and then its IMMEDIATE parent
+      directory if that became empty (the local analog of keys simply
+      ceasing to exist) — one level only, never an ascent that could
+      delete a watched root out from under its producer. Pass
+      ``rmdir_empty_parent=False`` for stores over directories the
+      engine does not own (e.g. the TTL purge of source blobs).
     - ``list_keys(prefix, start_after=...)`` walks the tree under the
       prefix. ``start_after`` prunes conservatively: a subtree is
       skipped only when its path components from the walk root are
@@ -468,6 +472,9 @@ class PosixStore(ObjectStoreClient):
       correctly; anything non-date-shaped is walked and returned, per
       the contract's lower-bound-hint semantics).
     """
+
+    def __init__(self, rmdir_empty_parent: bool = True):
+        self.rmdir_empty_parent = rmdir_empty_parent
 
     def put_if_absent(self, key: str, data: bytes) -> bool:
         os.makedirs(os.path.dirname(key), exist_ok=True)
@@ -510,10 +517,11 @@ class PosixStore(ObjectStoreClient):
             os.remove(key)
         except FileNotFoundError:
             return
-        try:
-            os.removedirs(os.path.dirname(key))  # stops at non-empty
-        except OSError:
-            pass
+        if self.rmdir_empty_parent:
+            try:
+                os.rmdir(os.path.dirname(key))  # one level, no ascent
+            except OSError:
+                pass
 
     def list_keys(self, prefix: str,
                   start_after: str | None = None) -> list[str]:

@@ -102,10 +102,16 @@ def test_crash_between_data_and_commit_does_not_duplicate(spark, conv,
     assert res["batch_dir"].startswith("b1-")
     assert c.read_landing().count() == 50
     assert c.read_landing().select("uuid").distinct().count() == 50
-    # vacuum retires the crashed attempt's orphan dir
+    # the orphan's stamp equals CURRENT: still inside vacuum's spared
+    # window (it could be an OCC retry's reusable decode) — not yet
+    # collected
+    assert not any(d.startswith("b1-") for d in c.vacuum())
+    # once any commit advances past its stamp, vacuum retires it
+    _write_avro(src, "k1_oracle-cdc-logminer_2.avro", _events(50, 55))
+    assert c.convert_new()["converted"] == 1
     assert any(d.startswith("b1-") and d != res["batch_dir"]
                for d in c.vacuum())
-    assert c.read_landing().count() == 50
+    assert c.read_landing().count() == 55
 
 
 def test_landing_merge_equals_direct_avro_merge(spark, conv):

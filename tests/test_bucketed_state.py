@@ -215,7 +215,10 @@ def test_vacuum_clears_empty_version_dirs(spark, tmp_path):
     t.merge(_batch1(spark))   # v0: both buckets
     t.merge(_batch1(spark))   # v1: both buckets superseded
     t.vacuum(keep_versions=0)
-    assert not os.path.exists(os.path.join(t.path, "data", "v0"))
+    # the superseded v0 attempt dir (attempt-unique name) is fully
+    # gone, including the dir itself (single-level empty-dir cleanup)
+    data = os.path.join(t.path, "data")
+    assert not any(d.startswith("v0-") for d in os.listdir(data))
     assert _snap(t.read())    # current version intact
 
 

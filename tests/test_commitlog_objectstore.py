@@ -502,3 +502,118 @@ def test_bucketed_merge_racing_merge_no_lost_update(spark, tmp_path,
     rows2 = {(r["id"], r["val"]) for r in
              mk().read().select("id", "val").collect()}
     assert rows2 == rows
+
+
+def test_posix_delete_never_ascends_past_one_level(tmp_path):
+    """PosixStore.delete cleans at most the key's IMMEDIATE emptied
+    parent — never an ascent that could remove a watched root (the
+    producer's drop directory) out from under its owner — and the
+    cleanup is disableable for stores over unowned trees."""
+    import os as _os
+
+    from datastream_delta_plugins_spark.streaming.commitlog import \
+        PosixStore
+    s = PosixStore()
+    deep = tmp_path / "drop" / "2026" / "08" / "15"
+    deep.mkdir(parents=True)
+    s.put(str(deep / "f.avro"), b"x")
+    s.delete(str(deep / "f.avro"))
+    assert not deep.exists()                    # emptied day dir goes
+    assert (tmp_path / "drop" / "2026" / "08").exists()  # month stays
+    assert (tmp_path / "drop").exists()
+
+    s2 = PosixStore(rmdir_empty_parent=False)
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    s2.put(str(flat / "g.avro"), b"x")
+    s2.delete(str(flat / "g.avro"))
+    assert flat.exists()  # the unowned source root is untouched
+
+
+def test_bucketed_manifest_never_derived_from_lagging_listing(
+        spark, tmp_path):
+    """merge()/seed() must compute the committed bucket set from the
+    DATA (touched buckets / distinct collect), never by listing the
+    just-written keys — the client contract allows listings to lag
+    puts, and a lagged listing would silently drop fresh partitions
+    from the manifest (permanent row loss)."""
+    from test_bucketed_state import _batch1, _snap
+
+    from datastream_delta_plugins_spark.operators import cdc
+    from datastream_delta_plugins_spark.streaming.bucketed_state import \
+        BucketedStateTable
+    from datastream_delta_plugins_spark.streaming.commitlog import \
+        PosixStore
+
+    class NoFreshListing(PosixStore):
+        def list_keys(self, prefix, start_after=None):
+            raise AssertionError(
+                f"write path listed just-written keys under {prefix}")
+
+    t = BucketedStateTable(spark, str(tmp_path / "st"), ["id"],
+                           n_buckets=4, data_store=NoFreshListing())
+    t.merge(_batch1(spark))
+    t.merge(_batch1(spark))
+    ref = cdc.materialize(_batch1(spark).unionByName(_batch1(spark)),
+                          ["id"], keep_sort_keys=True)
+    assert _snap(t.read()) == _snap(ref)
+    # every touched bucket made it into the manifest
+    assert set(t.current_manifest()) == {
+        str(r[0]) for r in ref.selectExpr(
+            "pmod(xxhash64(id), 4) AS b").distinct().collect()}
+
+
+def test_rollup_occ_retry_replans_on_conflict(spark, tmp_path,
+                                              monkeypatch):
+    """A rollup writer losing the manifest commit to a concurrent
+    writer must re-plan (re-read signatures + re-aggregate) and land —
+    not fail, and not overwrite the other writer's manifest from a
+    stale snapshot."""
+    import datastream_delta_plugins_spark.sinks.rollup as rollup_mod
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "src")
+    (spark.range(100)
+          .selectExpr("id", "CAST(id % 3 AS INT) AS p")
+          .write.partitionBy("p").parquet(src))
+    rp = str(tmp_path / "rollup")
+    aggs = {"n": F.count(F.lit(1)), "s": F.sum("id")}
+    rollup_mod.update_rollup(spark, src, rp, [], aggs,
+                             commit_impl="log")
+
+    # grow the source so the next update has work to do, then make the
+    # first commit attempt lose to an interleaved competitor
+    (spark.range(100, 130)
+          .selectExpr("id", "CAST(id % 3 AS INT) AS p")
+          .write.mode("append").partitionBy("p").parquet(src))
+    real_mk = rollup_mod._log_with_legacy
+    state = {"fired": False}
+
+    def interleaving(path, impl, subdir, legacy):
+        log = real_mk(path, impl, subdir, legacy)
+        if subdir != rollup_mod.ROLLUP_LOG:
+            return log
+        real_commit_at = log.commit_at
+
+        def commit_with_race(v, payload):
+            if not state["fired"]:
+                state["fired"] = True
+                competitor = real_mk(path, impl, subdir, legacy)
+                competitor.commit_at(v, {"doc": {"raced": [0, 0, 0.0]}})
+            return real_commit_at(v, payload)
+        log.commit_at = commit_with_race
+        return log
+    monkeypatch.setattr(rollup_mod, "_log_with_legacy", interleaving)
+    res = rollup_mod.update_rollup(spark, src, rp, [], aggs,
+                                   commit_impl="log")
+    monkeypatch.undo()
+    assert state["fired"]
+    assert res["changed"] == 3  # the retry re-aggregated
+    got = {(r["p"], r["n"], r["s"]) for r in
+           rollup_mod.read_rollup(spark, rp, commit_impl="log")
+           .collect()}
+    want = {(r["p"], r["n"], r["s"]) for r in
+            spark.read.parquet(src).groupBy("p")
+                 .agg(F.count(F.lit(1)).alias("n"),
+                      F.sum("id").alias("s")).collect()}
+    assert got == want
