@@ -283,7 +283,9 @@ class ReplicationJob:
     # -- streaming mode: one query per table --
 
     def start_all(self, trigger: dict | None = None,
-                  convert_interval: float = 30.0) -> list:
+                  convert_interval: float = 30.0,
+                  maintenance_every: int | None = None,
+                  compact_min_batches: int = 16) -> list:
         """Start one streaming query per table. Avro tables also get a
         scan-interval converter loop: a daemon thread calling
         `convert_new()` every `convert_interval` seconds (the
@@ -295,7 +297,18 @@ class ReplicationJob:
         per table on `self.converter_errors` and retried next cycle
         (scan-task semantics: one bad cycle must not kill ingestion —
         and one table's success must not mask another's persistent
-        failure)."""
+        failure).
+
+        ``maintenance_every=N`` additionally runs landing maintenance
+        (compact once >= ``compact_min_batches`` dirs accumulated,
+        then vacuum) every Nth converter cycle — safe to race the
+        converter since both sides commit through the OCC seam, and
+        the CDC merge is idempotent under the stream's replay of the
+        compacted dir. OPT-IN because that replay is O(landing) per
+        compaction: a 30 s scan cadence makes one dir per cycle, so
+        long-running streams need SOME cadence (unbounded dir counts
+        degrade listing/planning), but latency-sensitive deployments
+        should schedule it in low-traffic windows instead."""
         self._ensure_database()
         queries = []
         for name, cfg in self.tables.items():
@@ -317,12 +330,20 @@ class ReplicationJob:
             self._conv_stop = threading.Event()
 
             def _loop() -> None:
+                cycle = 0
                 while not self._conv_stop.wait(convert_interval):
                     if not any(q.isActive for q in queries):
                         return
+                    cycle += 1
+                    maintain = (maintenance_every is not None
+                                and cycle % maintenance_every == 0)
                     for name, conv in self.converters.items():
                         try:
                             conv.convert_new()
+                            if maintain:
+                                conv.compact(
+                                    min_batches=compact_min_batches)
+                                conv.vacuum()
                             self.converter_errors.pop(name, None)
                         except Exception as e:  # noqa: BLE001
                             self.converter_errors[name] = e

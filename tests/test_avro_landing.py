@@ -674,3 +674,57 @@ def test_zero_record_blob_converts_without_collision(spark, tmp_path):
     assert len(names) == 3  # one parquet per blob, empties included
     assert c.read_landing().count() == 5
     assert c.convert_new() == {"converted": 0, "batch_dir": None}
+
+
+def test_maintenance_cadence_compacts_under_live_stream(spark, tmp_path):
+    """start_all(maintenance_every=N) keeps the landing's batch-dir
+    count bounded while the stream runs: the maintenance cycle
+    (compact + vacuum) races the converter through the OCC seam and
+    the stream's replay of the compacted dir is idempotent — state
+    stays exactly-once throughout."""
+    import time
+
+    from datastream_delta_plugins_spark.streaming.replication import (
+        ReplicationJob, TableConfig)
+
+    src = tmp_path / "blobs"
+    src.mkdir()
+    _write_avro(src, "k1_oracle-backfill_0.avro", _events(0, 10, SNAP))
+    job = ReplicationJob(
+        spark, str(tmp_path / "work"),
+        [TableConfig("t1", str(src), ["EMPLOYEE_ID"],
+                     source_format="avro")],
+        register_catalog=False)
+    try:
+        job.start_all(trigger={"processingTime": "500 milliseconds"},
+                      convert_interval=0.4, maintenance_every=2,
+                      compact_min_batches=2)
+        pipe = job.pipelines["t1"]
+        conv = job.converters["t1"]
+        # drip blobs so dirs accumulate between maintenance cycles
+        for b in range(1, 5):
+            _write_avro(src, f"k1_oracle-cdc-logminer_{b}.avro",
+                        _events(10 + (b - 1) * 5, 10 + b * 5))
+            time.sleep(0.9)
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            st = pipe.read_state()
+            if st is not None and st.count() == 30 \
+                    and len(conv.committed_batch_dirs()) <= 2:
+                break
+            time.sleep(1)
+        else:
+            raise AssertionError(
+                f"state={pipe.read_state().count()} dirs="
+                f"{conv.committed_batch_dirs()} errors="
+                f"{job.converter_errors!r}")
+        assert job.converter_errors == {}
+        # exactly-once through compaction replays
+        st = pipe.read_state()
+        assert st.count() == 30
+        assert st.select("EMPLOYEE_ID").distinct().count() == 30
+        # landing provenance intact
+        assert len(conv.converted_files()) == 5
+        assert conv.read_landing().count() == 30
+    finally:
+        job.stop_all()
