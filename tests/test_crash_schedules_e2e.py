@@ -145,3 +145,69 @@ def test_randomized_crash_schedule_full_composition(
     want = {tuple(r) for r in reference.select(*cols).collect()}
     assert got == want
     assert conv.read_landing().count() == n_blobs * ROWS_PER_BLOB
+
+
+def test_threaded_converter_compactor_vacuum_storm(spark, tmp_path):
+    """Three writers genuinely racing on one latency-injected mock
+    bucket — a converter thread (new blobs arriving live), a
+    compactor thread, and a vacuum thread — for a bounded storm.
+    Every commit goes through conditional PUT + OCC retry; at the end
+    nothing is lost, nothing is duplicated, and the landing equals
+    the one-shot decode of every blob written."""
+    import sys
+    import threading
+    import time
+    sys.path.insert(0, "tests")
+    from test_avro_landing import _events, _write_avro
+
+    src = tmp_path / "avro"
+    src.mkdir()
+    bucket = InMemoryObjectStore(latency_s=0.003, listing_lag=1)
+    mk = lambda: AvroLandingConverter(  # noqa: E731
+        spark, str(src), str(tmp_path / "landing"), client=bucket,
+        occ_retries=10)
+    c_ing, c_cmp, c_vac = mk(), mk(), mk()
+
+    errors: list = []
+    stop = threading.Event()
+    n_blobs = {"n": 0}
+
+    def guard(fn):
+        def run():
+            try:
+                while not stop.is_set():
+                    fn()
+            except Exception as e:  # noqa: BLE001
+                errors.append(e)
+        return run
+
+    def ingest():
+        i = n_blobs["n"]
+        _write_avro(src, f"k1_oracle-cdc-logminer_{i:03d}.avro",
+                    _events(i * ROWS_PER_BLOB, (i + 1) * ROWS_PER_BLOB))
+        n_blobs["n"] = i + 1
+        c_ing.convert_new()
+
+    threads = [threading.Thread(target=guard(ingest)),
+               threading.Thread(
+                   target=guard(lambda: c_cmp.compact(min_batches=3))),
+               threading.Thread(target=guard(lambda: c_vac.vacuum()))]
+    for t in threads:
+        t.start()
+    time.sleep(25)
+    stop.set()
+    for t in threads:
+        t.join(timeout=120)
+    assert not errors, errors
+
+    # convergence under a fresh writer
+    c = mk()
+    c.convert_new()
+    c.convert_new()
+    assert len(c.converted_files()) == n_blobs["n"]
+    total = n_blobs["n"] * ROWS_PER_BLOB
+    landed = c.read_landing()
+    assert landed.count() == total
+    assert landed.select("uuid").distinct().count() == total
+    c.vacuum()
+    assert c.read_landing().count() == total
