@@ -23,6 +23,7 @@ no sampling pass, no collect, no rand().
 from __future__ import annotations
 
 from collections.abc import Sequence
+from functools import reduce
 
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
@@ -116,3 +117,78 @@ def stratified_sample_exact(df: DataFrame, strata_cols: Sequence[str],
     the hash order is a uniform permutation per stratum, so the first n
     form a uniform sample without replacement."""
     return cap_per_group(df, strata_cols, n_per_stratum, id_col, salt)
+
+
+def mix_corpora(sources: dict[str, DataFrame], weights: dict[str, float],
+                id_col: str, target_rows: int, salt: str = "",
+                source_col: str = "source_name",
+                epoch_col: str = "epoch",
+                order_col: str = "mix_order") -> DataFrame:
+    """Deterministic weighted corpus mixture — the data-mixing step of
+    an LLM training pipeline (public recipe shape: per-source sampling
+    proportions with repetition factors, as in the Pile / LLaMA
+    mixture tables).
+
+    Each source contributes ~``target_rows * weight`` rows:
+
+      - downsampling (need < have) is `sample_fraction`'s hash
+        membership — re-derivable from the id alone;
+      - upsampling (need > have) repeats the source in whole EPOCHS
+        plus one hash-selected fractional epoch, stamped in
+        ``epoch_col`` (0-based) so downstream sees repetition
+        explicitly rather than as mystery duplicates; dedup-by-id
+        stays possible (epoch 0 is a full copy).
+
+    The output carries ``order_col`` — a deterministic pseudo-random
+    rank from hash(source, id, epoch, salt). Writers should
+    ``orderBy(order_col)`` (global) or ``sortWithinPartitions`` after
+    a ``repartition(order_col)`` (scalable) to interleave sources so
+    a sequential reader never sees one source in a long run; the
+    column (not an eager sort) keeps the mixing plan lazy and lets
+    the writer pick the shuffle shape for its scale.
+
+    Scale: one count job per source (bounded by len(sources)), then
+    pure column expressions + unions — no data collects, no rand().
+    Weights must be > 0 and sum to ~1.
+    """
+    if set(sources) != set(weights):
+        raise ValueError(
+            f"sources {sorted(sources)} != weights {sorted(weights)}")
+    total_w = sum(weights.values())
+    if abs(total_w - 1.0) > 1e-6:
+        raise ValueError(f"weights sum to {total_w}, expected 1.0")
+    parts = []
+    for name in sorted(sources):
+        df, w = sources[name], weights[name]
+        if w <= 0:
+            raise ValueError(f"weight for {name!r} must be > 0: {w}")
+        have = df.count()  # one metadata-light job per source
+        if have == 0:
+            continue
+        need = int(round(target_rows * w))
+        full_epochs, frac = divmod(need, have)
+        frac_rate = frac / have
+        epochs = []
+        for e in range(full_epochs):
+            epochs.append(df.withColumn(epoch_col,
+                                        F.lit(e).cast("int")))
+        if frac_rate > 0:
+            # the fractional epoch re-salts per epoch index so it is
+            # an independent draw from every full epoch's population
+            epochs.append(
+                sample_fraction(df, id_col, frac_rate,
+                                salt=f"{salt}|{name}|e{full_epochs}")
+                .withColumn(epoch_col,
+                            F.lit(full_epochs).cast("int")))
+        if not epochs:
+            continue
+        src = reduce(DataFrame.unionByName, epochs).withColumn(
+            source_col, F.lit(name))
+        parts.append(src)
+    if not parts:
+        raise ValueError("every source is empty")
+    mixed = reduce(DataFrame.unionByName, parts)
+    order = hash32(F.concat_ws(
+        "|", F.col(source_col), F.col(id_col).cast("string"),
+        F.col(epoch_col).cast("string"), F.lit(salt)))
+    return mixed.withColumn(order_col, order)

@@ -118,3 +118,70 @@ def test_auto_n_cells_scales_with_corpus():
     big = auto_n_cells(10_000_000_000)         # 1e10/1e5 -> sqrt(1e5)
     assert 8 < small < big
     assert auto_n_cells(10**14) == 4096        # hi clamp
+
+
+# ---------------------------------------------------- corpus mixing
+
+def test_mix_corpora_ratios_epochs_and_determinism(spark):
+    """Weighted mixture: per-source contributions hit
+    target_rows*weight (exactly for upsampled whole epochs, hash-
+    tolerance for fractional parts), repetition is explicit in the
+    epoch column, and the whole mixture — membership AND interleave
+    order — is bit-identical across reruns."""
+    from datastream_delta_plugins_spark.operators.sampling import \
+        mix_corpora
+
+    big = spark.range(10_000).selectExpr("id", "'b' AS payload")
+    small = spark.range(100).selectExpr("id", "'s' AS payload")
+    mixed = mix_corpora({"web": big, "books": small},
+                        {"web": 0.8, "books": 0.2},
+                        "id", target_rows=5_000, salt="exp1")
+    per = {r["source_name"]: r["n"] for r in
+           mixed.groupBy("source_name").count()
+                .withColumnRenamed("count", "n").collect()}
+    # web: need 4000 of 10000 -> fractional hash draw (±3% tolerance)
+    assert abs(per["web"] - 4_000) < 4_000 * 0.03
+    # books: need 1000 of 100 -> exactly 10 full epochs
+    assert per["books"] == 1_000
+    epochs = {r[0] for r in
+              mixed.where("source_name = 'books'")
+                   .select("epoch").distinct().collect()}
+    assert epochs == set(range(10))
+    # epoch 0 is a complete copy (dedup-by-id remains possible)
+    assert mixed.where("source_name='books' AND epoch=0").count() == 100
+
+    # bit-identical rerun (membership + order)
+    again = mix_corpora({"web": big, "books": small},
+                        {"web": 0.8, "books": 0.2},
+                        "id", target_rows=5_000, salt="exp1")
+    cols = ["source_name", "id", "epoch", "mix_order"]
+    assert {tuple(r) for r in mixed.select(*cols).collect()} == \
+           {tuple(r) for r in again.select(*cols).collect()}
+    # a different salt draws a different fractional membership
+    other = mix_corpora({"web": big, "books": small},
+                        {"web": 0.8, "books": 0.2},
+                        "id", target_rows=5_000, salt="exp2")
+    a = {r[0] for r in mixed.where("source_name='web'")
+                            .select("id").collect()}
+    b = {r[0] for r in other.where("source_name='web'")
+                            .select("id").collect()}
+    assert a != b
+
+    # the interleave order mixes sources: in the first 500 rows of the
+    # order, both sources appear in bulk (no long single-source run)
+    head = [r["source_name"] for r in
+            mixed.orderBy("mix_order").limit(500)
+                 .select("source_name").collect()]
+    assert 0.05 < sum(1 for s in head if s == "books") / 500 < 0.45
+
+
+def test_mix_corpora_validates_inputs(spark):
+    from datastream_delta_plugins_spark.operators.sampling import \
+        mix_corpora
+    df = spark.range(10)
+    with pytest.raises(ValueError, match="!= weights"):
+        mix_corpora({"a": df}, {"b": 1.0}, "id", 10)
+    with pytest.raises(ValueError, match="sum to"):
+        mix_corpora({"a": df}, {"a": 0.5}, "id", 10)
+    with pytest.raises(ValueError, match="must be > 0"):
+        mix_corpora({"a": df, "b": df}, {"a": 1.5, "b": -0.5}, "id", 10)
