@@ -374,6 +374,18 @@ class BucketedStateTable:
 
     # -- maintenance --
 
+    def wipe(self) -> None:
+        """Erase the table completely — manifests AND data — through
+        the log/client interfaces, so it works identically on a local
+        directory and a bucket (a POSIX rmtree cannot reset a
+        bucket-resident manifest). For the single-writer
+        wipe-and-rebuild path: the auto backend's migration retry
+        re-seeds over a half-migrated table."""
+        droot = os.path.join(self.path, "data").rstrip("/") + "/"
+        for k in self.data_store.list_keys(droot):
+            self.data_store.delete(k)
+        self.clog.reset()
+
     def vacuum(self, keep_versions: int = 1) -> list[str]:
         """Delete data directories no manifest in the keep window
         references (crash orphans + buckets superseded by later

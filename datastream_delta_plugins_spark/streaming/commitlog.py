@@ -191,6 +191,15 @@ class CommitLog:
                 except OSError:
                     pass
 
+    def reset(self) -> None:
+        """Erase every commit: the log reads as never-written. For the
+        single-writer wipe-and-rebuild path (e.g. re-seeding a
+        half-migrated table); data-file GC is the caller's job. Under
+        a lagging listing a just-committed version can survive one
+        reset and surface later — callers retry (the next commit
+        conflicts loudly rather than corrupting)."""
+        self._prune(float("inf"))
+
 
 class PointerSwapLog(CommitLog):
     """POSIX single-writer commit: payload file + os.replace pointer.
@@ -219,6 +228,15 @@ class PointerSwapLog(CommitLog):
         with os.fdopen(fd, "w") as f:
             f.write(str(v))
         os.replace(tmp, os.path.join(self.log_dir, self.POINTER))
+
+    def reset(self) -> None:
+        # pointer FIRST: a crash mid-reset must not leave a pointer at
+        # a deleted payload
+        try:
+            os.remove(os.path.join(self.log_dir, self.POINTER))
+        except OSError:
+            pass
+        super().reset()
 
 
 class VersionLog(CommitLog):

@@ -420,12 +420,15 @@ class CdcPipeline:
             return
         cur = self.read_state()
         from .bucketed_state import BucketedStateTable
-        if os.path.isdir(self.bucketed_dir):
-            shutil.rmtree(self.bucketed_dir, ignore_errors=True)
         b = BucketedStateTable(
             self.spark, self.bucketed_dir, self.pk_cols, self.sort_cols,
             n_buckets=self.n_state_buckets, commit_impl=self.commit_impl,
             keep_versions=self.bucket_keep_versions)
+        # wipe through the log/client interfaces, NOT a local rmtree: a
+        # crashed earlier attempt may have committed its seed manifest
+        # to a bucket-resident log, which no filesystem delete can
+        # reset — rmtree would leave seed() failing "not empty" forever
+        b.wipe()
         b.seed(cur)
         if self.catalog_table:
             # the versioned registration is an unpartitioned external
