@@ -154,24 +154,37 @@ def mix_corpora(sources: dict[str, DataFrame], weights: dict[str, float],
     if set(sources) != set(weights):
         raise ValueError(
             f"sources {sorted(sources)} != weights {sorted(weights)}")
+    # validate EVERY weight before running any Spark job: a bad late
+    # weight must not cost a count() over an earlier large corpus
+    bad = {n: w for n, w in weights.items() if w <= 0}
+    if bad:
+        raise ValueError(f"weights must be > 0: {bad}")
     total_w = sum(weights.values())
     if abs(total_w - 1.0) > 1e-6:
         raise ValueError(f"weights sum to {total_w}, expected 1.0")
     parts = []
     for name in sorted(sources):
         df, w = sources[name], weights[name]
-        if w <= 0:
-            raise ValueError(f"weight for {name!r} must be > 0: {w}")
         have = df.count()  # one metadata-light job per source
-        if have == 0:
-            continue
         need = int(round(target_rows * w))
+        if have == 0 or need == 0:
+            # silent underweight would be a data bug downstream —
+            # a positively-weighted source must contribute
+            raise ValueError(
+                f"source {name!r} contributes 0 rows "
+                f"(need={need} of have={have}) — drop it from the "
+                f"mixture or raise target_rows/weight")
         full_epochs, frac = divmod(need, have)
         frac_rate = frac / have
         epochs = []
-        for e in range(full_epochs):
-            epochs.append(df.withColumn(epoch_col,
-                                        F.lit(e).cast("int")))
+        if full_epochs:
+            # ONE scan + explode(sequence(...)): the repetition factor
+            # rides a generator column, not an N-way union whose plan
+            # (and source scans) would grow O(need/have)
+            epochs.append(
+                df.withColumn(epoch_col, F.explode(F.sequence(
+                    F.lit(0), F.lit(full_epochs - 1))))
+                  .withColumn(epoch_col, F.col(epoch_col).cast("int")))
         if frac_rate > 0:
             # the fractional epoch re-salts per epoch index so it is
             # an independent draw from every full epoch's population
@@ -180,15 +193,19 @@ def mix_corpora(sources: dict[str, DataFrame], weights: dict[str, float],
                                 salt=f"{salt}|{name}|e{full_epochs}")
                 .withColumn(epoch_col,
                             F.lit(full_epochs).cast("int")))
-        if not epochs:
-            continue
         src = reduce(DataFrame.unionByName, epochs).withColumn(
             source_col, F.lit(name))
         parts.append(src)
-    if not parts:
-        raise ValueError("every source is empty")
     mixed = reduce(DataFrame.unionByName, parts)
+    # the order hash rides the same NULL-id guard as membership: a
+    # whole-epoch source never passes through hash_bucket, and
+    # concat_ws would silently skip a NULL id (colliding orders,
+    # non-re-derivable membership)
+    checked = F.when(F.col(id_col).isNull(), F.raise_error(F.lit(
+        "sampling id is NULL: membership is a pure function of the id "
+        "and cannot be derived for NULL — filter or fill ids first"))
+    ).otherwise(F.col(id_col).cast("string"))
     order = hash32(F.concat_ws(
-        "|", F.col(source_col), F.col(id_col).cast("string"),
+        "|", F.col(source_col), checked,
         F.col(epoch_col).cast("string"), F.lit(salt)))
     return mixed.withColumn(order_col, order)

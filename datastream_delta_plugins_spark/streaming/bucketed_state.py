@@ -375,12 +375,17 @@ class BucketedStateTable:
     # -- maintenance --
 
     def wipe(self) -> None:
-        """Erase the table completely — manifests AND data — through
-        the log/client interfaces, so it works identically on a local
-        directory and a bucket (a POSIX rmtree cannot reset a
-        bucket-resident manifest). For the single-writer
-        wipe-and-rebuild path: the auto backend's migration retry
-        re-seeds over a half-migrated table."""
+        """Erase the table completely — manifests through the commit
+        log, data through ``data_store`` — for the single-writer
+        wipe-and-rebuild path (the auto backend's migration retry
+        re-seeding over a half-migrated table). The manifest reset
+        works on any log impl (a POSIX rmtree cannot reset a
+        bucket-resident manifest; ``clog.reset()`` can). Data removal
+        is as complete as ``data_store``'s view of ``path``: the
+        default PosixStore covers local/mounted data dirs (every test
+        and the migration path); a deployment whose DATA also lives in
+        a bucket must pass ``data_store=<that client>`` or the crashed
+        seed's objects leak until vacuum passes their version stamp."""
         droot = os.path.join(self.path, "data").rstrip("/") + "/"
         for k in self.data_store.list_keys(droot):
             self.data_store.delete(k)

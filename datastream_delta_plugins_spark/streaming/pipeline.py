@@ -443,9 +443,16 @@ class CdcPipeline:
             qname = ".".join(f"`{p}`"
                              for p in self.catalog_table.split("."))
             self.spark.sql(f"DROP TABLE IF EXISTS {qname}")
-        self.bstate = b
+        # the DOC flip is the migration's commit point — only after it
+        # lands may this instance route merges to the bucketed table.
+        # Flipping self.bstate first would let a retried apply_batch
+        # (flip failed, bstate set) advance the checkpoint against a
+        # table the durable state still calls non-authoritative: a
+        # restart would wipe it and reseed from the frozen versioned
+        # state, permanently losing every post-crash batch.
         self.doc.put(state_keys.k_state_backend(self.table), "bucketed")
         self.doc.save()
+        self.bstate = b
         if self.catalog_table:
             b.sync_catalog(
                 self.catalog_table,
@@ -456,7 +463,8 @@ class CdcPipeline:
 
     def start(self, schema, trigger: dict | None = None,
               fmt: str = "parquet",
-              max_files_per_trigger: int | None = None):
+              max_files_per_trigger: int | None = None,
+              ignore_missing_files: bool = False):
         """`max_files_per_trigger` is the engine-side ingest-tuning
         knob matching the reference's file-rotation constants (15 s /
         1 MB, Utils.java:105-106): rotation controls how much data one
@@ -475,6 +483,15 @@ class CdcPipeline:
         if max_files_per_trigger is not None:
             reader = reader.option("maxFilesPerTrigger",
                                    max_files_per_trigger)
+        if ignore_missing_files:
+            # ONLY for sources maintained by landing compaction: a
+            # listed-but-vacuumed superseded batch file may vanish
+            # between planning and read (or across a restart replay).
+            # Safe there because compaction preserves every row in the
+            # new dir — which the stream ingests as fresh files — and
+            # the CDC merge is idempotent under that replay. Never set
+            # this for sources where a missing file means data loss.
+            reader = reader.option("ignoreMissingFiles", "true")
         stream = reader.load(self.source_dir)
         # file provenance for the S8 TTL manifest — but a landing
         # source (decode-once Avro) already carries the ORIGINAL blob

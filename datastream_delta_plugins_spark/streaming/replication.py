@@ -309,6 +309,10 @@ class ReplicationJob:
         long-running streams need SOME cadence (unbounded dir counts
         degrade listing/planning), but latency-sensitive deployments
         should schedule it in low-traffic windows instead."""
+        if maintenance_every is not None and maintenance_every < 1:
+            raise ValueError(
+                f"maintenance_every must be >= 1 or None, got "
+                f"{maintenance_every!r}")
         self._ensure_database()
         queries = []
         for name, cfg in self.tables.items():
@@ -322,7 +326,11 @@ class ReplicationJob:
             if schema is None:
                 raise ValueError(f"table {name}: streaming needs a schema")
             queries.append(self.pipelines[name].start(
-                schema, trigger=trigger))
+                schema, trigger=trigger,
+                # landing-backed streams tolerate compaction vacuuming
+                # a superseded batch file between listing and read —
+                # the rows arrive via the compacted dir, idempotently
+                ignore_missing_files=conv is not None))
         self._queries = queries
         self.converter_errors: dict[str, Exception] = {}
         if self.converters:
@@ -340,13 +348,23 @@ class ReplicationJob:
                     for name, conv in self.converters.items():
                         try:
                             conv.convert_new()
-                            if maintain:
-                                conv.compact(
-                                    min_batches=compact_min_batches)
-                                conv.vacuum()
                             self.converter_errors.pop(name, None)
                         except Exception as e:  # noqa: BLE001
                             self.converter_errors[name] = e
+                        if not maintain:
+                            continue
+                        # separate error key: a persistent maintenance
+                        # failure must stay visible in state_report()
+                        # between maintenance cycles — popping it on
+                        # the next cycle's convert success would flap
+                        # it out of sight while dirs grow unbounded
+                        mkey = f"{name}.maintenance"
+                        try:
+                            conv.compact(min_batches=compact_min_batches)
+                            conv.vacuum()
+                            self.converter_errors.pop(mkey, None)
+                        except Exception as e:  # noqa: BLE001
+                            self.converter_errors[mkey] = e
             self._conv_thread = threading.Thread(
                 target=_loop, name="avro-converter-loop", daemon=True)
             self._conv_thread.start()

@@ -714,9 +714,10 @@ def test_maintenance_cadence_compacts_under_live_stream(spark, tmp_path):
                 break
             time.sleep(1)
         else:
+            st_dbg = pipe.read_state()
             raise AssertionError(
-                f"state={pipe.read_state().count()} dirs="
-                f"{conv.committed_batch_dirs()} errors="
+                f"state={st_dbg.count() if st_dbg is not None else None}"
+                f" dirs={conv.committed_batch_dirs()} errors="
                 f"{job.converter_errors!r}")
         assert job.converter_errors == {}
         # exactly-once through compaction replays
