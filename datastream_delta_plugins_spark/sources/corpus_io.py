@@ -103,8 +103,11 @@ def write_training_shards(packed: DataFrame, path: str,
                       if c in packed.columns), None)
     if shard_key is not None:
         packed = packed.repartition(shard_key)
-    w = (packed.sortWithinPartitions(*sort_cols)
-               .write.mode("overwrite")
+    if sort_cols:
+        packed = packed.sortWithinPartitions(*sort_cols)
+    # no known pack columns: the caller owns the ordering (e.g. a
+    # mix_corpora interleave already sorted by mix_order) — preserve it
+    w = (packed.write.mode("overwrite")
                .option("maxRecordsPerFile", rows_per_file)
                .format(fmt))
     if split_col is not None:

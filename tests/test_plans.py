@@ -213,3 +213,27 @@ def test_direct_conversion_plan_is_scan_plus_map_only(spark, tmp_path):
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan
     assert "FileScan binaryFile" in plan
+
+
+def test_mix_corpora_plan_is_one_scan_per_branch_no_python(
+        spark, sf_smoke):
+    """mix_corpora's upsampling must ride explode(sequence(...)) over
+    ONE scan — a repetition factor unrolled as an N-way union would
+    grow the plan (and the source scans) O(need/have) — and the whole
+    mixture stays in JVM column expressions (no Python eval)."""
+    from datastream_delta_plugins_spark.operators.sampling import \
+        mix_corpora
+    from datastream_delta_plugins_spark.sources.tables import load_table
+    docs = load_table(spark, sf_smoke, "documents")
+    # books upsamples ~40 epochs: the old union shape would put ~40
+    # scans in the plan; the explode shape keeps exactly one (plus one
+    # for web's fractional draw)
+    mixed = mix_corpora({"web": docs, "books": docs.limit(10)},
+                        {"web": 0.5, "books": 0.5},
+                        "doc_id", target_rows=800, salt="p")
+    plan = formatted_plan(mixed)
+    assert "EvalPython" not in plan
+    # the regression guard: the union shape would put ~41 scans here;
+    # the explode shape keeps a small constant independent of epochs
+    assert plan.lower().count("scan parquet") <= 5
+    assert "explode" in plan.lower() or "generate" in plan.lower()

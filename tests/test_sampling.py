@@ -185,3 +185,41 @@ def test_mix_corpora_validates_inputs(spark):
         mix_corpora({"a": df}, {"a": 0.5}, "id", 10)
     with pytest.raises(ValueError, match="must be > 0"):
         mix_corpora({"a": df, "b": df}, {"a": 1.5, "b": -0.5}, "id", 10)
+
+
+def test_mix_then_shard_write_composition(spark, tmp_path):
+    """Mixture -> training shards end-to-end: interleave by mix_order,
+    write with the shard writer, and a sequential read of any shard
+    sees both sources mixed (no long single-source run) with every
+    contribution intact."""
+    from datastream_delta_plugins_spark.operators.sampling import \
+        mix_corpora
+    from datastream_delta_plugins_spark.sources.corpus_io import \
+        write_training_shards
+
+    web = spark.range(2_000).selectExpr(
+        "id", "'w' AS body", "'web' AS source")
+    books = spark.range(50).selectExpr(
+        "id", "'b' AS body", "'books' AS source")
+    mixed = mix_corpora({"web": web.drop("source"),
+                         "books": books.drop("source")},
+                        {"web": 0.75, "books": 0.25},
+                        "id", target_rows=1_200, salt="s1")
+    out = str(tmp_path / "shards")
+    # interleave order becomes the physical row order within shards
+    write_training_shards(
+        mixed.repartition(2, "mix_order")
+             .sortWithinPartitions("mix_order"),
+        out)
+    back = spark.read.parquet(out)
+    per = {r["source_name"]: r["count"] for r in
+           back.groupBy("source_name").count().collect()}
+    assert per["books"] == 300  # 6 full epochs of 50, exact
+    assert abs(per["web"] - 900) < 900 * 0.06
+    # a sequential scan of one file mixes sources in its first rows
+    import glob
+    f = sorted(glob.glob(out + "/*.parquet"))[0]
+    head = [r["source_name"] for r in
+            spark.read.parquet(f).limit(400).collect()]
+    frac_books = sum(1 for s in head if s == "books") / len(head)
+    assert 0.05 < frac_books < 0.6
