@@ -80,7 +80,11 @@ class CommitLog:
     ``keep`` bounds how many committed payload files are retained
     (current + ``keep`` older); ``None`` disables pruning entirely for
     deployments that need an unbounded history horizon (e.g. a long
-    ``changes_between()`` window with user-scheduled vacuum).
+    ``changes_between()`` window with user-scheduled vacuum). Note
+    ``keep=None`` also makes every ``version()`` LIST O(commits) —
+    at a 30 s commit cadence that is ~86k keys/month per table — so
+    unbounded-horizon deployments should schedule their vacuum (which
+    prunes payloads) rather than run keep=None indefinitely.
     """
 
     def __init__(self, path: str, subdir: str = "commitlog",

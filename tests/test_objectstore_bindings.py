@@ -235,3 +235,30 @@ def test_landing_lifecycle_on_rest_binding(spark, tmp_path):
     import os
     assert not os.path.exists(tmp_path / "landing" / "_landing_log")
     assert any("/segments/" in k for k in client.transport.objects)
+
+
+@pytest.mark.parametrize("kind", ["gcs", "s3"])
+def test_rest_bindings_surface_server_errors(tmp_path, kind):
+    """Non-2xx responses other than the semantic 404/412 must raise a
+    clear OSError (feeding the RetryPolicy's recoverable class), never
+    be silently swallowed as 'absent' or 'conflict'."""
+    client, p = _clients(tmp_path)[kind]
+    real = client.transport
+
+    def flaky(method, url, params=None, headers=None, data=None):
+        return 503, {}, b"backend unavailable"
+    client.transport = flaky
+    with pytest.raises(OSError, match="503"):
+        client.put(p + "k", b"v")
+    with pytest.raises(OSError, match="503"):
+        client.put_if_absent(p + "k", b"v")
+    with pytest.raises(OSError, match="503"):
+        client.get(p + "k")
+    with pytest.raises(OSError, match="503"):
+        client.head(p + "k")
+    with pytest.raises(OSError, match="503"):
+        client.list_keys(p)
+    with pytest.raises(OSError, match="503"):
+        client.delete(p + "k")
+    client.transport = real
+    assert client.put_if_absent(p + "k", b"v") is True  # recovered
