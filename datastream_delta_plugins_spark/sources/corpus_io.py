@@ -90,9 +90,35 @@ def write_training_shards(packed: DataFrame, path: str,
     trainer reading any single file sees whole packs in order, with
     no global sort (the cross-file order is irrelevant to a shuffled
     data loader; what matters is pack contiguity, which is per-shard).
-    """
+
+    A ``mix_order`` column (a `sampling.mix_corpora` interleave rank)
+    takes PRIORITY over pack ordering: rows are hash-distributed and
+    sorted by (split, mix_order) so every file interleaves sources,
+    regardless of any shard/source columns also present — grouping a
+    mixture back by source would undo exactly what the mixing step
+    paid for. A frame with neither mix_order nor any known pack
+    column is an error (silently writing unordered shards would break
+    the ordering promise without a trace)."""
+    if "mix_order" in packed.columns:
+        sort_cols = ([split_col] if split_col else []) + ["mix_order"]
+        packed = packed.repartition(F.col("mix_order"))
+        packed = packed.sortWithinPartitions(*sort_cols)
+        w = (packed.write.mode("overwrite")
+                   .option("maxRecordsPerFile", rows_per_file)
+                   .format(fmt))
+        if split_col is not None:
+            w = w.partitionBy(split_col)
+        w.save(path)
+        return
     sort_cols = [c for c in ("shard", "source", "pack_id", "doc_id",
                              "chunk_idx") if c in packed.columns]
+    if not sort_cols:
+        raise ValueError(
+            "write_training_shards found none of its ordering columns "
+            "(mix_order | shard/source/pack_id/doc_id/chunk_idx) in "
+            f"{packed.columns} — rename the frame's columns or add a "
+            "mix_order rank; writing unordered shards silently would "
+            "break the pack-contiguity promise")
     if split_col is not None:
         # lead the explicit sort with the partition column: the file
         # writer requires rows ordered by partition cols within a task
@@ -103,11 +129,8 @@ def write_training_shards(packed: DataFrame, path: str,
                       if c in packed.columns), None)
     if shard_key is not None:
         packed = packed.repartition(shard_key)
-    if sort_cols:
-        packed = packed.sortWithinPartitions(*sort_cols)
-    # no known pack columns: the caller owns the ordering (e.g. a
-    # mix_corpora interleave already sorted by mix_order) — preserve it
-    w = (packed.write.mode("overwrite")
+    w = (packed.sortWithinPartitions(*sort_cols)
+               .write.mode("overwrite")
                .option("maxRecordsPerFile", rows_per_file)
                .format(fmt))
     if split_col is not None:

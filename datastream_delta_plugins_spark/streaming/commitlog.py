@@ -81,10 +81,13 @@ class CommitLog:
     (current + ``keep`` older); ``None`` disables pruning entirely for
     deployments that need an unbounded history horizon (e.g. a long
     ``changes_between()`` window with user-scheduled vacuum). Note
-    ``keep=None`` also makes every ``version()`` LIST O(commits) —
-    at a 30 s commit cadence that is ~86k keys/month per table — so
-    unbounded-horizon deployments should schedule their vacuum (which
-    prunes payloads) rather than run keep=None indefinitely.
+    payload pruning happens ONLY through ``keep`` (the vacuums GC
+    data files, never ``v{N}.json`` payloads), so ``keep=None`` grows
+    the payload set O(commits) forever — and on the listing-based
+    impls (VersionLog/ObjectStoreLog; the pointer impl reads a single
+    pointer) every ``version()`` LIST scans it: ~86k keys/month at a
+    30 s cadence. Bound ``keep`` to the horizon actually needed
+    instead of running keep=None indefinitely.
     """
 
     def __init__(self, path: str, subdir: str = "commitlog",

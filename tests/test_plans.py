@@ -233,7 +233,8 @@ def test_mix_corpora_plan_is_one_scan_per_branch_no_python(
                         "doc_id", target_rows=800, salt="p")
     plan = formatted_plan(mixed)
     assert "EvalPython" not in plan
-    # the regression guard: the union shape would put ~41 scans here;
-    # the explode shape keeps a small constant independent of epochs
-    assert plan.lower().count("scan parquet") <= 5
+    # the regression guard: the union shape would put ~41 scan nodes
+    # here; the explode shape keeps a small constant independent of
+    # the epoch count (scan_count counts plan NODES, not substrings)
+    assert scan_count(mixed) <= 4
     assert "explode" in plan.lower() or "generate" in plan.lower()

@@ -206,11 +206,11 @@ def test_mix_then_shard_write_composition(spark, tmp_path):
                         {"web": 0.75, "books": 0.25},
                         "id", target_rows=1_200, salt="s1")
     out = str(tmp_path / "shards")
-    # interleave order becomes the physical row order within shards
+    # mix_order takes PRIORITY in the writer even when a 'source'
+    # column rides along — grouping a mixture back by source would
+    # undo the interleave the mixing step paid for
     write_training_shards(
-        mixed.repartition(2, "mix_order")
-             .sortWithinPartitions("mix_order"),
-        out)
+        mixed.withColumn("source", mixed["source_name"]), out)
     back = spark.read.parquet(out)
     per = {r["source_name"]: r["count"] for r in
            back.groupBy("source_name").count().collect()}
