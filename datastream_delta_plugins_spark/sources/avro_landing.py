@@ -451,8 +451,12 @@ class AvroLandingConverter:
         segment files superseded by later rewrites. In-flight readers
         of the previous version should finish first (same contract as
         BucketedStateTable.vacuum keep_versions=0)."""
-        cur = self.clog.version()
-        committed = self._committed()
+        # ONE snapshot: live set and the stamp guard must derive from
+        # the SAME read — a second CURRENT read may lag (regress) on an
+        # object-store listing, and a lagging live set under a fresher
+        # `cur` would delete segments/dirs the true current manifest
+        # still references
+        cur, committed = self._committed_versioned()
         live = set(committed["batch_dirs"])
         removed = []
         dprefix = self.data_dir.rstrip("/") + "/"

@@ -100,7 +100,15 @@ def write_training_shards(packed: DataFrame, path: str,
     column is an error (silently writing unordered shards would break
     the ordering promise without a trace)."""
     if "mix_order" in packed.columns:
-        sort_cols = ([split_col] if split_col else []) + ["mix_order"]
+        # chunk-level mixtures carry several rows per sampled id, all
+        # sharing one mix_order; without a deterministic tiebreak the
+        # within-tie order is whatever the shuffle produced — append
+        # the pack columns so ties keep the pack-contiguity promise
+        # the non-mix path enforces
+        ties = [c for c in ("shard", "pack_id", "doc_id", "chunk_idx")
+                if c in packed.columns]
+        sort_cols = ([split_col] if split_col else []) \
+            + ["mix_order"] + ties
         packed = packed.repartition(F.col("mix_order"))
         packed = packed.sortWithinPartitions(*sort_cols)
         w = (packed.write.mode("overwrite")

@@ -144,7 +144,9 @@ class BucketedStateTable:
         return self.clog.version()
 
     def _manifest(self, v: int) -> dict[str, str]:
-        doc = self.clog._payload(v)
+        return self._manifest_doc(self.clog._payload(v))
+
+    def _manifest_doc(self, doc: dict) -> dict[str, str]:
         if "buckets" not in doc:
             # pre-seam manifest json: the bare bucket->dir map (older
             # versions inside the retention window survive adoption
@@ -396,11 +398,26 @@ class BucketedStateTable:
         references (crash orphans + buckets superseded by later
         commits). `keep_versions` manifests before CURRENT stay
         readable for in-flight readers. Returns removed dirs."""
-        cur = self.version()
-        if cur < 0:
+        if os.path.isdir(os.path.join(self.path, "commitlog")):
+            # mirror version()'s foreign-backend guard
+            raise ValueError(
+                f"state dir {self.path} was written by the versioned "
+                f"state backend; a table cannot switch backends in "
+                f"place")
+        # ONE snapshot: `cur` and the CURRENT manifest must come from
+        # the same read. Reading the version and its payload separately
+        # lets a concurrent writer advance + prune between the two —
+        # the payload read then misses, the live set loses the CURRENT
+        # manifest, and the stamp guard deletes data it references.
+        try:
+            rc = self.clog.read_committed()
+        except FileNotFoundError:
+            return []  # raced a prune: the table moved on; next pass
+        if rc is None:
             return []
-        live: set[str] = set()
-        for v in range(max(0, cur - keep_versions), cur + 1):
+        cur = rc[0]
+        live: set[str] = set(self._manifest_doc(rc[1]).values())
+        for v in range(max(0, cur - keep_versions), cur):
             # through the commit-log interface, NOT a POSIX probe: an
             # object-store log keeps payloads in the bucket, where a
             # filesystem exists() is always False — an empty live set

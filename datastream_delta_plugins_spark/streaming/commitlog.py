@@ -668,9 +668,20 @@ class ObjectStoreLog(CommitLog):
         doc = json.dumps({"version": v, **payload}, indent=1,
                          sort_keys=True).encode()
         if not self.client.put_if_absent(self._key(v), doc):
-            raise ConcurrentWriterError(
-                f"version {v} at {self._prefix} was committed by "
-                f"another writer")
+            # An ambiguous transport failure (5xx/connection drop AFTER
+            # the server applied the conditional PUT) makes the
+            # client's re-probe report a conflict for OUR OWN durable
+            # commit. Disambiguate by content: payloads embed the
+            # version and every data/segment name is attempt-unique
+            # (uuid nonces), so byte-equality means this exact attempt
+            # committed — idempotent success, no wasted OCC re-plan.
+            # (Byte-equal payloads from two writers would carry
+            # identical manifests, so treating one as ours is harmless
+            # even in that theoretical case.)
+            if self.client.get(self._key(v)) != doc:
+                raise ConcurrentWriterError(
+                    f"version {v} at {self._prefix} was committed by "
+                    f"another writer")
         self._floor = max(self._floor, v)
 
     def _prune(self, keep_from: int) -> None:

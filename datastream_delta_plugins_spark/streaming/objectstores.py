@@ -21,10 +21,22 @@ bucket deployment config-only. Each adapter is split in two layers:
     (status, headers, body)``. The default (``urllib_transport``)
     speaks plain HTTPS with a caller-supplied auth-header provider —
     no SDK import required; deployments with the vendor SDK installed
-    can pass an SDK-backed transport instead. Tests replay the full
-    client contract against an in-memory transport that implements
-    the documented REST semantics (tests/test_objectstore_bindings.py),
-    so the request layer is proven without network or SDK.
+    can pass an SDK-backed transport instead. ``signing_transport``
+    wraps any transport with a per-request SigV4 signer
+    (``SigV4Signer``, pinned against the published AWS test vectors)
+    so the S3 binding works against real AWS without an SDK. Tests
+    replay the full client contract against an in-memory transport
+    that implements the documented REST semantics
+    (tests/test_objectstore_bindings.py), so the request layer is
+    proven without network or SDK.
+
+Transient errors are handled IN the client (the reference wraps every
+control-plane call in a Failsafe retry, Utils.java:922-925): 429/5xx
+responses retry with bounded exponential backoff honoring
+``Retry-After``; the non-idempotent conditional PUT is never blindly
+resent — an ambiguous failure re-probes the key first (absent → the
+conditional PUT is safe to send again; present → report a conflict
+and let the commit layer disambiguate by content).
 
 Reference analog: every blob and offset the reference touches lives
 in GCS and is manipulated through exactly these request shapes
@@ -34,21 +46,36 @@ Utils.java:548-899 control-plane writes).
 
 from __future__ import annotations
 
+import hashlib
+import hmac
 import json
+import time
 from collections.abc import Callable
-from urllib.parse import quote
+from urllib.parse import quote, urlsplit
 
 from .commitlog import ObjectStoreClient
 
 #: (method, url, params, headers, data) -> (status, headers, body)
 Transport = Callable[..., tuple[int, dict, bytes]]
 
+#: statuses that are safe to retry for idempotent requests: throttling
+#: and transient server failures (the conditional PUT handles them
+#: separately — see _RestClient._put_if_absent)
+RETRYABLE_STATUSES = frozenset({429, 500, 502, 503, 504})
 
-def urllib_transport(auth_headers: Callable[[], dict] | None = None
-                     ) -> Transport:
+
+def urllib_transport(auth_headers: Callable[[], dict] | None = None,
+                     timeout: float = 60.0) -> Transport:
     """SDK-free HTTPS transport. ``auth_headers`` supplies
     authentication per request (e.g. a metadata-server token fetcher
-    on GCE, or a static ``{"Authorization": "Bearer ..."}``)."""
+    on GCE, or a static ``{"Authorization": "Bearer ..."}``); because
+    it runs per request, a provider that refreshes expired tokens
+    composes with the client's retry-on-401. ``timeout`` bounds every
+    request (a hung connection would otherwise stall the single
+    converter/maintenance daemon thread for the whole job — the
+    reference bounds every store call the same way,
+    Utils.java:922-925); it surfaces as the OSError the retry layer
+    and RetryPolicy already classify (socket.timeout is an OSError)."""
     def run(method, url, params=None, headers=None, data=None):
         import urllib.error
         import urllib.parse
@@ -61,24 +88,211 @@ def urllib_transport(auth_headers: Callable[[], dict] | None = None
         req = urllib.request.Request(url, data=data, headers=h,
                                      method=method)
         try:
-            with urllib.request.urlopen(req) as resp:
+            with urllib.request.urlopen(req, timeout=timeout) as resp:
                 return resp.status, dict(resp.headers), resp.read()
         except urllib.error.HTTPError as e:
             return e.code, dict(e.headers), e.read()
     return run
 
 
+# --------------------------------------------------- SigV4 (pure)
+
+class SigV4Signer:
+    """AWS Signature Version 4 request signer — pure hashing/HMAC over
+    the canonical request, no SDK. Pinned against the published AWS
+    worked examples (the IAM ``ListUsers`` GET and the S3 object GET
+    in the SigV4 documentation) in tests/test_objectstore_bindings.py.
+
+    Usage: ``signing_transport(urllib_transport(), SigV4Signer(...))``
+    makes the S3 binding work against real AWS. ``sign`` honors a
+    caller-provided ``x-amz-date`` (tests pin one); otherwise it
+    stamps ``clock()``. Paths are signed AS GIVEN: S3 canonicalization
+    mandates the already-encoded path not be re-encoded (the builders
+    in this module produce exactly that shape)."""
+
+    def __init__(self, access_key: str, secret_key: str, region: str,
+                 service: str = "s3", session_token: str | None = None,
+                 clock: Callable[[], float] = time.time):
+        self.access_key = access_key
+        self.secret_key = secret_key
+        self.region = region
+        self.service = service
+        self.session_token = session_token
+        self.clock = clock
+
+    @staticmethod
+    def _enc(s: str) -> str:
+        return quote(str(s), safe="-_.~")
+
+    def sign(self, method: str, url: str, params: dict | None = None,
+             headers: dict | None = None,
+             payload: bytes | None = None) -> dict:
+        """Headers to ADD to the request (Authorization, x-amz-date,
+        x-amz-content-sha256 for S3, x-amz-security-token if set)."""
+        payload = payload or b""
+        parts = urlsplit(url)
+        given = {k.lower(): str(v).strip()
+                 for k, v in (headers or {}).items()}
+        amz_date = given.get("x-amz-date") or time.strftime(
+            "%Y%m%dT%H%M%SZ", time.gmtime(self.clock()))
+        datestamp = amz_date[:8]
+        payload_hash = hashlib.sha256(payload).hexdigest()
+        out = {"x-amz-date": amz_date}
+        if self.service == "s3":
+            # S3 requires the payload hash as a signed header
+            out["x-amz-content-sha256"] = payload_hash
+        if self.session_token:
+            out["x-amz-security-token"] = self.session_token
+        # sign host + EVERY header the caller sends + the added ones
+        # (AWS guidance: sign everything you send; the transport must
+        # not inject request-altering headers after signing)
+        to_sign = {"host": parts.netloc}
+        to_sign.update(given)
+        for k, v in out.items():
+            to_sign[k] = v
+        names = sorted(to_sign)
+        canonical_headers = "".join(f"{k}:{to_sign[k]}\n" for k in names)
+        signed_headers = ";".join(names)
+        canonical_query = "&".join(
+            f"{k}={v}" for k, v in
+            sorted((self._enc(k), self._enc(v))
+                   for k, v in (params or {}).items()))
+        canonical_request = "\n".join([
+            method.upper(), parts.path or "/", canonical_query,
+            canonical_headers, signed_headers, payload_hash])
+        scope = f"{datestamp}/{self.region}/{self.service}/aws4_request"
+        string_to_sign = "\n".join([
+            "AWS4-HMAC-SHA256", amz_date, scope,
+            hashlib.sha256(canonical_request.encode()).hexdigest()])
+
+        def _hmac(key: bytes, msg: str) -> bytes:
+            return hmac.new(key, msg.encode(), hashlib.sha256).digest()
+
+        k = _hmac(b"AWS4" + self.secret_key.encode(), datestamp)
+        for part in (self.region, self.service, "aws4_request"):
+            k = _hmac(k, part)
+        signature = hmac.new(k, string_to_sign.encode(),
+                             hashlib.sha256).hexdigest()
+        out["Authorization"] = (
+            f"AWS4-HMAC-SHA256 Credential={self.access_key}/{scope}, "
+            f"SignedHeaders={signed_headers}, Signature={signature}")
+        return out
+
+
+def signing_transport(inner: Transport, signer: SigV4Signer) -> Transport:
+    """Wrap a transport so every request is SigV4-signed. The
+    signature covers the FINAL query/payload, so this must be the
+    outermost wrapper (retries re-enter it and re-sign with a fresh
+    date — required, since a signature is only valid ~15 minutes)."""
+    def run(method, url, params=None, headers=None, data=None):
+        h = dict(headers or {})
+        h.update(signer.sign(method, url, params, h, data))
+        return inner(method, url, params=params, headers=h, data=data)
+    return run
+
+
+# --------------------------------------------------- retry plumbing
+
+def _retry_after(headers: dict, fallback: float) -> float:
+    """Server-suggested delay (Retry-After seconds), capped so a
+    hostile/buggy header cannot park the pipeline; else ``fallback``."""
+    for k, v in (headers or {}).items():
+        if str(k).lower() == "retry-after":
+            try:
+                return max(0.0, min(float(v), 30.0))
+            except (TypeError, ValueError):
+                return fallback
+    return fallback
+
+
 class _RestClient(ObjectStoreClient):
     """Shared shape: request-building methods return
-    (method, url, params, headers, data); ``_call`` sends them."""
+    (method, url, params, headers, data); ``_call`` sends them with
+    bounded in-client retry for transient failures (throttling, 5xx,
+    connection drops) so one flaky response does not abort a whole
+    OCC merge attempt. ``sleep`` is injectable for tests."""
 
-    def __init__(self, transport: Transport):
+    def __init__(self, transport: Transport, *, max_attempts: int = 4,
+                 initial_backoff: float = 0.25, max_backoff: float = 8.0,
+                 sleep: Callable[[float], None] = time.sleep):
         self.transport = transport
+        self.max_attempts = max(1, int(max_attempts))
+        self.initial_backoff = initial_backoff
+        self.max_backoff = max_backoff
+        self.sleep = sleep
 
-    def _call(self, req):
+    def _send(self, req):
         method, url, params, headers, data = req
         return self.transport(method, url, params=params,
                               headers=headers, data=data)
+
+    def _call(self, req, retry: bool = True):
+        """Send a request; when ``retry`` (idempotent requests: GET /
+        HEAD / LIST / DELETE / plain overwrite PUT — resending any of
+        them is safe even if the first attempt was applied), transient
+        failures back off and resend, honoring Retry-After. One 401 is
+        retried immediately: the per-request auth provider refreshes
+        expired credentials on the next call."""
+        backoff = self.initial_backoff
+        attempt, retried_auth = 0, False
+        while True:
+            attempt += 1
+            try:
+                status, headers, body = self._send(req)
+            except OSError:
+                # connection-level failure (reset, timeout): idempotent
+                # requests resend; non-idempotent callers probe
+                if not retry or attempt >= self.max_attempts:
+                    raise
+                self.sleep(backoff)
+                backoff = min(backoff * 2.0, self.max_backoff)
+                continue
+            if retry and status == 401 and not retried_auth:
+                retried_auth = True
+                continue
+            if retry and status in RETRYABLE_STATUSES \
+                    and attempt < self.max_attempts:
+                self.sleep(_retry_after(headers, backoff))
+                backoff = min(backoff * 2.0, self.max_backoff)
+                continue
+            return status, headers, body
+
+    def _put_if_absent(self, key: str, make_req, label: str) -> bool:
+        """Conditional-create with ambiguity-safe retry. The PUT is
+        non-idempotent (a blind resend after the server applied it
+        reads 412 = false conflict; worse, an ambiguous 5xx may or may
+        not have created the object), so each transient/conflict
+        outcome RE-PROBES the key: present → report a conflict (the
+        commit layer disambiguates its own payload by content, see
+        ObjectStoreLog._publish); absent → the conditional PUT is
+        provably unapplied and safe to send again. S3 additionally
+        documents 409 (ConditionalRequestConflict) for concurrent
+        conditional writers racing the same key — same probe."""
+        backoff = self.initial_backoff
+        for attempt in range(1, self.max_attempts + 1):
+            try:
+                status, headers, _ = self._call(make_req(), retry=False)
+            except OSError:
+                status, headers = None, {}  # ambiguous: connection died
+            if status == 412:
+                return False
+            if status is not None and status // 100 == 2:
+                return True
+            ambiguous = (status is None or status == 409
+                         or status in RETRYABLE_STATUSES)
+            if ambiguous:
+                if self.head(key):
+                    return False
+                if attempt < self.max_attempts:
+                    self.sleep(_retry_after(headers, backoff))
+                    backoff = min(backoff * 2.0, self.max_backoff)
+                    continue
+            raise OSError(
+                f"{label} put {key}: "
+                + (f"HTTP {status}" if status is not None
+                   else "connection failed")
+                + (" (retries exhausted)" if ambiguous else ""))
+        raise AssertionError("unreachable")
 
 
 class GcsClient(_RestClient):
@@ -96,8 +310,8 @@ class GcsClient(_RestClient):
       which SATISFIES the contract (lag is permitted, not required).
     """
 
-    def __init__(self, bucket: str, transport: Transport):
-        super().__init__(transport)
+    def __init__(self, bucket: str, transport: Transport, **retry_opts):
+        super().__init__(transport, **retry_opts)
         self.bucket = bucket
         self._base = "https://storage.googleapis.com"
 
@@ -140,13 +354,9 @@ class GcsClient(_RestClient):
     # -- the client contract --
 
     def put_if_absent(self, key: str, data: bytes) -> bool:
-        status, _, _ = self._call(self.put_request(key, data,
-                                                   if_absent=True))
-        if status == 412:
-            return False
-        if status // 100 != 2:
-            raise OSError(f"GCS put {key}: HTTP {status}")
-        return True
+        return self._put_if_absent(
+            key, lambda: self.put_request(key, data, if_absent=True),
+            "GCS")
 
     def put(self, key: str, data: bytes) -> None:
         status, _, _ = self._call(self.put_request(key, data))
@@ -193,9 +403,10 @@ class GcsClient(_RestClient):
 
 
 class S3Client(_RestClient):
-    """S3 REST binding (virtual-hosted style URLs; the transport is
-    responsible for SigV4 signing — an SDK- or botocore-backed
-    transport signs, the stub transport in tests does not need to).
+    """S3 REST binding (virtual-hosted style URLs). Real AWS needs
+    per-request SigV4 signatures: wrap the transport with
+    ``signing_transport(urllib_transport(), SigV4Signer(...))`` — the
+    stub transports in tests do not need to sign.
 
     Semantics mapping (documented S3 behavior since the 2020
     strong-consistency change + 2024 conditional writes):
@@ -207,8 +418,8 @@ class S3Client(_RestClient):
     """
 
     def __init__(self, bucket: str, transport: Transport,
-                 region: str = "us-east-1"):
-        super().__init__(transport)
+                 region: str = "us-east-1", **retry_opts):
+        super().__init__(transport, **retry_opts)
         self.bucket = bucket
         self._base = f"https://{bucket}.s3.{region}.amazonaws.com"
 
@@ -240,13 +451,9 @@ class S3Client(_RestClient):
     # -- the client contract --
 
     def put_if_absent(self, key: str, data: bytes) -> bool:
-        status, _, _ = self._call(self.put_request(key, data,
-                                                   if_absent=True))
-        if status == 412:
-            return False
-        if status // 100 != 2:
-            raise OSError(f"S3 put {key}: HTTP {status}")
-        return True
+        return self._put_if_absent(
+            key, lambda: self.put_request(key, data, if_absent=True),
+            "S3")
 
     def put(self, key: str, data: bytes) -> None:
         status, _, _ = self._call(self.put_request(key, data))

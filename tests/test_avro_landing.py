@@ -729,3 +729,59 @@ def test_maintenance_cadence_compacts_under_live_stream(spark, tmp_path):
         assert conv.read_landing().count() == 30
     finally:
         job.stop_all()
+
+
+class _RegressingListClient:
+    """InMemoryObjectStore wrapper whose COMMIT-LOG listing regresses
+    after the first call — the non-monotone lagging listing the client
+    contract permits. Every other request passes through."""
+
+    def __init__(self, inner, log_prefix):
+        self._inner = inner
+        self._log_prefix = log_prefix
+        self.log_lists = 0
+
+    def list_keys(self, prefix, start_after=None):
+        keys = self._inner.list_keys(prefix, start_after=start_after)
+        if prefix == self._log_prefix:
+            self.log_lists += 1
+            if self.log_lists >= 2:          # regress: only v0 visible
+                keys = [k for k in keys if k.endswith("/v0.json")]
+        return keys
+
+    def __getattr__(self, name):
+        return getattr(self._inner, name)
+
+
+def test_vacuum_survives_regressing_log_listing(spark, tmp_path):
+    """Live-set and stamp-guard must come from ONE snapshot: if vacuum
+    read CURRENT twice and the second (listing-backed) read regressed
+    to an older manifest, batch dirs the true CURRENT references but
+    the stale one doesn't (stamp < cur) would be deleted — silent row
+    loss. Pinned by regressing the log listing between calls."""
+    from datastream_delta_plugins_spark.sources.avro_landing import \
+        LOG_SUBDIR
+    from datastream_delta_plugins_spark.streaming.commitlog import \
+        InMemoryObjectStore
+
+    src = tmp_path / "avro"
+    src.mkdir()
+    landing = str(tmp_path / "landing")
+    inner = InMemoryObjectStore()
+    writer = AvroLandingConverter(spark, str(src), landing, client=inner)
+    for i in range(3):                      # commits v0, v1, v2
+        _write_avro(src, f"k1_oracle-cdc-logminer_{i}.avro",
+                    _events(10 * i, 10 * i + 10))
+        assert writer.convert_new()["converted"] == 1
+    assert len(writer.committed_batch_dirs()) == 3
+
+    # a FRESH maintenance process (no writer-local version floor) runs
+    # vacuum against the regressing listing
+    wrapped = _RegressingListClient(
+        inner, landing.rstrip("/") + "/" + LOG_SUBDIR + "/")
+    maint = AvroLandingConverter(spark, str(src), landing, client=wrapped)
+    removed = maint.vacuum()
+    # nothing the true CURRENT references may go (b1 is stamped 1 < 2
+    # and absent from v0's manifest — the stale-second-read casualty)
+    assert [d for d in removed if d.startswith("b")] == []
+    assert writer.read_landing().count() == 30

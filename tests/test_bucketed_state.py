@@ -428,3 +428,58 @@ def test_read_at_time_travel(spark, tmp_path):
     assert t.read_at(v1).count() == 20
     assert t.read().count() == 20
     assert t.read_at(-1) is None
+
+
+class _VanishingPayloadClient:
+    """InMemoryObjectStore wrapper simulating a concurrent writer
+    pruning manifest payloads between vacuum's version read and its
+    payload reads: once armed, the FIRST get of each vanishing key
+    passes (version() validation) and every later get returns None."""
+
+    def __init__(self, inner, vanish_keys):
+        self._inner = inner
+        self._vanish = set(vanish_keys)
+        self._gets = {}
+        self.armed = False
+
+    def get(self, key):
+        if self.armed and key in self._vanish:
+            n = self._gets.get(key, 0) + 1
+            self._gets[key] = n
+            if n >= 2:
+                return None
+        return self._inner.get(key)
+
+    def __getattr__(self, name):
+        return getattr(self._inner, name)
+
+
+def test_vacuum_aborts_when_current_payload_vanishes(spark, tmp_path):
+    """cur and its manifest must come from ONE snapshot: if vacuum
+    read the version, then a concurrent writer advanced + pruned the
+    window payloads before the separate payload reads, the live set
+    would come back empty and the stamp guard would delete data the
+    true CURRENT still references. The fixed vacuum reads
+    (version, payload) together and treats a vanished current payload
+    as 'lost the race — do nothing this pass'."""
+    from datastream_delta_plugins_spark.streaming.commitlog import \
+        InMemoryObjectStore
+
+    inner = InMemoryObjectStore()
+    path = str(tmp_path / "state")
+    t = BucketedStateTable(spark, path, ["id"], n_buckets=4,
+                           client=inner)
+    t.merge(_batch1(spark))                      # v0
+    t.merge(_batch2(spark))                      # v1 (partial buckets)
+    t.merge(_changes(spark, [(0, "z0", "UPDATE", 900, 1, "A", 1)]))  # v2
+    before = _snap(t.read())
+
+    prefix = path.rstrip("/") + "/manifest/"
+    wrapped = _VanishingPayloadClient(
+        inner, {prefix + "v1.json", prefix + "v2.json"})
+    maint = BucketedStateTable(spark, path, ["id"], n_buckets=4,
+                               client=wrapped)
+    wrapped.armed = True
+    assert maint.vacuum(keep_versions=1) == []   # aborted, not a purge
+    wrapped.armed = False
+    assert _snap(t.read()) == before             # nothing live deleted

@@ -127,3 +127,32 @@ def test_streaming_corpus_ingest_composition(spark, tmp_path):
     q.awaitTermination(120)
     got = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
     assert got == [1, 3]  # doc 2's identical text dropped in-stream
+
+
+def test_mix_order_ties_keep_pack_contiguity(spark, tmp_path):
+    """Chunk-level mixtures share one mix_order across a doc's chunk
+    rows; the writer must tiebreak deterministically on the pack
+    columns or tie order is whatever the shuffle produced — silently
+    breaking the pack-contiguity promise the non-mix path enforces."""
+    from datastream_delta_plugins_spark.sources.corpus_io import \
+        write_training_shards
+
+    # 40 docs x 25 chunks, one mix_order per doc, arriving scrambled
+    df = (spark.range(40).selectExpr(
+              "id AS doc_id", "pmod(hash(id), 1000) AS mix_order")
+          .selectExpr("doc_id", "mix_order",
+                      "explode(sequence(0, 24)) AS chunk_idx")
+          .repartition(16)
+          .sortWithinPartitions("chunk_idx"))  # adversarial tie order
+    out = str(tmp_path / "shards")
+    write_training_shards(df, out, rows_per_file=200)
+    import glob
+    files = sorted(glob.glob(out + "/*.parquet"))
+    assert files
+    seen_pairs = 0
+    for f in files:
+        rows = [(r["mix_order"], r["doc_id"], r["chunk_idx"])
+                for r in spark.read.parquet(f).collect()]
+        assert rows == sorted(rows)   # ties resolve by (doc, chunk)
+        seen_pairs += len(rows)
+    assert seen_pairs == 40 * 25
