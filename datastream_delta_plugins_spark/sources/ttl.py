@@ -31,8 +31,11 @@ MARK_BATCH_SIZE = 100  # reference batches 100 blobs per request (:270-275)
 class ProcessedFileTtl:
     def __init__(self, manifest_path: str,
                  ttl_days: int = DEFAULT_TTL_DAYS,
-                 blob_store=None):
-        self.doc = StateDoc(manifest_path)
+                 blob_store=None, doc_store=None):
+        # doc_store: keep the processed-file manifest itself in a
+        # bucket (config-only deployment); blob_store is where the
+        # SOURCE blobs being purged live — often a different client
+        self.doc = StateDoc(manifest_path, store=doc_store)
         self.ttl = datetime.timedelta(days=ttl_days)
         # the purge deletes SOURCE blobs through the client interface
         # (reference analog: GCS lifecycle/batched deletes) — a bucket

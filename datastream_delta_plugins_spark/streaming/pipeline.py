@@ -24,7 +24,6 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
 from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
@@ -72,7 +71,8 @@ class CdcPipeline:
                  columns: list[str] | None = None,
                  commit_impl: str = "pointer",
                  auto_bucket_rows: int = 5_000_000,
-                 bucket_keep_versions: int | None = 1):
+                 bucket_keep_versions: int | None = 1,
+                 client=None, data_store=None):
         self.spark = spark
         self.table = table
         self.source_dir = source_dir
@@ -123,7 +123,17 @@ class CdcPipeline:
         # schedule
         self.bucket_keep_versions = bucket_keep_versions
         self.checkpoint_dir = os.path.join(work_dir, "checkpoint")
-        self.doc = StateDoc(os.path.join(work_dir, "state.json"))
+        # client: config-only bucket deployment — the WHOLE sidecar
+        # plane (state doc, version log / bucketed manifest, landing
+        # interplay via ReplicationJob) rides this ObjectStoreClient;
+        # commit_impl is ignored where it applies. data_store is where
+        # the state parquet's maintenance (orphan pruning) runs — the
+        # bytes themselves go through Spark's own connectors either way
+        self.client = client
+        from .commitlog import PosixStore
+        self.data_store = data_store or PosixStore()
+        self.doc = StateDoc(os.path.join(work_dir, "state.json"),
+                            store=client)
         # the auto backend keeps its bucketed table beside the
         # versioned dir — the backend guards refuse in-place switches
         self.bucketed_dir = self.state_dir if state_backend == "bucketed"             else os.path.join(work_dir, "state_bucketed")
@@ -137,7 +147,13 @@ class CdcPipeline:
             self.bstate = BucketedStateTable(
                 spark, self.bucketed_dir, pk_cols, sort_cols,
                 n_buckets=n_state_buckets, commit_impl=commit_impl,
-                keep_versions=bucket_keep_versions)
+                keep_versions=bucket_keep_versions,
+                client=client, data_store=self.data_store)
+        elif client is not None:
+            from .commitlog import ObjectStoreLog
+            self.clog = ObjectStoreLog(self.state_dir, client=client)
+            # no legacy adoption: the pre-seam pointer layout is a
+            # POSIX artifact that cannot exist in a bucket
         else:
             self.clog = make_commit_log(self.state_dir, commit_impl)
             # pre-seam layouts swapped CURRENT at the state-dir ROOT
@@ -196,9 +212,13 @@ class CdcPipeline:
         # state every micro-batch
         self.clog.commit({"data_dir": f"v{v}",
                           "n_rows": _parquet_footer_rows(path)})
+        # keep current + previous; pruning rides the data_store client
+        # so a deployment whose state parquet also lives in a bucket
+        # actually reclaims it (POSIX default behaves like the old
+        # rmtree)
         old = os.path.join(self.state_dir, f"v{v - 2}")
-        if os.path.exists(old):  # keep current + previous
-            shutil.rmtree(old, ignore_errors=True)
+        for k in self.data_store.list_keys(old.rstrip("/") + "/"):
+            self.data_store.delete(k)
 
     # -- schema drift (D3) --
 
@@ -423,7 +443,8 @@ class CdcPipeline:
         b = BucketedStateTable(
             self.spark, self.bucketed_dir, self.pk_cols, self.sort_cols,
             n_buckets=self.n_state_buckets, commit_impl=self.commit_impl,
-            keep_versions=self.bucket_keep_versions)
+            keep_versions=self.bucket_keep_versions,
+            client=self.client, data_store=self.data_store)
         # wipe through the log/client interfaces, NOT a local rmtree: a
         # crashed earlier attempt may have committed its seed manifest
         # to a bucket-resident log, which no filesystem delete can

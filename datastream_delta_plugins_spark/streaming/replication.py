@@ -79,7 +79,8 @@ class ReplicationJob:
                  n_state_buckets: int = 16,
                  commit_impl: str = "pointer",
                  auto_bucket_rows: int = 5_000_000,
-                 bucket_keep_versions: int | None = 1):
+                 bucket_keep_versions: int | None = 1,
+                 client=None, data_store=None, source_store=None):
         if validate:  # design-time shape validation (SURVEY §3.3)
             from ..config import ConfigValidationError, validate_tables
             problems = validate_tables(tables)
@@ -89,12 +90,25 @@ class ReplicationJob:
         self.work_dir = work_dir
         self.database = database
         self.tables = {t.name: t for t in tables}
-        self.doc = StateDoc(os.path.join(work_dir, "job_state.json"))
+        # client: config-only bucket deployment — ONE ObjectStoreClient
+        # (e.g. objectstores.GcsClient/S3Client) carries the job's whole
+        # sidecar plane: the job/table state docs, every landing log +
+        # segment, the state version log / bucketed manifest, and the
+        # TTL manifest. source_store is where the SOURCE blobs live
+        # (listing + TTL purge; defaults to client, else POSIX);
+        # data_store is where parquet maintenance (orphan/version
+        # pruning) runs. The parquet bytes themselves always go through
+        # Spark's own filesystem connectors, as in any deployment.
+        self.client = client
+        source_store = source_store or client
+        self.doc = StateDoc(os.path.join(work_dir, "job_state.json"),
+                            store=client)
         # S8: one shared manifest; marked only after a table's merge
         # commits, purged by ttl.purge_expired() (lifecycle-rule analog)
         from ..sources.ttl import ProcessedFileTtl
         self.ttl = (ProcessedFileTtl(
-            os.path.join(work_dir, "ttl_manifest.json"), ttl_days)
+            os.path.join(work_dir, "ttl_manifest.json"), ttl_days,
+            blob_store=source_store, doc_store=client)
             if ttl_days else None)
         # bucketed state has no single LOCATION to register (see
         # CdcPipeline) — catalog registration applies to the versioned
@@ -110,7 +124,8 @@ class ReplicationJob:
                 spark, t.source_dir,
                 os.path.join(work_dir, "tables", t.name, "landing"),
                 columns=t.columns, commit_impl=commit_impl,
-                path_layout=t.path_layout)
+                path_layout=t.path_layout, client=client,
+                source_store=source_store, data_store=data_store)
             for t in tables if t.source_format == "avro"
         }
         for t in tables:
@@ -133,7 +148,8 @@ class ReplicationJob:
                 columns=t.columns,
                 commit_impl=commit_impl,
                 auto_bucket_rows=auto_bucket_rows,
-                bucket_keep_versions=bucket_keep_versions)
+                bucket_keep_versions=bucket_keep_versions,
+                client=client, data_store=data_store)
             for t in tables
         }
         for t in tables:

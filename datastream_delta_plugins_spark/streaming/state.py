@@ -81,20 +81,30 @@ def k_schema_key(t: str) -> str:
 
 
 class StateDoc:
-    """Atomic JSON key/value state document (write-to-temp + rename)."""
+    """Atomic JSON key/value state document. Default binding is POSIX
+    (write-to-temp + rename); pass ``store`` (an ObjectStoreClient) to
+    keep the doc in a bucket instead — the client contract's ``put``
+    is an atomic overwrite, so readers see the old or new complete doc
+    either way (the config-only bucket deployment path: the whole
+    offset vocabulary then lives beside the manifests it describes)."""
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, store=None):
         self.path = path
+        self.store = store
         self._state: dict[str, str] = {}
-        if os.path.exists(path):
-            with open(path) as f:
-                self._state = json.load(f)
+        self.load()
 
     def load(self) -> None:
-        """Re-read from disk, replacing in-memory state — for readers
-        observing a doc another writer (a foreachBatch closure, another
-        process) saves out-of-band. Writers save() after every mutation
-        here, so nothing unsaved is at risk in the built-in paths."""
+        """Re-read from the backing store, replacing in-memory state —
+        for readers observing a doc another writer (a foreachBatch
+        closure, another process) saves out-of-band. Writers save()
+        after every mutation here, so nothing unsaved is at risk in
+        the built-in paths."""
+        if self.store is not None:
+            raw = self.store.get(self.path)
+            if raw is not None:
+                self._state = json.loads(raw)
+            return
         if os.path.exists(self.path):
             with open(self.path) as f:
                 self._state = json.load(f)
@@ -115,6 +125,10 @@ class StateDoc:
         return dict(self._state)
 
     def save(self) -> None:
+        if self.store is not None:
+            self.store.put(self.path, json.dumps(
+                self._state, indent=1, sort_keys=True).encode())
+            return
         d = os.path.dirname(self.path) or "."
         os.makedirs(d, exist_ok=True)
         fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")

@@ -211,3 +211,97 @@ def test_threaded_converter_compactor_vacuum_storm(spark, tmp_path):
     assert landed.select("uuid").distinct().count() == total
     c.vacuum()
     assert c.read_landing().count() == total
+
+
+def test_replication_job_bucket_deployment_zero_local_sidecars(
+        spark, tmp_path):
+    """The COMPOSED job, config-only on a bucket: one
+    ReplicationJob(client=mock_bucket) must carry its entire sidecar
+    plane — job/table state docs, landing log + segments, bucketed
+    state manifest, TTL manifest — in the bucket, leave nothing but
+    parquet data on local disk, and converge through injected commit
+    crashes exactly like the hand-assembled composition above."""
+    import os
+    import sys
+    sys.path.insert(0, "tests")
+    from decimal import Decimal
+
+    from test_avro_landing import CDC, SNAP, _event, _events, _write_avro
+
+    from datastream_delta_plugins_spark.streaming import state as sk
+    from datastream_delta_plugins_spark.streaming.commitlog import (
+        PosixStore)
+    from datastream_delta_plugins_spark.streaming.replication import (
+        ReplicationJob, TableConfig)
+
+    src = tmp_path / "blobs"
+    src.mkdir()
+    _write_avro(src, "t1_oracle-backfill_0.avro", _events(0, 30, SNAP))
+    _write_avro(src, "t1_oracle-cdc-logminer_1.avro",
+                [_event("c1", CDC, "UPDATE", 5, "emp5b",
+                        Decimal("9.99"), 100),
+                 _event("c2", CDC, "DELETE", 7, "emp7",
+                        Decimal("1.00"), 101)])
+
+    bucket = InMemoryObjectStore(listing_lag=1)
+    work = str(tmp_path / "work")
+    job = ReplicationJob(
+        spark, work,
+        [TableConfig("t1", str(src), ["EMPLOYEE_ID"],
+                     source_format="avro")],
+        register_catalog=False, state_backend="bucketed",
+        n_state_buckets=4, ttl_days=30,
+        client=bucket, source_store=PosixStore())
+    job.run_batch()
+    pipe = job.pipelines["t1"]
+    state = {r["EMPLOYEE_ID"]: (r["FIRST_NAME"], r["_is_deleted"])
+             for r in pipe.read_state().collect()}
+    assert state[5] == ("emp5b", False)
+    assert state[7][1] is True and len(state) == 30
+
+    # crash the NEXT landing commit, then the NEXT state commit —
+    # each failed cycle retries idempotently through the OCC seam
+    rng = random.Random(7)
+    _write_avro(src, "t1_oracle-cdc-logminer_2.avro",
+                [_event("c3", CDC, "UPDATE", 9, "emp9z",
+                        Decimal("2.00"), 102)])
+    restore = _inject_crash(job.converters["t1"].clog, rng)
+    with pytest.raises(Exception):
+        job.run_batch()
+    restore()
+    restore = _inject_crash(pipe.bstate.clog, rng)
+    try:
+        job.run_batch()      # state commit may crash after landing
+    except Exception:
+        pass
+    restore()
+    job.run_batch()
+    state = {r["EMPLOYEE_ID"]: r["FIRST_NAME"]
+             for r in pipe.read_state().collect()}
+    assert state[9] == "emp9z" and len(state) == 30
+    # landing holds each blob exactly once through the crashed retries
+    uuids = job.converters["t1"].read_landing().select("uuid").collect()
+    assert len(uuids) == len({r["uuid"] for r in uuids}) == 33
+
+    # dump barrier resolves through the bucket-resident docs
+    job.run_batch()
+    assert pipe.doc.get(sk.k_snapshot_done("t1")) == "true"
+    assert job.all_dumps_done()
+
+    # ZERO local sidecar files: everything under work_dir is parquet
+    # data (+ Spark's _SUCCESS markers); every doc/manifest/segment
+    # lives in the bucket
+    local = []
+    for root, _dirs, files in os.walk(work):
+        for f in files:
+            if not (f.endswith(".parquet") or f == "_SUCCESS"
+                    or f.startswith(".")):
+                local.append(os.path.join(root, f))
+    assert local == []
+    keys = set(bucket._objects)
+    assert any("/_landing_log/segments/" in k for k in keys)
+    assert any("/_landing_log/v" in k for k in keys)
+    assert any("/state/manifest/v" in k for k in keys)
+    assert any(k.endswith("state.json") for k in keys)
+    assert any(k.endswith("job_state.json") for k in keys)
+    assert any(k.endswith("ttl_manifest.json") for k in keys)
