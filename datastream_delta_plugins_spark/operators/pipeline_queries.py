@@ -182,14 +182,44 @@ def d06_span_dedup(spark, sf_dir):
 
 
 def d07_contamination(spark, sf_dir):
-    """Benchmark-contamination flags: benchmark = doc_id % 20 == 7
-    (a deterministic 5% slice standing in for an eval suite); a corpus
-    doc is contaminated when it shares any 8-word span with the
-    benchmark. The benchmark span set is broadcast — the corpus side
-    never shuffles."""
-    return _psort(corpus.contamination_check(
-                      _docs(spark, sf_dir), F.col("doc_id") % 20 == 7, n=8),
-                  "doc_id")
+    """Corpus-curation tagged union, one slot, two operators:
+
+    tag 'contam' — benchmark-contamination flags: benchmark =
+    doc_id % 20 == 7 (a deterministic 5% slice standing in for an eval
+    suite); a corpus doc is contaminated when it shares any 8-word
+    span with the benchmark. The benchmark span set is broadcast — the
+    corpus side never shuffles.
+
+    tag 'mix' — `sampling.mix_corpora` hard-gated: documents split
+    into two pseudo-sources by doc_id parity, mixed at weights
+    0.3/0.7 toward target_rows=400 — at sf0.01 (the driver's gate)
+    that exercises all three membership regimes at once: pure
+    DOWN-sample ('even': 120 of 250 = a fractional draw with zero
+    full epochs), WHOLE-EPOCH up-sample ('odd' epoch 0 = a complete
+    copy), and FRACTIONAL-epoch membership ('odd' epoch 1 = a
+    hash-selected 12% re-draw). Membership, epoch assignment, and the
+    interleave rank (mix_order) are all md5-derived, so the DuckDB
+    oracle independently re-derives every row from ids alone —
+    including need//have epoch arithmetic from its own count(*)."""
+    from . import sampling
+    contam = (corpus.contamination_check(
+                  _docs(spark, sf_dir), F.col("doc_id") % 20 == 7, n=8)
+              .select(F.lit("contam").alias("tag"), "doc_id",
+                      "n_shared_spans", "contaminated",
+                      F.lit(None).cast("string").alias("source_name"),
+                      F.lit(None).cast("int").alias("epoch"),
+                      F.lit(None).cast("bigint").alias("mix_order")))
+    ids = load_table(spark, sf_dir, "documents").select("doc_id")
+    mixed = sampling.mix_corpora(
+        {"even": ids.where(F.col("doc_id") % 2 == 0),
+         "odd": ids.where(F.col("doc_id") % 2 == 1)},
+        {"even": 0.3, "odd": 0.7},
+        "doc_id", target_rows=400, salt="mx")
+    mix = mixed.select(F.lit("mix").alias("tag"), "doc_id",
+                       F.lit(None).cast("bigint").alias("n_shared_spans"),
+                       F.lit(None).cast("boolean").alias("contaminated"),
+                       "source_name", "epoch", "mix_order")
+    return _psort(contam.unionByName(mix), "tag", "doc_id", "epoch")
 
 
 def c01_chunk_pack(spark, sf_dir):
@@ -662,12 +692,59 @@ ORACLE_SQL: dict[str, str] = {
         WITH {_span_sql(8)},
         bench AS (SELECT DISTINCT h FROM sp WHERE doc_id % 20 = 7),
         hits AS (SELECT doc_id, count(*) AS n FROM sp JOIN bench USING (h)
-                 WHERE doc_id % 20 <> 7 GROUP BY doc_id)
-        SELECT d.doc_id,
-               CAST(coalesce(n, 0) AS BIGINT) AS n_shared_spans,
-               coalesce(n, 0) > 0 AS contaminated
-        FROM documents d LEFT JOIN hits USING (doc_id)
-        WHERE d.doc_id % 20 <> 7 ORDER BY d.doc_id""",
+                 WHERE doc_id % 20 <> 7 GROUP BY doc_id),
+        -- tag 'mix': re-derive mix_corpora entirely from ids — the
+        -- need//have epoch arithmetic from this engine's own counts,
+        -- fractional membership and the interleave rank from md5
+        mix_src AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 2 = 0 THEN 'even' ELSE 'odd' END
+                   AS source_name
+          FROM documents),
+        mix_stats AS (
+          SELECT source_name, count(*) AS have,
+                 CAST(round(400 * CASE source_name
+                            WHEN 'even' THEN 0.3 ELSE 0.7 END)
+                      AS BIGINT) AS need
+          FROM mix_src GROUP BY source_name),
+        mix_full AS (
+          SELECT doc_id, source_name,
+                 unnest(range(0, CAST(need // have AS BIGINT))) AS epoch
+          FROM mix_src JOIN mix_stats USING (source_name)),
+        mix_frac AS (
+          SELECT doc_id, source_name, need // have AS epoch
+          FROM mix_src JOIN mix_stats USING (source_name)
+          WHERE need % have > 0
+            AND CAST('0x' || substr(md5(
+                    CAST(doc_id AS VARCHAR) || '|mx|' || source_name
+                    || '|e' || CAST(need // have AS VARCHAR)), 1, 8)
+                  AS BIGINT) % 10000
+                < CAST(round(10000.0 * (need % have) / have) AS BIGINT)),
+        mix_rows AS (
+          SELECT doc_id, source_name, CAST(epoch AS INT) AS epoch,
+                 CAST('0x' || substr(md5(
+                     source_name || '|' || CAST(doc_id AS VARCHAR)
+                     || '|' || CAST(epoch AS VARCHAR) || '|mx'), 1, 8)
+                   AS BIGINT) AS mix_order
+          FROM (SELECT doc_id, source_name, epoch FROM mix_full
+                UNION ALL
+                SELECT doc_id, source_name, epoch FROM mix_frac))
+        SELECT * FROM (
+          SELECT 'contam' AS tag, d.doc_id,
+                 CAST(coalesce(n, 0) AS BIGINT) AS n_shared_spans,
+                 coalesce(n, 0) > 0 AS contaminated,
+                 CAST(NULL AS VARCHAR) AS source_name,
+                 CAST(NULL AS INT) AS epoch,
+                 CAST(NULL AS BIGINT) AS mix_order
+          FROM documents d LEFT JOIN hits USING (doc_id)
+          WHERE d.doc_id % 20 <> 7
+          UNION ALL
+          SELECT 'mix' AS tag, doc_id,
+                 CAST(NULL AS BIGINT) AS n_shared_spans,
+                 CAST(NULL AS BOOLEAN) AS contaminated,
+                 source_name, epoch, mix_order
+          FROM mix_rows
+        ) ORDER BY tag, doc_id, epoch""",
     "c01_chunk_pack": f"""
         WITH {_TOKS},
         c AS (SELECT doc_id, w, unnest(generate_series(0, len(w) - 1, 24)) AS s
