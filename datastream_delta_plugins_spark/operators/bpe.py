@@ -79,14 +79,30 @@ def _merge_expr(a: str, b: str) -> F.Column:
 
 
 #: driver-local merge-loop ceiling: distinct words held on the driver.
-#: 2M (word, freq) rows is ~100 MB — trivially driver-sized, and far
-#: beyond any natural-language vocabulary (web-scale English corpora
-#: plateau near 10^6 distinct space-split tokens after normalization).
+#: The ROW bound alone underestimates Python overhead ~10x — the local
+#: trainer builds a per-word symbol list plus pair-count/pair-word
+#: dicts whose occurrence sets sum to the total pair count, so the
+#: real footprint tracks SYMBOLS, not rows. Both bounds must hold
+#: before collecting; web-scale natural-language vocabularies (~10^6
+#: words, ~7 chars avg) fit comfortably, a default-heap driver OOM
+#: does not sneak past the row count.
 DRIVER_VOCAB_CEILING = 2_000_000
+
+#: measured-order per-symbol cost of the local trainer's structures
+#: (symbol-list str refs + pair tuples + occurrence-set entries +
+#: heap entries), deliberately conservative
+_BYTES_PER_SYMBOL = 250
+
+#: driver-heap budget for the local merge loop. 512 MB / 250 B/sym
+#: ~= 2.1M symbols (~260k average-English words) — sized for a
+#: DEFAULT driver heap, not this sandbox's 128 GiB; deployments with
+#: big drivers raise it explicitly.
+DRIVER_VOCAB_BUDGET_BYTES = 512 * 2**20
 
 
 def bpe_train(df: DataFrame, num_merges: int, text_col: str = "text",
-              driver_vocab_ceiling: int = DRIVER_VOCAB_CEILING
+              driver_vocab_ceiling: int = DRIVER_VOCAB_CEILING,
+              driver_vocab_budget_bytes: int = DRIVER_VOCAB_BUDGET_BYTES
               ) -> list[tuple[str, str]]:
     """Learn `num_merges` BPE merges from the corpus. Returns the
     ordered merge list [(a, b), ...] (rank = position).
@@ -104,15 +120,30 @@ def bpe_train(df: DataFrame, num_merges: int, text_col: str = "text",
     row is: by the ceiling, checked before fetching the tail.
 
     Corpora whose post-normalization vocabulary genuinely exceeds the
-    ceiling (code, DNA, no word boundaries) fall back to the
-    distributed per-round loop, which never holds the vocab in one
-    place."""
-    freqs = word_freqs(df, text_col)
-    head = freqs.head(driver_vocab_ceiling + 1)
-    if len(head) <= driver_vocab_ceiling:
-        return _train_local([(r["word"], r["freq"]) for r in head],
-                            num_merges)
-    return _train_distributed(df.sparkSession, freqs, num_merges)
+    ceiling (code, DNA, no word boundaries) — or whose ESTIMATED local
+    footprint (symbols x per-symbol structure cost, measured from the
+    same word-frequency aggregation, no extra corpus pass) exceeds
+    ``driver_vocab_budget_bytes`` — fall back to the distributed
+    per-round loop, which never holds the vocab in one place."""
+    # persist the (vocabulary-sized) word-freq table: the sizing agg
+    # and the collect/distributed loop are separate actions, and the
+    # corpus-touched-once contract must survive both
+    freqs = word_freqs(df, text_col).persist()
+    try:
+        # size the vocab BEFORE collecting it: one vocabulary-bounded
+        # agg (rows + total chars); +1 sym/word for the end-of-word
+        # marker
+        n_words, n_chars = freqs.agg(
+            F.count(F.lit(1)), F.coalesce(F.sum(F.length("word")),
+                                          F.lit(0))).first()
+        est_bytes = (int(n_chars) + int(n_words)) * _BYTES_PER_SYMBOL
+        if int(n_words) <= driver_vocab_ceiling \
+                and est_bytes <= driver_vocab_budget_bytes:
+            return _train_local([(r["word"], r["freq"])
+                                 for r in freqs.collect()], num_merges)
+        return _train_distributed(df.sparkSession, freqs, num_merges)
+    finally:
+        freqs.unpersist()
 
 
 def _train_local(word_freqs_list: list[tuple[str, int]],

@@ -219,3 +219,37 @@ def test_ordered_apply_equals_rank_greedy(words, k):
     for w in set(words) | {"aaaa", "abab", "edcba"}:
         assert ordered_apply(w) == encode_word_ranked(w, ranks), (
             w, merges)
+
+
+def test_driver_ceiling_is_byte_estimated(spark, monkeypatch):
+    """The local merge loop's footprint tracks SYMBOLS (~250 B each in
+    Python structures), not rows — a tiny row count with long words
+    must still route to the distributed trainer when the byte estimate
+    exceeds the driver budget, and the two paths stay merge-identical."""
+    from datastream_delta_plugins_spark.operators import bpe
+
+    df = spark.createDataFrame(
+        [("aab " * 4 + "abab " + "x" * 40,), ("aab abab abab",)],
+        "text string")
+    calls = {}
+    real_local, real_dist = bpe._train_local, bpe._train_distributed
+
+    def spy_local(*a, **k):
+        calls["local"] = True
+        return real_local(*a, **k)
+
+    def spy_dist(*a, **k):
+        calls["dist"] = True
+        return real_dist(*a, **k)
+
+    monkeypatch.setattr(bpe, "_train_local", spy_local)
+    monkeypatch.setattr(bpe, "_train_distributed", spy_dist)
+
+    # vocab: {aab, abab, x*40} -> ~50 syms; budget below the estimate
+    # forces the distributed path even though 3 rows << row ceiling
+    merges_dist = bpe.bpe_train(df, 4, driver_vocab_budget_bytes=40 * 250)
+    assert calls == {"dist": True}
+    calls.clear()
+    merges_local = bpe.bpe_train(df, 4)  # default budget: local
+    assert calls == {"local": True}
+    assert merges_dist == merges_local
