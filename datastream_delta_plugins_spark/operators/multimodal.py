@@ -2,20 +2,158 @@
 
 Media payloads are opaque `binary` columns + a typed metadata struct;
 Spark-side plumbing (schemas, partitioning, Arrow-batched mapInPandas
-decode) is real and tested. Actual codec work is stubbed: the container
-has no image/audio libraries, so `decode_media` uses a deterministic
-fake feature extractor and raises NotImplementedError when asked for a
-real decode (clearly marked; swap in PIL/librosa/pyav behind the same
-signature in production).
+decode) is real and tested. PNG decoding is REAL — a pure-stdlib
+implementation (zlib inflate + full filter reconstruction, below), so
+the image path exercises an actual codec in this container. JPEG/WAV
+codec work remains stubbed: those need PIL/librosa/pyav, absent here,
+so `decode_media` uses a deterministic fake feature extractor for them
+and raises NotImplementedError when asked for a real decode (clearly
+marked; swap the libraries in behind the same signatures in
+production).
 """
 
 from __future__ import annotations
 
+import struct
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F, types as T
+
+# ------------------------------------------------ stdlib PNG codec
+#
+# Minimal but REAL PNG (ISO/IEC 15948): 8-bit samples, color types
+# 0 (gray), 2 (RGB), 4 (gray+alpha), 6 (RGBA), no interlacing. The
+# decoder implements the full filter reconstruction (None/Sub/Up/
+# Average/Paeth) over zlib-inflated scanlines; the encoder can emit
+# any filter type so tests drive every reconstruction branch.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _chunk(tag: bytes, body: bytes) -> bytes:
+    return (struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def encode_png(width: int, height: int, pixels: bytes,
+               color_type: int = 2, filter_type: int = 0) -> bytes:
+    """Encode raw 8-bit samples (row-major, no padding) as a PNG,
+    applying ``filter_type`` (0-4) to every scanline — varying it per
+    image is what lets tests exercise every decoder filter branch."""
+    ch = _CHANNELS[color_type]
+    stride = width * ch
+    if len(pixels) != stride * height:
+        raise ValueError(f"expected {stride * height} bytes, "
+                         f"got {len(pixels)}")
+    raw = bytearray()
+    prior = bytes(stride)
+    for y in range(height):
+        line = pixels[y * stride:(y + 1) * stride]
+        raw.append(filter_type)
+        for i in range(stride):
+            x = line[i]
+            a = line[i - ch] if i >= ch else 0
+            b = prior[i]
+            c = prior[i - ch] if i >= ch else 0
+            if filter_type == 1:
+                x -= a
+            elif filter_type == 2:
+                x -= b
+            elif filter_type == 3:
+                x -= (a + b) // 2
+            elif filter_type == 4:
+                x -= _paeth(a, b, c)
+            raw.append(x & 0xFF)
+        prior = line
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (_PNG_SIG + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + _chunk(b"IEND", b""))
+
+
+def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
+    """Decode a PNG to (width, height, channels, samples). 8-bit
+    depth, color types 0/2/4/6, non-interlaced — raises ValueError on
+    anything else or on a corrupt stream (a malformed blob in a 100 TB
+    corpus must surface as a classifiable error, not a crash)."""
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG (bad signature)")
+    pos, ihdr, idat = 8, None, bytearray()
+    saw_iend = False
+    while pos + 8 <= len(data):
+        (length,), tag = struct.unpack(">I", data[pos:pos + 4]), \
+            data[pos + 4:pos + 8]
+        body = data[pos + 8:pos + 8 + length]
+        if len(body) != length or len(data) < pos + 12 + length:
+            raise ValueError("truncated PNG chunk")
+        crc = struct.unpack(">I", data[pos + 8 + length:
+                                       pos + 12 + length])[0]
+        if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
+        if tag == b"IHDR":
+            ihdr = body
+        elif tag == b"IDAT":
+            idat.extend(body)
+        elif tag == b"IEND":
+            saw_iend = True
+            break
+        pos += 12 + length
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    if not saw_iend:
+        raise ValueError("truncated PNG stream (no IEND)")
+    w, h, depth, color, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr)
+    if depth != 8 or color not in _CHANNELS or comp or filt or interlace:
+        raise ValueError(
+            f"unsupported PNG shape (depth={depth}, color={color}, "
+            f"interlace={interlace}) — this codec handles 8-bit "
+            f"non-interlaced gray/RGB/GA/RGBA")
+    ch = _CHANNELS[color]
+    stride = w * ch
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise ValueError(f"PNG IDAT inflate failed: {e}") from None
+    if len(raw) != (stride + 1) * h:
+        raise ValueError("PNG pixel data length mismatch")
+    out = bytearray(stride * h)
+    prior = bytes(stride)
+    for y in range(h):
+        ft = raw[y * (stride + 1)]
+        line = bytearray(raw[y * (stride + 1) + 1:(y + 1) * (stride + 1)])
+        if ft == 1:
+            for i in range(ch, stride):
+                line[i] = (line[i] + line[i - ch]) & 0xFF
+        elif ft == 2:
+            for i in range(stride):
+                line[i] = (line[i] + prior[i]) & 0xFF
+        elif ft == 3:
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                line[i] = (line[i] + (a + prior[i]) // 2) & 0xFF
+        elif ft == 4:
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                c = prior[i - ch] if i >= ch else 0
+                line[i] = (line[i] + _paeth(a, prior[i], c)) & 0xFF
+        elif ft != 0:
+            raise ValueError(f"unknown PNG filter type {ft}")
+        out[y * stride:(y + 1) * stride] = line
+        prior = bytes(line)
+    return int(w), int(h), ch, bytes(out)
 
 FORMATS = ("png", "jpeg", "wav")
 
@@ -70,8 +208,10 @@ def decode_media(df: DataFrame, real_decode: bool = False) -> DataFrame:
     """
     if real_decode:
         raise NotImplementedError(
-            "real media decoding requires PIL/librosa/pyav, not present "
-            "in this environment; plug the codec into _decode_batch")
+            "real decoding of jpeg/wav requires PIL/librosa, not "
+            "present in this environment; plug the codec into "
+            "_decode_batch. PNG decoding IS implemented — route image "
+            "blobs through png_features()/decode_png()")
 
     def _decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -95,6 +235,70 @@ def decode_media(df: DataFrame, real_decode: bool = False) -> DataFrame:
                      F.col("media_meta.byte_len").alias("byte_len"),
                      F.sha2("media", 256).alias("sha"), "media")
     return flat.mapInPandas(_decode_batch, DECODED_SCHEMA)
+
+
+PNG_FEATURES_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("features", T.ArrayType(T.DoubleType())),
+])
+
+
+def synthesize_png_media(df: DataFrame, id_col: str = "doc_id"
+                         ) -> DataFrame:
+    """Deterministic REAL PNG blobs from row ids (the test-fixture
+    producer for the real-decode path): each row becomes an RGB ramp
+    image — width = id%5+2, height = id%4+2, sample i =
+    (id*7 + i*13) % 256 — encoded with filter type id%5 so a corpus
+    collectively exercises every PNG filter. Arrow-batched; output is
+    (id, media) with genuine PNG bytes."""
+    def _make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for doc_id in pdf[id_col]:
+                d = int(doc_id)
+                w, h = d % 5 + 2, d % 4 + 2
+                px = bytes((d * 7 + i * 13) % 256
+                           for i in range(w * h * 3))
+                blobs.append(encode_png(w, h, px, color_type=2,
+                                        filter_type=d % 5))
+            yield pd.DataFrame({id_col: pdf[id_col], "media": blobs})
+
+    return df.select(id_col).mapInPandas(
+        _make, T.StructType([T.StructField(id_col, T.LongType()),
+                             T.StructField("media", T.BinaryType())]))
+
+
+def png_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL image decode: parse each PNG blob with the stdlib codec
+    and emit (width, height, per-channel means of the DECODED
+    samples). Every value derives from reconstructed pixels, so any
+    decode defect (wrong unfilter, stride, channel order) changes the
+    output — the hash gate the md5 stub could never provide. Means are
+    exact-integer sums divided once, so any engine recomputing them
+    from the pixel definition gets bitwise-equal doubles."""
+    def _feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, feats = [], [], [], []
+            for doc_id, blob in zip(pdf[id_col], pdf["media"]):
+                w, h, ch, px = decode_png(bytes(blob))
+                sums = [0] * ch
+                for i, v in enumerate(px):
+                    sums[i % ch] += v
+                n = w * h
+                ids.append(doc_id)
+                ws.append(w)
+                hs.append(h)
+                feats.append([float(s) / n for s in sums])
+            yield pd.DataFrame({
+                id_col: pd.Series(ids, dtype="int64"),
+                "width": pd.Series(ws, dtype="int32"),
+                "height": pd.Series(hs, dtype="int32"),
+                "features": feats})
+
+    return df.select(id_col, "media").mapInPandas(
+        _feat, PNG_FEATURES_SCHEMA)
 
 
 RESIZED_SCHEMA = T.StructType([

@@ -344,21 +344,40 @@ def t02_lang_id(spark, sf_dir):
 
 
 def m02_multimodal_decode(spark, sf_dir):
-    """Arrow-batched mapInPandas decode, value-checked: the stub
-    extractor's md5-derived features are reproduced by the oracle, so
-    the whole Python-side plumbing (schema, batching, array output) is
-    hash-verified, not just row-counted. Features explode to rows
-    because the driver compare hashes flat columns. Carries the
-    binary_meta columns (byte_len, sha — the former standalone
-    m01_multimodal_meta query) so metadata extraction and decode are
-    both verified from one declared query/driver slot."""
-    media = multimodal.attach_binary(_docs(spark, sf_dir))
-    dec = multimodal.decode_media(media)
-    return (dec.select("doc_id", "fmt", "byte_len", "sha",
+    """Multimodal tagged union — plumbing AND a real codec:
+
+    tag 'stub' — Arrow-batched mapInPandas decode, value-checked: the
+    stub extractor's md5-derived features are reproduced by the
+    oracle, so the whole Python-side plumbing (schema, batching, array
+    output) is hash-verified, not just row-counted. Carries the
+    binary_meta columns (byte_len, sha) so metadata extraction and
+    decode plumbing are verified from one declared query/driver slot.
+
+    tag 'png' — a REAL image decode: every document becomes a genuine
+    PNG (RGB ramp pixels, filter type rotating through all five PNG
+    filters across the corpus), the pure-stdlib decoder reconstructs
+    the pixels, and the emitted per-channel means come from the
+    DECODED samples. The oracle re-derives the means in closed form
+    from the pixel definition — any unfilter/stride/channel defect in
+    the decoder breaks the hash. Features explode to rows because the
+    driver compare hashes flat columns."""
+    docs = _docs(spark, sf_dir)
+    dec = multimodal.decode_media(multimodal.attach_binary(docs))
+    stub = (dec.select(F.lit("stub").alias("tag"),
+                       "doc_id", "fmt", "byte_len", "sha",
                        "width", "height", "n_frames",
                        F.posexplode("features").alias("dim", "feat"))
-               .withColumn("dim", F.col("dim").cast("int"))
-               .transform(lambda d: _psort(d, "doc_id", "dim")))
+               .withColumn("dim", F.col("dim").cast("int")))
+    png = multimodal.png_features(multimodal.synthesize_png_media(docs))
+    png = (png.select(F.lit("png").alias("tag"), "doc_id",
+                      F.lit("png").alias("fmt"),
+                      F.lit(None).cast("bigint").alias("byte_len"),
+                      F.lit(None).cast("string").alias("sha"),
+                      "width", "height",
+                      F.lit(1).cast("int").alias("n_frames"),
+                      F.posexplode("features").alias("dim", "feat"))
+              .withColumn("dim", F.col("dim").cast("int")))
+    return _psort(stub.unionByName(png), "tag", "doc_id", "dim")
 
 
 def i01_dedup_index(spark, sf_dir):
@@ -877,16 +896,42 @@ ORACLE_SQL: dict[str, str] = {
                           sha256(text) AS sha,
                           md5(text) AS h
                    FROM documents),
-        d AS (SELECT m.*, unnest([0, 1, 2, 3]) AS dim FROM m)
-        SELECT doc_id, fmt,
-               CAST(byte_len AS BIGINT) AS byte_len, sha,
-               CAST(byte_len % 64 + 1 AS INTEGER) AS width,
-               CAST(byte_len % 48 + 1 AS INTEGER) AS height,
-               CAST(1 AS INTEGER) AS n_frames,
-               CAST(dim AS INTEGER) AS dim,
-               CAST(CAST('0x' || substr(h, dim * 2 + 1, 2) AS INTEGER)
-                    AS DOUBLE) / 255.0 AS feat
-        FROM d ORDER BY doc_id, dim""",
+        d AS (SELECT m.*, unnest([0, 1, 2, 3]) AS dim FROM m),
+        -- tag 'png': the REAL decode's expected output, re-derived in
+        -- closed form from the ramp pixel definition
+        -- (sample i of doc d = (d*7 + i*13) % 256, RGB row-major):
+        -- per-channel mean over i ≡ dim (mod 3)
+        shape AS (SELECT doc_id,
+                         CAST(doc_id % 5 + 2 AS INTEGER) AS width,
+                         CAST(doc_id % 4 + 2 AS INTEGER) AS height
+                  FROM documents),
+        samp AS (SELECT doc_id, width, height,
+                        unnest(range(0, CAST(width * height * 3
+                                             AS BIGINT))) AS i
+                 FROM shape),
+        chan AS (SELECT doc_id, width, height,
+                        CAST(i % 3 AS INTEGER) AS dim,
+                        CAST(sum((doc_id * 7 + i * 13) % 256) AS DOUBLE)
+                          / count(*) AS feat
+                 FROM samp GROUP BY doc_id, width, height, i % 3)
+        SELECT * FROM (
+          SELECT 'stub' AS tag, doc_id, fmt,
+                 CAST(byte_len AS BIGINT) AS byte_len, sha,
+                 CAST(byte_len % 64 + 1 AS INTEGER) AS width,
+                 CAST(byte_len % 48 + 1 AS INTEGER) AS height,
+                 CAST(1 AS INTEGER) AS n_frames,
+                 CAST(dim AS INTEGER) AS dim,
+                 CAST(CAST('0x' || substr(h, dim * 2 + 1, 2) AS INTEGER)
+                      AS DOUBLE) / 255.0 AS feat
+          FROM d
+          UNION ALL
+          SELECT 'png' AS tag, doc_id, 'png' AS fmt,
+                 CAST(NULL AS BIGINT) AS byte_len,
+                 CAST(NULL AS VARCHAR) AS sha,
+                 width, height, CAST(1 AS INTEGER) AS n_frames,
+                 dim, feat
+          FROM chan
+        ) ORDER BY tag, doc_id, dim""",
     # s02 in exhaustive-probe mode is provably exact -> same oracle
     # shape as s01 (two independent Spark physical plans, one truth)
     "s02_ivf_topk": f"""

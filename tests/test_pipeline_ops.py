@@ -598,3 +598,96 @@ def test_size_gated_persist_releases_previous_generation(spark):
     from pyspark import StorageLevel
     assert kept.storageLevel == StorageLevel.NONE  # unpersisted
     assert out.storageLevel == StorageLevel.NONE  # never persisted
+
+
+# ------------------------------------------------ stdlib PNG codec
+
+def test_png_roundtrip_every_filter_and_colortype():
+    from datastream_delta_plugins_spark.operators.multimodal import (
+        _CHANNELS, decode_png, encode_png)
+    for color, ch in _CHANNELS.items():
+        for ft in range(5):
+            w, h = 6, 5
+            px = bytes((i * 37 + 11 * ft + color) % 256
+                       for i in range(w * h * ch))
+            assert decode_png(encode_png(w, h, px, color, ft)) \
+                == (w, h, ch, px), (color, ft)
+
+
+def test_png_decoder_paeth_hand_vector():
+    """Decoder-side check independent of the encoder: a 2x2 grayscale
+    image with hand-filtered bytes per the PNG spec's Paeth/Sub/Up
+    definitions must reconstruct to the hand-computed pixels."""
+    import struct
+    import zlib
+
+    from datastream_delta_plugins_spark.operators.multimodal import (
+        decode_png)
+
+    # target pixels (gray, 2x2): row0 = [10, 200], row1 = [60, 190]
+    # row0 filtered with Sub (a=left, 0 at start): [10, 190]
+    # row1 filtered with Paeth: for x=60: a=0,b=10,c=0 -> p=10 ->
+    #   predictor=b=10 -> 50; for x=190: a=60,b=200,c=10 -> p=250,
+    #   pa=190,pb=50,pc=240 -> predictor=b=200 -> 190-200 = -10 = 246
+    raw = bytes([1, 10, 190]) + bytes([4, 50, 246])
+    sig = b"\x89PNG\r\n\x1a\n"
+
+    def chunk(tag, body):
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+    png = (sig + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 0,
+                                            0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+    assert decode_png(png) == (2, 2, 1, bytes([10, 200, 60, 190]))
+
+
+def test_png_decoder_rejects_corruption():
+    import pytest as _pytest
+
+    from datastream_delta_plugins_spark.operators.multimodal import (
+        decode_png, encode_png)
+    good = encode_png(3, 2, bytes(range(18)), 2, 4)
+    with _pytest.raises(ValueError, match="signature"):
+        decode_png(b"GIF89a" + good)
+    with _pytest.raises(ValueError, match="CRC"):
+        bad = bytearray(good)
+        bad[40] ^= 0xFF  # flip inside IDAT
+        decode_png(bytes(bad))
+    with _pytest.raises(ValueError, match="truncated"):
+        decode_png(good[:-6])
+    with _pytest.raises(ValueError, match="unsupported"):
+        import struct
+        import zlib
+
+        def chunk(tag, body):
+            return (struct.pack(">I", len(body)) + tag + body
+                    + struct.pack(">I",
+                                  zlib.crc32(tag + body) & 0xFFFFFFFF))
+        png16 = (b"\x89PNG\r\n\x1a\n"
+                 + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 16, 0,
+                                              0, 0, 0))
+                 + chunk(b"IDAT", zlib.compress(bytes(3)))
+                 + chunk(b"IEND", b""))
+        decode_png(png16)
+
+
+def test_png_features_real_decode_pipeline(spark, sf_smoke):
+    """The m02 'png' branch end-to-end: synthesized ramp PNGs (all
+    five filter types across the corpus) decode back to EXACTLY the
+    ramp's channel means, Arrow-batched through mapInPandas."""
+    from datastream_delta_plugins_spark.operators.multimodal import (
+        png_features, synthesize_png_media)
+    from datastream_delta_plugins_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_smoke, "documents").limit(40)
+    out = png_features(synthesize_png_media(docs)).collect()
+    assert len(out) == 40
+    for r in out:
+        d = r["doc_id"]
+        w, h = d % 5 + 2, d % 4 + 2
+        assert (r["width"], r["height"]) == (w, h)
+        sums = [0, 0, 0]
+        for i in range(w * h * 3):
+            sums[i % 3] += (d * 7 + i * 13) % 256
+        assert r["features"] == [s / (w * h) for s in sums]
