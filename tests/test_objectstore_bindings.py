@@ -515,3 +515,82 @@ def test_signing_transport_signs_every_request():
         hashlib.sha256(b"payload").hexdigest()
     assert seen[1][3]["x-amz-content-sha256"] == \
         hashlib.sha256(b"").hexdigest()
+
+
+# ------------------------------------------- the default transport
+
+def test_urllib_transport_against_local_http_server():
+    """The SDK-free default transport, driven against a real HTTP
+    server (stdlib http.server on localhost): status/header/body
+    passthrough, per-request auth-header injection, param encoding,
+    HTTPError-as-status (404 must come back as a status, not raise),
+    and the request timeout surfacing as an OSError the retry layer
+    classifies."""
+    import threading
+    import time as _time
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    from datastream_delta_plugins_spark.streaming.objectstores import (
+        urllib_transport)
+
+    seen = []
+
+    class H(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def _respond(self):
+            seen.append((self.command, self.path,
+                         self.headers.get("Authorization"),
+                         self.headers.get("X-Test")))
+            if self.path.startswith("/missing"):
+                self.send_response(404)
+                self.end_headers()
+                self.wfile.write(b"nope")
+                return
+            if self.path.startswith("/slow"):
+                _time.sleep(2.0)
+            body = b"hello:" + self.path.encode()
+            self.send_response(200)
+            self.send_header("X-Echo", self.command)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        do_GET = do_PUT = do_DELETE = _respond
+
+        def do_HEAD(self):
+            seen.append((self.command, self.path, None, None))
+            self.send_response(200)
+            self.end_headers()
+
+    srv = HTTPServer(("127.0.0.1", 0), H)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{port}"
+        run = urllib_transport(
+            auth_headers=lambda: {"Authorization": "Bearer tok1"})
+        status, headers, body = run(
+            "GET", f"{base}/obj", params={"a": "x y", "b": "2"},
+            headers={"X-Test": "t"})
+        assert status == 200 and body == b"hello:/obj?a=x+y&b=2"
+        assert headers["X-Echo"] == "GET"
+        assert seen[-1][2] == "Bearer tok1" and seen[-1][3] == "t"
+        # HTTPError path: non-2xx returns (status, headers, body)
+        status, _, body = run("GET", f"{base}/missing")
+        assert status == 404 and body == b"nope"
+        # PUT carries the payload; DELETE works
+        status, _, _ = run("PUT", f"{base}/obj", data=b"payload")
+        assert status == 200
+        status, _, _ = run("DELETE", f"{base}/obj")
+        assert status == 200
+        # timeout surfaces as OSError (socket.timeout subclass) —
+        # the hung-connection bound the reference's Failsafe enforces
+        fast = urllib_transport(timeout=0.3)
+        with pytest.raises(OSError):
+            fast("GET", f"{base}/slow")
+    finally:
+        srv.shutdown()
+        srv.server_close()
