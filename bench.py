@@ -175,7 +175,12 @@ def _split_cdc_inputs(spark, sf_dir: str, n_files: int = 8) -> str:
               .write.mode("overwrite")
               .parquet(os.path.join(tmp, "orders.parquet")))
         return tmp
-    except Exception:
+    except Exception as e:  # noqa: BLE001
+        # loud fallback: a silent one would make q26 look like an
+        # engine regression (single-row-group input is ~1.4x slower)
+        # with no trace distinguishing 'split failed' from 'got slower'
+        print(f"WARNING: CDC input split failed ({e!r}); q26 runs on "
+              f"the single-row-group input", file=sys.stderr)
         return sf_dir
 
 

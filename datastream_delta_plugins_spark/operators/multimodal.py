@@ -121,13 +121,26 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
             f"unsupported PNG shape (depth={depth}, color={color}, "
             f"interlace={interlace}) — this codec handles 8-bit "
             f"non-interlaced gray/RGB/GA/RGBA")
+    if not w or not h:
+        raise ValueError("unsupported PNG shape (zero dimension)")
     ch = _CHANNELS[color]
+    if w * h * ch > 256 * 2**20:
+        # crafted-header DoS guard (same discipline as the Avro
+        # decoder's count bounds): refuse before allocating
+        raise ValueError(
+            f"PNG dimensions {w}x{h}x{ch} exceed this codec's 256M-"
+            f"sample bound")
     stride = w * ch
+    limit = (stride + 1) * h
     try:
-        raw = zlib.decompress(bytes(idat))
+        # bounded inflate: a small IDAT claiming huge pixel output (a
+        # zlib bomb) stops at the declared size instead of ballooning
+        d = zlib.decompressobj()
+        raw = d.decompress(bytes(idat), limit)
+        overflow = d.unconsumed_tail or d.decompress(b"", 1)
     except zlib.error as e:
         raise ValueError(f"PNG IDAT inflate failed: {e}") from None
-    if len(raw) != (stride + 1) * h:
+    if len(raw) != limit or overflow:
         raise ValueError("PNG pixel data length mismatch")
     out = bytearray(stride * h)
     prior = bytes(stride)

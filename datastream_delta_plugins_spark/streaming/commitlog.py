@@ -53,6 +53,7 @@ import json
 import os
 import re
 import tempfile
+import uuid
 
 _VFILE = re.compile(r"^v(\d+)\.json$")
 
@@ -631,12 +632,6 @@ class ObjectStoreLog(CommitLog):
                 out.append(int(m.group(1)))
         return sorted(out)
 
-    def _payload(self, v: int) -> dict:
-        raw = self.client.get(self._key(v))
-        if raw is None:
-            raise FileNotFoundError(self._key(v))
-        return json.loads(raw)
-
     def _valid(self, v: int) -> bool:
         # a PUT object is complete by construction; validate the
         # version stamp anyway (same invariant VersionLog checks)
@@ -662,22 +657,35 @@ class ObjectStoreLog(CommitLog):
     def version(self) -> int:
         return self._raw_version()  # no POSIX legacy layout to guard
 
+    def _payload(self, v: int) -> dict:
+        raw = self.client.get(self._key(v))
+        if raw is None:
+            raise FileNotFoundError(self._key(v))
+        doc = json.loads(raw)
+        doc.pop("_writer", None)  # publish-attempt nonce, not payload
+        return doc
+
     # -- writes --
 
     def _publish(self, v: int, payload: dict) -> None:
-        doc = json.dumps({"version": v, **payload}, indent=1,
-                         sort_keys=True).encode()
+        # _writer: a nonce unique to THIS publish attempt. An ambiguous
+        # transport failure (5xx/connection drop AFTER the server
+        # applied the conditional PUT) makes the client's re-probe
+        # report a conflict for OUR OWN durable commit; byte-comparing
+        # the stored object against exactly what we tried to put
+        # disambiguates — and the nonce makes that comparison safe even
+        # when two writers build byte-identical payloads (e.g. the
+        # versioned state's un-nonced {"data_dir": "v{N}"}): a
+        # different writer's commit NEVER byte-matches ours, so a
+        # zombie/failover dual-writer still surfaces as
+        # ConcurrentWriterError instead of two silent successes over
+        # one interleaved data dir. Readers strip the nonce
+        # (_payload). The disambiguating GET also runs on a clean 412
+        # loss — one small extra read per lost race, at maintenance
+        # cadences a non-cost.
+        doc = json.dumps({"version": v, "_writer": uuid.uuid4().hex,
+                          **payload}, indent=1, sort_keys=True).encode()
         if not self.client.put_if_absent(self._key(v), doc):
-            # An ambiguous transport failure (5xx/connection drop AFTER
-            # the server applied the conditional PUT) makes the
-            # client's re-probe report a conflict for OUR OWN durable
-            # commit. Disambiguate by content: payloads embed the
-            # version and every data/segment name is attempt-unique
-            # (uuid nonces), so byte-equality means this exact attempt
-            # committed — idempotent success, no wasted OCC re-plan.
-            # (Byte-equal payloads from two writers would carry
-            # identical manifests, so treating one as ours is harmless
-            # even in that theoretical case.)
             if self.client.get(self._key(v)) != doc:
                 raise ConcurrentWriterError(
                     f"version {v} at {self._prefix} was committed by "

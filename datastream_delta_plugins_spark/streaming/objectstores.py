@@ -131,7 +131,10 @@ class SigV4Signer:
         x-amz-content-sha256 for S3, x-amz-security-token if set)."""
         payload = payload or b""
         parts = urlsplit(url)
-        given = {k.lower(): str(v).strip()
+        # AWS canonicalization: lowercase the name, trim the value AND
+        # collapse sequential inner whitespace to one space — signing
+        # the uncollapsed form is a guaranteed SignatureDoesNotMatch
+        given = {k.lower(): " ".join(str(v).split())
                  for k, v in (headers or {}).items()}
         amz_date = given.get("x-amz-date") or time.strftime(
             "%Y%m%dT%H%M%SZ", time.gmtime(self.clock()))
@@ -269,6 +272,7 @@ class _RestClient(ObjectStoreClient):
         documents 409 (ConditionalRequestConflict) for concurrent
         conditional writers racing the same key — same probe."""
         backoff = self.initial_backoff
+        retried_auth = False
         for attempt in range(1, self.max_attempts + 1):
             try:
                 status, headers, _ = self._call(make_req(), retry=False)
@@ -278,6 +282,13 @@ class _RestClient(ObjectStoreClient):
                 return False
             if status is not None and status // 100 == 2:
                 return True
+            if status == 401 and not retried_auth:
+                # a 401-rejected PUT is provably UNAPPLIED — resend
+                # once immediately (the per-request auth provider
+                # refreshes the expired token), same policy _call gives
+                # every idempotent request
+                retried_auth = True
+                continue
             ambiguous = (status is None or status == 409
                          or status in RETRYABLE_STATUSES)
             if ambiguous:

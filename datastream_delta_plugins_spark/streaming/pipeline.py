@@ -24,6 +24,8 @@ from __future__ import annotations
 
 import json
 import os
+import re
+import uuid
 from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
@@ -42,6 +44,10 @@ DEFAULT_WATERMARK = "72 hours"  # the reference's 3-day SLO window
 
 BACKFILL_COMPLETED = "COMPLETED"
 BACKFILL_RUNNING = "RUNNING"
+
+#: versioned state data dir: v{version}[-nonce] (nonce-less names are
+#: the pre-round-8 layout, still readable and prunable)
+_VSTATE = re.compile(r"^v(\d+)(?:-[0-9a-f]+)?$")
 
 
 def _parquet_footer_rows(path: str) -> int:
@@ -199,26 +205,50 @@ class CdcPipeline:
         return self.spark.read.parquet(
             os.path.join(self.state_dir, committed["data_dir"]))
 
-    def _write_state(self, df: DataFrame) -> None:
-        # data first, commit last: a crash in between leaves the
-        # previous committed version readable and the orphan v{N} dir
-        # is overwritten by the retry (same next version number)
+    def _write_state(self, df: DataFrame) -> str:
+        """Write the next state version and commit it; returns the
+        committed data dir's relative name.
+
+        Data first, commit last: a crash in between leaves the
+        previous committed version readable. The dir name is
+        ATTEMPT-UNIQUE (version + nonce, the same Delta/Iceberg rule
+        the bucketed backend and the landing follow): two writers
+        racing the same version write DISJOINT dirs — the old
+        same-name overwrite let a zombie/failover dual-writer delete
+        the winner's part files mid-write — and ``commit_at`` makes
+        the loser a loud ConcurrentWriterError instead of a silent
+        lost update landing on a later version. Crash/loser orphans
+        are pruned on the next successful commit (strictly-older
+        stamps not referenced by the kept payloads)."""
         v = self._current_version() + 1
-        path = os.path.join(self.state_dir, f"v{v}")
+        dname = f"v{v}-{uuid.uuid4().hex[:8]}"
+        path = os.path.join(self.state_dir, dname)
         df.write.mode("overwrite").parquet(path)
         # n_rows from the just-written footers (driver-side pyarrow
         # metadata read, no Spark job): the auto backend's migration
         # trigger reads it from the payload instead of re-counting the
         # state every micro-batch
-        self.clog.commit({"data_dir": f"v{v}",
-                          "n_rows": _parquet_footer_rows(path)})
+        self.clog.commit_at(v, {"data_dir": dname,
+                                "n_rows": _parquet_footer_rows(path)})
         # keep current + previous; pruning rides the data_store client
         # so a deployment whose state parquet also lives in a bucket
-        # actually reclaims it (POSIX default behaves like the old
-        # rmtree)
-        old = os.path.join(self.state_dir, f"v{v - 2}")
-        for k in self.data_store.list_keys(old.rstrip("/") + "/"):
-            self.data_store.delete(k)
+        # actually reclaims it. Only strictly-older stamps are
+        # collectable (a dir stamped >= v may be a live concurrent
+        # attempt); legacy nonce-less v{N} dirs match the same rule.
+        live = {dname}
+        try:
+            prev = self.clog._payload(v - 1).get("data_dir")
+            if prev:
+                live.add(prev)
+        except (FileNotFoundError, OSError):
+            pass
+        droot = self.state_dir.rstrip("/") + "/"
+        for k in self.data_store.list_keys(droot):
+            d = k[len(droot):].split("/", 1)[0]
+            m = _VSTATE.match(d)
+            if m and d not in live and int(m.group(1)) < v:
+                self.data_store.delete(k)
+        return dname
 
     # -- schema drift (D3) --
 
@@ -393,9 +423,8 @@ class CdcPipeline:
                     state = self._evolve(state, batch_df)  # D3: ALTER
                 merged = cdc.merge_batch(state, batch_df, self.pk_cols,
                                          self.sort_cols)
-            self._write_state(merged)
-            self._sync_catalog(os.path.join(self.state_dir,
-                                            f"v{self._current_version()}"))
+            dname = self._write_state(merged)
+            self._sync_catalog(os.path.join(self.state_dir, dname))
             if self.state_backend == "auto":
                 self._maybe_migrate_to_bucketed()
 

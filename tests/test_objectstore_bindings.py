@@ -594,3 +594,18 @@ def test_urllib_transport_against_local_http_server():
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_byte_equal_payloads_from_two_writers_still_conflict():
+    """The content-equality absorption must recognize only THIS
+    writer's own applied PUT: two writers committing byte-identical
+    LOGICAL payloads (the versioned state's un-nonced shape) are
+    disambiguated by the per-publish writer nonce — the loser gets
+    ConcurrentWriterError, and readers never see the nonce."""
+    client = InMemoryObjectStore()
+    a = ObjectStoreLog("b/t", client=client)
+    b = ObjectStoreLog("b/t", client=client)
+    assert a.commit_at(0, {"data_dir": "v0"}) == 0
+    with pytest.raises(ConcurrentWriterError):
+        b.commit_at(0, {"data_dir": "v0"})   # identical logical payload
+    assert b.read_committed() == (0, {"version": 0, "data_dir": "v0"})

@@ -784,3 +784,54 @@ def test_soak_per_batch_latency_does_not_trend_up(spark, tmp_path):
     # the merged state is the last update per PK
     s = {r["id"]: r["val"] for r in pipe.read_state().collect()}
     assert s == {k: f"v{N - 1}" for k in range(5)}
+
+
+def test_versioned_dual_writer_conflicts_and_preserves_winner(
+        spark, tmp_path):
+    """Zombie-driver/failover protection on the versioned backend over
+    a bucket: two pipeline instances committing the SAME version — with
+    byte-equal payload shapes — must produce exactly one success; the
+    loser raises ConcurrentWriterError (the writer nonce defeats the
+    content-equality absorption) and, because data dirs are now
+    attempt-unique, the loser's parquet never touches the winner's."""
+    import os
+
+    from datastream_delta_plugins_spark.streaming.commitlog import (
+        ConcurrentWriterError, InMemoryObjectStore)
+
+    client = InMemoryObjectStore()
+    src = str(tmp_path / "src")
+    work = str(tmp_path / "work")
+    _write(spark, f"{src}/f1_oracle-backfill_0",
+           ("oracle-backfill", None, 0, 1, "a"))
+    batch = spark.read.schema(CHANGE_SCHEMA).parquet(src + "/*")
+
+    a = CdcPipeline(spark, "t1", src + "/*", work, pk_cols=["id"],
+                    state_backend="versioned", client=client)
+    b = CdcPipeline(spark, "t1", src + "/*", work, pk_cols=["id"],
+                    state_backend="versioned", client=client)
+    a._write_state(cdc.materialize(cdc.normalize_ops(batch), ["id"],
+                                   keep_sort_keys=True))
+    import unittest.mock as mock
+    with mock.patch.object(b, "_current_version", return_value=-1):
+        with pytest.raises(ConcurrentWriterError):
+            b._write_state(cdc.materialize(cdc.normalize_ops(batch),
+                                           ["id"], keep_sort_keys=True))
+    # winner's committed state reads back intact, from its own dir
+    st = a.read_state()
+    assert st.count() == 1
+    committed = a.clog.read_committed()[1]["data_dir"]
+    files = {f for f in os.listdir(os.path.join(work, "state", committed))
+             if f.endswith(".parquet")}
+    assert files, "winner's data dir must still hold its parquet"
+    # loser's orphan dir is disjoint and pruned by the next commit
+    dirs = [d for d in os.listdir(os.path.join(work, "state"))
+            if d.startswith("v0")]
+    assert len(dirs) == 2 and committed in dirs
+    a._write_state(cdc.materialize(cdc.normalize_ops(batch), ["id"],
+                                   keep_sort_keys=True))  # v1
+    a._write_state(cdc.materialize(cdc.normalize_ops(batch), ["id"],
+                                   keep_sort_keys=True))  # v2: prunes v0
+    left = [d for d in os.listdir(os.path.join(work, "state"))
+            if d.startswith("v0")]
+    assert left == []  # both the superseded winner AND the orphan

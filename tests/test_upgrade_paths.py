@@ -69,10 +69,17 @@ def test_pipeline_adopts_legacy_versioned_layout(spark, tmp_path):
     p.apply_batch(_batch(spark), 0, streaming_barrier=False)
     assert p.read_state().count() == 20
     # rewrite the on-disk layout to the pre-seam shape: pointer at the
-    # state-dir root, no commitlog/ subdir
+    # state-dir root, no commitlog/ subdir, and the nonce-LESS v{N}
+    # data dir name the old writer used (the new writer names dirs
+    # v{N}-{nonce}; a genuine legacy dir predates nonces)
+    import os
     import shutil
     sd = tmp_path / "w" / "state"
-    v = make_commit_log(str(sd)).version()
+    log = make_commit_log(str(sd))
+    v = log.version()
+    dname = log.read_committed()[1]["data_dir"]
+    if dname != f"v{v}":
+        os.rename(sd / dname, sd / f"v{v}")
     shutil.rmtree(sd / "commitlog")
     with open(sd / "CURRENT", "w") as f:
         f.write(str(v))
