@@ -62,13 +62,14 @@ import re
 import time
 import uuid
 
+from ..streaming.commitlog import attempt_name_re, attempt_unique_name
 from .avro_ocf import convert_avro_to_parquet, read_avro_changes
 
 LOG_SUBDIR = "_landing_log"
 SEG_SUBDIR = "segments"
 
 #: batch dir: b{version}[-nonce]
-_BDIR = re.compile(r"^b(\d+)(?:-[0-9a-f]+)?$")
+_BDIR = attempt_name_re("b")
 #: segment file: {day}.v{version}[-nonce].json
 _SEGV = re.compile(r"\.v(\d+)(?:-[0-9a-f]+)?\.json$")
 
@@ -271,7 +272,7 @@ class AvroLandingConverter:
             # (two writers planning the same version write disjoint
             # dirs; the conditional-PUT commit picks exactly one
             # manifest)
-            bdir = f"b{batch}-{uuid.uuid4().hex[:8]}"
+            bdir = attempt_unique_name("b", batch)
             out = os.path.join(self.data_dir, bdir)
             if self.conversion == "direct":
                 convert_avro_to_parquet(
@@ -430,7 +431,7 @@ class AvroLandingConverter:
             return {"compacted": 0}
         df = self._read_dirs(committed, dirs)
         batch = ver + 1
-        bdir = f"b{batch}-{uuid.uuid4().hex[:8]}"
+        bdir = attempt_unique_name("b", batch)
         df.write.mode("overwrite").parquet(
             os.path.join(self.data_dir, bdir))
         # segments ride through unchanged from the SAME read the plan

@@ -47,13 +47,14 @@ from pyspark.sql import functions as F
 
 from ..envelope import SORT_KEY_COLS
 from ..operators import cdc
-from .commitlog import (ObjectStoreLog, PosixStore, legacy_root_version,
+from .commitlog import (ObjectStoreLog, PosixStore, attempt_name_re,
+                        attempt_unique_name, legacy_root_version,
                         make_commit_log)
 
 _BUCKET = "_state_bucket"
 
 #: version data dir: v{version}[-nonce]
-_VDIR = re.compile(r"^v(\d+)(?:-[0-9a-f]+)?$")
+_VDIR = attempt_name_re("v")
 
 
 class BucketedStateTable:
@@ -229,7 +230,7 @@ class BucketedStateTable:
         # the same version write disjoint dirs; the conditional-PUT
         # manifest commit picks exactly one, the loser's dir becomes a
         # vacuumable orphan (the Delta/Iceberg unique-file-name rule)
-        return f"v{v}-{uuid.uuid4().hex[:8]}"
+        return attempt_unique_name("v", v)
 
     @staticmethod
     def _bucket_dirs(vdir_rel: str, buckets) -> dict[str, str]:

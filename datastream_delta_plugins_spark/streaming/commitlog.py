@@ -57,6 +57,26 @@ import uuid
 
 _VFILE = re.compile(r"^v(\d+)\.json$")
 
+#: payload keys the log itself owns (stamped on publish / stripped on
+#: read) — a caller's payload must not carry them, or the dual-writer
+#: byte-disambiguation silently degrades
+RESERVED_PAYLOAD_KEYS = frozenset({"version", "_writer"})
+
+
+def attempt_unique_name(stem: str, v: int) -> str:
+    """The Delta/Iceberg unique-file rule, shared by every data-dir
+    writer (versioned state, bucketed state, landing batches):
+    ``{stem}{version}-{nonce}`` — concurrent writers planning the same
+    version write DISJOINT dirs and the conditional-PUT commit picks
+    exactly one."""
+    return f"{stem}{v}-{uuid.uuid4().hex[:8]}"
+
+
+def attempt_name_re(stem: str) -> re.Pattern:
+    """Matcher for :func:`attempt_unique_name` dirs (nonce-less
+    pre-seam names included); group(1) is the version stamp."""
+    return re.compile(rf"^{re.escape(stem)}(\d+)(?:-[0-9a-f]+)?$")
+
 #: pre-seam root-level pointer name (same string the in-log pointer
 #: uses, but at the dataset root instead of the log subdir)
 LEGACY_POINTER = "CURRENT"
@@ -121,6 +141,7 @@ class CommitLog:
         erasing the other writer's manifest changes (lost update).
         ``commit()`` is ``commit_at(version()+1, ...)`` — fine for
         payloads not derived from a prior read."""
+        self._check_payload(payload)
         self._ensure_log_dir()
         self._publish(v, payload)
         if self.keep is not None:
@@ -129,6 +150,15 @@ class CommitLog:
 
     def _ensure_log_dir(self) -> None:
         os.makedirs(self.log_dir, exist_ok=True)  # object stores: no-op
+
+    @staticmethod
+    def _check_payload(payload: dict) -> None:
+        bad = RESERVED_PAYLOAD_KEYS & set(payload)
+        if bad:
+            raise ValueError(
+                f"payload carries log-reserved key(s) {sorted(bad)} — "
+                f"the commit log stamps these itself; nest caller "
+                f"metadata under its own key")
 
     def _publish(self, v: int, payload: dict) -> None:
         raise NotImplementedError
@@ -166,6 +196,7 @@ class CommitLog:
         if lv is None:
             return None
         if self._raw_version() < lv:
+            self._check_payload(payload)
             self._ensure_log_dir()
             self._publish(lv, payload)
         os.remove(os.path.join(self.path, LEGACY_POINTER))

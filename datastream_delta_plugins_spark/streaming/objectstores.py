@@ -303,7 +303,9 @@ class _RestClient(ObjectStoreClient):
                 + (f"HTTP {status}" if status is not None
                    else "connection failed")
                 + (" (retries exhausted)" if ambiguous else ""))
-        raise AssertionError("unreachable")
+        # only reachable when the 401 re-auth `continue` landed on the
+        # final iteration — still an OSError the retry layer classifies
+        raise OSError(f"{label} put {key}: HTTP 401 (attempts exhausted)")
 
 
 class GcsClient(_RestClient):

@@ -24,8 +24,6 @@ from __future__ import annotations
 
 import json
 import os
-import re
-import uuid
 from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
@@ -35,7 +33,8 @@ from ..envelope import SORT_KEY_COLS
 from ..operators import cdc
 from ..sources.changes import normalize_ops
 from . import state as state_keys
-from .commitlog import legacy_root_version, make_commit_log
+from .commitlog import (attempt_unique_name,
+                        legacy_root_version, make_commit_log)
 from .retry import RetryPolicy
 from .state import StateDoc
 
@@ -44,10 +43,6 @@ DEFAULT_WATERMARK = "72 hours"  # the reference's 3-day SLO window
 
 BACKFILL_COMPLETED = "COMPLETED"
 BACKFILL_RUNNING = "RUNNING"
-
-#: versioned state data dir: v{version}[-nonce] (nonce-less names are
-#: the pre-round-8 layout, still readable and prunable)
-_VSTATE = re.compile(r"^v(\d+)(?:-[0-9a-f]+)?$")
 
 
 def _parquet_footer_rows(path: str) -> int:
@@ -221,7 +216,7 @@ class CdcPipeline:
         are pruned on the next successful commit (strictly-older
         stamps not referenced by the kept payloads)."""
         v = self._current_version() + 1
-        dname = f"v{v}-{uuid.uuid4().hex[:8]}"
+        dname = attempt_unique_name("v", v)
         path = os.path.join(self.state_dir, dname)
         df.write.mode("overwrite").parquet(path)
         # n_rows from the just-written footers (driver-side pyarrow
@@ -230,24 +225,20 @@ class CdcPipeline:
         # state every micro-batch
         self.clog.commit_at(v, {"data_dir": dname,
                                 "n_rows": _parquet_footer_rows(path)})
-        # keep current + previous; pruning rides the data_store client
-        # so a deployment whose state parquet also lives in a bucket
-        # actually reclaims it. Only strictly-older stamps are
-        # collectable (a dir stamped >= v may be a live concurrent
-        # attempt); legacy nonce-less v{N} dirs match the same rule.
-        live = {dname}
-        try:
-            prev = self.clog._payload(v - 1).get("data_dir")
-            if prev:
-                live.add(prev)
-        except (FileNotFoundError, OSError):
-            pass
-        droot = self.state_dir.rstrip("/") + "/"
-        for k in self.data_store.list_keys(droot):
-            d = k[len(droot):].split("/", 1)[0]
-            m = _VSTATE.match(d)
-            if m and d not in live and int(m.group(1)) < v:
-                self.data_store.delete(k)
+        # keep current + previous: everything stamped v-2 — the
+        # superseded committed dir AND any loser/crash orphans of that
+        # version — ages out now, via two PREFIX-scoped listings
+        # ("v{N}-" nonce form, "v{N}/" legacy form) so the per-commit
+        # cost is one small dir, never an enumeration of the whole
+        # state prefix. Incremental like the old v-2 rmtree: each
+        # version is collected exactly once as it ages past the keep
+        # window; stamps >= v-1 are never touched (v-1 is the kept
+        # previous, >= v may be a live concurrent attempt).
+        if v >= 2:
+            droot = self.state_dir.rstrip("/") + "/"
+            for pref in (f"{droot}v{v - 2}-", f"{droot}v{v - 2}/"):
+                for k in self.data_store.list_keys(pref):
+                    self.data_store.delete(k)
         return dname
 
     # -- schema drift (D3) --
