@@ -138,9 +138,13 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
         d = zlib.decompressobj()
         raw = d.decompress(bytes(idat), limit)
         overflow = d.unconsumed_tail or d.decompress(b"", 1)
+        # d.eof: the stream must reach its end marker + adler32 — a
+        # truncated deflate stream that happens to yield exactly
+        # `limit` bytes is still corruption and must say so
+        complete = d.eof
     except zlib.error as e:
         raise ValueError(f"PNG IDAT inflate failed: {e}") from None
-    if len(raw) != limit or overflow:
+    if len(raw) != limit or overflow or not complete:
         raise ValueError("PNG pixel data length mismatch")
     out = bytearray(stride * h)
     prior = bytes(stride)

@@ -60,7 +60,6 @@ import json
 import os
 import re
 import time
-import uuid
 
 from ..streaming.commitlog import attempt_name_re, attempt_unique_name
 from .avro_ocf import convert_avro_to_parquet, read_avro_changes
@@ -363,7 +362,7 @@ class AvroLandingConverter:
             if not base:
                 segments.pop(day, None)
                 continue
-            name = f"{day}.v{batch}-{uuid.uuid4().hex[:8]}.json"
+            name = f"{day}.{attempt_unique_name('v', batch)}.json"
             self.store.put(os.path.join(self.seg_dir, name),
                            json.dumps(base).encode())
             self._seg_cache[name] = base  # write-through

@@ -38,8 +38,6 @@ from __future__ import annotations
 
 import json
 import os
-import re
-import uuid
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession

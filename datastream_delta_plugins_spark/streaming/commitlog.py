@@ -601,6 +601,14 @@ class PosixStore(ObjectStoreClient):
                     continue
                 if not e.is_dir(follow_symlinks=False):
                     continue
+                # a subtree can hold matching keys only when the dir
+                # itself sits inside the prefix range or the prefix
+                # points inside the dir — skipping the rest keeps a
+                # non-directory prefix (e.g. "state/v3-") from walking
+                # every sibling version dir
+                if not e.path.startswith(prefix) \
+                        and not prefix.startswith(e.path + "/"):
+                    continue
                 nxt = parts + [e.name]
                 k = len(nxt)
                 # prune only provably-expired date-shaped subtrees:
