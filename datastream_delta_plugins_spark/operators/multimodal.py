@@ -3,10 +3,11 @@
 Media payloads are opaque `binary` columns + a typed metadata struct;
 Spark-side plumbing (schemas, partitioning, Arrow-batched mapInPandas
 decode) is real and tested. PNG decoding is REAL — a pure-stdlib
-implementation (zlib inflate + full filter reconstruction, below), so
-the image path exercises an actual codec in this container. JPEG/WAV
-codec work remains stubbed: those need PIL/librosa/pyav, absent here,
-so `decode_media` uses a deterministic fake feature extractor for them
+implementation (zlib inflate + full filter reconstruction, below) —
+and so is WAV (RIFF/PCM via the stdlib `wave` module), so the image
+AND audio paths exercise actual codecs in this container. JPEG/video
+codec work remains stubbed: those need PIL/pyav, absent here, so
+`decode_media` uses a deterministic fake feature extractor for them
 and raises NotImplementedError when asked for a real decode (clearly
 marked; swap the libraries in behind the same signatures in
 production).
@@ -252,6 +253,125 @@ def decode_media(df: DataFrame, real_decode: bool = False) -> DataFrame:
                      F.col("media_meta.byte_len").alias("byte_len"),
                      F.sha2("media", 256).alias("sha"), "media")
     return flat.mapInPandas(_decode_batch, DECODED_SCHEMA)
+
+
+# ------------------------------------------------ stdlib WAV codec
+#
+# PCM WAV via the stdlib `wave` module — like the PNG path, a REAL
+# in-container codec: RIFF chunk parse, sample width/channel handling,
+# and frame extraction all actually run, so the audio branch of the
+# multimodal plumbing is gated on genuine decode output.
+
+def encode_wav(samples: bytes, n_channels: int = 1,
+               sample_width: int = 2, framerate: int = 16_000) -> bytes:
+    """PCM samples (interleaved, little-endian) -> a complete RIFF/WAV
+    blob. Stdlib `wave` does the container work; this is the
+    test-fixture producer for the real-decode path."""
+    import io
+    import wave
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(n_channels)
+        w.setsampwidth(sample_width)
+        w.setframerate(framerate)
+        w.writeframes(samples)
+    return buf.getvalue()
+
+
+def decode_wav(data: bytes) -> tuple[int, int, int, int, bytes]:
+    """Decode a PCM WAV blob to (n_channels, sample_width, framerate,
+    n_frames, samples). Malformed containers raise ValueError (the
+    classifiable-error contract the PNG decoder follows)."""
+    import io
+    import wave
+    try:
+        with wave.open(io.BytesIO(data), "rb") as w:
+            n_ch, width, rate = w.getnchannels(), w.getsampwidth(), \
+                w.getframerate()
+            n_frames = w.getnframes()
+            if n_ch * width * n_frames > 1024 * 2**20:
+                raise ValueError(
+                    f"WAV declares {n_frames} frames x {n_ch}ch x "
+                    f"{width}B — beyond this codec's 1 GiB bound")
+            frames = w.readframes(n_frames)
+    except (wave.Error, EOFError) as e:
+        raise ValueError(f"not a decodable PCM WAV: {e}") from None
+    if len(frames) != n_ch * width * n_frames:
+        raise ValueError("WAV frame data truncated")
+    return n_ch, width, rate, n_frames, frames
+
+
+WAV_FEATURES_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("n_channels", T.IntegerType()),
+    T.StructField("n_frames", T.IntegerType()),
+    T.StructField("framerate", T.IntegerType()),
+    T.StructField("byte_len", T.LongType()),
+    T.StructField("features", T.ArrayType(T.DoubleType())),
+])
+
+
+def synthesize_wav_media(df: DataFrame, id_col: str = "doc_id"
+                         ) -> DataFrame:
+    """Deterministic REAL WAV blobs from row ids: stereo int16 PCM,
+    n_frames = id%50+20, sample for (frame i, channel c) =
+    ((id*11 + (2*i+c)*17) % 65536) - 32768, at 16 kHz."""
+    import struct
+
+    def _make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for doc_id in pdf[id_col]:
+                d = int(doc_id)
+                n = d % 50 + 20
+                vals = [((d * 11 + k * 17) % 65536) - 32768
+                        for k in range(2 * n)]
+                blobs.append(encode_wav(
+                    struct.pack(f"<{2 * n}h", *vals), n_channels=2))
+            yield pd.DataFrame({id_col: pdf[id_col], "media": blobs})
+
+    return df.select(id_col).mapInPandas(
+        _make, T.StructType([T.StructField(id_col, T.LongType()),
+                             T.StructField("media", T.BinaryType())]))
+
+
+def wav_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL audio decode: parse each WAV blob, de-interleave, and emit
+    per-channel means of the DECODED int16 samples — exact integer
+    sums divided once, so any engine recomputing them from the sample
+    definition gets bitwise-equal doubles."""
+    import struct
+
+    def _feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, chs, nfs, rates, lens, feats = [], [], [], [], [], []
+            for doc_id, blob in zip(pdf[id_col], pdf["media"]):
+                n_ch, width, rate, n_frames, frames = \
+                    decode_wav(bytes(blob))
+                lens.append(len(bytes(blob)))
+                if width != 2:
+                    raise ValueError(
+                        f"doc {doc_id}: expected int16 PCM, got "
+                        f"{width * 8}-bit")
+                vals = struct.unpack(f"<{n_ch * n_frames}h", frames)
+                sums = [0] * n_ch
+                for k, v in enumerate(vals):
+                    sums[k % n_ch] += v
+                ids.append(doc_id)
+                chs.append(n_ch)
+                nfs.append(n_frames)
+                rates.append(rate)
+                feats.append([float(s) / n_frames for s in sums])
+            yield pd.DataFrame({
+                id_col: pd.Series(ids, dtype="int64"),
+                "n_channels": pd.Series(chs, dtype="int32"),
+                "n_frames": pd.Series(nfs, dtype="int32"),
+                "framerate": pd.Series(rates, dtype="int32"),
+                "byte_len": pd.Series(lens, dtype="int64"),
+                "features": feats})
+
+    return df.select(id_col, "media").mapInPandas(
+        _feat, WAV_FEATURES_SCHEMA)
 
 
 PNG_FEATURES_SCHEMA = T.StructType([

@@ -359,13 +359,22 @@ def m02_multimodal_decode(spark, sf_dir):
     the pixels, and the emitted per-channel means come from the
     DECODED samples. The oracle re-derives the means in closed form
     from the pixel definition — any unfilter/stride/channel defect in
-    the decoder breaks the hash. Features explode to rows because the
-    driver compare hashes flat columns."""
+    the decoder breaks the hash.
+
+    tag 'wav' — a REAL audio decode: every document becomes a genuine
+    stereo int16 PCM WAV (stdlib `wave` container), decoded back
+    through the RIFF parse + frame extraction; per-channel means of
+    the DECODED samples, the frame count, the sample rate, AND the
+    container's byte length (44-byte canonical PCM header + 4B/frame)
+    are all closed-form oracle-checked — a de-interleave, width, or
+    header defect breaks the hash. Features explode to rows because
+    the driver compare hashes flat columns."""
     docs = _docs(spark, sf_dir)
     dec = multimodal.decode_media(multimodal.attach_binary(docs))
+    ifr = F.lit(None).cast("int").alias("framerate")
     stub = (dec.select(F.lit("stub").alias("tag"),
                        "doc_id", "fmt", "byte_len", "sha",
-                       "width", "height", "n_frames",
+                       "width", "height", "n_frames", ifr,
                        F.posexplode("features").alias("dim", "feat"))
                .withColumn("dim", F.col("dim").cast("int")))
     png = multimodal.png_features(multimodal.synthesize_png_media(docs))
@@ -374,10 +383,20 @@ def m02_multimodal_decode(spark, sf_dir):
                       F.lit(None).cast("bigint").alias("byte_len"),
                       F.lit(None).cast("string").alias("sha"),
                       "width", "height",
-                      F.lit(1).cast("int").alias("n_frames"),
+                      F.lit(1).cast("int").alias("n_frames"), ifr,
                       F.posexplode("features").alias("dim", "feat"))
               .withColumn("dim", F.col("dim").cast("int")))
-    return _psort(stub.unionByName(png), "tag", "doc_id", "dim")
+    wav = multimodal.wav_features(multimodal.synthesize_wav_media(docs))
+    wav = (wav.select(F.lit("wav").alias("tag"), "doc_id",
+                      F.lit("wav").alias("fmt"), "byte_len",
+                      F.lit(None).cast("string").alias("sha"),
+                      F.lit(None).cast("int").alias("width"),
+                      F.lit(None).cast("int").alias("height"),
+                      "n_frames", F.col("framerate"),
+                      F.posexplode("features").alias("dim", "feat"))
+              .withColumn("dim", F.col("dim").cast("int")))
+    return _psort(stub.unionByName(png).unionByName(wav),
+                  "tag", "doc_id", "dim")
 
 
 def i01_dedup_index(spark, sf_dir):
@@ -913,13 +932,30 @@ ORACLE_SQL: dict[str, str] = {
                         CAST(i % 3 AS INTEGER) AS dim,
                         CAST(sum((doc_id * 7 + i * 13) % 256) AS DOUBLE)
                           / count(*) AS feat
-                 FROM samp GROUP BY doc_id, width, height, i % 3)
+                 FROM samp GROUP BY doc_id, width, height, i % 3),
+        -- tag 'wav': the real audio decode's expected output — stereo
+        -- int16 PCM, frame count doc_id%50+20, sample k (interleaved)
+        -- = ((doc_id*11 + k*17) % 65536) - 32768; byte_len pins the
+        -- canonical 44-byte PCM header + 4 bytes/frame container
+        wshape AS (SELECT doc_id,
+                          CAST(doc_id % 50 + 20 AS INTEGER) AS n_frames
+                   FROM documents),
+        wsamp AS (SELECT doc_id, n_frames,
+                         unnest(range(0, CAST(2 * n_frames AS BIGINT)))
+                           AS k
+                  FROM wshape),
+        wchan AS (SELECT doc_id, n_frames,
+                         CAST(k % 2 AS INTEGER) AS dim,
+                         CAST(sum(((doc_id * 11 + k * 17) % 65536)
+                                  - 32768) AS DOUBLE) / n_frames AS feat
+                  FROM wsamp GROUP BY doc_id, n_frames, k % 2)
         SELECT * FROM (
           SELECT 'stub' AS tag, doc_id, fmt,
                  CAST(byte_len AS BIGINT) AS byte_len, sha,
                  CAST(byte_len % 64 + 1 AS INTEGER) AS width,
                  CAST(byte_len % 48 + 1 AS INTEGER) AS height,
                  CAST(1 AS INTEGER) AS n_frames,
+                 CAST(NULL AS INTEGER) AS framerate,
                  CAST(dim AS INTEGER) AS dim,
                  CAST(CAST('0x' || substr(h, dim * 2 + 1, 2) AS INTEGER)
                       AS DOUBLE) / 255.0 AS feat
@@ -929,8 +965,18 @@ ORACLE_SQL: dict[str, str] = {
                  CAST(NULL AS BIGINT) AS byte_len,
                  CAST(NULL AS VARCHAR) AS sha,
                  width, height, CAST(1 AS INTEGER) AS n_frames,
+                 CAST(NULL AS INTEGER) AS framerate,
                  dim, feat
           FROM chan
+          UNION ALL
+          SELECT 'wav' AS tag, doc_id, 'wav' AS fmt,
+                 CAST(44 + 4 * n_frames AS BIGINT) AS byte_len,
+                 CAST(NULL AS VARCHAR) AS sha,
+                 CAST(NULL AS INTEGER) AS width,
+                 CAST(NULL AS INTEGER) AS height,
+                 n_frames, CAST(16000 AS INTEGER) AS framerate,
+                 dim, feat
+          FROM wchan
         ) ORDER BY tag, doc_id, dim""",
     # s02 in exhaustive-probe mode is provably exact -> same oracle
     # shape as s01 (two independent Spark physical plans, one truth)
