@@ -226,10 +226,11 @@ def decode_media(df: DataFrame, real_decode: bool = False) -> DataFrame:
     """
     if real_decode:
         raise NotImplementedError(
-            "real decoding of jpeg/wav requires PIL/librosa, not "
-            "present in this environment; plug the codec into "
-            "_decode_batch. PNG decoding IS implemented — route image "
-            "blobs through png_features()/decode_png()")
+            "real jpeg decoding requires PIL, not present in this "
+            "environment; plug the codec into _decode_batch. PNG and "
+            "WAV decoding ARE implemented — route image blobs through "
+            "png_features()/decode_png() and audio blobs through "
+            "wav_features()/decode_wav()")
 
     def _decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -284,6 +285,7 @@ def decode_wav(data: bytes) -> tuple[int, int, int, int, bytes]:
     classifiable-error contract the PNG decoder follows)."""
     import io
     import wave
+    from struct import error as _struct_error
     try:
         with wave.open(io.BytesIO(data), "rb") as w:
             n_ch, width, rate = w.getnchannels(), w.getsampwidth(), \
@@ -294,7 +296,14 @@ def decode_wav(data: bytes) -> tuple[int, int, int, int, bytes]:
                     f"WAV declares {n_frames} frames x {n_ch}ch x "
                     f"{width}B — beyond this codec's 1 GiB bound")
             frames = w.readframes(n_frames)
-    except (wave.Error, EOFError) as e:
+    except ValueError:
+        raise
+    # wave's vendored chunk parser raises bare RuntimeError (seek past
+    # a lying chunk size) and struct.error on short headers, not just
+    # wave.Error — catch them all so corruption stays a classifiable
+    # ValueError (confirmed by byte-flip fuzz)
+    except (wave.Error, EOFError, RuntimeError, OSError,
+            _struct_error) as e:
         raise ValueError(f"not a decodable PCM WAV: {e}") from None
     if len(frames) != n_ch * width * n_frames:
         raise ValueError("WAV frame data truncated")
@@ -316,8 +325,6 @@ def synthesize_wav_media(df: DataFrame, id_col: str = "doc_id"
     """Deterministic REAL WAV blobs from row ids: stereo int16 PCM,
     n_frames = id%50+20, sample for (frame i, channel c) =
     ((id*11 + (2*i+c)*17) % 65536) - 32768, at 16 kHz."""
-    import struct
-
     def _make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             blobs = []
@@ -340,8 +347,6 @@ def wav_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     per-channel means of the DECODED int16 samples — exact integer
     sums divided once, so any engine recomputing them from the sample
     definition gets bitwise-equal doubles."""
-    import struct
-
     def _feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, chs, nfs, rates, lens, feats = [], [], [], [], [], []
@@ -353,6 +358,10 @@ def wav_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     raise ValueError(
                         f"doc {doc_id}: expected int16 PCM, got "
                         f"{width * 8}-bit")
+                if n_frames == 0:
+                    raise ValueError(
+                        f"doc {doc_id}: zero-frame WAV has no "
+                        f"channel statistics")
                 vals = struct.unpack(f"<{n_ch * n_frames}h", frames)
                 sums = [0] * n_ch
                 for k, v in enumerate(vals):

@@ -753,3 +753,16 @@ def test_wav_features_real_decode_pipeline(spark, sf_smoke):
         for k in range(2 * n):
             sums[k % 2] += ((d * 11 + k * 17) % 65536) - 32768
         assert r["features"] == [s / n for s in sums]
+
+
+def test_wav_features_rejects_zero_frame_audio(spark):
+    """A valid but empty WAV has no channel statistics — wav_features
+    must say so with the codec's classifiable ValueError, not a
+    ZeroDivisionError killing the task."""
+    from datastream_delta_plugins_spark.operators.multimodal import (
+        encode_wav, wav_features)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_wav(b"", n_channels=2)))],
+        "doc_id bigint, media binary")
+    with pytest.raises(Exception, match="zero-frame"):
+        wav_features(df).collect()

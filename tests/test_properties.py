@@ -526,3 +526,24 @@ def test_wav_codec_roundtrip_property(n_ch, n, data):
                                         max_size=2 * n_ch * n)))
     got = decode_wav(encode_wav(samples, n_channels=n_ch))
     assert got == (n_ch, 2, 16000, n, samples)
+
+
+@given(n_ch=st.sampled_from([1, 2]), n=st.integers(0, 40),
+       data=st.data())
+@settings(max_examples=60, deadline=None)
+def test_wav_decoder_never_hangs_or_crashes_on_byte_flips(n_ch, n, data):
+    """Byte-flip fuzz over the stdlib-wave-backed decoder: corruption
+    is always a ValueError or a successful decode — never a bare
+    RuntimeError/struct.error escaping from wave's chunk parser
+    (reproduced pre-fix with a lying fmt-chunk size)."""
+    from datastream_delta_plugins_spark.operators.multimodal import (
+        decode_wav, encode_wav)
+    samples = bytes(data.draw(st.binary(min_size=2 * n_ch * n,
+                                        max_size=2 * n_ch * n)))
+    blob = bytearray(encode_wav(samples, n_channels=n_ch))
+    pos = data.draw(st.integers(0, len(blob) - 1))
+    blob[pos] ^= data.draw(st.integers(1, 255))
+    try:
+        decode_wav(bytes(blob))
+    except ValueError:
+        pass
