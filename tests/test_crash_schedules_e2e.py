@@ -305,3 +305,73 @@ def test_replication_job_bucket_deployment_zero_local_sidecars(
     assert any(k.endswith("state.json") for k in keys)
     assert any(k.endswith("job_state.json") for k in keys)
     assert any(k.endswith("ttl_manifest.json") for k in keys)
+
+
+def test_replication_job_streaming_on_mock_bucket(spark, tmp_path):
+    """start_all on a bucket-resident sidecar plane: the converter
+    loop, landing maintenance, and the checkpointed stream all run
+    with the job's docs/logs/segments in the (lagging) mock bucket —
+    state converges exactly-once and no sidecar file touches disk
+    (Spark's own checkpoint dir is the one deliberate exception: it
+    rides Spark's filesystem connectors in any deployment)."""
+    import os
+    import sys
+    import time
+    sys.path.insert(0, "tests")
+    from test_avro_landing import SNAP, _events, _write_avro
+
+    from datastream_delta_plugins_spark.streaming.commitlog import (
+        PosixStore)
+    from datastream_delta_plugins_spark.streaming.replication import (
+        ReplicationJob, TableConfig)
+
+    src = tmp_path / "blobs"
+    src.mkdir()
+    _write_avro(src, "t1_oracle-backfill_0.avro", _events(0, 10, SNAP))
+    bucket = InMemoryObjectStore(listing_lag=1)
+    work = str(tmp_path / "work")
+    job = ReplicationJob(
+        spark, work,
+        [TableConfig("t1", str(src), ["EMPLOYEE_ID"],
+                     source_format="avro")],
+        register_catalog=False, state_backend="bucketed",
+        n_state_buckets=4, client=bucket, source_store=PosixStore())
+    try:
+        job.start_all(trigger={"processingTime": "500 milliseconds"},
+                      convert_interval=0.4, maintenance_every=2,
+                      compact_min_batches=2)
+        pipe, conv = job.pipelines["t1"], job.converters["t1"]
+        n = 10
+        for b in range(1, 5):
+            _write_avro(src, f"t1_oracle-cdc-logminer_{b}.avro",
+                        _events(n, n + 5))
+            n += 5
+            time.sleep(0.9)
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            st = pipe.read_state()
+            if st is not None and st.count() == n \
+                    and len(conv.committed_batch_dirs()) <= 2:
+                break
+            time.sleep(1)
+        assert job.converter_errors == {}
+        st = pipe.read_state()
+        assert st.count() == n
+        assert st.select("EMPLOYEE_ID").distinct().count() == n
+    finally:
+        job.stop_all()
+    # sidecars live in the bucket; local disk holds only parquet data
+    # + Spark's checkpoint/metadata bookkeeping
+    local = []
+    for root, _dirs, files in os.walk(work):
+        if os.sep + "checkpoint" in root or root.endswith("_spark_metadata"):
+            continue
+        for f in files:
+            if not (f.endswith(".parquet") or f == "_SUCCESS"
+                    or f.startswith(".")):
+                local.append(os.path.join(root, f))
+    assert local == []
+    keys = set(bucket._objects)
+    assert any("/_landing_log/segments/" in k for k in keys)
+    assert any("/state/manifest/v" in k for k in keys)
+    assert any(k.endswith("state.json") for k in keys)
