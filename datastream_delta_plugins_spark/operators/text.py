@@ -385,3 +385,66 @@ def unigram_logfreq_score(df: DataFrame, text_col: str = "text",
                   .agg(F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
                        F.avg(F.log10("tf")).alias("logfreq_mean")))
     return scored
+
+
+def bigram_lm_score(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id",
+                    train_df: DataFrame | None = None,
+                    alpha: float = 0.5) -> DataFrame:
+    """Add-alpha bigram language-model surprisal — the learned quality
+    filter of the CCNet/LLaMA data recipes (train a small LM on a
+    reference corpus, keep documents the model finds unsurprising),
+    without a model artifact: the "model" is two count tables derived
+    from ``train_df`` (default: score the corpus against itself, the
+    `unigram_logfreq_score` setting).
+
+        P(w2 | w1) = (c(w1 w2) + alpha) / (c(w1 ·) + alpha * V)
+
+    with V the train vocabulary size; out-of-vocabulary contexts
+    smooth to alpha / (alpha * V) instead of dropping rows. Returns
+    one row per input doc: (id_col, n_bigrams, lm_logprob_mean, ppl =
+    exp(-mean)); docs shorter than two tokens keep their row with
+    n_bigrams = 0 and NULL score.
+
+    Scale shape: both sides expand to bigrams SCAN-LOCALLY (the
+    dedup shingle expression, multiplicity preserved); the count
+    tables are vocabulary-bounded (Zipf) and BROADCAST, so the corpus
+    joins map-side and the only data-keyed exchange is the final
+    per-doc aggregation — which a doc-partitioned input (fan_out
+    by=id) elides. Context counts derive from the bigram aggregate
+    itself (one pass over train, not two).
+
+    Float caveat: ln() is not guaranteed bitwise-identical across
+    engines (JVM vs libm last-ulp), so this operator is pytest-gated
+    against an exact recomputation rather than driver-hash-gated.
+    """
+    from .dedup import shingle_array
+    train = train_df if train_df is not None else df
+    train_sel = train.select(F.lit(0).cast("bigint").alias("_lm_id"),
+                             F.col(text_col))
+    grams = (shingle_array(train_sel, text_col, "_lm_id", n=2,
+                           distinct=False)
+             .select(F.explode_outer("_shingles").alias("bg")))
+    c2 = grams.groupBy("bg").agg(F.count(F.lit(1)).alias("_c2"))
+    c1 = (c2.withColumn("_ctx", F.substring_index("bg", " ", 1))
+            .groupBy("_ctx").agg(F.sum("_c2").alias("_c1")))
+    vocab = (train_sel.select(F.explode(words_col(text_col)).alias("t"))
+                      .agg(F.countDistinct("t").alias("_V")))
+    doc_bg = (shingle_array(df, text_col, id_col, n=2, distinct=False,
+                            keep_empty=True)
+              .select(id_col, F.explode_outer("_shingles").alias("bg")))
+    lp = F.when(
+        F.col("bg").isNotNull(),
+        F.log((F.coalesce("_c2", F.lit(0)) + F.lit(alpha))
+              / (F.coalesce("_c1", F.lit(0))
+                 + F.lit(alpha) * F.col("_V"))))
+    scored = (doc_bg
+              .join(F.broadcast(c2), "bg", "left")
+              .withColumn("_ctx", F.substring_index("bg", " ", 1))
+              .join(F.broadcast(c1), "_ctx", "left")
+              .crossJoin(F.broadcast(vocab))
+              .withColumn("_lp", lp)
+              .groupBy(id_col)
+              .agg(F.count("bg").cast("bigint").alias("n_bigrams"),
+                   F.avg("_lp").alias("lm_logprob_mean")))
+    return scored.withColumn("ppl", F.exp(-F.col("lm_logprob_mean")))

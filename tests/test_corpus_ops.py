@@ -384,3 +384,80 @@ def test_salient_terms_tfidf_ordering(spark):
     assert [(r["term"], r["rank"]) for r in
             two.orderBy("rank").collect()] == [("apple", 1),
                                                ("banana", 2)]
+
+
+def test_bigram_lm_score_matches_exact_recomputation(spark):
+    """Add-alpha bigram LM: score a corpus against a SEPARATE train
+    corpus and verify every count, smoothed probability, and mean
+    against an exact pure-Python recomputation (rel tol only for the
+    ln/exp floats; counts exact). Covers in-vocab bigrams, seen-context
+    unseen-bigram, fully OOV context, repeated bigrams (multiplicity
+    matters), and sub-2-token docs keeping their row."""
+    import math
+
+    from datastream_delta_plugins_spark.functions.textfns import (
+        norm_text)
+    from datastream_delta_plugins_spark.operators.text import (
+        bigram_lm_score)
+
+    train_rows = ["the cat sat", "the cat ran", "a cat sat the cat"]
+    score_rows = [(0, "the cat sat"),        # all seen
+                  (1, "the dog sat"),        # seen ctx, unseen bigram
+                  (2, "zz qq"),              # fully OOV
+                  (3, "cat"),                # 1 token -> no bigrams
+                  (4, "the cat the cat")]    # repetition
+    train = spark.createDataFrame([(t,) for t in train_rows],
+                                  "text string")
+    docs = spark.createDataFrame(score_rows, "doc_id bigint, text string")
+    got = {r["doc_id"]: r for r in
+           bigram_lm_score(docs, train_df=train, alpha=0.5).collect()}
+
+    # exact recomputation with the same normalization
+    def toks(s):
+        return s.lower().split()
+    c2, c1, vocab = {}, {}, set()
+    for t in train_rows:
+        w = toks(t)
+        vocab.update(w)
+        for i in range(len(w) - 1):
+            bg = (w[i], w[i + 1])
+            c2[bg] = c2.get(bg, 0) + 1
+            c1[w[i]] = c1.get(w[i], 0) + 1
+    V, a = len(vocab), 0.5
+
+    def lp(w1, w2):
+        return math.log((c2.get((w1, w2), 0) + a)
+                        / (c1.get(w1, 0) + a * V))
+
+    for doc_id, s in score_rows:
+        w = toks(s)
+        lps = [lp(w[i], w[i + 1]) for i in range(len(w) - 1)]
+        r = got[doc_id]
+        assert r["n_bigrams"] == len(lps)
+        if not lps:
+            assert r["lm_logprob_mean"] is None and r["ppl"] is None
+            continue
+        want = sum(lps) / len(lps)
+        assert abs(r["lm_logprob_mean"] - want) <= 1e-12 * abs(want)
+        assert abs(r["ppl"] - math.exp(-want)) <= 1e-9 * math.exp(-want)
+    # the quality-filter property: fluent text beats OOV gibberish
+    assert got[0]["lm_logprob_mean"] > got[2]["lm_logprob_mean"]
+
+
+def test_bigram_lm_score_self_train_and_plan_shape(spark, sf_smoke):
+    """Self-trained scoring over the documents table: every doc keeps
+    exactly one row, and the corpus-side joins are BROADCAST (the
+    count tables are vocabulary-bounded; a sort-merge join here would
+    shuffle the whole exploded corpus)."""
+    from datastream_delta_plugins_spark.operators.text import (
+        bigram_lm_score)
+    from datastream_delta_plugins_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    out = bigram_lm_score(docs)
+    n = docs.count()
+    assert out.count() == n
+    assert out.where("n_bigrams > 0 AND ppl IS NOT NULL").count() > 0
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
