@@ -339,7 +339,16 @@ def t02_lang_id(spark, sf_dir):
         .select("doc_id", _pii_sample_col().alias("text"))
     scrub = text.pii_scrub(synth).select(
         "doc_id", "n_emails", "n_urls", "n_phones")
-    return _psort(sig.join(top, "doc_id", "left").join(scrub, "doc_id"),
+    # bigram-LM evidence sums (self-trained): the exact-integer half
+    # of bigram_lm_score — bigram multiplicity, train-count joins, and
+    # the per-doc aggregation all ride the driver hash gate; only the
+    # final ln/avg stays pytest-gated (ln is not cross-engine bitwise)
+    lm = (text.bigram_lm_score(_docs(spark, sf_dir))
+          .select("doc_id", F.col("n_bigrams").alias("lm_bigrams"),
+                  F.col("c2_sum").alias("lm_c2_sum"),
+                  F.col("c1_sum").alias("lm_c1_sum")))
+    return _psort(sig.join(top, "doc_id", "left")
+                     .join(scrub, "doc_id").join(lm, "doc_id", "left"),
                   "doc_id")
 
 
@@ -883,7 +892,26 @@ ORACLE_SQL: dict[str, str] = {
                                  ORDER BY CAST(tf AS DOUBLE)/df_t DESC,
                                           term) AS rn
                       FROM tf JOIN dft USING (term))
-                WHERE rn = 1)
+                WHERE rn = 1),
+        -- bigram-LM evidence sums (self-trained, multiplicity kept):
+        -- c1 derives from the bigram aggregate (context totals), the
+        -- exact-integer half of bigram_lm_score
+        lmbg AS (SELECT doc_id, w[i] || ' ' || w[i + 1] AS bg
+                 FROM (SELECT doc_id, w,
+                              unnest(generate_series(1, len(w) - 1))
+                                AS i
+                       FROM toks WHERE len(w) >= 2)),
+        lmc2 AS (SELECT bg, count(*) AS c2 FROM lmbg GROUP BY bg),
+        lmc1 AS (SELECT split_part(bg, ' ', 1) AS ctx, sum(c2) AS c1
+                 FROM lmc2 GROUP BY 1),
+        lmdoc AS (SELECT b.doc_id,
+                         CAST(count(*) AS BIGINT) AS lm_bigrams,
+                         CAST(sum(c2.c2) AS BIGINT) AS lm_c2_sum,
+                         CAST(sum(c1.c1) AS BIGINT) AS lm_c1_sum
+                  FROM lmbg b
+                  JOIN lmc2 c2 USING (bg)
+                  JOIN lmc1 c1 ON c1.ctx = split_part(b.bg, ' ', 1)
+                  GROUP BY b.doc_id)
         SELECT d.doc_id, {_LANG_CASE} AS pred_lang, {_LANG_MAX} AS score,
                md5({_NORM}) AS fp, ms.min_shingle_hash,
                top.top_term, top.top_term_tf, top.top_term_df,
@@ -891,11 +919,13 @@ ORACLE_SQL: dict[str, str] = {
                -- counts are pure arithmetic (see _pii_sample_col)
                CAST(d.doc_id % 3 AS BIGINT) AS n_emails,
                CAST(d.doc_id % 2 AS BIGINT) AS n_urls,
-               CAST((d.doc_id + 2) % 3 AS BIGINT) AS n_phones
+               CAST((d.doc_id + 2) % 3 AS BIGINT) AS n_phones,
+               lmdoc.lm_bigrams, lmdoc.lm_c2_sum, lmdoc.lm_c1_sum
         FROM documents d
         JOIN scores USING (doc_id)
         LEFT JOIN ms ON ms.doc_id = d.doc_id
         LEFT JOIN top ON top.doc_id = d.doc_id
+        LEFT JOIN lmdoc ON lmdoc.doc_id = d.doc_id
         ORDER BY d.doc_id""",
     # the incrementally-maintained rollup must equal the one-shot
     # aggregate over all events — the materialized-view invariant

@@ -446,5 +446,15 @@ def bigram_lm_score(df: DataFrame, text_col: str = "text",
               .withColumn("_lp", lp)
               .groupBy(id_col)
               .agg(F.count("bg").cast("bigint").alias("n_bigrams"),
+                   # exact-integer evidence sums: everything the model
+                   # computed EXCEPT the final ln — these ARE
+                   # cross-engine bitwise (the t02 driver slot gates
+                   # them; the ln/avg stays pytest-gated)
+                   F.sum(F.when(F.col("bg").isNotNull(),
+                                F.coalesce("_c2", F.lit(0))))
+                    .cast("bigint").alias("c2_sum"),
+                   F.sum(F.when(F.col("bg").isNotNull(),
+                                F.coalesce("_c1", F.lit(0))))
+                    .cast("bigint").alias("c1_sum"),
                    F.avg("_lp").alias("lm_logprob_mean")))
     return scored.withColumn("ppl", F.exp(-F.col("lm_logprob_mean")))
