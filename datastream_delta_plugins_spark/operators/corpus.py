@@ -223,6 +223,8 @@ def prepare_corpus(df: DataFrame, text_col: str = "text",
                    bench_pred: Column | None = None,
                    jaccard_threshold: float = 0.8,
                    max_dup_span_frac: float | None = None,
+                   lm_ppl_max: float | None = None,
+                   lm_train_df: DataFrame | None = None,
                    chunk_tokens: int = 512, stride: int = 512,
                    budget: int = 2048) -> tuple[DataFrame, dict]:
     """The end-to-end training-corpus preparation job — every stage an
@@ -231,6 +233,11 @@ def prepare_corpus(df: DataFrame, text_col: str = "text",
 
       1. PII scrub (in-place column rewrite, scan-local)
       2. quality gate (Gopher keep rule)
+      2b. LM-perplexity gate (when `lm_ppl_max` is set: the
+         CCNet-style learned filter — `text.bigram_lm_score` trained
+         on `lm_train_df` (a reference corpus) or self-trained, docs
+         above the perplexity ceiling drop; sub-2-token docs have no
+         score and pass through to the heuristic gates)
       3. benchmark-decontamination (when `bench_pred` names the
          benchmark rows; they are removed from the corpus and any doc
          sharing an 8-gram with them is dropped)
@@ -273,6 +280,16 @@ def prepare_corpus(df: DataFrame, text_col: str = "text",
         docs.join(scored.where(F.col("keep")).select(id_col),
                   id_col, "semi"))
     report["after_quality"] = docs.count()
+
+    if lm_ppl_max is not None:
+        from .text import bigram_lm_score
+        lm = bigram_lm_score(docs, text_col, id_col,
+                             train_df=lm_train_df)
+        docs = _pin_if_small(
+            docs.join(lm.where(F.coalesce(F.col("ppl"),
+                                          F.lit(0.0)) <= lm_ppl_max)
+                        .select(id_col), id_col, "semi"))
+        report["after_lm_gate"] = docs.count()
 
     if bench_pred is not None:
         flags = contamination_check(docs, bench_pred, text_col, id_col)

@@ -192,3 +192,39 @@ def test_full_product_demo(spark, sf_correctness, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == report["chunks"]
     assert os.path.exists(out)
+
+
+def test_prepare_corpus_lm_gate(spark, sf_correctness):
+    """The optional LM-perplexity stage composes into prepare_corpus:
+    the gate's survivor set equals an independent bigram_lm_score
+    filter applied between quality and decontamination, scoreless
+    (sub-2-token) docs pass through, and the report records the
+    stage."""
+    from pyspark.sql import functions as F
+
+    from datastream_delta_plugins_spark.operators.corpus import (
+        prepare_corpus)
+    from datastream_delta_plugins_spark.operators.text import (
+        bigram_lm_score, quality_score)
+    from datastream_delta_plugins_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_correctness, "documents")
+    # pick a ceiling that actually splits the corpus
+    probe = bigram_lm_score(docs)
+    ceiling = probe.agg(
+        F.expr("percentile_approx(ppl, 0.7)")).first()[0]
+    packed, report = prepare_corpus(docs, lm_ppl_max=float(ceiling))
+    assert "after_lm_gate" in report
+    assert 0 < report["after_lm_gate"] < report["after_quality"]
+    assert report["after_dedup"] <= report["after_lm_gate"]
+
+    # independent recomputation of the survivor set
+    q_ids = {r["doc_id"] for r in
+             quality_score(docs).where("keep")
+             .select("doc_id").collect()}
+    kept_q = docs.where(F.col("doc_id").isin(list(q_ids)))
+    lm = bigram_lm_score(kept_q)
+    want = {r["doc_id"] for r in
+            lm.where(F.coalesce("ppl", F.lit(0.0)) <= float(ceiling))
+              .select("doc_id").collect()}
+    assert report["after_lm_gate"] == len(want)
