@@ -920,7 +920,12 @@ ORACLE_SQL: dict[str, str] = {
                CAST(d.doc_id % 3 AS BIGINT) AS n_emails,
                CAST(d.doc_id % 2 AS BIGINT) AS n_urls,
                CAST((d.doc_id + 2) % 3 AS BIGINT) AS n_phones,
-               lmdoc.lm_bigrams, lmdoc.lm_c2_sum, lmdoc.lm_c1_sum
+               -- sub-2-token docs: Spark's keep_empty path emits a row
+               -- with 0 bigrams (sums NULL); coalesce the count so a
+               -- regenerated short doc cannot hash-split the engines
+               CAST(coalesce(lmdoc.lm_bigrams, 0) AS BIGINT)
+                 AS lm_bigrams,
+               lmdoc.lm_c2_sum, lmdoc.lm_c1_sum
         FROM documents d
         JOIN scores USING (doc_id)
         LEFT JOIN ms ON ms.doc_id = d.doc_id

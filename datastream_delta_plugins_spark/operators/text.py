@@ -418,30 +418,47 @@ def bigram_lm_score(df: DataFrame, text_col: str = "text",
     engines (JVM vs libm last-ulp), so this operator is pytest-gated
     against an exact recomputation rather than driver-hash-gated.
     """
-    from .dedup import shingle_array
+    from ..plans.hints import auto_broadcast
+    from .dedup import _persist_tracked_if_small, shingle_array
     train = train_df if train_df is not None else df
     train_sel = train.select(F.lit(0).cast("bigint").alias("_lm_id"),
                              F.col(text_col))
     grams = (shingle_array(train_sel, text_col, "_lm_id", n=2,
                            distinct=False)
              .select(F.explode_outer("_shingles").alias("bg")))
-    c2 = grams.groupBy("bg").agg(F.count(F.lit(1)).alias("_c2"))
+    # c1 and two join branches all derive from c2, and Catalyst does
+    # not CSE across branches — persist the (vocabulary-sized) count
+    # table or the train scan+aggregate runs once per consumer
+    c2 = _persist_tracked_if_small(
+        "bigram_lm.c2",
+        grams.groupBy("bg").agg(F.count(F.lit(1)).alias("_c2")))
     c1 = (c2.withColumn("_ctx", F.substring_index("bg", " ", 1))
             .groupBy("_ctx").agg(F.sum("_c2").alias("_c1")))
+    # empty-string tokens (split of an empty doc) are not vocabulary —
+    # counting one would shift every smoothed probability (salient_terms
+    # applies the same filter)
     vocab = (train_sel.select(F.explode(words_col(text_col)).alias("t"))
+                      .where(F.length("t") > 0)
                       .agg(F.countDistinct("t").alias("_V")))
     doc_bg = (shingle_array(df, text_col, id_col, n=2, distinct=False,
                             keep_empty=True)
               .select(id_col, F.explode_outer("_shingles").alias("bg")))
+    # _V > 0 guard: a degenerate train corpus (no bigrams) would make
+    # the denominator 0 — NULL score here (ANSI-safe), and
+    # prepare_corpus's gate refuses the resulting no-op model loudly
     lp = F.when(
-        F.col("bg").isNotNull(),
+        F.col("bg").isNotNull() & (F.col("_V") > 0),
         F.log((F.coalesce("_c2", F.lit(0)) + F.lit(alpha))
               / (F.coalesce("_c1", F.lit(0))
                  + F.lit(alpha) * F.col("_V"))))
+    # stats-gated broadcast: the count tables are usually tiny, but a
+    # web-scale reference corpus has a bigram vocabulary that can
+    # outgrow the driver — auto_broadcast falls back to a shuffled
+    # join above the session threshold instead of forcing an OOM
     scored = (doc_bg
-              .join(F.broadcast(c2), "bg", "left")
+              .join(auto_broadcast(c2), "bg", "left")
               .withColumn("_ctx", F.substring_index("bg", " ", 1))
-              .join(F.broadcast(c1), "_ctx", "left")
+              .join(auto_broadcast(c1), "_ctx", "left")
               .crossJoin(F.broadcast(vocab))
               .withColumn("_lp", lp)
               .groupBy(id_col)

@@ -395,8 +395,6 @@ def test_bigram_lm_score_matches_exact_recomputation(spark):
     matters), and sub-2-token docs keeping their row."""
     import math
 
-    from datastream_delta_plugins_spark.functions.textfns import (
-        norm_text)
     from datastream_delta_plugins_spark.operators.text import (
         bigram_lm_score)
 

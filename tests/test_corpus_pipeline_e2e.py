@@ -209,22 +209,29 @@ def test_prepare_corpus_lm_gate(spark, sf_correctness):
     from datastream_delta_plugins_spark.sources.tables import load_table
 
     docs = load_table(spark, sf_correctness, "documents")
-    # pick a ceiling that actually splits the corpus
-    probe = bigram_lm_score(docs)
-    ceiling = probe.agg(
-        F.expr("percentile_approx(ppl, 0.7)")).first()[0]
-    packed, report = prepare_corpus(docs, lm_ppl_max=float(ceiling))
-    assert "after_lm_gate" in report
-    assert 0 < report["after_lm_gate"] < report["after_quality"]
-    assert report["after_dedup"] <= report["after_lm_gate"]
-
-    # independent recomputation of the survivor set
+    # derive the ceiling from the SAME model the gate will fit (the
+    # post-quality survivors, self-trained) so the split is guaranteed
+    # across testdata regenerations
     q_ids = {r["doc_id"] for r in
              quality_score(docs).where("keep")
              .select("doc_id").collect()}
     kept_q = docs.where(F.col("doc_id").isin(list(q_ids)))
     lm = bigram_lm_score(kept_q)
+    ceiling = float(lm.agg(
+        F.expr("percentile_approx(ppl, 0.7)")).first()[0])
+    packed, report = prepare_corpus(docs, lm_ppl_max=ceiling)
+    assert "after_lm_gate" in report
+    assert 0 < report["after_lm_gate"] < report["after_quality"]
+    assert report["after_dedup"] <= report["after_lm_gate"]
+
+    # independent recomputation of the survivor set
     want = {r["doc_id"] for r in
-            lm.where(F.coalesce("ppl", F.lit(0.0)) <= float(ceiling))
+            lm.where(F.coalesce("ppl", F.lit(0.0)) <= ceiling)
               .select("doc_id").collect()}
     assert report["after_lm_gate"] == len(want)
+
+    # a degenerate train corpus must be loud, not a silent no-op
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="no-op"):
+        prepare_corpus(docs, lm_ppl_max=100.0,
+                       lm_train_df=docs.limit(0))
