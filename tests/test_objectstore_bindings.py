@@ -609,3 +609,17 @@ def test_byte_equal_payloads_from_two_writers_still_conflict():
     with pytest.raises(ConcurrentWriterError):
         b.commit_at(0, {"data_dir": "v0"})   # identical logical payload
     assert b.read_committed() == (0, {"version": 0, "data_dir": "v0"})
+
+
+def test_transient_failure_mid_pagination_retries_that_page():
+    """A 503 on a continuation page retries THAT page (with its
+    token), not the whole listing — the full key set comes back
+    exactly once."""
+    c, inner, faulty, sleeps = _gcs([None, 503, None])
+    for i in range(7):   # page_size=3 -> 3 pages
+        inner.objects[f"t/d/{i:02d}"] = b"x"
+    keys = c.list_keys("t/d/")
+    assert keys == [f"t/d/{i:02d}" for i in range(7)]
+    assert sleeps == [0.25]         # one backoff, page 2 only
+    # 4 transport calls: page1, page2(503), page2(retry), page3
+    assert faulty.calls == 4
