@@ -216,21 +216,73 @@ def _fake_features(blob: bytes, n: int = 4) -> list[float]:
     return [b / 255.0 for b in h[:n]]
 
 
+def _real_decode_row(blob: bytes, fmt: str):
+    """Dispatch one blob to the stdlib codecs by CONTENT (magic bytes
+    beat the declared fmt — corpora lie): PNG -> (w, h, 1 frame,
+    channel means); WAV -> (n_channels as width, NULL height, frame
+    count, channel means). Anything else (jpeg) needs PIL."""
+    if blob[:8] == _PNG_SIG:
+        w, h, ch, px = decode_png(blob)
+        sums = [0] * ch
+        for i, v in enumerate(px):
+            sums[i % ch] += v
+        n = w * h
+        return w, h, 1, [float(s) / n for s in sums]
+    if blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
+        n_ch, width, rate, n_frames, frames = decode_wav(blob)
+        if width != 2 or n_frames == 0:
+            raise ValueError(
+                f"unsupported PCM shape (width={width * 8}-bit, "
+                f"frames={n_frames})")
+        vals = struct.unpack(f"<{n_ch * n_frames}h", frames)
+        sums = [0] * n_ch
+        for k, v in enumerate(vals):
+            sums[k % n_ch] += v
+        return n_ch, None, n_frames, [float(s) / n_frames for s in sums]
+    raise NotImplementedError(
+        f"real decode of fmt={fmt!r} needs PIL (jpeg) — only the "
+        f"stdlib PNG/WAV codecs are available in this environment")
+
+
 def decode_media(df: DataFrame, real_decode: bool = False) -> DataFrame:
     """Arrow-batched decode over mapInPandas.
 
     The per-batch loop is the real production shape (vectorized
     transfer, bounded memory per batch — batch size is governed by
-    spark.sql.execution.arrow.maxRecordsPerBatch); only the codec call
-    is faked.
+    spark.sql.execution.arrow.maxRecordsPerBatch). With
+    ``real_decode=True`` blobs are dispatched by MAGIC BYTES to the
+    stdlib PNG/WAV codecs (genuine decode; jpeg still raises
+    NotImplementedError — that one needs PIL); the default keeps the
+    deterministic fake extractor for plumbing tests over non-media
+    payloads.
     """
     if real_decode:
-        raise NotImplementedError(
-            "real jpeg decoding requires PIL, not present in this "
-            "environment; plug the codec into _decode_batch. PNG and "
-            "WAV decoding ARE implemented — route image blobs through "
-            "png_features()/decode_png() and audio blobs through "
-            "wav_features()/decode_wav()")
+        def _decode_batch(batches: Iterator[pd.DataFrame]
+                          ) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                ws, hs, nf, feats = [], [], [], []
+                for blob, fmt in zip(pdf["media"], pdf["fmt"]):
+                    w, h, n, f = _real_decode_row(bytes(blob), fmt)
+                    ws.append(w)
+                    hs.append(h)
+                    nf.append(n)
+                    feats.append(f)
+                yield pd.DataFrame({
+                    "doc_id": pdf["doc_id"],
+                    "fmt": pdf["fmt"],
+                    "byte_len": pdf["byte_len"].astype("int64"),
+                    "sha": pdf["sha"],
+                    "width": pd.array(ws, dtype="Int32"),
+                    "height": pd.array(hs, dtype="Int32"),
+                    "n_frames": pd.array(nf, dtype="Int32"),
+                    "features": feats,
+                })
+
+        flat = df.select("doc_id",
+                         F.col("media_meta.fmt").alias("fmt"),
+                         F.col("media_meta.byte_len").alias("byte_len"),
+                         F.sha2("media", 256).alias("sha"), "media")
+        return flat.mapInPandas(_decode_batch, DECODED_SCHEMA)
 
     def _decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

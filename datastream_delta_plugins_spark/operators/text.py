@@ -475,3 +475,50 @@ def bigram_lm_score(df: DataFrame, text_col: str = "text",
                     .cast("bigint").alias("c1_sum"),
                    F.avg("_lp").alias("lm_logprob_mean")))
     return scored.withColumn("ppl", F.exp(-F.col("lm_logprob_mean")))
+
+
+def compression_ratio(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id",
+                      level: int = 6) -> DataFrame:
+    """Per-document zlib compression ratio — the model-free
+    repetition/boilerplate signal public corpus recipes pair with the
+    heuristic and LM gates (templated or looping text compresses far
+    below natural prose; near-random noise compresses above it).
+    Returns (id_col, n_bytes, z_bytes, z_ratio = z/n); empty docs keep
+    their row with NULL ratio.
+
+    Arrow-batched mapInPandas: compression is a C codec with no
+    Catalyst expression, so this is one of the few quality signals
+    that genuinely needs the Python hop — still scan-local (no
+    shuffle), memory bounded by the Arrow batch size. Deterministic
+    for a fixed zlib version/level, so tests recompute it exactly.
+    """
+    import zlib
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        df.schema[id_col],
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("z_bytes", T.LongType()),
+        T.StructField("z_ratio", T.DoubleType()),
+    ])
+
+    def _batches(batches):
+        import pandas as pd
+        for pdf in batches:
+            ns, zs, rs = [], [], []
+            for t in pdf[text_col]:
+                raw = (t or "").encode("utf-8")
+                z = len(zlib.compress(raw, level))
+                ns.append(len(raw))
+                zs.append(z)
+                rs.append(z / len(raw) if raw else None)
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                "n_bytes": pd.Series(ns, dtype="int64"),
+                "z_bytes": pd.Series(zs, dtype="int64"),
+                "z_ratio": pd.array(rs, dtype="Float64"),
+            })
+
+    return df.select(id_col, text_col).mapInPandas(_batches, schema)

@@ -459,3 +459,32 @@ def test_bigram_lm_score_self_train_and_plan_shape(spark, sf_smoke):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_compression_ratio_exact_and_ordering(spark):
+    """z_ratio matches a direct zlib recomputation byte-for-byte, and
+    the signal orders as the quality literature expects: repetitive
+    boilerplate << prose << random noise. Empty docs keep their row
+    with NULL ratio."""
+    import random
+    import zlib
+
+    from datastream_delta_plugins_spark.operators.text import (
+        compression_ratio)
+
+    rng = random.Random(5)
+    prose = " ".join(rng.choice(
+        ["the", "model", "reads", "documents", "and", "scores",
+         "quality", "with", "simple", "signals"]) for _ in range(400))
+    noise = "".join(chr(rng.randint(33, 0x2FA0)) for _ in range(400))
+    rows = [(0, "spam " * 400), (1, prose), (2, noise), (3, "")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["doc_id"]: r for r in compression_ratio(df).collect()}
+    for d, t in rows:
+        raw = t.encode()
+        assert got[d]["n_bytes"] == len(raw)
+        assert got[d]["z_bytes"] == len(zlib.compress(raw, 6))
+        if raw:
+            assert got[d]["z_ratio"] == len(zlib.compress(raw, 6)) / len(raw)
+    assert got[3]["z_ratio"] is None
+    assert got[0]["z_ratio"] < got[1]["z_ratio"] < got[2]["z_ratio"]

@@ -104,8 +104,50 @@ def test_decode_media_stub(spark, sf_smoke):
     assert r["fmt"] in multimodal.FORMATS
     assert len(r["features"]) == 4
     assert all(0.0 <= x <= 1.0 for x in r["features"])
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_media(media, real_decode=True)
+    # real_decode dispatches by magic bytes: text payloads are neither
+    # PNG nor WAV, so the jpeg/unknown path surfaces its
+    # NotImplementedError (task-wrapped by Spark)
+    with pytest.raises(Exception, match="needs PIL"):
+        multimodal.decode_media(media, real_decode=True).collect()
+
+
+def test_decode_media_real_path_dispatches_by_magic(spark, sf_smoke):
+    """decode_media(real_decode=True) over genuine blobs: PNG rows get
+    real (width, height, RGB means), WAV rows real (channels, frames,
+    channel means) — the same values the dedicated feature operators
+    produce, through the generic media-column API."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_smoke, "documents").limit(24)
+    png = (multimodal.synthesize_png_media(docs.where("doc_id % 2 = 0"))
+           .withColumn("media_meta",
+                       F.struct(F.lit("png").alias("fmt"),
+                                F.octet_length("media")
+                                 .alias("byte_len"))))
+    wav = (multimodal.synthesize_wav_media(docs.where("doc_id % 2 = 1"))
+           .withColumn("media_meta",
+                       F.struct(F.lit("wav").alias("fmt"),
+                                F.octet_length("media")
+                                 .alias("byte_len"))))
+    out = {r["doc_id"]: r for r in
+           multimodal.decode_media(png.unionByName(wav),
+                                   real_decode=True).collect()}
+    assert len(out) == 24
+    for d, r in out.items():
+        if d % 2 == 0:   # png: ramp means
+            w, h = d % 5 + 2, d % 4 + 2
+            assert (r["width"], r["height"], r["n_frames"]) == (w, h, 1)
+            sums = [0, 0, 0]
+            for i in range(w * h * 3):
+                sums[i % 3] += (d * 7 + i * 13) % 256
+            assert r["features"] == [s / (w * h) for s in sums]
+        else:            # wav: stereo ramp means
+            n = d % 50 + 20
+            assert (r["width"], r["height"], r["n_frames"]) == (2, None, n)
+            sums = [0, 0]
+            for k in range(2 * n):
+                sums[k % 2] += ((d * 11 + k * 17) % 65536) - 32768
+            assert r["features"] == [s / n for s in sums]
 
 
 def test_salted_agg_matches_plain(spark, sf_correctness):
