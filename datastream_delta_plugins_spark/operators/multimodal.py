@@ -217,34 +217,26 @@ def _fake_features(blob: bytes, n: int = 4) -> list[float]:
 
 
 def _real_decode_row(blob: bytes, fmt: str):
-    """Dispatch one blob to the stdlib codecs by CONTENT (magic bytes
-    beat the declared fmt — corpora lie): PNG -> (w, h, 1 frame,
-    channel means); WAV -> (n_channels as width, NULL height, frame
-    count, channel means). Anything else (jpeg) needs PIL."""
-    if blob[:8] == _PNG_SIG:
-        w, h, ch, px = decode_png(blob)
-        sums = [0] * ch
-        for i, v in enumerate(px):
-            sums[i % ch] += v
-        n = w * h
-        return w, h, 1, [float(s) / n for s in sums]
-    if blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
-        n_ch, width, rate, n_frames, frames = decode_wav(blob)
-        if width != 2 or n_frames == 0:
-            raise ValueError(
-                f"unsupported PCM shape (width={width * 8}-bit, "
-                f"frames={n_frames})")
-        vals = struct.unpack(f"<{n_ch * n_frames}h", frames)
-        sums = [0] * n_ch
-        for k, v in enumerate(vals):
-            sums[k % n_ch] += v
-        return n_ch, None, n_frames, [float(s) / n_frames for s in sums]
+    """Dispatch one blob to the stdlib codecs by CONTENT (magic-byte
+    PREFIXES beat the declared fmt — corpora lie): PNG -> (w, h, 1
+    frame, channel means); WAV -> (n_channels as width, NULL height,
+    frame count, channel means). A prefix match routes to the codec
+    even when the rest is corrupt, so a truncated PNG/RIFF surfaces as
+    the codec's classifiable ValueError, never as a misleading
+    'needs PIL'. Anything else (jpeg) genuinely needs PIL."""
+    if blob[:4] == _PNG_SIG[:4]:
+        w, h, _ch, means = _png_channel_means(blob)
+        return w, h, 1, means
+    if blob[:4] == b"RIFF":
+        n_ch, _rate, n_frames, means = _wav_channel_means(blob)
+        return n_ch, None, n_frames, means
     raise NotImplementedError(
         f"real decode of fmt={fmt!r} needs PIL (jpeg) — only the "
         f"stdlib PNG/WAV codecs are available in this environment")
 
 
-def decode_media(df: DataFrame, real_decode: bool = False) -> DataFrame:
+def decode_media(df: DataFrame, real_decode: bool = False,
+                 on_error: str = "fail") -> DataFrame:
     """Arrow-batched decode over mapInPandas.
 
     The per-batch loop is the real production shape (vectorized
@@ -255,14 +247,35 @@ def decode_media(df: DataFrame, real_decode: bool = False) -> DataFrame:
     NotImplementedError — that one needs PIL); the default keeps the
     deterministic fake extractor for plumbing tests over non-media
     payloads.
-    """
+
+    ``on_error`` (real path): "fail" aborts on the first corrupt blob;
+    "null" QUARANTINES it — the row survives with NULL decode columns
+    (width/height/n_frames/features), so at corpus scale one bad blob
+    among millions costs a NULL, not the job. Unsupported FORMATS
+    (jpeg) always raise: that is an environment gap, not a data
+    defect."""
+    if on_error not in ("fail", "null"):
+        raise ValueError(f"on_error must be 'fail' or 'null', "
+                         f"got {on_error!r}")
+    # byte_len + content hash are computed JVM-side in the projection
+    # feeding the decode and forwarded through the Arrow batches —
+    # metadata rides with decoded output at no extra pass (shared by
+    # both paths)
+    flat = df.select("doc_id", F.col("media_meta.fmt").alias("fmt"),
+                     F.col("media_meta.byte_len").alias("byte_len"),
+                     F.sha2("media", 256).alias("sha"), "media")
     if real_decode:
         def _decode_batch(batches: Iterator[pd.DataFrame]
                           ) -> Iterator[pd.DataFrame]:
             for pdf in batches:
                 ws, hs, nf, feats = [], [], [], []
                 for blob, fmt in zip(pdf["media"], pdf["fmt"]):
-                    w, h, n, f = _real_decode_row(bytes(blob), fmt)
+                    try:
+                        w, h, n, f = _real_decode_row(bytes(blob), fmt)
+                    except ValueError:
+                        if on_error == "fail":
+                            raise
+                        w = h = n = f = None  # quarantined corrupt blob
                     ws.append(w)
                     hs.append(h)
                     nf.append(n)
@@ -278,10 +291,6 @@ def decode_media(df: DataFrame, real_decode: bool = False) -> DataFrame:
                     "features": feats,
                 })
 
-        flat = df.select("doc_id",
-                         F.col("media_meta.fmt").alias("fmt"),
-                         F.col("media_meta.byte_len").alias("byte_len"),
-                         F.sha2("media", 256).alias("sha"), "media")
         return flat.mapInPandas(_decode_batch, DECODED_SCHEMA)
 
     def _decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -298,13 +307,6 @@ def decode_media(df: DataFrame, real_decode: bool = False) -> DataFrame:
             })
             yield out
 
-    # binary_meta's columns (byte_len, content hash) are computed
-    # JVM-side in the projection feeding the decode and forwarded
-    # through the Arrow batches — metadata riding with decoded output
-    # costs no extra pass over the blobs
-    flat = df.select("doc_id", F.col("media_meta.fmt").alias("fmt"),
-                     F.col("media_meta.byte_len").alias("byte_len"),
-                     F.sha2("media", 256).alias("sha"), "media")
     return flat.mapInPandas(_decode_batch, DECODED_SCHEMA)
 
 
@@ -362,6 +364,35 @@ def decode_wav(data: bytes) -> tuple[int, int, int, int, bytes]:
     return n_ch, width, rate, n_frames, frames
 
 
+def _png_channel_means(blob: bytes) -> tuple[int, int, int, list]:
+    """Decode + per-channel means of the reconstructed samples — ONE
+    implementation shared by png_features and the decode_media
+    dispatcher so the hash-gated math cannot diverge."""
+    w, h, ch, px = decode_png(blob)
+    sums = [0] * ch
+    for i, v in enumerate(px):
+        sums[i % ch] += v
+    n = w * h
+    return w, h, ch, [float(s) / n for s in sums]
+
+
+def _wav_channel_means(blob: bytes) -> tuple[int, int, int, list]:
+    """Decode + de-interleaved per-channel means. Accumulates over a
+    memoryview cast (little-endian int16 PCM on a little-endian host —
+    the container's arch) instead of unpacking a giant Python tuple: a
+    WAV near the decoder's 1 GiB bound must not balloon into tens of
+    GB of int objects."""
+    n_ch, width, rate, n_frames, frames = decode_wav(blob)
+    if width != 2:
+        raise ValueError(
+            f"expected int16 PCM, got {width * 8}-bit")
+    if n_frames == 0:
+        raise ValueError("zero-frame WAV has no channel statistics")
+    mv = memoryview(frames).cast("h")
+    sums = [sum(mv[c::n_ch]) for c in range(n_ch)]
+    return n_ch, rate, n_frames, [float(s) / n_frames for s in sums]
+
+
 WAV_FEATURES_SCHEMA = T.StructType([
     T.StructField("doc_id", T.LongType()),
     T.StructField("n_channels", T.IntegerType()),
@@ -403,26 +434,17 @@ def wav_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         for pdf in batches:
             ids, chs, nfs, rates, lens, feats = [], [], [], [], [], []
             for doc_id, blob in zip(pdf[id_col], pdf["media"]):
-                n_ch, width, rate, n_frames, frames = \
-                    decode_wav(bytes(blob))
+                try:
+                    n_ch, rate, n_frames, means = \
+                        _wav_channel_means(bytes(blob))
+                except ValueError as e:
+                    raise ValueError(f"doc {doc_id}: {e}") from None
                 lens.append(len(bytes(blob)))
-                if width != 2:
-                    raise ValueError(
-                        f"doc {doc_id}: expected int16 PCM, got "
-                        f"{width * 8}-bit")
-                if n_frames == 0:
-                    raise ValueError(
-                        f"doc {doc_id}: zero-frame WAV has no "
-                        f"channel statistics")
-                vals = struct.unpack(f"<{n_ch * n_frames}h", frames)
-                sums = [0] * n_ch
-                for k, v in enumerate(vals):
-                    sums[k % n_ch] += v
                 ids.append(doc_id)
                 chs.append(n_ch)
                 nfs.append(n_frames)
                 rates.append(rate)
-                feats.append([float(s) / n_frames for s in sums])
+                feats.append(means)
             yield pd.DataFrame({
                 id_col: pd.Series(ids, dtype="int64"),
                 "n_channels": pd.Series(chs, dtype="int32"),
@@ -480,15 +502,11 @@ def png_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         for pdf in batches:
             ids, ws, hs, feats = [], [], [], []
             for doc_id, blob in zip(pdf[id_col], pdf["media"]):
-                w, h, ch, px = decode_png(bytes(blob))
-                sums = [0] * ch
-                for i, v in enumerate(px):
-                    sums[i % ch] += v
-                n = w * h
+                w, h, _ch, means = _png_channel_means(bytes(blob))
                 ids.append(doc_id)
                 ws.append(w)
                 hs.append(h)
-                feats.append([float(s) / n for s in sums])
+                feats.append(means)
             yield pd.DataFrame({
                 id_col: pd.Series(ids, dtype="int64"),
                 "width": pd.Series(ws, dtype="int32"),

@@ -14,7 +14,12 @@ The combined forms exist because every output column is row-local:
 joining the fine-grained operators on doc_id would re-scan and
 re-tokenize the corpus once per operator plus shuffle for each join —
 at corpus scale that triples the dominant I/O+tokenize cost for zero
-semantic gain."""
+semantic gain.
+
+Two documented exceptions to the expressions-only rule:
+`bigram_lm_score` (vocabulary-bounded aggregations + broadcast joins)
+and `compression_ratio` (zlib is a C codec with no Catalyst
+expression — an Arrow-batched mapInPandas hop, still scan-local)."""
 
 from __future__ import annotations
 
@@ -509,15 +514,22 @@ def compression_ratio(df: DataFrame, text_col: str = "text",
         for pdf in batches:
             ns, zs, rs = [], [], []
             for t in pdf[text_col]:
-                raw = (t or "").encode("utf-8")
+                if t is None or (t != t):  # NULL text: a data-quality
+                    # problem the signal must EXPOSE, not absorb as a
+                    # zero-byte doc — all three stats stay NULL
+                    ns.append(None)
+                    zs.append(None)
+                    rs.append(None)
+                    continue
+                raw = t.encode("utf-8")
                 z = len(zlib.compress(raw, level))
                 ns.append(len(raw))
                 zs.append(z)
                 rs.append(z / len(raw) if raw else None)
             yield pd.DataFrame({
                 id_col: pdf[id_col],
-                "n_bytes": pd.Series(ns, dtype="int64"),
-                "z_bytes": pd.Series(zs, dtype="int64"),
+                "n_bytes": pd.array(ns, dtype="Int64"),
+                "z_bytes": pd.array(zs, dtype="Int64"),
                 "z_ratio": pd.array(rs, dtype="Float64"),
             })
 

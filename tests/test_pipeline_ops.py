@@ -118,7 +118,7 @@ def test_decode_media_real_path_dispatches_by_magic(spark, sf_smoke):
     produce, through the generic media-column API."""
     from pyspark.sql import functions as F
 
-    docs = load_table(spark, sf_smoke, "documents").limit(24)
+    docs = load_table(spark, sf_smoke, "documents").where("doc_id < 24")
     png = (multimodal.synthesize_png_media(docs.where("doc_id % 2 = 0"))
            .withColumn("media_meta",
                        F.struct(F.lit("png").alias("fmt"),
@@ -808,3 +808,36 @@ def test_wav_features_rejects_zero_frame_audio(spark):
         "doc_id bigint, media binary")
     with pytest.raises(Exception, match="zero-frame"):
         wav_features(df).collect()
+
+
+def test_decode_media_quarantines_corrupt_blobs(spark):
+    """on_error='null': one corrupt blob among valid ones costs a NULL
+    row, not the job — and a truncated RIFF/PNG classifies as data
+    corruption (quarantined), never as a missing-PIL environment
+    error."""
+    from pyspark.sql import functions as F
+
+    from datastream_delta_plugins_spark.operators.multimodal import (
+        decode_media, encode_png, encode_wav)
+
+    good_png = encode_png(2, 2, bytes(12), 2, 1)
+    bad_png = good_png[:-6]                       # truncated
+    bad_riff = encode_wav(bytes(8), 2)[:11]       # RIFF cut before WAVE
+    df = spark.createDataFrame(
+        [(0, bytearray(good_png)), (1, bytearray(bad_png)),
+         (2, bytearray(bad_riff))],
+        "doc_id bigint, media binary").withColumn(
+        "media_meta", F.struct(F.lit("png").alias("fmt"),
+                               F.octet_length("media").alias("byte_len")))
+    # fail mode: the corrupt blob aborts
+    with pytest.raises(Exception, match="truncated"):
+        decode_media(df, real_decode=True).collect()
+    # quarantine mode: valid row decodes, corrupt rows go NULL
+    out = {r["doc_id"]: r for r in
+           decode_media(df, real_decode=True, on_error="null").collect()}
+    assert out[0]["width"] == 2 and out[0]["features"] is not None
+    for d in (1, 2):
+        assert out[d]["width"] is None and out[d]["features"] is None
+        assert out[d]["sha"] is not None    # metadata still rides
+    with pytest.raises(ValueError, match="on_error"):
+        decode_media(df, real_decode=True, on_error="bogus")
