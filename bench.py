@@ -162,6 +162,10 @@ def _split_cdc_inputs(spark, sf_dir: str, n_files: int = 8) -> str:
     import shutil
     import tempfile
     try:
+        # absolute targets: a relative SPARK_GRAFT_SF_DIR would make
+        # the symlinks resolve against the tmp dir and only break
+        # LATER, outside this guarded block
+        sf_dir = os.path.abspath(sf_dir)
         tmp = os.path.join(tempfile.gettempdir(),
                            f"bench_cdc_{os.path.basename(sf_dir.rstrip('/'))}")
         if os.path.isdir(tmp):

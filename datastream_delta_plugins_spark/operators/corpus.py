@@ -285,14 +285,9 @@ def prepare_corpus(df: DataFrame, text_col: str = "text",
         from .text import bigram_lm_score
         lm = bigram_lm_score(docs, text_col, id_col,
                              train_df=lm_train_df)
-        if lm.where(F.col("ppl").isNotNull()).isEmpty():
-            # a degenerate train corpus (no >=2-token doc) yields no
-            # model: every score is NULL and the gate would silently
-            # pass everything — a disabled quality filter must be loud
-            raise ValueError(
-                "LM gate is a no-op: the train corpus produced no "
-                "bigram model (no document with >= 2 tokens) — fix "
-                "lm_train_df or drop lm_ppl_max")
+        # a degenerate train corpus raises inside bigram_lm_score's
+        # scoring expression at the first action — no pre-check (which
+        # would run the corpus-side scoring pipeline twice)
         docs = _pin_if_small(
             docs.join(lm.where(F.coalesce(F.col("ppl"),
                                           F.lit(0.0)) <= lm_ppl_max)

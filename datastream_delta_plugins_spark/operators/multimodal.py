@@ -115,6 +115,11 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
         raise ValueError("PNG missing IHDR")
     if not saw_iend:
         raise ValueError("truncated PNG stream (no IEND)")
+    if len(ihdr) != 13:
+        # CRC covers tag+body at ANY length, so a malformed IHDR must
+        # be rejected here or struct.error escapes the ValueError
+        # contract
+        raise ValueError(f"PNG IHDR must be 13 bytes, got {len(ihdr)}")
     w, h, depth, color, comp, filt, interlace = struct.unpack(
         ">IIBBBBB", ihdr)
     if depth != 8 or color not in _CHANNELS or comp or filt or interlace:
@@ -230,6 +235,13 @@ def _real_decode_row(blob: bytes, fmt: str):
     if blob[:4] == b"RIFF":
         n_ch, _rate, n_frames, means = _wav_channel_means(blob)
         return n_ch, None, n_frames, means
+    if fmt in ("png", "wav"):
+        # the blob CLAIMS a supported format but carries neither
+        # prefix: that is data corruption/mislabeling — classify it so
+        # the quarantine path can absorb it, never blame a library
+        raise ValueError(
+            f"blob declared fmt={fmt!r} but has neither a PNG nor a "
+            f"RIFF prefix — corrupt or mislabeled media")
     raise NotImplementedError(
         f"real decode of fmt={fmt!r} needs PIL (jpeg) — only the "
         f"stdlib PNG/WAV codecs are available in this environment")
@@ -271,6 +283,8 @@ def decode_media(df: DataFrame, real_decode: bool = False,
                 ws, hs, nf, feats = [], [], [], []
                 for blob, fmt in zip(pdf["media"], pdf["fmt"]):
                     try:
+                        if blob is None:
+                            raise ValueError("NULL media blob")
                         w, h, n, f = _real_decode_row(bytes(blob), fmt)
                     except ValueError:
                         if on_error == "fail":
@@ -369,9 +383,11 @@ def _png_channel_means(blob: bytes) -> tuple[int, int, int, list]:
     implementation shared by png_features and the decode_media
     dispatcher so the hash-gated math cannot diverge."""
     w, h, ch, px = decode_png(blob)
-    sums = [0] * ch
-    for i, v in enumerate(px):
-        sums[i % ch] += v
+    # slice-sums over the bytes object, not a per-sample Python loop —
+    # a 256M-sample image must not cost minutes of interpreter time
+    # (same discipline as _wav_channel_means)
+    mv = memoryview(px)
+    sums = [sum(mv[c::ch]) for c in range(ch)]
     n = w * h
     return w, h, ch, [float(s) / n for s in sums]
 

@@ -417,7 +417,9 @@ def bigram_lm_score(df: DataFrame, text_col: str = "text",
     joins map-side and the only data-keyed exchange is the final
     per-doc aggregation — which a doc-partitioned input (fan_out
     by=id) elides. Context counts derive from the bigram aggregate
-    itself (one pass over train, not two).
+    itself (derived, never a second bigram pass); the vocabulary
+    count is its own aggregate, so train is scanned twice total —
+    both aggregates are map-side partial and vocabulary-sized.
 
     Float caveat: ln() is not guaranteed bitwise-identical across
     engines (JVM vs libm last-ulp), so this operator is pytest-gated
@@ -448,14 +450,20 @@ def bigram_lm_score(df: DataFrame, text_col: str = "text",
     doc_bg = (shingle_array(df, text_col, id_col, n=2, distinct=False,
                             keep_empty=True)
               .select(id_col, F.explode_outer("_shingles").alias("bg")))
-    # _V > 0 guard: a degenerate train corpus (no bigrams) would make
-    # the denominator 0 — NULL score here (ANSI-safe), and
-    # prepare_corpus's gate refuses the resulting no-op model loudly
+    # degenerate train corpus (no >=2-token doc => V=0): scoring any
+    # real bigram against a nonexistent model must fail LOUDLY at the
+    # first action, not emit NULLs a downstream gate silently passes.
+    # Scoreless SHORT docs (bg NULL) still pass through as NULL — that
+    # is a property of the doc, not of the model.
     lp = F.when(
-        F.col("bg").isNotNull() & (F.col("_V") > 0),
-        F.log((F.coalesce("_c2", F.lit(0)) + F.lit(alpha))
-              / (F.coalesce("_c1", F.lit(0))
-                 + F.lit(alpha) * F.col("_V"))))
+        F.col("bg").isNotNull(),
+        F.when(F.col("_V") > 0,
+               F.log((F.coalesce("_c2", F.lit(0)) + F.lit(alpha))
+                     / (F.coalesce("_c1", F.lit(0))
+                        + F.lit(alpha) * F.col("_V"))))
+         .otherwise(F.raise_error(F.lit(
+             "bigram LM train corpus produced no model (no document "
+             "with >= 2 tokens) — fix train_df"))))
     # stats-gated broadcast: the count tables are usually tiny, but a
     # web-scale reference corpus has a bigram vocabulary that can
     # outgrow the driver — auto_broadcast falls back to a shuffled

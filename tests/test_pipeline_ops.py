@@ -104,11 +104,22 @@ def test_decode_media_stub(spark, sf_smoke):
     assert r["fmt"] in multimodal.FORMATS
     assert len(r["features"]) == 4
     assert all(0.0 <= x <= 1.0 for x in r["features"])
-    # real_decode dispatches by magic bytes: text payloads are neither
-    # PNG nor WAV, so the jpeg/unknown path surfaces its
-    # NotImplementedError (task-wrapped by Spark)
+    # real_decode dispatches by magic bytes: text payloads DECLARED
+    # as png/wav are corrupt/mislabeled data (classifiable, so the
+    # quarantine can absorb them) — only jpeg blames the environment
+    with pytest.raises(Exception, match="corrupt or mislabeled"):
+        multimodal.decode_media(
+            media.where("media_meta.fmt = 'png'"),
+            real_decode=True).collect()
     with pytest.raises(Exception, match="needs PIL"):
-        multimodal.decode_media(media, real_decode=True).collect()
+        multimodal.decode_media(
+            media.where("media_meta.fmt = 'jpeg'"),
+            real_decode=True).collect()
+    # ...and the same text-as-png corpus survives in quarantine mode
+    quar = multimodal.decode_media(
+        media.where("media_meta.fmt = 'png'"), real_decode=True,
+        on_error="null").collect()
+    assert quar and all(r["width"] is None for r in quar)
 
 
 def test_decode_media_real_path_dispatches_by_magic(spark, sf_smoke):
@@ -829,8 +840,9 @@ def test_decode_media_quarantines_corrupt_blobs(spark):
         "doc_id bigint, media binary").withColumn(
         "media_meta", F.struct(F.lit("png").alias("fmt"),
                                F.octet_length("media").alias("byte_len")))
-    # fail mode: the corrupt blob aborts
-    with pytest.raises(Exception, match="truncated"):
+    # fail mode: the corrupt blob aborts (whichever bad row a task
+    # hits first: truncated PNG stream or undecodable RIFF)
+    with pytest.raises(Exception, match="truncated|decodable"):
         decode_media(df, real_decode=True).collect()
     # quarantine mode: valid row decodes, corrupt rows go NULL
     out = {r["doc_id"]: r for r in
