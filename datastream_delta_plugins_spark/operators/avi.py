@@ -1,0 +1,180 @@
+"""Pure-stdlib MJPEG/AVI container codec (RIFF mux + demux).
+
+REAL video-container handling with zero third-party media libraries:
+an AVI (RIFF) writer and parser for Motion-JPEG streams — each video
+frame is a complete baseline JPEG (decoded by `operators/jpeg.py`), so
+the frame-sampling path runs a genuine demux + per-frame image decode
+in-container. Modern inter-frame codecs (H.264/VP9/AV1) remain a
+documented environment gap: they need a real decoder library (pyav);
+the CONTAINER walk below is the same either way.
+
+Format notes (public Microsoft 'AVI RIFF File Reference' layout):
+    RIFF('AVI '
+      LIST('hdrl'
+        avih(<MainAVIHeader, 56 bytes>)
+        LIST('strl' strh(<AVIStreamHeader, 56 bytes>) strf(<BITMAPINFOHEADER>)))
+      LIST('movi' '00dc'(<jpeg>) ...)
+      [idx1(...)])
+Chunks are word-aligned: an odd-sized chunk is followed by one pad
+byte. Frame chunks are '00dc' (compressed) / '00db' (uncompressed
+DIB); this codec emits and accepts '00dc' with MJPG fourcc.
+
+Reference parity note: the reference plugin has no media pipeline (it
+is a CDC source — SURVEY.md §2); this module belongs to the
+training-data-pipeline surface the engine adds on top.
+"""
+
+from __future__ import annotations
+
+import struct
+
+# Hard demux bounds: a hostile header cannot make us build an
+# unbounded frame list (same discipline as the PNG/JPEG decode caps).
+_MAX_FRAMES = 1 << 20
+
+
+def _chunk(tag: bytes, body: bytes) -> bytes:
+    """A RIFF chunk: tag + little-endian size + body + even padding."""
+    pad = b"\x00" if len(body) % 2 else b""
+    return tag + struct.pack("<I", len(body)) + body + pad
+
+
+def _list(kind: bytes, body: bytes) -> bytes:
+    return _chunk(b"LIST", kind + body)
+
+
+def encode_avi(frames: list[bytes], width: int, height: int,
+               fps: int = 10) -> bytes:
+    """Mux complete JPEG blobs into an MJPEG AVI. The fixture producer
+    for the real frame-sampling path; every frame must already be a
+    full baseline JPEG of the declared geometry."""
+    if not frames:
+        raise ValueError("an AVI needs at least one frame")
+    if width <= 0 or height <= 0:
+        raise ValueError("width and height must be positive")
+    n = len(frames)
+    max_size = max(len(f) for f in frames)
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        1_000_000 // fps,       # microseconds per frame
+        max_size * fps,         # max bytes per second (advisory)
+        0,                      # padding granularity
+        0x10,                   # AVIF_HASINDEX unset; 0x10 = WASCAPTUREFILE-ish flags kept minimal
+        n, 0, 1, max_size,
+        width, height,
+        0, 0, 0, 0)             # reserved
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh",
+        b"vids", b"MJPG",
+        0, 0, 0,                # flags, priority, language
+        0,                      # initial frames
+        1, fps,                 # scale, rate -> fps frames/sec
+        0, n,                   # start, length (frames)
+        max_size,               # suggested buffer size
+        0xFFFFFFFF,             # quality (default)
+        0,                      # sample size (0 = varies)
+        0, 0, width & 0x7FFF, height & 0x7FFF)   # rcFrame
+    strf = struct.pack(
+        "<IiiHH4sIiiII",
+        40, width, height, 1, 24, b"MJPG",
+        width * height * 3, 0, 0, 0, 0)
+    hdrl = _list(b"hdrl",
+                 _chunk(b"avih", avih)
+                 + _list(b"strl",
+                         _chunk(b"strh", strh) + _chunk(b"strf", strf)))
+    movi = _list(b"movi",
+                 b"".join(_chunk(b"00dc", f) for f in frames))
+    return _chunk(b"RIFF", b"AVI " + hdrl + movi)
+
+
+def _walk_chunks(data: bytes, start: int, end: int):
+    """Yield (tag, body_start, body_size) for each chunk in
+    [start, end); validates sizes against the buffer."""
+    pos = start
+    while pos < end:
+        if pos + 8 > end:
+            raise ValueError("truncated AVI chunk header")
+        tag = data[pos:pos + 4]
+        size = struct.unpack("<I", data[pos + 4:pos + 8])[0]
+        body = pos + 8
+        if body + size > end:
+            raise ValueError(
+                f"AVI chunk {tag!r} overruns its parent "
+                f"({size} bytes at {pos})")
+        yield tag, body, size
+        pos = body + size + (size % 2)
+
+
+def demux_avi(data: bytes) -> tuple[int, int, int, list[bytes]]:
+    """Parse an MJPEG AVI into (width, height, fps, frames) where
+    frames is the list of raw JPEG blobs in stream order. Raises
+    ValueError with a classifiable message on malformed/truncated
+    input or a non-MJPEG video stream."""
+    if len(data) < 12 or data[:4] != b"RIFF":
+        raise ValueError("not an AVI (bad RIFF signature)")
+    riff_size = struct.unpack("<I", data[4:8])[0]
+    if data[8:12] != b"AVI ":
+        raise ValueError("not an AVI (RIFF form is not 'AVI ')")
+    end = 8 + riff_size
+    if end > len(data):
+        raise ValueError("truncated AVI (RIFF size exceeds buffer)")
+
+    width = height = None
+    fps = 0
+    declared_frames = None
+    frames: list[bytes] = []
+    saw_movi = False
+
+    def _parse_hdrl(body: int, size: int) -> None:
+        nonlocal width, height, fps, declared_frames
+        for tag, b, s in _walk_chunks(data, body, body + size):
+            if tag == b"avih":
+                if s < 40:
+                    raise ValueError("truncated avih header")
+                vals = struct.unpack("<10I", data[b:b + 40])
+                declared_frames = vals[4]
+                width, height = vals[8], vals[9]
+            elif tag == b"LIST" and data[b:b + 4] == b"strl":
+                for t2, b2, s2 in _walk_chunks(data, b + 4, b + s):
+                    if t2 == b"strh":
+                        if s2 < 56:
+                            raise ValueError("truncated strh header")
+                        fcc_type = data[b2:b2 + 4]
+                        fcc_handler = data[b2 + 4:b2 + 8]
+                        if fcc_type == b"vids":
+                            if fcc_handler not in (b"MJPG", b"mjpg"):
+                                raise ValueError(
+                                    f"unsupported AVI video codec "
+                                    f"{fcc_handler!r} — this demuxer "
+                                    f"is MJPG-only; modern codecs "
+                                    f"need pyav")
+                            scale, rate = struct.unpack(
+                                "<II", data[b2 + 20:b2 + 28])
+                            fps = rate // scale if scale else 0
+
+    for tag, body, size in _walk_chunks(data, 12, end):
+        if tag == b"LIST":
+            kind = data[body:body + 4]
+            if kind == b"hdrl":
+                _parse_hdrl(body + 4, size - 4)
+            elif kind == b"movi":
+                saw_movi = True
+                for t2, b2, s2 in _walk_chunks(data, body + 4,
+                                               body + size):
+                    if t2[2:4] in (b"dc", b"db"):
+                        if len(frames) >= _MAX_FRAMES:
+                            raise ValueError(
+                                "AVI frame count exceeds the demux "
+                                "bound")
+                        frames.append(data[b2:b2 + s2])
+        # idx1 / JUNK / anything else: skipped.
+
+    if width is None:
+        raise ValueError("AVI missing avih header")
+    if not saw_movi:
+        raise ValueError("AVI missing movi list")
+    if declared_frames is not None and declared_frames != len(frames):
+        raise ValueError(
+            f"AVI declares {declared_frames} frames but carries "
+            f"{len(frames)}")
+    return width, height, fps, frames

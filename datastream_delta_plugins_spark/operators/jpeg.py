@@ -1,0 +1,785 @@
+"""Pure-stdlib+numpy baseline JPEG codec (ITU-T T.81, sequential DCT).
+
+REAL encode and decode with zero third-party imaging libraries: marker
+parsing, DQT/DHT/SOF0/SOS/DRI, canonical Huffman coding, zigzag,
+quantization, an exact orthonormal 8x8 DCT/IDCT (numpy matrix form),
+chroma subsampling (4:4:4 and 4:2:0) with box down-/nearest up-
+sampling, YCbCr<->RGB, byte stuffing, and restart markers. This closes
+the last env-gated media stub — `decode_media(real_decode=True)` now
+decodes all three corpus formats (PNG, JPEG, WAV) with in-container
+codecs.
+
+Scope (documented, classifiable rejections for everything else):
+8-bit baseline Huffman only — progressive (SOF2), arithmetic coding,
+hierarchical, and 12-bit precision raise ValueError naming the
+unsupported feature. Quant tables may be 8- or 16-bit precision on
+decode. Component sampling factors 1 or 2 in each axis.
+
+Reference parity note: the reference plugin ships no media pipeline at
+all (it is a CDC source — see SURVEY.md §2); this module belongs to the
+training-data-pipeline surface the engine adds on top. Default tables
+are the public ITU-T T.81 Annex K examples (quant: Tables K.1/K.2;
+Huffman: Tables K.3-K.6), the same defaults libjpeg uses.
+
+Exactness contract used by the m02 hard gate: with the Annex K
+luminance table at quality 50 (q[0,0] == 16), an 8x8 block of one
+constant EVEN sample value v round-trips bit-exactly — DC = 8*(v-128)
+is an exact multiple of 16, every AC coefficient is 0, so quantize →
+dequantize → IDCT reproduces v with no loss. Constant Cb = Cr = 128
+likewise survives subsampling and quantization exactly (their DC is
+0), and maps back to R = G = B = Y. A corpus of solid even-valued
+blocks therefore exercises the FULL lossy pipeline (entropy decode,
+dequant, IDCT, upsample, color convert) while remaining closed-form
+predictable by a SQL oracle.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------- tables
+
+#: ITU-T T.81 Annex K, Table K.1 (luminance quantization, zigzag-free
+#: row-major order).
+QUANT_LUMA = np.array([
+    [16, 11, 10, 16, 24, 40, 51, 61],
+    [12, 12, 14, 19, 26, 58, 60, 55],
+    [14, 13, 16, 24, 40, 57, 69, 56],
+    [14, 17, 22, 29, 51, 87, 80, 62],
+    [18, 22, 37, 56, 68, 109, 103, 77],
+    [24, 35, 55, 64, 81, 104, 113, 92],
+    [49, 64, 78, 87, 103, 121, 120, 101],
+    [72, 92, 95, 98, 112, 100, 103, 99]], dtype=np.int32)
+
+#: ITU-T T.81 Annex K, Table K.2 (chrominance quantization).
+QUANT_CHROMA = np.array([
+    [17, 18, 24, 47, 99, 99, 99, 99],
+    [18, 21, 26, 66, 99, 99, 99, 99],
+    [24, 26, 56, 99, 99, 99, 99, 99],
+    [47, 66, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99]], dtype=np.int32)
+
+#: Zigzag scan: ZIGZAG[k] = (row, col) of the k-th coefficient.
+def _zigzag_order() -> list[tuple[int, int]]:
+    order = sorted(((r, c) for r in range(8) for c in range(8)),
+                   key=lambda rc: (rc[0] + rc[1],
+                                   rc[1] if (rc[0] + rc[1]) % 2 else rc[0]))
+    return order
+
+
+ZIGZAG = _zigzag_order()
+#: Flat index (row*8+col) for each zigzag position, as a numpy gather.
+ZIGZAG_FLAT = np.array([r * 8 + c for r, c in ZIGZAG], dtype=np.int64)
+
+# Annex K Huffman specs as (BITS[1..16], HUFFVAL) — BITS[i] = number of
+# codes of length i+1.
+_DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_LUMA_VALS = list(range(12))
+_DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+_DC_CHROMA_VALS = list(range(12))
+
+_AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_AC_LUMA_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA]
+_AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+_AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA]
+
+# Hard decode bounds (same discipline as the PNG codec's 256M cap): a
+# hostile header cannot make us allocate unboundedly.
+_MAX_SAMPLES = 1 << 28          # w*h*channels
+_MAX_COMPONENTS = 4
+
+
+# ---------------------------------------------------------------- DCT
+
+def _dct_matrix() -> np.ndarray:
+    """Orthonormal 8-point DCT-II matrix C: forward F = C @ x @ C.T,
+    inverse x = C.T @ F @ C. C[0,:] = sqrt(1/8); C @ C.T == I."""
+    k = np.arange(8)
+    c = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 16)
+    c *= np.sqrt(2.0 / 8.0)
+    c[0, :] = np.sqrt(1.0 / 8.0)
+    return c
+
+
+_C = _dct_matrix()
+
+
+def _fdct_blocks(blocks: np.ndarray) -> np.ndarray:
+    """Batched forward DCT over an (n, 8, 8) float array of level-
+    shifted samples."""
+    return np.einsum("ij,njk,lk->nil", _C, blocks, _C, optimize=True)
+
+
+def _idct_blocks(coefs: np.ndarray) -> np.ndarray:
+    """Batched inverse DCT over an (n, 8, 8) float array of
+    dequantized coefficients."""
+    return np.einsum("ji,njk,kl->nil", _C, coefs, _C, optimize=True)
+
+
+def _to_blocks(plane: np.ndarray) -> np.ndarray:
+    """(H, W) plane with H, W multiples of 8 -> (n, 8, 8) row-major
+    blocks."""
+    h, w = plane.shape
+    return (plane.reshape(h // 8, 8, w // 8, 8)
+                 .transpose(0, 2, 1, 3)
+                 .reshape(-1, 8, 8))
+
+
+def _from_blocks(blocks: np.ndarray, h: int, w: int) -> np.ndarray:
+    """(n, 8, 8) row-major blocks -> (h, w) plane."""
+    return (blocks.reshape(h // 8, w // 8, 8, 8)
+                  .transpose(0, 2, 1, 3)
+                  .reshape(h, w))
+
+
+# ---------------------------------------------------------------- Huffman
+
+class _HuffTable:
+    """Canonical JPEG Huffman table built from (BITS, HUFFVAL), usable
+    for both encode (symbol -> (code, length)) and decode
+    ((length, code) -> symbol)."""
+
+    def __init__(self, bits: list[int], vals: list[int]):
+        if len(bits) != 16:
+            raise ValueError("Huffman BITS must have 16 entries")
+        if sum(bits) != len(vals):
+            raise ValueError(
+                f"Huffman table declares {sum(bits)} codes but carries "
+                f"{len(vals)} values")
+        self.decode_map: dict[tuple[int, int], int] = {}
+        self.encode_map: dict[int, tuple[int, int]] = {}
+        code = 0
+        idx = 0
+        for length in range(1, 17):
+            if code >= (1 << length):
+                raise ValueError("Huffman BITS over-subscribe the code space")
+            for _ in range(bits[length - 1]):
+                sym = vals[idx]
+                idx += 1
+                self.decode_map[(length, code)] = sym
+                self.encode_map[sym] = (code, length)
+                code += 1
+            code <<= 1
+
+    def spec_bytes(self) -> bytes:
+        """BITS + HUFFVAL payload for a DHT segment."""
+        by_len: dict[int, list[int]] = {}
+        for (length, code), sym in sorted(self.decode_map.items()):
+            by_len.setdefault(length, []).append(sym)
+        bits = bytes(len(by_len.get(i, ())) for i in range(1, 17))
+        vals = bytes(s for i in range(1, 17) for s in by_len.get(i, ()))
+        return bits + vals
+
+
+_DC_TABLES = (_HuffTable(_DC_LUMA_BITS, _DC_LUMA_VALS),
+              _HuffTable(_DC_CHROMA_BITS, _DC_CHROMA_VALS))
+_AC_TABLES = (_HuffTable(_AC_LUMA_BITS, _AC_LUMA_VALS),
+              _HuffTable(_AC_CHROMA_BITS, _AC_CHROMA_VALS))
+
+
+class _BitWriter:
+    """MSB-first bit accumulator with JPEG byte stuffing (an emitted
+    0xFF data byte is followed by 0x00)."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, length: int) -> None:
+        if length == 0:
+            return
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            b = (self.acc >> self.nbits) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> None:
+        """Pad the final partial byte with 1-bits (T.81 F.1.2.3)."""
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+
+
+class _BitReader:
+    """MSB-first bit reader over the entropy-coded segment, unstuffing
+    0xFF00 and stopping at any real marker."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        d = self.data
+        if self.pos >= len(d):
+            raise ValueError("truncated JPEG entropy stream")
+        b = d[self.pos]
+        if b == 0xFF:
+            if self.pos + 1 >= len(d):
+                raise ValueError("truncated JPEG entropy stream at 0xFF")
+            nxt = d[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            else:
+                # A real marker inside entropy data: the scan is
+                # shorter than the MCU count demands.
+                raise ValueError(
+                    f"JPEG scan ended early at marker 0xFF{nxt:02X}")
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        bit = (self.acc >> self.nbits) & 1
+        self.acc &= (1 << self.nbits) - 1
+        return bit
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def decode(self, table: _HuffTable) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            sym = table.decode_map.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid JPEG Huffman code (no match in 16 bits)")
+
+    def align_and_expect_rst(self, n: int) -> None:
+        """Byte-align and consume the RSTn marker (mod 8) the decoder
+        expects between restart intervals."""
+        self.acc = 0
+        self.nbits = 0
+        d = self.data
+        if self.pos + 1 >= len(d) or d[self.pos] != 0xFF:
+            raise ValueError("expected JPEG restart marker, found data")
+        got = d[self.pos + 1]
+        if not 0xD0 <= got <= 0xD7:
+            raise ValueError(
+                f"expected JPEG restart marker, found 0xFF{got:02X}")
+        if got - 0xD0 != n % 8:
+            raise ValueError(
+                f"JPEG restart marker out of sequence: expected RST{n % 8}, "
+                f"found RST{got - 0xD0}")
+        self.pos += 2
+
+
+def _size_category(v: int) -> int:
+    """T.81 size category: number of bits needed for the magnitude
+    coding of v (0 for v == 0)."""
+    return 0 if v == 0 else int(v).bit_length() if v > 0 \
+        else int(-v).bit_length()
+
+
+def _magnitude_bits(v: int, size: int) -> int:
+    """Magnitude coding: v >= 0 emits v; v < 0 emits v + 2^size - 1."""
+    return v if v >= 0 else v + (1 << size) - 1
+
+
+def _extend(bits: int, size: int) -> int:
+    """Inverse of magnitude coding (T.81 F.2.2.1 EXTEND)."""
+    if size == 0:
+        return 0
+    if bits < (1 << (size - 1)):
+        return bits - (1 << size) + 1
+    return bits
+
+
+# ---------------------------------------------------------------- encode
+
+def scale_quant_table(table: np.ndarray, quality: int) -> np.ndarray:
+    """libjpeg-compatible quality scaling: 50 keeps the table verbatim,
+    100 -> all ones, 1 -> coarsest. Public formula from the IJG code
+    (jcparam.c semantics, re-derived, not copied)."""
+    if not 1 <= quality <= 100:
+        raise ValueError(f"quality must be in [1, 100], got {quality}")
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    t = (table.astype(np.int64) * scale + 50) // 100
+    return np.clip(t, 1, 255).astype(np.int32)
+
+
+def _rgb_to_ycbcr(rgb: np.ndarray) -> np.ndarray:
+    """(H, W, 3) uint8 -> (H, W, 3) uint8 YCbCr (JFIF full-range)."""
+    r = rgb[..., 0].astype(np.float64)
+    g = rgb[..., 1].astype(np.float64)
+    b = rgb[..., 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b
+    out = np.stack([y, cb, cr], axis=-1)
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
+def _ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray
+                  ) -> np.ndarray:
+    """Float planes -> (H, W, 3) uint8 RGB (JFIF full-range)."""
+    cb = cb - 128.0
+    cr = cr - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136286 * cb - 0.714136286 * cr
+    b = y + 1.772 * cb
+    out = np.stack([r, g, b], axis=-1)
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
+def _pad_plane(plane: np.ndarray, mult: int) -> np.ndarray:
+    """Edge-replicate pad a (H, W) plane to multiples of ``mult``."""
+    h, w = plane.shape
+    ph = (-h) % mult
+    pw = (-w) % mult
+    if ph or pw:
+        plane = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+    return plane
+
+
+def _encode_block(writer: _BitWriter, coefs: np.ndarray, pred: int,
+                  dc_tab: _HuffTable, ac_tab: _HuffTable) -> int:
+    """Entropy-encode one quantized block (8x8 int array); returns the
+    new DC predictor."""
+    dc = int(coefs[0, 0])
+    diff = dc - pred
+    size = _size_category(diff)
+    code, length = dc_tab.encode_map[size]
+    writer.write(code, length)
+    if size:
+        writer.write(_magnitude_bits(diff, size), size)
+    zz = coefs.reshape(-1)[ZIGZAG_FLAT]
+    nz = np.nonzero(zz[1:])[0]
+    last = nz[-1] + 1 if len(nz) else 0
+    k = 1
+    while k <= last:
+        run = 0
+        while zz[k] == 0:
+            run += 1
+            k += 1
+        while run > 15:
+            code, length = ac_tab.encode_map[0xF0]      # ZRL
+            writer.write(code, length)
+            run -= 16
+        v = int(zz[k])
+        size = _size_category(v)
+        code, length = ac_tab.encode_map[(run << 4) | size]
+        writer.write(code, length)
+        writer.write(_magnitude_bits(v, size), size)
+        k += 1
+    if last < 63:
+        code, length = ac_tab.encode_map[0x00]          # EOB
+        writer.write(code, length)
+    return dc
+
+
+def encode_jpeg(width: int, height: int, pixels: bytes,
+                n_channels: int = 3, quality: int = 50,
+                subsampling: str = "4:2:0",
+                restart_interval: int = 0) -> bytes:
+    """Encode raw 8-bit samples (row-major, RGB interleaved or gray) as
+    a baseline JFIF JPEG. ``subsampling`` is '4:4:4' or '4:2:0'
+    (ignored for grayscale). ``restart_interval`` > 0 emits DRI + RSTn
+    markers every that many MCUs (exercises the decoder's restart
+    path)."""
+    if n_channels not in (1, 3):
+        raise ValueError(f"n_channels must be 1 or 3, got {n_channels}")
+    if subsampling not in ("4:4:4", "4:2:0"):
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
+    if width <= 0 or height <= 0:
+        raise ValueError("width and height must be positive")
+    if len(pixels) != width * height * n_channels:
+        raise ValueError(f"expected {width * height * n_channels} bytes, "
+                         f"got {len(pixels)}")
+
+    img = np.frombuffer(pixels, dtype=np.uint8).reshape(
+        height, width, n_channels)
+    qt_luma = scale_quant_table(QUANT_LUMA, quality)
+    qt_chroma = scale_quant_table(QUANT_CHROMA, quality)
+
+    # (plane, (h_samp, v_samp), quant_id, huff_id) per component.
+    if n_channels == 1:
+        comps = [(img[..., 0], (1, 1), 0, 0)]
+        hmax = vmax = 1
+    else:
+        ycc = _rgb_to_ycbcr(img)
+        y_pl = ycc[..., 0]
+        cb_pl = ycc[..., 1].astype(np.float64)
+        cr_pl = ycc[..., 2].astype(np.float64)
+        if subsampling == "4:2:0":
+            cb_pl = _pad_plane(cb_pl, 2)
+            cr_pl = _pad_plane(cr_pl, 2)
+            cb_pl = cb_pl.reshape(cb_pl.shape[0] // 2, 2,
+                                  cb_pl.shape[1] // 2, 2).mean(axis=(1, 3))
+            cr_pl = cr_pl.reshape(cr_pl.shape[0] // 2, 2,
+                                  cr_pl.shape[1] // 2, 2).mean(axis=(1, 3))
+            samp = (2, 2)
+        else:
+            samp = (1, 1)
+        cb_pl = np.clip(np.round(cb_pl), 0, 255).astype(np.uint8)
+        cr_pl = np.clip(np.round(cr_pl), 0, 255).astype(np.uint8)
+        comps = [(y_pl, samp, 0, 0), (cb_pl, (1, 1), 1, 1),
+                 (cr_pl, (1, 1), 1, 1)]
+        hmax, vmax = samp
+
+    # Quantize every block of every component up front (batched DCT).
+    qtables = (qt_luma, qt_chroma)
+    mcux = -(-width // (8 * hmax))
+    mcuy = -(-height // (8 * vmax))
+    comp_blocks = []        # per component: (n_bh, n_bw, 8, 8) int32
+    for plane, (hs, vs), qid, _hid in comps:
+        # Pad the plane so its block grid covers the full MCU grid.
+        target_h = mcuy * vs * 8
+        target_w = mcux * hs * 8
+        p = plane.astype(np.float64)
+        p = np.pad(p, ((0, target_h - p.shape[0]),
+                       (0, target_w - p.shape[1])), mode="edge")
+        blocks = _to_blocks(p - 128.0)
+        coefs = _fdct_blocks(blocks)
+        q = np.round(coefs / qtables[qid]).astype(np.int32)
+        comp_blocks.append(q.reshape(target_h // 8, target_w // 8, 8, 8))
+
+    # ---- headers
+    out = bytearray(b"\xff\xd8")                                    # SOI
+    out += (b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00"
+            + b"\x01\x01\x00\x00\x01\x00\x01\x00\x00")              # APP0
+    for qid, qt in enumerate(qtables[:1 if n_channels == 1 else 2]):
+        zz = bytes(int(qt.reshape(-1)[i]) for i in ZIGZAG_FLAT)
+        out += (b"\xff\xdb" + struct.pack(">H", 67)
+                + bytes([qid]) + zz)                                # DQT
+    sof = bytearray(struct.pack(">BHHB", 8, height, width, n_channels))
+    for cid, (_pl, (hs, vs), qid, _hid) in enumerate(comps, start=1):
+        sof += bytes([cid, (hs << 4) | vs, qid])
+    out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof      # SOF0
+    n_huff = 1 if n_channels == 1 else 2
+    for hid in range(n_huff):
+        spec = _DC_TABLES[hid].spec_bytes()
+        out += (b"\xff\xc4" + struct.pack(">H", len(spec) + 3)
+                + bytes([hid]) + spec)                              # DHT DC
+        spec = _AC_TABLES[hid].spec_bytes()
+        out += (b"\xff\xc4" + struct.pack(">H", len(spec) + 3)
+                + bytes([0x10 | hid]) + spec)                       # DHT AC
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)  # DRI
+    sos = bytearray([n_channels])
+    for cid, (_pl, _s, _q, hid) in enumerate(comps, start=1):
+        sos += bytes([cid, (hid << 4) | hid])
+    sos += b"\x00\x3f\x00"
+    out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos      # SOS
+
+    # ---- entropy-coded data, MCU-interleaved
+    writer = _BitWriter()
+    preds = [0] * len(comps)
+    rst = 0
+    since_rst = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and since_rst == restart_interval:
+                writer.flush()
+                out += writer.out
+                writer = _BitWriter()
+                out += bytes([0xFF, 0xD0 + rst % 8])
+                rst += 1
+                since_rst = 0
+                preds = [0] * len(comps)
+            for ci, (_pl, (hs, vs), _q, hid) in enumerate(comps):
+                for by in range(vs):
+                    for bx in range(hs):
+                        block = comp_blocks[ci][my * vs + by, mx * hs + bx]
+                        preds[ci] = _encode_block(
+                            writer, block, preds[ci],
+                            _DC_TABLES[hid], _AC_TABLES[hid])
+            since_rst += 1
+    writer.flush()
+    out += writer.out
+    out += b"\xff\xd9"                                              # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------- decode
+
+_SOF_UNSUPPORTED = {
+    0xC1: "extended sequential (SOF1)",
+    0xC2: "progressive (SOF2)",
+    0xC3: "lossless (SOF3)",
+    0xC5: "differential sequential (SOF5)",
+    0xC6: "differential progressive (SOF6)",
+    0xC7: "differential lossless (SOF7)",
+    0xC9: "arithmetic sequential (SOF9)",
+    0xCA: "arithmetic progressive (SOF10)",
+    0xCB: "arithmetic lossless (SOF11)",
+    0xCD: "differential arithmetic sequential (SOF13)",
+    0xCE: "differential arithmetic progressive (SOF14)",
+    0xCF: "differential arithmetic lossless (SOF15)",
+}
+
+
+def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
+    """Decode a baseline JPEG to (width, height, channels, samples) —
+    gray (1 channel) or RGB (3), 8-bit, row-major interleaved. Raises
+    ValueError with a classifiable message on anything malformed,
+    truncated, or outside the baseline-Huffman scope."""
+    if len(data) < 4 or data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (bad SOI signature)")
+
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[tuple[int, int], _HuffTable] = {}   # (class, id)
+    restart_interval = 0
+    frame = None        # (width, height, comps)
+    pos = 2
+    while True:
+        if pos + 2 > len(data):
+            raise ValueError("truncated JPEG (no SOS before EOF)")
+        if data[pos] != 0xFF:
+            raise ValueError(f"expected JPEG marker at {pos}, "
+                             f"found 0x{data[pos]:02X}")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD8:
+            continue
+        if marker == 0xD9:
+            raise ValueError("JPEG ended (EOI) before any scan")
+        if marker in _SOF_UNSUPPORTED:
+            raise ValueError(
+                f"unsupported JPEG coding: {_SOF_UNSUPPORTED[marker]} — "
+                f"this codec is baseline sequential Huffman (SOF0) only")
+        if pos + 2 > len(data):
+            raise ValueError("truncated JPEG segment header")
+        seglen = struct.unpack(">H", data[pos:pos + 2])[0]
+        if seglen < 2 or pos + seglen > len(data):
+            raise ValueError("truncated or malformed JPEG segment")
+        body = data[pos + 2:pos + seglen]
+        pos += seglen
+
+        if marker == 0xDB:                                      # DQT
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 15
+                i += 1
+                if pq not in (0, 1):
+                    raise ValueError(f"bad DQT precision {pq}")
+                n = 64 * (2 if pq else 1)
+                if i + n > len(body):
+                    raise ValueError("truncated DQT table")
+                raw = (np.frombuffer(body[i:i + n], dtype=">u2")
+                       if pq else
+                       np.frombuffer(body[i:i + n], dtype=np.uint8))
+                i += n
+                table = np.zeros(64, dtype=np.int64)
+                table[ZIGZAG_FLAT] = raw.astype(np.int64)
+                if (table == 0).any():
+                    raise ValueError("DQT contains a zero quantizer")
+                qtables[tq] = table.reshape(8, 8)
+        elif marker == 0xC4:                                    # DHT
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 15
+                i += 1
+                if tc not in (0, 1):
+                    raise ValueError(f"bad DHT class {tc}")
+                if i + 16 > len(body):
+                    raise ValueError("truncated DHT BITS")
+                bits = list(body[i:i + 16])
+                i += 16
+                n = sum(bits)
+                if i + n > len(body):
+                    raise ValueError("truncated DHT values")
+                htables[(tc, th)] = _HuffTable(bits, list(body[i:i + n]))
+                i += n
+        elif marker == 0xC0:                                    # SOF0
+            if len(body) < 6:
+                raise ValueError("truncated SOF0")
+            precision, h, w, nc = struct.unpack(">BHHB", body[:6])
+            if precision != 8:
+                raise ValueError(
+                    f"unsupported JPEG sample precision {precision} "
+                    f"(8-bit only)")
+            if nc < 1 or nc > _MAX_COMPONENTS:
+                raise ValueError(f"unsupported component count {nc}")
+            if w == 0 or h == 0:
+                raise ValueError("JPEG frame has a zero dimension")
+            if w * h * nc > _MAX_SAMPLES:
+                raise ValueError(
+                    f"JPEG dimensions {w}x{h}x{nc} exceed this codec's "
+                    f"{_MAX_SAMPLES // (1 << 20)}M-sample decode bound")
+            if len(body) != 6 + 3 * nc:
+                raise ValueError("SOF0 length does not match components")
+            comps = []
+            for ci in range(nc):
+                cid, sampling, tq = body[6 + 3 * ci:9 + 3 * ci]
+                hs, vs = sampling >> 4, sampling & 15
+                if hs not in (1, 2) or vs not in (1, 2):
+                    raise ValueError(
+                        f"unsupported sampling factors {hs}x{vs} "
+                        f"(1 or 2 only)")
+                comps.append({"id": cid, "h": hs, "v": vs, "tq": tq})
+            frame = (w, h, comps)
+        elif marker == 0xDD:                                    # DRI
+            if len(body) != 2:
+                raise ValueError("malformed DRI")
+            restart_interval = struct.unpack(">H", body)[0]
+        elif marker == 0xDA:                                    # SOS
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF0")
+            break
+        # APPn / COM / anything else with a length: skipped.
+
+    w, h, comps = frame
+    ns = body[0] if body else 0
+    if ns != len(comps):
+        raise ValueError(
+            f"JPEG scan covers {ns} of {len(comps)} components — "
+            f"non-interleaved scans are out of scope")
+    if len(body) != 1 + 2 * ns + 3:
+        raise ValueError("malformed SOS header")
+    scan_tabs = {}
+    for i in range(ns):
+        cs, tabs = body[1 + 2 * i], body[2 + 2 * i]
+        scan_tabs[cs] = (tabs >> 4, tabs & 15)
+    for comp in comps:
+        if comp["id"] not in scan_tabs:
+            raise ValueError(f"component {comp['id']} missing from scan")
+        comp["td"], comp["ta"] = scan_tabs[comp["id"]]
+        if comp["tq"] not in qtables:
+            raise ValueError(f"missing quant table {comp['tq']}")
+        if (0, comp["td"]) not in htables or (1, comp["ta"]) not in htables:
+            raise ValueError(
+                f"missing Huffman table for component {comp['id']}")
+
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    n_mcus = mcux * mcuy
+
+    # Entropy decode: per component, a flat list of zigzag coefficient
+    # vectors in MCU emission order; spatial placement happens after.
+    reader = _BitReader(data, pos)
+    coef_lists: list[list[np.ndarray]] = [[] for _ in comps]
+    preds = [0] * len(comps)
+    rst = 0
+    since_rst = 0
+    for _m in range(n_mcus):
+        if restart_interval and since_rst == restart_interval:
+            reader.align_and_expect_rst(rst)
+            rst += 1
+            since_rst = 0
+            preds = [0] * len(comps)
+        for ci, comp in enumerate(comps):
+            dc_tab = htables[(0, comp["td"])]
+            ac_tab = htables[(1, comp["ta"])]
+            for _b in range(comp["h"] * comp["v"]):
+                zz = np.zeros(64, dtype=np.int32)
+                size = reader.decode(dc_tab)
+                if size > 11:
+                    raise ValueError(f"bad DC size category {size}")
+                diff = _extend(reader.read_bits(size), size)
+                preds[ci] += diff
+                zz[0] = preds[ci]
+                k = 1
+                while k < 64:
+                    rs = reader.decode(ac_tab)
+                    r, s = rs >> 4, rs & 15
+                    if s == 0:
+                        if r == 15:
+                            k += 16
+                            continue
+                        break                                    # EOB
+                    k += r
+                    if k > 63:
+                        raise ValueError("JPEG AC run overflows the block")
+                    zz[k] = _extend(reader.read_bits(s), s)
+                    k += 1
+                coef_lists[ci].append(zz)
+        since_rst += 1
+
+    # Dequantize + batched IDCT + spatial placement per component.
+    planes = []
+    for ci, comp in enumerate(comps):
+        hs, vs = comp["h"], comp["v"]
+        ph, pw = mcuy * vs * 8, mcux * hs * 8
+        zz = np.stack(coef_lists[ci])                     # (n, 64) zigzag
+        coefs = np.zeros((len(zz), 64), dtype=np.float64)
+        coefs[:, ZIGZAG_FLAT] = zz
+        coefs = coefs.reshape(-1, 8, 8) * qtables[comp["tq"]]
+        spatial = _idct_blocks(coefs) + 128.0
+        # Emission order is (mcu, by, bx); map to the row-major block
+        # grid of the component's padded plane.
+        n = len(spatial)
+        idx = np.arange(n)
+        mcu = idx // (hs * vs)
+        within = idx % (hs * vs)
+        brow = (mcu // mcux) * vs + within // hs
+        bcol = (mcu % mcux) * hs + within % hs
+        grid = np.zeros((ph // 8, pw // 8, 8, 8))
+        grid[brow, bcol] = spatial
+        plane = grid.transpose(0, 2, 1, 3).reshape(ph, pw)
+        # Upsample to the full padded geometry, then crop.
+        plane = np.repeat(np.repeat(plane, vmax // vs, axis=0),
+                          hmax // hs, axis=1)
+        planes.append(plane[:h, :w])
+
+    if len(comps) == 1:
+        samples = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+        return w, h, 1, samples.tobytes()
+    if len(comps) == 3:
+        rgb = _ycbcr_to_rgb(planes[0], planes[1], planes[2])
+        return w, h, 3, rgb.tobytes()
+    raise ValueError(f"unsupported decoded component count {len(comps)}")

@@ -2,15 +2,14 @@
 
 Media payloads are opaque `binary` columns + a typed metadata struct;
 Spark-side plumbing (schemas, partitioning, Arrow-batched mapInPandas
-decode) is real and tested. PNG decoding is REAL — a pure-stdlib
-implementation (zlib inflate + full filter reconstruction, below) —
-and so is WAV (RIFF/PCM via the stdlib `wave` module), so the image
-AND audio paths exercise actual codecs in this container. JPEG/video
-codec work remains stubbed: those need PIL/pyav, absent here, so
-`decode_media` uses a deterministic fake feature extractor for them
-and raises NotImplementedError when asked for a real decode (clearly
-marked; swap the libraries in behind the same signatures in
-production).
+decode) is real and tested. ALL THREE corpus formats now decode for
+real in-container: PNG (pure-stdlib zlib inflate + full filter
+reconstruction, below), WAV (RIFF/PCM via the stdlib `wave` module),
+and JPEG (a from-scratch baseline T.81 codec — Huffman entropy decode,
+dequant, IDCT, 4:2:0 upsampling, YCbCr→RGB — in `operators/jpeg.py`).
+Only video remains stubbed: frame demuxing needs pyav, absent here, so
+`sample_frames` keeps a deterministic fake (clearly marked; swap the
+library in behind the same signature in production).
 """
 
 from __future__ import annotations
@@ -222,29 +221,33 @@ def _fake_features(blob: bytes, n: int = 4) -> list[float]:
 
 
 def _real_decode_row(blob: bytes, fmt: str):
-    """Dispatch one blob to the stdlib codecs by CONTENT (magic-byte
-    PREFIXES beat the declared fmt — corpora lie): PNG -> (w, h, 1
-    frame, channel means); WAV -> (n_channels as width, NULL height,
-    frame count, channel means). A prefix match routes to the codec
-    even when the rest is corrupt, so a truncated PNG/RIFF surfaces as
-    the codec's classifiable ValueError, never as a misleading
-    'needs PIL'. Anything else (jpeg) genuinely needs PIL."""
+    """Dispatch one blob to the in-container codecs by CONTENT
+    (magic-byte PREFIXES beat the declared fmt — corpora lie):
+    PNG/JPEG -> (w, h, 1 frame, channel means); WAV -> (n_channels as
+    width, NULL height, frame count, channel means). A prefix match
+    routes to the codec even when the rest is corrupt, so a truncated
+    PNG/JFIF/RIFF surfaces as the codec's classifiable ValueError,
+    never as a misleading 'needs a library'. Anything else (video) is
+    a genuine environment gap."""
     if blob[:4] == _PNG_SIG[:4]:
         w, h, _ch, means = _png_channel_means(blob)
+        return w, h, 1, means
+    if blob[:3] == b"\xff\xd8\xff":
+        w, h, _ch, means = _jpeg_channel_means(blob)
         return w, h, 1, means
     if blob[:4] == b"RIFF":
         n_ch, _rate, n_frames, means = _wav_channel_means(blob)
         return n_ch, None, n_frames, means
-    if fmt in ("png", "wav"):
-        # the blob CLAIMS a supported format but carries neither
+    if fmt in FORMATS:
+        # the blob CLAIMS a supported format but carries no known
         # prefix: that is data corruption/mislabeling — classify it so
         # the quarantine path can absorb it, never blame a library
         raise ValueError(
-            f"blob declared fmt={fmt!r} but has neither a PNG nor a "
+            f"blob declared fmt={fmt!r} but has no PNG, JFIF, or "
             f"RIFF prefix — corrupt or mislabeled media")
     raise NotImplementedError(
-        f"real decode of fmt={fmt!r} needs PIL (jpeg) — only the "
-        f"stdlib PNG/WAV codecs are available in this environment")
+        f"real decode of fmt={fmt!r} needs a video demuxer (pyav) — "
+        f"absent in this environment")
 
 
 def decode_media(df: DataFrame, real_decode: bool = False,
@@ -255,16 +258,16 @@ def decode_media(df: DataFrame, real_decode: bool = False,
     transfer, bounded memory per batch — batch size is governed by
     spark.sql.execution.arrow.maxRecordsPerBatch). With
     ``real_decode=True`` blobs are dispatched by MAGIC BYTES to the
-    stdlib PNG/WAV codecs (genuine decode; jpeg still raises
-    NotImplementedError — that one needs PIL); the default keeps the
+    in-container PNG/JPEG/WAV codecs (all genuine decodes — every
+    FORMATS entry now has a real code path); the default keeps the
     deterministic fake extractor for plumbing tests over non-media
     payloads.
 
     ``on_error`` (real path): "fail" aborts on the first corrupt blob;
     "null" QUARANTINES it — the row survives with NULL decode columns
     (width/height/n_frames/features), so at corpus scale one bad blob
-    among millions costs a NULL, not the job. Unsupported FORMATS
-    (jpeg) always raise: that is an environment gap, not a data
+    among millions costs a NULL, not the job. Formats outside FORMATS
+    (video) always raise: that is an environment gap, not a data
     defect."""
     if on_error not in ("fail", "null"):
         raise ValueError(f"on_error must be 'fail' or 'null', "
@@ -409,6 +412,24 @@ def _wav_channel_means(blob: bytes) -> tuple[int, int, int, list]:
     return n_ch, rate, n_frames, [float(s) / n_frames for s in sums]
 
 
+def _jpeg_channel_means(blob: bytes) -> tuple[int, int, int, list]:
+    """Decode a baseline JPEG (the from-scratch T.81 codec in
+    `operators/jpeg.py`) + per-channel means of the reconstructed
+    samples — ONE implementation shared by jpeg_features and the
+    decode_media dispatcher so the hash-gated math cannot diverge.
+    Sums are exact int64 accumulations divided once, so any engine
+    recomputing them from the pixel definition gets bitwise-equal
+    doubles."""
+    import numpy as np
+
+    from .jpeg import decode_jpeg
+    w, h, ch, px = decode_jpeg(blob)
+    arr = np.frombuffer(px, dtype=np.uint8).reshape(h * w, ch)
+    sums = arr.astype(np.int64).sum(axis=0)
+    n = w * h
+    return w, h, ch, [float(int(s)) / n for s in sums]
+
+
 WAV_FEATURES_SCHEMA = T.StructType([
     T.StructField("doc_id", T.LongType()),
     T.StructField("n_channels", T.IntegerType()),
@@ -533,6 +554,82 @@ def png_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         _feat, PNG_FEATURES_SCHEMA)
 
 
+JPEG_FEATURES_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("features", T.ArrayType(T.DoubleType())),
+])
+
+
+def synthesize_jpeg_media(df: DataFrame, id_col: str = "doc_id"
+                          ) -> DataFrame:
+    """Deterministic REAL JPEG blobs from row ids (the test-fixture
+    producer for the real-decode path): each row becomes a 4:2:0 color
+    baseline JPEG of solid 8x8 blocks — width = 16*(id%2+1), height =
+    16*(id%3+1), block b (row-major over the 8x8-block grid) has
+    R = G = B = ((id*7 + b*37) % 128) * 2 — encoded at quality 50 with
+    restart interval id%3 (0 disables; 1-2 exercise DRI/RSTn). Solid
+    EVEN-valued blocks round-trip the lossy pipeline bit-exactly (see
+    the exactness contract in operators/jpeg.py), so the decoded
+    channel means are closed-form predictable by the m02 oracle while
+    the decode itself runs the full entropy/IDCT/upsample/color
+    machinery. Arrow-batched; output is (id, media) with genuine JPEG
+    bytes."""
+    import numpy as np
+
+    from .jpeg import encode_jpeg
+
+    def _make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for doc_id in pdf[id_col]:
+                d = int(doc_id)
+                w, h = 16 * (d % 2 + 1), 16 * (d % 3 + 1)
+                bw = w // 8
+                img = np.zeros((h, w, 3), dtype=np.uint8)
+                for br in range(h // 8):
+                    for bc in range(bw):
+                        v = ((d * 7 + (br * bw + bc) * 37) % 128) * 2
+                        img[br * 8:br * 8 + 8, bc * 8:bc * 8 + 8, :] = v
+                blobs.append(encode_jpeg(
+                    w, h, img.tobytes(), n_channels=3, quality=50,
+                    subsampling="4:2:0", restart_interval=d % 3))
+            yield pd.DataFrame({id_col: pdf[id_col], "media": blobs})
+
+    return df.select(id_col).mapInPandas(
+        _make, T.StructType([T.StructField(id_col, T.LongType()),
+                             T.StructField("media", T.BinaryType())]))
+
+
+def jpeg_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL image decode through the from-scratch baseline JPEG codec:
+    parse markers, Huffman-decode the scan, dequantize, IDCT, upsample
+    the chroma, convert YCbCr->RGB, and emit (width, height,
+    per-channel means of the DECODED samples). Any defect anywhere in
+    that pipeline changes the output and breaks the m02 hash gate."""
+    def _feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, feats = [], [], [], []
+            for doc_id, blob in zip(pdf[id_col], pdf["media"]):
+                try:
+                    w, h, _ch, means = _jpeg_channel_means(bytes(blob))
+                except ValueError as e:
+                    raise ValueError(f"doc {doc_id}: {e}") from None
+                ids.append(doc_id)
+                ws.append(w)
+                hs.append(h)
+                feats.append(means)
+            yield pd.DataFrame({
+                id_col: pd.Series(ids, dtype="int64"),
+                "width": pd.Series(ws, dtype="int32"),
+                "height": pd.Series(hs, dtype="int32"),
+                "features": feats})
+
+    return df.select(id_col, "media").mapInPandas(
+        _feat, JPEG_FEATURES_SCHEMA)
+
+
 RESIZED_SCHEMA = T.StructType([
     T.StructField("doc_id", T.LongType()),
     T.StructField("width", T.IntegerType()),
@@ -547,26 +644,52 @@ def resize_images(df: DataFrame, width: int = 64, height: int = 64,
     mapInPandas, one fixed-size pixel buffer per row (the output row
     size is a CONSTANT width*height*3 bytes regardless of input size,
     which is what makes downstream batching/shuffling predictable at
-    scale). Codec is faked: the buffer is the md5 keystream of the
-    blob tiled to size, so output bytes are a deterministic pure
-    function of (blob, width, height) and tests can pin them; swap
-    PIL's decode+resize into `_resize` for production.
-    """
-    if real_decode:
-        raise NotImplementedError(
-            "real image resize requires PIL, not present in this "
-            "environment; plug the codec into _resize")
+    scale).
+
+    ``real_decode=True`` is a REAL resize: blobs are decoded by magic
+    bytes through the in-container PNG/JPEG codecs, normalized to RGB
+    (gray replicated, alpha dropped), and nearest-neighbor resampled
+    with numpy index gather — no per-pixel Python. The default keeps
+    the deterministic md5-keystream fake for plumbing tests over
+    non-image payloads (output bytes stay a pure function of
+    (blob, width, height))."""
     import hashlib
     n = width * height * 3
 
-    def _resize(blob: bytes) -> bytes:
-        out = bytearray()
-        seed = hashlib.md5(blob).digest()
-        block = seed
-        while len(out) < n:
-            block = hashlib.md5(block).digest()
-            out.extend(block)
-        return bytes(out[:n])
+    if real_decode:
+        import numpy as np
+
+        from .jpeg import decode_jpeg
+
+        def _resize(blob: bytes) -> bytes:
+            blob = bytes(blob)
+            if blob[:4] == _PNG_SIG[:4]:
+                w, h, ch, px = decode_png(blob)
+            elif blob[:3] == b"\xff\xd8\xff":
+                w, h, ch, px = decode_jpeg(blob)
+            else:
+                raise ValueError(
+                    "blob has neither a PNG nor a JFIF prefix — "
+                    "corrupt or mislabeled image")
+            arr = np.frombuffer(px, dtype=np.uint8).reshape(h, w, ch)
+            if ch == 1:
+                arr = np.repeat(arr, 3, axis=2)
+            elif ch == 2:                       # gray+alpha: drop alpha
+                arr = np.repeat(arr[:, :, :1], 3, axis=2)
+            elif ch == 4:                       # RGBA: drop alpha
+                arr = arr[:, :, :3]
+            rows = (np.arange(height) * h) // height
+            cols = (np.arange(width) * w) // width
+            return arr[rows[:, None], cols[None, :]].tobytes()
+    else:
+        def _resize(blob: bytes) -> bytes:
+            out = bytearray()
+            seed = hashlib.md5(blob).digest()
+            block = seed
+            while len(out) < n:
+                block = hashlib.md5(block).digest()
+                out.extend(block)
+            return bytes(out[:n])
 
     def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

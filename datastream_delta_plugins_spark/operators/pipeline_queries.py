@@ -370,6 +370,19 @@ def m02_multimodal_decode(spark, sf_dir):
     from the pixel definition — any unfilter/stride/channel defect in
     the decoder breaks the hash.
 
+    tag 'jpeg' — a REAL lossy-image decode through the from-scratch
+    baseline T.81 codec (operators/jpeg.py): every document becomes a
+    genuine 4:2:0 color JPEG of solid even-valued 8x8 blocks (restart
+    interval rotating 0/1/2 across the corpus so the DRI/RSTn path is
+    exercised), the decoder runs the full marker-parse → Huffman →
+    dequant → IDCT → chroma-upsample → YCbCr→RGB pipeline, and the
+    emitted per-channel means come from the DECODED samples. Solid
+    even blocks round-trip the quality-50 quantizer bit-exactly (DC =
+    8*(v-128) is a multiple of q00 = 16; every AC and chroma
+    coefficient is 0 — see the exactness contract in jpeg.py), so the
+    oracle re-derives the means in closed form from the block-value
+    definition; any entropy/IDCT/upsample/color defect breaks the hash.
+
     tag 'wav' — a REAL audio decode: every document becomes a genuine
     stereo int16 PCM WAV (stdlib `wave` container), decoded back
     through the RIFF parse + frame extraction; per-channel means of
@@ -395,6 +408,15 @@ def m02_multimodal_decode(spark, sf_dir):
                       F.lit(1).cast("int").alias("n_frames"), ifr,
                       F.posexplode("features").alias("dim", "feat"))
               .withColumn("dim", F.col("dim").cast("int")))
+    jpg = multimodal.jpeg_features(multimodal.synthesize_jpeg_media(docs))
+    jpg = (jpg.select(F.lit("jpeg").alias("tag"), "doc_id",
+                      F.lit("jpeg").alias("fmt"),
+                      F.lit(None).cast("bigint").alias("byte_len"),
+                      F.lit(None).cast("string").alias("sha"),
+                      "width", "height",
+                      F.lit(1).cast("int").alias("n_frames"), ifr,
+                      F.posexplode("features").alias("dim", "feat"))
+              .withColumn("dim", F.col("dim").cast("int")))
     wav = multimodal.wav_features(multimodal.synthesize_wav_media(docs))
     wav = (wav.select(F.lit("wav").alias("tag"), "doc_id",
                       F.lit("wav").alias("fmt"), "byte_len",
@@ -404,7 +426,7 @@ def m02_multimodal_decode(spark, sf_dir):
                       "n_frames", F.col("framerate"),
                       F.posexplode("features").alias("dim", "feat"))
               .withColumn("dim", F.col("dim").cast("int")))
-    return _psort(stub.unionByName(png).unionByName(wav),
+    return _psort(stub.unionByName(png).unionByName(jpg).unionByName(wav),
                   "tag", "doc_id", "dim")
 
 
@@ -968,6 +990,26 @@ ORACLE_SQL: dict[str, str] = {
                         CAST(sum((doc_id * 7 + i * 13) % 256) AS DOUBLE)
                           / count(*) AS feat
                  FROM samp GROUP BY doc_id, width, height, i % 3),
+        -- tag 'jpeg': the real lossy decode's expected output, exact
+        -- by the solid-even-block contract (operators/jpeg.py): block
+        -- b of doc d is R=G=B = ((d*7 + b*37) % 128) * 2, blocks are
+        -- 8x8 over a 16*(d%2+1) x 16*(d%3+1) frame; per-channel mean
+        -- = block-value mean (equal-size blocks), same for all 3 dims
+        jshape AS (SELECT doc_id,
+                          CAST(16 * (doc_id % 2 + 1) AS INTEGER) AS width,
+                          CAST(16 * (doc_id % 3 + 1) AS INTEGER) AS height
+                   FROM documents),
+        jb AS (SELECT doc_id, width, height,
+                      unnest(range(0, CAST((width // 8) * (height // 8)
+                                           AS BIGINT))) AS b
+               FROM jshape),
+        jmean AS (SELECT doc_id, width, height,
+                         CAST(sum(((doc_id * 7 + b * 37) % 128) * 2)
+                              AS DOUBLE) / count(*) AS feat
+                  FROM jb GROUP BY doc_id, width, height),
+        jchan AS (SELECT doc_id, width, height,
+                         CAST(unnest([0, 1, 2]) AS INTEGER) AS dim, feat
+                  FROM jmean),
         -- tag 'wav': the real audio decode's expected output — stereo
         -- int16 PCM, frame count doc_id%50+20, sample k (interleaved)
         -- = ((doc_id*11 + k*17) % 65536) - 32768; byte_len pins the
@@ -1003,6 +1045,14 @@ ORACLE_SQL: dict[str, str] = {
                  CAST(NULL AS INTEGER) AS framerate,
                  dim, feat
           FROM chan
+          UNION ALL
+          SELECT 'jpeg' AS tag, doc_id, 'jpeg' AS fmt,
+                 CAST(NULL AS BIGINT) AS byte_len,
+                 CAST(NULL AS VARCHAR) AS sha,
+                 width, height, CAST(1 AS INTEGER) AS n_frames,
+                 CAST(NULL AS INTEGER) AS framerate,
+                 dim, feat
+          FROM jchan
           UNION ALL
           SELECT 'wav' AS tag, doc_id, 'wav' AS fmt,
                  CAST(44 + 4 * n_frames AS BIGINT) AS byte_len,

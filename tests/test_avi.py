@@ -1,0 +1,107 @@
+"""MJPEG/AVI container codec tests (operators/avi.py): mux/demux
+roundtrip, header fields, codec scope rejection, and malformed-input
+fuzz — every failure must be a classifiable ValueError.
+"""
+
+import struct
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from datastream_delta_plugins_spark.operators.avi import (
+    demux_avi, encode_avi)
+from datastream_delta_plugins_spark.operators.jpeg import (
+    decode_jpeg, encode_jpeg)
+
+
+def _solid_frame(seed: int, w: int = 16, h: int = 16) -> bytes:
+    img = np.zeros((h, w, 3), dtype=np.uint8)
+    bw = w // 8
+    for br in range(h // 8):
+        for bc in range(bw):
+            img[br * 8:br * 8 + 8, bc * 8:bc * 8 + 8, :] = \
+                ((seed + (br * bw + bc) * 37) % 128) * 2
+    return encode_jpeg(w, h, img.tobytes(), quality=50,
+                       subsampling="4:2:0")
+
+
+def test_mux_demux_roundtrip_bytes_identical():
+    frames = [_solid_frame(s) for s in range(5)]
+    avi = encode_avi(frames, 16, 16, fps=12)
+    w, h, fps, got = demux_avi(avi)
+    assert (w, h, fps) == (16, 16, 12)
+    assert got == frames                      # byte-identical payloads
+    # ...and every demuxed frame still decodes through the JPEG codec
+    for f in got:
+        dw, dh, dc, _px = decode_jpeg(f)
+        assert (dw, dh, dc) == (16, 16, 3)
+
+
+def test_odd_sized_frames_word_aligned():
+    """RIFF chunks pad odd sizes; payload bytes must come back exact."""
+    frames = [_solid_frame(1), _solid_frame(2) + b"\xd9"]  # force odd/even mix
+    # ensure at least one odd-length frame
+    if len(frames[0]) % 2 == 0:
+        frames[0] = frames[0] + b"\x00"
+    avi = encode_avi(frames, 16, 16)
+    _, _, _, got = demux_avi(avi)
+    assert got == frames
+
+
+def test_empty_and_bad_signature_rejected():
+    with pytest.raises(ValueError, match="at least one frame"):
+        encode_avi([], 16, 16)
+    with pytest.raises(ValueError, match="RIFF"):
+        demux_avi(b"not an avi at all")
+    with pytest.raises(ValueError, match="AVI "):
+        demux_avi(b"RIFF" + struct.pack("<I", 4) + b"WAVE")
+
+
+def test_non_mjpeg_codec_rejected_classifiably():
+    avi = bytearray(encode_avi([_solid_frame(0)], 16, 16))
+    i = avi.index(b"MJPG")                     # strh fccHandler
+    avi[i:i + 4] = b"H264"
+    with pytest.raises(ValueError, match="MJPG-only"):
+        demux_avi(bytes(avi))
+
+
+def test_frame_count_mismatch_rejected():
+    avi = bytearray(encode_avi([_solid_frame(0), _solid_frame(1)], 16, 16))
+    i = avi.index(b"avih")
+    # dwTotalFrames is the 5th uint32 of the avih body (offset 16)
+    avi[i + 8 + 16:i + 8 + 20] = struct.pack("<I", 7)
+    with pytest.raises(ValueError, match="declares 7 frames"):
+        demux_avi(bytes(avi))
+
+
+def test_truncations_always_classifiable():
+    avi = encode_avi([_solid_frame(s) for s in range(3)], 16, 16)
+    for cut in range(0, len(avi), max(1, len(avi) // 60)):
+        with pytest.raises(ValueError):
+            demux_avi(avi[:cut])
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.binary(min_size=0, max_size=300),
+       st.integers(min_value=0, max_value=299))
+def test_byte_flip_fuzz_never_crashes(blob, flip_at):
+    data = b"RIFF" + struct.pack("<I", len(blob) + 4) + b"AVI " + blob
+    if flip_at < len(data):
+        data = (data[:flip_at]
+                + bytes([data[flip_at] ^ 0x3C]) + data[flip_at + 1:])
+    try:
+        demux_avi(data)
+    except ValueError:
+        pass
+
+
+def test_flips_inside_valid_avi_never_crash():
+    avi = encode_avi([_solid_frame(s) for s in range(3)], 16, 16, fps=8)
+    for pos in range(0, len(avi), max(1, len(avi) // 100)):
+        data = avi[:pos] + bytes([avi[pos] ^ 0xFF]) + avi[pos + 1:]
+        try:
+            demux_avi(data)
+        except ValueError:
+            pass

@@ -1,0 +1,279 @@
+"""From-scratch baseline JPEG codec tests (operators/jpeg.py): exact
+solid-block roundtrips (the m02 gate's contract), lossy-roundtrip error
+bounds, restart markers, 16-bit quant tables, scope rejections
+(progressive/12-bit/arithmetic), and malformed-input fuzz — every
+failure must be a classifiable ValueError, never a hang, crash, or
+unbounded allocation.
+"""
+
+import struct
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from datastream_delta_plugins_spark.operators.jpeg import (
+    QUANT_LUMA, decode_jpeg, encode_jpeg, scale_quant_table)
+
+
+def _solid_block_gray(w: int, h: int, seed: int = 0) -> np.ndarray:
+    img = np.zeros((h, w), dtype=np.uint8)
+    bw = w // 8
+    for br in range(h // 8):
+        for bc in range(w // 8):
+            img[br * 8:br * 8 + 8, bc * 8:bc * 8 + 8] = \
+                ((seed * 7 + (br * bw + bc) * 37) % 128) * 2
+    return img
+
+
+def test_solid_even_blocks_gray_roundtrip_exact():
+    """The exactness contract: at quality 50 (q00 == 16) a solid block
+    of one even value survives DCT -> quantize -> dequantize -> IDCT
+    bit-exactly."""
+    for seed in range(5):
+        img = _solid_block_gray(24, 16, seed)
+        enc = encode_jpeg(24, 16, img.tobytes(), n_channels=1, quality=50)
+        w, h, ch, px = decode_jpeg(enc)
+        assert (w, h, ch) == (24, 16, 1)
+        assert np.array_equal(
+            np.frombuffer(px, dtype=np.uint8).reshape(16, 24), img)
+
+
+def test_solid_even_blocks_color_420_roundtrip_exact():
+    """Same contract through the FULL color path: R=G=B blocks give
+    constant Cb=Cr=128 (zero chroma coefficients), so 4:2:0
+    subsample -> quantize -> upsample -> YCbCr->RGB is also exact."""
+    for seed in (1, 4, 9):
+        g = _solid_block_gray(32, 48, seed)
+        img = np.repeat(g[..., None], 3, axis=2)
+        enc = encode_jpeg(32, 48, img.tobytes(), n_channels=3,
+                          quality=50, subsampling="4:2:0")
+        w, h, ch, px = decode_jpeg(enc)
+        assert (w, h, ch) == (32, 48, 3)
+        assert np.array_equal(
+            np.frombuffer(px, dtype=np.uint8).reshape(48, 32, 3), img)
+
+
+def test_lossy_roundtrip_error_bounded_444():
+    """Random content at quality 95, 4:4:4: error is quantization-only
+    — bounded and small (measured headroom over the observed max of
+    ~16)."""
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (40, 56, 3), dtype=np.uint8)
+    enc = encode_jpeg(56, 40, img.tobytes(), n_channels=3,
+                      quality=95, subsampling="4:4:4")
+    w, h, ch, px = decode_jpeg(enc)
+    dec = np.frombuffer(px, dtype=np.uint8).reshape(40, 56, 3)
+    err = np.abs(dec.astype(int) - img.astype(int))
+    assert err.max() <= 32
+    assert err.mean() <= 8.0
+
+
+def test_quality_monotonic_on_luma():
+    """Higher quality -> lower mean luma error (grayscale isolates the
+    quantizer from chroma subsampling)."""
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (32, 32), dtype=np.uint8)
+    errs = []
+    for q in (25, 75, 95):
+        enc = encode_jpeg(32, 32, img.tobytes(), n_channels=1, quality=q)
+        _, _, _, px = decode_jpeg(enc)
+        dec = np.frombuffer(px, dtype=np.uint8).reshape(32, 32)
+        errs.append(np.abs(dec.astype(int) - img.astype(int)).mean())
+    assert errs[0] > errs[1] > errs[2]
+
+
+def test_odd_dimensions_pad_and_crop():
+    """Non-multiple-of-8/16 frames: the encoder pads with edge
+    replication, the decoder crops back to the declared WxH."""
+    rng = np.random.default_rng(3)
+    for (w, h, nc, sub) in [(11, 13, 1, "4:4:4"), (17, 9, 3, "4:4:4"),
+                            (19, 21, 3, "4:2:0")]:
+        img = rng.integers(0, 256, (h, w, nc), dtype=np.uint8).squeeze()
+        enc = encode_jpeg(w, h, img.tobytes(), n_channels=nc,
+                          quality=90, subsampling=sub)
+        dw, dh, dc, px = decode_jpeg(enc)
+        assert (dw, dh, dc) == (w, h, nc)
+        assert len(px) == w * h * nc
+
+
+def test_restart_markers_roundtrip_identically():
+    """DRI/RSTn: restart intervals change the byte stream but not the
+    decoded samples; the decoder checks marker sequence numbers."""
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (40, 56, 3), dtype=np.uint8)
+    base = encode_jpeg(56, 40, img.tobytes(), quality=80,
+                       subsampling="4:2:0")
+    _, _, _, want = decode_jpeg(base)
+    for ri in (1, 2, 5):
+        enc = encode_jpeg(56, 40, img.tobytes(), quality=80,
+                          subsampling="4:2:0", restart_interval=ri)
+        assert b"\xff\xdd" in enc            # DRI present
+        _, _, _, got = decode_jpeg(enc)
+        assert got == want
+
+
+def test_restart_marker_out_of_sequence_rejected():
+    enc = bytearray(encode_jpeg(
+        56, 40, bytes(56 * 40 * 3), quality=80, restart_interval=1))
+    # find the first RST0 (0xFFD0 after SOS) and bump its index
+    sos = enc.index(b"\xff\xda")
+    i = enc.index(b"\xff\xd0", sos)
+    enc[i + 1] = 0xD3
+    with pytest.raises(ValueError, match="out of sequence"):
+        decode_jpeg(bytes(enc))
+
+
+def test_sixteen_bit_quant_table_supported():
+    """Hand-upgrade the DQT segment to Pq=1 (16-bit entries): the
+    decoder must honor it and decode to the same samples (same
+    quantizer values, wider encoding)."""
+    img = _solid_block_gray(16, 16, 2)
+    enc = encode_jpeg(16, 16, img.tobytes(), n_channels=1, quality=50)
+    i = enc.index(b"\xff\xdb")
+    body = enc[i + 5:i + 5 + 64]            # 8-bit zigzag table values
+    wide = b"".join(struct.pack(">H", b) for b in body)
+    seg16 = (b"\xff\xdb" + struct.pack(">H", 2 + 1 + 128)
+             + bytes([0x10]) + wide)        # Pq=1, Tq=0
+    patched = enc[:i] + seg16 + enc[i + 4 + 65:]
+    w, h, ch, px = decode_jpeg(patched)
+    assert (w, h, ch) == (16, 16, 1)
+    assert np.array_equal(
+        np.frombuffer(px, dtype=np.uint8).reshape(16, 16), img)
+
+
+def test_scope_rejections_are_classifiable():
+    img = _solid_block_gray(16, 16)
+    enc = bytearray(encode_jpeg(16, 16, img.tobytes(), n_channels=1))
+    # SOF0 -> SOF2 (progressive)
+    i = enc.index(b"\xff\xc0")
+    enc[i + 1] = 0xC2
+    with pytest.raises(ValueError, match="progressive"):
+        decode_jpeg(bytes(enc))
+    # arithmetic coding
+    enc[i + 1] = 0xC9
+    with pytest.raises(ValueError, match="arithmetic"):
+        decode_jpeg(bytes(enc))
+    enc[i + 1] = 0xC0
+    # 12-bit precision
+    enc[i + 4] = 12
+    with pytest.raises(ValueError, match="precision 12"):
+        decode_jpeg(bytes(enc))
+
+
+def test_hostile_header_dimensions_bounded():
+    """A hostile SOF0 declaring a huge frame must be rejected up front
+    (decode bound), not attempted."""
+    img = _solid_block_gray(16, 16)
+    enc = bytearray(encode_jpeg(16, 16, img.tobytes(), n_channels=1))
+    i = enc.index(b"\xff\xc0")
+    enc[i + 5:i + 7] = struct.pack(">H", 65000)   # height
+    enc[i + 7:i + 9] = struct.pack(">H", 65000)   # width
+    with pytest.raises(ValueError, match="decode bound"):
+        decode_jpeg(bytes(enc))
+
+
+def test_not_a_jpeg_rejected():
+    with pytest.raises(ValueError, match="bad SOI"):
+        decode_jpeg(b"plain text, no SOI")
+    with pytest.raises(ValueError, match="bad SOI"):
+        decode_jpeg(b"")
+
+
+def test_zero_quantizer_rejected():
+    img = _solid_block_gray(16, 16)
+    enc = bytearray(encode_jpeg(16, 16, img.tobytes(), n_channels=1))
+    i = enc.index(b"\xff\xdb")
+    enc[i + 5] = 0                                # q[0,0] := 0
+    with pytest.raises(ValueError, match="zero quantizer"):
+        decode_jpeg(bytes(enc))
+
+
+def test_truncation_always_classifiable():
+    """Every strict prefix of a valid JPEG fails with ValueError —
+    never IndexError/struct.error/hang."""
+    img = _solid_block_gray(16, 16, 3)
+    enc = encode_jpeg(16, 16, np.repeat(img[..., None], 3, 2).tobytes(),
+                      quality=50, subsampling="4:2:0")
+    for cut in range(0, len(enc), max(1, len(enc) // 50)):
+        with pytest.raises(ValueError):
+            decode_jpeg(enc[:cut])
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.binary(min_size=0, max_size=400),
+       st.integers(min_value=0, max_value=399))
+def test_byte_flip_fuzz_never_crashes(blob, flip_at):
+    """Arbitrary bytes (optionally prefixed with a real SOI to get past
+    the signature) either decode or raise ValueError."""
+    data = b"\xff\xd8\xff" + blob
+    if flip_at < len(data):
+        data = (data[:flip_at]
+                + bytes([data[flip_at] ^ 0x5A]) + data[flip_at + 1:])
+    try:
+        decode_jpeg(data)
+    except ValueError:
+        pass
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.integers(min_value=1, max_value=3),
+       st.integers(min_value=1, max_value=3),
+       st.integers(min_value=0, max_value=2 ** 32 - 1))
+def test_roundtrip_property_bounded_error(bw, bh, seed):
+    """Random images of random block-aligned shapes roundtrip within
+    the quality-90 quantization error envelope, all three pipelines
+    (gray, 4:4:4, 4:2:0 with chroma tolerance)."""
+    rng = np.random.default_rng(seed)
+    w, h = 8 * bw, 8 * bh
+    gray = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    enc = encode_jpeg(w, h, gray.tobytes(), n_channels=1, quality=90)
+    _, _, _, px = decode_jpeg(enc)
+    err = np.abs(np.frombuffer(px, np.uint8).astype(int)
+                 - gray.reshape(-1).astype(int))
+    assert err.max() <= 48
+
+    rgb = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    enc = encode_jpeg(w, h, rgb.tobytes(), quality=90,
+                      subsampling="4:4:4")
+    _, _, _, px = decode_jpeg(enc)
+    err = np.abs(np.frombuffer(px, np.uint8).astype(int)
+                 - rgb.reshape(-1).astype(int))
+    assert err.max() <= 96        # color convert mixes channel errors
+
+
+def test_byte_flips_in_valid_jpeg_never_crash():
+    """Flipping single bytes anywhere in a real JPEG either still
+    decodes (entropy-stream damage often stays decodable) or raises
+    ValueError — never anything unclassified."""
+    rng = np.random.default_rng(17)
+    img = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+    enc = encode_jpeg(24, 24, img.tobytes(), quality=70,
+                      subsampling="4:2:0", restart_interval=2)
+    for pos in range(2, len(enc), max(1, len(enc) // 120)):
+        data = enc[:pos] + bytes([enc[pos] ^ 0xFF]) + enc[pos + 1:]
+        try:
+            decode_jpeg(data)
+        except ValueError:
+            pass
+
+
+def test_scale_quant_table_endpoints():
+    assert (scale_quant_table(QUANT_LUMA, 50) == QUANT_LUMA).all()
+    assert (scale_quant_table(QUANT_LUMA, 100) == 1).all()
+    low = scale_quant_table(QUANT_LUMA, 1)
+    assert low.min() >= 1 and low.max() == 255
+    with pytest.raises(ValueError, match="quality"):
+        scale_quant_table(QUANT_LUMA, 0)
+
+
+def test_encoder_input_validation():
+    with pytest.raises(ValueError, match="n_channels"):
+        encode_jpeg(8, 8, bytes(8 * 8 * 2), n_channels=2)
+    with pytest.raises(ValueError, match="subsampling"):
+        encode_jpeg(8, 8, bytes(8 * 8 * 3), subsampling="4:2:2")
+    with pytest.raises(ValueError, match="expected"):
+        encode_jpeg(8, 8, bytes(10), n_channels=1)
+    with pytest.raises(ValueError, match="positive"):
+        encode_jpeg(0, 8, b"", n_channels=1)

@@ -105,13 +105,14 @@ def test_decode_media_stub(spark, sf_smoke):
     assert len(r["features"]) == 4
     assert all(0.0 <= x <= 1.0 for x in r["features"])
     # real_decode dispatches by magic bytes: text payloads DECLARED
-    # as png/wav are corrupt/mislabeled data (classifiable, so the
-    # quarantine can absorb them) — only jpeg blames the environment
+    # as any supported format are corrupt/mislabeled data
+    # (classifiable, so the quarantine can absorb them) — every
+    # FORMATS entry now has a real in-container codec
     with pytest.raises(Exception, match="corrupt or mislabeled"):
         multimodal.decode_media(
             media.where("media_meta.fmt = 'png'"),
             real_decode=True).collect()
-    with pytest.raises(Exception, match="needs PIL"):
+    with pytest.raises(Exception, match="corrupt or mislabeled"):
         multimodal.decode_media(
             media.where("media_meta.fmt = 'jpeg'"),
             real_decode=True).collect()
@@ -124,34 +125,45 @@ def test_decode_media_stub(spark, sf_smoke):
 
 def test_decode_media_real_path_dispatches_by_magic(spark, sf_smoke):
     """decode_media(real_decode=True) over genuine blobs: PNG rows get
-    real (width, height, RGB means), WAV rows real (channels, frames,
-    channel means) — the same values the dedicated feature operators
-    produce, through the generic media-column API."""
+    real (width, height, RGB means), JPEG rows real lossy-decoded RGB
+    means (exact by the solid-even-block contract), WAV rows real
+    (channels, frames, channel means) — the same values the dedicated
+    feature operators produce, through the generic media-column API."""
     from pyspark.sql import functions as F
 
+    def _meta(df, fmt):
+        return df.withColumn(
+            "media_meta",
+            F.struct(F.lit(fmt).alias("fmt"),
+                     F.octet_length("media").alias("byte_len")))
+
     docs = load_table(spark, sf_smoke, "documents").where("doc_id < 24")
-    png = (multimodal.synthesize_png_media(docs.where("doc_id % 2 = 0"))
-           .withColumn("media_meta",
-                       F.struct(F.lit("png").alias("fmt"),
-                                F.octet_length("media")
-                                 .alias("byte_len"))))
-    wav = (multimodal.synthesize_wav_media(docs.where("doc_id % 2 = 1"))
-           .withColumn("media_meta",
-                       F.struct(F.lit("wav").alias("fmt"),
-                                F.octet_length("media")
-                                 .alias("byte_len"))))
+    png = _meta(multimodal.synthesize_png_media(
+        docs.where("doc_id % 3 = 0")), "png")
+    jpg = _meta(multimodal.synthesize_jpeg_media(
+        docs.where("doc_id % 3 = 1")), "jpeg")
+    wav = _meta(multimodal.synthesize_wav_media(
+        docs.where("doc_id % 3 = 2")), "wav")
     out = {r["doc_id"]: r for r in
-           multimodal.decode_media(png.unionByName(wav),
-                                   real_decode=True).collect()}
+           multimodal.decode_media(
+               png.unionByName(jpg).unionByName(wav),
+               real_decode=True).collect()}
     assert len(out) == 24
     for d, r in out.items():
-        if d % 2 == 0:   # png: ramp means
+        if d % 3 == 0:   # png: ramp means
             w, h = d % 5 + 2, d % 4 + 2
             assert (r["width"], r["height"], r["n_frames"]) == (w, h, 1)
             sums = [0, 0, 0]
             for i in range(w * h * 3):
                 sums[i % 3] += (d * 7 + i * 13) % 256
             assert r["features"] == [s / (w * h) for s in sums]
+        elif d % 3 == 1:  # jpeg: solid-block means, exact roundtrip
+            w, h = 16 * (d % 2 + 1), 16 * (d % 3 + 1)
+            assert (r["width"], r["height"], r["n_frames"]) == (w, h, 1)
+            bw, bh = w // 8, h // 8
+            vals = [((d * 7 + b * 37) % 128) * 2 for b in range(bw * bh)]
+            mean = sum(vals) * 64 / (w * h)
+            assert r["features"] == [mean, mean, mean]
         else:            # wav: stereo ramp means
             n = d % 50 + 20
             assert (r["width"], r["height"], r["n_frames"]) == (2, None, n)
@@ -324,8 +336,46 @@ def test_resize_images_plumbing(spark, sf_smoke):
     again = {r["doc_id"]: bytes(r["pixels"])
              for r in multimodal.resize_images(media, 8, 6).collect()}
     assert all(bytes(r["pixels"]) == again[r["doc_id"]] for r in out)
-    with pytest.raises(NotImplementedError):
-        multimodal.resize_images(media, real_decode=True)
+    # real path over non-image payloads: classifiable corruption
+    with pytest.raises(Exception, match="corrupt or mislabeled"):
+        multimodal.resize_images(media, real_decode=True).collect()
+
+
+def test_resize_images_real_decode(spark, sf_smoke):
+    """REAL resize: decode PNG/JPEG by magic bytes, nearest-neighbor
+    resample. A solid-color JPEG resizes to that exact solid buffer;
+    a PNG ramp's resample is pinned against a numpy recomputation."""
+    import numpy as np
+
+    docs = load_table(spark, sf_smoke, "documents").where("doc_id < 12")
+    jpg = multimodal.synthesize_jpeg_media(docs.where("doc_id % 3 = 0"))
+    png = multimodal.synthesize_png_media(docs.where("doc_id % 3 = 1"))
+    out = {r["doc_id"]: r for r in multimodal.resize_images(
+        jpg.unionByName(png), width=8, height=6,
+        real_decode=True).collect()}
+    assert len(out) == 8
+    for d, r in out.items():
+        assert (r["width"], r["height"]) == (8, 6)
+        px = np.frombuffer(bytes(r["pixels"]), np.uint8).reshape(6, 8, 3)
+        if d % 3 == 0:     # jpeg: solid blocks -> gather of block values
+            w, h = 16 * (d % 2 + 1), 16 * (d % 3 + 1)
+            bw = w // 8
+            src = np.zeros((h, w), dtype=np.uint8)
+            for br in range(h // 8):
+                for bc in range(bw):
+                    src[br * 8:br * 8 + 8, bc * 8:bc * 8 + 8] = \
+                        ((d * 7 + (br * bw + bc) * 37) % 128) * 2
+        else:              # png: RGB ramp, exact decode
+            w, h = d % 5 + 2, d % 4 + 2
+            src = np.array([(d * 7 + i * 13) % 256
+                            for i in range(w * h * 3)],
+                           dtype=np.uint8).reshape(h, w, 3)
+        rows = (np.arange(6) * h) // 6
+        cols = (np.arange(8) * w) // 8
+        want = src[rows[:, None], cols[None, :]]
+        if want.ndim == 2:
+            want = np.repeat(want[..., None], 3, axis=2)
+        assert np.array_equal(px, want)
 
 
 def test_sample_frames_plumbing(spark, sf_smoke):
