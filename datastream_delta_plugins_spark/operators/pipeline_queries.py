@@ -353,7 +353,8 @@ def t02_lang_id(spark, sf_dir):
 
 
 def m02_multimodal_decode(spark, sf_dir):
-    """Multimodal tagged union — plumbing AND a real codec:
+    """Multimodal tagged union — plumbing AND real codecs for every
+    declared format (image, lossy image, audio, video container):
 
     tag 'stub' — Arrow-batched mapInPandas decode, value-checked: the
     stub extractor's md5-derived features are reproduced by the
@@ -382,6 +383,15 @@ def m02_multimodal_decode(spark, sf_dir):
     coefficient is 0 — see the exactness contract in jpeg.py), so the
     oracle re-derives the means in closed form from the block-value
     definition; any entropy/IDCT/upsample/color defect breaks the hash.
+
+    tag 'avi' — a REAL video-container decode: every document becomes
+    a genuine MJPEG AVI (RIFF mux of id%4+2 complete baseline JPEG
+    frames, operators/avi.py), the demuxer walks the chunk tree and
+    every frame runs the full JPEG decode; width/height/framerate come
+    from the parsed headers, n_frames from the counted movi chunks,
+    and the per-frame first-channel means of the DECODED samples ride
+    the same solid-even-block exactness contract as the jpeg tag — so
+    a chunk-walk, frame-extraction, or decode defect breaks the hash.
 
     tag 'wav' — a REAL audio decode: every document becomes a genuine
     stereo int16 PCM WAV (stdlib `wave` container), decoded back
@@ -417,6 +427,15 @@ def m02_multimodal_decode(spark, sf_dir):
                       F.lit(1).cast("int").alias("n_frames"), ifr,
                       F.posexplode("features").alias("dim", "feat"))
               .withColumn("dim", F.col("dim").cast("int")))
+    avi = multimodal.avi_features(multimodal.synthesize_avi_media(docs))
+    avi = (avi.select(F.lit("avi").alias("tag"), "doc_id",
+                      F.lit("avi").alias("fmt"),
+                      F.lit(None).cast("bigint").alias("byte_len"),
+                      F.lit(None).cast("string").alias("sha"),
+                      "width", "height", "n_frames",
+                      F.col("framerate"),
+                      F.posexplode("features").alias("dim", "feat"))
+              .withColumn("dim", F.col("dim").cast("int")))
     wav = multimodal.wav_features(multimodal.synthesize_wav_media(docs))
     wav = (wav.select(F.lit("wav").alias("tag"), "doc_id",
                       F.lit("wav").alias("fmt"), "byte_len",
@@ -426,7 +445,8 @@ def m02_multimodal_decode(spark, sf_dir):
                       "n_frames", F.col("framerate"),
                       F.posexplode("features").alias("dim", "feat"))
               .withColumn("dim", F.col("dim").cast("int")))
-    return _psort(stub.unionByName(png).unionByName(jpg).unionByName(wav),
+    return _psort(stub.unionByName(png).unionByName(jpg)
+                      .unionByName(avi).unionByName(wav),
                   "tag", "doc_id", "dim")
 
 
@@ -967,7 +987,7 @@ ORACLE_SQL: dict[str, str] = {
         ORDER BY 1, 2, 3""",
     "m02_multimodal_decode": """
         WITH m AS (SELECT doc_id,
-                          (['png', 'jpeg', 'wav'])[CAST(doc_id % 3 AS INTEGER) + 1] AS fmt,
+                          (['png', 'jpeg', 'wav', 'avi'])[CAST(doc_id % 4 AS INTEGER) + 1] AS fmt,
                           octet_length(encode(text)) AS byte_len,
                           sha256(text) AS sha,
                           md5(text) AS h
@@ -1010,6 +1030,23 @@ ORACLE_SQL: dict[str, str] = {
         jchan AS (SELECT doc_id, width, height,
                          CAST(unnest([0, 1, 2]) AS INTEGER) AS dim, feat
                   FROM jmean),
+        -- tag 'avi': the real video demux + per-frame decode's
+        -- expected output — frame f of doc d is four solid blocks
+        -- b in 0..3 with value ((d*7 + f*53 + b*37) % 128) * 2 on a
+        -- 16x16 frame; per-frame mean = block mean; dim = frame index
+        ashape AS (SELECT doc_id,
+                          CAST(doc_id % 4 + 2 AS INTEGER) AS n_frames
+                   FROM documents),
+        af AS (SELECT doc_id, n_frames,
+                      unnest(range(0, CAST(n_frames AS BIGINT))) AS f
+               FROM ashape),
+        ab AS (SELECT doc_id, n_frames, f,
+                      unnest([0, 1, 2, 3]) AS b
+               FROM af),
+        amean AS (SELECT doc_id, n_frames, CAST(f AS INTEGER) AS dim,
+                         CAST(sum(((doc_id * 7 + f * 53 + b * 37)
+                                   % 128) * 2) AS DOUBLE) / 4 AS feat
+                  FROM ab GROUP BY doc_id, n_frames, f),
         -- tag 'wav': the real audio decode's expected output — stereo
         -- int16 PCM, frame count doc_id%50+20, sample k (interleaved)
         -- = ((doc_id*11 + k*17) % 65536) - 32768; byte_len pins the
@@ -1053,6 +1090,15 @@ ORACLE_SQL: dict[str, str] = {
                  CAST(NULL AS INTEGER) AS framerate,
                  dim, feat
           FROM jchan
+          UNION ALL
+          SELECT 'avi' AS tag, doc_id, 'avi' AS fmt,
+                 CAST(NULL AS BIGINT) AS byte_len,
+                 CAST(NULL AS VARCHAR) AS sha,
+                 CAST(16 AS INTEGER) AS width,
+                 CAST(16 AS INTEGER) AS height,
+                 n_frames, CAST(10 AS INTEGER) AS framerate,
+                 dim, feat
+          FROM amean
           UNION ALL
           SELECT 'wav' AS tag, doc_id, 'wav' AS fmt,
                  CAST(44 + 4 * n_frames AS BIGINT) AS byte_len,

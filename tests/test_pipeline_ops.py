@@ -395,8 +395,41 @@ def test_sample_frames_plumbing(spark, sf_smoke):
         expect = list(range(0, total, 3))[:4]
         assert sorted(idxs) == expect
     assert len(per) == 20  # every doc has >= 1 fake frame
-    with pytest.raises(NotImplementedError):
-        multimodal.sample_frames(media, real_decode=True)
+    # real path over non-video payloads: classifiable corruption
+    with pytest.raises(Exception, match="not an AVI"):
+        multimodal.sample_frames(media, real_decode=True).collect()
+
+
+def test_sample_frames_real_decode(spark, sf_smoke):
+    """REAL frame sampling: MJPEG AVI demux + per-frame JPEG decode.
+    Sampled frame indices follow the stride/cap contract; frame_sha is
+    the sha256 of the DECODED RGB buffer and features are its channel
+    means — both recomputed here from the synthesis definition."""
+    import hashlib
+
+    import numpy as np
+
+    docs = load_table(spark, sf_smoke, "documents").where("doc_id < 16")
+    media = multimodal.synthesize_avi_media(docs)
+    rows = multimodal.sample_frames(
+        media, every_n=2, max_frames=2, real_decode=True).collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r["doc_id"], {})[r["frame_idx"]] = r
+    assert set(per) == set(range(16))
+    for d, frames in per.items():
+        total = d % 4 + 2
+        assert sorted(frames) == list(range(0, total, 2))[:2]
+        for f, r in frames.items():
+            img = np.zeros((16, 16, 3), dtype=np.uint8)
+            for br in range(2):
+                for bc in range(2):
+                    v = ((d * 7 + f * 53 + (br * 2 + bc) * 37) % 128) * 2
+                    img[br * 8:br * 8 + 8, bc * 8:bc * 8 + 8, :] = v
+            assert r["frame_sha"] == hashlib.sha256(
+                img.tobytes()).hexdigest()
+            mean = img[:, :, 0].astype(int).sum() / 256
+            assert r["features"] == [mean, mean, mean]
 
 
 def test_unigram_logfreq_score_matches_sql(spark, duck, sf_correctness):
