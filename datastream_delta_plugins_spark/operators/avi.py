@@ -52,6 +52,8 @@ def encode_avi(frames: list[bytes], width: int, height: int,
         raise ValueError("an AVI needs at least one frame")
     if width <= 0 or height <= 0:
         raise ValueError("width and height must be positive")
+    if fps <= 0:
+        raise ValueError(f"fps must be positive, got {fps}")
     n = len(frames)
     max_size = max(len(f) for f in frames)
     avih = struct.pack(
@@ -59,7 +61,8 @@ def encode_avi(frames: list[bytes], width: int, height: int,
         1_000_000 // fps,       # microseconds per frame
         max_size * fps,         # max bytes per second (advisory)
         0,                      # padding granularity
-        0x10,                   # AVIF_HASINDEX unset; 0x10 = WASCAPTUREFILE-ish flags kept minimal
+        0,                      # flags: no idx1 is written, so
+                                # AVIF_HASINDEX (0x10) must stay clear
         n, 0, 1, max_size,
         width, height,
         0, 0, 0, 0)             # reserved
@@ -122,11 +125,13 @@ def demux_avi(data: bytes) -> tuple[int, int, int, list[bytes]]:
     width = height = None
     fps = 0
     declared_frames = None
+    video_stream = None        # strl index of the MJPG vids stream
     frames: list[bytes] = []
     saw_movi = False
 
     def _parse_hdrl(body: int, size: int) -> None:
-        nonlocal width, height, fps, declared_frames
+        nonlocal width, height, fps, declared_frames, video_stream
+        stream_idx = 0
         for tag, b, s in _walk_chunks(data, body, body + size):
             if tag == b"avih":
                 if s < 40:
@@ -141,16 +146,41 @@ def demux_avi(data: bytes) -> tuple[int, int, int, list[bytes]]:
                             raise ValueError("truncated strh header")
                         fcc_type = data[b2:b2 + 4]
                         fcc_handler = data[b2 + 4:b2 + 8]
-                        if fcc_type == b"vids":
+                        # only the FIRST vids stream is demuxed;
+                        # its handler must be MJPG and its scale/rate
+                        # alone define the reported fps — a secondary
+                        # video stream is ignored, never mixed in
+                        if fcc_type == b"vids" and video_stream is None:
                             if fcc_handler not in (b"MJPG", b"mjpg"):
                                 raise ValueError(
                                     f"unsupported AVI video codec "
                                     f"{fcc_handler!r} — this demuxer "
                                     f"is MJPG-only; modern codecs "
                                     f"need pyav")
+                            video_stream = stream_idx
                             scale, rate = struct.unpack(
                                 "<II", data[b2 + 20:b2 + 28])
                             fps = rate // scale if scale else 0
+                stream_idx += 1
+
+    def _collect_frames(start: int, stop: int, vtag: bytes,
+                        depth: int = 0) -> None:
+        """Frame chunks for the video stream; descends into
+        LIST('rec ') records (the interleaved-AVI grouping). Legal
+        files never nest rec lists, so the depth cap turns a hostile
+        nesting bomb into the contractual ValueError instead of a
+        RecursionError that would escape the quarantine path."""
+        if depth > 4:
+            raise ValueError(
+                "AVI rec-list nesting exceeds the demux bound")
+        for t2, b2, s2 in _walk_chunks(data, start, stop):
+            if t2 == b"LIST" and data[b2:b2 + 4] == b"rec ":
+                _collect_frames(b2 + 4, b2 + s2, vtag, depth + 1)
+            elif t2[:2] == vtag and t2[2:4] in (b"dc", b"db"):
+                if len(frames) >= _MAX_FRAMES:
+                    raise ValueError(
+                        "AVI frame count exceeds the demux bound")
+                frames.append(data[b2:b2 + s2])
 
     for tag, body, size in _walk_chunks(data, 12, end):
         if tag == b"LIST":
@@ -159,14 +189,11 @@ def demux_avi(data: bytes) -> tuple[int, int, int, list[bytes]]:
                 _parse_hdrl(body + 4, size - 4)
             elif kind == b"movi":
                 saw_movi = True
-                for t2, b2, s2 in _walk_chunks(data, body + 4,
-                                               body + size):
-                    if t2[2:4] in (b"dc", b"db"):
-                        if len(frames) >= _MAX_FRAMES:
-                            raise ValueError(
-                                "AVI frame count exceeds the demux "
-                                "bound")
-                        frames.append(data[b2:b2 + s2])
+                if video_stream is None:
+                    raise ValueError(
+                        "AVI has no MJPG video stream in hdrl")
+                _collect_frames(body + 4, body + size,
+                                b"%02d" % video_stream)
         # idx1 / JUNK / anything else: skipped.
 
     if width is None:

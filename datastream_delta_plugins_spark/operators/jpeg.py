@@ -64,11 +64,16 @@ QUANT_CHROMA = np.array([
     [99, 99, 99, 99, 99, 99, 99, 99],
     [99, 99, 99, 99, 99, 99, 99, 99]], dtype=np.int32)
 
-#: Zigzag scan: ZIGZAG[k] = (row, col) of the k-th coefficient.
+#: Zigzag scan: ZIGZAG[k] = (row, col) of the k-th coefficient, per
+#: T.81 Figure 5 — odd diagonals run down-left (row ascending), even
+#: diagonals up-right (column ascending). Flat order must begin
+#: 0, 1, 8, 16, 9, 2, ... (the libjpeg jpeg_natural_order constant);
+#: tests pin the full 64-entry sequence so an interop-breaking
+#: transposition cannot sneak back in.
 def _zigzag_order() -> list[tuple[int, int]]:
     order = sorted(((r, c) for r in range(8) for c in range(8)),
                    key=lambda rc: (rc[0] + rc[1],
-                                   rc[1] if (rc[0] + rc[1]) % 2 else rc[0]))
+                                   rc[0] if (rc[0] + rc[1]) % 2 else rc[1]))
     return order
 
 
@@ -445,6 +450,9 @@ def encode_jpeg(width: int, height: int, pixels: bytes,
         raise ValueError(f"unsupported subsampling {subsampling!r}")
     if width <= 0 or height <= 0:
         raise ValueError("width and height must be positive")
+    if width > 0xFFFF or height > 0xFFFF:
+        raise ValueError(
+            f"JPEG dimensions are 16-bit: {width}x{height} exceeds 65535")
     if len(pixels) != width * height * n_channels:
         raise ValueError(f"expected {width * height * n_channels} bytes, "
                          f"got {len(pixels)}")
@@ -590,8 +598,14 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
         if data[pos] != 0xFF:
             raise ValueError(f"expected JPEG marker at {pos}, "
                              f"found 0x{data[pos]:02X}")
-        marker = data[pos + 1]
-        pos += 2
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may pad a marker
+        pos += 1
+        while pos < len(data) and data[pos] == 0xFF:
+            pos += 1
+        if pos >= len(data):
+            raise ValueError("truncated JPEG (fill bytes to EOF)")
+        marker = data[pos]
+        pos += 1
         if marker == 0xD8:
             continue
         if marker == 0xD9:
@@ -703,6 +717,12 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
             raise ValueError(
                 f"missing Huffman table for component {comp['id']}")
 
+    if len(comps) == 1:
+        # T.81 A.2: a single-component scan is non-interleaved — the
+        # MCU is ONE data unit and blocks traverse the component's own
+        # grid row-major; sampling factors only shape multi-component
+        # interleave. A sole frame component covers the full w x h.
+        comps[0]["h"] = comps[0]["v"] = 1
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     mcux = -(-w // (8 * hmax))

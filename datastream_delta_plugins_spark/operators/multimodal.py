@@ -418,22 +418,28 @@ def _wav_channel_means(blob: bytes) -> tuple[int, int, int, list]:
     return n_ch, rate, n_frames, [float(s) / n_frames for s in sums]
 
 
-def _jpeg_channel_means(blob: bytes) -> tuple[int, int, int, list]:
-    """Decode a baseline JPEG (the from-scratch T.81 codec in
-    `operators/jpeg.py`) + per-channel means of the reconstructed
-    samples — ONE implementation shared by jpeg_features and the
-    decode_media dispatcher so the hash-gated math cannot diverge.
-    Sums are exact int64 accumulations divided once, so any engine
-    recomputing them from the pixel definition gets bitwise-equal
-    doubles."""
+def _decoded_channel_means(px: bytes, w: int, h: int, ch: int) -> list:
+    """Per-channel means of a decoded interleaved sample buffer — the
+    ONE implementation behind every hash-gated image/video mean
+    (jpeg_features, avi_features, sample_frames, decode_media) so the
+    math cannot diverge between operators. Sums are exact int64
+    accumulations divided once, so any engine recomputing them from
+    the pixel definition gets bitwise-equal doubles."""
     import numpy as np
 
-    from .jpeg import decode_jpeg
-    w, h, ch, px = decode_jpeg(blob)
     arr = np.frombuffer(px, dtype=np.uint8).reshape(h * w, ch)
     sums = arr.astype(np.int64).sum(axis=0)
     n = w * h
-    return w, h, ch, [float(int(s)) / n for s in sums]
+    return [float(int(s)) / n for s in sums]
+
+
+def _jpeg_channel_means(blob: bytes) -> tuple[int, int, int, list]:
+    """Decode a baseline JPEG (the from-scratch T.81 codec in
+    `operators/jpeg.py`) + per-channel means of the reconstructed
+    samples."""
+    from .jpeg import decode_jpeg
+    w, h, ch, px = decode_jpeg(blob)
+    return w, h, ch, _decoded_channel_means(px, w, h, ch)
 
 
 def _avi_frame_means(blob: bytes) -> tuple[int, int, int, int, list]:
@@ -441,9 +447,7 @@ def _avi_frame_means(blob: bytes) -> tuple[int, int, int, int, list]:
     JPEG codec; returns (width, height, fps, n_frames, per-frame
     first-channel means) — ONE implementation shared by avi_features
     and the decode_media dispatcher so the hash-gated math cannot
-    diverge. Exact int64 sums divided once (cross-engine bitwise)."""
-    import numpy as np
-
+    diverge (per-frame means go through _decoded_channel_means)."""
     from .avi import demux_avi
     from .jpeg import decode_jpeg
     w, h, fps, frames = demux_avi(blob)
@@ -459,9 +463,7 @@ def _avi_frame_means(blob: bytes) -> tuple[int, int, int, int, list]:
             raise ValueError(
                 f"AVI frame {i} is {fw}x{fh} but the container "
                 f"declares {w}x{h}")
-        arr = np.frombuffer(px, dtype=np.uint8).reshape(fh * fw, ch)
-        s = int(arr[:, 0].astype(np.int64).sum())
-        means.append(float(s) / (fw * fh))
+        means.append(_decoded_channel_means(px, fw, fh, ch)[0])
     return w, h, fps, len(frames), means
 
 
@@ -851,8 +853,6 @@ def sample_frames(df: DataFrame, every_n: int = 2,
     import hashlib
 
     if real_decode:
-        import numpy as np
-
         from .avi import demux_avi
         from .jpeg import decode_jpeg
 
@@ -867,13 +867,11 @@ def sample_frames(df: DataFrame, every_n: int = 2,
                         if k >= max_frames:
                             break
                         fw, fh, ch, px = decode_jpeg(frames[idx])
-                        arr = (np.frombuffer(px, dtype=np.uint8)
-                               .reshape(fh * fw, ch).astype(np.int64))
                         ids.append(doc_id)
                         idxs.append(idx)
                         shas.append(hashlib.sha256(px).hexdigest())
-                        feats.append([float(int(s)) / (fw * fh)
-                                      for s in arr.sum(axis=0)])
+                        feats.append(
+                            _decoded_channel_means(px, fw, fh, ch))
                 yield pd.DataFrame({
                     "doc_id": pd.Series(ids, dtype="int64"),
                     "frame_idx": pd.Series(idxs, dtype="int32"),

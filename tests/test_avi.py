@@ -105,3 +105,110 @@ def test_flips_inside_valid_avi_never_crash():
             demux_avi(data)
         except ValueError:
             pass
+
+
+# ---- review-driven interop pins ----
+
+def test_rec_list_grouped_frames_demuxed():
+    """Interleaved AVIs group frame chunks inside LIST('rec ')
+    records (Microsoft AVI RIFF reference); the demuxer must descend
+    into them."""
+    from datastream_delta_plugins_spark.operators.avi import (
+        _chunk, _list)
+
+    frames = [_solid_frame(s) for s in range(3)]
+    plain = encode_avi(frames, 16, 16, fps=10)
+    # rebuild the movi list with each frame wrapped in LIST('rec ')
+    i = plain.index(b"LIST", plain.index(b"movi") - 8)
+    head = plain[:i]
+    movi = _list(b"movi", b"".join(
+        _list(b"rec ", _chunk(b"00dc", f)) for f in frames))
+    rebuilt = bytearray(head + movi)
+    rebuilt[4:8] = struct.pack("<I", len(rebuilt) - 8)   # RIFF size
+    w, h, fps, got = demux_avi(bytes(rebuilt))
+    assert (w, h, fps) == (16, 16, 10)
+    assert got == frames
+
+
+def test_other_stream_chunks_ignored():
+    """A second stream's chunks ('01wb' audio, '01dc' video) must not
+    be counted into stream 0's frame list."""
+    from datastream_delta_plugins_spark.operators.avi import (
+        _chunk, _list)
+
+    frames = [_solid_frame(s) for s in range(2)]
+    plain = encode_avi(frames, 16, 16)
+    i = plain.index(b"LIST", plain.index(b"movi") - 8)
+    movi = _list(b"movi",
+                 _chunk(b"00dc", frames[0])
+                 + _chunk(b"01wb", b"\x00\x01\x02\x03")
+                 + _chunk(b"01dc", b"not a frame of stream zero")
+                 + _chunk(b"00dc", frames[1]))
+    rebuilt = bytearray(plain[:i] + movi)
+    rebuilt[4:8] = struct.pack("<I", len(rebuilt) - 8)
+    _, _, _, got = demux_avi(bytes(rebuilt))
+    assert got == frames
+
+
+def test_encoder_rejects_nonpositive_fps():
+    with pytest.raises(ValueError, match="fps"):
+        encode_avi([_solid_frame(0)], 16, 16, fps=0)
+    with pytest.raises(ValueError, match="fps"):
+        encode_avi([_solid_frame(0)], 16, 16, fps=-5)
+
+
+def test_movi_without_video_stream_rejected():
+    """A movi list in a file whose hdrl declared no MJPG vids stream
+    is classifiable, not a silent zero-frame success."""
+    avi = bytearray(encode_avi([_solid_frame(0)], 16, 16))
+    i = avi.index(b"vids")
+    avi[i:i + 4] = b"auds"                # sole stream is now audio
+    with pytest.raises(ValueError, match="no MJPG video stream"):
+        demux_avi(bytes(avi))
+
+
+def test_nested_rec_list_bomb_classifiable():
+    """A hostile movi of deeply nested LIST('rec ') wrappers must be
+    the contractual ValueError, never a RecursionError that would
+    escape decode_media's quarantine."""
+    from datastream_delta_plugins_spark.operators.avi import (
+        _chunk, _list)
+
+    plain = encode_avi([_solid_frame(0)], 16, 16)
+    i = plain.index(b"LIST", plain.index(b"movi") - 8)
+    body = _chunk(b"00dc", _solid_frame(0))
+    for _ in range(800):
+        body = _list(b"rec ", body)
+    rebuilt = bytearray(plain[:i] + _list(b"movi", body))
+    rebuilt[4:8] = struct.pack("<I", len(rebuilt) - 8)
+    with pytest.raises(ValueError, match="nesting exceeds"):
+        demux_avi(bytes(rebuilt))
+
+
+def test_second_video_stream_does_not_own_fps():
+    """With two vids streams, the demuxed frames AND the reported fps
+    both belong to the first; the second stream (even a non-MJPG one)
+    is ignored."""
+    frames = [_solid_frame(s) for s in range(2)]
+    avi = encode_avi(frames, 16, 16, fps=10)
+    # duplicate the strl LIST as a second stream with fps 30 and H264
+    i = avi.index(b"LIST", avi.index(b"strl") - 12)
+    size = struct.unpack("<I", avi[i + 4:i + 8])[0]
+    strl = bytearray(avi[i:i + 8 + size])
+    j = strl.index(b"MJPG")
+    strl[j:j + 4] = b"H264"
+    j = strl.index(b"strh")
+    strl[j + 8 + 24:j + 8 + 28] = struct.pack("<I", 30)   # rate -> 30
+    hdrl_i = avi.index(b"hdrl")
+    hdrl_size_at = hdrl_i - 8 + 4
+    out = bytearray(avi[:i + 8 + size] + bytes(strl)
+                    + avi[i + 8 + size:])
+    # grow the hdrl LIST and RIFF sizes by the inserted strl bytes
+    grow = len(strl)
+    old_hdrl = struct.unpack("<I", out[hdrl_size_at:hdrl_size_at + 4])[0]
+    out[hdrl_size_at:hdrl_size_at + 4] = struct.pack("<I",
+                                                     old_hdrl + grow)
+    out[4:8] = struct.pack("<I", len(out) - 8)
+    w, h, fps, got = demux_avi(bytes(out))
+    assert fps == 10            # first stream's rate, not 30
+    assert got == frames        # and only stream 0's chunks

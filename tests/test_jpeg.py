@@ -277,3 +277,55 @@ def test_encoder_input_validation():
         encode_jpeg(8, 8, bytes(10), n_channels=1)
     with pytest.raises(ValueError, match="positive"):
         encode_jpeg(0, 8, b"", n_channels=1)
+
+
+# ---- review-driven interop pins (the codec must match the PUBLIC
+# standard, not merely be self-consistent) ----
+
+def test_zigzag_matches_published_natural_order():
+    """ZIGZAG must be the T.81 Figure 5 scan (libjpeg's
+    jpeg_natural_order), pinned entry-by-entry: a transposed-but-
+    self-consistent table would pass every roundtrip test while
+    misreading every externally produced JPEG."""
+    from datastream_delta_plugins_spark.operators.jpeg import ZIGZAG_FLAT
+    std = [0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+           12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21,
+           28, 35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37,
+           44, 51, 58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47,
+           55, 62, 63]
+    assert list(ZIGZAG_FLAT) == std
+
+
+def test_fill_bytes_before_markers_accepted():
+    """T.81 B.1.1.2 allows any number of 0xFF fill bytes before a
+    marker; decoders must skip them."""
+    img = _solid_block_gray(16, 16, 4)
+    enc = encode_jpeg(16, 16, img.tobytes(), n_channels=1, quality=50)
+    i = enc.index(b"\xff\xdb")
+    padded = enc[:i] + b"\xff\xff\xff" + enc[i:]
+    w, h, ch, px = decode_jpeg(padded)
+    assert (w, h, ch) == (16, 16, 1)
+    assert np.array_equal(
+        np.frombuffer(px, dtype=np.uint8).reshape(16, 16), img)
+
+
+def test_single_component_scan_is_noninterleaved():
+    """T.81 A.2: a one-component scan ignores sampling factors (MCU =
+    one data unit over the component's own grid). A grayscale file
+    whose component declares 2x2 must decode identically to the 1x1
+    encoding of the same scan data."""
+    img = _solid_block_gray(32, 32, 6)
+    enc = bytearray(encode_jpeg(32, 32, img.tobytes(), n_channels=1,
+                                quality=50))
+    i = enc.index(b"\xff\xc0")
+    assert enc[i + 11] == 0x11            # component 1 sampling byte
+    enc[i + 11] = 0x22                    # declare 2x2 on the sole comp
+    w, h, ch, px = decode_jpeg(bytes(enc))
+    assert (w, h, ch) == (32, 32, 1)
+    assert np.array_equal(
+        np.frombuffer(px, dtype=np.uint8).reshape(32, 32), img)
+
+
+def test_encoder_rejects_16bit_overflow_dimensions():
+    with pytest.raises(ValueError, match="16-bit"):
+        encode_jpeg(70000, 8, bytes(70000 * 8), n_channels=1)
