@@ -257,7 +257,16 @@ def s02_ivf_topk(spark, sf_dir):
     hash-checks the whole routing machinery twice — including the
     index save/load + partition-pruned probe path, which was
     previously only value-tested. Pruned-probe (nprobe=3) recall is
-    asserted in tests/test_pipeline_ops.py."""
+    asserted in tests/test_pipeline_ops.py.
+
+    Tag 'int8' runs the same exhaustive probe against a SCALAR-
+    QUANTIZED index (store="int8": cells hold codes/scale/l2_norm,
+    ~4x smaller than float vectors — the 100 TB memory story): the
+    error-bounded screen provably keeps every true top-k member and
+    the survivors are rescored with the exact fold cosine against the
+    source table, so its rows must be bitwise identical to the other
+    two paths — one SQL truth now hash-checks quantize, screen-bound
+    math, and rescore end to end."""
     import shutil
     import tempfile
 
@@ -268,17 +277,28 @@ def s02_ivf_topk(spark, sf_dir):
                       "cos", "rn"))
     emb = load_table(spark, sf_dir, "embeddings")
     tmp = tempfile.mkdtemp(prefix="s02_ivf_")
+    tmp8 = tempfile.mkdtemp(prefix="s02_ivf8_")
     n_cells = 8
-    similarity.save_ivf_index(emb, tmp, k=n_cells)
+    # one k-means fit feeds BOTH index layouts
+    cells = similarity.kmeans_cells(emb, k=n_cells)
+    similarity.save_ivf_index(emb, tmp, k=n_cells, cells=cells)
     indexed = (similarity.ivf_topk_indexed(spark, tmp, emb.where(pred),
                                            k=5, nprobe=n_cells)
                .select(F.lit("indexed").alias("tag"), "q_id", "vec_id",
                        "cos", "rn"))
-    out = _psort(direct.unionByName(indexed), "tag", "q_id", "rn") \
-        .localCheckpoint(eager=True)
-    # the checkpoint pinned the (small) rows — the per-call index dir
+    similarity.save_ivf_index(emb, tmp8, k=n_cells, store="int8",
+                              cells=cells)
+    int8 = (similarity.ivf_topk_indexed(spark, tmp8, emb.where(pred),
+                                        k=5, nprobe=n_cells,
+                                        source_df=emb)
+            .select(F.lit("int8").alias("tag"), "q_id", "vec_id",
+                    "cos", "rn"))
+    out = _psort(direct.unionByName(indexed).unionByName(int8),
+                 "tag", "q_id", "rn").localCheckpoint(eager=True)
+    # the checkpoint pinned the (small) rows — the per-call index dirs
     # must not accumulate across the driver's best-of-N repetitions
     shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(tmp8, ignore_errors=True)
     return out
 
 
@@ -1125,5 +1145,7 @@ ORACLE_SQL: dict[str, str] = {
           SELECT 'direct' AS tag, * FROM topk
           UNION ALL
           SELECT 'indexed' AS tag, * FROM topk
+          UNION ALL
+          SELECT 'int8' AS tag, * FROM topk
         ) ORDER BY tag, q_id, rn""",
 }

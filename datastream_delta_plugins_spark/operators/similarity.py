@@ -265,9 +265,44 @@ def ivf_topk(df: DataFrame, query_pred: Column, k: int = 10,
                   .where(F.col("rn") <= k))
 
 
+def _quantized_cols(df: DataFrame, vec_col: str, id_col: str,
+                    extra: list[str]) -> DataFrame:
+    """The ONE symmetric-int8 quantization expression set (s =
+    max|x|/127, c_i = rint(x_i/s); all-zero vectors get scale 0 and
+    zero codes) — shared by quantize_embeddings and the int8 index
+    writer so the stored codes can never diverge from the public
+    quantization API (or from the screen's scale/2 error premise).
+    Returns (id, _v double[], _scale, codes tinyint[], *extra)."""
+    v = F.transform(vec_col, lambda x: x.cast("double"))
+    base = (df.select(F.col(id_col), v.alias("_v"), *extra)
+              .withColumn("_scale",
+                          F.array_max(F.transform("_v", F.abs))
+                          / F.lit(127.0)))
+    codes = F.when(
+        F.col("_scale") > 0.0,
+        F.transform("_v", lambda x: F.rint(x / F.col("_scale"))
+                    .cast("tinyint"))
+    ).otherwise(F.transform("_v", lambda x: F.lit(0).cast("tinyint")))
+    return base.withColumn("codes", codes)
+
+
+def _int8_index_rows(df: DataFrame, vec_col: str, id_col: str,
+                     extra: list[str]) -> DataFrame:
+    """Index-row transform for the int8 store: the shared quantization
+    columns PLUS the exact float l2 norm, which the error-bounded
+    screen needs to turn an approximate dot into a cosine interval."""
+    base = _quantized_cols(df, vec_col, id_col, extra)
+    norm = F.sqrt(F.aggregate("_v", F.lit(0.0),
+                              lambda acc, x: acc + x * x))
+    return base.select(id_col, "codes",
+                       F.col("_scale").alias("scale"),
+                       norm.alias("l2_norm"), *extra)
+
+
 def save_ivf_index(df: DataFrame, path: str, k: int = 8,
                    vec_col: str = "embedding", id_col: str = "vec_id",
-                   seed: int = 42) -> None:
+                   seed: int = 42, store: str = "float",
+                   cells: DataFrame | None = None) -> None:
     """Persist an IVF index: the corpus re-laid-out as parquet
     PARTITIONED BY cell id, plus the cell centroids.
 
@@ -278,12 +313,30 @@ def save_ivf_index(df: DataFrame, path: str, k: int = 8,
     k-means fit + one shuffle by cell; amortized across every query
     against the index (re-fitting per query, what ivf_topk does when
     handed raw vectors, is never the production path).
+
+    ``store="int8"`` writes quantized cells instead of raw vectors —
+    (codes array<tinyint>, scale, l2_norm) per row, ~4x smaller on
+    disk and in probe-scan memory than float32 arrays — the standard
+    scalar-quantization ANN trade (FAISS SQ8). Probing such an index
+    (ivf_topk_indexed) screens with a PROVABLY-safe error interval and
+    rescores survivors against the original vectors, so results stay
+    bitwise identical to the float index over the same probed cells;
+    the query side must supply `source_df` for the rescore.
     """
-    cells = kmeans_cells(df, k=k, vec_col=vec_col, id_col=id_col,
-                         seed=seed)
-    (cells.repartition("_cell")
-          .write.mode("overwrite").partitionBy("_cell")
-          .parquet(f"{path}/cells"))
+    if store not in ("float", "int8"):
+        raise ValueError(f"store must be 'float' or 'int8', got {store!r}")
+    if cells is None:
+        # callers writing BOTH layouts of one corpus (e.g. s02) pass
+        # precomputed cells so the k-means fit runs once, not per store
+        cells = kmeans_cells(df, k=k, vec_col=vec_col, id_col=id_col,
+                             seed=seed)
+    rows = (_int8_index_rows(cells, vec_col, id_col, ["_cell"])
+            if store == "int8" else cells)
+    (rows.repartition("_cell")
+         .write.mode("overwrite").partitionBy("_cell")
+         .parquet(f"{path}/cells"))
+    # centroids always come from the float vectors (they are tiny and
+    # probe routing must not inherit quantization error)
     cents = cell_centroids(cells, "_cell", vec_col=vec_col,
                            id_col=id_col)
     cents.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
@@ -292,7 +345,8 @@ def save_ivf_index(df: DataFrame, path: str, k: int = 8,
 def ivf_topk_indexed(spark, path: str, query_df: DataFrame, k: int = 10,
                      nprobe: int = 3, vec_col: str = "embedding",
                      id_col: str = "vec_id",
-                     exclude_query_ids: bool = True) -> DataFrame:
+                     exclude_query_ids: bool = True,
+                     source_df: DataFrame | None = None) -> DataFrame:
     """Approximate top-k against a saved IVF index.
 
     `query_df` supplies (`id_col`, `vec_col`) rows — the id is emitted
@@ -310,6 +364,22 @@ def ivf_topk_indexed(spark, path: str, query_df: DataFrame, k: int = 10,
     query_df has its OWN id space: an id collision there is an
     unrelated vector, and excluding it would silently drop a true
     neighbor.
+
+    Against an int8 index (save_ivf_index(store="int8"); detected from
+    the cells schema), the probed cells carry (codes, scale, l2_norm)
+    instead of vectors. Scoring is then a two-stage EXACT pipeline:
+    (1) an error-bounded screen — the approximate cosine from the
+    reconstructed dot lives in [a - e, a + e] with
+    e = (l1(q) * scale/2) / (|q| * l2_norm) + SCREEN_MARGIN, because
+    each reconstructed component is within scale/2 of the original;
+    per query, tau = the k-th largest lower bound, and every row whose
+    upper bound reaches tau survives — a true top-k member can never
+    be screened out (if its true cosine were below tau, k rows would
+    provably beat it); (2) survivors (~k + boundary ties per query)
+    join `source_df` (REQUIRED for int8: the original vectors; the
+    index deliberately does not store them) and are rescored with the
+    same sequential-fold cosine as the float path, so emitted values
+    are bitwise identical to a float index over the same probed cells.
     """
     cents = spark.read.parquet(f"{path}/centroids")
     q = query_df.select(
@@ -326,16 +396,90 @@ def ivf_topk_indexed(spark, path: str, query_df: DataFrame, k: int = 10,
     probes = _persist_tracked("ivf.probes", probes)
     cell_ids = [r[0] for r in probes.select("_cell")
                 .distinct().collect()]  # <= |Q| x nprobe ints
-    e = (spark.read.parquet(f"{path}/cells")
-         .where(F.col("_cell").isin(cell_ids))  # static -> pruned
-         .select(F.col(id_col), F.col("_cell").cast("int").alias("_cell"),
-                 F.transform(vec_col, lambda x: x.cast("double"))
-                  .alias("_v")))
+    cells = (spark.read.parquet(f"{path}/cells")
+             .where(F.col("_cell").isin(cell_ids)))  # static -> pruned
+    if "codes" in cells.columns:
+        return _int8_screen_rescore(cells, probes, source_df, k,
+                                    id_col, vec_col, exclude_query_ids)
+    e = cells.select(F.col(id_col),
+                     F.col("_cell").cast("int").alias("_cell"),
+                     F.transform(vec_col, lambda x: x.cast("double"))
+                      .alias("_v"))
     scored = probes.join(e, "_cell")
     if exclude_query_ids:
         scored = scored.where(F.col("q_id") != F.col(id_col))
     scored = scored.select("q_id", id_col,
                            cosine(F.col("_qv"), F.col("_v")).alias("cos"))
+    w = W.partitionBy("q_id").orderBy(F.desc("cos"), F.col(id_col))
+    return (scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
+                  .where(F.col("rn") <= k))
+
+
+def _int8_screen_rescore(cells: DataFrame, probes: DataFrame,
+                         source_df: DataFrame | None, k: int,
+                         id_col: str, vec_col: str,
+                         exclude_query_ids: bool) -> DataFrame:
+    """The int8 probe pipeline: error-bounded screen over quantized
+    cells, exact fold-cosine rescore of the survivors against the
+    source vectors (see ivf_topk_indexed's docstring for the
+    no-false-dismissal argument). `source_df` must carry every indexed
+    id exactly once: a missing id fails loudly in-plan (see below), a
+    duplicated id would duplicate its candidate rows."""
+    if source_df is None:
+        raise ValueError(
+            "an int8 IVF index stores quantized codes only; pass "
+            "source_df (the original embedding table) for the exact "
+            "rescore of screen survivors")
+    e = cells.select(F.col(id_col),
+                     F.col("_cell").cast("int").alias("_cell"),
+                     "codes", "scale", "l2_norm")
+    q = probes.withColumn(
+        "_ql1", F.aggregate("_qv", F.lit(0.0),
+                            lambda acc, x: acc + F.abs(x))
+    ).withColumn(
+        "_qn", F.sqrt(F.aggregate("_qv", F.lit(0.0),
+                                  lambda acc, x: acc + x * x)))
+    cand = q.join(e, "_cell")
+    if exclude_query_ids:
+        cand = cand.where(F.col("q_id") != F.col(id_col))
+    denom = F.col("_qn") * F.col("l2_norm")
+    approx_dot = F.aggregate(
+        F.zip_with("_qv", "codes",
+                   lambda x, c: x * c.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x) * F.col("scale")
+    # zero-norm on either side: the fold cosine DEFINES the value as
+    # 0.0, exactly — interval collapses to a point
+    a = F.when(denom == 0.0, F.lit(0.0)).otherwise(approx_dot / denom)
+    err = F.when(denom == 0.0, F.lit(0.0)).otherwise(
+        F.col("_ql1") * F.col("scale") / F.lit(2.0) / denom
+        + F.lit(SCREEN_MARGIN))
+    cand = cand.select("q_id", id_col, "_qv",
+                       (a - err).alias("_lo"), (a + err).alias("_hi"))
+    w_lo = W.partitionBy("q_id").orderBy(F.desc("_lo"), F.col(id_col))
+    w_all = W.partitionBy("q_id")
+    cand = (cand.withColumn("_rl", F.row_number().over(w_lo))
+                .withColumn("_tau", F.min(F.when(F.col("_rl") <= k,
+                                                 F.col("_lo")))
+                                     .over(w_all))
+                .where(F.col("_hi") >= F.col("_tau")))
+    src = source_df.select(
+        F.col(id_col),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("_sv"))
+    # LEFT join + in-plan assertion: a survivor whose id is absent
+    # from source_df means the caller passed a stale/filtered source —
+    # an inner join would silently drop that true neighbor and
+    # backfill rank k with a worse row, violating the exactness
+    # contract. assert_true rides a filter so it cannot be pruned.
+    scored = (cand.join(src, id_col, "left")
+                  .where(F.assert_true(
+                      F.col("_sv").isNotNull(),
+                      F.concat(F.lit(
+                          "int8 IVF rescore: indexed id missing from "
+                          "source_df (stale or filtered source): "),
+                          F.col(id_col).cast("string"))).isNull())
+                  .select("q_id", id_col,
+                          cosine(F.col("_qv"), F.col("_sv"))
+                          .alias("cos")))
     w = W.partitionBy("q_id").orderBy(F.desc("cos"), F.col(id_col))
     return (scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
                   .where(F.col("rn") <= k))
@@ -371,17 +515,7 @@ def quantize_embeddings(df: DataFrame, vec_col: str = "embedding",
     expressions; rint() half-even on both engines keeps the codes
     cross-engine reproducible.
     """
-    v = F.transform(vec_col, lambda x: x.cast("double"))
-    base = (df.select(F.col(id_col), v.alias("_v"))
-              .withColumn("_scale",
-                          F.array_max(F.transform("_v", F.abs))
-                          / F.lit(127.0)))
-    codes = F.when(
-        F.col("_scale") > 0.0,
-        F.transform("_v", lambda x: F.rint(x / F.col("_scale"))
-                    .cast("tinyint"))
-    ).otherwise(F.transform("_v", lambda x: F.lit(0).cast("tinyint")))
-    staged = base.withColumn("codes", codes)
+    staged = _quantized_cols(df, vec_col, id_col, [])
     err = F.when(
         F.col("_scale") > 0.0,
         F.array_max(F.zip_with(
@@ -406,7 +540,12 @@ def ivf_append(spark, path: str, new_df: DataFrame,
     documented trade: after heavy appends whose distribution shifts,
     rebuild with save_ivf_index (cell-size skew is the signal — see
     ivf_cell_stats). Returns the number of appended rows.
+
+    The stored layout is honored: appending to an int8 index (schema
+    carries `codes`) quantizes the new rows with the same transform,
+    so a mixed-layout cell directory can never arise.
     """
+    int8_store = "codes" in spark.read.parquet(f"{path}/cells").columns
     cents = spark.read.parquet(f"{path}/centroids")  # (_cell, centroid)
     v = new_df.select(
         F.col(id_col), F.col(vec_col),
@@ -425,9 +564,11 @@ def ivf_append(spark, path: str, new_df: DataFrame,
          .select(id_col, vec_col,
                  F.col("_cell").cast("int").alias("_cell")))
     n = assigned.count()
-    (assigned.repartition("_cell")
-             .write.mode("append").partitionBy("_cell")
-             .parquet(f"{path}/cells"))
+    rows = (_int8_index_rows(assigned, vec_col, id_col, ["_cell"])
+            if int8_store else assigned)
+    (rows.repartition("_cell")
+         .write.mode("append").partitionBy("_cell")
+         .parquet(f"{path}/cells"))
     return n
 
 

@@ -1,0 +1,160 @@
+"""int8 (scalar-quantized) IVF index tests: the quantized store must be
+bitwise-indistinguishable from the float store at query time (the
+error-bounded screen provably never drops a true top-k member; the
+rescore reruns the exact fold cosine), while the cells on disk carry
+~4x less vector payload.
+"""
+
+import shutil
+import tempfile
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from datastream_delta_plugins_spark.operators import similarity
+from datastream_delta_plugins_spark.sources import load_table
+
+
+@pytest.fixture(scope="module")
+def indexes(spark, sf_correctness):
+    emb = load_table(spark, sf_correctness, "embeddings")
+    tmpf = tempfile.mkdtemp(prefix="ivf_float_")
+    tmpq = tempfile.mkdtemp(prefix="ivf_int8_")
+    similarity.save_ivf_index(emb, tmpf, k=8)
+    similarity.save_ivf_index(emb, tmpq, k=8, store="int8")
+    yield emb, tmpf, tmpq
+    shutil.rmtree(tmpf, ignore_errors=True)
+    shutil.rmtree(tmpq, ignore_errors=True)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_int8_bitwise_matches_float_exhaustive(spark, indexes):
+    """Exhaustive probes: every (q_id, vec_id, cos, rn) row — values
+    bitwise — must match the float index."""
+    emb, tmpf, tmpq = indexes
+    q = emb.where(F.col("vec_id") % 50 == 0)
+    a = similarity.ivf_topk_indexed(spark, tmpf, q, k=5, nprobe=8)
+    b = similarity.ivf_topk_indexed(spark, tmpq, q, k=5, nprobe=8,
+                                    source_df=emb)
+    ra, rb = _rows(a), _rows(b)
+    assert ra and ra == rb
+
+
+def test_int8_bitwise_matches_float_pruned(spark, indexes):
+    """Pruned probes (nprobe=3): both indexes share centroids built
+    from the float vectors, so they probe the SAME cells — results
+    must again be bitwise equal (exactness is within probed cells)."""
+    emb, tmpf, tmpq = indexes
+    q = emb.where(F.col("vec_id") % 50 == 0)
+    a = similarity.ivf_topk_indexed(spark, tmpf, q, k=5, nprobe=3)
+    b = similarity.ivf_topk_indexed(spark, tmpq, q, k=5, nprobe=3,
+                                    source_df=emb)
+    ra, rb = _rows(a), _rows(b)
+    assert ra and ra == rb
+
+
+def test_int8_cells_store_no_float_vectors(spark, indexes):
+    """The quantized layout is (codes tinyint[], scale, l2_norm) —
+    the float vector column must be absent, and the code payload is
+    1 byte/dim vs 8 (double) / 4 (float32)."""
+    _emb, _tmpf, tmpq = indexes
+    cells = spark.read.parquet(f"{tmpq}/cells")
+    assert "codes" in cells.columns and "embedding" not in cells.columns
+    f = cells.schema["codes"].dataType
+    assert f.elementType.typeName() == "byte"
+    r = cells.select("codes", "scale", "l2_norm").first()
+    assert all(-127 <= c <= 127 for c in r["codes"])
+    assert r["scale"] >= 0.0 and r["l2_norm"] >= 0.0
+
+
+def test_int8_reconstruction_error_within_bound(spark, sf_correctness):
+    """|codes*scale - x| <= scale/2 per dimension — the premise the
+    screen's no-false-dismissal proof rests on."""
+    emb = load_table(spark, sf_correctness, "embeddings").limit(200)
+    rows = similarity._int8_index_rows(emb, "embedding", "vec_id", []) \
+        .join(emb.select("vec_id", "embedding"), "vec_id").collect()
+    assert rows
+    for r in rows:
+        x = np.array(r["embedding"], dtype=np.float64)
+        rec = np.array(r["codes"], dtype=np.float64) * r["scale"]
+        if r["scale"] > 0:
+            assert np.abs(rec - x).max() <= r["scale"] / 2 + 1e-12
+        else:
+            assert (x == 0).all() and (rec == 0).all()
+        assert abs(np.sqrt((x * x).sum()) - r["l2_norm"]) <= 1e-9
+
+
+def test_int8_append_preserves_layout_and_results(spark, indexes):
+    """ivf_append on an int8 index quantizes the new rows (no mixed
+    layout) and the appended vectors are findable."""
+    emb, _tmpf, tmpq = indexes
+    tmp = tempfile.mkdtemp(prefix="ivf_int8_app_")
+    try:
+        similarity.save_ivf_index(emb, tmp, k=8, store="int8")
+        new = (emb.where(F.col("vec_id") % 97 == 0)
+                  .withColumn("vec_id", F.col("vec_id") + 10_000_000))
+        n = similarity.ivf_append(spark, tmp, new)
+        assert n == new.count()
+        cells = spark.read.parquet(f"{tmp}/cells")
+        assert "codes" in cells.columns and "embedding" not in cells.columns
+        # a duplicated vector must surface its clone at cos == 1.0
+        src = emb.unionByName(new)
+        q = new.limit(1)
+        got = similarity.ivf_topk_indexed(
+            spark, tmp, q, k=1, nprobe=8, source_df=src).collect()
+        assert len(got) == 1 and got[0]["cos"] == 1.0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_int8_requires_source_df(spark, indexes):
+    emb, _tmpf, tmpq = indexes
+    q = emb.where(F.col("vec_id") % 50 == 0)
+    with pytest.raises(ValueError, match="source_df"):
+        similarity.ivf_topk_indexed(spark, tmpq, q, k=5, nprobe=3)
+
+
+def test_save_ivf_index_rejects_unknown_store(spark, indexes):
+    emb, _tmpf, _tmpq = indexes
+    with pytest.raises(ValueError, match="store"):
+        similarity.save_ivf_index(emb, "/tmp/nope", k=8, store="pq")
+
+
+def test_int8_screen_survives_adversarial_near_ties(spark):
+    """Vectors engineered so quantized scores collapse onto near-ties:
+    a greedy top-k on APPROX scores would misrank; the error-bounded
+    screen + exact rescore must still match brute force exactly."""
+    rng = np.random.default_rng(13)
+    base = rng.normal(size=24)
+    rows = []
+    for i in range(120):
+        # tight cone around `base`: true cosines differ in the 4th
+        # decimal, far below int8 quantization error
+        v = base + rng.normal(scale=1e-3, size=24)
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    tmp = tempfile.mkdtemp(prefix="ivf_ties_")
+    try:
+        similarity.save_ivf_index(emb, tmp, k=2, store="int8")
+        q = emb.where(F.col("vec_id") < 3)
+        got = similarity.ivf_topk_indexed(
+            spark, tmp, q, k=5, nprobe=2, source_df=emb)
+        brute = similarity.cosine_topk(emb, F.col("vec_id") < 3, k=5)
+        assert _rows(got) == _rows(brute)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_int8_stale_source_fails_loudly(spark, indexes):
+    """A source_df missing indexed ids must raise in-plan, not
+    silently backfill rank k with worse rows."""
+    emb, _tmpf, tmpq = indexes
+    q = emb.where(F.col("vec_id") % 50 == 0)
+    stale = emb.where(F.col("vec_id") % 7 != 0)   # drop ~1/7 of ids
+    with pytest.raises(Exception, match="missing from"):
+        similarity.ivf_topk_indexed(
+            spark, tmpq, q, k=5, nprobe=8, source_df=stale).collect()
