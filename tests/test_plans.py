@@ -238,3 +238,39 @@ def test_mix_corpora_plan_is_one_scan_per_branch_no_python(
     # the epoch count (scan_count counts plan NODES, not substrings)
     assert scan_count(mixed) <= 4
     assert "explode" in plan.lower() or "generate" in plan.lower()
+
+
+def test_int8_ivf_probe_partition_pruned_no_python(spark, sf_smoke):
+    """The int8 index's 100 TB contract: the probe reads only the
+    probed cells (PartitionFilters on _cell reaches the scan — the
+    static IN-list, not a dynamic join), and the whole screen+rescore
+    pipeline is Catalyst-only (no BatchEvalPython/ArrowEvalPython —
+    a Python stage here would serialize every probed cell through the
+    worker)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from datastream_delta_plugins_spark.operators import similarity
+    from datastream_delta_plugins_spark.sources import load_table
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    tmp = tempfile.mkdtemp(prefix="ivf_plan_")
+    try:
+        similarity.save_ivf_index(emb, tmp, k=4, store="int8")
+        df = similarity.ivf_topk_indexed(
+            spark, tmp, emb.where(F.col("vec_id") % 50 == 0),
+            k=5, nprobe=2, source_df=emb)
+        plan = formatted_plan(df)
+        assert "EvalPython" not in plan          # Batch/Arrow both
+        assert "_cell" in plan and "PartitionFilters" in plan
+        # the probed-cell predicate must be static IN (...), visible
+        # in at least one scan's partition filters
+        import re
+        pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+        assert any("_cell" in ln and ln.count("[") >= 1 for ln in pf)
+        assert any(re.search(r"_cell.* IN |_cell#\d+ IN ", ln)
+                   for ln in pf), pf
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
