@@ -49,7 +49,16 @@ def get_spark(app_name: str = "datastream-delta-spark",
         # every scan stage on one core. At cluster scale the byte-size
         # rule dominates and this hint is a no-op.
         .config("spark.sql.files.minPartitionNum", str(cpus))
-        .config("spark.sql.adaptive.enabled", "true")
+        # AQE default ON (skew-join splits + partition coalescing are
+        # the 100 TB posture, and the multi-exchange operators need its
+        # coalescing: d03 measured 0.6 s with AQE vs 1.5-2.0 s without,
+        # its 8 exchanges paying full-width task counts). The
+        # SPARK_GRAFT_AQE=false escape hatch exists for single-exchange
+        # interactive workloads, where AQE's job-per-exchange launches
+        # cost ~15-20% (measured on the bench's floor-bound queries) —
+        # an operator tuning choice, never required for correctness.
+        .config("spark.sql.adaptive.enabled",
+                os.environ.get("SPARK_GRAFT_AQE", "true"))
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # nanos-timestamp parquet (events.ts) reads as long session-wide;
