@@ -977,7 +977,8 @@ def append_minhash_index(spark, path: str, new_df: DataFrame,
 
 def dedup_against_index(spark, path: str, new_df: DataFrame,
                         threshold: float = 0.8, text_col: str = "text",
-                        id_col: str = "doc_id", n: int = 3) -> DataFrame:
+                        id_col: str = "doc_id", n: int = 3,
+                        batch_lt: int | None = None) -> DataFrame:
     """Near-dup matches of a NEW batch against a saved corpus index:
     returns (new_id, index_id, jac) for every new doc whose exact
     (hash-array) Jaccard against an LSH-candidate index doc clears
@@ -990,12 +991,26 @@ def dedup_against_index(spark, path: str, new_df: DataFrame,
     rows read into the verify join — per-batch cost is one scan of
     the (signature-sized) index plus work proportional to the batch,
     with NO shuffle of index data and NO access to corpus text.
+
+    ``batch_lt`` (streaming ingest protocol — see
+    streaming/dedup_ingest.py): probe only index rows whose `_batch`
+    stamp is strictly below it, so a replayed micro-batch sees the
+    same index SNAPSHOT it saw the first time even after its own
+    partial append, making the novel-set decision replay-
+    deterministic. Requires a `_batch`-stamped index.
     """
     _check_index_meta(path, n)
     sig = _persist_tracked("index.probe.sig",
                            minhash_signatures(new_df, text_col, id_col, n))
     new_bands = banded_signatures(sig, id_col)
     stored = spark.read.parquet(f"{path}/bands")
+    if batch_lt is not None:
+        if "_batch" not in stored.columns:
+            raise ValueError(
+                "batch_lt requires a _batch-stamped index (built by "
+                "streaming/dedup_ingest.py); this index has no _batch "
+                "column")
+        stored = stored.where(F.col("_batch") < batch_lt)
     cand = (stored.alias("a")
             .join(F.broadcast(new_bands.alias("b")), ["band", "sig"])
             .select(F.col(f"a.{id_col}").alias("index_id"),
@@ -1009,7 +1024,10 @@ def dedup_against_index(spark, path: str, new_df: DataFrame,
     cand = (cand.withColumn("_isig", F.lit(_index_content_sig(path)))
                 .drop("_isig"))
     cand = _persist_tracked("index.probe.cand", cand)
-    old_sh = (spark.read.parquet(f"{path}/shingles")
+    old_sh = spark.read.parquet(f"{path}/shingles")
+    if batch_lt is not None:
+        old_sh = old_sh.where(F.col("_batch") < batch_lt)
+    old_sh = (old_sh
               .join(F.broadcast(cand.select(F.col("index_id")
                                             .alias(id_col)).distinct()),
                     id_col, "semi")

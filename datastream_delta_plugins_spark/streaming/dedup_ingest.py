@@ -1,0 +1,151 @@
+"""Continuous corpus ingestion with near-dup gating — the streaming
+composition of the incremental MinHash index (operators/dedup.py:
+save/append/dedup_against_index) over `foreachBatch`.
+
+Production shape: documents arrive as a stream; every micro-batch is
+(1) exact-deduped within itself, (2) near-dup-matched against the
+PERSISTED index without touching indexed text, and (3) only the novel
+documents are appended to the corpus and the index. Per-batch cost is
+one signature-sized index scan plus work proportional to the batch —
+the same scale contract as `dedup_against_index`.
+
+Replay protocol (foreachBatch is at-least-once; this makes the
+OUTPUT effectively exactly-once):
+
+- every index row (bands + shingles) carries a ``_batch`` stamp; the
+  seed corpus is batch -1, micro-batch N appends stamp N;
+- batch N probes ONLY rows with ``_batch < N`` — so a replayed batch
+  sees the exact index snapshot its first attempt saw, even after
+  that attempt's own partial append, making the novel-set decision
+  REPLAY-DETERMINISTIC;
+- novel docs land in ``{corpus}/batch_id=N`` with mode=overwrite — a
+  replay rewrites the same rows onto the same path, never duplicates;
+- a marker file closes the batch; closed batches skip entirely;
+- the one replay residue is duplicate index ROWS from a crash between
+  the index append and the marker write: harmless for correctness
+  (candidate/match joins are set-semantics — a doc matching twice is
+  still matched) and bounded by failure count, not data volume.
+
+Contract: document ids are producer-assigned and globally unique
+across the stream and the seed (the same contract every id-keyed
+dedup operator in this engine carries).
+
+Reference parity note: the reference plugin replicates change events
+and has no dedup plane (SURVEY.md §2); this module belongs to the
+training-data-pipeline surface the engine adds on top. Its
+at-least-once-to-exactly-once batch protocol mirrors the engine's own
+CDC landing discipline (attempt-unique outputs + snapshot-stamped
+reads, sources/avro_landing.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.dedup import (
+    _check_index_meta, _index_meta, _shingle_hash_arrays,
+    banded_signatures, dedup_against_index, minhash_signatures,
+    norm_text)
+
+
+class DedupIngest:
+    """Stateful handle for one continuously-ingested, deduped corpus.
+
+    Usage::
+
+        ingest = DedupIngest(index_path, corpus_path, threshold=0.8)
+        ingest.init_index(seed_docs)          # once, idempotent guard
+        (docs_stream.writeStream
+            .foreachBatch(ingest.apply_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start())
+
+    The accepted corpus is ``spark.read.parquet(corpus_path)``
+    (batch_id partition column included).
+    """
+
+    def __init__(self, index_path: str, corpus_path: str,
+                 threshold: float = 0.8, text_col: str = "text",
+                 id_col: str = "doc_id", n: int = 3):
+        self.index_path = index_path
+        self.corpus_path = corpus_path
+        self.threshold = threshold
+        self.text_col = text_col
+        self.id_col = id_col
+        self.n = n
+
+    # ---------------------------------------------------- internals
+
+    def _marker_dir(self) -> str:
+        return os.path.join(self.index_path, "_ingest_markers")
+
+    def _marker(self, batch_id: int) -> str:
+        return os.path.join(self._marker_dir(), f"batch-{batch_id}.json")
+
+    def _write_index_rows(self, df: DataFrame, batch_id: int,
+                          mode: str) -> None:
+        sig = minhash_signatures(df, self.text_col, self.id_col, self.n)
+        (banded_signatures(sig, self.id_col)
+         .withColumn("_batch", F.lit(int(batch_id)))
+         .write.mode(mode).parquet(f"{self.index_path}/bands"))
+        (_shingle_hash_arrays(df, self.text_col, self.id_col, self.n)
+         .withColumn("_batch", F.lit(int(batch_id)))
+         .write.mode(mode).parquet(f"{self.index_path}/shingles"))
+
+    # ------------------------------------------------------- API
+
+    def init_index(self, seed_df: DataFrame) -> None:
+        """Build the _batch-stamped index from the seed corpus (stamp
+        -1). Idempotent: an already-initialized index is left alone so
+        a restarted driver never wipes accumulated batches."""
+        if os.path.exists(os.path.join(self.index_path,
+                                       "_index_meta.json")):
+            _check_index_meta(self.index_path, self.n)
+            return
+        self._write_index_rows(seed_df, -1, "overwrite")
+        os.makedirs(self.index_path, exist_ok=True)
+        with open(os.path.join(self.index_path,
+                               "_index_meta.json"), "w") as f:
+            json.dump({**_index_meta(), "shingle_n": self.n}, f)
+
+    def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        """The foreachBatch body — see the module protocol."""
+        if os.path.exists(self._marker(batch_id)):
+            return                       # batch already fully applied
+        spark = batch_df.sparkSession
+        idc, txc = self.id_col, self.text_col
+
+        # (1) exact dedup WITHIN the batch (min id per normalized
+        # text); near-dups within one micro-batch are admitted
+        # together — the batch is the ingestion granularity, and the
+        # next batch's probe sees them all
+        w_ids = (batch_df
+                 .withColumn("_h", F.md5(norm_text(txc).cast("binary")))
+                 .groupBy("_h").agg(F.min(idc).alias(idc)).drop("_h"))
+        batch = batch_df.join(w_ids, idc, "semi")
+
+        # (2) near-dup match against the index SNAPSHOT < batch_id
+        matched = dedup_against_index(
+            spark, self.index_path, batch, self.threshold,
+            txc, idc, self.n, batch_lt=int(batch_id))
+        novel = batch.join(
+            matched.select(F.col("new_id").alias(idc)).distinct(),
+            idc, "left_anti").localCheckpoint(eager=True)
+
+        # (3) accepted docs -> per-batch dir, overwrite = idempotent
+        (novel.write.mode("overwrite")
+              .parquet(f"{self.corpus_path}/batch_id={int(batch_id)}"))
+
+        # (4) index append (stamped; replay duplicates are harmless —
+        # module docstring), then (5) the closing marker
+        self._write_index_rows(novel, int(batch_id), "append")
+        os.makedirs(self._marker_dir(), exist_ok=True)
+        tmp = self._marker(batch_id) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"batch_id": int(batch_id),
+                       "accepted": novel.count()}, f)
+        os.replace(tmp, self._marker(batch_id))

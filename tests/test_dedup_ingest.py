@@ -1,0 +1,185 @@
+"""Streaming dedup ingest (streaming/dedup_ingest.py): the
+foreachBatch composition of the incremental MinHash index. Pins the
+replay protocol — snapshot-stamped probes, idempotent per-batch corpus
+dirs, marker ledger — including the crash windows between corpus
+write, index append, and marker.
+"""
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from datastream_delta_plugins_spark.operators import dedup
+from datastream_delta_plugins_spark.streaming.dedup_ingest import DedupIngest
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _seed_txt(i):
+    return f"the quick brown fox jumps over the lazy dog number {i} " * 3
+FRESH_A = "completely fresh text about spark streaming ingestion pipelines"
+FRESH_B = "another unrelated novel document with its own words entirely"
+FRESH_C = "yet another genuinely new document streaming in at batch one"
+
+
+@pytest.fixture()
+def paths():
+    idx = tempfile.mkdtemp(prefix="di_idx_")
+    cor = os.path.join(tempfile.mkdtemp(prefix="di_cor_"), "corpus")
+    yield idx, cor
+    shutil.rmtree(idx, ignore_errors=True)
+    shutil.rmtree(os.path.dirname(cor), ignore_errors=True)
+
+
+def _seeded(spark, paths, threshold=0.6):
+    idx, cor = paths
+    ing = DedupIngest(idx, cor, threshold=threshold)
+    ing.init_index(_docs(spark, [(i, _seed_txt(i))
+                                 for i in range(10)]))
+    return ing
+
+
+def _accepted(spark, cor):
+    return sorted(r[0] for r in
+                  spark.read.parquet(cor).select("doc_id").collect())
+
+
+def test_batch_gates_near_exact_and_within_batch_dups(spark, paths):
+    ing = _seeded(spark, paths)
+    b0 = _docs(spark, [
+        (100, _seed_txt(3)),      # near/exact dup of seed 3
+        (101, FRESH_A),
+        (102, FRESH_A),                 # exact dup WITHIN the batch
+        (103, FRESH_B),
+    ])
+    ing.apply_batch(b0, 0)
+    assert _accepted(spark, paths[1]) == [101, 103]
+    # the accepted corpus carries the batch partition column
+    assert "batch_id" in spark.read.parquet(paths[1]).columns
+
+
+def test_next_batch_sees_previous_acceptances(spark, paths):
+    ing = _seeded(spark, paths)
+    ing.apply_batch(_docs(spark, [(101, FRESH_A), (103, FRESH_B)]), 0)
+    ing.apply_batch(_docs(spark, [
+        (200, FRESH_A),                 # dup of batch-0's accepted 101
+        (201, FRESH_C),
+    ]), 1)
+    assert _accepted(spark, paths[1]) == [101, 103, 201]
+
+
+def test_closed_batch_replay_is_noop(spark, paths):
+    ing = _seeded(spark, paths)
+    b0 = _docs(spark, [(101, FRESH_A), (103, FRESH_B)])
+    ing.apply_batch(b0, 0)
+    # a fresh handle (driver restart) replaying the same epoch
+    DedupIngest(paths[0], paths[1], threshold=0.6).apply_batch(b0, 0)
+    assert _accepted(spark, paths[1]) == [101, 103]
+
+
+def test_crash_after_index_append_before_marker(spark, paths):
+    """The worst window: index rows for the batch exist but the marker
+    does not. The replay's snapshot probe (_batch < N) must ignore the
+    partial append, recompute the SAME novel set, and overwrite the
+    same corpus dir — no loss, no duplication."""
+    ing = _seeded(spark, paths)
+    b1 = _docs(spark, [(200, FRESH_A), (201, FRESH_C)])
+    ing.apply_batch(_docs(spark, [(101, FRESH_A)]), 0)
+    ing.apply_batch(b1, 1)
+    os.remove(ing._marker(1))           # simulate the crash window
+    ing.apply_batch(b1, 1)
+    assert _accepted(spark, paths[1]) == [101, 201]
+    # duplicate index rows from the replay are tolerated (set-semantics
+    # joins); a THIRD batch still gates correctly against doc 201
+    ing.apply_batch(_docs(spark, [(300, FRESH_C), (301, FRESH_B)]), 2)
+    assert _accepted(spark, paths[1]) == [101, 201, 301]
+
+
+def test_crash_before_index_append(spark, paths):
+    """Crash right after the corpus write: replay overwrites the dir
+    with the identical rows and performs the append once."""
+    ing = _seeded(spark, paths)
+    b0 = _docs(spark, [(101, FRESH_A)])
+    orig = ing._write_index_rows
+    calls = {"n": 0}
+
+    def boom(df, batch_id, mode):
+        if mode == "append" and calls["n"] == 0:
+            calls["n"] += 1
+            raise RuntimeError("injected crash before index append")
+        orig(df, batch_id, mode)
+
+    ing._write_index_rows = boom
+    with pytest.raises(RuntimeError):
+        ing.apply_batch(b0, 0)
+    ing._write_index_rows = orig
+    ing.apply_batch(b0, 0)
+    assert _accepted(spark, paths[1]) == [101]
+    # exactly one index generation for the batch: probing from the
+    # next epoch finds the doc once and gates its duplicate
+    ing.apply_batch(_docs(spark, [(200, FRESH_A)]), 1)
+    assert _accepted(spark, paths[1]) == [101]
+
+
+def test_init_index_idempotent_and_layout_checked(spark, paths):
+    ing = _seeded(spark, paths)
+    ing.apply_batch(_docs(spark, [(101, FRESH_A)]), 0)
+    # re-init (driver restart) must not wipe accumulated batches
+    ing.init_index(_docs(spark, [(0, _seed_txt(0))]))
+    ing.apply_batch(_docs(spark, [(200, FRESH_A)]), 1)
+    assert _accepted(spark, paths[1]) == [101]
+
+
+def test_batch_lt_requires_stamped_index(spark, paths):
+    """A plain (non-streaming) index has no _batch column; the
+    snapshot probe must refuse it instead of silently mis-filtering."""
+    idx = tempfile.mkdtemp(prefix="plain_idx_")
+    try:
+        dedup.save_minhash_index(
+            _docs(spark, [(1, FRESH_A)]), idx)
+        with pytest.raises(ValueError, match="_batch"):
+            dedup.dedup_against_index(
+                spark, idx, _docs(spark, [(2, FRESH_B)]),
+                batch_lt=0).collect()
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+def test_writestream_end_to_end(spark, paths):
+    """The real streaming surface: a file-source readStream drives the
+    foreachBatch writer; after availableNow drains, the corpus holds
+    exactly the novel docs."""
+    ing = _seeded(spark, paths)
+    src = tempfile.mkdtemp(prefix="di_src_")
+    ckpt = tempfile.mkdtemp(prefix="di_ckpt_")
+    try:
+        _docs(spark, [
+            (100, _seed_txt(5)),  # dup of seed
+            (101, FRESH_A),
+            (103, FRESH_B),
+        ]).write.mode("overwrite").parquet(src)
+        stream = (spark.readStream
+                  .schema("doc_id long, text string").parquet(src))
+        q = (stream.writeStream.foreachBatch(ing.apply_batch)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        assert _accepted(spark, paths[1]) == [101, 103]
+        # second tranche of files through the SAME checkpoint
+        _docs(spark, [(200, FRESH_A), (201, FRESH_C)]) \
+            .write.mode("append").parquet(src)
+        q = (spark.readStream
+             .schema("doc_id long, text string").parquet(src)
+             .writeStream.foreachBatch(ing.apply_batch)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        assert _accepted(spark, paths[1]) == [101, 103, 201]
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
