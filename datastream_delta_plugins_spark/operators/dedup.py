@@ -965,8 +965,17 @@ def append_minhash_index(spark, path: str, new_df: DataFrame,
                          n: int = 3) -> None:
     """Append accepted new docs to a saved index (no rewrite of
     existing files — the same append-only maintenance contract as
-    ivf_append)."""
+    ivf_append). Refuses a `_batch`-stamped STREAMING index: an
+    unstamped append there would read as `_batch` NULL and every
+    snapshot probe (`_batch < N`) would silently skip those docs
+    forever — append through streaming/dedup_ingest.py instead."""
     _check_index_meta(path, n)
+    if "_batch" in spark.read.parquet(f"{path}/bands").columns:
+        raise ValueError(
+            f"index at {path} is a _batch-stamped streaming index; "
+            f"append through DedupIngest (streaming/dedup_ingest.py), "
+            f"not append_minhash_index — unstamped rows would be "
+            f"invisible to every snapshot probe")
     sig = _persist_tracked("index.append.sig",
                            minhash_signatures(new_df, text_col, id_col, n))
     (banded_signatures(sig, id_col)
@@ -978,7 +987,10 @@ def append_minhash_index(spark, path: str, new_df: DataFrame,
 def dedup_against_index(spark, path: str, new_df: DataFrame,
                         threshold: float = 0.8, text_col: str = "text",
                         id_col: str = "doc_id", n: int = 3,
-                        batch_lt: int | None = None) -> DataFrame:
+                        batch_lt: int | None = None,
+                        probe_sig: DataFrame | None = None,
+                        probe_shingles: DataFrame | None = None
+                        ) -> DataFrame:
     """Near-dup matches of a NEW batch against a saved corpus index:
     returns (new_id, index_id, jac) for every new doc whose exact
     (hash-array) Jaccard against an LSH-candidate index doc clears
@@ -998,10 +1010,18 @@ def dedup_against_index(spark, path: str, new_df: DataFrame,
     same index SNAPSHOT it saw the first time even after its own
     partial append, making the novel-set decision replay-
     deterministic. Requires a `_batch`-stamped index.
+
+    ``probe_sig`` / ``probe_shingles``: precomputed
+    `minhash_signatures(new_df)` / `_shingle_hash_arrays(new_df)` —
+    pass them when the caller also needs the batch's signatures for
+    its own append (the streaming ingest loop) so the dominant
+    shingle+hash work runs once per batch, not twice.
     """
     _check_index_meta(path, n)
-    sig = _persist_tracked("index.probe.sig",
-                           minhash_signatures(new_df, text_col, id_col, n))
+    sig = _persist_tracked(
+        "index.probe.sig",
+        probe_sig if probe_sig is not None
+        else minhash_signatures(new_df, text_col, id_col, n))
     new_bands = banded_signatures(sig, id_col)
     stored = spark.read.parquet(f"{path}/bands")
     if batch_lt is not None:
@@ -1033,9 +1053,10 @@ def dedup_against_index(spark, path: str, new_df: DataFrame,
                     id_col, "semi")
               .select(F.col(id_col).alias("index_id"),
                       F.col("_sh").alias("_sa")))
-    new_sh = (_shingle_hash_arrays(new_df, text_col, id_col, n)
-              .select(F.col(id_col).alias("new_id"),
-                      F.col("_sh").alias("_sb")))
+    new_sh = (probe_shingles if probe_shingles is not None
+              else _shingle_hash_arrays(new_df, text_col, id_col, n))
+    new_sh = new_sh.select(F.col(id_col).alias("new_id"),
+                           F.col("_sh").alias("_sb"))
     common = F.size(F.array_intersect("_sa", "_sb"))
     jac = (common.cast("double")
            / (F.size("_sa") + F.size("_sb") - common).cast("double"))

@@ -33,6 +33,21 @@ def _tune_worker_allocator() -> None:
     os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "1073741824")
 
 
+def _aqe_from_env() -> str:
+    """Normalize SPARK_GRAFT_AQE to the 'true'/'false' the Spark conf
+    requires, failing fast at session build on anything else — '0'
+    passed verbatim would only blow up as an IllegalArgumentException
+    deep inside the first query, far from the misspelled env var."""
+    raw = os.environ.get("SPARK_GRAFT_AQE", "true").strip().lower()
+    if raw in ("true", "1", "yes", "on"):
+        return "true"
+    if raw in ("false", "0", "no", "off"):
+        return "false"
+    raise ValueError(
+        f"SPARK_GRAFT_AQE must be a boolean-ish value "
+        f"(true/false/1/0/yes/no/on/off), got {raw!r}")
+
+
 def get_spark(app_name: str = "datastream-delta-spark",
               cpus: int | None = None,
               shuffle_partitions: int | None = None) -> SparkSession:
@@ -57,8 +72,7 @@ def get_spark(app_name: str = "datastream-delta-spark",
         # interactive workloads, where AQE's job-per-exchange launches
         # cost ~15-20% (measured on the bench's floor-bound queries) —
         # an operator tuning choice, never required for correctness.
-        .config("spark.sql.adaptive.enabled",
-                os.environ.get("SPARK_GRAFT_AQE", "true"))
+        .config("spark.sql.adaptive.enabled", _aqe_from_env())
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # nanos-timestamp parquet (events.ts) reads as long session-wide;

@@ -18,8 +18,10 @@ OUTPUT effectively exactly-once):
   sees the exact index snapshot its first attempt saw, even after
   that attempt's own partial append, making the novel-set decision
   REPLAY-DETERMINISTIC;
-- novel docs land in ``{corpus}/batch_id=N`` with mode=overwrite — a
-  replay rewrites the same rows onto the same path, never duplicates;
+- novel docs land in ``{corpus}/stream_id=S/batch_id=N`` with
+  mode=overwrite — a replay rewrites the same rows onto the same
+  path, never duplicates, and a later stream (fresh checkpoint, fresh
+  stream_id) can never clobber an earlier stream's batches;
 - a marker file closes the batch; closed batches skip entirely;
 - the one replay residue is duplicate index ROWS from a crash between
   the index append and the marker write: harmless for correctness
@@ -48,8 +50,8 @@ from pyspark.sql import functions as F
 
 from ..operators.dedup import (
     _check_index_meta, _index_meta, _shingle_hash_arrays,
-    banded_signatures, dedup_against_index, minhash_signatures,
-    norm_text)
+    banded_signatures, dedup_against_index, exact_dedup,
+    minhash_signatures)
 
 
 class DedupIngest:
@@ -65,34 +67,57 @@ class DedupIngest:
             .trigger(availableNow=True).start())
 
     The accepted corpus is ``spark.read.parquet(corpus_path)``
-    (batch_id partition column included).
+    (stream_id and batch_id partition columns included).
     """
 
     def __init__(self, index_path: str, corpus_path: str,
                  threshold: float = 0.8, text_col: str = "text",
-                 id_col: str = "doc_id", n: int = 3):
+                 id_col: str = "doc_id", n: int = 3,
+                 stream_id: str = "default"):
         self.index_path = index_path
         self.corpus_path = corpus_path
         self.threshold = threshold
         self.text_col = text_col
         self.id_col = id_col
         self.n = n
+        # the marker ledger is keyed by (stream_id, batch_id): batch
+        # ids are only unique WITHIN one streaming checkpoint, so a
+        # fresh checkpointLocation MUST be paired with a fresh
+        # stream_id — otherwise the new stream's batch 0 collides with
+        # the old ledger and its documents are silently skipped. Same
+        # pairing contract as the checkpoint itself.
+        self.stream_id = stream_id
 
     # ---------------------------------------------------- internals
 
     def _marker_dir(self) -> str:
-        return os.path.join(self.index_path, "_ingest_markers")
+        return os.path.join(self.index_path, "_ingest_markers",
+                            self.stream_id)
 
     def _marker(self, batch_id: int) -> str:
         return os.path.join(self._marker_dir(), f"batch-{batch_id}.json")
 
     def _write_index_rows(self, df: DataFrame, batch_id: int,
-                          mode: str) -> None:
-        sig = minhash_signatures(df, self.text_col, self.id_col, self.n)
-        (banded_signatures(sig, self.id_col)
+                          mode: str, sig: DataFrame | None = None,
+                          shingles: DataFrame | None = None) -> None:
+        """Stamped band/shingle append. ``sig``/``shingles`` reuse the
+        batch's already-computed tables (semi-joined to df's ids) so
+        the dominant shingle+hash work is not redone per write."""
+        idc = self.id_col
+        ids = df.select(idc)
+        if sig is None:
+            sig = minhash_signatures(df, self.text_col, idc, self.n)
+        else:
+            sig = sig.join(ids, idc, "semi")
+        if shingles is None:
+            shingles = _shingle_hash_arrays(df, self.text_col, idc,
+                                            self.n)
+        else:
+            shingles = shingles.join(ids, idc, "semi")
+        (banded_signatures(sig, idc)
          .withColumn("_batch", F.lit(int(batch_id)))
          .write.mode(mode).parquet(f"{self.index_path}/bands"))
-        (_shingle_hash_arrays(df, self.text_col, self.id_col, self.n)
+        (shingles
          .withColumn("_batch", F.lit(int(batch_id)))
          .write.mode(mode).parquet(f"{self.index_path}/shingles"))
 
@@ -120,29 +145,44 @@ class DedupIngest:
         idc, txc = self.id_col, self.text_col
 
         # (1) exact dedup WITHIN the batch (min id per normalized
-        # text); near-dups within one micro-batch are admitted
-        # together — the batch is the ingestion granularity, and the
-        # next batch's probe sees them all
-        w_ids = (batch_df
-                 .withColumn("_h", F.md5(norm_text(txc).cast("binary")))
-                 .groupBy("_h").agg(F.min(idc).alias(idc)).drop("_h"))
-        batch = batch_df.join(w_ids, idc, "semi")
+        # text — the batch-mode exact_dedup operator, so the streaming
+        # and batch paths cannot diverge); near-dups within one
+        # micro-batch are admitted together — the batch is the
+        # ingestion granularity, and the next batch's probe sees them
+        batch = batch_df.join(
+            exact_dedup(batch_df, txc, idc).select(idc), idc, "semi")
+        batch = batch.localCheckpoint(eager=True)
+
+        # the batch's signature/shingle tables are computed ONCE and
+        # shared by the probe (2) and the index append (4) — the
+        # shingle+hash pass is the dominant per-batch CPU
+        sig = minhash_signatures(batch, txc, idc, self.n) \
+            .localCheckpoint(eager=True)
+        shingles = _shingle_hash_arrays(batch, txc, idc, self.n) \
+            .localCheckpoint(eager=True)
 
         # (2) near-dup match against the index SNAPSHOT < batch_id
         matched = dedup_against_index(
             spark, self.index_path, batch, self.threshold,
-            txc, idc, self.n, batch_lt=int(batch_id))
+            txc, idc, self.n, batch_lt=int(batch_id),
+            probe_sig=sig, probe_shingles=shingles)
         novel = batch.join(
             matched.select(F.col("new_id").alias(idc)).distinct(),
             idc, "left_anti").localCheckpoint(eager=True)
 
-        # (3) accepted docs -> per-batch dir, overwrite = idempotent
+        # (3) accepted docs -> per-(stream, batch) dir, overwrite =
+        # idempotent for replays of THIS stream's epoch while a later
+        # stream (fresh checkpoint + fresh stream_id) can never
+        # clobber another stream's batches
         (novel.write.mode("overwrite")
-              .parquet(f"{self.corpus_path}/batch_id={int(batch_id)}"))
+              .parquet(f"{self.corpus_path}"
+                       f"/stream_id={self.stream_id}"
+                       f"/batch_id={int(batch_id)}"))
 
         # (4) index append (stamped; replay duplicates are harmless —
         # module docstring), then (5) the closing marker
-        self._write_index_rows(novel, int(batch_id), "append")
+        self._write_index_rows(novel, int(batch_id), "append",
+                               sig=sig, shingles=shingles)
         os.makedirs(self._marker_dir(), exist_ok=True)
         tmp = self._marker(batch_id) + ".tmp"
         with open(tmp, "w") as f:

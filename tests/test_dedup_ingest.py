@@ -59,8 +59,9 @@ def test_batch_gates_near_exact_and_within_batch_dups(spark, paths):
     ])
     ing.apply_batch(b0, 0)
     assert _accepted(spark, paths[1]) == [101, 103]
-    # the accepted corpus carries the batch partition column
-    assert "batch_id" in spark.read.parquet(paths[1]).columns
+    # the accepted corpus carries the stream/batch partition columns
+    cols = spark.read.parquet(paths[1]).columns
+    assert "batch_id" in cols and "stream_id" in cols
 
 
 def test_next_batch_sees_previous_acceptances(spark, paths):
@@ -108,11 +109,11 @@ def test_crash_before_index_append(spark, paths):
     orig = ing._write_index_rows
     calls = {"n": 0}
 
-    def boom(df, batch_id, mode):
+    def boom(df, batch_id, mode, **kw):
         if mode == "append" and calls["n"] == 0:
             calls["n"] += 1
             raise RuntimeError("injected crash before index append")
-        orig(df, batch_id, mode)
+        orig(df, batch_id, mode, **kw)
 
     ing._write_index_rows = boom
     with pytest.raises(RuntimeError):
@@ -163,12 +164,13 @@ def test_writestream_end_to_end(spark, paths):
             (101, FRESH_A),
             (103, FRESH_B),
         ]).write.mode("overwrite").parquet(src)
+        q = None
         stream = (spark.readStream
                   .schema("doc_id long, text string").parquet(src))
         q = (stream.writeStream.foreachBatch(ing.apply_batch)
              .option("checkpointLocation", ckpt)
              .trigger(availableNow=True).start())
-        q.awaitTermination(120)
+        assert q.awaitTermination(300)
         assert _accepted(spark, paths[1]) == [101, 103]
         # second tranche of files through the SAME checkpoint
         _docs(spark, [(200, FRESH_A), (201, FRESH_C)]) \
@@ -178,8 +180,34 @@ def test_writestream_end_to_end(spark, paths):
              .writeStream.foreachBatch(ing.apply_batch)
              .option("checkpointLocation", ckpt)
              .trigger(availableNow=True).start())
-        q.awaitTermination(120)
+        assert q.awaitTermination(300)
         assert _accepted(spark, paths[1]) == [101, 103, 201]
     finally:
+        if q is not None:
+            q.stop()
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_fresh_stream_id_gets_fresh_ledger(spark, paths):
+    """Batch ids restart at 0 with a new checkpoint; pairing the new
+    checkpoint with a new stream_id keeps the old ledger from
+    swallowing the new stream's batch 0."""
+    ing = _seeded(spark, paths)
+    ing.apply_batch(_docs(spark, [(101, FRESH_A)]), 0)
+    # same paths, NEW stream identity: its batch 0 must process
+    ing2 = DedupIngest(paths[0], paths[1], threshold=0.6,
+                       stream_id="restarted")
+    ing2.apply_batch(_docs(spark, [(201, FRESH_C)]), 0)
+    # corpus dirs are keyed by (stream_id, batch_id): the new stream's
+    # batch 0 lands beside, never over, the old stream's batch 0
+    assert _accepted(spark, paths[1]) == [101, 201]
+
+
+def test_append_minhash_index_refuses_stamped_index(spark, paths):
+    """Unstamped rows in a _batch-stamped index would be invisible to
+    every snapshot probe — the batch-mode append must refuse."""
+    _seeded(spark, paths)
+    with pytest.raises(ValueError, match="streaming index"):
+        dedup.append_minhash_index(
+            spark, paths[0], _docs(spark, [(900, FRESH_B)]))
