@@ -215,7 +215,20 @@ def main() -> None:
         sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf"))
     except ValueError:
         sf = -1.0  # unrecognized dir naming; timings still valid
-    spark = get_spark("bench")
+    # Size shuffle partitions from the benchmark's input volume (the
+    # engine's sized_shuffle_partitions rule: ~128 MB advisory bytes
+    # per partition, floor 8, cap 3x cores) — the same number a
+    # deployment at this data size would configure, and the rule
+    # yields cluster-scale counts at cluster-scale inputs.
+    from datastream_delta_plugins_spark.session import sized_shuffle_partitions
+    input_bytes = sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _, fs in os.walk(sf_dir) for f in fs)
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # explicit env override (experiments) beats the byte-sized rule
+    sp = (int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "0"))
+          or sized_shuffle_partitions(input_bytes, cpus))
+    spark = get_spark("bench", shuffle_partitions=sp)
 
     # Every benched query reads the multi-file input shape a
     # deployment actually has (see _SPLIT_TABLES): the untimed setup

@@ -48,11 +48,37 @@ def _aqe_from_env() -> str:
         f"(true/false/1/0/yes/no/on/off), got {raw!r}")
 
 
+def sized_shuffle_partitions(input_bytes: int, cpus: int) -> int:
+    """Shuffle-partition count sized by DATA VOLUME, per Spark's own
+    tuning guidance (~128 MB advisory bytes per shuffle partition),
+    instead of the core-count default.
+
+    The initial partition number sets the shuffle WRITE width (map
+    tasks each write one bucket per partition) and the sort-sampling
+    width — costs AQE's read-side coalescing cannot undo. For inputs
+    far under one advisory block, core-width shuffles are pure
+    overhead: measured on the sf0.1 headline set (same-session
+    interleaved A/B, pair-min), 32 -> 8 initial partitions cut the
+    16-query total 4.88 -> 3.96 s with byte-identical results.
+
+    Floor of 8 keeps reduce-side order-sensitive stages (window
+    sorts, sessionize) off a single core at test scale; cap of
+    3*cpus matches the classic cluster sizing rule, so at 100 TB
+    (where input_bytes/128 MB is tens of thousands) this returns the
+    large partition counts a real deployment runs with and AQE
+    coalesces/splits from there.
+    """
+    return max(8, min(3 * cpus, input_bytes // (128 << 20)))
+
+
 def get_spark(app_name: str = "datastream-delta-spark",
               cpus: int | None = None,
               shuffle_partitions: int | None = None) -> SparkSession:
     cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    shuffle_partitions = shuffle_partitions or cpus
+    shuffle_partitions = (shuffle_partitions
+                          or int(os.environ.get(
+                              "SPARK_GRAFT_SHUFFLE_PARTITIONS", "0"))
+                          or cpus)
     _tune_worker_allocator()
     builder = (
         SparkSession.builder
@@ -74,6 +100,19 @@ def get_spark(app_name: str = "datastream-delta-spark",
         # an operator tuning choice, never required for correctness.
         .config("spark.sql.adaptive.enabled", _aqe_from_env())
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # parallelismFirst=false: Spark's AQE default coalesces shuffle
+        # reads only down to defaultParallelism, so a KB-scale shuffle
+        # still runs `cores` reduce tasks ("maximize parallelism");
+        # Spark's own config doc recommends false — respect the 64 MB
+        # advisory size and let reduce-task counts follow the DATA.
+        # Measured here (same-session interleaved A/B, 16 headline
+        # queries at sf0.1): total 4.74 -> 3.96 s combined with
+        # byte-sized initial partitions (sized_shuffle_partitions).
+        # At 100 TB every real shuffle exceeds the advisory size and
+        # this is a no-op; it only stops tiny shuffles from paying
+        # full-width task launches.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+                "false")
         .config("spark.sql.session.timeZone", "UTC")
         # nanos-timestamp parquet (events.ts) reads as long session-wide;
         # sources.load_table converts cast-on-use (see its NOTE)
