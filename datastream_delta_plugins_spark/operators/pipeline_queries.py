@@ -503,10 +503,62 @@ def i01_dedup_index(spark, sf_dir):
                  F.lit("component").alias("tag"),
                  F.col("id").alias("a"),
                  F.col("component").alias("b"),
-                 F.lit(None).cast("double").alias("val"))))
+                 F.lit(None).cast("double").alias("val")))
+             .unionByName(_i01_stream_rows(spark, docs)))
     res = _psort(union.localCheckpoint(eager=True), "tag", "a", "b")
     shutil.rmtree(tmp, ignore_errors=True)
     return res
+
+
+def _i01_stream_rows(spark, docs):
+    """tag 'stream' — the streaming dedup ingest, hash-gated: the
+    %4!=0 slice seeds a DedupIngest index, the %4==0 slice arrives as
+    a DETERMINISTIC 3-batch schedule ((doc_id div 4) % 3), and batch 1
+    suffers an injected crash in the protocol's one vulnerable window
+    (index append durable, closing marker lost) followed by a full
+    replay. Emitted rows are the final accepted corpus —
+    (doc_id, batch_id) — which the replay protocol guarantees equals
+    the CRASH-FREE sequential semantics the DuckDB oracle re-derives:
+    per batch, exact-dedup within the batch (min id per normalized
+    text), then drop any doc whose exact Jaccard vs the seed or an
+    EARLIER batch's accepted docs clears the threshold (same-batch
+    near-dups are admitted together — the batch is the ingestion
+    granularity). Any replay nondeterminism — double-accepted docs,
+    lost batch, snapshot leak of batch 1's own partial append into its
+    replayed probe — is a value mismatch here, not a silent drift.
+    Recall soundness is the same 16x4 banding bound as 'match'."""
+    import shutil
+    import tempfile
+
+    from ..streaming.dedup_ingest import DedupIngest
+
+    tmp = tempfile.mkdtemp(prefix="i01_stream_")
+    try:
+        ingest = DedupIngest(os.path.join(tmp, "idx"),
+                             os.path.join(tmp, "corpus"),
+                             threshold=0.8, stream_id="i01")
+        ingest.init_index(docs.where(F.col("doc_id") % 4 != 0))
+        probes = docs.where(F.col("doc_id") % 4 == 0)
+        for k in range(3):
+            batch = probes.where(F.expr("(doc_id div 4) % 3") == k)
+            ingest.apply_batch(batch, k)
+            if k == 1:
+                # injected crash: the marker write is the LAST step of
+                # apply_batch, so removing it reproduces exactly the
+                # crash-after-index-append state; the replay must
+                # converge on the identical novel set (its probe pins
+                # the _batch < 1 snapshot, blind to the orphaned
+                # batch-1 rows)
+                os.remove(ingest._marker(1))
+                ingest.apply_batch(batch, 1)
+        corpus = spark.read.parquet(os.path.join(tmp, "corpus"))
+        return (corpus.select(F.lit("stream").alias("tag"),
+                              F.col("doc_id").alias("a"),
+                              F.col("batch_id").cast("long").alias("b"),
+                              F.lit(None).cast("double").alias("val"))
+                      .localCheckpoint(eager=True))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def r01_incremental_rollup(spark, sf_dir):
@@ -745,7 +797,42 @@ ORACLE_SQL: dict[str, str] = {
           UNION
           SELECT e.s, reach.r FROM edges e
           JOIN reach ON reach.id = e.t),
-        comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+        comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+        -- tag 'stream': crash-free sequential re-derivation of the
+        -- 3-batch DedupIngest schedule (batch k = probe docs with
+        -- (doc_id // 4) % 3 = k). sjac = probe-side exact-Jaccard
+        -- matches against ANY other doc; acc_k = batch k after
+        -- within-batch exact dedup, minus docs matching the seed or
+        -- an earlier batch's accepted docs.
+        sj AS (SELECT a.doc_id AS x, b.doc_id AS y, count(*) AS common
+               FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+               WHERE a.doc_id % 4 = 0 GROUP BY 1, 2),
+        sjac AS (SELECT x, y FROM sj
+                 JOIN n nx ON nx.doc_id = sj.x
+                 JOIN n ny ON ny.doc_id = sj.y
+                 WHERE CAST(common AS DOUBLE)
+                         / CAST(nx.c + ny.c - common AS DOUBLE) >= 0.8),
+        e0 AS (SELECT min(doc_id) AS doc_id FROM documents
+               WHERE doc_id % 4 = 0 AND (doc_id // 4) % 3 = 0
+               GROUP BY md5({_NORM})),
+        e1 AS (SELECT min(doc_id) AS doc_id FROM documents
+               WHERE doc_id % 4 = 0 AND (doc_id // 4) % 3 = 1
+               GROUP BY md5({_NORM})),
+        e2 AS (SELECT min(doc_id) AS doc_id FROM documents
+               WHERE doc_id % 4 = 0 AND (doc_id // 4) % 3 = 2
+               GROUP BY md5({_NORM})),
+        acc0 AS (SELECT doc_id FROM e0 WHERE NOT EXISTS (
+                   SELECT 1 FROM sjac WHERE x = e0.doc_id
+                   AND y % 4 <> 0)),
+        acc1 AS (SELECT doc_id FROM e1 WHERE NOT EXISTS (
+                   SELECT 1 FROM sjac WHERE x = e1.doc_id
+                   AND (y % 4 <> 0
+                        OR y IN (SELECT doc_id FROM acc0)))),
+        acc2 AS (SELECT doc_id FROM e2 WHERE NOT EXISTS (
+                   SELECT 1 FROM sjac WHERE x = e2.doc_id
+                   AND (y % 4 <> 0
+                        OR y IN (SELECT doc_id FROM acc0)
+                        OR y IN (SELECT doc_id FROM acc1))))
         SELECT * FROM (
           SELECT 'match' AS tag, new_id AS a, index_id AS b, jac AS val
           FROM match
@@ -753,6 +840,15 @@ ORACLE_SQL: dict[str, str] = {
           SELECT 'component' AS tag, id AS a, component AS b,
                  CAST(NULL AS DOUBLE) AS val
           FROM comp
+          UNION ALL
+          SELECT 'stream' AS tag, doc_id AS a, CAST(0 AS BIGINT) AS b,
+                 CAST(NULL AS DOUBLE) AS val FROM acc0
+          UNION ALL
+          SELECT 'stream' AS tag, doc_id AS a, CAST(1 AS BIGINT) AS b,
+                 CAST(NULL AS DOUBLE) AS val FROM acc1
+          UNION ALL
+          SELECT 'stream' AS tag, doc_id AS a, CAST(2 AS BIGINT) AS b,
+                 CAST(NULL AS DOUBLE) AS val FROM acc2
         ) ORDER BY tag, a, b""",
     "d03_minhash_lsh": _JACCARD.format(thr=0.8),
     # exact cosine pairs (tag 'pair'), their transitive min-label
