@@ -112,7 +112,11 @@ def demux_avi(data: bytes) -> tuple[int, int, int, list[bytes]]:
     """Parse an MJPEG AVI into (width, height, fps, frames) where
     frames is the list of raw JPEG blobs in stream order. Raises
     ValueError with a classifiable message on malformed/truncated
-    input or a non-MJPEG video stream."""
+    input, and NotImplementedError on a non-MJPEG video stream (a
+    missing-decoder environment gap, distinct from corrupt data — it
+    must never be quarantined as such). fps is the ROUNDED integer
+    frame rate; fractional rates (NTSC 30000/1001) lose the exact
+    rational — read strh scale/rate directly if that matters."""
     if len(data) < 12 or data[:4] != b"RIFF":
         raise ValueError("not an AVI (bad RIFF signature)")
     riff_size = struct.unpack("<I", data[4:8])[0]
@@ -152,7 +156,16 @@ def demux_avi(data: bytes) -> tuple[int, int, int, list[bytes]]:
                         # video stream is ignored, never mixed in
                         if fcc_type == b"vids" and video_stream is None:
                             if fcc_handler not in (b"MJPG", b"mjpg"):
-                                raise ValueError(
+                                # NotImplementedError, NOT ValueError:
+                                # an inter-frame codec is a missing-
+                                # DECODER environment gap (the
+                                # documented always-raises contract),
+                                # not corrupt data — decode_media's
+                                # on_error='null' quarantine absorbs
+                                # only ValueError, so an H.264 AVI
+                                # surfaces instead of silently landing
+                                # in the corrupt bucket
+                                raise NotImplementedError(
                                     f"unsupported AVI video codec "
                                     f"{fcc_handler!r} — this demuxer "
                                     f"is MJPG-only; modern codecs "
@@ -160,7 +173,12 @@ def demux_avi(data: bytes) -> tuple[int, int, int, list[bytes]]:
                             video_stream = stream_idx
                             scale, rate = struct.unpack(
                                 "<II", data[b2 + 20:b2 + 28])
-                            fps = rate // scale if scale else 0
+                            # round, don't floor: NTSC 30000/1001
+                            # reports 30, not 29 (the exact rational
+                            # rate is not representable in this int
+                            # return — documented in the docstring)
+                            fps = ((rate + scale // 2) // scale
+                                   if scale else 0)
                 stream_idx += 1
 
     def _collect_frames(start: int, stop: int, vtag: bytes,
@@ -200,8 +218,7 @@ def demux_avi(data: bytes) -> tuple[int, int, int, list[bytes]]:
         raise ValueError("AVI missing avih header")
     if not saw_movi:
         raise ValueError("AVI missing movi list")
-    if declared_frames is not None and declared_frames != len(frames):
-        raise ValueError(
-            f"AVI declares {declared_frames} frames but carries "
-            f"{len(frames)}")
+    # avih dwTotalFrames is ADVISORY in the wild (often stale, or the
+    # longest stream's count when audio is present) — the counted movi
+    # chunks are the truth, so a mismatch is tolerated, not an error
     return width, height, fps, frames

@@ -10,10 +10,13 @@ decodes all three corpus formats (PNG, JPEG, WAV) with in-container
 codecs.
 
 Scope (documented, classifiable rejections for everything else):
-8-bit baseline Huffman only — progressive (SOF2), arithmetic coding,
-hierarchical, and 12-bit precision raise ValueError naming the
-unsupported feature. Quant tables may be 8- or 16-bit precision on
-decode. Component sampling factors 1 or 2 in each axis.
+8-bit Huffman, sequential (SOF0) AND progressive (SOF2 — spectral
+selection + successive approximation, interleaved or single-component
+DC scans, end-of-band runs, refinement correction bits, restarts).
+Arithmetic coding, hierarchical, extended-sequential, and 12-bit
+precision raise ValueError naming the unsupported feature. Quant
+tables may be 8- or 16-bit precision on decode. Component sampling
+factors 1 or 2 in each axis.
 
 Reference parity note: the reference plugin ships no media pipeline at
 all (it is a CDC source — see SURVEY.md §2); this module belongs to the
@@ -435,15 +438,224 @@ def _encode_block(writer: _BitWriter, coefs: np.ndarray, pred: int,
     return dc
 
 
+def _prog_ac_table() -> _HuffTable:
+    """Huffman table for progressive AC scans: every symbol the scan
+    encoders may emit — EOBn run codes (r<<4, r 0..14), ZRL, and all
+    (run, size) pairs — as flat 8-bit codes (176 < 255, prefix-valid).
+    Deliberately compression-indifferent: the T.81 Annex K sequential
+    tables carry no EOBn symbols beyond EOB0, so progressive fixtures
+    need a table of their own to exercise the decoder's end-of-band
+    run path."""
+    syms = [r << 4 for r in range(15)] + [0xF0]
+    syms += [(r << 4) | s for r in range(16) for s in range(1, 11)]
+    return _HuffTable([0] * 7 + [len(syms)] + [0] * 8, syms)
+
+
+_PROG_AC_TABLE = _prog_ac_table()
+
+
+def _flush_eob(writer: _BitWriter, tab: _HuffTable, state: dict) -> None:
+    """Emit the deferred end-of-band run + the correction bits its
+    blocks owe (refinement scans buffer them until the run's code —
+    which physically precedes them in the stream — is known)."""
+    if state["eobrun"]:
+        n = state["eobrun"]
+        r = n.bit_length() - 1
+        code, length = tab.encode_map[r << 4]
+        writer.write(code, length)
+        if r:
+            writer.write(n - (1 << r), r)
+        state["eobrun"] = 0
+    for bit in state["pending"]:
+        writer.write(bit, 1)
+    state["pending"].clear()
+
+
+def _enc_ac_first_block(writer: _BitWriter, tab: _HuffTable,
+                        zz: np.ndarray, ss: int, se: int, al: int,
+                        state: dict) -> None:
+    """Encoder mirror of _ac_first_block: band coefficients point-
+    transformed by Al (magnitude shift, toward zero), zero runs +
+    deferred end-of-band runs."""
+    run = 0
+    coded = False
+    for k in range(ss, se + 1):
+        v = int(zz[k])
+        a = abs(v) >> al
+        if a == 0:
+            run += 1
+            continue
+        if not coded:
+            _flush_eob(writer, tab, state)
+            coded = True
+        while run > 15:
+            code, length = tab.encode_map[0xF0]
+            writer.write(code, length)
+            run -= 16
+        s = a.bit_length()
+        code, length = tab.encode_map[(run << 4) | s]
+        writer.write(code, length)
+        writer.write(_magnitude_bits(a if v > 0 else -a, s), s)
+        run = 0
+    if run or not coded:
+        state["eobrun"] += 1
+        if state["eobrun"] == 0x7FFF:
+            _flush_eob(writer, tab, state)
+
+
+def _enc_ac_refine_block(writer: _BitWriter, tab: _HuffTable,
+                         zz: np.ndarray, ss: int, se: int, al: int,
+                         state: dict) -> None:
+    """Encoder mirror of _ac_refine_block. Positional bookkeeping:
+    `span` records, since the last emitted code, each zero-HISTORY
+    slot (-1) and each already-nonzero slot's correction bit (0/1) in
+    band order; a newly-nonzero coefficient (|v|>>Al == 1) emits
+    RS(zero-run, 1) + sign, with the span's correction bits placed
+    exactly where the decoder's advance loop will read them. A block's
+    tail after its last new coefficient joins the deferred end-of-band
+    run, its correction bits owed until the run's code is flushed."""
+    span: list[int] = []
+    nzero = 0
+    coded = False
+    for k in range(ss, se + 1):
+        v = int(zz[k])
+        a = abs(v) >> al
+        if a == 0:
+            span.append(-1)
+            nzero += 1
+            continue
+        if a > 1:
+            span.append(a & 1)
+            continue
+        # newly nonzero at this precision
+        if not coded:
+            _flush_eob(writer, tab, state)
+            coded = True
+        while nzero > 15:
+            code, length = tab.encode_map[0xF0]
+            writer.write(code, length)
+            zc = 0
+            while zc < 16:                 # ZRL spans 16 zero-history
+                ev = span.pop(0)           # slots; correction bits of
+                if ev < 0:                 # nonzero slots crossed ride
+                    zc += 1                # directly behind its code
+                else:
+                    writer.write(ev, 1)
+            nzero -= 16
+        code, length = tab.encode_map[(nzero << 4) | 1]
+        writer.write(code, length)
+        writer.write(1 if v > 0 else 0, 1)
+        for ev in span:
+            if ev >= 0:
+                writer.write(ev, 1)
+        span.clear()
+        nzero = 0
+    if span or not coded:
+        state["eobrun"] += 1
+        state["pending"].extend(ev for ev in span if ev >= 0)
+        if state["eobrun"] == 0x7FFF:
+            _flush_eob(writer, tab, state)
+
+
+def _encode_prog_scan(out: bytearray, comps, zz_grids, mcux: int,
+                      mcuy: int, w: int, h: int, hmax: int, vmax: int,
+                      sel, ss: int, se: int, ah: int, al: int,
+                      restart_interval: int) -> None:
+    """Append one progressive SOS header + its entropy data to `out`.
+    `sel` is a component index for a non-interleaved band scan, or
+    None for an all-component interleaved DC scan. `comps` rows are
+    (hs, vs, huff_id); `zz_grids` the per-component zigzag-ordered
+    quantized coefficient grids (gh, gw, 64)."""
+    scan_cis = list(range(len(comps))) if sel is None else [sel]
+    sos = bytearray([len(scan_cis)])
+    for ci in scan_cis:
+        hid = comps[ci][2]
+        # DC scans reference the (standard) DC table; AC scans the
+        # class-1 id-0 progressive table. The unused half is 0.
+        sos += bytes([ci + 1, (hid << 4) if ss == 0 else 0x00])
+    sos += bytes([ss, se, (ah << 4) | al])
+    out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + bytes(sos)
+
+    writer = _BitWriter()
+    state = {"eobrun": 0, "pending": []}
+    preds = [0] * len(scan_cis)
+    rst = since = 0
+
+    def maybe_restart() -> None:
+        nonlocal writer, rst, since
+        if restart_interval and since == restart_interval:
+            _flush_eob(writer, _PROG_AC_TABLE, state)
+            writer.flush()
+            out.extend(writer.out)
+            writer = _BitWriter()
+            out.extend(bytes([0xFF, 0xD0 + rst % 8]))
+            rst += 1
+            since = 0
+            preds[:] = [0] * len(preds)
+
+    if ss == 0:                                             # DC scan
+        def dc_unit(si: int, ci: int, blk: np.ndarray) -> None:
+            if ah == 0:
+                v = int(blk[0]) >> al
+                diff = v - preds[si]
+                preds[si] = v
+                size = _size_category(diff)
+                code, length = _DC_TABLES[comps[ci][2]].encode_map[size]
+                writer.write(code, length)
+                if size:
+                    writer.write(_magnitude_bits(diff, size), size)
+            else:
+                writer.write((int(blk[0]) >> al) & 1, 1)
+
+        if sel is not None:
+            bh, bw = _comp_block_grid(
+                {"h": comps[sel][0], "v": comps[sel][1]}, w, h,
+                hmax, vmax)
+            for i in range(bh * bw):
+                maybe_restart()
+                dc_unit(0, sel, zz_grids[sel][i // bw, i % bw])
+                since += 1
+        else:
+            for m in range(mcux * mcuy):
+                maybe_restart()
+                for si, ci in enumerate(scan_cis):
+                    hs, vs, _hid = comps[ci]
+                    for by in range(vs):
+                        for bx in range(hs):
+                            dc_unit(si, ci, zz_grids[ci][
+                                (m // mcux) * vs + by,
+                                (m % mcux) * hs + bx])
+                since += 1
+    else:                                                   # AC scan
+        ci = sel
+        enc = _enc_ac_first_block if ah == 0 else _enc_ac_refine_block
+        bh, bw = _comp_block_grid(
+            {"h": comps[ci][0], "v": comps[ci][1]}, w, h, hmax, vmax)
+        for i in range(bh * bw):
+            maybe_restart()
+            enc(writer, _PROG_AC_TABLE, zz_grids[ci][i // bw, i % bw],
+                ss, se, al, state)
+            since += 1
+    _flush_eob(writer, _PROG_AC_TABLE, state)
+    writer.flush()
+    out.extend(writer.out)
+
+
 def encode_jpeg(width: int, height: int, pixels: bytes,
                 n_channels: int = 3, quality: int = 50,
                 subsampling: str = "4:2:0",
-                restart_interval: int = 0) -> bytes:
+                restart_interval: int = 0,
+                progressive: bool = False) -> bytes:
     """Encode raw 8-bit samples (row-major, RGB interleaved or gray) as
-    a baseline JFIF JPEG. ``subsampling`` is '4:4:4' or '4:2:0'
-    (ignored for grayscale). ``restart_interval`` > 0 emits DRI + RSTn
-    markers every that many MCUs (exercises the decoder's restart
-    path)."""
+    a JFIF JPEG — baseline sequential (SOF0), or progressive (SOF2)
+    with ``progressive=True``: spectral-selection band scans plus one
+    successive-approximation refinement pass (Al=1 first scans, Ah=1
+    refinements), the shape a typical web-encoder scan script has.
+    The quantized coefficients are identical either way, so decoding a
+    progressive encode must reproduce the baseline decode bit-exactly.
+    ``subsampling`` is '4:4:4' or '4:2:0' (ignored for grayscale).
+    ``restart_interval`` > 0 emits DRI + RSTn markers every that many
+    MCUs (exercises the decoder's restart path)."""
     if n_channels not in (1, 3):
         raise ValueError(f"n_channels must be 1 or 3, got {n_channels}")
     if subsampling not in ("4:4:4", "4:2:0"):
@@ -515,17 +727,45 @@ def encode_jpeg(width: int, height: int, pixels: bytes,
     sof = bytearray(struct.pack(">BHHB", 8, height, width, n_channels))
     for cid, (_pl, (hs, vs), qid, _hid) in enumerate(comps, start=1):
         sof += bytes([cid, (hs << 4) | vs, qid])
-    out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof      # SOF0
+    out += ((b"\xff\xc2" if progressive else b"\xff\xc0")
+            + struct.pack(">H", len(sof) + 2) + sof)          # SOF0/SOF2
     n_huff = 1 if n_channels == 1 else 2
     for hid in range(n_huff):
         spec = _DC_TABLES[hid].spec_bytes()
         out += (b"\xff\xc4" + struct.pack(">H", len(spec) + 3)
                 + bytes([hid]) + spec)                              # DHT DC
-        spec = _AC_TABLES[hid].spec_bytes()
+        if not progressive:
+            spec = _AC_TABLES[hid].spec_bytes()
+            out += (b"\xff\xc4" + struct.pack(">H", len(spec) + 3)
+                    + bytes([0x10 | hid]) + spec)                   # DHT AC
+    if progressive:
+        spec = _PROG_AC_TABLE.spec_bytes()
         out += (b"\xff\xc4" + struct.pack(">H", len(spec) + 3)
-                + bytes([0x10 | hid]) + spec)                       # DHT AC
+                + bytes([0x10]) + spec)             # DHT AC 0 (band scans)
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)  # DRI
+
+    if progressive:
+        enc_comps = [(hs, vs, hid) for _pl, (hs, vs), _q, hid in comps]
+        zz_grids = [cb.reshape(cb.shape[0], cb.shape[1], 64)
+                      [:, :, ZIGZAG_FLAT] for cb in comp_blocks]
+        if n_channels == 1:
+            script = [(None, 0, 0, 0, 1), (0, 1, 63, 0, 1),
+                      (None, 0, 0, 1, 0), (0, 1, 63, 1, 0)]
+        else:
+            script = [(None, 0, 0, 0, 1),
+                      (0, 1, 5, 0, 1), (0, 6, 63, 0, 1),
+                      (1, 1, 63, 0, 1), (2, 1, 63, 0, 1),
+                      (None, 0, 0, 1, 0),
+                      (0, 1, 63, 1, 0), (1, 1, 63, 1, 0),
+                      (2, 1, 63, 1, 0)]
+        for sel, pss, pse, pah, pal in script:
+            _encode_prog_scan(out, enc_comps, zz_grids, mcux, mcuy,
+                              width, height, hmax, vmax,
+                              sel, pss, pse, pah, pal, restart_interval)
+        out += b"\xff\xd9"                                          # EOI
+        return bytes(out)
+
     sos = bytearray([n_channels])
     for cid, (_pl, _s, _q, hid) in enumerate(comps, start=1):
         sos += bytes([cid, (hid << 4) | hid])
@@ -565,7 +805,6 @@ def encode_jpeg(width: int, height: int, pixels: bytes,
 
 _SOF_UNSUPPORTED = {
     0xC1: "extended sequential (SOF1)",
-    0xC2: "progressive (SOF2)",
     0xC3: "lossless (SOF3)",
     0xC5: "differential sequential (SOF5)",
     0xC6: "differential progressive (SOF6)",
@@ -577,6 +816,222 @@ _SOF_UNSUPPORTED = {
     0xCE: "differential arithmetic progressive (SOF14)",
     0xCF: "differential arithmetic lossless (SOF15)",
 }
+
+
+def _ceil_div(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _comp_block_grid(comp: dict, w: int, h: int,
+                     hmax: int, vmax: int) -> tuple[int, int]:
+    """(block rows, block cols) of a component's OWN grid — the
+    traversal of a non-interleaved scan (T.81 A.2.2): the component
+    covers ceil(dim * sampling / max_sampling) samples, NOT the padded
+    MCU-aligned grid an interleaved scan walks."""
+    bw = _ceil_div(_ceil_div(w * comp["h"], hmax), 8)
+    bh = _ceil_div(_ceil_div(h * comp["v"], vmax), 8)
+    return bh, bw
+
+
+def _ac_first_block(reader: _BitReader, blk: np.ndarray, ss: int,
+                    se: int, al: int, tab: _HuffTable,
+                    eobrun: int) -> int:
+    """First (Ah=0) AC scan, one block (T.81 G.2.2 / figure G.3):
+    baseline run-length coding extended with end-of-band runs — an
+    RS with size 0 and run r < 15 means 2^r + ext(r) blocks (this one
+    included) have no further coefficients in the band. Coefficient
+    values land shifted left by the successive-approximation low bit
+    Al. Returns the remaining end-of-band run."""
+    if eobrun:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = reader.decode(tab)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r == 15:                    # ZRL: 16 zero coefficients
+                k += 16
+                continue
+            eobrun = 1 << r
+            if r:
+                eobrun += reader.read_bits(r)
+            return eobrun - 1
+        k += r
+        if k > se:
+            raise ValueError("JPEG AC run overflows the spectral band")
+        if s > 10:
+            raise ValueError(f"bad AC size category {s}")
+        blk[k] = _extend(reader.read_bits(s), s) << al
+        k += 1
+    return 0
+
+
+def _ac_refine_block(reader: _BitReader, blk: np.ndarray, ss: int,
+                     se: int, al: int, tab: _HuffTable,
+                     eobrun: int) -> int:
+    """Refinement (Ah>0) AC scan, one block (T.81 G.2.2 / G.1.2.3):
+    every already-nonzero coefficient crossed — by a code's zero-run,
+    by ZRL, or by the end-of-band tail — consumes one correction bit
+    (appended at bit Al, moving the magnitude away from zero); an RS
+    with size 1 inserts a newly-nonzero +/-2^Al after its run of
+    ZERO-HISTORY positions. Returns the remaining end-of-band run."""
+    p1 = 1 << al
+
+    def correct(k: int) -> None:
+        if reader.read_bit() and not (int(blk[k]) & p1):
+            blk[k] += p1 if blk[k] > 0 else -p1
+
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = reader.decode(tab)
+            r, s = rs >> 4, rs & 15
+            val = 0
+            if s == 0:
+                if r < 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.read_bits(r)
+                    break
+                # ZRL: r == 15 -> skip 16 zero-history positions
+            elif s == 1:
+                val = p1 if reader.read_bit() else -p1
+            else:
+                raise ValueError(
+                    "progressive AC refinement size category must be 1")
+            # advance past r zero-HISTORY positions (15+1 for ZRL),
+            # correcting the nonzero coefficients crossed on the way
+            while k <= se:
+                if blk[k] != 0:
+                    correct(k)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val:
+                if k > se:
+                    raise ValueError(
+                        "JPEG AC refinement run overflows the band")
+                blk[k] = val
+            k += 1
+    if eobrun:
+        while k <= se:                     # end-of-band correction tail
+            if blk[k] != 0:
+                correct(k)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_prog_scan(data: bytes, pos: int, body: bytes, frame,
+                      geom, grids, htables, restart_interval: int) -> int:
+    """Decode one progressive scan's entropy data into the
+    per-component zigzag coefficient grids (in place); returns the
+    byte position just past the scan. Scans are either an interleaved
+    DC scan over all frame components, a non-interleaved DC scan, or a
+    non-interleaved single-component AC band scan — the shapes T.81
+    G.1.1.1 permits (AC scans must not interleave)."""
+    w, h, comps = frame
+    mcux, mcuy, hmax, vmax = geom
+    if len(body) < 4:
+        raise ValueError("malformed SOS header")
+    ns = body[0]
+    if len(body) != 1 + 2 * ns + 3:
+        raise ValueError("malformed SOS header")
+    ss, se, ahal = body[1 + 2 * ns], body[2 + 2 * ns], body[3 + 2 * ns]
+    ah, al = ahal >> 4, ahal & 15
+    if se > 63 or ss > se:
+        raise ValueError(f"bad spectral selection {ss}..{se}")
+    if ah > 13 or al > 13:
+        raise ValueError(
+            f"bad successive-approximation bits Ah={ah} Al={al}")
+    if ah and al != ah - 1:
+        raise ValueError(
+            f"successive approximation must refine one bit per scan "
+            f"(Ah={ah}, Al={al})")
+    by_id = {c["id"]: ci for ci, c in enumerate(comps)}
+    scan = []
+    for i in range(ns):
+        cs, tabs = body[1 + 2 * i], body[2 + 2 * i]
+        if cs not in by_id:
+            raise ValueError(f"scan component {cs} not in frame")
+        scan.append((by_id[cs], tabs >> 4, tabs & 15))
+
+    reader = _BitReader(data, pos)
+    rst = since = 0
+    preds = [0] * ns
+    eobrun = 0
+
+    def maybe_restart() -> None:
+        nonlocal rst, since, eobrun
+        if restart_interval and since == restart_interval:
+            reader.align_and_expect_rst(rst)
+            rst += 1
+            since = 0
+            preds[:] = [0] * ns
+            eobrun = 0
+
+    if ss == 0:                                             # DC scan
+        if se != 0:
+            raise ValueError("DC scan must have Se = 0")
+        if ns not in (1, len(comps)):
+            raise ValueError(
+                "partially interleaved DC scans are out of scope")
+        tabs = []
+        for ci, td, _ta in scan:
+            if ah == 0:
+                if (0, td) not in htables:
+                    raise ValueError(f"missing Huffman DC table {td}")
+                tabs.append(htables[(0, td)])
+            else:
+                tabs.append(None)          # refinement: raw bits only
+
+        def dc_unit(si: int, blk: np.ndarray) -> None:
+            if ah == 0:
+                size = reader.decode(tabs[si])
+                if size > 11:
+                    raise ValueError(f"bad DC size category {size}")
+                preds[si] += _extend(reader.read_bits(size), size)
+                blk[0] = preds[si] << al
+            else:
+                blk[0] |= reader.read_bit() << al
+
+        if ns == 1:
+            ci = scan[0][0]
+            bh, bw = _comp_block_grid(comps[ci], w, h, hmax, vmax)
+            for i in range(bh * bw):
+                maybe_restart()
+                dc_unit(0, grids[ci][i // bw, i % bw])
+                since += 1
+        else:
+            for m in range(mcux * mcuy):
+                maybe_restart()
+                for si, (ci, _td, _ta) in enumerate(scan):
+                    c = comps[ci]
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            dc_unit(si, grids[ci][
+                                (m // mcux) * c["v"] + by,
+                                (m % mcux) * c["h"] + bx])
+                since += 1
+    else:                                                   # AC scan
+        if ns != 1:
+            raise ValueError(
+                "progressive AC scans must be non-interleaved")
+        ci, _td, ta = scan[0]
+        if (1, ta) not in htables:
+            raise ValueError(f"missing Huffman AC table {ta}")
+        tab = htables[(1, ta)]
+        decode_block = _ac_first_block if ah == 0 else _ac_refine_block
+        bh, bw = _comp_block_grid(comps[ci], w, h, hmax, vmax)
+        grid = grids[ci]
+        for i in range(bh * bw):
+            maybe_restart()
+            eobrun = decode_block(reader, grid[i // bw, i % bw],
+                                  ss, se, al, tab, eobrun)
+            since += 1
+    return reader.pos
 
 
 def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
@@ -591,6 +1046,10 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     htables: dict[tuple[int, int], _HuffTable] = {}   # (class, id)
     restart_interval = 0
     frame = None        # (width, height, comps)
+    progressive = False
+    grids = None        # progressive: per-comp (gh, gw, 64) zigzag int32
+    geom = None         # progressive: (mcux, mcuy, hmax, vmax)
+    any_scan = False
     pos = 2
     while True:
         if pos + 2 > len(data):
@@ -609,11 +1068,14 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
         if marker == 0xD8:
             continue
         if marker == 0xD9:
+            if progressive and any_scan:
+                break                       # EOI closes the scan series
             raise ValueError("JPEG ended (EOI) before any scan")
         if marker in _SOF_UNSUPPORTED:
             raise ValueError(
                 f"unsupported JPEG coding: {_SOF_UNSUPPORTED[marker]} — "
-                f"this codec is baseline sequential Huffman (SOF0) only")
+                f"this codec is Huffman sequential (SOF0) / "
+                f"progressive (SOF2) only")
         if pos + 2 > len(data):
             raise ValueError("truncated JPEG segment header")
         seglen = struct.unpack(">H", data[pos:pos + 2])[0]
@@ -657,16 +1119,23 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                     raise ValueError("truncated DHT values")
                 htables[(tc, th)] = _HuffTable(bits, list(body[i:i + n]))
                 i += n
-        elif marker == 0xC0:                                    # SOF0
+        elif marker in (0xC0, 0xC2):                      # SOF0 / SOF2
+            if frame is not None:
+                raise ValueError("multiple JPEG frame headers")
             if len(body) < 6:
-                raise ValueError("truncated SOF0")
+                raise ValueError("truncated SOF")
             precision, h, w, nc = struct.unpack(">BHHB", body[:6])
             if precision != 8:
                 raise ValueError(
                     f"unsupported JPEG sample precision {precision} "
                     f"(8-bit only)")
-            if nc < 1 or nc > _MAX_COMPONENTS:
-                raise ValueError(f"unsupported component count {nc}")
+            if nc not in (1, 3):
+                # rejected at parse time — a 2- or 4-component frame
+                # (e.g. Adobe CMYK) could otherwise burn a full
+                # entropy decode before the output stage refuses it
+                raise ValueError(
+                    f"unsupported component count {nc} "
+                    f"(grayscale or YCbCr only)")
             if w == 0 or h == 0:
                 raise ValueError("JPEG frame has a zero dimension")
             if w * h * nc > _MAX_SAMPLES:
@@ -674,7 +1143,7 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                     f"JPEG dimensions {w}x{h}x{nc} exceed this codec's "
                     f"{_MAX_SAMPLES // (1 << 20)}M-sample decode bound")
             if len(body) != 6 + 3 * nc:
-                raise ValueError("SOF0 length does not match components")
+                raise ValueError("SOF length does not match components")
             comps = []
             for ci in range(nc):
                 cid, sampling, tq = body[6 + 3 * ci:9 + 3 * ci]
@@ -685,17 +1154,52 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                         f"(1 or 2 only)")
                 comps.append({"id": cid, "h": hs, "v": vs, "tq": tq})
             frame = (w, h, comps)
+            if marker == 0xC2:
+                progressive = True
+                hmax = max(c["h"] for c in comps)
+                vmax = max(c["v"] for c in comps)
+                mcux = -(-w // (8 * hmax))
+                mcuy = -(-h // (8 * vmax))
+                geom = (mcux, mcuy, hmax, vmax)
+                grids = [np.zeros((mcuy * c["v"], mcux * c["h"], 64),
+                                  dtype=np.int32) for c in comps]
         elif marker == 0xDD:                                    # DRI
             if len(body) != 2:
                 raise ValueError("malformed DRI")
             restart_interval = struct.unpack(">H", body)[0]
         elif marker == 0xDA:                                    # SOS
             if frame is None:
-                raise ValueError("JPEG SOS before SOF0")
-            break
+                raise ValueError("JPEG SOS before SOF")
+            if not progressive:
+                break
+            pos = _decode_prog_scan(data, pos, body, frame, geom,
+                                    grids, htables, restart_interval)
+            any_scan = True
         # APPn / COM / anything else with a length: skipped.
 
     w, h, comps = frame
+    if progressive:
+        # assemble from the accumulated coefficient grids
+        mcux, mcuy, hmax, vmax = geom
+        planes = []
+        for ci, comp in enumerate(comps):
+            if comp["tq"] not in qtables:
+                raise ValueError(f"missing quant table {comp['tq']}")
+            gh, gw = grids[ci].shape[:2]
+            coefs = np.zeros((gh * gw, 64), dtype=np.float64)
+            coefs[:, ZIGZAG_FLAT] = grids[ci].reshape(-1, 64)
+            coefs = coefs.reshape(-1, 8, 8) * qtables[comp["tq"]]
+            spatial = (_idct_blocks(coefs) + 128.0).reshape(gh, gw, 8, 8)
+            plane = spatial.transpose(0, 2, 1, 3).reshape(gh * 8, gw * 8)
+            plane = np.repeat(np.repeat(plane, vmax // comp["v"], axis=0),
+                              hmax // comp["h"], axis=1)
+            planes.append(plane[:h, :w])
+        if len(comps) == 1:
+            samples = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+            return w, h, 1, samples.tobytes()
+        rgb = _ycbcr_to_rgb(planes[0], planes[1], planes[2])
+        return w, h, 3, rgb.tobytes()
+
     ns = body[0] if body else 0
     if ns != len(comps):
         raise ValueError(

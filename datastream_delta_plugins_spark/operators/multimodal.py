@@ -599,8 +599,8 @@ JPEG_FEATURES_SCHEMA = T.StructType([
 ])
 
 
-def synthesize_jpeg_media(df: DataFrame, id_col: str = "doc_id"
-                          ) -> DataFrame:
+def synthesize_jpeg_media(df: DataFrame, id_col: str = "doc_id",
+                          progressive: bool = False) -> DataFrame:
     """Deterministic REAL JPEG blobs from row ids (the test-fixture
     producer for the real-decode path): each row becomes a 4:2:0 color
     baseline JPEG of solid 8x8 blocks — width = 16*(id%2+1), height =
@@ -612,7 +612,15 @@ def synthesize_jpeg_media(df: DataFrame, id_col: str = "doc_id"
     channel means are closed-form predictable by the m02 oracle while
     the decode itself runs the full entropy/IDCT/upsample/color
     machinery. Arrow-batched; output is (id, media) with genuine JPEG
-    bytes."""
+    bytes.
+
+    progressive=True emits the SAME images as SOF2 progressive streams
+    (spectral-selection band scans + a successive-approximation
+    refinement pass): the quantized coefficients are identical, so the
+    decoded samples — and therefore the m02 closed-form oracle — are
+    exactly those of the baseline encoding, while the decode exercises
+    the progressive scan machinery (DC/AC band scans, EOB runs,
+    refinement correction bits, restarts)."""
     import numpy as np
 
     from .jpeg import encode_jpeg
@@ -631,7 +639,8 @@ def synthesize_jpeg_media(df: DataFrame, id_col: str = "doc_id"
                         img[br * 8:br * 8 + 8, bc * 8:bc * 8 + 8, :] = v
                 blobs.append(encode_jpeg(
                     w, h, img.tobytes(), n_channels=3, quality=50,
-                    subsampling="4:2:0", restart_interval=d % 3))
+                    subsampling="4:2:0", restart_interval=d % 3,
+                    progressive=progressive))
             yield pd.DataFrame({id_col: pdf[id_col], "media": blobs})
 
     return df.select(id_col).mapInPandas(

@@ -404,6 +404,13 @@ def m02_multimodal_decode(spark, sf_dir):
     oracle re-derives the means in closed form from the block-value
     definition; any entropy/IDCT/upsample/color defect breaks the hash.
 
+    tag 'pjpeg' — the SAME images as SOF2 PROGRESSIVE JPEG streams:
+    identical quantized coefficients, so identical decoded samples and
+    the identical closed-form oracle rows, while the decode runs the
+    progressive machinery (interleaved DC scan, spectral-selection AC
+    band scans, successive-approximation refinement with correction
+    bits, end-of-band runs, restarts).
+
     tag 'avi' — a REAL video-container decode: every document becomes
     a genuine MJPEG AVI (RIFF mux of id%4+2 complete baseline JPEG
     frames, operators/avi.py), the demuxer walks the chunk tree and
@@ -447,6 +454,21 @@ def m02_multimodal_decode(spark, sf_dir):
                       F.lit(1).cast("int").alias("n_frames"), ifr,
                       F.posexplode("features").alias("dim", "feat"))
               .withColumn("dim", F.col("dim").cast("int")))
+    # tag 'pjpeg': the SAME images as SOF2 progressive streams — the
+    # quantized coefficients (hence the decoded samples and the
+    # closed-form oracle) are identical to tag 'jpeg', while the
+    # decode exercises the progressive machinery: DC/AC band scans,
+    # successive-approximation refinement, EOB runs, restarts
+    pjp = multimodal.jpeg_features(
+        multimodal.synthesize_jpeg_media(docs, progressive=True))
+    pjp = (pjp.select(F.lit("pjpeg").alias("tag"), "doc_id",
+                      F.lit("jpeg").alias("fmt"),
+                      F.lit(None).cast("bigint").alias("byte_len"),
+                      F.lit(None).cast("string").alias("sha"),
+                      "width", "height",
+                      F.lit(1).cast("int").alias("n_frames"), ifr,
+                      F.posexplode("features").alias("dim", "feat"))
+              .withColumn("dim", F.col("dim").cast("int")))
     avi = multimodal.avi_features(multimodal.synthesize_avi_media(docs))
     avi = (avi.select(F.lit("avi").alias("tag"), "doc_id",
                       F.lit("avi").alias("fmt"),
@@ -466,7 +488,8 @@ def m02_multimodal_decode(spark, sf_dir):
                       F.posexplode("features").alias("dim", "feat"))
               .withColumn("dim", F.col("dim").cast("int")))
     return _psort(stub.unionByName(png).unionByName(jpg)
-                      .unionByName(avi).unionByName(wav),
+                      .unionByName(pjp).unionByName(avi)
+                      .unionByName(wav),
                   "tag", "doc_id", "dim")
 
 
@@ -1200,6 +1223,16 @@ ORACLE_SQL: dict[str, str] = {
           FROM chan
           UNION ALL
           SELECT 'jpeg' AS tag, doc_id, 'jpeg' AS fmt,
+                 CAST(NULL AS BIGINT) AS byte_len,
+                 CAST(NULL AS VARCHAR) AS sha,
+                 width, height, CAST(1 AS INTEGER) AS n_frames,
+                 CAST(NULL AS INTEGER) AS framerate,
+                 dim, feat
+          FROM jchan
+          UNION ALL
+          -- tag 'pjpeg': same quantized coefficients as 'jpeg', so
+          -- the same closed-form decoded means
+          SELECT 'pjpeg' AS tag, doc_id, 'jpeg' AS fmt,
                  CAST(NULL AS BIGINT) AS byte_len,
                  CAST(NULL AS VARCHAR) AS sha,
                  width, height, CAST(1 AS INTEGER) AS n_frames,

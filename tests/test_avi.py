@@ -59,21 +59,36 @@ def test_empty_and_bad_signature_rejected():
         demux_avi(b"RIFF" + struct.pack("<I", 4) + b"WAVE")
 
 
-def test_non_mjpeg_codec_rejected_classifiably():
+def test_non_mjpeg_codec_raises_not_implemented():
+    """An inter-frame codec is a missing-DECODER gap, not corrupt
+    data: NotImplementedError, so decode_media's on_error='null'
+    ValueError quarantine can never absorb it."""
     avi = bytearray(encode_avi([_solid_frame(0)], 16, 16))
     i = avi.index(b"MJPG")                     # strh fccHandler
     avi[i:i + 4] = b"H264"
-    with pytest.raises(ValueError, match="MJPG-only"):
+    with pytest.raises(NotImplementedError, match="MJPG-only"):
         demux_avi(bytes(avi))
 
 
-def test_frame_count_mismatch_rejected():
+def test_frame_count_mismatch_tolerated():
+    """avih dwTotalFrames is advisory in real-world files (stale, or
+    the longest stream's count): the counted movi chunks win."""
     avi = bytearray(encode_avi([_solid_frame(0), _solid_frame(1)], 16, 16))
     i = avi.index(b"avih")
     # dwTotalFrames is the 5th uint32 of the avih body (offset 16)
     avi[i + 8 + 16:i + 8 + 20] = struct.pack("<I", 7)
-    with pytest.raises(ValueError, match="declares 7 frames"):
-        demux_avi(bytes(avi))
+    _, _, _, frames = demux_avi(bytes(avi))
+    assert len(frames) == 2
+
+
+def test_fractional_fps_rounds_not_floors():
+    """NTSC 30000/1001 must report 30 (rounded), not 29 (floored)."""
+    avi = bytearray(encode_avi([_solid_frame(0)], 16, 16, fps=30))
+    i = avi.index(b"strh")
+    # strh: dwScale at body+20, dwRate at body+24
+    avi[i + 8 + 20:i + 8 + 28] = struct.pack("<II", 1001, 30000)
+    _, _, fps, _ = demux_avi(bytes(avi))
+    assert fps == 30
 
 
 def test_truncations_always_classifiable():
@@ -93,7 +108,10 @@ def test_byte_flip_fuzz_never_crashes(blob, flip_at):
                 + bytes([data[flip_at] ^ 0x3C]) + data[flip_at + 1:])
     try:
         demux_avi(data)
-    except ValueError:
+    except (ValueError, NotImplementedError):
+        # NotImplementedError: the flip landed in the fccHandler and
+        # turned MJPG into an "unsupported codec" — the documented
+        # missing-decoder contract, still classifiable
         pass
 
 
@@ -103,7 +121,7 @@ def test_flips_inside_valid_avi_never_crash():
         data = avi[:pos] + bytes([avi[pos] ^ 0xFF]) + avi[pos + 1:]
         try:
             demux_avi(data)
-        except ValueError:
+        except (ValueError, NotImplementedError):
             pass
 
 

@@ -146,14 +146,19 @@ def test_sixteen_bit_quant_table_supported():
 def test_scope_rejections_are_classifiable():
     img = _solid_block_gray(16, 16)
     enc = bytearray(encode_jpeg(16, 16, img.tobytes(), n_channels=1))
-    # SOF0 -> SOF2 (progressive)
+    # SOF0 -> SOF1 (extended sequential)
     i = enc.index(b"\xff\xc0")
-    enc[i + 1] = 0xC2
-    with pytest.raises(ValueError, match="progressive"):
+    enc[i + 1] = 0xC1
+    with pytest.raises(ValueError, match="extended sequential"):
         decode_jpeg(bytes(enc))
     # arithmetic coding
     enc[i + 1] = 0xC9
     with pytest.raises(ValueError, match="arithmetic"):
+        decode_jpeg(bytes(enc))
+    # SOF0 -> SOF2: a BASELINE stream misdeclared progressive — the
+    # full-band interleaved scan is not a legal progressive scan shape
+    enc[i + 1] = 0xC2
+    with pytest.raises(ValueError):
         decode_jpeg(bytes(enc))
     enc[i + 1] = 0xC0
     # 12-bit precision
@@ -329,3 +334,116 @@ def test_single_component_scan_is_noninterleaved():
 def test_encoder_rejects_16bit_overflow_dimensions():
     with pytest.raises(ValueError, match="16-bit"):
         encode_jpeg(70000, 8, bytes(70000 * 8), n_channels=1)
+
+
+# ------------------------------------------------------- progressive
+
+
+@pytest.mark.parametrize("w,h,nc,sub,ri", [
+    (16, 16, 3, "4:4:4", 0),
+    (16, 16, 3, "4:2:0", 0),
+    (17, 23, 3, "4:2:0", 0),      # odd dims: subgrid AC vs padded DC
+    (64, 48, 3, "4:2:0", 3),      # restart markers inside every scan
+    (5, 5, 1, "4:4:4", 2),
+    (33, 31, 3, "4:2:0", 1),
+])
+def test_progressive_decode_matches_baseline_bitexact(w, h, nc, sub, ri):
+    """The progressive encoder emits the SAME quantized coefficients as
+    the baseline encoder (spectral selection + one successive-
+    approximation pass, Al=1 -> 0), so the progressive decode must
+    equal the baseline decode byte for byte — DC DPCM at reduced
+    precision, band scans, EOB runs, refinement correction bits,
+    newly-nonzero insertions, and restarts all reassemble exactly."""
+    rng = np.random.default_rng(w * 1000 + h * 10 + nc)
+    px = rng.integers(0, 256, size=w * h * nc, dtype=np.uint8).tobytes()
+    base = encode_jpeg(w, h, px, nc, quality=50, subsampling=sub,
+                       restart_interval=ri)
+    prog = encode_jpeg(w, h, px, nc, quality=50, subsampling=sub,
+                       restart_interval=ri, progressive=True)
+    assert decode_jpeg(prog) == decode_jpeg(base)
+
+
+def test_progressive_flat_then_textured_exercises_eob_runs():
+    """A mostly-flat image whose LAST block is textured: every earlier
+    block contributes to one long accumulated end-of-band run that the
+    final block's coefficients force to flush mid-scan — the EOBn
+    (run > 1) decode path the sequential tables can't even express."""
+    img = np.full((8, 128), 100, dtype=np.uint8)
+    img[:, 120:] = np.arange(64, dtype=np.uint8).reshape(8, 8) * 3
+    base = encode_jpeg(128, 8, img.tobytes(), n_channels=1, quality=50)
+    prog = encode_jpeg(128, 8, img.tobytes(), n_channels=1, quality=50,
+                       progressive=True)
+    assert decode_jpeg(prog) == decode_jpeg(base)
+    # the progressive AC-first scan of 16 blocks with one textured
+    # block must be far smaller than 16 separate EOBs would make it —
+    # i.e. the EOBn aggregation really happened (coarse structural
+    # check: whole file under 3x the baseline)
+    assert len(prog) < 3 * len(base)
+
+
+def test_progressive_solid_even_blocks_exact():
+    """The m02 closed-form exactness contract holds for progressive
+    encodes too: solid even-valued blocks round-trip bit-exactly
+    (DC exact multiple of the quantizer, all AC zero)."""
+    img = _solid_block_gray(32, 16, 3)
+    prog = encode_jpeg(32, 16, img.tobytes(), n_channels=1, quality=50,
+                       progressive=True)
+    w, h, ch, px = decode_jpeg(prog)
+    assert (w, h, ch) == (32, 16, 1)
+    assert np.array_equal(
+        np.frombuffer(px, dtype=np.uint8).reshape(16, 32), img)
+
+
+def test_progressive_truncation_always_classifiable():
+    rng = np.random.default_rng(23)
+    img = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    enc = encode_jpeg(16, 16, img.tobytes(), quality=50,
+                      subsampling="4:2:0", progressive=True)
+    for cut in range(0, len(enc), max(1, len(enc) // 60)):
+        with pytest.raises(ValueError):
+            decode_jpeg(enc[:cut])
+
+
+def test_progressive_byte_flips_never_crash():
+    rng = np.random.default_rng(29)
+    img = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+    enc = encode_jpeg(24, 24, img.tobytes(), quality=70,
+                      subsampling="4:2:0", restart_interval=2,
+                      progressive=True)
+    for pos in range(2, len(enc), max(1, len(enc) // 150)):
+        data = enc[:pos] + bytes([enc[pos] ^ 0xFF]) + enc[pos + 1:]
+        try:
+            decode_jpeg(data)
+        except ValueError:
+            pass
+
+
+def test_progressive_scan_shape_violations_rejected():
+    """Malformed scan scripts fail classifiably: interleaved AC scans,
+    DC scans with Se > 0, and non-stepwise successive approximation."""
+    img = _solid_block_gray(16, 16)
+    enc = bytearray(encode_jpeg(16, 16, img.tobytes(), n_channels=1,
+                                quality=50, progressive=True))
+    # locate the first SOS; its last 3 bytes are Ss, Se, AhAl
+    i = enc.index(b"\xff\xda")
+    seglen = struct.unpack(">H", bytes(enc[i + 2:i + 4]))[0]
+    ss_at = i + 2 + seglen - 3
+    orig = bytes(enc)
+    enc[ss_at + 1] = 5                       # DC scan with Se = 5
+    with pytest.raises(ValueError, match="Se = 0"):
+        decode_jpeg(bytes(enc))
+    enc[:] = bytearray(orig)
+    enc[ss_at + 2] = 0x30                    # Ah=3 refining to Al=0
+    with pytest.raises(ValueError, match="one bit per scan"):
+        decode_jpeg(bytes(enc))
+
+
+def test_two_component_frame_rejected_at_parse():
+    """A 2-component (or CMYK-style 4-component) SOF is rejected while
+    PARSING the header — named error, no entropy decode attempted."""
+    img = _solid_block_gray(16, 16)
+    enc = bytearray(encode_jpeg(16, 16, img.tobytes(), n_channels=1))
+    i = enc.index(b"\xff\xc0")
+    enc[i + 9] = 2                           # component count byte
+    with pytest.raises(ValueError, match="unsupported component count"):
+        decode_jpeg(bytes(enc))
