@@ -68,13 +68,33 @@ class DedupIngest:
 
     The accepted corpus is ``spark.read.parquet(corpus_path)``
     (stream_id and batch_id partition columns included).
+
+    ``index_path`` must be a driver-local POSIX path (local disk or a
+    mounted shared filesystem): the replay ledger's marker files are
+    plain file IO, so an object-store/HDFS URI is rejected at
+    construction rather than silently breaking exactly-once on replay.
     """
 
     def __init__(self, index_path: str, corpus_path: str,
                  threshold: float = 0.8, text_col: str = "text",
                  id_col: str = "doc_id", n: int = 3,
                  stream_id: str = "default"):
-        self.index_path = index_path
+        # the marker ledger and the init guard are DRIVER-LOCAL
+        # os.path/open IO under index_path; on an object-store/HDFS
+        # URI those writes would land on the driver's local disk while
+        # the parquet rows land remotely, and the exactly-once replay
+        # protocol would silently not hold. Fail fast: this class
+        # requires index_path on a filesystem the driver reaches with
+        # POSIX IO (local disk, NFS) — route remote stores through a
+        # mount, or land locally and replicate with ReplicationJob.
+        scheme = index_path.split("://", 1)[0] if "://" in index_path \
+            else ""
+        if scheme and scheme != "file":
+            raise ValueError(
+                f"DedupIngest index_path must be a driver-local POSIX "
+                f"path (the marker ledger uses local file IO); got "
+                f"scheme {scheme!r}")
+        self.index_path = index_path.removeprefix("file://")
         self.corpus_path = corpus_path
         self.threshold = threshold
         self.text_col = text_col

@@ -211,3 +211,20 @@ def test_append_minhash_index_refuses_stamped_index(spark, paths):
     with pytest.raises(ValueError, match="streaming index"):
         dedup.append_minhash_index(
             spark, paths[0], _docs(spark, [(900, FRESH_B)]))
+
+
+def test_remote_index_path_rejected_at_construction():
+    """The marker ledger is driver-local POSIX IO: an object-store or
+    HDFS index_path would break the exactly-once replay protocol
+    silently, so it must fail fast at construction."""
+    import pytest
+
+    from datastream_delta_plugins_spark.streaming.dedup_ingest import \
+        DedupIngest
+
+    for uri in ("s3://bucket/idx", "gs://bucket/idx", "hdfs://nn/idx"):
+        with pytest.raises(ValueError, match="POSIX"):
+            DedupIngest(uri, "/tmp/corpus")
+    # file:// is local — accepted, scheme stripped for the ledger IO
+    ing = DedupIngest("file:///tmp/some_idx", "/tmp/corpus")
+    assert ing.index_path == "/tmp/some_idx"
