@@ -187,6 +187,113 @@ class BucketedStateTable:
         """Current state (all buckets), or None before the first commit."""
         return self._read_dirs(sorted(self.current_manifest().values()))
 
+    # -- open-table-format export --
+
+    def export_delta(self) -> str:
+        """Publish the CURRENT committed snapshot as a Delta Lake
+        transaction log (`_delta_log/` inside the state dir), so
+        third-party engines — delta-rs, DuckDB's delta reader,
+        delta-spark — read the materialized state as a standard table.
+        The parquet payloads are already standard; only the manifest
+        pointer is engine-specific, and this adapter maps it onto
+        Delta's public JSON actions (protocol / metaData / add /
+        remove — Delta Transaction Log Protocol, delta.io). Writing
+        the log needs no delta library.
+
+        Each call appends ONE Delta version that reconciles the log's
+        live file set to this table's current manifest: `add` actions
+        for files that entered, `remove` for files whose bucket dir was
+        replaced by a merge. File paths are state-dir-relative, so the
+        state dir itself IS the delta table root. Returns the log dir.
+
+        Contract notes:
+        - an export is a snapshot PUBLICATION — commits after it are
+          invisible to delta readers until the next export (call it
+          from the same maintenance cadence as vacuum);
+        - `vacuum` deletes replaced data dirs, so delta TIME TRAVEL
+          reaches only as far back as un-vacuumed exports — the same
+          horizon contract as read_at;
+        - concurrent exporters are not OCC-coordinated (exports are a
+          maintenance-owner duty, like vacuum).
+        """
+        import time
+        import uuid
+
+        v = self.version()
+        if v < 0:
+            raise ValueError("nothing committed yet — no snapshot to "
+                             "export as a delta log")
+        log_dir = os.path.join(self.path, "_delta_log")
+
+        # replay any existing exported log: live file set + next version
+        live: dict[str, dict] = {}
+        meta_id = None
+        next_v = 0
+        for key in sorted(self.data_store.list_keys(log_dir)):
+            name = os.path.basename(key)
+            if not name.endswith(".json") or not name[:-5].isdigit():
+                continue
+            next_v = max(next_v, int(name[:-5]) + 1)
+            for line in self.data_store.get(key).splitlines():
+                act = json.loads(line)
+                if "add" in act:
+                    live[act["add"]["path"]] = act["add"]
+                elif "remove" in act:
+                    live.pop(act["remove"]["path"], None)
+                elif "metaData" in act:
+                    meta_id = act["metaData"]["id"]
+
+        # current snapshot's parquet files, state-dir-relative
+        now_ms = int(time.time() * 1000)
+        current: dict[str, dict] = {}
+        for d in sorted(self.current_manifest().values()):
+            prefix = os.path.join(self.path, d)
+            for key in sorted(self.data_store.list_keys(prefix)):
+                if not key.endswith(".parquet"):
+                    continue
+                rel = os.path.relpath(key, self.path)
+                size = (os.path.getsize(key)
+                        if isinstance(self.data_store, PosixStore)
+                        else len(self.data_store.get(key)))
+                current[rel] = {"path": rel, "partitionValues": {},
+                                "size": size,
+                                "modificationTime": now_ms,
+                                "dataChange": True}
+
+        commit_info = {
+            "timestamp": now_ms, "operation": "WRITE",
+            "operationParameters": {"mode": "Overwrite"},
+            "engineInfo": "datastream-delta-plugins-spark export_delta"}
+        if next_v:
+            commit_info["readVersion"] = next_v - 1
+        actions: list[dict] = [{"commitInfo": commit_info}]
+        if next_v == 0:
+            actions.append({"protocol": {"minReaderVersion": 1,
+                                         "minWriterVersion": 2}})
+        if meta_id is None:
+            meta_id = str(uuid.uuid4())
+            # schemaString is Spark's StructType JSON — the format the
+            # Delta protocol specifies
+            actions.append({"metaData": {
+                "id": meta_id,
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": self.read().schema.json(),
+                "partitionColumns": [],
+                "configuration": {},
+                "createdTime": now_ms}})
+        for rel in sorted(set(live) - set(current)):
+            actions.append({"remove": {"path": rel,
+                                       "deletionTimestamp": now_ms,
+                                       "dataChange": True}})
+        for rel in sorted(set(current) - set(live)):
+            actions.append({"add": current[rel]})
+
+        body = "\n".join(json.dumps(a, separators=(",", ":"))
+                         for a in actions) + "\n"
+        self.data_store.put(os.path.join(log_dir, f"{next_v:020d}.json"),
+                            body.encode())
+        return log_dir
+
     def read_at(self, version: int) -> DataFrame | None:
         """Time travel: the table as of a committed version. Available
         while the version's manifest payload (commit-log ``keep`` /
