@@ -11,7 +11,29 @@ and VIDEO as MJPEG/AVI (RIFF container mux/demux in `operators/avi.py`
 + the per-frame JPEG decode), so `sample_frames(real_decode=True)` is
 a genuine demux-and-decode pass. Only inter-frame codecs (H.264/VP9/
 AV1) remain env-gated: they need a real decoder library (pyav), and
-the demuxer rejects them with a classifiable 'MJPG-only' error.
+the demuxer rejects them with a classifiable 'MJPG-only'
+NotImplementedError.
+
+Scale posture — correctness-grade codecs, swappable decode kernels.
+Measured single-core decode throughput on this container (256x256
+photo-ish content / 10 s stereo PCM / 10-frame MJPEG, best-of-3):
+
+    PNG (zlib inflate is C)          ~580 MB/s
+    AVI demux (container walk only)  ~1.6 GB/s
+    WAV PCM                          ~87 MB/s
+    JPEG baseline                    ~0.22 MB/s
+    JPEG progressive                 ~0.19 MB/s
+
+The JPEG entropy decode is a per-byte Python bit loop (the only
+in-container option: no PIL/libjpeg-turbo here) — roughly two orders
+of magnitude under a C codec, so it is ADEQUATE FOR THE GATE, WEAK
+FOR SCALE: executor parallelism spreads it but does not fix the
+per-core cost. The seam is structural, not aspirational: decode
+dispatch is by magic bytes in `_real_decode_row`, so a deployment
+drops libjpeg-turbo/pyav in at that one function (same signatures,
+same quarantine contract) and every operator above it — schemas,
+Arrow batching, `on_error='null'` quarantine, frame sampling — is
+unchanged.
 """
 
 from __future__ import annotations
