@@ -128,20 +128,20 @@ def demux_avi(data: bytes) -> tuple[int, int, int, list[bytes]]:
 
     width = height = None
     fps = 0
-    declared_frames = None
     video_stream = None        # strl index of the MJPG vids stream
     frames: list[bytes] = []
     saw_movi = False
 
     def _parse_hdrl(body: int, size: int) -> None:
-        nonlocal width, height, fps, declared_frames, video_stream
+        nonlocal width, height, fps, video_stream
         stream_idx = 0
         for tag, b, s in _walk_chunks(data, body, body + size):
             if tag == b"avih":
                 if s < 40:
                     raise ValueError("truncated avih header")
                 vals = struct.unpack("<10I", data[b:b + 40])
-                declared_frames = vals[4]
+                # vals[4] (dwTotalFrames) is deliberately unused —
+                # advisory in the wild; counted movi chunks win
                 width, height = vals[8], vals[9]
             elif tag == b"LIST" and data[b:b + 4] == b"strl":
                 for t2, b2, s2 in _walk_chunks(data, b + 4, b + s):

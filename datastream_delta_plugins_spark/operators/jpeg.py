@@ -141,7 +141,12 @@ _AC_CHROMA_VALS = [
 # Hard decode bounds (same discipline as the PNG codec's 256M cap): a
 # hostile header cannot make us allocate unboundedly.
 _MAX_SAMPLES = 1 << 28          # w*h*channels
-_MAX_COMPONENTS = 4
+#: legitimate 8-bit-precision quantized DC values fit 12 signed bits
+#: (T.81 F.1.1.5.1: DC difference size categories 0..11); anything
+#: beyond is a corrupt stream, rejected before it can overflow the
+#: int32 coefficient grid under a << Al point transform (Al <= 13:
+#: 2048 << 13 = 2^24, comfortably inside int32)
+_MAX_DC = 2048
 
 
 # ---------------------------------------------------------------- DCT
@@ -993,6 +998,14 @@ def _decode_prog_scan(data: bytes, pos: int, body: bytes, frame,
                 if size > 11:
                     raise ValueError(f"bad DC size category {size}")
                 preds[si] += _extend(reader.read_bits(size), size)
+                if abs(preds[si]) > _MAX_DC:
+                    # legitimate 8-bit-precision DC values fit 12
+                    # signed bits; a runaway predictor is a corrupt
+                    # stream and, unbounded, would overflow the int32
+                    # grid below (<< Al up to 13) — an OverflowError/
+                    # wraparound that escapes the classifiable-
+                    # ValueError contract
+                    raise ValueError("JPEG DC predictor out of range")
                 blk[0] = preds[si] << al
             else:
                 blk[0] |= reader.read_bit() << al
@@ -1035,10 +1048,11 @@ def _decode_prog_scan(data: bytes, pos: int, body: bytes, frame,
 
 
 def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
-    """Decode a baseline JPEG to (width, height, channels, samples) —
-    gray (1 channel) or RGB (3), 8-bit, row-major interleaved. Raises
-    ValueError with a classifiable message on anything malformed,
-    truncated, or outside the baseline-Huffman scope."""
+    """Decode a sequential (SOF0) or progressive (SOF2) Huffman JPEG
+    to (width, height, channels, samples) — gray (1 channel) or RGB
+    (3), 8-bit, row-major interleaved. Raises ValueError with a
+    classifiable message on anything malformed, truncated, or outside
+    that scope (arithmetic/hierarchical/extended/12-bit)."""
     if len(data) < 4 or data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (bad SOI signature)")
 
@@ -1255,6 +1269,11 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                 if size > 11:
                     raise ValueError(f"bad DC size category {size}")
                 diff = _extend(reader.read_bits(size), size)
+                if abs(preds[ci] + diff) > _MAX_DC:
+                    # same runaway-predictor bound as the progressive
+                    # DC scan: corrupt streams must stay classifiable,
+                    # not wrap the int32 coefficient grid
+                    raise ValueError("JPEG DC predictor out of range")
                 preds[ci] += diff
                 zz[0] = preds[ci]
                 k = 1

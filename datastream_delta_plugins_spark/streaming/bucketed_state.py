@@ -189,6 +189,28 @@ class BucketedStateTable:
 
     # -- open-table-format export --
 
+    def _replay_delta_log(self) -> tuple[dict[str, dict], str | None, int]:
+        """Replay the exported Delta log (if any): returns (live adds
+        by path, metaData id, next version number)."""
+        log_dir = os.path.join(self.path, "_delta_log")
+        live: dict[str, dict] = {}
+        meta_id = None
+        next_v = 0
+        for key in sorted(self.data_store.list_keys(log_dir)):
+            name = os.path.basename(key)
+            if not name.endswith(".json") or not name[:-5].isdigit():
+                continue
+            next_v = max(next_v, int(name[:-5]) + 1)
+            for line in self.data_store.get(key).splitlines():
+                act = json.loads(line)
+                if "add" in act:
+                    live[act["add"]["path"]] = act["add"]
+                elif "remove" in act:
+                    live.pop(act["remove"]["path"], None)
+                elif "metaData" in act:
+                    meta_id = act["metaData"]["id"]
+        return live, meta_id, next_v
+
     def export_delta(self) -> str:
         """Publish the CURRENT committed snapshot as a Delta Lake
         transaction log (`_delta_log/` inside the state dir), so
@@ -226,22 +248,7 @@ class BucketedStateTable:
         log_dir = os.path.join(self.path, "_delta_log")
 
         # replay any existing exported log: live file set + next version
-        live: dict[str, dict] = {}
-        meta_id = None
-        next_v = 0
-        for key in sorted(self.data_store.list_keys(log_dir)):
-            name = os.path.basename(key)
-            if not name.endswith(".json") or not name[:-5].isdigit():
-                continue
-            next_v = max(next_v, int(name[:-5]) + 1)
-            for line in self.data_store.get(key).splitlines():
-                act = json.loads(line)
-                if "add" in act:
-                    live[act["add"]["path"]] = act["add"]
-                elif "remove" in act:
-                    live.pop(act["remove"]["path"], None)
-                elif "metaData" in act:
-                    meta_id = act["metaData"]["id"]
+        live, meta_id, next_v = self._replay_delta_log()
 
         # current snapshot's parquet files, state-dir-relative
         now_ms = int(time.time() * 1000)
@@ -252,9 +259,10 @@ class BucketedStateTable:
                 if not key.endswith(".parquet"):
                     continue
                 rel = os.path.relpath(key, self.path)
-                size = (os.path.getsize(key)
-                        if isinstance(self.data_store, PosixStore)
-                        else len(self.data_store.get(key)))
+                size = self.data_store.size(key)
+                if size is None:
+                    raise FileNotFoundError(
+                        f"snapshot file vanished during export: {key}")
                 current[rel] = {"path": rel, "partitionValues": {},
                                 "size": size,
                                 "modificationTime": now_ms,
@@ -533,6 +541,17 @@ class BucketedStateTable:
                 live.update(self._manifest(v).values())
             except FileNotFoundError:
                 continue  # payload pruned out of the keep window
+        # the exported Delta table (export_delta) publishes file paths
+        # to THIRD-PARTY readers; deleting a dir the log's latest live
+        # set still lists would break that table silently (a missing-
+        # file error in delta-rs/DuckDB with no signal on this side).
+        # Protect the dirs behind the log's CURRENT live adds — a
+        # fresh export (which emits removes for replaced dirs) frees
+        # them for the next vacuum, the delta-vacuum analog. Older
+        # export versions are NOT protected: delta time travel reaches
+        # only as far back as un-vacuumed exports (export docstring).
+        delta_live, _mid, _nv = self._replay_delta_log()
+        live.update(os.path.dirname(p) for p in delta_live)
         removed: list[str] = []
         droot = os.path.join(self.path, "data").rstrip("/") + "/"
         seen: set[str] = set()

@@ -420,6 +420,15 @@ class ObjectStoreClient:
     def head(self, key: str) -> bool:
         raise NotImplementedError
 
+    def size(self, key: str) -> int | None:
+        """Object size in bytes (None when absent). Both stores serve
+        it metadata-only (GCS objects.get resource `size`, S3
+        HeadObject Content-Length); this base fallback downloads the
+        object — correct everywhere, so bindings SHOULD override it
+        (export_delta stats every snapshot file per export)."""
+        data = self.get(key)
+        return None if data is None else len(data)
+
     def list_keys(self, prefix: str,
                   start_after: str | None = None) -> list[str]:
         raise NotImplementedError
@@ -568,6 +577,12 @@ class PosixStore(ObjectStoreClient):
 
     def head(self, key: str) -> bool:
         return os.path.isfile(key)
+
+    def size(self, key: str) -> int | None:
+        try:
+            return os.path.getsize(key)
+        except OSError:
+            return None
 
     def delete(self, key: str) -> None:
         try:

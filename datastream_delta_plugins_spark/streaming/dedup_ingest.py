@@ -87,14 +87,25 @@ class DedupIngest:
         # requires index_path on a filesystem the driver reaches with
         # POSIX IO (local disk, NFS) — route remote stores through a
         # mount, or land locally and replicate with ReplicationJob.
-        scheme = index_path.split("://", 1)[0] if "://" in index_path \
-            else ""
-        if scheme and scheme != "file":
+        # urlparse (not a '://' split) so the single-slash 'file:/x'
+        # form is caught and a non-empty authority ('file://host/x',
+        # which would silently resolve RELATIVE after prefix
+        # stripping) is rejected rather than relocating the ledger.
+        from urllib.parse import urlparse
+        parsed = urlparse(index_path)
+        if parsed.scheme and parsed.scheme != "file":
             raise ValueError(
                 f"DedupIngest index_path must be a driver-local POSIX "
                 f"path (the marker ledger uses local file IO); got "
-                f"scheme {scheme!r}")
-        self.index_path = index_path.removeprefix("file://")
+                f"scheme {parsed.scheme!r}")
+        if parsed.scheme == "file":
+            if parsed.netloc not in ("", "localhost"):
+                raise ValueError(
+                    f"DedupIngest index_path file URI must have no "
+                    f"authority (got {parsed.netloc!r}) — a remote "
+                    f"host cannot carry the driver-local ledger")
+            index_path = parsed.path
+        self.index_path = index_path
         self.corpus_path = corpus_path
         self.threshold = threshold
         self.text_col = text_col

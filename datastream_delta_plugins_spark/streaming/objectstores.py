@@ -392,6 +392,18 @@ class GcsClient(_RestClient):
             raise OSError(f"GCS head {key}: HTTP {status}")
         return True
 
+    def size(self, key: str) -> int | None:
+        # metadata-only: the objects.get resource carries `size` (a
+        # string per the GCS JSON API) — never the media download the
+        # base-class fallback would pay
+        import json as _json
+        status, _, body = self._call(self.get_request(key, media=False))
+        if status == 404:
+            return None
+        if status // 100 != 2:
+            raise OSError(f"GCS size {key}: HTTP {status}")
+        return int(_json.loads(body)["size"])
+
     def list_keys(self, prefix: str,
                   start_after: str | None = None) -> list[str]:
         out, token = [], None
@@ -488,6 +500,20 @@ class S3Client(_RestClient):
         if status // 100 != 2:
             raise OSError(f"S3 head {key}: HTTP {status}")
         return True
+
+    def size(self, key: str) -> int | None:
+        # metadata-only: HeadObject's Content-Length IS the object
+        # size — never the full GET the base-class fallback would pay
+        status, headers, _ = self._call(self.get_request(key, head=True))
+        if status == 404:
+            return None
+        if status // 100 != 2:
+            raise OSError(f"S3 size {key}: HTTP {status}")
+        for k, v in (headers or {}).items():
+            if str(k).lower() == "content-length":
+                return int(v)
+        raise OSError(f"S3 size {key}: HeadObject carried no "
+                      f"Content-Length")
 
     def list_keys(self, prefix: str,
                   start_after: str | None = None) -> list[str]:

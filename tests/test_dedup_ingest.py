@@ -225,6 +225,12 @@ def test_remote_index_path_rejected_at_construction():
     for uri in ("s3://bucket/idx", "gs://bucket/idx", "hdfs://nn/idx"):
         with pytest.raises(ValueError, match="POSIX"):
             DedupIngest(uri, "/tmp/corpus")
-    # file:// is local — accepted, scheme stripped for the ledger IO
-    ing = DedupIngest("file:///tmp/some_idx", "/tmp/corpus")
-    assert ing.index_path == "/tmp/some_idx"
+    # the single-slash file URI form must be caught too, and a
+    # file URI with an authority would resolve RELATIVE after prefix
+    # stripping — both ledger-relocation hazards
+    with pytest.raises(ValueError, match="authority"):
+        DedupIngest("file://nfshost/data/idx", "/tmp/corpus")
+    for uri in ("file:///tmp/some_idx", "file:/tmp/some_idx",
+                "file://localhost/tmp/some_idx"):
+        ing = DedupIngest(uri, "/tmp/corpus")
+        assert ing.index_path == "/tmp/some_idx"

@@ -156,3 +156,37 @@ def test_metadata_id_stable_across_exports(spark, tmp_path):
                 if "metaData" in act:
                     ids.add(act["metaData"]["id"])
     assert len(ids) == 1, "table id must be stable across exports"
+
+
+def test_vacuum_spares_files_live_in_latest_export(spark, tmp_path):
+    """vacuum must never delete parquet files the exported Delta log's
+    CURRENT live set still references (third-party readers hold that
+    file list); a fresh export frees replaced dirs for the NEXT
+    vacuum — the delta-vacuum analog."""
+    t = BucketedStateTable(spark, str(tmp_path / "st"), ["id"],
+                           n_buckets=4, keep_versions=0)
+    t.merge(_batch(spark, range(20), 1))
+    log_dir = t.export_delta()
+    live0, _ = _replay_log(log_dir)
+
+    t.merge(_batch(spark, range(0, 20, 3), 2))   # replaces some dirs
+    removed = t.vacuum(keep_versions=0)
+    # every exported-live file still present and the exported table
+    # still reads exactly the version-0 snapshot
+    for p in live0:
+        assert os.path.exists(os.path.join(t.path, p)), p
+    files = [os.path.join(t.path, p) for p in sorted(live0)]
+    snap0 = spark.read.parquet(*files)
+    assert {r["id"] for r in snap0.collect()} == set(range(20))
+    assert all(r["payload"].startswith("v1_") for r in snap0.collect())
+
+    # a fresh export emits removes for the replaced dirs; vacuum may
+    # then reclaim them
+    t.export_delta()
+    t.vacuum(keep_versions=0)
+    live1, _ = _replay_log(log_dir)
+    gone = set(live0) - set(live1)
+    assert gone, "the second merge must have replaced some files"
+    assert not any(os.path.exists(os.path.join(t.path, p)) for p in gone)
+    files = [os.path.join(t.path, p) for p in sorted(live1)]
+    assert _snap(spark.read.parquet(*files)) == _snap(t.read())

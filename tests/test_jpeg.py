@@ -447,3 +447,31 @@ def test_two_component_frame_rejected_at_parse():
     enc[i + 9] = 2                           # component count byte
     with pytest.raises(ValueError, match="unsupported component count"):
         decode_jpeg(bytes(enc))
+
+
+def test_runaway_dc_predictor_classifiable():
+    """A hostile progressive DC-first scan (Al=13, every block carrying
+    the max +2047 diff) drives the predictor past any legal DC value;
+    unbounded it would overflow the int32 coefficient grid under the
+    << Al point transform (OverflowError/wraparound — escaping the
+    classifiable-ValueError contract). Must be a named ValueError."""
+    from datastream_delta_plugins_spark.operators.jpeg import (
+        _DC_TABLES, _BitWriter, _magnitude_bits)
+
+    w = h = 8 * 40
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([0]) + bytes([1] * 64)
+    sof = struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
+    out += b"\xff\xc2" + struct.pack(">H", len(sof) + 2) + sof
+    spec = _DC_TABLES[0].spec_bytes()
+    out += b"\xff\xc4" + struct.pack(">H", len(spec) + 3) + bytes([0]) + spec
+    out += b"\xff\xda" + struct.pack(">H", 8) + bytes([1, 1, 0x00, 0, 0, 0x0D])
+    wtr = _BitWriter()
+    for _ in range(40 * 40):
+        code, length = _DC_TABLES[0].encode_map[11]
+        wtr.write(code, length)
+        wtr.write(_magnitude_bits(2047, 11), 11)
+    wtr.flush()
+    out += wtr.out + b"\xff\xd9"
+    with pytest.raises(ValueError, match="DC predictor out of range"):
+        decode_jpeg(bytes(out))
