@@ -293,12 +293,31 @@ def s02_ivf_topk(spark, sf_dir):
                                         source_df=emb)
             .select(F.lit("int8").alias("tag"), "q_id", "vec_id",
                     "cos", "rn"))
-    out = _psort(direct.unionByName(indexed).unionByName(int8),
+    # tag 'pq': the same exhaustive probe against a PRODUCT-QUANTIZED
+    # index (store="pq": 8 tinyint codes + l2_norm + rho per row,
+    # ~10x smaller than float vectors at dim 64 — the memory lever
+    # past int8's 4x): the per-row Cauchy-Schwarz screen bound
+    # (|dot(q, x - x_hat)| <= |q| * rho) provably keeps every true
+    # top-k member, survivors rescore with the exact fold cosine, so
+    # rows must be bitwise identical to the other three paths — one
+    # SQL truth hash-checks codebook fit, encode, LUT reconstruction,
+    # bound math, and rescore end to end.
+    tmpp = tempfile.mkdtemp(prefix="s02_ivfpq_")
+    similarity.save_ivf_index(emb, tmpp, k=n_cells, store="pq",
+                              cells=cells)
+    pq = (similarity.ivf_topk_indexed(spark, tmpp, emb.where(pred),
+                                      k=5, nprobe=n_cells,
+                                      source_df=emb)
+          .select(F.lit("pq").alias("tag"), "q_id", "vec_id",
+                  "cos", "rn"))
+    out = _psort(direct.unionByName(indexed).unionByName(int8)
+                       .unionByName(pq),
                  "tag", "q_id", "rn").localCheckpoint(eager=True)
     # the checkpoint pinned the (small) rows — the per-call index dirs
     # must not accumulate across the driver's best-of-N repetitions
     shutil.rmtree(tmp, ignore_errors=True)
     shutil.rmtree(tmp8, ignore_errors=True)
+    shutil.rmtree(tmpp, ignore_errors=True)
     return out
 
 
@@ -1276,5 +1295,7 @@ ORACLE_SQL: dict[str, str] = {
           SELECT 'indexed' AS tag, * FROM topk
           UNION ALL
           SELECT 'int8' AS tag, * FROM topk
+          UNION ALL
+          SELECT 'pq' AS tag, * FROM topk
         ) ORDER BY tag, q_id, rn""",
 }

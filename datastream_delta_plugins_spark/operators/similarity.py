@@ -299,10 +299,110 @@ def _int8_index_rows(df: DataFrame, vec_col: str, id_col: str,
                        norm.alias("l2_norm"), *extra)
 
 
+def _pq_literal(cb_rows: list) -> str:
+    """SQL literal for a collected codebook — array[m][code][dim] of
+    doubles. cb_rows: (sub, code, centroid) tuples. The literal rides
+    inside encode/LUT expressions so neither index build nor probe
+    ever joins or shuffles the (tiny) codebook; Python float repr is
+    round-trip exact and the D suffix pins the Spark literal to
+    DOUBLE (a bare decimal literal parses as DECIMAL)."""
+    by_sub: dict[int, dict[int, list]] = {}
+    for sub, code, cent in cb_rows:
+        by_sub.setdefault(int(sub), {})[int(code)] = list(cent)
+    subs = []
+    for m in sorted(by_sub):
+        cents = [f"array({', '.join(repr(float(x)) + 'D' for x in c)})"
+                 for _j, c in sorted(by_sub[m].items())]
+        subs.append(f"array({', '.join(cents)})")
+    return f"array({', '.join(subs)})"
+
+
+def _pq_dists_sql(cb_lit: str, ds: int, vec: str) -> str:
+    """Per-subspace squared distances of `vec`'s slices to every
+    codebook centroid: array[m][code] of doubles."""
+    return (f"transform({cb_lit}, (sub, mi) -> transform(sub, c -> "
+            f"aggregate(zip_with(slice({vec}, mi * {ds} + 1, {ds}), c, "
+            f"(a, b) -> (a - b) * (a - b)), 0D, (acc, x) -> acc + x)))")
+
+
+def fit_pq_codebooks(df: DataFrame, m: int = 8, ksub: int = 16,
+                     vec_col: str = "embedding", id_col: str = "vec_id",
+                     seed: int = 42, max_iter: int = 5) -> DataFrame:
+    """Product-quantization codebooks: the vector split into `m`
+    contiguous subspaces, each fit with its own k-means of `ksub`
+    centroids over the RAW (unnormalized) subvectors — PQ encodes
+    residual geometry, so magnitude matters here, unlike the
+    cosine-routing cell fit. Returns (sub, code, centroid). At 100 TB
+    each fit runs on a sample exactly like the cell k-means; the
+    codebook is m*ksub*(dim/m) doubles — always tiny."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    if ksub < 1 or ksub > 128:
+        raise ValueError(f"pq ksub must be 1..128 (codes are stored "
+                         f"as tinyint), got {ksub}")
+    dim = df.select(F.size(vec_col)).first()[0]
+    if dim % m != 0:
+        raise ValueError(
+            f"embedding dim {dim} is not divisible by pq m={m}")
+    ds = dim // m
+    v = df.select(F.transform(vec_col,
+                              lambda x: x.cast("double")).alias("_v"))
+    v = v.persist()
+    try:
+        out = None
+        for mi in range(m):
+            feat = v.select(array_to_vector(
+                F.slice("_v", mi * ds + 1, ds)).alias("_features"))
+            model = KMeans(k=ksub, maxIter=max_iter, seed=seed + mi,
+                           featuresCol="_features",
+                           predictionCol="_code").fit(feat)
+            rows = [(mi, j, [float(x) for x in c])
+                    for j, c in enumerate(model.clusterCenters())]
+            part = df.sparkSession.createDataFrame(
+                rows, "sub int, code int, centroid array<double>")
+            out = part if out is None else out.unionByName(part)
+        return out.localCheckpoint(eager=True)
+    finally:
+        v.unpersist()
+
+
+def _pq_index_rows(df: DataFrame, vec_col: str, id_col: str,
+                   extra: list[str], cb_lit: str, ds: int) -> DataFrame:
+    """Index-row transform for the pq store: per-subspace nearest-
+    centroid codes, the exact float l2 norm, and the exact residual
+    norm rho = |x - x_hat| — the per-row quantity that makes the probe
+    screen's interval PROVABLY safe (|dot(q,x) - dot(q,x_hat)| =
+    |dot(q, x - x_hat)| <= |q| * rho by Cauchy-Schwarz). Encoding is a
+    pure literal expression: no join, no shuffle, scan-local."""
+    v = F.transform(vec_col, lambda x: x.cast("double"))
+    base = df.select(F.col(id_col), v.alias("_v"), *extra)
+    dists = _pq_dists_sql(cb_lit, ds, "_v")
+    codes = F.expr(
+        f"transform({dists}, d -> "
+        f"CAST(array_position(d, array_min(d)) - 1 AS TINYINT))")
+    rho = F.expr(
+        f"sqrt(aggregate(transform({dists}, d -> array_min(d)), 0D, "
+        f"(acc, x) -> acc + x))")
+    norm = F.sqrt(F.aggregate("_v", F.lit(0.0),
+                              lambda acc, x: acc + x * x))
+    return base.select(F.col(id_col), codes.alias("pq_codes"),
+                       norm.alias("l2_norm"), rho.alias("rho"), *extra)
+
+
+def _load_pq_literal(spark, path: str) -> tuple[str, int]:
+    """(codebook literal, subspace width) from a saved pq index."""
+    cb = spark.read.parquet(f"{path}/pq_codebooks").collect()
+    ds = len(cb[0]["centroid"])
+    return _pq_literal([(r["sub"], r["code"], r["centroid"])
+                        for r in cb]), ds
+
+
 def save_ivf_index(df: DataFrame, path: str, k: int = 8,
                    vec_col: str = "embedding", id_col: str = "vec_id",
                    seed: int = 42, store: str = "float",
-                   cells: DataFrame | None = None) -> None:
+                   cells: DataFrame | None = None,
+                   pq_m: int = 8, pq_ksub: int = 16) -> None:
     """Persist an IVF index: the corpus re-laid-out as parquet
     PARTITIONED BY cell id, plus the cell centroids.
 
@@ -322,16 +422,40 @@ def save_ivf_index(df: DataFrame, path: str, k: int = 8,
     rescores survivors against the original vectors, so results stay
     bitwise identical to the float index over the same probed cells;
     the query side must supply `source_df` for the rescore.
+
+    ``store="pq"`` goes further — PRODUCT quantization (FAISS IVFPQ):
+    each row stores ``pq_m`` tinyint codes + (l2_norm, rho) instead of
+    the vector, ~dim*4/(pq_m + 16) x smaller (64-dim float32 -> ~10x).
+    The per-subspace codebooks (``pq_ksub`` centroids each, fit on the
+    raw subvectors) persist beside the cells; probing reconstructs the
+    dot from a per-query LUT and screens with the per-row
+    Cauchy-Schwarz bound |dot(q, x - x_hat)| <= |q| * rho, so —
+    exactly like int8 — the exact rescore keeps results bitwise
+    identical to the float index over the same probed cells. The
+    memory lever for probe fleets where even int8 cells dwarf RAM.
     """
-    if store not in ("float", "int8"):
-        raise ValueError(f"store must be 'float' or 'int8', got {store!r}")
+    if store not in ("float", "int8", "pq"):
+        raise ValueError(
+            f"store must be 'float', 'int8' or 'pq', got {store!r}")
     if cells is None:
         # callers writing BOTH layouts of one corpus (e.g. s02) pass
         # precomputed cells so the k-means fit runs once, not per store
         cells = kmeans_cells(df, k=k, vec_col=vec_col, id_col=id_col,
                              seed=seed)
-    rows = (_int8_index_rows(cells, vec_col, id_col, ["_cell"])
-            if store == "int8" else cells)
+    if store == "int8":
+        rows = _int8_index_rows(cells, vec_col, id_col, ["_cell"])
+    elif store == "pq":
+        cb = fit_pq_codebooks(df, m=pq_m, ksub=pq_ksub, vec_col=vec_col,
+                              id_col=id_col, seed=seed)
+        cb.coalesce(1).write.mode("overwrite") \
+          .parquet(f"{path}/pq_codebooks")
+        cb_rows = [(r["sub"], r["code"], r["centroid"])
+                   for r in cb.collect()]
+        rows = _pq_index_rows(cells, vec_col, id_col, ["_cell"],
+                              _pq_literal(cb_rows),
+                              len(cb_rows[0][2]))
+    else:
+        rows = cells
     (rows.repartition("_cell")
          .write.mode("overwrite").partitionBy("_cell")
          .parquet(f"{path}/cells"))
@@ -398,6 +522,9 @@ def ivf_topk_indexed(spark, path: str, query_df: DataFrame, k: int = 10,
                 .distinct().collect()]  # <= |Q| x nprobe ints
     cells = (spark.read.parquet(f"{path}/cells")
              .where(F.col("_cell").isin(cell_ids)))  # static -> pruned
+    if "pq_codes" in cells.columns:
+        return _pq_screen_rescore(spark, path, cells, probes, source_df,
+                                  k, id_col, vec_col, exclude_query_ids)
     if "codes" in cells.columns:
         return _int8_screen_rescore(cells, probes, source_df, k,
                                     id_col, vec_col, exclude_query_ids)
@@ -455,6 +582,19 @@ def _int8_screen_rescore(cells: DataFrame, probes: DataFrame,
         + F.lit(SCREEN_MARGIN))
     cand = cand.select("q_id", id_col, "_qv",
                        (a - err).alias("_lo"), (a + err).alias("_hi"))
+    return _screen_rescore_tail(cand, source_df, k, id_col, vec_col)
+
+
+def _screen_rescore_tail(cand: DataFrame, source_df: DataFrame,
+                         k: int, id_col: str, vec_col: str) -> DataFrame:
+    """Shared tail of every quantized-store probe (int8, pq): tau =
+    the k-th largest cosine LOWER bound per query; every candidate
+    whose UPPER bound reaches tau survives (a true top-k member can
+    never be screened out — were its true cosine below tau, k rows
+    would provably beat it), and survivors are rescored with the exact
+    fold cosine against the source vectors, so emitted rows are
+    bitwise identical to the float store over the same probed cells.
+    `cand` carries (q_id, id, _qv, _lo, _hi)."""
     w_lo = W.partitionBy("q_id").orderBy(F.desc("_lo"), F.col(id_col))
     w_all = W.partitionBy("q_id")
     cand = (cand.withColumn("_rl", F.row_number().over(w_lo))
@@ -474,8 +614,8 @@ def _int8_screen_rescore(cells: DataFrame, probes: DataFrame,
                   .where(F.assert_true(
                       F.col("_sv").isNotNull(),
                       F.concat(F.lit(
-                          "int8 IVF rescore: indexed id missing from "
-                          "source_df (stale or filtered source): "),
+                          "quantized IVF rescore: indexed id missing "
+                          "from source_df (stale or filtered source): "),
                           F.col(id_col).cast("string"))).isNull())
                   .select("q_id", id_col,
                           cosine(F.col("_qv"), F.col("_sv"))
@@ -483,6 +623,57 @@ def _int8_screen_rescore(cells: DataFrame, probes: DataFrame,
     w = W.partitionBy("q_id").orderBy(F.desc("cos"), F.col(id_col))
     return (scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
                   .where(F.col("rn") <= k))
+
+
+def _pq_screen_rescore(spark, path: str, cells: DataFrame,
+                       probes: DataFrame, source_df: DataFrame | None,
+                       k: int, id_col: str, vec_col: str,
+                       exclude_query_ids: bool) -> DataFrame:
+    """The pq probe pipeline: LUT-reconstructed dot over the product-
+    quantized cells with a PER-ROW Cauchy-Schwarz error bound, exact
+    rescore of survivors.
+
+    Soundness: x_hat = concat of the row's per-subspace centroids, so
+    dot(q, x_hat) = sum_m LUT[m][code_m] with LUT[m][j] =
+    dot(q_m, CB[m][j]); the stored rho = |x - x_hat| gives
+    |dot(q,x) - dot(q,x_hat)| = |dot(q, x - x_hat)| <= |q| * rho, so
+    the true cosine lives in [a - e, a + e] with
+    a = dot(q,x_hat)/(|q||x|) and e = rho/|x| + SCREEN_MARGIN (the
+    |q| factors cancel). The tail screen/rescore then makes results
+    bitwise identical to the float store (see _screen_rescore_tail).
+    The codebook rides as a LITERAL in both the LUT and (at build
+    time) the encode expressions — probing never joins or shuffles
+    it."""
+    if source_df is None:
+        raise ValueError(
+            "a pq IVF index stores product-quantized codes only; pass "
+            "source_df (the original embedding table) for the exact "
+            "rescore of screen survivors")
+    cb_lit, ds = _load_pq_literal(spark, path)
+    e = cells.select(F.col(id_col),
+                     F.col("_cell").cast("int").alias("_cell"),
+                     "pq_codes", "l2_norm", "rho")
+    lut = F.expr(
+        f"transform({cb_lit}, (sub, mi) -> transform(sub, c -> "
+        f"aggregate(zip_with(slice(_qv, mi * {ds} + 1, {ds}), c, "
+        f"(a, b) -> a * b), 0D, (acc, x) -> acc + x)))")
+    q = probes.withColumn("_lut", lut).withColumn(
+        "_qn", F.sqrt(F.aggregate("_qv", F.lit(0.0),
+                                  lambda acc, x: acc + x * x)))
+    cand = q.join(e, "_cell")
+    if exclude_query_ids:
+        cand = cand.where(F.col("q_id") != F.col(id_col))
+    denom = F.col("_qn") * F.col("l2_norm")
+    approx_dot = F.expr(
+        "aggregate(zip_with(pq_codes, _lut, "
+        "(c, l) -> element_at(l, CAST(c AS INT) + 1)), 0D, "
+        "(acc, x) -> acc + x)")
+    a = F.when(denom == 0.0, F.lit(0.0)).otherwise(approx_dot / denom)
+    err = F.when(denom == 0.0, F.lit(0.0)).otherwise(
+        F.col("rho") / F.col("l2_norm") + F.lit(SCREEN_MARGIN))
+    cand = cand.select("q_id", id_col, "_qv",
+                       (a - err).alias("_lo"), (a + err).alias("_hi"))
+    return _screen_rescore_tail(cand, source_df, k, id_col, vec_col)
 
 
 # ------------------------------------------------------------ embedding prep
@@ -543,9 +734,14 @@ def ivf_append(spark, path: str, new_df: DataFrame,
 
     The stored layout is honored: appending to an int8 index (schema
     carries `codes`) quantizes the new rows with the same transform,
-    so a mixed-layout cell directory can never arise.
+    and appending to a pq index (schema carries `pq_codes`) encodes
+    them with the STORED codebooks — frozen exactly like the
+    centroids, never refit — so a mixed-layout cell directory can
+    never arise and old rows' codes stay comparable to new ones.
     """
-    int8_store = "codes" in spark.read.parquet(f"{path}/cells").columns
+    cell_cols = spark.read.parquet(f"{path}/cells").columns
+    int8_store = "codes" in cell_cols
+    pq_store = "pq_codes" in cell_cols
     cents = spark.read.parquet(f"{path}/centroids")  # (_cell, centroid)
     v = new_df.select(
         F.col(id_col), F.col(vec_col),
@@ -564,8 +760,14 @@ def ivf_append(spark, path: str, new_df: DataFrame,
          .select(id_col, vec_col,
                  F.col("_cell").cast("int").alias("_cell")))
     n = assigned.count()
-    rows = (_int8_index_rows(assigned, vec_col, id_col, ["_cell"])
-            if int8_store else assigned)
+    if int8_store:
+        rows = _int8_index_rows(assigned, vec_col, id_col, ["_cell"])
+    elif pq_store:
+        cb_lit, ds = _load_pq_literal(spark, path)
+        rows = _pq_index_rows(assigned, vec_col, id_col, ["_cell"],
+                              cb_lit, ds)
+    else:
+        rows = assigned
     (rows.repartition("_cell")
          .write.mode("append").partitionBy("_cell")
          .parquet(f"{path}/cells"))

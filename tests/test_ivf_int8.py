@@ -121,7 +121,7 @@ def test_int8_requires_source_df(spark, indexes):
 def test_save_ivf_index_rejects_unknown_store(spark, indexes):
     emb, _tmpf, _tmpq = indexes
     with pytest.raises(ValueError, match="store"):
-        similarity.save_ivf_index(emb, "/tmp/nope", k=8, store="pq")
+        similarity.save_ivf_index(emb, "/tmp/nope", k=8, store="fp16")
 
 
 def test_int8_screen_survives_adversarial_near_ties(spark):

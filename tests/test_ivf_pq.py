@@ -1,0 +1,175 @@
+"""Product-quantized (pq) IVF index tests: FAISS-IVFPQ-style codes —
+pq_m tinyint codes + (l2_norm, rho) per row, ~10x smaller than float
+vectors at dim 64 — must be bitwise-indistinguishable from the float
+store at query time. The screen's no-false-dismissal rests on the
+per-row Cauchy-Schwarz bound |dot(q, x - x_hat)| <= |q| * rho, which
+these tests verify directly against reconstructions.
+"""
+
+import shutil
+import tempfile
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from datastream_delta_plugins_spark.operators import similarity
+from datastream_delta_plugins_spark.sources import load_table
+
+
+@pytest.fixture(scope="module")
+def indexes(spark, sf_correctness):
+    emb = load_table(spark, sf_correctness, "embeddings")
+    tmpf = tempfile.mkdtemp(prefix="ivf_float_")
+    tmpp = tempfile.mkdtemp(prefix="ivf_pq_")
+    cells = similarity.kmeans_cells(emb, k=8)
+    similarity.save_ivf_index(emb, tmpf, k=8, cells=cells)
+    similarity.save_ivf_index(emb, tmpp, k=8, store="pq", cells=cells)
+    yield emb, tmpf, tmpp
+    shutil.rmtree(tmpf, ignore_errors=True)
+    shutil.rmtree(tmpp, ignore_errors=True)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_pq_bitwise_matches_float_exhaustive(spark, indexes):
+    emb, tmpf, tmpp = indexes
+    q = emb.where(F.col("vec_id") % 50 == 0)
+    a = similarity.ivf_topk_indexed(spark, tmpf, q, k=5, nprobe=8)
+    b = similarity.ivf_topk_indexed(spark, tmpp, q, k=5, nprobe=8,
+                                    source_df=emb)
+    ra, rb = _rows(a), _rows(b)
+    assert ra and ra == rb
+
+
+def test_pq_bitwise_matches_float_pruned(spark, indexes):
+    """Shared centroids -> same probed cells -> exactness within them."""
+    emb, tmpf, tmpp = indexes
+    q = emb.where(F.col("vec_id") % 50 == 0)
+    a = similarity.ivf_topk_indexed(spark, tmpf, q, k=5, nprobe=3)
+    b = similarity.ivf_topk_indexed(spark, tmpp, q, k=5, nprobe=3,
+                                    source_df=emb)
+    ra, rb = _rows(a), _rows(b)
+    assert ra and ra == rb
+
+
+def test_pq_cells_store_codes_only(spark, indexes):
+    """(pq_codes tinyint[pq_m], l2_norm, rho) — no vector column; at
+    dim 64 / pq_m 8 the per-row vector payload drops from 256 B
+    (float32) to 8 B of codes + 16 B of norms."""
+    _emb, _tmpf, tmpp = indexes
+    cells = spark.read.parquet(f"{tmpp}/cells")
+    assert "pq_codes" in cells.columns
+    assert "embedding" not in cells.columns and "_v" not in cells.columns
+    assert cells.schema["pq_codes"].dataType.elementType.typeName() == "byte"
+    r = cells.select("pq_codes", "l2_norm", "rho").first()
+    assert len(r["pq_codes"]) == 8
+    assert r["l2_norm"] >= 0.0 and r["rho"] >= 0.0
+    # codebooks persisted beside the cells: 8 subspaces x 16 codes
+    cb = spark.read.parquet(f"{tmpp}/pq_codebooks")
+    assert cb.count() == 8 * 16
+    assert len(cb.first()["centroid"]) == 64 // 8
+
+
+def test_pq_residual_bound_is_sound(spark, sf_correctness):
+    """rho must equal |x - x_hat| for the STORED codes (the screen's
+    entire soundness premise), and each code must be the argmin
+    centroid of its subspace."""
+    emb = load_table(spark, sf_correctness, "embeddings").limit(100)
+    cb = similarity.fit_pq_codebooks(emb, m=8, ksub=16)
+    cb_rows = [(r["sub"], r["code"], r["centroid"]) for r in cb.collect()]
+    lit = similarity._pq_literal(cb_rows)
+    enc = similarity._pq_index_rows(emb, "embedding", "vec_id", [],
+                                    lit, 64 // 8)
+    joined = enc.join(emb.select("vec_id", "embedding"), "vec_id").collect()
+    books = {}
+    for sub, code, cent in cb_rows:
+        books.setdefault(sub, {})[code] = np.array(cent)
+    assert joined
+    for r in joined:
+        x = np.array(r["embedding"], dtype=np.float64)
+        xhat = np.concatenate([books[m][int(c)]
+                               for m, c in enumerate(r["pq_codes"])])
+        assert abs(np.linalg.norm(x - xhat) - r["rho"]) <= 1e-9
+        assert abs(np.linalg.norm(x) - r["l2_norm"]) <= 1e-9
+        for m, c in enumerate(r["pq_codes"]):
+            sub = x[m * 8:(m + 1) * 8]
+            dists = [np.sum((sub - books[m][j]) ** 2)
+                     for j in sorted(books[m])]
+            assert dists[int(c)] <= min(dists) + 1e-12
+
+
+def test_pq_append_uses_frozen_codebooks(spark, indexes):
+    """ivf_append on a pq index encodes new rows with the STORED
+    codebooks (never a refit) so old and new codes stay comparable;
+    appended vectors are findable at cos == 1.0."""
+    emb, _tmpf, tmpp = indexes
+    tmp = tempfile.mkdtemp(prefix="ivf_pq_app_")
+    try:
+        similarity.save_ivf_index(emb, tmp, k=8, store="pq")
+        cb_before = _rows(spark.read.parquet(f"{tmp}/pq_codebooks"))
+        new = (emb.where(F.col("vec_id") % 97 == 0)
+                  .withColumn("vec_id", F.col("vec_id") + 10_000_000))
+        n = similarity.ivf_append(spark, tmp, new)
+        assert n == new.count()
+        assert _rows(spark.read.parquet(f"{tmp}/pq_codebooks")) == cb_before
+        cells = spark.read.parquet(f"{tmp}/cells")
+        assert "pq_codes" in cells.columns
+        assert "embedding" not in cells.columns
+        src = emb.unionByName(new)
+        q = new.limit(1)
+        got = similarity.ivf_topk_indexed(
+            spark, tmp, q, k=1, nprobe=8, source_df=src).collect()
+        assert len(got) == 1 and got[0]["cos"] == 1.0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_pq_requires_source_df(spark, indexes):
+    emb, _tmpf, tmpp = indexes
+    q = emb.where(F.col("vec_id") % 50 == 0)
+    with pytest.raises(ValueError, match="source_df"):
+        similarity.ivf_topk_indexed(spark, tmpp, q, k=5, nprobe=3)
+
+
+def test_pq_rejects_bad_geometry(spark, indexes):
+    emb, _tmpf, _tmpp = indexes
+    with pytest.raises(ValueError, match="divisible"):
+        similarity.fit_pq_codebooks(emb, m=7)
+    with pytest.raises(ValueError, match="ksub"):
+        similarity.fit_pq_codebooks(emb, m=8, ksub=200)
+
+
+def test_pq_screen_survives_adversarial_near_ties(spark):
+    """A tight cone of vectors whose true cosines differ far below
+    quantization error: greedy approx top-k would misrank; the
+    rho-bounded screen + exact rescore must match brute force."""
+    rng = np.random.default_rng(29)
+    base = rng.normal(size=24)
+    rows = []
+    for i in range(120):
+        v = base + rng.normal(scale=1e-3, size=24)
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    tmp = tempfile.mkdtemp(prefix="ivf_pq_ties_")
+    try:
+        similarity.save_ivf_index(emb, tmp, k=2, store="pq",
+                                  pq_m=4, pq_ksub=8)
+        q = emb.where(F.col("vec_id") < 3)
+        got = similarity.ivf_topk_indexed(
+            spark, tmp, q, k=5, nprobe=2, source_df=emb)
+        brute = similarity.cosine_topk(emb, F.col("vec_id") < 3, k=5)
+        assert _rows(got) == _rows(brute)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_pq_stale_source_fails_loudly(spark, indexes):
+    emb, _tmpf, tmpp = indexes
+    q = emb.where(F.col("vec_id") % 50 == 0)
+    stale = emb.where(F.col("vec_id") % 7 != 0)
+    with pytest.raises(Exception, match="missing from"):
+        similarity.ivf_topk_indexed(
+            spark, tmpp, q, k=5, nprobe=8, source_df=stale).collect()
