@@ -190,28 +190,23 @@ class BucketedStateTable:
     # -- open-table-format export --
 
     def _replay_delta_log(self) -> tuple[dict[str, dict], str | None, int]:
-        """Replay the exported Delta log (if any): returns (live adds
-        by path, metaData id, next version number)."""
-        log_dir = os.path.join(self.path, "_delta_log")
-        live: dict[str, dict] = {}
-        meta_id = None
-        next_v = 0
-        for key in sorted(self.data_store.list_keys(log_dir)):
-            name = os.path.basename(key)
-            if not name.endswith(".json") or not name[:-5].isdigit():
-                continue
-            next_v = max(next_v, int(name[:-5]) + 1)
-            for line in self.data_store.get(key).splitlines():
-                act = json.loads(line)
-                if "add" in act:
-                    live[act["add"]["path"]] = act["add"]
-                elif "remove" in act:
-                    live.pop(act["remove"]["path"], None)
-                elif "metaData" in act:
-                    meta_id = act["metaData"]["id"]
-        return live, meta_id, next_v
+        """Resolve the exported Delta log (if any): returns (live adds
+        by path, metaData id, next version number). Rides the full
+        from-spec reader (sources/delta_reader.py) so resolution stays
+        correct once checkpoints exist and pre-checkpoint JSON commits
+        are pruned — a raw JSON-only replay would silently lose the
+        checkpointed live set. The reader's listing uses a trailing
+        '/' so startswith-semantics stores (GCS/S3/in-mem) never leak
+        sibling keys like `_delta_log_backup/...` into the replay."""
+        from ..sources.delta_reader import DeltaTable
+        try:
+            snap = DeltaTable(self.spark, self.path,
+                              data_store=self.data_store).snapshot()
+        except FileNotFoundError:
+            return {}, None, 0
+        return dict(snap.adds), snap.metadata["id"], snap.version + 1
 
-    def export_delta(self) -> str:
+    def export_delta(self, checkpoint_every: int | None = None) -> str:
         """Publish the CURRENT committed snapshot as a Delta Lake
         transaction log (`_delta_log/` inside the state dir), so
         third-party engines — delta-rs, DuckDB's delta reader,
@@ -254,7 +249,12 @@ class BucketedStateTable:
         now_ms = int(time.time() * 1000)
         current: dict[str, dict] = {}
         for d in sorted(self.current_manifest().values()):
-            prefix = os.path.join(self.path, d)
+            # trailing '/': bucket dirs are un-padded (_state_bucket=1),
+            # so on startswith-semantics stores a bare prefix also
+            # matches =10..=19 — a since-replaced sibling's stale
+            # parquet would be published as a live `add` and then
+            # protected forever by the vacuum interlock
+            prefix = os.path.join(self.path, d).rstrip("/") + "/"
             for key in sorted(self.data_store.list_keys(prefix)):
                 if not key.endswith(".parquet"):
                     continue
@@ -300,7 +300,92 @@ class BucketedStateTable:
                          for a in actions) + "\n"
         self.data_store.put(os.path.join(log_dir, f"{next_v:020d}.json"),
                             body.encode())
+        # long-cadence maintenance: every Nth exported version also
+        # writes a parquet checkpoint so third-party readers stop
+        # replaying the JSON history linearly (delta-spark defaults to
+        # every 10 commits; opt-in here because checkpointing is a
+        # maintenance-owner duty like vacuum)
+        if checkpoint_every and (next_v + 1) % checkpoint_every == 0:
+            self.checkpoint_delta()
         return log_dir
+
+    def checkpoint_delta(self, prune_log: bool = False) -> str:
+        """Write a parquet CHECKPOINT of the exported Delta log at its
+        latest version, plus the `_last_checkpoint` pointer, per the
+        Delta protocol — readers then bootstrap from O(1) files
+        instead of replaying every JSON commit. With ``prune_log``,
+        JSON commits at-or-below the checkpoint version are deleted
+        afterward (the checkpoint covers them); note that prunes
+        delta TIME TRAVEL below the checkpoint, the same horizon
+        trade as vacuum. Returns the checkpoint key.
+
+        The checkpoint carries the resolved snapshot: latest protocol
+        + metaData + every live `add` (this exporter's logs never
+        need `remove` tombstones in checkpoints — exports are
+        single-maintenance-owner by contract, and expired tombstone
+        retention is a concurrent-writer protocol nicety)."""
+        import io
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from ..sources.delta_reader import DeltaTable
+        snap = DeltaTable(self.spark, self.path,
+                          data_store=self.data_store).snapshot()
+        v = snap.version
+
+        kv = pa.map_(pa.string(), pa.string())
+        proto_t = pa.struct([("minReaderVersion", pa.int32()),
+                             ("minWriterVersion", pa.int32())])
+        meta_t = pa.struct([
+            ("id", pa.string()),
+            ("format", pa.struct([("provider", pa.string()),
+                                  ("options", kv)])),
+            ("schemaString", pa.string()),
+            ("partitionColumns", pa.list_(pa.string())),
+            ("configuration", kv),
+            ("createdTime", pa.int64())])
+        add_t = pa.struct([
+            ("path", pa.string()), ("partitionValues", kv),
+            ("size", pa.int64()), ("modificationTime", pa.int64()),
+            ("dataChange", pa.bool_())])
+        schema = pa.schema([("protocol", proto_t),
+                            ("metaData", meta_t), ("add", add_t)])
+
+        meta = dict(snap.metadata)
+        meta.setdefault("format", {"provider": "parquet", "options": {}})
+        meta.setdefault("configuration", {})
+        rows = [{"protocol": snap.protocol, "metaData": None, "add": None},
+                {"protocol": None, "metaData": meta, "add": None}]
+        for p in sorted(snap.adds):
+            a = snap.adds[p]
+            rows.append({"protocol": None, "metaData": None,
+                         "add": {"path": a["path"],
+                                 "partitionValues":
+                                     a.get("partitionValues") or {},
+                                 "size": a["size"],
+                                 "modificationTime":
+                                     a.get("modificationTime", 0),
+                                 "dataChange": True}})
+        buf = io.BytesIO()
+        pq.write_table(pa.Table.from_pylist(rows, schema=schema), buf)
+        log_dir = os.path.join(self.path, "_delta_log")
+        key = os.path.join(log_dir, f"{v:020d}.checkpoint.parquet")
+        self.data_store.put(key, buf.getvalue())
+        # _last_checkpoint LAST: readers following the pointer must
+        # find a complete checkpoint (same publish-then-point
+        # discipline as the manifest swap)
+        self.data_store.put(
+            os.path.join(log_dir, "_last_checkpoint"),
+            json.dumps({"version": v, "size": len(rows)}).encode())
+        if prune_log:
+            prefix = log_dir.rstrip("/") + "/"
+            for k in self.data_store.list_keys(prefix):
+                name = os.path.basename(k)
+                if name.endswith(".json") and name[:-5].isdigit() \
+                        and int(name[:-5]) <= v:
+                    self.data_store.delete(k)
+        return key
 
     def read_at(self, version: int) -> DataFrame | None:
         """Time travel: the table as of a committed version. Available

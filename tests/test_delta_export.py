@@ -23,6 +23,7 @@ from pyspark.sql.types import StructType
 
 from datastream_delta_plugins_spark.streaming.bucketed_state import \
     BucketedStateTable
+from datastream_delta_plugins_spark.streaming.commitlog import PosixStore
 
 
 def _batch(spark, ids, val):
@@ -156,6 +157,100 @@ def test_metadata_id_stable_across_exports(spark, tmp_path):
                 if "metaData" in act:
                     ids.add(act["metaData"]["id"])
     assert len(ids) == 1, "table id must be stable across exports"
+
+
+class _StartswithStore(PosixStore):
+    """PosixStore with GCS/S3 LISTING semantics: list_keys(prefix) is a
+    pure startswith filter over every key in the tree — no directory
+    notion, so the prefix '.../_state_bucket=1' also matches sibling
+    keys under '_state_bucket=10'..'=19'. This is the documented
+    object-store deployment surface (S3Client/GcsClient/
+    InMemoryObjectStore all list this way); the default PosixStore is
+    latently safe because an existing-directory prefix walks only
+    inside the dir."""
+
+    def __init__(self, root):
+        super().__init__()
+        self.root = str(root)
+
+    def list_keys(self, prefix, start_after=None):
+        out = []
+        for dirpath, _dirs, files in os.walk(self.root):
+            for f in files:
+                k = os.path.join(dirpath, f)
+                if k.startswith(prefix) and (start_after is None
+                                             or k > start_after):
+                    out.append(k)
+        return sorted(out)
+
+
+def _buckets_of_ids(spark, n, n_buckets=16, upto=400):
+    rows = (spark.range(upto)
+            .select("id", F.pmod(F.xxhash64("id"),
+                                 F.lit(n_buckets)).cast("int").alias("b"))
+            .collect())
+    by_bucket = {}
+    for r in rows:
+        by_bucket.setdefault(r["b"], []).append(r["id"])
+    return by_bucket
+
+
+def test_export_objectstore_semantics_unpadded_bucket_prefix(
+        spark, tmp_path):
+    """Regression (r9 ADVICE high): with >= 10 buckets on a
+    startswith-semantics store, exporting after a sibling bucket
+    (=1X) was replaced — but not yet vacuumed — must NOT publish the
+    stale =1X files picked up by the un-padded '=1' prefix."""
+    path = str(tmp_path / "st")
+    t = BucketedStateTable(spark, path, ["id"], n_buckets=16,
+                           data_store=_StartswithStore(path))
+    by_bucket = _buckets_of_ids(spark, 16)
+    assert by_bucket.get(1) and by_bucket.get(10), "need buckets 1+10"
+    t.merge(_batch(spark, [i for ids in by_bucket.values()
+                           for i in ids], 1))
+    # replace bucket 10's dir (new version dir); old v-dir NOT vacuumed
+    t.merge(_batch(spark, by_bucket[10][:2], 2))
+    stale_dir = t._manifest(0)["10"]          # replaced, still on disk
+    assert os.path.isdir(os.path.join(path, stale_dir))
+
+    log_dir = t.export_delta()
+    live, _ = _replay_log(log_dir)
+    assert not any(p.startswith(stale_dir + os.sep) for p in live), \
+        "stale replaced-bucket files published as live adds"
+    files = [os.path.join(path, p) for p in sorted(live)]
+    got = spark.read.parquet(*files)
+    assert _snap(got) == _snap(t.read())
+    upd = {r["id"]: r["payload"] for r in got.collect()}
+    for i in by_bucket[10][:2]:
+        assert upd[i] == f"v2_{i}"            # no stale duplicate rows
+
+
+def test_replay_ignores_sibling_log_dirs(spark, tmp_path):
+    """Regression (r9 ADVICE low): a sibling key like
+    _delta_log_backup/<digits>.json must not leak into the replayed
+    live set on a startswith-semantics store."""
+    path = str(tmp_path / "st")
+    t = BucketedStateTable(spark, path, ["id"], n_buckets=4,
+                           data_store=_StartswithStore(path))
+    t.merge(_batch(spark, range(8), 1))
+    log_dir = t.export_delta()
+
+    bogus = {"add": {"path": "data/bogus.parquet", "partitionValues": {},
+                     "size": 1, "modificationTime": 0,
+                     "dataChange": True}}
+    bk = os.path.join(path, "_delta_log_backup", f"{0:020d}.json")
+    os.makedirs(os.path.dirname(bk))
+    with open(bk, "w") as f:
+        f.write(json.dumps(bogus) + "\n")
+
+    t.export_delta()                          # no commits in between
+    v1 = os.path.join(log_dir, f"{1:020d}.json")
+    acts = [json.loads(x) for x in open(v1).read().splitlines()]
+    # buggy replay would see the bogus add as live and emit a remove
+    assert [next(iter(a)) for a in acts] == ["commitInfo"]
+    live, _ = _replay_log(log_dir)
+    files = [os.path.join(path, p) for p in sorted(live)]
+    assert _snap(spark.read.parquet(*files)) == _snap(t.read())
 
 
 def test_vacuum_spares_files_live_in_latest_export(spark, tmp_path):
