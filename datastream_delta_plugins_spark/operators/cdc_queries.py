@@ -250,12 +250,27 @@ def q30_cdc_blacklist(spark, sf_dir):
 # --- X02: change feed between two materialized state versions ---
 
 def x02_state_diff(spark, sf_dir):
-    """diff_states hard-gated: prev = the snapshot-only merge, cur =
+    """Tagged union, hard-gated:
+
+    tag 'diff' — diff_states: prev = the snapshot-only merge, cur =
     the full merge over the same change stream; the emitted change
     feed (pk, _change in INSERT/UPDATE/DELETE) must equal the SQL
     oracle's classification derived from the same two windowed states
     (full-outer compare, soft-delete flips, null-safe payload
-    inequality)."""
+    inequality).
+
+    tag 'delta' — the OPEN-TABLE-FORMAT round trip as a second
+    physical reader: the snapshot slice seeds a BucketedStateTable,
+    published as a Delta transaction log + parquet checkpoint with the
+    JSON history PRUNED (so the import MUST bootstrap from the
+    checkpoint, not the commits); the cdc slice merges as a second
+    state version exported as the JSON tail with add/remove
+    reconciliation. sources/delta_reader.py (the from-spec Delta
+    import) reads the published table back, and the emitted rows
+    (pk, LIVE|DELETE, o_totalprice) must hash-equal the SQL truth the
+    oracle derives from the same windowed merge — any drift in
+    export reconciliation, checkpoint resolution, or the reader's
+    snapshot replay is a value mismatch, not a silent corruption."""
     from .cdc import diff_states
 
     ch = _changes(spark, sf_dir)
@@ -263,7 +278,38 @@ def x02_state_diff(spark, sf_dir):
             .select("pk", *PAYLOAD, "_is_deleted"))
     cur = (materialize(ch, ["pk"])
            .select("pk", *PAYLOAD, "_is_deleted"))
-    return _psort(diff_states(prev, cur, ["pk"]), "pk")
+    diff = diff_states(prev, cur, ["pk"]).select(
+        F.lit("diff").alias("tag"), "pk", "_change",
+        F.lit(None).cast("double").alias("val"))
+    return _psort(diff.unionByName(_x02_delta_rows(spark, ch)),
+                  "tag", "pk")
+
+
+def _x02_delta_rows(spark, changes):
+    import shutil
+    import tempfile
+
+    from ..sources.delta_reader import read_delta
+    from ..streaming.bucketed_state import BucketedStateTable
+
+    tmp = tempfile.mkdtemp(prefix="x02_delta_")
+    try:
+        t = BucketedStateTable(spark, os.path.join(tmp, "st"), ["pk"],
+                               n_buckets=8)
+        t.merge(changes.where(F.col("read_method") == _SNAP))
+        t.export_delta()
+        t.checkpoint_delta(prune_log=True)
+        t.merge(changes.where(F.col("read_method") == _CDC))
+        t.export_delta()
+        state = read_delta(spark, t.path)
+        out = state.select(
+            F.lit("delta").alias("tag"), "pk",
+            F.when(F.col("_is_deleted"), "DELETE")
+             .otherwise("LIVE").alias("_change"),
+            F.col("o_totalprice").alias("val"))
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -307,7 +353,7 @@ prev AS (SELECT pk, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
                FROM normalized
                WHERE read_method LIKE '%backfill%')
          WHERE rn2 = 1)
-SELECT pk, _change FROM (
+SELECT 'diff' AS tag, pk, _change, CAST(NULL AS DOUBLE) AS val FROM (
   SELECT COALESCE(c.pk, p.pk) AS pk,
          CASE WHEN NOT (p.pk IS NOT NULL AND NOT p.del)
                    AND (c.pk IS NOT NULL AND NOT c.del) THEN 'INSERT'
@@ -318,5 +364,11 @@ SELECT pk, _change FROM (
                    AND (p.o_custkey IS DISTINCT FROM c.o_custkey OR p.o_orderstatus IS DISTINCT FROM c.o_orderstatus OR p.o_totalprice IS DISTINCT FROM c.o_totalprice OR p.o_orderdate IS DISTINCT FROM c.o_orderdate OR p.o_orderpriority IS DISTINCT FROM c.o_orderpriority)
                 THEN 'UPDATE' END AS _change
   FROM prev p FULL OUTER JOIN cur c ON p.pk = c.pk)
-WHERE _change IS NOT NULL ORDER BY pk""",
+WHERE _change IS NOT NULL
+UNION ALL
+SELECT 'delta' AS tag, pk,
+       CASE WHEN del THEN 'DELETE' ELSE 'LIVE' END AS _change,
+       o_totalprice AS val
+FROM cur
+ORDER BY tag, pk""",
 }

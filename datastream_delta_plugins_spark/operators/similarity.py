@@ -173,21 +173,54 @@ def auto_n_cells(n_rows: int, target: int = TARGET_CELL_ROWS,
         math.sqrt(max(n_rows, 1) / float(target))))))
 
 
+#: fit-sample cap shared by the k-means cell fit and the PQ codebook
+#: fit: a few-KB model never needs more rows than this, and at 100 TB
+#: an unsampled Lloyd pass per fit would dominate the whole build
+FIT_SAMPLE_ROWS = 1_000_000
+
+#: hash-sample denominator (fraction granularity ~1e-6)
+_SAMPLE_DEN = 1 << 20
+
+
+def _fit_sample(df: DataFrame, id_col: str,
+                sample_rows: int | None, n: int | None = None
+                ) -> DataFrame:
+    """Deterministic id-hash sample for model FITTING: keeps ~
+    `sample_rows` rows via pmod(xxhash64(id), den) < num — reproducible
+    across runs/partitionings (no rand()), unbiased for hash-mixed
+    ids. Returns df unchanged when it already fits the budget."""
+    if sample_rows is None:
+        return df
+    if n is None:
+        n = df.count()
+    if n <= sample_rows:
+        return df
+    num = max(1, (_SAMPLE_DEN * sample_rows) // n)
+    return df.where(F.pmod(F.xxhash64(F.col(id_col)),
+                           F.lit(_SAMPLE_DEN)) < F.lit(num))
+
+
 def kmeans_cells(df: DataFrame, k: int | None = 8,
                  vec_col: str = "embedding", id_col: str = "vec_id",
-                 max_iter: int = 5, seed: int = 42) -> DataFrame:
+                 max_iter: int = 5, seed: int = 42,
+                 sample_rows: int | None = FIT_SAMPLE_ROWS) -> DataFrame:
     """Production cell assignment for IVF: distributed k-means
     (Spark ML, Lloyd iterations run as DataFrame aggregations under the
     hood) over the embedding column. Returns (id_col, vec_col...,
-    _cell int). At 100 TB the fit runs on a sample and transform is a
-    narrow map — pass the fitted assignment straight into ivf_topk via
-    cell_col="_cell". ``k=None`` sizes the cell count from the input
-    (auto_n_cells) — one metadata-cheap count."""
+    _cell int). The FIT runs on a deterministic id-hash sample capped
+    at ``sample_rows`` (a centroid table needs no more; at 100 TB an
+    unsampled Lloyd iteration would scan the corpus per iteration) —
+    the assignment transform still maps EVERY row, scan-local. Pass
+    ``sample_rows=None`` to fit on everything. ``k=None`` sizes the
+    cell count from the input (auto_n_cells) — one metadata-cheap
+    count, reused by the sampler."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    n = None
     if k is None:
-        k = auto_n_cells(df.count())
+        n = df.count()
+        k = auto_n_cells(n)
 
     # L2-normalize for clustering: Euclidean k-means on unit vectors
     # approximates spherical (cosine) k-means — unnormalized magnitudes
@@ -200,9 +233,10 @@ def kmeans_cells(df: DataFrame, k: int | None = 8,
     safe = F.when(norm == 0, F.lit(1.0)).otherwise(norm)
     unit = F.transform(v, lambda x: x / safe)
     feat = df.withColumn("_features", array_to_vector(unit))
+    fit_feat = _fit_sample(feat, id_col, sample_rows, n)
     model = KMeans(k=k, maxIter=max_iter, seed=seed,
                    featuresCol="_features", predictionCol="_cell") \
-        .fit(feat.select("_features"))
+        .fit(fit_feat.select("_features"))
     return (model.transform(feat)
                  .select(id_col, vec_col, F.col("_cell").cast("int")
                          .alias("_cell")))
@@ -317,6 +351,36 @@ def _pq_literal(cb_rows: list) -> str:
     return f"array({', '.join(subs)})"
 
 
+#: max codebook-literal expression text: beyond this the codebook is
+#: attached as a one-row broadcast column instead (production shapes —
+#: dim 1024, ksub 256 — would otherwise splice ~5 MB of text into
+#: every encode/LUT plan: Catalyst parse/optimize cost per operator
+#: with no size guard)
+PQ_LITERAL_MAX_CHARS = 262_144
+
+
+def _pq_attach(df: DataFrame, cb_rows: list,
+               col: str = "__cb") -> tuple[DataFrame, str]:
+    """Attach the codebook to `df` as an expression reference: small
+    codebooks ride as a SQL LITERAL (zero joins, scan-local, the plan
+    constant-folds it); past PQ_LITERAL_MAX_CHARS of literal text it
+    rides as a ONE-ROW broadcast column instead — shipped once per
+    executor, identical downstream expressions, bounded plan text.
+    Returns (df', expression text referencing the codebook)."""
+    lit = _pq_literal(cb_rows)
+    if len(lit) <= PQ_LITERAL_MAX_CHARS:
+        return df, lit
+    by_sub: dict[int, dict[int, list]] = {}
+    for sub, code, cent in cb_rows:
+        by_sub.setdefault(int(sub), {})[int(code)] = \
+            [float(x) for x in cent]
+    nested = [[c for _j, c in sorted(by_sub[mi].items())]
+              for mi in sorted(by_sub)]
+    cb_df = df.sparkSession.createDataFrame(
+        [(nested,)], f"{col} array<array<array<double>>>")
+    return df.crossJoin(F.broadcast(cb_df)), col
+
+
 def _pq_dists_sql(cb_lit: str, ds: int, vec: str) -> str:
     """Per-subspace squared distances of `vec`'s slices to every
     codebook centroid: array[m][code] of doubles."""
@@ -327,14 +391,24 @@ def _pq_dists_sql(cb_lit: str, ds: int, vec: str) -> str:
 
 def fit_pq_codebooks(df: DataFrame, m: int = 8, ksub: int = 16,
                      vec_col: str = "embedding", id_col: str = "vec_id",
-                     seed: int = 42, max_iter: int = 5) -> DataFrame:
+                     seed: int = 42, max_iter: int = 5,
+                     sample_rows: int | None = FIT_SAMPLE_ROWS
+                     ) -> DataFrame:
     """Product-quantization codebooks: the vector split into `m`
     contiguous subspaces, each fit with its own k-means of `ksub`
     centroids over the RAW (unnormalized) subvectors — PQ encodes
     residual geometry, so magnitude matters here, unlike the
-    cosine-routing cell fit. Returns (sub, code, centroid). At 100 TB
-    each fit runs on a sample exactly like the cell k-means; the
-    codebook is m*ksub*(dim/m) doubles — always tiny."""
+    cosine-routing cell fit. Returns (sub, code, centroid).
+
+    100 TB posture: the corpus is touched ONCE — a deterministic
+    id-hash sample capped at ``sample_rows`` (same sampler as
+    kmeans_cells; ``None`` fits on everything) is persisted with every
+    subspace slice already materialized, and the m KMeans fits run
+    over that in-memory sample — never m sequential corpus passes.
+    A few-KB codebook needs no more; probe EXACTNESS is independent of
+    codebook quality (the Cauchy-Schwarz screen + exact rescore is
+    bitwise-safe for ANY codebook — a worse fit only widens the
+    candidate set)."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -346,17 +420,22 @@ def fit_pq_codebooks(df: DataFrame, m: int = 8, ksub: int = 16,
         raise ValueError(
             f"embedding dim {dim} is not divisible by pq m={m}")
     ds = dim // m
-    v = df.select(F.transform(vec_col,
-                              lambda x: x.cast("double")).alias("_v"))
-    v = v.persist()
+    v = F.transform(vec_col, lambda x: x.cast("double"))
+    # ONE pass: sample, then materialize all m subspace slices as
+    # vector columns in the same projection; the m fits below each
+    # select one in-memory column of the persisted sample
+    slices = _fit_sample(df, id_col, sample_rows).select(
+        *[array_to_vector(F.slice(v, mi * ds + 1, ds))
+          .alias(f"_f{mi}") for mi in range(m)])
+    slices = slices.persist()
     try:
+        slices.count()  # materialize once, before the first fit
         out = None
         for mi in range(m):
-            feat = v.select(array_to_vector(
-                F.slice("_v", mi * ds + 1, ds)).alias("_features"))
             model = KMeans(k=ksub, maxIter=max_iter, seed=seed + mi,
-                           featuresCol="_features",
-                           predictionCol="_code").fit(feat)
+                           featuresCol=f"_f{mi}",
+                           predictionCol="_code") \
+                .fit(slices.select(f"_f{mi}"))
             rows = [(mi, j, [float(x) for x in c])
                     for j, c in enumerate(model.clusterCenters())]
             part = df.sparkSession.createDataFrame(
@@ -364,19 +443,21 @@ def fit_pq_codebooks(df: DataFrame, m: int = 8, ksub: int = 16,
             out = part if out is None else out.unionByName(part)
         return out.localCheckpoint(eager=True)
     finally:
-        v.unpersist()
+        slices.unpersist()
 
 
 def _pq_index_rows(df: DataFrame, vec_col: str, id_col: str,
-                   extra: list[str], cb_lit: str, ds: int) -> DataFrame:
+                   extra: list[str], cb_rows: list, ds: int) -> DataFrame:
     """Index-row transform for the pq store: per-subspace nearest-
     centroid codes, the exact float l2 norm, and the exact residual
     norm rho = |x - x_hat| — the per-row quantity that makes the probe
     screen's interval PROVABLY safe (|dot(q,x) - dot(q,x_hat)| =
-    |dot(q, x - x_hat)| <= |q| * rho by Cauchy-Schwarz). Encoding is a
-    pure literal expression: no join, no shuffle, scan-local."""
+    |dot(q, x - x_hat)| <= |q| * rho by Cauchy-Schwarz). Encoding is
+    scan-local: the codebook rides as a literal (or, past the size
+    bound, a one-row broadcast — _pq_attach), never a shuffle."""
     v = F.transform(vec_col, lambda x: x.cast("double"))
     base = df.select(F.col(id_col), v.alias("_v"), *extra)
+    base, cb_lit = _pq_attach(base, cb_rows)
     dists = _pq_dists_sql(cb_lit, ds, "_v")
     codes = F.expr(
         f"transform({dists}, d -> "
@@ -390,12 +471,12 @@ def _pq_index_rows(df: DataFrame, vec_col: str, id_col: str,
                        norm.alias("l2_norm"), rho.alias("rho"), *extra)
 
 
-def _load_pq_literal(spark, path: str) -> tuple[str, int]:
-    """(codebook literal, subspace width) from a saved pq index."""
+def _load_pq_rows(spark, path: str) -> tuple[list, int]:
+    """(codebook rows, subspace width) from a saved pq index — a
+    bounded collect (m*ksub rows, few KB)."""
     cb = spark.read.parquet(f"{path}/pq_codebooks").collect()
     ds = len(cb[0]["centroid"])
-    return _pq_literal([(r["sub"], r["code"], r["centroid"])
-                        for r in cb]), ds
+    return [(r["sub"], r["code"], r["centroid"]) for r in cb], ds
 
 
 def save_ivf_index(df: DataFrame, path: str, k: int = 8,
@@ -452,8 +533,7 @@ def save_ivf_index(df: DataFrame, path: str, k: int = 8,
         cb_rows = [(r["sub"], r["code"], r["centroid"])
                    for r in cb.collect()]
         rows = _pq_index_rows(cells, vec_col, id_col, ["_cell"],
-                              _pq_literal(cb_rows),
-                              len(cb_rows[0][2]))
+                              cb_rows, len(cb_rows[0][2]))
     else:
         rows = cells
     (rows.repartition("_cell")
@@ -641,18 +721,19 @@ def _pq_screen_rescore(spark, path: str, cells: DataFrame,
     a = dot(q,x_hat)/(|q||x|) and e = rho/|x| + SCREEN_MARGIN (the
     |q| factors cancel). The tail screen/rescore then makes results
     bitwise identical to the float store (see _screen_rescore_tail).
-    The codebook rides as a LITERAL in both the LUT and (at build
-    time) the encode expressions — probing never joins or shuffles
-    it."""
+    The codebook rides as a LITERAL (or, past PQ_LITERAL_MAX_CHARS, a
+    one-row broadcast — _pq_attach) in both the LUT and (at build
+    time) the encode expressions — probing never shuffles it."""
     if source_df is None:
         raise ValueError(
             "a pq IVF index stores product-quantized codes only; pass "
             "source_df (the original embedding table) for the exact "
             "rescore of screen survivors")
-    cb_lit, ds = _load_pq_literal(spark, path)
+    cb_rows, ds = _load_pq_rows(spark, path)
     e = cells.select(F.col(id_col),
                      F.col("_cell").cast("int").alias("_cell"),
                      "pq_codes", "l2_norm", "rho")
+    probes, cb_lit = _pq_attach(probes, cb_rows)
     lut = F.expr(
         f"transform({cb_lit}, (sub, mi) -> transform(sub, c -> "
         f"aggregate(zip_with(slice(_qv, mi * {ds} + 1, {ds}), c, "
@@ -742,7 +823,35 @@ def ivf_append(spark, path: str, new_df: DataFrame,
     cell_cols = spark.read.parquet(f"{path}/cells").columns
     int8_store = "codes" in cell_cols
     pq_store = "pq_codes" in cell_cols
+    # the append contract is RAW vectors in, stored layout out: the
+    # index (not the caller) owns the encoding, so pre-quantized input
+    # is always an operational mistake — encoding it again (or writing
+    # it as-is next to differently-coded rows) would silently corrupt
+    # every probe against the touched cells
+    if vec_col not in new_df.columns:
+        raise ValueError(
+            f"ivf_append consumes RAW vectors: new_df has no "
+            f"'{vec_col}' column (got {new_df.columns}); the stored "
+            f"layout ({'pq' if pq_store else 'int8' if int8_store else 'float'}) "
+            f"governs how they are encoded")
+    for pre in ("codes", "pq_codes"):
+        if pre in new_df.columns:
+            raise ValueError(
+                f"ivf_append consumes RAW vectors, but new_df carries "
+                f"a pre-quantized '{pre}' column — drop it; the index "
+                f"re-encodes every appended row with its own stored "
+                f"layout and codebooks")
     cents = spark.read.parquet(f"{path}/centroids")  # (_cell, centroid)
+    # dimension guard: a dim-mismatched append would write rows whose
+    # probes zip_with into nulls (float) or slice into garbage codes
+    # (pq) — fail loudly before any write
+    idx_dim = len(cents.select("centroid").first()[0])
+    new_dim_row = new_df.select(F.size(vec_col)).first()
+    if new_dim_row is not None and new_dim_row[0] != idx_dim:
+        raise ValueError(
+            f"ivf_append dimension mismatch: index at {path} holds "
+            f"dim-{idx_dim} vectors, new_df carries dim-"
+            f"{new_dim_row[0]}")
     v = new_df.select(
         F.col(id_col), F.col(vec_col),
         F.transform(vec_col, lambda x: x.cast("double")).alias("_v"))
@@ -763,9 +872,9 @@ def ivf_append(spark, path: str, new_df: DataFrame,
     if int8_store:
         rows = _int8_index_rows(assigned, vec_col, id_col, ["_cell"])
     elif pq_store:
-        cb_lit, ds = _load_pq_literal(spark, path)
+        cb_rows, ds = _load_pq_rows(spark, path)
         rows = _pq_index_rows(assigned, vec_col, id_col, ["_cell"],
-                              cb_lit, ds)
+                              cb_rows, ds)
     else:
         rows = assigned
     (rows.repartition("_cell")

@@ -1,0 +1,195 @@
+"""ANN BUILD-path scale posture (round-10): the fits sample, the PQ
+codebook fit touches the corpus once, the codebook literal is bounded
+with a broadcast fallback, and ivf_append rejects layout-operational
+mistakes loudly. Probe EXACTNESS must be invariant to all of it —
+the screen + exact rescore is bitwise-safe for ANY codebook/centroid
+set, which every test here re-pins under the new build knobs.
+"""
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from datastream_delta_plugins_spark.operators import similarity
+from datastream_delta_plugins_spark.sources import load_table
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+# ------------------------------------------------------- sampled fits
+
+def test_kmeans_cells_sampled_fit_assigns_every_row(spark,
+                                                    sf_correctness):
+    emb = load_table(spark, sf_correctness, "embeddings")
+    n = emb.count()
+    cells = similarity.kmeans_cells(emb, k=4, sample_rows=50)
+    # fit saw <=~50 rows, but the TRANSFORM covers the whole corpus
+    assert cells.count() == n
+    assert cells.select("_cell").distinct().count() <= 4
+    # deterministic: the hash sample has no rand() — bit-identical
+    again = similarity.kmeans_cells(emb, k=4, sample_rows=50)
+    assert _rows(cells.select("vec_id", "_cell")) == \
+        _rows(again.select("vec_id", "_cell"))
+
+
+def test_fit_sample_is_pass_through_under_budget(spark, sf_correctness):
+    emb = load_table(spark, sf_correctness, "embeddings")
+    n = emb.count()
+    assert similarity._fit_sample(emb, "vec_id", None).count() == n
+    assert similarity._fit_sample(emb, "vec_id", n + 10).count() == n
+    got = similarity._fit_sample(emb, "vec_id", max(2, n // 10)).count()
+    assert 0 < got < n          # a real subset, hash-proportional
+
+
+def test_pq_sampled_fit_probes_stay_bitwise_exact(spark,
+                                                  sf_correctness):
+    """A codebook fit on a tiny sample is a WORSE codebook — and the
+    probe results must not care: same probed cells, same exact
+    rescore, bitwise-identical to the float index."""
+    emb = load_table(spark, sf_correctness, "embeddings")
+    tmpf = tempfile.mkdtemp(prefix="ivf_f_")
+    tmpp = tempfile.mkdtemp(prefix="ivf_pqs_")
+    try:
+        cells = similarity.kmeans_cells(emb, k=8)
+        similarity.save_ivf_index(emb, tmpf, k=8, cells=cells)
+        cb = similarity.fit_pq_codebooks(emb, m=8, ksub=16,
+                                         sample_rows=40)
+        cb.coalesce(1).write.mode("overwrite") \
+          .parquet(f"{tmpp}/pq_codebooks")
+        cb_rows = [(r["sub"], r["code"], r["centroid"])
+                   for r in cb.collect()]
+        rows = similarity._pq_index_rows(cells, "embedding", "vec_id",
+                                         ["_cell"], cb_rows, 64 // 8)
+        (rows.repartition("_cell").write.mode("overwrite")
+             .partitionBy("_cell").parquet(f"{tmpp}/cells"))
+        similarity.cell_centroids(cells, "_cell").coalesce(1) \
+            .write.mode("overwrite").parquet(f"{tmpp}/centroids")
+        q = emb.where(F.col("vec_id") % 50 == 0)
+        a = similarity.ivf_topk_indexed(spark, tmpf, q, k=5, nprobe=3)
+        b = similarity.ivf_topk_indexed(spark, tmpp, q, k=5, nprobe=3,
+                                        source_df=emb)
+        ra, rb = _rows(a), _rows(b)
+        assert ra and ra == rb
+    finally:
+        shutil.rmtree(tmpf, ignore_errors=True)
+        shutil.rmtree(tmpp, ignore_errors=True)
+
+
+# --------------------------------------------- bounded codebook literal
+
+def test_pq_broadcast_codebook_path_bitwise_equals_literal(
+        spark, sf_correctness, monkeypatch):
+    """Force the one-row-broadcast codebook attach (as a dim-1024/
+    ksub-256 production shape would) on BOTH build and probe: results
+    must be bitwise identical to the literal path."""
+    emb = load_table(spark, sf_correctness, "embeddings")
+    tmp_lit = tempfile.mkdtemp(prefix="ivf_pql_")
+    tmp_bc = tempfile.mkdtemp(prefix="ivf_pqb_")
+    try:
+        cells = similarity.kmeans_cells(emb, k=8)
+        similarity.save_ivf_index(emb, tmp_lit, k=8, store="pq",
+                                  cells=cells)
+        q = emb.where(F.col("vec_id") % 50 == 0)
+        want = _rows(similarity.ivf_topk_indexed(
+            spark, tmp_lit, q, k=5, nprobe=3, source_df=emb))
+
+        monkeypatch.setattr(similarity, "PQ_LITERAL_MAX_CHARS", 8)
+        similarity.save_ivf_index(emb, tmp_bc, k=8, store="pq",
+                                  cells=cells)
+        got = _rows(similarity.ivf_topk_indexed(
+            spark, tmp_bc, q, k=5, nprobe=3, source_df=emb))
+        assert want and got == want
+        # stored codes themselves are identical: the attach mechanism
+        # is pure plumbing, never numerics
+        a = _rows(spark.read.parquet(f"{tmp_lit}/cells")
+                  .select("vec_id", "pq_codes", "l2_norm", "rho"))
+        b = _rows(spark.read.parquet(f"{tmp_bc}/cells")
+                  .select("vec_id", "pq_codes", "l2_norm", "rho"))
+        assert a == b
+    finally:
+        shutil.rmtree(tmp_lit, ignore_errors=True)
+        shutil.rmtree(tmp_bc, ignore_errors=True)
+
+
+def test_pq_attach_picks_literal_when_small(spark):
+    df = spark.range(3)
+    cb = [(0, 0, [1.0, 2.0]), (0, 1, [3.0, 4.0])]
+    out, ref = similarity._pq_attach(df, cb)
+    assert ref.startswith("array(")          # literal path
+    assert out is df
+    out2, ref2 = similarity._pq_attach(df, cb, col="__cb")
+    # force the broadcast path via the module constant
+    orig = similarity.PQ_LITERAL_MAX_CHARS
+    try:
+        similarity.PQ_LITERAL_MAX_CHARS = 4
+        out3, ref3 = similarity._pq_attach(df, cb)
+        assert ref3 == "__cb" and "__cb" in out3.columns
+    finally:
+        similarity.PQ_LITERAL_MAX_CHARS = orig
+
+
+# ------------------------------------------- append layout guard matrix
+
+@pytest.fixture(scope="module")
+def three_layouts(spark, sf_correctness):
+    emb = load_table(spark, sf_correctness, "embeddings")
+    paths = {}
+    cells = similarity.kmeans_cells(emb, k=4)
+    for store in ("float", "int8", "pq"):
+        p = tempfile.mkdtemp(prefix=f"ivf_{store}_")
+        similarity.save_ivf_index(emb, p, k=4, store=store, cells=cells)
+        paths[store] = p
+    yield emb, paths
+    for p in paths.values():
+        shutil.rmtree(p, ignore_errors=True)
+
+
+@pytest.mark.parametrize("store", ["float", "int8", "pq"])
+def test_append_rejects_prequantized_input(spark, three_layouts, store):
+    """The 3x3 operational matrix: whatever the stored layout, append
+    accepts ONLY raw vectors — int8-shaped and pq-shaped input is
+    rejected by name before any write."""
+    emb, paths = three_layouts
+    new = (emb.where(F.col("vec_id") % 101 == 0)
+              .withColumn("vec_id", F.col("vec_id") + 5_000_000))
+    int8_shaped = similarity._int8_index_rows(new, "embedding",
+                                              "vec_id", [])
+    with pytest.raises(ValueError, match="no 'embedding' column"):
+        similarity.ivf_append(spark, paths[store], int8_shaped)
+    with pytest.raises(ValueError, match="pre-quantized 'codes'"):
+        similarity.ivf_append(spark, paths[store],
+                              new.join(int8_shaped.select(
+                                  "vec_id", "codes"), "vec_id"))
+    pq_shaped = new.select("vec_id", "embedding",
+                           F.lit(None).cast("array<tinyint>")
+                           .alias("pq_codes"))
+    with pytest.raises(ValueError, match="pre-quantized 'pq_codes'"):
+        similarity.ivf_append(spark, paths[store], pq_shaped)
+
+
+@pytest.mark.parametrize("store", ["float", "int8", "pq"])
+def test_append_rejects_dim_mismatch(spark, three_layouts, store):
+    _emb, paths = three_layouts
+    bad = spark.createDataFrame(
+        [(9_000_001, [1.0] * 32)], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="dimension mismatch"):
+        similarity.ivf_append(spark, paths[store], bad)
+
+
+@pytest.mark.parametrize("store", ["float", "int8", "pq"])
+def test_append_raw_vectors_still_lands(spark, three_layouts, store):
+    emb, paths = three_layouts
+    new = (emb.where(F.col("vec_id") % 103 == 0)
+              .withColumn("vec_id", F.col("vec_id") + 7_000_000))
+    n = similarity.ivf_append(spark, paths[store], new)
+    assert n == new.count() > 0
+    src = emb.unionByName(new)
+    q = new.limit(1)
+    kwargs = {} if store == "float" else {"source_df": src}
+    got = similarity.ivf_topk_indexed(spark, paths[store], q, k=1,
+                                      nprobe=4, **kwargs).collect()
+    assert len(got) == 1 and got[0]["cos"] == 1.0

@@ -80,9 +80,8 @@ def test_pq_residual_bound_is_sound(spark, sf_correctness):
     emb = load_table(spark, sf_correctness, "embeddings").limit(100)
     cb = similarity.fit_pq_codebooks(emb, m=8, ksub=16)
     cb_rows = [(r["sub"], r["code"], r["centroid"]) for r in cb.collect()]
-    lit = similarity._pq_literal(cb_rows)
     enc = similarity._pq_index_rows(emb, "embedding", "vec_id", [],
-                                    lit, 64 // 8)
+                                    cb_rows, 64 // 8)
     joined = enc.join(emb.select("vec_id", "embedding"), "vec_id").collect()
     books = {}
     for sub, code, cent in cb_rows:
