@@ -252,6 +252,23 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
+    # Host-load telemetry (round-10): BENCH_r09's ingest numbers halved
+    # purely from afternoon contention bursts (loadavg 20-25 every ~8
+    # min, SURVEY 6.6) and the judgment needed an out-of-band
+    # re-measurement to adjudicate. Sampling loadavg outside the timed
+    # regions makes the artifact self-adjudicating: a run whose
+    # load.max dwarfs load.start was measured through a burst.
+    def _load1() -> float:
+        try:
+            return round(os.getloadavg()[0], 2)
+        except OSError:
+            return -1.0
+
+    load = {"start": _load1(), "cpus": cpus}
+    load_samples = [load["start"]]
+    warm_pass_totals: list[float] = []
+    cold_pass_totals: list[float] = []
+
     for args in HEADLINE:  # warm-up pass (unmeasured)
         run(*args)
 
@@ -277,11 +294,15 @@ def main() -> None:
     best: dict[str, float] = {}
     prev_total = float("inf")
     for p in range(8):
+        pass_total = 0.0
         for short, name, registry in HEADLINE:
             dt = min(run(short, name, registry),
                      run(short, name, registry))
+            pass_total += dt
             if dt < best.get(short, float("inf")):
                 best[short] = dt
+        warm_pass_totals.append(round(pass_total, 3))
+        load_samples.append(_load1())
         cur_total = sum(best.values())
         if p >= 2 and cur_total > prev_total * 0.99:
             break
@@ -321,11 +342,15 @@ def main() -> None:
     best_cold: dict[str, float] = {}
     prev_total = float("inf")
     for p in range(8):
+        pass_total = 0.0
         for short, name, registry in HEADLINE:
             dt = min(run_cold(short, name, registry),
                      run_cold(short, name, registry))
+            pass_total += dt
             if dt < best_cold.get(short, float("inf")):
                 best_cold[short] = dt
+        cold_pass_totals.append(round(pass_total, 3))
+        load_samples.append(_load1())
         cur_total = sum(best_cold.values())
         if p >= 2 and cur_total > prev_total * 0.99:
             break
@@ -335,6 +360,17 @@ def main() -> None:
     total_cold = sum(best_cold.values())
 
     avro_rate, avro_conv_rate = avro_decode_mb_s(spark)
+    load_samples.append(_load1())
+    load.update({
+        "end": load_samples[-1],
+        "max": max(load_samples),
+        "samples": load_samples,
+        # convergence trail: pass-totals that shrink then plateau mean
+        # every query saw a quiet window; a pass-total spike pinpoints
+        # the burst a reader should discount
+        "warm_pass_totals": warm_pass_totals,
+        "cold_pass_totals": cold_pass_totals,
+    })
 
     print(json.dumps({
         "metric": "headline_queries_total_wall",
@@ -345,6 +381,7 @@ def main() -> None:
         "queries_cold": timings_cold,
         "avro_decode_mb_s": round(avro_rate, 1),
         "avro_convert_mb_s": round(avro_conv_rate, 1),
+        "load": load,
         "sf": sf,
     }))
     spark.stop()
