@@ -1,0 +1,96 @@
+"""Matched-pair q26 study runner: Spark q26_cdc_latest vs its DuckDB
+oracle, interleaved in the SAME host window, printed as one JSON line.
+
+Why this exists: q26's driver-recorded time has straddled its 0.37 s
+target for three rounds while DuckDB's own q26 shows the largest
+window-to-window variance of any oracle (0.226 s vs 0.504 s measured
+for the identical SQL in two round-9 windows). The round-8 verdict's
+alternative exit is a written irreducibility study built from MATCHED
+pairs across >= 3 windows — this script produces one study row per
+invocation. Methodology mirrors bench.py exactly on the Spark side
+(split inputs, sized shuffle partitions, noop sink, interleaved
+consecutive pair-min) and best-of-N on the DuckDB side (32 threads,
+fetch-all, same estimator the round judgments used). Loadavg is
+sampled outside the timed regions so each row self-adjudicates.
+
+Run:  python tools/q26_pair.py            # sf0.1, 6 interleaved passes
+Env:  SPARK_GRAFT_SF_DIR / SPARK_GRAFT_CPUS as in bench.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+import duckdb  # noqa: E402
+
+import bench  # noqa: E402
+from datastream_delta_plugins_spark.operators import cdc_queries  # noqa: E402
+from datastream_delta_plugins_spark.session import (  # noqa: E402
+    get_spark, sized_shuffle_partitions)
+from datastream_delta_plugins_spark.testing import duck_connection  # noqa: E402
+
+
+def _load1() -> float:
+    try:
+        return round(os.getloadavg()[0], 2)
+    except OSError:
+        return -1.0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    input_bytes = sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _, fs in os.walk(sf_dir) for f in fs)
+    sp = sized_shuffle_partitions(input_bytes, cpus)
+    spark = get_spark("q26pair", shuffle_partitions=sp)
+    bdir = bench._split_bench_inputs(spark, sf_dir)
+
+    con = duck_connection(sf_dir)
+    con.execute(f"SET threads TO {cpus}")
+    sql = cdc_queries.ORACLE_SQL["q26_cdc_latest"]
+
+    def spark_run() -> float:
+        df = cdc_queries.QUERIES["q26_cdc_latest"](spark, bdir)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    def duck_run() -> float:
+        t0 = time.perf_counter()
+        con.execute(sql).fetchall()
+        return time.perf_counter() - t0
+
+    load_start = _load1()
+    spark_run(); duck_run()          # warm both engines (unmeasured)
+    s_best = d_best = float("inf")
+    samples = []
+    for _ in range(6):               # interleaved matched passes
+        d = duck_run()
+        s = min(spark_run(), spark_run())   # bench's consecutive pair
+        samples.append({"duck": round(d, 4), "spark": round(s, 4),
+                        "load": _load1()})
+        d_best = min(d_best, d)
+        s_best = min(s_best, s)
+    print(json.dumps({
+        "study": "q26_matched_pair", "sf_dir": sf_dir,
+        "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
+        "load_start": load_start, "load_end": _load1(),
+        "duck_best": round(d_best, 4), "spark_best": round(s_best, 4),
+        "ratio": round(s_best / d_best, 3),
+        "duck_spread": round(max(x["duck"] for x in samples)
+                             / min(x["duck"] for x in samples), 2),
+        "samples": samples,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
