@@ -279,7 +279,8 @@ def _real_decode_row(blob: bytes, fmt: str):
 
 
 def decode_media(df: DataFrame, real_decode: bool = False,
-                 on_error: str = "fail") -> DataFrame:
+                 on_error: str = "fail",
+                 quarantine_unsupported: bool = False) -> DataFrame:
     """Arrow-batched decode over mapInPandas.
 
     The per-batch loop is the real production shape (vectorized
@@ -294,12 +295,24 @@ def decode_media(df: DataFrame, real_decode: bool = False,
     ``on_error`` (real path): "fail" aborts on the first corrupt blob;
     "null" QUARANTINES it — the row survives with NULL decode columns
     (width/height/n_frames/features), so at corpus scale one bad blob
-    among millions costs a NULL, not the job. Formats outside FORMATS
-    (video) always raise: that is an environment gap, not a data
-    defect."""
+    among millions costs a NULL, not the job. MISSING-DECODER gaps
+    (inter-frame video codecs, non-MJPG AVIs) raise
+    NotImplementedError and are NOT absorbed by on_error='null' —
+    corrupt data and absent capability are different failures, and
+    silently bucketing the latter as the former hides an environment
+    gap (see CHANGELOG, round 9). For corpora KNOWN to contain mixed
+    codecs, ``quarantine_unsupported=True`` opts such rows into the
+    same NULL quarantine as corrupt blobs (only meaningful with
+    on_error='null')."""
     if on_error not in ("fail", "null"):
         raise ValueError(f"on_error must be 'fail' or 'null', "
                          f"got {on_error!r}")
+    if quarantine_unsupported and on_error != "null":
+        raise ValueError(
+            "quarantine_unsupported=True requires on_error='null' "
+            "(with 'fail' there is no quarantine to opt into)")
+    quarantined = ((ValueError, NotImplementedError)
+                   if quarantine_unsupported else (ValueError,))
     # byte_len + content hash are computed JVM-side in the projection
     # feeding the decode and forwarded through the Arrow batches —
     # metadata rides with decoded output at no extra pass (shared by
@@ -317,7 +330,7 @@ def decode_media(df: DataFrame, real_decode: bool = False,
                         if blob is None:
                             raise ValueError("NULL media blob")
                         w, h, n, f = _real_decode_row(bytes(blob), fmt)
-                    except ValueError:
+                    except quarantined:
                         if on_error == "fail":
                             raise
                         w = h = n = f = None  # quarantined corrupt blob

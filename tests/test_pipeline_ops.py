@@ -936,3 +936,42 @@ def test_decode_media_quarantines_corrupt_blobs(spark):
         assert out[d]["sha"] is not None    # metadata still rides
     with pytest.raises(ValueError, match="on_error"):
         decode_media(df, real_decode=True, on_error="bogus")
+
+
+def test_decode_media_unsupported_codec_quarantine_is_opt_in(spark):
+    """A non-MJPG AVI is a missing-DECODER gap: on_error='null' must
+    NOT absorb it (round-9 contract) — but corpora known to contain
+    mixed codecs can opt in with quarantine_unsupported=True (round-10
+    CHANGELOG), which NULLs those rows like corrupt blobs."""
+    from pyspark.sql import functions as F
+
+    from datastream_delta_plugins_spark.operators.avi import encode_avi
+    from datastream_delta_plugins_spark.operators.jpeg import encode_jpeg
+    from datastream_delta_plugins_spark.operators.multimodal import \
+        decode_media
+
+    frame = encode_jpeg(16, 16, bytes(16 * 16 * 3), quality=50,
+                        subsampling="4:2:0")
+    good = encode_avi([frame], 16, 16)
+    h264 = bytearray(good)
+    i = h264.index(b"MJPG")
+    h264[i:i + 4] = b"H264"                      # foreign codec
+    df = spark.createDataFrame(
+        [(0, bytearray(good)), (1, bytearray(bytes(h264)))],
+        "doc_id bigint, media binary").withColumn(
+        "media_meta", F.struct(F.lit("avi").alias("fmt"),
+                               F.octet_length("media").alias("byte_len")))
+    # default: the capability gap surfaces, never a silent NULL bucket
+    with pytest.raises(Exception, match="MJPG-only"):
+        decode_media(df, real_decode=True, on_error="null").collect()
+    # opt-in: the H264 row quarantines, the MJPG row still decodes
+    out = {r["doc_id"]: r for r in
+           decode_media(df, real_decode=True, on_error="null",
+                        quarantine_unsupported=True).collect()}
+    assert out[0]["width"] == 16 and out[0]["n_frames"] == 1
+    assert out[1]["width"] is None and out[1]["features"] is None
+    assert out[1]["sha"] is not None
+    # the flag is meaningless without a quarantine: loud rejection
+    with pytest.raises(ValueError, match="requires on_error='null'"):
+        decode_media(df, real_decode=True,
+                     quarantine_unsupported=True)
