@@ -158,7 +158,8 @@ def merge_batch(state: DataFrame,
 
 def diff_states(prev: DataFrame | None, cur: DataFrame,
                 pk_cols: Sequence[str],
-                ignore_cols: Sequence[str] = SORT_KEY_COLS) -> DataFrame:
+                ignore_cols: Sequence[str] = SORT_KEY_COLS,
+                absent_is_delete: bool = False) -> DataFrame:
     """Change feed between two materialized states: one row per PK
     whose content changed, with `_change` in INSERT/UPDATE/DELETE.
 
@@ -167,7 +168,11 @@ def diff_states(prev: DataFrame | None, cur: DataFrame,
     incremental index) can subscribe to the materialized table the way
     the reference's targets subscribe to Datastream. Classification:
       INSERT  pk absent before (or previously soft-deleted, live now)
-      DELETE  live before, soft-deleted now
+      DELETE  live before, soft-deleted now — and, with
+              ``absent_is_delete``, live before and PHYSICALLY absent
+              now (engine state tables keep tombstones so absence
+              never occurs; foreign tables — sources.delta_reader.
+              delta_changes — delete rows physically)
       UPDATE  live both sides, any non-pk column differing
     Comparison is one full-outer join keyed on pk (null-safe struct
     equality) — the standard CDF computation when storage keeps
@@ -195,10 +200,12 @@ def diff_states(prev: DataFrame | None, cur: DataFrame,
     j = p.join(c, pk, "full_outer")
     was_live = F.col("_pdel").isNotNull() & ~F.col("_pdel")
     is_live = F.col("_cdel").isNotNull() & ~F.col("_cdel")
+    dead_now = F.col("_cdel").isNotNull() & F.col("_cdel")
+    if absent_is_delete:                               # physical removal
+        dead_now = dead_now | F.col("_cdel").isNull()
     change = (
         F.when(~was_live & is_live, "INSERT")          # new or revived
-         .when(was_live & F.col("_cdel").isNotNull()
-               & F.col("_cdel"), "DELETE")             # soft-delete flip
+         .when(was_live & dead_now, "DELETE")
          .when(was_live & is_live
                & ~F.col("_pv").eqNullSafe(F.col("_cv")), "UPDATE"))
     return (j.withColumn("_change", change)

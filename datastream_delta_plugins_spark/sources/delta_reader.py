@@ -269,7 +269,9 @@ class DeltaTable:
     def read(self, version: int | None = None) -> DataFrame:
         """The table at `version` (default: latest) as a DataFrame
         with the log's declared schema and column order."""
-        snap = self.snapshot(version)
+        return self._read_snapshot(self.snapshot(version))
+
+    def _read_snapshot(self, snap: Snapshot) -> DataFrame:
         schema = snap.schema
         pcols = snap.partition_columns
         if not snap.adds:
@@ -356,3 +358,60 @@ def read_delta(spark: SparkSession, path: str,
                data_store: ObjectStoreClient | None = None) -> DataFrame:
     """One-call form: the Delta table at `path` as a DataFrame."""
     return DeltaTable(spark, path, data_store=data_store).read(version)
+
+
+def delta_changes(spark: SparkSession, path: str,
+                  v_from: int, v_to: int,
+                  pk_cols,
+                  data_store: ObjectStoreClient | None = None
+                  ) -> DataFrame:
+    """Row-level change feed (pk..., _change in INSERT/UPDATE/DELETE)
+    between two versions of a FOREIGN Delta table — the capability
+    that turns any upstream Delta table into a CDC source for this
+    engine, without requiring the upstream writer to have enabled
+    Change Data Feed.
+
+    Cost tracks the delta, not the table: only files whose membership
+    DIFFERS between the two snapshots are read on either side. Files
+    live in both versions contribute byte-identical rows to both
+    states, so they can never produce a change — a row that "moves"
+    between files does so only via a rewrite, which removes its old
+    file (putting it in the differing set) per the Delta protocol's
+    immutable-file rule. The narrowed states then feed the same
+    full-outer pk diff as the engine's own state feed
+    (operators.cdc.diff_states). The default ignore set (the engine
+    sort-key columns) applies: harmless on foreign tables that lack
+    them, and it keeps an exported BucketedStateTable from emitting
+    spurious UPDATEs for merge-bookkeeping touches.
+
+    A soft-delete flag is honored if the table carries the engine's
+    `_is_deleted` column (an exported BucketedStateTable does);
+    otherwise physical presence defines liveness, and physical
+    removal classifies as DELETE (absent_is_delete). Assumes the
+    foreign table holds each pk at most once per version — the
+    precondition of ANY pk-keyed CDC read."""
+    from ..operators.cdc import diff_states
+
+    dt = DeltaTable(spark, path, data_store=data_store)
+    a, b = dt.snapshot(v_from), dt.snapshot(v_to)
+    prev_only = sorted(set(a.adds) - set(b.adds))
+    cur_only = sorted(set(b.adds) - set(a.adds))
+
+    def narrowed(snap: Snapshot, paths: list[str]) -> DataFrame | None:
+        if not paths:
+            return None
+        sub = Snapshot(snap.version,
+                       {p: snap.adds[p] for p in paths},
+                       snap.metadata, snap.protocol)
+        return dt._read_snapshot(sub)
+
+    prev = narrowed(a, prev_only)
+    cur = narrowed(b, cur_only)
+    schema = b.schema
+    if cur is None:
+        cur = spark.createDataFrame([], schema)
+    if prev is not None and "_is_deleted" not in prev.columns:
+        prev = prev.withColumn("_is_deleted", F.lit(False))
+    if "_is_deleted" not in cur.columns:
+        cur = cur.withColumn("_is_deleted", F.lit(False))
+    return diff_states(prev, cur, pk_cols, absent_is_delete=True)

@@ -25,7 +25,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from datastream_delta_plugins_spark.sources.delta_reader import (
-    DeltaTable, read_delta)
+    DeltaTable, delta_changes, read_delta)
 from datastream_delta_plugins_spark.streaming.bucketed_state import \
     BucketedStateTable
 
@@ -321,6 +321,108 @@ def test_unsupported_protocol_rejected(spark, tmp_path):
     _write_foreign_table(root, dv=True)
     with pytest.raises(NotImplementedError, match="deletion vectors"):
         DeltaTable(spark, root).read()
+
+
+# --------------------------------------- foreign table as a CDC source
+
+def _write_plain_delta(root, versions):
+    """A minimal UNPARTITIONED foreign table: `versions` is a list of
+    (live_rows_by_file) dicts; each version's log reconciles add/
+    remove against the previous one. Rows: (k long, word string)."""
+    os.makedirs(os.path.join(root, "_delta_log"))
+    schema = {"type": "struct", "fields": [
+        {"name": "k", "type": "long", "nullable": True, "metadata": {}},
+        {"name": "word", "type": "string", "nullable": True,
+         "metadata": {}}]}
+    prev_files = set()
+    for v, files in enumerate(versions):
+        acts = []
+        if v == 0:
+            acts.append({"protocol": {"minReaderVersion": 1,
+                                      "minWriterVersion": 2}})
+            acts.append({"metaData": {
+                "id": "plain-1",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": json.dumps(schema),
+                "partitionColumns": [], "configuration": {},
+                "createdTime": 0}})
+        for rel in sorted(prev_files - set(files)):
+            acts.append({"remove": {"path": rel, "deletionTimestamp": v,
+                                    "dataChange": True}})
+        for rel in sorted(set(files) - prev_files):
+            rows = files[rel]
+            p = os.path.join(root, rel)
+            os.makedirs(os.path.dirname(p), exist_ok=True)
+            pq.write_table(pa.table(
+                {"k": pa.array([r[0] for r in rows], pa.int64()),
+                 "word": pa.array([r[1] for r in rows], pa.string())}),
+                p)
+            acts.append({"add": {
+                "path": rel, "partitionValues": {},
+                "size": os.path.getsize(p), "modificationTime": 0,
+                "dataChange": True}})
+        with open(os.path.join(root, "_delta_log",
+                               f"{v:020d}.json"), "w") as f:
+            f.write("\n".join(json.dumps(a) for a in acts) + "\n")
+        prev_files = set(files)
+
+
+def test_delta_changes_classifies_foreign_table(spark, tmp_path):
+    """INSERT / UPDATE / physical-DELETE between two versions of a
+    foreign table, reading ONLY the differing files; rows in files
+    live in both versions never appear in the feed."""
+    root = str(tmp_path / "cdc")
+    _write_plain_delta(root, [
+        # v0: a(1,2) b(3,4) c(5)
+        {"a.parquet": [(1, "one"), (2, "two")],
+         "b.parquet": [(3, "three"), (4, "four")],
+         "c.parquet": [(5, "five")]},
+        # v1: a untouched; b rewritten (3 updated, 4 dropped, 6 new);
+        # c removed entirely (5 physically deleted)
+        {"a.parquet": [(1, "one"), (2, "two")],
+         "b2.parquet": [(3, "THREE"), (6, "six")]},
+    ])
+    got = sorted((r["k"], r["_change"]) for r in
+                 delta_changes(spark, root, 0, 1, ["k"]).collect())
+    assert got == [(3, "UPDATE"), (4, "DELETE"), (5, "DELETE"),
+                   (6, "INSERT")]
+    # untouched pks (1, 2) are invisible to the feed — and their file
+    # was never read (differing sets exclude a.parquet)
+
+
+def test_delta_changes_rewrite_without_content_change_is_silent(
+        spark, tmp_path):
+    """A compaction-style rewrite (same rows, new file) must emit
+    nothing: both sides read the moved rows and they cancel."""
+    root = str(tmp_path / "cdc2")
+    _write_plain_delta(root, [
+        {"a.parquet": [(1, "one"), (2, "two")]},
+        {"a2.parquet": [(1, "one"), (2, "two")]},
+    ])
+    assert delta_changes(spark, root, 0, 1, ["k"]).count() == 0
+
+
+def test_delta_changes_roundtrip_matches_engine_feed(spark, tmp_path):
+    """Over an EXPORTED BucketedStateTable the foreign-CDC read must
+    agree with the engine's own changes_between — same pks, same
+    classification — with soft-deletes honored via _is_deleted."""
+    t = BucketedStateTable(spark, str(tmp_path / "st"), ["id"],
+                           n_buckets=4)
+    t.merge(_batch(spark, range(12), 1))
+    t.export_delta()
+    # batch 2: updates 0,3,6,9 and deletes 5 (soft tombstone)
+    upd = _batch(spark, [0, 3, 6, 9], 2)
+    dele = spark.createDataFrame(
+        [(5, "v1_5", "DELETE", 1002, 2, "A", 1)], upd.schema)
+    t.merge(upd.unionByName(dele))
+    t.export_delta()
+
+    engine = sorted((r["id"], r["_change"]) for r in
+                    t.changes_between(0, 1).collect())
+    foreign = sorted((r["id"], r["_change"]) for r in
+                     delta_changes(spark, t.path, 0, 1, ["id"]).collect())
+    assert foreign == engine
+    assert (5, "DELETE") in foreign and (0, "UPDATE") in foreign
 
 
 def test_partition_join_is_broadcast(spark, tmp_path):
