@@ -392,6 +392,16 @@ def delta_changes(spark: SparkSession, path: str,
     precondition of ANY pk-keyed CDC read."""
     from ..operators.cdc import diff_states
 
+    prev, cur = _narrowed_states(spark, path, v_from, v_to, data_store)
+    return diff_states(prev, cur, pk_cols, absent_is_delete=True)
+
+
+def _narrowed_states(spark, path: str, v_from: int, v_to: int,
+                     data_store) -> tuple[DataFrame | None, DataFrame]:
+    """(prev, cur) states of a Delta table narrowed to the files whose
+    membership differs between the two versions, both carrying an
+    `_is_deleted` liveness column (synthesized False when the table
+    has none)."""
     dt = DeltaTable(spark, path, data_store=data_store)
     a, b = dt.snapshot(v_from), dt.snapshot(v_to)
     prev_only = sorted(set(a.adds) - set(b.adds))
@@ -407,11 +417,61 @@ def delta_changes(spark: SparkSession, path: str,
 
     prev = narrowed(a, prev_only)
     cur = narrowed(b, cur_only)
-    schema = b.schema
     if cur is None:
-        cur = spark.createDataFrame([], schema)
+        cur = spark.createDataFrame([], b.schema)
     if prev is not None and "_is_deleted" not in prev.columns:
         prev = prev.withColumn("_is_deleted", F.lit(False))
     if "_is_deleted" not in cur.columns:
         cur = cur.withColumn("_is_deleted", F.lit(False))
-    return diff_states(prev, cur, pk_cols, absent_is_delete=True)
+    return prev, cur
+
+
+def delta_as_changes(spark: SparkSession, path: str,
+                     v_from: int | None, v_to: int,
+                     pk_cols,
+                     data_store: ObjectStoreClient | None = None
+                     ) -> DataFrame:
+    """The (v_from, v_to] delta of a foreign Delta table as an engine
+    CHANGE BATCH: full payload rows with `_op` and sort keys, directly
+    consumable by cdc.materialize / merge_batch /
+    BucketedStateTable.merge — replication FROM a Delta table, the
+    mirror of the reference's replication INTO the Delta ecosystem
+    (docs/OracleDatastream-cdcSource.md:117-119).
+
+    ``v_from=None`` emits the FULL v_to snapshot as backfill INSERTs
+    (the initial-load batch); otherwise the batch carries one row per
+    changed pk — INSERT/UPDATE rows with the v_to payload, DELETE rows
+    with the pk and NULL payload. Sort keys encode the version
+    ((_sk1=v_to, 0, 'na', 0)), so batches from successive version
+    windows merge in order and re-delivered batches are idempotent
+    (same keys, same payload — the latest-row merge is stable).
+
+    Cost: the snapshot path reads v_to once; the incremental path
+    reads only differing files (same narrowing as delta_changes) plus
+    a pk-join to attach payloads to the changed-pk set."""
+    pk = list(pk_cols)
+
+    def with_keys(df: DataFrame, op) -> DataFrame:
+        return (df.withColumn("_op", op)
+                  .withColumn("_sk1", F.lit(v_to).cast("bigint"))
+                  .withColumn("_sk2", F.lit(0).cast("bigint"))
+                  .withColumn("_sk3", F.lit("na"))
+                  .withColumn("_sk4", F.lit(0).cast("bigint")))
+
+    if v_from is None:
+        snap = read_delta(spark, path, v_to, data_store=data_store)
+        if "_is_deleted" in snap.columns:
+            snap = snap.where(~F.col("_is_deleted")) \
+                       .drop("_is_deleted")
+        return with_keys(snap, F.lit("INSERT"))
+
+    prev, cur = _narrowed_states(spark, path, v_from, v_to, data_store)
+    from ..operators.cdc import diff_states
+    feed = diff_states(prev, cur, pk, absent_is_delete=True)
+    payload = cur.where(~F.col("_is_deleted")).drop("_is_deleted")
+    # left join: DELETE pks have no cur-side row — payload stays NULL
+    out = feed.join(payload, pk, "left")
+    val_cols = [c for c in payload.columns if c not in pk]
+    return with_keys(
+        out.select(*pk, *val_cols, "_change"),
+        F.col("_change")).drop("_change")

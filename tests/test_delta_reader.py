@@ -425,6 +425,62 @@ def test_delta_changes_roundtrip_matches_engine_feed(spark, tmp_path):
     assert (5, "DELETE") in foreign and (0, "UPDATE") in foreign
 
 
+def test_delta_as_changes_replicates_into_engine_state(spark, tmp_path):
+    """Replication FROM a foreign Delta table: fold the v0 backfill
+    plus each incremental version window into a BucketedStateTable;
+    the final live state must equal the table's latest snapshot."""
+    from datastream_delta_plugins_spark.sources.delta_reader import \
+        delta_as_changes
+
+    root = str(tmp_path / "src")
+    _write_plain_delta(root, [
+        {"a.parquet": [(1, "one"), (2, "two")],
+         "b.parquet": [(3, "three"), (4, "four")]},
+        {"a.parquet": [(1, "one"), (2, "two")],
+         "b2.parquet": [(3, "THREE"), (6, "six")]},      # upd 3, del 4
+        {"a2.parquet": [(1, "ONE")],                     # upd 1, del 2
+         "b2.parquet": [(3, "THREE"), (6, "six")]},
+    ])
+    t = BucketedStateTable(spark, str(tmp_path / "st"), ["k"],
+                           n_buckets=4)
+    t.merge(delta_as_changes(spark, root, None, 0, ["k"]))  # backfill
+    t.merge(delta_as_changes(spark, root, 0, 1, ["k"]))
+    t.merge(delta_as_changes(spark, root, 1, 2, ["k"]))
+    live = (t.read().where(~F.col("_is_deleted"))
+             .select("k", "word"))
+    want = sorted((r["k"], r["word"]) for r in
+                  read_delta(spark, root, 2).collect())
+    assert sorted(tuple(r) for r in live.collect()) == want
+    assert want == [(1, "ONE"), (3, "THREE"), (6, "six")]
+    # re-delivering a window is idempotent (same keys, same payload)
+    t.merge(delta_as_changes(spark, root, 1, 2, ["k"]))
+    live2 = (t.read().where(~F.col("_is_deleted"))
+              .select("k", "word"))
+    assert sorted(tuple(r) for r in live2.collect()) == want
+    # deleted pks persist as tombstones with the delete's version key
+    dead = {r["k"] for r in
+            t.read().where(F.col("_is_deleted")).collect()}
+    assert dead == {2, 4}
+
+
+def test_delta_as_changes_shape_is_engine_consumable(spark, tmp_path):
+    from datastream_delta_plugins_spark.sources.delta_reader import \
+        delta_as_changes
+
+    root = str(tmp_path / "src2")
+    _write_plain_delta(root, [
+        {"a.parquet": [(1, "one"), (2, "two")]},
+        {"a2.parquet": [(1, "uno")]},
+    ])
+    batch = delta_as_changes(spark, root, 0, 1, ["k"])
+    assert set(batch.columns) == {"k", "word", "_op",
+                                  "_sk1", "_sk2", "_sk3", "_sk4"}
+    rows = {r["k"]: r for r in batch.collect()}
+    assert rows[1]["_op"] == "UPDATE" and rows[1]["word"] == "uno"
+    assert rows[2]["_op"] == "DELETE" and rows[2]["word"] is None
+    assert all(r["_sk1"] == 1 for r in rows.values())
+
+
 def test_partition_join_is_broadcast(spark, tmp_path):
     """The partition-value attach must be a broadcast hash join over
     ONE scan — never per-partition unions or a nested-loop join."""
