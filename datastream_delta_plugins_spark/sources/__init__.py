@@ -1,3 +1,17 @@
 from .tables import TABLE_NAMES, load_table, load_tables, register_views
 
-__all__ = ["TABLE_NAMES", "load_table", "load_tables", "register_views"]
+
+def __getattr__(name):
+    # lazy: the Delta interop surface imports pyarrow/operators —
+    # keep `from ..sources import load_table` cheap for every caller
+    # that never touches a Delta table
+    if name in ("DeltaTable", "read_delta", "delta_changes",
+                "delta_as_changes"):
+        from . import delta_reader
+        return getattr(delta_reader, name)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
+
+__all__ = ["TABLE_NAMES", "load_table", "load_tables", "register_views",
+           "DeltaTable", "read_delta", "delta_changes",
+           "delta_as_changes"]

@@ -54,14 +54,16 @@ from urllib.parse import unquote
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import ArrayType, MapType, StructField, StructType
 
 from ..streaming.commitlog import ObjectStoreClient, PosixStore
 
 #: reader features this implementation actually honors (protocol v3
 #: tables list required features explicitly; anything outside this set
-#: must be rejected, not ignored)
-SUPPORTED_READER_FEATURES = {"timestampNtz"}
+#: must be rejected, not ignored). columnMapping covers mode 'name'
+#: (physical-name scan + logical rename); mode 'id' is still rejected
+#: at the configuration check.
+SUPPORTED_READER_FEATURES = {"timestampNtz", "columnMapping"}
 
 _JSON_RE = re.compile(r"^(\d{20})\.json$")
 _CKPT_RE = re.compile(
@@ -88,6 +90,11 @@ class Snapshot:
     @property
     def partition_columns(self) -> list[str]:
         return list(self.metadata.get("partitionColumns") or [])
+
+    @property
+    def column_mapping_mode(self) -> str:
+        return (self.metadata.get("configuration") or {}).get(
+            "delta.columnMapping.mode", "none") or "none"
 
 
 class DeltaTable:
@@ -243,11 +250,16 @@ class DeltaTable:
         rv = proto.get("minReaderVersion", 1)
         cm = (meta.get("configuration") or {}).get(
             "delta.columnMapping.mode", "none")
-        if cm not in ("none", None):
+        if cm not in ("none", "name", None):
+            # 'id' keys columns by parquet field id — a different scan
+            # contract this reader does not implement; reading it by
+            # name would silently bind wrong columns
             raise NotImplementedError(
-                f"column mapping mode '{cm}' is not supported — "
-                f"physical names would be read as logical ones")
-        if rv <= 1:
+                f"column mapping mode '{cm}' is not supported "
+                f"(only 'none' and 'name')")
+        if rv <= 2:
+            # v2 = column-mapping era; mode 'name' is handled by the
+            # physical-schema scan, 'id' was rejected above
             return
         if rv == 3:
             feats = set(proto.get("readerFeatures") or [])
@@ -258,8 +270,7 @@ class DeltaTable:
                     f"(supported: {sorted(SUPPORTED_READER_FEATURES)})")
             return
         raise NotImplementedError(
-            f"minReaderVersion {rv} is not supported (column-mapping "
-            f"era protocol without a feature list)")
+            f"minReaderVersion {rv} is not supported")
 
     # -- the read --
 
@@ -276,29 +287,48 @@ class DeltaTable:
         pcols = snap.partition_columns
         if not snap.adds:
             return self.spark.createDataFrame([], schema)
+        # column mapping 'name': the parquet files carry PHYSICAL
+        # names (schemaString field metadata delta.columnMapping.
+        # physicalName, recursively); scan with the physical schema,
+        # then rebind to logical names — nested renames ride one
+        # struct cast (by-position), so the plan stays a plain
+        # projection over the scan
+        mapped = snap.column_mapping_mode == "name"
+        phys_schema = _physical_schema(schema) if mapped else schema
+        phys_of = {lf.name: pf.name
+                   for lf, pf in zip(schema.fields, phys_schema.fields)}
         # add.path is URL-encoded per the protocol and table-root
         # relative (absolute paths are legal for shallow clones —
         # honor them too)
         files = []
-        rels = []
         for p in sorted(snap.adds):
             rel = unquote(p)
-            rels.append(rel)
             files.append(rel if "://" in rel or os.path.isabs(rel)
                          else os.path.join(self.path, rel))
-        data_fields = [f for f in schema.fields if f.name not in pcols]
+        data_fields = [pf for lf, pf in zip(schema.fields,
+                                            phys_schema.fields)
+                       if lf.name not in pcols]
         df = self.spark.read.schema(StructType(data_fields)) \
                  .parquet(*files)
+
+        def logical(f) -> F.Column:
+            col = F.col(phys_of[f.name])
+            return (col.cast(f.dataType).alias(f.name) if mapped
+                    else col)
+
         if not pcols:
-            return df.select(*[f.name for f in schema.fields])
+            return df.select(*[logical(f) for f in schema.fields])
 
         # file -> partitionValues, joined via the scan's file identity
         # (one broadcast hash join; never per-partition unions)
         pv_cols = [f"__pv_{i}" for i in range(len(pcols))]
+        # partitionValues keys are PHYSICAL names under column mapping
+        pv_keys = [phys_of[c] for c in pcols]
         rows = []
         for p, fpath in zip(sorted(snap.adds), files):
             pv = snap.adds[p].get("partitionValues") or {}
-            rows.append((_file_key(fpath), *[pv.get(c) for c in pcols]))
+            rows.append((_file_key(fpath),
+                         *[pv.get(c) for c in pv_keys]))
         map_schema = ", ".join(["__file string"]
                                + [f"{c} string" for c in pv_cols])
         fmap = self.spark.createDataFrame(rows, map_schema)
@@ -319,8 +349,32 @@ class DeltaTable:
                 src = F.col(pv_cols[pcols.index(f.name)])
                 proj.append(src.cast(by_type[f.name]).alias(f.name))
             else:
-                proj.append(F.col(f.name))
+                proj.append(logical(f))
         return out.select(*proj)
+
+
+def _physical_schema(schema: StructType) -> StructType:
+    """The on-disk schema of a column-mapping 'name' table: every
+    field renamed to its `delta.columnMapping.physicalName` metadata
+    (recursively through structs/arrays/maps; a field without the
+    metadata keeps its logical name, the spec's pre-mapping-era
+    fallback)."""
+    def conv_dt(dt):
+        if isinstance(dt, StructType):
+            return StructType([conv_field(f) for f in dt.fields])
+        if isinstance(dt, ArrayType):
+            return ArrayType(conv_dt(dt.elementType), dt.containsNull)
+        if isinstance(dt, MapType):
+            return MapType(conv_dt(dt.keyType), conv_dt(dt.valueType),
+                           dt.valueContainsNull)
+        return dt
+
+    def conv_field(f: StructField) -> StructField:
+        phys = (f.metadata or {}).get(
+            "delta.columnMapping.physicalName", f.name)
+        return StructField(phys, conv_dt(f.dataType), f.nullable)
+
+    return StructType([conv_field(f) for f in schema.fields])
 
 
 #: characters java.net.URI leaves raw in a path (unreserved +

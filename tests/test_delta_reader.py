@@ -295,9 +295,14 @@ def test_foreign_checkpoint_resolution(spark, tmp_path):
 
 
 def test_unsupported_protocol_rejected(spark, tmp_path):
+    # v2 (column-mapping era) without column mapping reads fine now
     root = str(tmp_path / "f2")
     _write_foreign_table(root, reader_version=2)
-    with pytest.raises(NotImplementedError, match="minReaderVersion 2"):
+    assert _rows(DeltaTable(spark, root).read()) == EXPECT_V1
+
+    root = str(tmp_path / "f2b")
+    _write_foreign_table(root, reader_version=4)
+    with pytest.raises(NotImplementedError, match="minReaderVersion 4"):
         DeltaTable(spark, root).read()
 
     root = str(tmp_path / "f3")
@@ -313,14 +318,77 @@ def test_unsupported_protocol_rejected(spark, tmp_path):
 
     root = str(tmp_path / "f5")
     _write_foreign_table(
-        root, config={"delta.columnMapping.mode": "name"})
+        root, config={"delta.columnMapping.mode": "id"})
     with pytest.raises(NotImplementedError, match="column mapping"):
         DeltaTable(spark, root).read()
+
+    # mode 'name' with NO physicalName metadata: physical == logical
+    # per the spec's fallback — reads fine
+    root = str(tmp_path / "f5b")
+    _write_foreign_table(
+        root, config={"delta.columnMapping.mode": "name"})
+    assert _rows(DeltaTable(spark, root).read()) == EXPECT_V1
 
     root = str(tmp_path / "f6")
     _write_foreign_table(root, dv=True)
     with pytest.raises(NotImplementedError, match="deletion vectors"):
         DeltaTable(spark, root).read()
+
+
+def test_column_mapping_name_mode(spark, tmp_path):
+    """Column mapping 'name' (what ALTER TABLE RENAME/DROP enables on
+    modern Delta writers): parquet files carry PHYSICAL names
+    (col-... guids, nested too), partitionValues are keyed by
+    physical name, and the reader rebinds everything to the logical
+    schema."""
+    root = str(tmp_path / "cm")
+    os.makedirs(os.path.join(root, "_delta_log"))
+    pn = "delta.columnMapping.physicalName"
+    schema = {"type": "struct", "fields": [
+        {"name": "k", "type": "long", "nullable": True,
+         "metadata": {pn: "col-k9"}},
+        {"name": "info", "nullable": True,
+         "metadata": {pn: "col-i7"},
+         "type": {"type": "struct", "fields": [
+             {"name": "a", "type": "long", "nullable": True,
+              "metadata": {pn: "col-a1"}},
+             {"name": "b", "type": "string", "nullable": True,
+              "metadata": {pn: "col-b2"}}]}},
+        {"name": "part", "type": "integer", "nullable": True,
+         "metadata": {pn: "col-p3"}}]}
+    # physical-name parquet file (nested physical names too)
+    info_t = pa.struct([("col-a1", pa.int64()), ("col-b2", pa.string())])
+    p = os.path.join(root, "f1.parquet")
+    pq.write_table(pa.table(
+        {"col-k9": pa.array([1, 2], pa.int64()),
+         "col-i7": pa.array([{"col-a1": 10, "col-b2": "x"},
+                             {"col-a1": 20, "col-b2": "y"}], info_t)}),
+        p)
+    acts = [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["columnMapping"],
+                      "writerFeatures": ["columnMapping"]}},
+        {"metaData": {"id": "cm-1",
+                      "format": {"provider": "parquet", "options": {}},
+                      "schemaString": json.dumps(schema),
+                      "partitionColumns": ["part"],
+                      "configuration":
+                          {"delta.columnMapping.mode": "name"},
+                      "createdTime": 0}},
+        {"add": {"path": "f1.parquet",
+                 "partitionValues": {"col-p3": "7"},   # PHYSICAL key
+                 "size": os.path.getsize(p), "modificationTime": 0,
+                 "dataChange": True}}]
+    with open(os.path.join(root, "_delta_log",
+                           f"{0:020d}.json"), "w") as f:
+        f.write("\n".join(json.dumps(a) for a in acts) + "\n")
+
+    df = DeltaTable(spark, root).read()
+    assert [f.name for f in df.schema.fields] == ["k", "info", "part"]
+    assert df.schema["info"].dataType.fieldNames() == ["a", "b"]
+    got = sorted((r["k"], r["info"]["a"], r["info"]["b"], r["part"])
+                 for r in df.collect())
+    assert got == [(1, 10, "x", 7), (2, 20, "y", 7)]
 
 
 # --------------------------------------- foreign table as a CDC source
