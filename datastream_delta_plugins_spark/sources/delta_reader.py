@@ -26,9 +26,14 @@ github.com/delta-io/delta PROTOCOL.md), no delta library:
     types — one parquet scan + one broadcast hash join regardless of
     partition count (per-partition unions would explode the plan at
     real partition counts);
-  - honesty gates: minReaderVersion > 1 (column mapping, reader
-    features beyond the supported set) and deletion vectors raise
-    NotImplementedError naming the missing capability — never a
+  - column mapping mode 'name' (what ALTER TABLE RENAME/DROP enables
+    on modern writers): the scan uses the PHYSICAL schema from
+    schemaString field metadata, logical names rebind via one
+    by-position struct cast per column, partitionValues are looked up
+    by physical key;
+  - honesty gates: column mapping mode 'id', reader features beyond
+    the supported set, unknown reader versions, and deletion vectors
+    raise NotImplementedError naming the missing capability — never a
     silent wrong read.
 
 Metadata plane (log listing, JSON/checkpoint bytes) rides the
