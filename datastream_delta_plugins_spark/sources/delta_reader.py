@@ -282,10 +282,43 @@ class DeltaTable:
     def schema(self, version: int | None = None) -> StructType:
         return self.snapshot(version).schema
 
-    def read(self, version: int | None = None) -> DataFrame:
+    def read(self, version: int | None = None,
+             skip: list | None = None) -> DataFrame:
         """The table at `version` (default: latest) as a DataFrame
-        with the log's declared schema and column order."""
-        return self._read_snapshot(self.snapshot(version))
+        with the log's declared schema and column order.
+
+        ``skip`` enables Delta DATA SKIPPING: a conjunctive list of
+        (column, op, value) triples (op in =, <, <=, >, >=) evaluated
+        against each file's `add.stats` min/max — files the stats
+        prove irrelevant are never opened, the protocol's file-level
+        answer to partition pruning for non-partition columns (at
+        100 TB this is the scan-cost lever for selective reads; Spark
+        only row-group-prunes AFTER opening a footer). The same
+        predicate is ALSO applied to the returned DataFrame, so the
+        result equals `read().where(...)` exactly — files without
+        stats survive pruning, string stats are never used for
+        pruning (the protocol allows truncated string min/max, whose
+        prefixes could prove the wrong thing), and rows are
+        re-filtered regardless."""
+        snap = self.snapshot(version)
+        if not skip:
+            return self._read_snapshot(snap)
+        mapped = snap.column_mapping_mode == "name"
+        phys_schema = (_physical_schema(snap.schema) if mapped
+                       else snap.schema)
+        phys_of = {lf.name: pf.name
+                   for lf, pf in zip(snap.schema.fields,
+                                     phys_schema.fields)}
+        kept = {p: a for p, a in snap.adds.items()
+                if _stats_survive(a, skip, phys_of)}
+        pruned = Snapshot(snap.version, kept, snap.metadata,
+                          snap.protocol)
+        df = self._read_snapshot(pruned)
+        cond = None
+        for col, op, val in skip:
+            c = _SKIP_OPS[op](F.col(col), F.lit(val))
+            cond = c if cond is None else cond & c
+        return df.where(cond)
 
     def _read_snapshot(self, snap: Snapshot) -> DataFrame:
         schema = snap.schema
@@ -356,6 +389,51 @@ class DeltaTable:
             else:
                 proj.append(logical(f))
         return out.select(*proj)
+
+
+_SKIP_OPS = {
+    "=": lambda c, v: c == v,
+    "<": lambda c, v: c < v,
+    "<=": lambda c, v: c <= v,
+    ">": lambda c, v: c > v,
+    ">=": lambda c, v: c >= v,
+}
+
+
+def _stats_survive(add: dict, skip: list, phys_of: dict) -> bool:
+    """Can this file hold a row satisfying EVERY (col, op, val)
+    conjunct, per its add.stats min/max? Conservative: missing stats,
+    unknown columns, string values, or unparseable JSON all answer
+    yes (pruning must never invent emptiness). Stats keys are
+    physical names under column mapping."""
+    raw = add.get("stats")
+    if not raw:
+        return True
+    try:
+        stats = json.loads(raw) if isinstance(raw, str) else raw
+        lo_all = stats.get("minValues") or {}
+        hi_all = stats.get("maxValues") or {}
+    except (ValueError, AttributeError):
+        return True
+    for col, op, val in skip:
+        if op not in _SKIP_OPS:
+            raise ValueError(f"skip op must be one of "
+                             f"{sorted(_SKIP_OPS)}, got {op!r}")
+        if isinstance(val, str):
+            continue  # truncated string stats can prove the wrong thing
+        key = phys_of.get(col, col)
+        lo, hi = lo_all.get(key), hi_all.get(key)
+        if lo is None or hi is None:
+            continue
+        try:
+            if ((op in ("=", ">=") and hi < val)
+                    or (op == ">" and hi <= val)
+                    or (op in ("=", "<=") and lo > val)
+                    or (op == "<" and lo >= val)):
+                return False
+        except TypeError:
+            continue  # stats type does not compare to val: keep file
+    return True
 
 
 def _physical_schema(schema: StructType) -> StructType:

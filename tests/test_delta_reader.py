@@ -335,6 +335,68 @@ def test_unsupported_protocol_rejected(spark, tmp_path):
         DeltaTable(spark, root).read()
 
 
+def test_stats_based_file_skipping(spark, tmp_path):
+    """Delta data skipping: files whose add.stats min/max prove them
+    irrelevant are never opened; the result still equals the full
+    read filtered (stats-less files survive; string predicates never
+    prune)."""
+    root = str(tmp_path / "sk")
+    os.makedirs(os.path.join(root, "_delta_log"))
+    schema = {"type": "struct", "fields": [
+        {"name": "k", "type": "long", "nullable": True, "metadata": {}},
+        {"name": "word", "type": "string", "nullable": True,
+         "metadata": {}}]}
+    acts = [{"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            {"metaData": {"id": "sk-1",
+                          "format": {"provider": "parquet",
+                                     "options": {}},
+                          "schemaString": json.dumps(schema),
+                          "partitionColumns": [], "configuration": {},
+                          "createdTime": 0}}]
+    ranges = {"lo.parquet": (0, 9), "mid.parquet": (10, 19),
+              "hi.parquet": (20, 29)}
+    for rel, (a, b) in ranges.items():
+        p = os.path.join(root, rel)
+        ks = list(range(a, b + 1))
+        pq.write_table(pa.table(
+            {"k": pa.array(ks, pa.int64()),
+             "word": pa.array([f"w{x}" for x in ks], pa.string())}), p)
+        add = {"path": rel, "partitionValues": {},
+               "size": os.path.getsize(p), "modificationTime": 0,
+               "dataChange": True}
+        if rel != "mid.parquet":     # mid has NO stats -> never pruned
+            add["stats"] = json.dumps({
+                "numRecords": len(ks),
+                "minValues": {"k": a, "word": f"w{a}"},
+                "maxValues": {"k": b, "word": f"w{b}"}})
+        acts.append({"add": add})
+    with open(os.path.join(root, "_delta_log",
+                           f"{0:020d}.json"), "w") as f:
+        f.write("\n".join(json.dumps(a) for a in acts) + "\n")
+
+    dt = DeltaTable(spark, root)
+    df = dt.read(skip=[("k", ">=", 25)])
+    opened = {os.path.basename(f) for f in df.inputFiles()}
+    assert "lo.parquet" not in opened          # stats-pruned
+    assert "mid.parquet" in opened             # stats-less: kept
+    assert "hi.parquet" in opened
+    # result identical to the unpruned filtered read
+    want = sorted((r["k"], r["word"]) for r in
+                  dt.read().where(F.col("k") >= 25).collect())
+    assert sorted((r["k"], r["word"]) for r in df.collect()) == want
+    assert [k for k, _ in want] == list(range(25, 30))
+    # string predicates re-filter rows but never prune files
+    df2 = dt.read(skip=[("word", ">=", "w25")])
+    assert len({os.path.basename(f) for f in df2.inputFiles()}) == 3
+    # conjunction: both bounds prune
+    df3 = dt.read(skip=[("k", ">=", 3), ("k", "<", 8)])
+    assert {os.path.basename(f) for f in df3.inputFiles()} == \
+        {"lo.parquet", "mid.parquet"}
+    assert df3.count() == 5
+    with pytest.raises(ValueError, match="skip op"):
+        dt.read(skip=[("k", "!=", 3)]).collect()
+
+
 def test_column_mapping_name_mode(spark, tmp_path):
     """Column mapping 'name' (what ALTER TABLE RENAME/DROP enables on
     modern Delta writers): parquet files carry PHYSICAL names
