@@ -51,6 +51,55 @@ from .commitlog import (ObjectStoreLog, PosixStore, attempt_name_re,
 
 _BUCKET = "_state_bucket"
 
+
+def _footer_stats(path: str, cols) -> str | None:
+    """Delta `add.stats` JSON (numRecords, minValues, maxValues for
+    `cols`) from a parquet file's FOOTER — metadata-only, no data
+    scan. Columns with absent/unusable footer stats are omitted
+    (readers treat missing bounds as non-prunable); strings are
+    omitted entirely (the skip contract never prunes on them, and
+    footer string stats may be truncated). Returns None when nothing
+    useful could be read."""
+    import datetime
+
+    import pyarrow.parquet as pq
+
+    def jsonable(x):
+        if isinstance(x, (datetime.date, datetime.datetime)):
+            return x.isoformat()
+        return x
+
+    try:
+        md = pq.ParquetFile(path).metadata
+    except Exception:  # unreadable footer: stats are best-effort
+        return None
+    idx = {md.schema.column(i).name: i
+           for i in range(md.num_columns)}
+    lo: dict[str, object] = {}
+    hi: dict[str, object] = {}
+    for c in cols:
+        if c not in idx:
+            continue
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx[c]).statistics
+            if st is None or not st.has_min_max:
+                mins = []
+                break
+            if isinstance(st.min, (bytes, str)):
+                mins = []
+                break
+            mins.append(st.min)
+            maxs.append(st.max)
+        if mins:
+            lo[c] = jsonable(min(mins))
+            hi[c] = jsonable(max(maxs))
+    if not lo and md.num_rows is None:
+        return None
+    return json.dumps({"numRecords": md.num_rows,
+                       "minValues": lo, "maxValues": hi},
+                      separators=(",", ":"))
+
 #: version data dir: v{version}[-nonce]
 _VDIR = attempt_name_re("v")
 
@@ -206,7 +255,8 @@ class BucketedStateTable:
             return {}, None, 0
         return dict(snap.adds), snap.metadata["id"], snap.version + 1
 
-    def export_delta(self, checkpoint_every: int | None = None) -> str:
+    def export_delta(self, checkpoint_every: int | None = None,
+                     stats_cols: Sequence[str] | None = None) -> str:
         """Publish the CURRENT committed snapshot as a Delta Lake
         transaction log (`_delta_log/` inside the state dir), so
         third-party engines — delta-rs, DuckDB's delta reader,
@@ -231,7 +281,15 @@ class BucketedStateTable:
           reaches only as far back as un-vacuumed exports — the same
           horizon contract as read_at;
         - concurrent exporters are not OCC-coordinated (exports are a
-          maintenance-owner duty, like vacuum).
+          maintenance-owner duty, like vacuum);
+        - ``stats_cols`` adds per-file `stats` (numRecords + min/max
+          for the named columns) to every NEW add action, read
+          METADATA-ONLY from the parquet footers — no data scan — so
+          third-party readers (and this engine's own
+          ``DeltaTable.read(skip=...)``) can data-skip the exported
+          state. POSIX data stores only: an object store would
+          download whole objects for their footers (a deployment
+          adds range GETs at that seam).
         """
         import time
         import uuid
@@ -240,6 +298,13 @@ class BucketedStateTable:
         if v < 0:
             raise ValueError("nothing committed yet — no snapshot to "
                              "export as a delta log")
+        if stats_cols is not None and not isinstance(self.data_store,
+                                                     PosixStore):
+            raise ValueError(
+                "stats_cols needs footer reads, which the object-store "
+                "client contract serves only as whole-object GETs — "
+                "export stats from a POSIX-mounted data store, or add "
+                "a range-GET binding")
         log_dir = os.path.join(self.path, "_delta_log")
 
         # replay any existing exported log: live file set + next version
@@ -267,6 +332,12 @@ class BucketedStateTable:
                                 "size": size,
                                 "modificationTime": now_ms,
                                 "dataChange": True}
+                # only files this export will EMIT as adds need a
+                # footer read; already-live files keep their action
+                if stats_cols is not None and rel not in live:
+                    st = _footer_stats(key, stats_cols)
+                    if st is not None:
+                        current[rel]["stats"] = st
 
         commit_info = {
             "timestamp": now_ms, "operation": "WRITE",
@@ -348,7 +419,7 @@ class BucketedStateTable:
         add_t = pa.struct([
             ("path", pa.string()), ("partitionValues", kv),
             ("size", pa.int64()), ("modificationTime", pa.int64()),
-            ("dataChange", pa.bool_())])
+            ("dataChange", pa.bool_()), ("stats", pa.string())])
         schema = pa.schema([("protocol", proto_t),
                             ("metaData", meta_t), ("add", add_t)])
 
@@ -366,7 +437,8 @@ class BucketedStateTable:
                                  "size": a["size"],
                                  "modificationTime":
                                      a.get("modificationTime", 0),
-                                 "dataChange": True}})
+                                 "dataChange": True,
+                                 "stats": a.get("stats")}})
         buf = io.BytesIO()
         pq.write_table(pa.Table.from_pylist(rows, schema=schema), buf)
         log_dir = os.path.join(self.path, "_delta_log")

@@ -335,6 +335,49 @@ def test_unsupported_protocol_rejected(spark, tmp_path):
         DeltaTable(spark, root).read()
 
 
+def test_export_stats_roundtrip_enables_skipping(spark, tmp_path):
+    """export_delta(stats_cols=...) derives add.stats from parquet
+    FOOTERS (no data scan); the engine's own read(skip=...) then
+    prunes exported bucket files, and a checkpoint carries the stats
+    through."""
+    t = BucketedStateTable(spark, str(tmp_path / "st"), ["id"],
+                           n_buckets=4)
+    t.merge(_batch(spark, range(40), 1))
+    t.export_delta(stats_cols=["id"])
+    log0 = os.path.join(t.path, "_delta_log", f"{0:020d}.json")
+    adds = [json.loads(x)["add"] for x in open(log0)
+            if "add" in json.loads(x)]
+    assert adds and all("stats" in a for a in adds)
+    st0 = json.loads(adds[0]["stats"])
+    assert st0["numRecords"] > 0 and "id" in st0["minValues"]
+
+    dt = DeltaTable(spark, t.path)
+    full = dt.read()
+    some_id = max(json.loads(a["stats"])["minValues"]["id"]
+                  for a in adds)
+    df = dt.read(skip=[("id", "<", some_id)])
+    assert len(df.inputFiles()) < len(full.inputFiles())
+    want = sorted(tuple(r) for r in
+                  full.where(F.col("id") < some_id).collect())
+    assert sorted(tuple(r) for r in df.collect()) == want
+
+    # stats survive the checkpoint + prune
+    t.checkpoint_delta(prune_log=True)
+    df2 = DeltaTable(spark, t.path).read(skip=[("id", "<", some_id)])
+    assert len(df2.inputFiles()) < len(full.inputFiles())
+    assert sorted(tuple(r) for r in df2.collect()) == want
+
+    # object-store data stores reject stats export loudly
+    from datastream_delta_plugins_spark.streaming.commitlog import \
+        InMemoryObjectStore
+    t2 = BucketedStateTable(spark, str(tmp_path / "st2"), ["id"],
+                            n_buckets=4,
+                            data_store=InMemoryObjectStore())
+    t2.merge(_batch(spark, range(4), 1))
+    with pytest.raises(ValueError, match="range-GET"):
+        t2.export_delta(stats_cols=["id"])
+
+
 def test_stats_based_file_skipping(spark, tmp_path):
     """Delta data skipping: files whose add.stats min/max prove them
     irrelevant are never opened; the result still equals the full
