@@ -209,6 +209,15 @@ def _split_bench_inputs(spark, sf_dir: str, n_files: int = 8) -> str:
         return sf_dir
 
 
+def _load1() -> float:
+    """1-minute loadavg, sampled OUTSIDE timed regions (telemetry for
+    burst adjudication; shared with tools/q26_pair.py)."""
+    try:
+        return round(os.getloadavg()[0], 2)
+    except OSError:
+        return -1.0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
@@ -258,12 +267,6 @@ def main() -> None:
     # re-measurement to adjudicate. Sampling loadavg outside the timed
     # regions makes the artifact self-adjudicating: a run whose
     # load.max dwarfs load.start was measured through a burst.
-    def _load1() -> float:
-        try:
-            return round(os.getloadavg()[0], 2)
-        except OSError:
-            return -1.0
-
     load = {"start": _load1(), "cpus": cpus}
     load_samples = [load["start"]]
     warm_pass_totals: list[float] = []

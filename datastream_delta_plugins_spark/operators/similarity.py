@@ -203,7 +203,8 @@ def _fit_sample(df: DataFrame, id_col: str,
 def kmeans_cells(df: DataFrame, k: int | None = 8,
                  vec_col: str = "embedding", id_col: str = "vec_id",
                  max_iter: int = 5, seed: int = 42,
-                 sample_rows: int | None = FIT_SAMPLE_ROWS) -> DataFrame:
+                 sample_rows: int | None = FIT_SAMPLE_ROWS,
+                 n_rows: int | None = None) -> DataFrame:
     """Production cell assignment for IVF: distributed k-means
     (Spark ML, Lloyd iterations run as DataFrame aggregations under the
     hood) over the embedding column. Returns (id_col, vec_col...,
@@ -217,9 +218,10 @@ def kmeans_cells(df: DataFrame, k: int | None = 8,
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    n = None
+    n = n_rows  # caller-known row count: saves the sampler's count job
     if k is None:
-        n = df.count()
+        if n is None:
+            n = df.count()
         k = auto_n_cells(n)
 
     # L2-normalize for clustering: Euclidean k-means on unit vectors
@@ -392,8 +394,8 @@ def _pq_dists_sql(cb_lit: str, ds: int, vec: str) -> str:
 def fit_pq_codebooks(df: DataFrame, m: int = 8, ksub: int = 16,
                      vec_col: str = "embedding", id_col: str = "vec_id",
                      seed: int = 42, max_iter: int = 5,
-                     sample_rows: int | None = FIT_SAMPLE_ROWS
-                     ) -> DataFrame:
+                     sample_rows: int | None = FIT_SAMPLE_ROWS,
+                     n_rows: int | None = None) -> DataFrame:
     """Product-quantization codebooks: the vector split into `m`
     contiguous subspaces, each fit with its own k-means of `ksub`
     centroids over the RAW (unnormalized) subvectors — PQ encodes
@@ -424,7 +426,7 @@ def fit_pq_codebooks(df: DataFrame, m: int = 8, ksub: int = 16,
     # ONE pass: sample, then materialize all m subspace slices as
     # vector columns in the same projection; the m fits below each
     # select one in-memory column of the persisted sample
-    slices = _fit_sample(df, id_col, sample_rows).select(
+    slices = _fit_sample(df, id_col, sample_rows, n_rows).select(
         *[array_to_vector(F.slice(v, mi * ds + 1, ds))
           .alias(f"_f{mi}") for mi in range(m)])
     slices = slices.persist()
@@ -518,16 +520,19 @@ def save_ivf_index(df: DataFrame, path: str, k: int = 8,
     if store not in ("float", "int8", "pq"):
         raise ValueError(
             f"store must be 'float', 'int8' or 'pq', got {store!r}")
+    # ONE count serves both samplers (cell fit + pq codebook fit) —
+    # never two full-input jobs for the same number
+    n_rows = df.count() if (cells is None or store == "pq") else None
     if cells is None:
         # callers writing BOTH layouts of one corpus (e.g. s02) pass
         # precomputed cells so the k-means fit runs once, not per store
         cells = kmeans_cells(df, k=k, vec_col=vec_col, id_col=id_col,
-                             seed=seed)
+                             seed=seed, n_rows=n_rows)
     if store == "int8":
         rows = _int8_index_rows(cells, vec_col, id_col, ["_cell"])
     elif store == "pq":
         cb = fit_pq_codebooks(df, m=pq_m, ksub=pq_ksub, vec_col=vec_col,
-                              id_col=id_col, seed=seed)
+                              id_col=id_col, seed=seed, n_rows=n_rows)
         cb.coalesce(1).write.mode("overwrite") \
           .parquet(f"{path}/pq_codebooks")
         cb_rows = [(r["sub"], r["code"], r["centroid"])
@@ -845,8 +850,17 @@ def ivf_append(spark, path: str, new_df: DataFrame,
     # dimension guard: a dim-mismatched append would write rows whose
     # probes zip_with into nulls (float) or slice into garbage codes
     # (pq) — fail loudly before any write
-    idx_dim = len(cents.select("centroid").first()[0])
+    cent_row = cents.select("centroid").first()
+    if cent_row is None:
+        raise ValueError(
+            f"index at {path} has an empty centroids table — not a "
+            f"valid IVF index; rebuild with save_ivf_index")
+    idx_dim = len(cent_row[0])
     new_dim_row = new_df.select(F.size(vec_col)).first()
+    if new_dim_row is not None and new_dim_row[0] == -1:
+        raise ValueError(
+            f"ivf_append: new_df carries a NULL '{vec_col}' vector — "
+            f"drop or repair null embeddings before appending")
     if new_dim_row is not None and new_dim_row[0] != idx_dim:
         raise ValueError(
             f"ivf_append dimension mismatch: index at {path} holds "

@@ -152,8 +152,11 @@ class DeltaTable:
             return None
         try:
             return int(json.loads(raw)["version"])
-        except (ValueError, KeyError, json.JSONDecodeError):
-            return None  # corrupt hint: fall back to listing
+        except (ValueError, KeyError, TypeError, json.JSONDecodeError):
+            # corrupt hint ({"version": null}, a list, truncation...):
+            # fall back to the listing — never fail the read over an
+            # optimization pointer
+            return None
 
     # -- action replay --
 
@@ -194,17 +197,28 @@ class DeltaTable:
         # _last_checkpoint hint when it qualifies (bounded listing in
         # a real deployment), else scan what the listing found
         base = None
+        base_parts: list[str] | None = None
         hint = self._last_checkpoint_hint()
         candidates = sorted((cv for cv in ckpts if cv <= v), reverse=True)
         if hint is not None and hint in ckpts and hint <= v:
             candidates = [hint] + [c for c in candidates if c != hint]
         for cv in candidates:
-            parts = ckpts[cv]
-            n_parts = _CKPT_RE.match(os.path.basename(parts[0])).group(3)
-            if n_parts is not None and len(parts) != int(n_parts):
-                continue  # incomplete multi-part upload: skip it
-            base = cv
-            break
+            # single-part and multi-part files at the SAME version are
+            # independent checkpoints (e.g. a complete single-part
+            # beside an aborted multi-part upload) — judge each form
+            # on its own, never lumped into one completeness test
+            single = [k for k in ckpts[cv]
+                      if _CKPT_RE.match(os.path.basename(k)).group(3)
+                      is None]
+            multi = [k for k in ckpts[cv] if k not in single]
+            if single:
+                base, base_parts = cv, single[:1]
+                break
+            n_parts = _CKPT_RE.match(os.path.basename(multi[0])).group(3)
+            if len(multi) == int(n_parts):
+                base, base_parts = cv, multi
+                break
+            # incomplete multi-part upload: try an older checkpoint
 
         live: dict[str, dict] = {}
         meta: dict | None = None
@@ -222,7 +236,7 @@ class DeltaTable:
                 proto = act["protocol"]
 
         if base is not None:
-            for act in self._checkpoint_actions(ckpts[base]):
+            for act in self._checkpoint_actions(base_parts):
                 apply(act)
         start = 0 if base is None else base + 1
         for cv in range(start, v + 1):
@@ -303,6 +317,10 @@ class DeltaTable:
         snap = self.snapshot(version)
         if not skip:
             return self._read_snapshot(snap)
+        for _c, op, _v in skip:  # validate ONCE, before any pruning
+            if op not in _SKIP_OPS:
+                raise ValueError(f"skip op must be one of "
+                                 f"{sorted(_SKIP_OPS)}, got {op!r}")
         mapped = snap.column_mapping_mode == "name"
         phys_schema = (_physical_schema(snap.schema) if mapped
                        else snap.schema)
@@ -416,9 +434,6 @@ def _stats_survive(add: dict, skip: list, phys_of: dict) -> bool:
     except (ValueError, AttributeError):
         return True
     for col, op, val in skip:
-        if op not in _SKIP_OPS:
-            raise ValueError(f"skip op must be one of "
-                             f"{sorted(_SKIP_OPS)}, got {op!r}")
         if isinstance(val, str):
             continue  # truncated string stats can prove the wrong thing
         key = phys_of.get(col, col)
@@ -500,8 +515,8 @@ def read_delta(spark: SparkSession, path: str,
 def delta_changes(spark: SparkSession, path: str,
                   v_from: int, v_to: int,
                   pk_cols,
-                  data_store: ObjectStoreClient | None = None
-                  ) -> DataFrame:
+                  data_store: ObjectStoreClient | None = None,
+                  ignore_cols=None) -> DataFrame:
     """Row-level change feed (pk..., _change in INSERT/UPDATE/DELETE)
     between two versions of a FOREIGN Delta table — the capability
     that turns any upstream Delta table into a CDC source for this
@@ -516,10 +531,12 @@ def delta_changes(spark: SparkSession, path: str,
     file (putting it in the differing set) per the Delta protocol's
     immutable-file rule. The narrowed states then feed the same
     full-outer pk diff as the engine's own state feed
-    (operators.cdc.diff_states). The default ignore set (the engine
-    sort-key columns) applies: harmless on foreign tables that lack
+    (operators.cdc.diff_states). ``ignore_cols`` defaults to the
+    engine sort-key columns — harmless on foreign tables that lack
     them, and it keeps an exported BucketedStateTable from emitting
-    spurious UPDATEs for merge-bookkeeping touches.
+    spurious UPDATEs for merge-bookkeeping touches; a foreign table
+    whose REAL data happens to use those names must pass
+    ``ignore_cols=()`` (or its own set) to have them compared.
 
     A soft-delete flag is honored if the table carries the engine's
     `_is_deleted` column (an exported BucketedStateTable does);
@@ -527,10 +544,13 @@ def delta_changes(spark: SparkSession, path: str,
     removal classifies as DELETE (absent_is_delete). Assumes the
     foreign table holds each pk at most once per version — the
     precondition of ANY pk-keyed CDC read."""
+    from ..envelope import SORT_KEY_COLS
     from ..operators.cdc import diff_states
 
     prev, cur = _narrowed_states(spark, path, v_from, v_to, data_store)
-    return diff_states(prev, cur, pk_cols, absent_is_delete=True)
+    ig = SORT_KEY_COLS if ignore_cols is None else ignore_cols
+    return diff_states(prev, cur, pk_cols, ignore_cols=ig,
+                       absent_is_delete=True)
 
 
 def _narrowed_states(spark, path: str, v_from: int, v_to: int,
@@ -566,8 +586,8 @@ def _narrowed_states(spark, path: str, v_from: int, v_to: int,
 def delta_as_changes(spark: SparkSession, path: str,
                      v_from: int | None, v_to: int,
                      pk_cols,
-                     data_store: ObjectStoreClient | None = None
-                     ) -> DataFrame:
+                     data_store: ObjectStoreClient | None = None,
+                     ignore_cols=None) -> DataFrame:
     """The (v_from, v_to] delta of a foreign Delta table as an engine
     CHANGE BATCH: full payload rows with `_op` and sort keys, directly
     consumable by cdc.materialize / merge_batch /
@@ -603,8 +623,11 @@ def delta_as_changes(spark: SparkSession, path: str,
         return with_keys(snap, F.lit("INSERT"))
 
     prev, cur = _narrowed_states(spark, path, v_from, v_to, data_store)
+    from ..envelope import SORT_KEY_COLS
     from ..operators.cdc import diff_states
-    feed = diff_states(prev, cur, pk, absent_is_delete=True)
+    ig = SORT_KEY_COLS if ignore_cols is None else ignore_cols
+    feed = diff_states(prev, cur, pk, ignore_cols=ig,
+                       absent_is_delete=True)
     payload = cur.where(~F.col("_is_deleted")).drop("_is_deleted")
     # left join: DELETE pks have no cur-side row — payload stays NULL
     out = feed.join(payload, pk, "left")

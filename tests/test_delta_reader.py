@@ -294,6 +294,38 @@ def test_foreign_checkpoint_resolution(spark, tmp_path):
     assert _rows(DeltaTable(spark, root).read()) == EXPECT_V1
 
 
+def test_checkpoint_forms_judged_independently(spark, tmp_path):
+    """A complete single-part checkpoint beside an ABORTED multi-part
+    upload at the same version must still resolve (the forms are
+    independent checkpoints, never one completeness test); a corrupt
+    _last_checkpoint with a null version falls back to the listing."""
+    root = str(tmp_path / "ft")
+    _write_foreign_table(root, with_checkpoint=True)
+    log = os.path.join(root, "_delta_log")
+    # aborted multi-part fragment at the same version (1 of 2 parts)
+    with open(os.path.join(
+            log, f"{1:020d}.checkpoint.{1:010d}.{2:010d}.parquet"),
+            "wb") as f:
+        f.write(b"not even parquet")
+    for v in (0, 1):
+        os.remove(os.path.join(log, f"{v:020d}.json"))  # force ckpt
+    assert _rows(DeltaTable(spark, root).read()) == EXPECT_V1
+
+    with open(os.path.join(log, "_last_checkpoint"), "w") as f:
+        f.write('{"version": null}')
+    assert _rows(DeltaTable(spark, root).read()) == EXPECT_V1
+
+
+def test_skip_bad_op_rejected_even_without_stats(spark, tmp_path):
+    """Op validation must not hide behind the stats-presence check."""
+    t = BucketedStateTable(spark, str(tmp_path / "st"), ["id"],
+                           n_buckets=2)
+    t.merge(_batch(spark, range(4), 1))
+    t.export_delta()                      # no stats_cols -> no stats
+    with pytest.raises(ValueError, match="skip op"):
+        DeltaTable(spark, t.path).read(skip=[("id", "!=", 1)])
+
+
 def test_unsupported_protocol_rejected(spark, tmp_path):
     # v2 (column-mapping era) without column mapping reads fine now
     root = str(tmp_path / "f2")

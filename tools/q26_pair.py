@@ -36,11 +36,7 @@ from datastream_delta_plugins_spark.session import (  # noqa: E402
 from datastream_delta_plugins_spark.testing import duck_connection  # noqa: E402
 
 
-def _load1() -> float:
-    try:
-        return round(os.getloadavg()[0], 2)
-    except OSError:
-        return -1.0
+_load1 = bench._load1
 
 
 def main() -> None:
