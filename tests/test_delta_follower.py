@@ -1,0 +1,159 @@
+"""DeltaFollower: offset-tracked replication from a foreign Delta
+table into a BucketedStateTable — backfill on first contact, windowed
+incremental polls, crash-replay idempotence (offset lost after a
+landed merge), and the out-from-under-replacement guard.
+"""
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from datastream_delta_plugins_spark.sources.delta_reader import read_delta
+from datastream_delta_plugins_spark.streaming.bucketed_state import \
+    BucketedStateTable
+from datastream_delta_plugins_spark.streaming.delta_follower import \
+    DeltaFollower
+
+SCHEMA = {"type": "struct", "fields": [
+    {"name": "k", "type": "long", "nullable": True, "metadata": {}},
+    {"name": "word", "type": "string", "nullable": True,
+     "metadata": {}}]}
+
+
+class ForeignWriter:
+    """Append versions to a minimal foreign Delta table."""
+
+    def __init__(self, root):
+        self.root = root
+        self.v = -1
+        self.files: dict[str, list] = {}
+        os.makedirs(os.path.join(root, "_delta_log"))
+
+    def commit(self, files: dict[str, list]) -> int:
+        self.v += 1
+        acts = []
+        if self.v == 0:
+            acts += [
+                {"protocol": {"minReaderVersion": 1,
+                              "minWriterVersion": 2}},
+                {"metaData": {"id": "fw-1",
+                              "format": {"provider": "parquet",
+                                         "options": {}},
+                              "schemaString": json.dumps(SCHEMA),
+                              "partitionColumns": [],
+                              "configuration": {}, "createdTime": 0}}]
+        for rel in sorted(set(self.files) - set(files)):
+            acts.append({"remove": {"path": rel,
+                                    "deletionTimestamp": self.v,
+                                    "dataChange": True}})
+        for rel in sorted(set(files) - set(self.files)):
+            p = os.path.join(self.root, rel)
+            rows = files[rel]
+            pq.write_table(pa.table(
+                {"k": pa.array([r[0] for r in rows], pa.int64()),
+                 "word": pa.array([r[1] for r in rows], pa.string())}),
+                p)
+            acts.append({"add": {"path": rel, "partitionValues": {},
+                                 "size": os.path.getsize(p),
+                                 "modificationTime": 0,
+                                 "dataChange": True}})
+        with open(os.path.join(self.root, "_delta_log",
+                               f"{self.v:020d}.json"), "w") as f:
+            f.write("\n".join(json.dumps(a) for a in acts) + "\n")
+        self.files = dict(files)
+        return self.v
+
+
+def _live(t):
+    return sorted((r["k"], r["word"]) for r in
+                  t.read().where(~F.col("_is_deleted"))
+                   .select("k", "word").collect())
+
+
+def _src(spark, root, v=None):
+    return sorted((r["k"], r["word"]) for r in
+                  read_delta(spark, root, v).collect())
+
+
+def test_follower_backfill_then_windows(spark, tmp_path):
+    root = str(tmp_path / "src")
+    w = ForeignWriter(root)
+    w.commit({"a.parquet": [(1, "one"), (2, "two")],
+              "b.parquet": [(3, "three")]})
+
+    t = BucketedStateTable(spark, str(tmp_path / "st"), ["k"],
+                           n_buckets=4)
+    f = DeltaFollower(spark, root, t)
+    assert f.applied_version() is None
+    r = f.poll()
+    assert r == {"from": None, "to": 0, "merged": True}
+    assert _live(t) == _src(spark, root)
+
+    # idle poll: no merge, offset steady
+    assert f.poll() == {"from": 0, "to": 0, "merged": False}
+
+    # two source commits, ONE poll (window collapse): update 1,
+    # delete 3, insert 4, then update 4 again
+    w.commit({"a2.parquet": [(1, "uno"), (2, "two")],
+              "c.parquet": [(4, "four")]})
+    w.commit({"a2.parquet": [(1, "uno"), (2, "two")],
+              "c2.parquet": [(4, "FOUR")]})
+    r = f.poll()
+    assert r == {"from": 0, "to": 2, "merged": True}
+    assert _live(t) == _src(spark, root) == \
+        [(1, "uno"), (2, "two"), (4, "FOUR")]
+    # the deleted pk survives as a tombstone
+    assert {r["k"] for r in t.read().where(F.col("_is_deleted"))
+            .collect()} == {3}
+
+
+def test_follower_crash_replay_is_idempotent(spark, tmp_path):
+    """Crash between merge and offset write: the next poll re-applies
+    the same window and the state is byte-identical."""
+    root = str(tmp_path / "src")
+    w = ForeignWriter(root)
+    w.commit({"a.parquet": [(1, "one"), (2, "two")]})
+    t = BucketedStateTable(spark, str(tmp_path / "st"), ["k"],
+                           n_buckets=4)
+    f = DeltaFollower(spark, root, t)
+    f.poll()
+    w.commit({"a2.parquet": [(1, "uno")]})      # update 1, delete 2
+
+    # inject the crash: merge lands, offset write is lost
+    real_record = f._record
+    f._record = lambda v: None
+    f.poll()
+    f._record = real_record
+    snap_after_crash = sorted(tuple(r) for r in t.read().collect())
+    assert f.applied_version() == 0              # offset never moved
+
+    r = f.poll()                                 # replay the window
+    assert r == {"from": 0, "to": 1, "merged": True}
+    assert sorted(tuple(r) for r in t.read().collect()) == \
+        snap_after_crash                         # byte-identical state
+    assert _live(t) == [(1, "uno")]
+    assert f.applied_version() == 1
+
+
+def test_follower_rejects_replaced_source_and_foreign_offset(
+        spark, tmp_path):
+    root = str(tmp_path / "src")
+    w = ForeignWriter(root)
+    w.commit({"a.parquet": [(1, "one")]})
+    w.commit({"b.parquet": [(1, "uno")]})
+    t = BucketedStateTable(spark, str(tmp_path / "st"), ["k"],
+                           n_buckets=2)
+    f = DeltaFollower(spark, root, t)
+    f.poll()
+    # source log replaced in place (rewound below the applied offset)
+    os.remove(os.path.join(root, "_delta_log", f"{1:020d}.json"))
+    with pytest.raises(ValueError, match="below"):
+        f.poll()
+    # an offset written for ANOTHER source fails loudly
+    f2 = DeltaFollower(spark, str(tmp_path / "elsewhere"), t)
+    with pytest.raises(ValueError, match="one state table follows"):
+        f2.applied_version()
