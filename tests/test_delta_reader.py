@@ -472,6 +472,51 @@ def test_stats_based_file_skipping(spark, tmp_path):
         dt.read(skip=[("k", "!=", 3)]).collect()
 
 
+def test_stats_skipping_soundness_property():
+    """Pruning must NEVER invent emptiness: whenever _stats_survive
+    says False for honest min/max stats, no row in the file satisfies
+    the conjunction. Pure-Python property over the skipping core."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from datastream_delta_plugins_spark.sources.delta_reader import (
+        _SKIP_OPS, _stats_survive)
+
+    vals = st.integers(min_value=-50, max_value=50)
+    conj = st.lists(st.tuples(st.sampled_from(["k", "j", "missing"]),
+                              st.sampled_from(sorted(_SKIP_OPS)),
+                              vals), min_size=1, max_size=3)
+
+    @given(rows=st.lists(st.tuples(vals, vals), min_size=1,
+                         max_size=12),
+           skip=conj)
+    @settings(max_examples=300, deadline=None)
+    def check(rows, skip):
+        ks = [r[0] for r in rows]
+        js = [r[1] for r in rows]
+        add = {"stats": json.dumps({
+            "numRecords": len(rows),
+            "minValues": {"k": min(ks), "j": min(js)},
+            "maxValues": {"k": max(ks), "j": max(js)}})}
+        py_ops = {"=": lambda a, b: a == b, "<": lambda a, b: a < b,
+                  "<=": lambda a, b: a <= b, ">": lambda a, b: a > b,
+                  ">=": lambda a, b: a >= b}
+
+        def qualifies(row):
+            by = {"k": row[0], "j": row[1]}
+            return all(c in by and py_ops[op](by[c], v)
+                       for c, op, v in skip)
+
+        if not _stats_survive(add, skip, {}):
+            assert not any(qualifies(r) for r in rows), \
+                f"pruned a file containing a qualifying row: " \
+                f"{rows} {skip}"
+        # stats-less add must always survive
+        assert _stats_survive({}, skip, {})
+
+    check()
+
+
 def test_column_mapping_name_mode(spark, tmp_path):
     """Column mapping 'name' (what ALTER TABLE RENAME/DROP enables on
     modern Delta writers): parquet files carry PHYSICAL names
