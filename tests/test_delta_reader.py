@@ -713,6 +713,27 @@ def test_delta_as_changes_replicates_into_engine_state(spark, tmp_path):
     assert dead == {2, 4}
 
 
+def test_delta_changes_on_partitioned_foreign_table(spark, tmp_path):
+    """The CDC narrowing composes with the partition-value attach:
+    changed files in a PARTITIONED table diff with their partition
+    column populated on both sides."""
+    root = str(tmp_path / "pcdc")
+    _write_foreign_table(root)       # v0 -> v1 rewrites part=2
+    got = sorted((r["k"], r["_change"]) for r in
+                 delta_changes(spark, root, 0, 1, ["k"]).collect())
+    # v0 part=2 file held k=3; v1 replaced it with k=4,5 (k=3 gone);
+    # part=1 untouched -> invisible to the feed
+    assert got == [(3, "DELETE"), (4, "INSERT"), (5, "INSERT")]
+    # partition columns are populated through the narrowed reads: the
+    # engine-batch form carries part/d for the INSERTed rows
+    from datastream_delta_plugins_spark.sources.delta_reader import \
+        delta_as_changes
+    batch = {r["k"]: r for r in
+             delta_as_changes(spark, root, 0, 1, ["k"]).collect()}
+    assert batch[4]["part"] == 2 and str(batch[4]["d"]) == "2024-03-06"
+    assert batch[3]["_op"] == "DELETE" and batch[3]["part"] is None
+
+
 def test_delta_as_changes_shape_is_engine_consumable(spark, tmp_path):
     from datastream_delta_plugins_spark.sources.delta_reader import \
         delta_as_changes
