@@ -31,10 +31,15 @@ github.com/delta-io/delta PROTOCOL.md), no delta library:
     schemaString field metadata, logical names rebind via one
     by-position struct cast per column, partitionValues are looked up
     by physical key;
+  - deletion vectors (default-on in modern writers): the serialized
+    64-bit RoaringBitmapArray (z85 inline or DV file, array/bitmap/
+    run containers — public RoaringFormatSpec) decodes ON EXECUTORS
+    and the marked rows drop via an anti-join against
+    `_metadata.row_index`; cardinality is verified against the log;
   - honesty gates: column mapping mode 'id', reader features beyond
-    the supported set, unknown reader versions, and deletion vectors
-    raise NotImplementedError naming the missing capability — never a
-    silent wrong read.
+    the supported set, unknown reader versions, and unknown DV
+    storage types raise NotImplementedError naming the missing
+    capability — never a silent wrong read.
 
 Metadata plane (log listing, JSON/checkpoint bytes) rides the
 ObjectStoreClient seam like every other sidecar, so a bucket-resident
@@ -67,8 +72,10 @@ from ..streaming.commitlog import ObjectStoreClient, PosixStore
 #: tables list required features explicitly; anything outside this set
 #: must be rejected, not ignored). columnMapping covers mode 'name'
 #: (physical-name scan + logical rename); mode 'id' is still rejected
-#: at the configuration check.
-SUPPORTED_READER_FEATURES = {"timestampNtz", "columnMapping"}
+#: at the configuration check. deletionVectors covers storage types
+#: u/i/p (unknown types rejected per-add).
+SUPPORTED_READER_FEATURES = {"timestampNtz", "columnMapping",
+                             "deletionVectors"}
 
 _JSON_RE = re.compile(r"^(\d{20})\.json$")
 _CKPT_RE = re.compile(
@@ -258,10 +265,12 @@ class DeltaTable:
                 f"not a valid Delta table")
         self._check_protocol(proto, meta)
         for add in live.values():
-            if add.get("deletionVector"):
+            dv = add.get("deletionVector")
+            if dv and dv.get("storageType") not in ("u", "i", "p"):
                 raise NotImplementedError(
-                    "table uses deletion vectors — this reader "
-                    "materializes file-level snapshots only")
+                    f"deletion vector storageType "
+                    f"{dv.get('storageType')!r} is not in the "
+                    f"protocol (u/i/p)")
         return Snapshot(v, live, meta, proto)
 
     @staticmethod
@@ -372,6 +381,7 @@ class DeltaTable:
             return (col.cast(f.dataType).alias(f.name) if mapped
                     else col)
 
+        df = self._apply_deletion_vectors(snap, df, files)
         if not pcols:
             return df.select(*[logical(f) for f in schema.fields])
 
@@ -407,6 +417,53 @@ class DeltaTable:
             else:
                 proj.append(logical(f))
         return out.select(*proj)
+
+    def _apply_deletion_vectors(self, snap: Snapshot, df: DataFrame,
+                                files: list[str]) -> DataFrame:
+        """Drop the rows each live add's deletionVector marks deleted:
+        an anti-join of the scan's (file, `_metadata.row_index`)
+        against the decoded positions. The (tiny) serialized DV bytes
+        ship as DataFrame rows and DECODE ON EXECUTORS (mapInPandas) —
+        a 100 TB table's DVs never materialize as one driver-side
+        list; the driver only fetches the serialized payloads, which
+        the log already bounds via sizeInBytes."""
+        dv_rows = []
+        for p, fpath in zip(sorted(snap.adds), files):
+            dv = snap.adds[p].get("deletionVector")
+            if not dv:
+                continue
+            payload = _dv_payload(dv, self.path, self.store)
+            dv_rows.append((_file_key(fpath), bytearray(payload),
+                            int(dv.get("cardinality", -1))))
+        if not dv_rows:
+            return df
+        import pandas as pd
+
+        def decode(batches):
+            for pdf in batches:
+                fks, idxs = [], []
+                for fk, blob, card in zip(pdf["__file"], pdf["__dv"],
+                                          pdf["__card"]):
+                    vals = decode_deletion_vector(bytes(blob))
+                    if card >= 0 and len(vals) != card:
+                        raise ValueError(
+                            f"deletion vector for {fk} decoded "
+                            f"{len(vals)} positions, log says {card}")
+                    fks.extend([fk] * len(vals))
+                    idxs.extend(vals)
+                yield pd.DataFrame({"__file": fks,
+                                    "__dv_idx": pd.array(
+                                        idxs, dtype="int64")})
+
+        dv_df = (self.spark.createDataFrame(
+                    dv_rows, "__file string, __dv binary, __card long")
+                 .mapInPandas(decode, "__file string, __dv_idx long"))
+        spark_key = F.regexp_replace(F.col("_metadata.file_path"),
+                                     "^file:/+", "/")
+        keyed = df.withColumn("__file", spark_key) \
+                  .withColumn("__dv_idx", F.col("_metadata.row_index"))
+        kept = keyed.join(dv_df, ["__file", "__dv_idx"], "left_anti")
+        return kept.drop("__dv_idx")
 
 
 _SKIP_OPS = {
@@ -449,6 +506,155 @@ def _stats_survive(add: dict, skip: list, phys_of: dict) -> bool:
         except TypeError:
             continue  # stats type does not compare to val: keep file
     return True
+
+
+# ------------------------------------------------- deletion vectors
+#
+# Implemented from the public Delta protocol's "Deletion Vectors"
+# section plus the public RoaringBitmap portable format spec
+# (github.com/RoaringBitmap/RoaringFormatSpec): a DV is a 64-bit
+# RoaringBitmapArray — 4-byte LE magic 1681511377, 8-byte LE bitmap
+# count, then per bitmap a 4-byte LE key (the high 32 bits) followed
+# by a standard 32-bit roaring bitmap (array / bitmap / run
+# containers). Deleted row index = (key << 32) | value.
+
+_Z85_ALPHABET = ("0123456789abcdefghijklmnopqrstuvwxyz"
+                 "ABCDEFGHIJKLMNOPQRSTUVWXYZ.-:+=^!/*?&<>()[]{}@%$#")
+_Z85_INDEX = {c: i for i, c in enumerate(_Z85_ALPHABET)}
+_DV_MAGIC = 1681511377
+
+
+def _z85_decode(s: str) -> bytes:
+    """ZeroMQ Z85: 5 chars -> 4 bytes, big-endian base 85 (the
+    encoding the Delta protocol specifies for inline DVs and DV-file
+    UUIDs — NOT Python's b85, whose alphabet differs)."""
+    if len(s) % 5:
+        raise ValueError(f"z85 length must be a multiple of 5, "
+                         f"got {len(s)}")
+    out = bytearray()
+    for i in range(0, len(s), 5):
+        acc = 0
+        for ch in s[i:i + 5]:
+            try:
+                acc = acc * 85 + _Z85_INDEX[ch]
+            except KeyError:
+                raise ValueError(f"invalid z85 character {ch!r}")
+        out += acc.to_bytes(4, "big")
+    return bytes(out)
+
+
+def _parse_roaring32(buf: bytes, pos: int):
+    """Parse one 32-bit roaring bitmap at `pos`; returns
+    (sorted values list, position after the bitmap)."""
+    import struct as _st
+
+    cookie = _st.unpack_from("<I", buf, pos)[0]
+    pos += 4
+    if cookie == 12346:                      # no run containers
+        n = _st.unpack_from("<I", buf, pos)[0]
+        pos += 4
+        run_flags = [False] * n
+        has_offsets = True
+    elif (cookie & 0xFFFF) == 12347:         # run-capable format
+        n = (cookie >> 16) + 1
+        nbytes = (n + 7) // 8
+        bits = buf[pos:pos + nbytes]
+        pos += nbytes
+        run_flags = [bool(bits[i // 8] >> (i % 8) & 1)
+                     for i in range(n)]
+        has_offsets = n >= 4                 # NO_OFFSET_THRESHOLD
+    else:
+        raise ValueError(f"not a roaring bitmap (cookie {cookie})")
+    heads = []
+    for _i in range(n):
+        key, card_m1 = _st.unpack_from("<HH", buf, pos)
+        pos += 4
+        heads.append((key, card_m1 + 1))
+    if has_offsets:
+        pos += 4 * n                         # sequential parse: skip
+    vals: list[int] = []
+    for i, (key, card) in enumerate(heads):
+        base = key << 16
+        if run_flags[i]:
+            n_runs = _st.unpack_from("<H", buf, pos)[0]
+            pos += 2
+            for _r in range(n_runs):
+                start, length = _st.unpack_from("<HH", buf, pos)
+                pos += 4
+                vals.extend(base + v
+                            for v in range(start, start + length + 1))
+        elif card <= 4096:                   # array container
+            vals.extend(base + v for v in
+                        _st.unpack_from(f"<{card}H", buf, pos))
+            pos += 2 * card
+        else:                                # bitmap container
+            chunk = buf[pos:pos + 8192]
+            pos += 8192
+            for byte_i, b in enumerate(chunk):
+                while b:
+                    low = b & -b
+                    vals.append(base + byte_i * 8
+                                + low.bit_length() - 1)
+                    b ^= low
+    return vals, pos
+
+
+def decode_deletion_vector(raw: bytes) -> list[int]:
+    """Deleted 64-bit row indexes from serialized RoaringBitmapArray
+    bytes (inline payload or DV-file slice)."""
+    import struct as _st
+
+    if len(raw) < 12:
+        raise ValueError("deletion vector too short")
+    magic = _st.unpack_from("<i", raw, 0)[0]
+    if magic != _DV_MAGIC:
+        raise ValueError(f"bad deletion-vector magic {magic}")
+    n_maps = _st.unpack_from("<Q", raw, 4)[0]
+    pos = 12
+    out: list[int] = []
+    for _i in range(n_maps):
+        key = _st.unpack_from("<I", raw, pos)[0]
+        pos += 4
+        vals, pos = _parse_roaring32(raw, pos)
+        out.extend((key << 32) | v for v in vals)
+    return out
+
+
+def _dv_payload(dv: dict, table_root: str, store) -> bytes:
+    """Resolve a deletionVector descriptor to its bitmap bytes
+    (inline z85, or a slice of a DV file — relative-with-UUID or
+    absolute path), verifying the size prefix."""
+    import struct as _st
+    import uuid as _uuid
+
+    st_ty = dv.get("storageType")
+    body = dv["pathOrInlineDv"]
+    if st_ty == "i":
+        raw = _z85_decode(body)
+        return raw[:dv["sizeInBytes"]]
+    if st_ty == "u":
+        prefix, enc = body[:-20], body[-20:]
+        u = str(_uuid.UUID(bytes=_z85_decode(enc)))
+        parts = [table_root]
+        if prefix:
+            parts.append(prefix.strip("/"))
+        path = os.path.join(*parts, f"deletion_vector_{u}.bin")
+    elif st_ty == "p":
+        path = body
+    else:
+        raise NotImplementedError(
+            f"deletion vector storageType {st_ty!r} is not in the "
+            f"protocol (u/i/p)")
+    blob = store.get(path)
+    if blob is None:
+        raise FileNotFoundError(f"deletion vector file missing: {path}")
+    off = dv.get("offset", 1)
+    size = _st.unpack_from(">i", blob, off)[0]
+    if size != dv["sizeInBytes"]:
+        raise ValueError(
+            f"deletion vector size mismatch at {path}:{off}: file "
+            f"says {size}, log says {dv['sizeInBytes']}")
+    return blob[off + 4:off + 4 + size]
 
 
 def _physical_schema(schema: StructType) -> StructType:
@@ -561,8 +767,23 @@ def _narrowed_states(spark, path: str, v_from: int, v_to: int,
     has none)."""
     dt = DeltaTable(spark, path, data_store=data_store)
     a, b = dt.snapshot(v_from), dt.snapshot(v_to)
-    prev_only = sorted(set(a.adds) - set(b.adds))
-    cur_only = sorted(set(b.adds) - set(a.adds))
+
+    def ident(snap: Snapshot) -> dict:
+        # file identity includes the deletion vector: a DELETE via DV
+        # re-adds the SAME path with a new DV descriptor, and a
+        # path-only comparison would miss it entirely
+        out = {}
+        for p, add in snap.adds.items():
+            dv = add.get("deletionVector") or {}
+            out[p] = (dv.get("storageType"), dv.get("pathOrInlineDv"),
+                      dv.get("offset"))
+        return out
+
+    ida, idb = ident(a), ident(b)
+    prev_only = sorted(p for p in a.adds
+                       if p not in b.adds or ida[p] != idb[p])
+    cur_only = sorted(p for p in b.adds
+                      if p not in a.adds or ida.get(p) != idb[p])
 
     def narrowed(snap: Snapshot, paths: list[str]) -> DataFrame | None:
         if not paths:

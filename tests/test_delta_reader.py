@@ -339,8 +339,8 @@ def test_unsupported_protocol_rejected(spark, tmp_path):
 
     root = str(tmp_path / "f3")
     _write_foreign_table(root, reader_version=3,
-                         features=["deletionVectors"])
-    with pytest.raises(NotImplementedError, match="deletionVectors"):
+                         features=["v2Checkpoint"])
+    with pytest.raises(NotImplementedError, match="v2Checkpoint"):
         DeltaTable(spark, root).read()
 
     root = str(tmp_path / "f4")
@@ -361,10 +361,9 @@ def test_unsupported_protocol_rejected(spark, tmp_path):
         root, config={"delta.columnMapping.mode": "name"})
     assert _rows(DeltaTable(spark, root).read()) == EXPECT_V1
 
-    root = str(tmp_path / "f6")
-    _write_foreign_table(root, dv=True)
-    with pytest.raises(NotImplementedError, match="deletion vectors"):
-        DeltaTable(spark, root).read()
+    # deletion vectors are SUPPORTED since round 10 (storage types
+    # u/i/p — tests/test_deletion_vectors.py); only unknown storage
+    # types reject, covered there
 
 
 def test_export_stats_roundtrip_enables_skipping(spark, tmp_path):
