@@ -124,14 +124,25 @@ class DeltaTable:
 
     # -- log discovery --
 
-    def _list_log(self) -> tuple[dict[int, str],
-                                 dict[int, list[str]]]:
+    def _list_log(self, bound: int | None = None) -> tuple[
+            dict[int, str], dict[int, list[str]]]:
         """(JSON commits by version, checkpoint part-keys by version).
         The trailing '/' on the listing prefix keeps sibling keys
-        (e.g. `_delta_log_backup/...`) out on startswith stores."""
+        (e.g. `_delta_log_backup/...`) out on startswith stores.
+
+        ``bound`` prunes the listing to version >= bound via the
+        store's server-side ``start_after`` (the bare zero-padded
+        version string sorts BEFORE both `{v}.json` and
+        `{v}.checkpoint...`, so the bounded listing still includes
+        the bound version's own files) — on a long-lived log this
+        turns an O(history) listing into O(tail past the last
+        checkpoint), the reason `_last_checkpoint` exists."""
         commits: dict[int, str] = {}
         ckpts: dict[int, list[str]] = {}
-        for key in self.store.list_keys(self._log):
+        start_after = (None if bound is None
+                       else self._log + f"{bound:020d}")
+        for key in self.store.list_keys(self._log,
+                                        start_after=start_after):
             name = os.path.basename(key)
             m = _JSON_RE.match(name)
             if m:
@@ -146,7 +157,16 @@ class DeltaTable:
 
     def version(self) -> int:
         """Latest committed version (max JSON commit; per the protocol
-        every commit writes its JSON even when checkpointed later)."""
+        every commit writes its JSON even when checkpointed later).
+        Uses the `_last_checkpoint` hint to bound the listing — the
+        latest version is always at-or-after the hinted checkpoint —
+        falling back to a full listing when the hint is stale-high
+        (a replaced log) and the bounded listing comes back empty."""
+        hint = self._last_checkpoint_hint()
+        if hint is not None:
+            commits, ckpts = self._list_log(bound=hint)
+            if commits or ckpts:
+                return max(list(commits) + list(ckpts))
         commits, ckpts = self._list_log()
         if not commits and not ckpts:
             raise FileNotFoundError(
@@ -167,18 +187,40 @@ class DeltaTable:
 
     # -- action replay --
 
+    #: rows materialized as Python dicts at a time while parsing a
+    #: checkpoint part — bounds the ~10-20x dict-explosion over the
+    #: parquet bytes to O(batch), not O(files in the table)
+    _CKPT_BATCH_ROWS = 1024
+
     def _checkpoint_actions(self, keys: list[str]):
+        """Actions from checkpoint parquet part(s), streamed: only the
+        four action columns are read (a delta-spark checkpoint also
+        carries commitInfo/txn/domainMetadata columns this replay
+        never consults), record batches materialize
+        ``_CKPT_BATCH_ROWS`` rows at a time, and each part's bytes are
+        released before the next part is fetched — peak driver memory
+        is O(one part + one batch), not O(table history), which is
+        what keeps a genuinely large FOREIGN table's multi-GB
+        checkpoint from becoming the import's driver-memory ceiling.
+        (The surviving O(live files) term is the resolved `adds` dict
+        itself — the contract every Delta reader shares; drop the
+        per-add stats blobs via ``snapshot(need_stats=False)``.)"""
         import pyarrow.parquet as pq
         for key in keys:
             raw = self.store.get(key)
             if raw is None:
                 raise FileNotFoundError(f"checkpoint part vanished: {key}")
-            tbl = pq.read_table(io.BytesIO(raw))
-            for row in tbl.to_pylist():
-                for kind in ("protocol", "metaData", "add", "remove"):
-                    act = row.get(kind)
-                    if act is not None:
-                        yield {kind: _demapify(act)}
+            pf = pq.ParquetFile(io.BytesIO(raw))
+            kinds = [k for k in ("protocol", "metaData", "add", "remove")
+                     if k in pf.schema_arrow.names]
+            for batch in pf.iter_batches(batch_size=self._CKPT_BATCH_ROWS,
+                                         columns=kinds):
+                for row in batch.to_pylist():
+                    for kind in kinds:
+                        act = row.get(kind)
+                        if act is not None:
+                            yield {kind: _demapify(act)}
+            del pf, raw
 
     def _json_actions(self, key: str):
         raw = self.store.get(key)
@@ -188,28 +230,35 @@ class DeltaTable:
             if line.strip():
                 yield json.loads(line)
 
-    def snapshot(self, version: int | None = None) -> Snapshot:
-        commits, ckpts = self._list_log()
+    def _plan_replay(self, commits: dict[int, str],
+                     ckpts: dict[int, list[str]],
+                     version: int | None, strict: bool):
+        """Pick the replay plan (v, base checkpoint version, its part
+        keys) this listing supports, or — non-strict, the
+        hint-bounded listing — None when it cannot serve the request
+        (time travel below the bound, or no checkpoint + commit tail
+        covering v), so the caller re-lists in full. Strict raises
+        the definitive error instead. Candidates run NEWEST-first
+        regardless of what `_last_checkpoint` says: a stale hint must
+        never steer replay onto a commit tail a newer checkpoint has
+        already absorbed (and whose JSON a cleaner then pruned)."""
         if not commits and not ckpts:
+            if not strict:
+                return None
             raise FileNotFoundError(
                 f"no Delta log at {self._log} (not a Delta table?)")
         latest = max(list(commits) + list(ckpts))
         v = latest if version is None else int(version)
         if v > latest or (v not in commits and v not in ckpts):
+            if not strict:
+                return None
             raise ValueError(
                 f"version {v} not in the log at {self._log} "
                 f"(latest is {latest})")
 
-        # newest complete checkpoint at-or-below v; prefer the
-        # _last_checkpoint hint when it qualifies (bounded listing in
-        # a real deployment), else scan what the listing found
         base = None
         base_parts: list[str] | None = None
-        hint = self._last_checkpoint_hint()
-        candidates = sorted((cv for cv in ckpts if cv <= v), reverse=True)
-        if hint is not None and hint in ckpts and hint <= v:
-            candidates = [hint] + [c for c in candidates if c != hint]
-        for cv in candidates:
+        for cv in sorted((c for c in ckpts if c <= v), reverse=True):
             # single-part and multi-part files at the SAME version are
             # independent checkpoints (e.g. a complete single-part
             # beside an aborted multi-part upload) — judge each form
@@ -227,6 +276,48 @@ class DeltaTable:
                 break
             # incomplete multi-part upload: try an older checkpoint
 
+        start = 0 if base is None else base + 1
+        for cv in range(start, v + 1):
+            if cv not in commits:
+                if not strict:
+                    return None
+                if base is None and cv == 0:
+                    raise FileNotFoundError(
+                        f"commit 0 missing and no checkpoint covers it "
+                        f"at {self._log}")
+                raise FileNotFoundError(
+                    f"commit {cv} missing from {self._log} — log was "
+                    f"pruned past the newest usable checkpoint")
+        return v, base, base_parts
+
+    def snapshot(self, version: int | None = None,
+                 need_stats: bool = True) -> Snapshot:
+        """Resolve the table state at `version` (default: latest).
+
+        ``need_stats=False`` drops each add's `stats` JSON during
+        replay — the single heaviest per-file payload (delta-spark
+        checkpoints embed full min/max/nullCount blobs) — bounding
+        driver memory to the bare file manifest for callers that only
+        need the live set (plain reads, change narrowing, export
+        reconciliation). Keep the default for data skipping and
+        checkpoint re-serialization."""
+        # the _last_checkpoint hint bounds the LISTING only (that is
+        # all the protocol promises of it); if the bounded listing
+        # cannot serve the request — stale hint, time travel below it
+        # — re-list in full and let that answer definitively
+        hint = self._last_checkpoint_hint()
+        commits = ckpts = None
+        plan = None
+        if hint is not None:
+            commits, ckpts = self._list_log(bound=hint)
+            plan = self._plan_replay(commits, ckpts, version,
+                                     strict=False)
+        if plan is None:
+            commits, ckpts = self._list_log()
+            plan = self._plan_replay(commits, ckpts, version,
+                                     strict=True)
+        v, base, base_parts = plan
+
         live: dict[str, dict] = {}
         meta: dict | None = None
         proto: dict | None = None
@@ -234,7 +325,10 @@ class DeltaTable:
         def apply(act: dict) -> None:
             nonlocal meta, proto
             if "add" in act:
-                live[act["add"]["path"]] = act["add"]
+                add = act["add"]
+                if not need_stats:
+                    add.pop("stats", None)
+                live[add["path"]] = add
             elif "remove" in act:
                 live.pop(act["remove"]["path"], None)
             elif "metaData" in act:
@@ -245,16 +339,7 @@ class DeltaTable:
         if base is not None:
             for act in self._checkpoint_actions(base_parts):
                 apply(act)
-        start = 0 if base is None else base + 1
-        for cv in range(start, v + 1):
-            if cv not in commits:
-                if base is None and cv == 0:
-                    raise FileNotFoundError(
-                        f"commit 0 missing and no checkpoint covers it "
-                        f"at {self._log}")
-                raise FileNotFoundError(
-                    f"commit {cv} missing from {self._log} — log was "
-                    f"pruned past the newest usable checkpoint")
+        for cv in range(0 if base is None else base + 1, v + 1):
             for act in self._json_actions(commits[cv]):
                 apply(act)
 
@@ -303,27 +388,31 @@ class DeltaTable:
     # -- the read --
 
     def schema(self, version: int | None = None) -> StructType:
-        return self.snapshot(version).schema
+        return self.snapshot(version, need_stats=False).schema
 
     def read(self, version: int | None = None,
              skip: list | None = None) -> DataFrame:
         """The table at `version` (default: latest) as a DataFrame
         with the log's declared schema and column order.
 
-        ``skip`` enables Delta DATA SKIPPING: a conjunctive list of
-        (column, op, value) triples (op in =, <, <=, >, >=) evaluated
-        against each file's `add.stats` min/max — files the stats
-        prove irrelevant are never opened, the protocol's file-level
-        answer to partition pruning for non-partition columns (at
-        100 TB this is the scan-cost lever for selective reads; Spark
+        ``skip`` enables file pruning: a conjunctive list of
+        (column, op, value) triples (op in =, <, <=, >, >=).
+        PARTITION-column conjuncts evaluate against each file's
+        `add.partitionValues` — the protocol's canonical string cast
+        to the declared type, then an EXACT compare (no truncation
+        caveat, so string partitions prune too) — which is what makes
+        a one-day read of a date-partitioned 100 TB table open only
+        that day's files instead of every live file. Data-column
+        conjuncts evaluate against `add.stats` min/max — the
+        file-level skipping answer for non-partition columns (Spark
         only row-group-prunes AFTER opening a footer). The same
         predicate is ALSO applied to the returned DataFrame, so the
         result equals `read().where(...)` exactly — files without
-        stats survive pruning, string stats are never used for
+        stats survive pruning, string STATS are never used for
         pruning (the protocol allows truncated string min/max, whose
         prefixes could prove the wrong thing), and rows are
         re-filtered regardless."""
-        snap = self.snapshot(version)
+        snap = self.snapshot(version, need_stats=bool(skip))
         if not skip:
             return self._read_snapshot(snap)
         for _c, op, _v in skip:  # validate ONCE, before any pruning
@@ -336,8 +425,12 @@ class DeltaTable:
         phys_of = {lf.name: pf.name
                    for lf, pf in zip(snap.schema.fields,
                                      phys_schema.fields)}
+        pcols = set(snap.partition_columns)
+        part_conj = [t for t in skip if t[0] in pcols]
+        by_type = {f.name: f.dataType for f in snap.schema.fields}
         kept = {p: a for p, a in snap.adds.items()
-                if _stats_survive(a, skip, phys_of)}
+                if _pv_survive(a, part_conj, phys_of, by_type)
+                and _stats_survive(a, skip, phys_of)}
         pruned = Snapshot(snap.version, kept, snap.metadata,
                           snap.protocol)
         df = self._read_snapshot(pruned)
@@ -462,7 +555,13 @@ class DeltaTable:
                                      "^file:/+", "/")
         keyed = df.withColumn("__file", spark_key) \
                   .withColumn("__dv_idx", F.col("_metadata.row_index"))
-        kept = keyed.join(dv_df, ["__file", "__dv_idx"], "left_anti")
+        # broadcast: the DV side is tiny by protocol contract (the
+        # log's sizeInBytes bounds every payload), but it reaches
+        # Catalyst as a mapInPandas output with NO size estimate — an
+        # unhinted plan is free to sort-merge, shuffling the ENTIRE
+        # scan by (__file, __dv_idx) to drop a handful of rows
+        kept = keyed.join(F.broadcast(dv_df), ["__file", "__dv_idx"],
+                          "left_anti")
         return kept.drop("__dv_idx")
 
 
@@ -473,6 +572,82 @@ _SKIP_OPS = {
     ">": lambda c, v: c > v,
     ">=": lambda c, v: c >= v,
 }
+
+
+def _pv_cast(s: str, dt):
+    """A partitionValues string in the protocol's canonical
+    serialization as a comparable Python value of the column's
+    declared type. Raises on anything it cannot parse — callers keep
+    the file (pruning must never invent emptiness)."""
+    name = dt.simpleString()
+    if name == "string":
+        return s
+    if name in ("tinyint", "smallint", "int", "bigint"):
+        return int(s)
+    if name in ("float", "double"):
+        return float(s)
+    if name.startswith("decimal"):
+        from decimal import Decimal
+        return Decimal(s)
+    if name == "boolean":
+        if s not in ("true", "false"):
+            raise ValueError(f"not a canonical boolean: {s!r}")
+        return s == "true"
+    if name == "date":
+        from datetime import date
+        return date.fromisoformat(s)
+    if name.startswith("timestamp"):
+        from datetime import datetime
+        return datetime.fromisoformat(s)
+    raise ValueError(f"no canonical partition parse for {name}")
+
+
+def _pv_survive(add: dict, conj: list, phys_of: dict,
+                by_type: dict) -> bool:
+    """Can this file's partitionValues satisfy EVERY partition-column
+    (col, op, val) conjunct? Every row in the file shares the
+    partition value, so the compare is EXACT — a non-match proves the
+    file empty under the predicate (the residual row filter would
+    drop all its rows anyway). Conservative on the unprovable: a
+    missing key, an unparseable value, or an incomparable operand
+    keeps the file. A NULL partition value fails every conjunct (SQL
+    comparison semantics: no row with a null can satisfy =/</>), so
+    the file prunes — sound for the same residual-filter reason."""
+    if not conj:
+        return True
+    pv = add.get("partitionValues") or {}
+    for col, op, val in conj:
+        key = phys_of.get(col, col)
+        if key not in pv or val is None:
+            continue
+        raw = pv[key]
+        if raw is None:
+            return False
+        try:
+            dt = by_type[col]
+            left = _pv_cast(raw, dt)
+            right = (_pv_cast(val, dt) if isinstance(val, str)
+                     else val)
+            # Python == on mismatched types returns False instead of
+            # raising (e.g. "1" == 1) — but Spark's residual filter
+            # CASTS, so a type-confused non-match must keep the file,
+            # never prune it
+            if not _pv_comparable(left, right):
+                continue
+            if not _SKIP_OPS[op](left, right):
+                return False
+        except (ValueError, TypeError, KeyError, ArithmeticError):
+            continue
+    return True
+
+
+def _pv_comparable(left, right) -> bool:
+    from decimal import Decimal
+    if isinstance(left, bool) or isinstance(right, bool):
+        return isinstance(left, bool) and isinstance(right, bool)
+    if isinstance(left, (int, float, Decimal)):
+        return isinstance(right, (int, float, Decimal))
+    return type(left) is type(right)
 
 
 def _stats_survive(add: dict, skip: list, phys_of: dict) -> bool:
@@ -766,7 +941,8 @@ def _narrowed_states(spark, path: str, v_from: int, v_to: int,
     `_is_deleted` liveness column (synthesized False when the table
     has none)."""
     dt = DeltaTable(spark, path, data_store=data_store)
-    a, b = dt.snapshot(v_from), dt.snapshot(v_to)
+    a = dt.snapshot(v_from, need_stats=False)
+    b = dt.snapshot(v_to, need_stats=False)
 
     def ident(snap: Snapshot) -> dict:
         # file identity includes the deletion vector: a DELETE via DV

@@ -239,3 +239,17 @@ def test_dv_unknown_storage_type_rejected(spark, tmp_path):
         f.write("\n".join(json.dumps(a) for a in acts) + "\n")
     with pytest.raises(NotImplementedError, match="storageType"):
         DeltaTable(spark, root).read()
+
+
+def test_dv_anti_join_is_broadcast(spark, tmp_path):
+    """The deletion-vector drop must be a BROADCAST anti-join: the DV
+    side is tiny by protocol contract (sizeInBytes-bounded) but
+    reaches Catalyst as a mapInPandas output with NO size estimate —
+    unhinted, the static plan is free to sort-merge, shuffling the
+    entire scan by (__file, __dv_idx) to drop a handful of rows."""
+    root = str(tmp_path / "dv")
+    _write_dv_table(root, inline=True)
+    plan = DeltaTable(spark, root).read()._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

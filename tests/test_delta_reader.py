@@ -212,38 +212,49 @@ def _write_foreign_table(root, with_checkpoint=False,
                            f"{1:020d}.json"), "w") as f:
         f.write("\n".join(json.dumps(a) for a in acts1) + "\n")
     if with_checkpoint:
-        kv = pa.map_(pa.string(), pa.string())
-        proto_t = pa.struct([("minReaderVersion", pa.int32()),
-                             ("minWriterVersion", pa.int32())])
-        meta_t = pa.struct([
-            ("id", pa.string()),
-            ("format", pa.struct([("provider", pa.string()),
-                                  ("options", kv)])),
-            ("schemaString", pa.string()),
-            ("partitionColumns", pa.list_(pa.string())),
-            ("configuration", kv), ("createdTime", pa.int64())])
-        add_t = pa.struct([
-            ("path", pa.string()), ("partitionValues", kv),
-            ("size", pa.int64()), ("modificationTime", pa.int64()),
-            ("dataChange", pa.bool_())])
-        cs = pa.schema([("protocol", proto_t), ("metaData", meta_t),
-                        ("add", add_t)])
-        rows = [{"protocol": proto, "metaData": None, "add": None},
-                {"protocol": None, "metaData": meta, "add": None}]
-        for a in (f1, f3):
-            rows.append({"protocol": None, "metaData": None,
-                         "add": {k: a[k] for k in
-                                 ("path", "partitionValues", "size",
-                                  "modificationTime", "dataChange")}})
-        buf = io.BytesIO()
-        pq.write_table(pa.Table.from_pylist(rows, schema=cs), buf)
-        with open(os.path.join(root, "_delta_log",
-                               f"{1:020d}.checkpoint.parquet"),
-                  "wb") as f:
-            f.write(buf.getvalue())
-        with open(os.path.join(root, "_delta_log", "_last_checkpoint"),
-                  "w") as f:
-            json.dump({"version": 1, "size": len(rows)}, f)
+        _write_checkpoint(os.path.join(root, "_delta_log"), 1,
+                          proto, meta, [f1, f3])
+
+
+def _write_checkpoint(log_dir, version, proto, meta, adds,
+                      with_stats=False, hint=True):
+    """A protocol-shape checkpoint parquet at `version` carrying the
+    given protocol/metaData/add actions, plus (by default) the
+    `_last_checkpoint` pointer."""
+    kv = pa.map_(pa.string(), pa.string())
+    proto_t = pa.struct([("minReaderVersion", pa.int32()),
+                         ("minWriterVersion", pa.int32())])
+    meta_t = pa.struct([
+        ("id", pa.string()),
+        ("format", pa.struct([("provider", pa.string()),
+                              ("options", kv)])),
+        ("schemaString", pa.string()),
+        ("partitionColumns", pa.list_(pa.string())),
+        ("configuration", kv), ("createdTime", pa.int64())])
+    add_fields = [
+        ("path", pa.string()), ("partitionValues", kv),
+        ("size", pa.int64()), ("modificationTime", pa.int64()),
+        ("dataChange", pa.bool_())]
+    keys = [f[0] for f in add_fields]
+    if with_stats:
+        add_fields.append(("stats", pa.string()))
+        keys.append("stats")
+    cs = pa.schema([("protocol", proto_t), ("metaData", meta_t),
+                    ("add", pa.struct(add_fields))])
+    rows = [{"protocol": proto, "metaData": None, "add": None},
+            {"protocol": None, "metaData": meta, "add": None}]
+    for a in adds:
+        rows.append({"protocol": None, "metaData": None,
+                     "add": {k: a.get(k) for k in keys}})
+    buf = io.BytesIO()
+    pq.write_table(pa.Table.from_pylist(rows, schema=cs), buf)
+    with open(os.path.join(log_dir,
+                           f"{version:020d}.checkpoint.parquet"),
+              "wb") as f:
+        f.write(buf.getvalue())
+    if hint:
+        with open(os.path.join(log_dir, "_last_checkpoint"), "w") as f:
+            json.dump({"version": version, "size": len(rows)}, f)
 
 
 EXPECT_V1 = sorted([
@@ -760,3 +771,136 @@ def test_partition_join_is_broadcast(spark, tmp_path):
         .executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "NestedLoop" not in plan
+
+
+# --------------------------- partition-value file pruning (skip=...)
+
+def test_partition_value_pruning_opens_only_matching_files(
+        spark, tmp_path):
+    """A skip conjunct on a PARTITION column must prune at the file
+    list — the single most common selective read of a partitioned
+    table cannot open every live file — and the result must equal
+    read().where(...) exactly."""
+    root = str(tmp_path / "ft")
+    _write_foreign_table(root)
+    dt = DeltaTable(spark, root)
+    df = dt.read(skip=[("part", "=", 1)])
+    files = df.inputFiles()
+    assert len(files) == 1 and files[0].endswith("a.parquet"), files
+    assert _rows(df) == _rows(dt.read().where(F.col("part") == 1))
+    # the protocol's canonical string form casts to the declared type
+    df2 = dt.read(skip=[("part", "=", "1")])
+    assert len(df2.inputFiles()) == 1
+    assert _rows(df2) == _rows(df)
+
+
+def test_partition_pruning_null_and_date(spark, tmp_path):
+    root = str(tmp_path / "ft")
+    _write_foreign_table(root)
+    dt = DeltaTable(spark, root)
+    # v0: part=2's d is NULL — no row in it can satisfy d = <date>,
+    # so the file prunes (matches the residual filter's semantics)
+    df = dt.read(0, skip=[("d", "=", "2024-03-05")])
+    files = df.inputFiles()
+    assert len(files) == 1 and files[0].endswith("a.parquet"), files
+    assert _rows(df) == _rows(
+        dt.read(0).where(F.col("d") == "2024-03-05"))
+    # range op on a date partition at latest
+    df2 = dt.read(skip=[("d", ">=", "2024-03-06")])
+    files2 = df2.inputFiles()
+    assert len(files2) == 1 and files2[0].endswith("c.parquet"), files2
+    assert _rows(df2) == _rows(
+        dt.read().where(F.col("d") >= "2024-03-06"))
+
+
+def test_pv_type_confusion_keeps_file():
+    """Python == on mismatched types returns False (never raises);
+    Spark's residual filter CASTS — so an un-cast comparison must keep
+    the file, not prune rows Spark would match."""
+    from pyspark.sql.types import IntegerType, StringType
+
+    from datastream_delta_plugins_spark.sources.delta_reader import \
+        _pv_survive
+    add = {"partitionValues": {"s": "1"}}
+    assert _pv_survive(add, [("s", "=", 1)], {}, {"s": StringType()})
+    assert not _pv_survive(add, [("s", "=", "2")], {},
+                           {"s": StringType()})
+    # missing key / unparseable value: conservative keep
+    assert _pv_survive({}, [("p", "=", 3)], {}, {"p": IntegerType()})
+    assert _pv_survive({"partitionValues": {"p": "oops"}},
+                       [("p", "=", 3)], {}, {"p": IntegerType()})
+    # a NULL partition value satisfies no comparison: prune
+    assert not _pv_survive({"partitionValues": {"p": None}},
+                           [("p", "=", 3)], {}, {"p": IntegerType()})
+
+
+# ------------------------------- checkpoint-hint staleness + memory
+
+def test_stale_checkpoint_hint_resolves_via_newer_checkpoint(
+        spark, tmp_path):
+    """_last_checkpoint lags (foreign writer, eventually-consistent
+    store) while a cleaner already pruned the JSON commits a NEWER
+    checkpoint absorbed: replay must bootstrap from the newest listed
+    checkpoint, never chase the hint onto the pruned tail."""
+    root = str(tmp_path / "ft")
+    _write_foreign_table(root, with_checkpoint=True)  # ckpt+hint @ v1
+    log = os.path.join(root, "_delta_log")
+    # v2: a foreign writer drops part=1/a.parquet...
+    with open(os.path.join(log, f"{2:020d}.json"), "w") as f:
+        f.write(json.dumps({"remove": {"path": "part=1/a.parquet",
+                                       "deletionTimestamp": 2,
+                                       "dataChange": True}}) + "\n")
+    snap = DeltaTable(spark, root).snapshot(2)
+    # ...checkpoints v2 WITHOUT refreshing the hint...
+    _write_checkpoint(log, 2, snap.protocol, snap.metadata,
+                      list(snap.adds.values()), hint=False)
+    with open(os.path.join(log, "_last_checkpoint"), "w") as f:
+        json.dump({"version": 1, "size": 4}, f)
+    # ...and the cleaner prunes every commit the v2 checkpoint covers
+    for v in (0, 1, 2):
+        os.remove(os.path.join(log, f"{v:020d}.json"))
+    dt = DeltaTable(spark, root)
+    assert dt.version() == 2
+    assert _rows(dt.read()) == sorted([(4, "w", 2, "2024-03-06"),
+                                       (5, "v", 2, "2024-03-06")])
+
+
+def test_checkpoint_parse_bounded_memory(spark, tmp_path):
+    """snapshot(need_stats=False) must not materialize the per-add
+    stats blobs — the heaviest checkpoint payload on a large foreign
+    table — and batched parsing keeps the peak far below the
+    stats-carrying replay's."""
+    import tracemalloc
+    root = str(tmp_path / "big")
+    log = os.path.join(root, "_delta_log")
+    os.makedirs(log)
+    schema = {"type": "struct", "fields": [
+        {"name": "k", "type": "long", "nullable": True,
+         "metadata": {}}]}
+    proto = {"minReaderVersion": 1, "minWriterVersion": 2}
+    meta = {"id": "big-1",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps(schema), "partitionColumns": [],
+            "configuration": {}, "createdTime": 0}
+    fat = json.dumps({"numRecords": 1, "minValues": {"k": 0},
+                      "maxValues": {"k": 1}, "pad": "x" * 2048})
+    adds = [{"path": f"f{i:06d}.parquet", "partitionValues": {},
+             "size": 1, "modificationTime": 0, "dataChange": True,
+             "stats": fat}
+            for i in range(8000)]
+    _write_checkpoint(log, 0, proto, meta, adds, with_stats=True)
+    dt = DeltaTable(spark, root)
+
+    def run(need_stats):
+        tracemalloc.start()
+        snap = dt.snapshot(need_stats=need_stats)
+        _cur, pk = tracemalloc.get_traced_memory()
+        tracemalloc.stop()
+        return snap, pk
+
+    lean_snap, lean = run(False)
+    fat_snap, fatp = run(True)
+    assert sorted(lean_snap.adds) == sorted(fat_snap.adds)
+    assert all("stats" not in a for a in lean_snap.adds.values())
+    assert fat_snap.adds["f000000.parquet"]["stats"] == fat
+    assert lean < 0.5 * fatp, (lean, fatp)
