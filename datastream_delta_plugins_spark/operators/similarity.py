@@ -856,16 +856,26 @@ def ivf_append(spark, path: str, new_df: DataFrame,
             f"index at {path} has an empty centroids table — not a "
             f"valid IVF index; rebuild with save_ivf_index")
     idx_dim = len(cent_row[0])
-    new_dim_row = new_df.select(F.size(vec_col)).first()
-    if new_dim_row is not None and new_dim_row[0] == -1:
+    # one aggregate over the WHOLE input (not just the first row —
+    # a bad vector anywhere in the batch must fail before any write):
+    # size(NULL) is null under default conf, so nulls are counted
+    # separately and min/max see only real vectors
+    chk = new_df.select(
+        F.count(F.lit(1)).alias("_n"),
+        F.count(F.when(F.col(vec_col).isNull(), 1)).alias("_nulls"),
+        F.min(F.size(vec_col)).alias("_min"),
+        F.max(F.size(vec_col)).alias("_max")).first()
+    if chk["_nulls"]:
         raise ValueError(
-            f"ivf_append: new_df carries a NULL '{vec_col}' vector — "
-            f"drop or repair null embeddings before appending")
-    if new_dim_row is not None and new_dim_row[0] != idx_dim:
+            f"ivf_append: new_df carries {chk['_nulls']} NULL "
+            f"'{vec_col}' vector(s) — drop or repair null embeddings "
+            f"before appending")
+    if chk["_n"] and (chk["_min"] != idx_dim or chk["_max"] != idx_dim):
+        got = (f"dim-{chk['_min']}" if chk["_min"] == chk["_max"]
+               else f"dims {chk['_min']}..{chk['_max']}")
         raise ValueError(
             f"ivf_append dimension mismatch: index at {path} holds "
-            f"dim-{idx_dim} vectors, new_df carries dim-"
-            f"{new_dim_row[0]}")
+            f"dim-{idx_dim} vectors, new_df carries {got}")
     v = new_df.select(
         F.col(id_col), F.col(vec_col),
         F.transform(vec_col, lambda x: x.cast("double")).alias("_v"))

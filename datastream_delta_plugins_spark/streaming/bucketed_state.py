@@ -248,11 +248,20 @@ class BucketedStateTable:
         '/' so startswith-semantics stores (GCS/S3/in-mem) never leak
         sibling keys like `_delta_log_backup/...` into the replay."""
         from ..sources.delta_reader import DeltaTable
+        dt = DeltaTable(self.spark, self.path,
+                        data_store=self.data_store)
         try:
-            snap = DeltaTable(self.spark, self.path,
-                              data_store=self.data_store).snapshot()
+            dt.version()
         except FileNotFoundError:
+            # the ONLY benign case: the log listing is empty — no
+            # export has ever run. A present-but-unresolvable log
+            # (vanished commit, pruned tail, incomplete checkpoint)
+            # must RAISE from snapshot() below: swallowing it would
+            # let export_delta restart the log at version 0 inside an
+            # existing one and let vacuum() drop the delta_live
+            # protection — both silent breaks for third-party readers.
             return {}, None, 0
+        snap = dt.snapshot(need_stats=False)
         return dict(snap.adds), snap.metadata["id"], snap.version + 1
 
     def export_delta(self, checkpoint_every: int | None = None,
@@ -431,13 +440,18 @@ class BucketedStateTable:
         for p in sorted(snap.adds):
             a = snap.adds[p]
             rows.append({"protocol": None, "metaData": None,
+                         # dataChange=false in CHECKPOINT files per
+                         # the protocol (JSON commits keep true):
+                         # streaming/CDF readers use the flag to
+                         # decide reprocessing, and a checkpoint is a
+                         # restatement, not new data
                          "add": {"path": a["path"],
                                  "partitionValues":
                                      a.get("partitionValues") or {},
                                  "size": a["size"],
                                  "modificationTime":
                                      a.get("modificationTime", 0),
-                                 "dataChange": True,
+                                 "dataChange": False,
                                  "stats": a.get("stats")}})
         buf = io.BytesIO()
         pq.write_table(pa.Table.from_pylist(rows, schema=schema), buf)

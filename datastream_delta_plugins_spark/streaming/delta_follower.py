@@ -38,22 +38,35 @@ import os
 from .bucketed_state import BucketedStateTable
 
 
+class SourceLogPrunedError(RuntimeError):
+    """The foreign source's log retention cleaned past this follower's
+    applied offset: the incremental window can no longer be resolved.
+    Recover with :meth:`DeltaFollower.resync` (explicit — a follower
+    must never re-backfill silently, the reference's offsets are
+    likewise never reset behind the operator's back)."""
+
+
 class DeltaFollower:
     """Follow the Delta table at ``source_path`` into ``state``.
 
     ``ignore_cols`` forwards to delta_as_changes (foreign tables whose
     real data uses the engine's sort-key names must override it);
     ``source_store`` is the metadata-plane client for the SOURCE log
-    (defaults to POSIX, independent of the state's store)."""
+    (defaults to POSIX, independent of the state's store).
+    ``dml_blacklist`` drops the named ops (INSERT/UPDATE/DELETE) from
+    every batch before the merge — the reference's per-table DML
+    filter (P2) applied to a Delta-sourced feed."""
 
     def __init__(self, spark, source_path: str,
                  state: BucketedStateTable,
-                 source_store=None, ignore_cols=None):
+                 source_store=None, ignore_cols=None,
+                 dml_blacklist=()):
         self.spark = spark
         self.source_path = source_path
         self.state = state
         self.source_store = source_store
         self.ignore_cols = ignore_cols
+        self.dml_blacklist = tuple(o.upper() for o in dml_blacklist)
         self._offset_key = os.path.join(
             state.path, "delta_follower", "offset.json")
 
@@ -99,10 +112,77 @@ class DeltaFollower:
                 f"re-created in place)")
         if cur is not None and latest == cur:
             return {"from": cur, "to": latest, "merged": False}
-        batch = delta_as_changes(self.spark, self.source_path,
-                                 cur, latest, self.state.pk_cols,
-                                 data_store=self.source_store,
-                                 ignore_cols=self.ignore_cols)
-        self.state.merge(batch)
+        try:
+            batch = delta_as_changes(self.spark, self.source_path,
+                                     cur, latest, self.state.pk_cols,
+                                     data_store=self.source_store,
+                                     ignore_cols=self.ignore_cols)
+        except (FileNotFoundError, ValueError) as e:
+            if cur is None:
+                raise
+            # the applied offset's snapshot no longer resolves —
+            # retention pruned the source log past v{cur} without a
+            # covering checkpoint. Loud by default; the explicit
+            # recovery is resync().
+            raise SourceLogPrunedError(
+                f"source {self.source_path} no longer resolves "
+                f"v{cur} (the applied offset): {e} — the source's "
+                f"log retention outran this follower; call resync() "
+                f"to re-backfill the current snapshot and reconcile "
+                f"tombstones") from e
+        self.state.merge(self._blacklisted(batch))
         self._record(latest)   # offset AFTER the merge landed
         return {"from": cur, "to": latest, "merged": True}
+
+    def _blacklisted(self, batch):
+        if not self.dml_blacklist:
+            return batch
+        from pyspark.sql import functions as F
+        return batch.where(~F.col("_op").isin(*self.dml_blacklist))
+
+    def resync(self) -> dict:
+        """Explicit recovery after the source log was pruned past the
+        applied offset (``poll`` raising :class:`SourceLogPrunedError`):
+        re-apply the FULL current source snapshot as backfill INSERTs,
+        plus tombstone DELETEs for every pk the state still holds live
+        but the source no longer does — rows whose deletion happened
+        inside the pruned window would otherwise survive forever. One
+        merge, then the offset records (same commit-after-data
+        discipline as poll; a crash in between re-delivers an
+        idempotent batch). Cost is O(source snapshot + state pk scan) —
+        the price of losing the incremental window, paid once."""
+        from pyspark.sql import functions as F
+
+        from ..sources.delta_reader import DeltaTable, delta_as_changes
+
+        latest = DeltaTable(self.spark, self.source_path,
+                            data_store=self.source_store).version()
+        batch = delta_as_changes(self.spark, self.source_path, None,
+                                 latest, self.state.pk_cols,
+                                 data_store=self.source_store,
+                                 ignore_cols=self.ignore_cols)
+        pk = self.state.pk_cols
+        state_df = self.state.read()
+        if state_df is not None:
+            live = state_df
+            if "_is_deleted" in live.columns:
+                live = live.where(~F.col("_is_deleted"))
+            gone = live.select(*pk).join(batch.select(*pk), pk,
+                                         "left_anti")
+            # DELETE rows in the batch's exact shape: pk + NULL payload
+            # + the same version-encoded sort keys as the INSERT half
+            fill = {"_op": F.lit("DELETE"),
+                    "_sk1": F.lit(latest).cast("bigint"),
+                    "_sk2": F.lit(0).cast("bigint"),
+                    "_sk3": F.lit("na"),
+                    "_sk4": F.lit(0).cast("bigint")}
+            tomb = gone.select(*[
+                F.col(f.name) if f.name in pk
+                else fill[f.name].alias(f.name) if f.name in fill
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in batch.schema.fields])
+            batch = batch.unionByName(tomb)
+        self.state.merge(self._blacklisted(batch))
+        self._record(latest)
+        return {"from": None, "to": latest, "merged": True,
+                "resync": True}

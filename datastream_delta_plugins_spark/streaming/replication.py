@@ -53,11 +53,15 @@ class TableConfig:
     schema: object = None  # StructType for the streaming reader
     backfill_status: str = BACKFILL_COMPLETED
     skip_snapshot: bool = False
-    #: "parquet" (pre-decoded change files) or "avro" (raw Datastream
-    #: OCF blobs — what the reference consumes). Avro tables route
-    #: through a decode-once landing (sources.avro_landing): each blob
-    #: is decoded exactly once into committed parquet, and both batch
-    #: and streaming modes consume the landing.
+    #: "parquet" (pre-decoded change files), "avro" (raw Datastream
+    #: OCF blobs — what the reference consumes), or "delta" (a FOREIGN
+    #: Delta table whose `source_dir` holds the `_delta_log`). Avro
+    #: tables route through a decode-once landing
+    #: (sources.avro_landing): each blob is decoded exactly once into
+    #: committed parquet, and both batch and streaming modes consume
+    #: the landing. Delta tables replicate via an offset-tracked
+    #: DeltaFollower (streaming.delta_follower) polled on the job's
+    #: scan cadence — the source's commit VERSION is the offset.
     source_format: str = "parquet"
     #: source-blob directory layout for avro tables: "datestream"
     #: prunes the converter's 30 s listing to yyyy/mm/dd subtrees at or
@@ -129,10 +133,32 @@ class ReplicationJob:
             for t in tables if t.source_format == "avro"
         }
         for t in tables:
-            if t.source_format not in ("parquet", "avro"):
+            if t.source_format not in ("parquet", "avro", "delta"):
                 raise ValueError(
                     f"table {t.name}: unknown source_format "
                     f"{t.source_format!r}")
+        # delta tables: the source is a FOREIGN Delta table (its
+        # `source_dir` holds the `_delta_log`), replicated by an
+        # offset-tracked DeltaFollower straight into a bucketed state —
+        # no file stream, no CdcPipeline; the scan-interval daemon
+        # polls it on the same 30 s cadence as the avro converters and
+        # run_batch polls it once per cycle. Offsets live inside the
+        # state dir, so they survive restarts with the state itself.
+        from .bucketed_state import BucketedStateTable
+        from .delta_follower import DeltaFollower
+        self.followers = {}
+        for t in tables:
+            if t.source_format != "delta":
+                continue
+            st = BucketedStateTable(
+                spark, os.path.join(work_dir, "tables", t.name, "state"),
+                t.pk_cols, n_buckets=n_state_buckets,
+                commit_impl=commit_impl,
+                keep_versions=bucket_keep_versions,
+                data_store=data_store, client=client)
+            self.followers[t.name] = DeltaFollower(
+                spark, t.source_dir, st, source_store=source_store,
+                dml_blacklist=t.dml_blacklist)
         self.pipelines = {
             t.name: CdcPipeline(
                 spark, t.name,
@@ -150,9 +176,11 @@ class ReplicationJob:
                 auto_bucket_rows=auto_bucket_rows,
                 bucket_keep_versions=bucket_keep_versions,
                 client=client, data_store=data_store)
-            for t in tables
+            for t in tables if t.source_format != "delta"
         }
         for t in tables:
+            if t.name in self.followers:
+                continue
             pipe = self.pipelines[t.name]
             # seed only: runtime progress recorded via mark_backfill
             # must survive a restart (re-putting the config value would
@@ -177,6 +205,12 @@ class ReplicationJob:
     # -- O5: per-table snapshot.done + all.tables.dump.done barrier --
 
     def snapshot_done(self, table: str) -> bool:
+        fol = self.followers.get(table)
+        if fol is not None:
+            # a follower's "dump" is its first applied backfill — the
+            # offset existing at all means the v_from=None snapshot
+            # batch merged (offsets commit AFTER data)
+            return fol.applied_version() is not None
         return self.pipelines[table].doc.get(
             sk.k_snapshot_done(table)) == "true"
 
@@ -190,7 +224,8 @@ class ReplicationJob:
             return True
         # re-read: streaming pipelines persist their docs out-of-band
         for t in self.tables:
-            self.pipelines[t].doc.load()
+            if t not in self.followers:
+                self.pipelines[t].doc.load()
         self._update_barrier()
         return self.doc.get(sk.ALL_DUMPS_DONE) == "true"
 
@@ -221,6 +256,12 @@ class ReplicationJob:
         from pyspark.errors import AnalysisException
         from pyspark.sql import functions as F
         for name, cfg in self.tables.items():
+            fol = self.followers.get(name)
+            if fol is not None:
+                # delta-sourced table: one offset-tracked poll IS the
+                # cycle (backfill on first contact, windowed after)
+                fol.poll()
+                continue
             pipe = self.pipelines[name]
             conv = self.converters.get(name)
             if conv is not None:
@@ -338,7 +379,14 @@ class ReplicationJob:
                 f"{maintenance_every!r}")
         self._ensure_database()
         queries = []
+        for name, fol in self.followers.items():
+            # delta-sourced tables have no streaming query; apply the
+            # current backlog now (the converters' convert_new()
+            # analog) and let the scan-interval loop keep polling
+            fol.poll()
         for name, cfg in self.tables.items():
+            if name in self.followers:
+                continue
             schema = cfg.schema
             conv = self.converters.get(name)
             if conv is not None:
@@ -356,14 +404,17 @@ class ReplicationJob:
                 ignore_missing_files=conv is not None))
         self._queries = queries
         self.converter_errors: dict[str, Exception] = {}
-        if self.converters:
+        if self.converters or self.followers:
             import threading
             self._conv_stop = threading.Event()
 
             def _loop() -> None:
                 cycle = 0
                 while not self._conv_stop.wait(convert_interval):
-                    if not any(q.isActive for q in queries):
+                    # with no streaming queries (all-delta job) the
+                    # loop runs until stop_all(); otherwise it dies
+                    # with the queries
+                    if queries and not any(q.isActive for q in queries):
                         return
                     cycle += 1
                     maintain = (maintenance_every is not None
@@ -388,6 +439,25 @@ class ReplicationJob:
                             self.converter_errors.pop(mkey, None)
                         except Exception as e:  # noqa: BLE001
                             self.converter_errors[mkey] = e
+                    # followers ride the same cadence: poll each cycle
+                    # (a wedged source — e.g. SourceLogPrunedError —
+                    # stays visible in converter_errors and is retried,
+                    # never kills the loop), state vacuum on the
+                    # maintenance cadence
+                    for name, fol in self.followers.items():
+                        try:
+                            fol.poll()
+                            self.converter_errors.pop(name, None)
+                        except Exception as e:  # noqa: BLE001
+                            self.converter_errors[name] = e
+                        if not maintain:
+                            continue
+                        mkey = f"{name}.maintenance"
+                        try:
+                            fol.state.vacuum()
+                            self.converter_errors.pop(mkey, None)
+                        except Exception as e:  # noqa: BLE001
+                            self.converter_errors[mkey] = e
             self._conv_thread = threading.Thread(
                 target=_loop, name="avro-converter-loop", daemon=True)
             self._conv_thread.start()
@@ -409,6 +479,9 @@ class ReplicationJob:
         out = self.doc.as_dict()
         for name, pipe in self.pipelines.items():
             out.update(pipe.doc.as_dict())
+        for name, fol in self.followers.items():
+            out[f"{name}.delta.applied_version"] = \
+                str(fol.applied_version())
         for name, err in getattr(self, "converter_errors", {}).items():
             out[f"{name}.converter.error"] = repr(err)
         return out

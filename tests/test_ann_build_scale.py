@@ -193,3 +193,28 @@ def test_append_raw_vectors_still_lands(spark, three_layouts, store):
     got = similarity.ivf_topk_indexed(spark, paths[store], q, k=1,
                                       nprobe=4, **kwargs).collect()
     assert len(got) == 1 and got[0]["cos"] == 1.0
+
+
+def test_append_rejects_late_row_corruption(spark, three_layouts):
+    """The guard must aggregate over the WHOLE input, not inspect the
+    first row: a batch whose LATER rows carry NULL or dim-mismatched
+    vectors is exactly the silent corruption 'fail loudly before any
+    write' promises to stop."""
+    emb, paths = three_layouts
+    dim = len(emb.select("embedding").first()[0])
+    good = [9_100_000, [1.0] * dim]
+    with pytest.raises(ValueError, match="NULL 'embedding'"):
+        similarity.ivf_append(
+            spark, paths["float"],
+            spark.createDataFrame(
+                [good, (9_100_001, None)],
+                "vec_id long, embedding array<double>"))
+    with pytest.raises(ValueError, match="dimension mismatch"):
+        similarity.ivf_append(
+            spark, paths["float"],
+            spark.createDataFrame(
+                [good, (9_100_002, [1.0] * (dim + 3))],
+                "vec_id long, embedding array<double>"))
+    # nothing was written by either rejected batch
+    assert (spark.read.parquet(f"{paths['float']}/cells")
+            .where(F.col("vec_id") >= 9_100_000).count()) == 0

@@ -285,3 +285,47 @@ def test_vacuum_spares_files_live_in_latest_export(spark, tmp_path):
     assert not any(os.path.exists(os.path.join(t.path, p)) for p in gone)
     files = [os.path.join(t.path, p) for p in sorted(live1)]
     assert _snap(spark.read.parquet(*files)) == _snap(t.read())
+
+
+def test_broken_export_log_fails_loudly_not_as_fresh(spark, tmp_path):
+    """A PRESENT-but-unresolvable exported log (a commit vanished
+    mid-history, no checkpoint covering it) must make export_delta and
+    vacuum RAISE — treating it as 'no log yet' would restart the log
+    at version 0 inside an existing one and drop vacuum's delta_live
+    protection, silently breaking third-party readers."""
+    t = BucketedStateTable(spark, str(tmp_path / "st"), ["id"],
+                           n_buckets=4)
+    t.merge(_batch(spark, range(12), 1))
+    t.export_delta()
+    t.merge(_batch(spark, range(0, 12, 2), 2))
+    t.export_delta()
+    os.remove(os.path.join(t.path, "_delta_log", f"{0:020d}.json"))
+    with pytest.raises(FileNotFoundError, match="commit 0 missing"):
+        t.export_delta()
+    with pytest.raises(FileNotFoundError, match="commit 0 missing"):
+        t.vacuum()
+    # the broken log was NOT overwritten by a fresh version 0
+    assert not os.path.exists(
+        os.path.join(t.path, "_delta_log", f"{0:020d}.json"))
+
+
+def test_checkpoint_adds_carry_datachange_false(spark, tmp_path):
+    """Protocol conformance: add actions serialized into CHECKPOINT
+    parquet set dataChange=false (a checkpoint restates the log, it
+    is not new data — CDF/streaming readers key off the flag); the
+    JSON commits keep dataChange=true."""
+    import pyarrow.parquet as pq
+    t = BucketedStateTable(spark, str(tmp_path / "st"), ["id"],
+                           n_buckets=4)
+    t.merge(_batch(spark, range(10), 1))
+    t.export_delta()
+    key = t.checkpoint_delta()
+    adds = [r["add"] for r in pq.read_table(key).to_pylist()
+            if r.get("add")]
+    assert adds and all(a["dataChange"] is False for a in adds)
+    with open(os.path.join(t.path, "_delta_log",
+                           f"{0:020d}.json")) as f:
+        json_adds = [json.loads(x)["add"] for x in f
+                     if "\"add\"" in x]
+    assert json_adds and all(a["dataChange"] is True
+                             for a in json_adds)

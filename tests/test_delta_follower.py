@@ -157,3 +157,148 @@ def test_follower_rejects_replaced_source_and_foreign_offset(
     f2 = DeltaFollower(spark, str(tmp_path / "elsewhere"), t)
     with pytest.raises(ValueError, match="one state table follows"):
         f2.applied_version()
+
+
+def test_source_log_pruned_then_resync(spark, tmp_path):
+    """Source retention outran the follower: poll() raises the
+    explicit SourceLogPrunedError (never a silent re-backfill), and
+    resync() converges the state to the current source snapshot —
+    including tombstones for pks deleted INSIDE the pruned window —
+    with the commit-after-data crash discipline intact."""
+    from test_delta_reader import _write_checkpoint
+
+    from datastream_delta_plugins_spark.sources.delta_reader import \
+        DeltaTable
+    from datastream_delta_plugins_spark.streaming.delta_follower import \
+        SourceLogPrunedError
+
+    root = str(tmp_path / "src")
+    w = ForeignWriter(root)
+    w.commit({"a.parquet": [(1, "one"), (2, "two")],
+              "b.parquet": [(3, "three")]})
+    t = BucketedStateTable(spark, str(tmp_path / "st"), ["k"],
+                           n_buckets=4)
+    f = DeltaFollower(spark, root, t)
+    f.poll()                                     # offset 0
+    # the source moves on without the follower: v1 updates 1 and
+    # deletes 3, v2 inserts 5; then retention checkpoints v2 and
+    # prunes every JSON commit it covers
+    w.commit({"a2.parquet": [(1, "uno"), (2, "two")]})
+    w.commit({"a2.parquet": [(1, "uno"), (2, "two")],
+              "d.parquet": [(5, "five")]})
+    snap = DeltaTable(spark, root).snapshot(2)
+    log = os.path.join(root, "_delta_log")
+    _write_checkpoint(log, 2, snap.protocol, snap.metadata,
+                      list(snap.adds.values()))
+    for v in (0, 1, 2):
+        os.remove(os.path.join(log, f"{v:020d}.json"))
+
+    with pytest.raises(SourceLogPrunedError, match="resync"):
+        f.poll()
+    assert f.applied_version() == 0              # wedge moved nothing
+
+    r = f.resync()
+    assert r["to"] == 2 and r["resync"] and r["merged"]
+    assert f.applied_version() == 2
+    assert _live(t) == _src(spark, root) == \
+        [(1, "uno"), (2, "two"), (5, "five")]
+    # pk 3's deletion happened entirely inside the pruned window: the
+    # tombstone reconciliation caught it anyway
+    assert {row["k"] for row in
+            t.read().where(F.col("_is_deleted")).collect()} == {3}
+
+    # unwedged: normal windowed polls resume
+    assert f.poll() == {"from": 2, "to": 2, "merged": False}
+    w.commit({"a2.parquet": [(1, "uno"), (2, "two")],
+              "d.parquet": [(5, "five")],
+              "e.parquet": [(6, "six")]})
+    assert f.poll()["merged"]
+    assert _live(t) == _src(spark, root)
+
+    # crash discipline: resync's merge lands but the offset write is
+    # lost -> re-running resync converges identically (no dupes, no
+    # resurrected pks)
+    t.data_store.delete(f._offset_key)
+    r2 = f.resync()
+    assert r2["to"] == 3 and f.applied_version() == 3
+    assert _live(t) == _src(spark, root)
+    assert {row["k"] for row in
+            t.read().where(F.col("_is_deleted")).collect()} == {3}
+
+
+# ----------------------- ReplicationJob wiring (source_format="delta")
+
+def test_replication_job_delta_source_run_batch_and_restart(
+        spark, tmp_path):
+    """A TableConfig(source_format='delta') rides the job like any
+    other table: run_batch polls the follower (backfill first, then
+    windows), the O5 barrier resolves, state_report carries the
+    offset, and a REBUILT job resumes from the persisted offset."""
+    from datastream_delta_plugins_spark.streaming.replication import (
+        ReplicationJob, TableConfig)
+
+    root = str(tmp_path / "src")
+    w = ForeignWriter(root)
+    w.commit({"a.parquet": [(1, "one"), (2, "two")]})
+    cfg = [TableConfig(name="ft", source_dir=root, pk_cols=["k"],
+                       source_format="delta")]
+    work = str(tmp_path / "work")
+    job = ReplicationJob(spark, work, cfg, register_catalog=False)
+    assert not job.all_dumps_done()
+    job.run_batch()
+    t = job.followers["ft"].state
+    assert _live(t) == _src(spark, root)
+    assert job.all_dumps_done()                 # backfill == dump done
+    assert job.state_report()["ft.delta.applied_version"] == "0"
+
+    w.commit({"a.parquet": [(1, "one"), (2, "two")],
+              "b.parquet": [(3, "three")]})
+    job.run_batch()
+    assert _live(job.followers["ft"].state) == _src(spark, root)
+
+    # restart: offsets live inside the state dir, not the job object
+    job2 = ReplicationJob(spark, work, cfg, register_catalog=False)
+    assert job2.followers["ft"].applied_version() == 1
+    assert job2.followers["ft"].poll()["merged"] is False
+    assert job2.all_dumps_done()
+
+
+def test_replication_job_delta_daemon_converges_each_cycle(
+        spark, tmp_path):
+    """start_all on an all-delta job runs the scan-interval loop with
+    ZERO streaming queries: a foreign writer commits while the daemon
+    runs and the state converges on the poll cadence; stop_all tears
+    the loop down."""
+    import time
+
+    from datastream_delta_plugins_spark.streaming.replication import (
+        ReplicationJob, TableConfig)
+
+    root = str(tmp_path / "src")
+    w = ForeignWriter(root)
+    w.commit({"a.parquet": [(1, "one")]})
+    job = ReplicationJob(
+        spark, str(tmp_path / "work"),
+        [TableConfig(name="ft", source_dir=root, pk_cols=["k"],
+                     source_format="delta")],
+        register_catalog=False)
+    queries = job.start_all(convert_interval=0.5)
+    try:
+        assert queries == []                    # no streaming query
+        # start_all's initial poll already applied the backlog
+        assert _live(job.followers["ft"].state) == [(1, "one")]
+        # a commit lands while the daemon runs...
+        w.commit({"a.parquet": [(1, "one")],
+                  "c.parquet": [(4, "four")]})
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            if _live(job.followers["ft"].state) == \
+                    [(1, "one"), (4, "four")]:
+                break
+            time.sleep(0.25)
+        assert _live(job.followers["ft"].state) == \
+            [(1, "one"), (4, "four")]
+        assert job.converter_errors == {}
+    finally:
+        job.stop_all()
+    assert not job._conv_thread.is_alive()
