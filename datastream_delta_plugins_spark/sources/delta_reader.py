@@ -474,7 +474,26 @@ class DeltaTable:
             return (col.cast(f.dataType).alias(f.name) if mapped
                     else col)
 
-        df = self._apply_deletion_vectors(snap, df, files)
+        # resolve the scan's file identity (and row index, for DV
+        # drops) while `_metadata` is still bindable — it is a SCAN
+        # pseudo-column, unresolvable after any join; the DV anti-join
+        # and the partition attach both consume the materialized
+        # copies. _metadata.file_path is a Hadoop URI
+        # (`file:/abs/path`, Java minimal percent-encoding); strip the
+        # local scheme so both sides join on the same canonical key
+        # (_file_key).
+        has_dv = any(a.get("deletionVector")
+                     for a in snap.adds.values())
+        if has_dv or pcols:
+            spark_key = F.regexp_replace(F.col("_metadata.file_path"),
+                                         "^file:/+", "/")
+            keyed = [spark_key.alias("__file")]
+            if has_dv:
+                keyed.append(F.col("_metadata.row_index")
+                              .alias("__dv_idx"))
+            df = df.select("*", *keyed)
+        if has_dv:
+            df = self._apply_deletion_vectors(snap, df, files)
         if not pcols:
             return df.select(*[logical(f) for f in schema.fields])
 
@@ -492,13 +511,7 @@ class DeltaTable:
                                + [f"{c} string" for c in pv_cols])
         fmap = self.spark.createDataFrame(rows, map_schema)
         by_type = {f.name: f.dataType for f in schema.fields}
-        # _metadata.file_path is a Hadoop URI (`file:/abs/path`, Java
-        # minimal percent-encoding); strip the local scheme so both
-        # sides join on the same canonical key (_file_key)
-        spark_key = F.regexp_replace(F.col("_metadata.file_path"),
-                                     "^file:/+", "/")
-        out = (df.withColumn("__file", spark_key)
-                 .join(F.broadcast(fmap), "__file", "left"))
+        out = df.join(F.broadcast(fmap), "__file", "left")
         # partition values are protocol-serialized STRINGS; cast to the
         # declared types (date/timestamp/bool/numeric casts accept the
         # protocol's canonical forms)
@@ -514,12 +527,14 @@ class DeltaTable:
     def _apply_deletion_vectors(self, snap: Snapshot, df: DataFrame,
                                 files: list[str]) -> DataFrame:
         """Drop the rows each live add's deletionVector marks deleted:
-        an anti-join of the scan's (file, `_metadata.row_index`)
-        against the decoded positions. The (tiny) serialized DV bytes
-        ship as DataFrame rows and DECODE ON EXECUTORS (mapInPandas) —
-        a 100 TB table's DVs never materialize as one driver-side
-        list; the driver only fetches the serialized payloads, which
-        the log already bounds via sizeInBytes."""
+        an anti-join of the scan's (`__file`, `__dv_idx`) — the file
+        identity and row index the caller materialized off `_metadata`
+        while still on the scan — against the decoded positions. The
+        (tiny) serialized DV bytes ship as DataFrame rows and DECODE
+        ON EXECUTORS (mapInPandas) — a 100 TB table's DVs never
+        materialize as one driver-side list; the driver only fetches
+        the serialized payloads, which the log already bounds via
+        sizeInBytes."""
         dv_rows = []
         for p, fpath in zip(sorted(snap.adds), files):
             dv = snap.adds[p].get("deletionVector")
@@ -529,7 +544,7 @@ class DeltaTable:
             dv_rows.append((_file_key(fpath), bytearray(payload),
                             int(dv.get("cardinality", -1))))
         if not dv_rows:
-            return df
+            return df.drop("__dv_idx")
         import pandas as pd
 
         def decode(batches):
@@ -551,17 +566,13 @@ class DeltaTable:
         dv_df = (self.spark.createDataFrame(
                     dv_rows, "__file string, __dv binary, __card long")
                  .mapInPandas(decode, "__file string, __dv_idx long"))
-        spark_key = F.regexp_replace(F.col("_metadata.file_path"),
-                                     "^file:/+", "/")
-        keyed = df.withColumn("__file", spark_key) \
-                  .withColumn("__dv_idx", F.col("_metadata.row_index"))
         # broadcast: the DV side is tiny by protocol contract (the
         # log's sizeInBytes bounds every payload), but it reaches
         # Catalyst as a mapInPandas output with NO size estimate — an
         # unhinted plan is free to sort-merge, shuffling the ENTIRE
         # scan by (__file, __dv_idx) to drop a handful of rows
-        kept = keyed.join(F.broadcast(dv_df), ["__file", "__dv_idx"],
-                          "left_anti")
+        kept = df.join(F.broadcast(dv_df), ["__file", "__dv_idx"],
+                       "left_anti")
         return kept.drop("__dv_idx")
 
 

@@ -217,13 +217,15 @@ def _write_foreign_table(root, with_checkpoint=False,
 
 
 def _write_checkpoint(log_dir, version, proto, meta, adds,
-                      with_stats=False, hint=True):
+                      with_stats=False, hint=True, with_dv=False):
     """A protocol-shape checkpoint parquet at `version` carrying the
     given protocol/metaData/add actions, plus (by default) the
     `_last_checkpoint` pointer."""
     kv = pa.map_(pa.string(), pa.string())
     proto_t = pa.struct([("minReaderVersion", pa.int32()),
-                         ("minWriterVersion", pa.int32())])
+                         ("minWriterVersion", pa.int32()),
+                         ("readerFeatures", pa.list_(pa.string())),
+                         ("writerFeatures", pa.list_(pa.string()))])
     meta_t = pa.struct([
         ("id", pa.string()),
         ("format", pa.struct([("provider", pa.string()),
@@ -239,6 +241,13 @@ def _write_checkpoint(log_dir, version, proto, meta, adds,
     if with_stats:
         add_fields.append(("stats", pa.string()))
         keys.append("stats")
+    if with_dv:
+        add_fields.append(("deletionVector", pa.struct([
+            ("storageType", pa.string()),
+            ("pathOrInlineDv", pa.string()),
+            ("offset", pa.int32()), ("sizeInBytes", pa.int32()),
+            ("cardinality", pa.int64())])))
+        keys.append("deletionVector")
     cs = pa.schema([("protocol", proto_t), ("metaData", meta_t),
                     ("add", pa.struct(add_fields))])
     rows = [{"protocol": proto, "metaData": None, "add": None},
@@ -904,3 +913,119 @@ def test_checkpoint_parse_bounded_memory(spark, tmp_path):
     assert all("stats" not in a for a in lean_snap.adds.values())
     assert fat_snap.adds["f000000.parquet"]["stats"] == fat
     assert lean < 0.5 * fatp, (lean, fatp)
+
+
+# -------------------------- cross-feature matrix (the rot hotspots)
+
+def _write_matrix_table(root):
+    """ONE hand-authored foreign table combining every reader feature:
+    column mapping 'name' (physical parquet names, physical
+    partitionValues and stats keys) + a partitioned layout + a
+    deletion vector + a checkpoint. These interactions — not the
+    features alone — are where from-spec readers rot. v0: two
+    partitions; v1: a DV deletes k=2 from part=1."""
+    from test_deletion_vectors import ser_dv, z85e
+    os.makedirs(os.path.join(root, "_delta_log"))
+    pn = "delta.columnMapping.physicalName"
+    schema = {"type": "struct", "fields": [
+        {"name": "k", "type": "long", "nullable": True,
+         "metadata": {pn: "col-k1"}},
+        {"name": "word", "type": "string", "nullable": True,
+         "metadata": {pn: "col-w2"}},
+        {"name": "part", "type": "integer", "nullable": True,
+         "metadata": {pn: "col-p3"}}]}
+
+    def data_file(rel, ks, words):
+        p = os.path.join(root, rel)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        pq.write_table(pa.table(
+            {"col-k1": pa.array(ks, pa.int64()),
+             "col-w2": pa.array(words, pa.string())}), p)
+        return {"path": rel, "size": os.path.getsize(p),
+                "modificationTime": 0, "dataChange": True,
+                "stats": json.dumps(
+                    {"numRecords": len(ks),
+                     "minValues": {"col-k1": min(ks)},
+                     "maxValues": {"col-k1": max(ks)}})}
+
+    f1 = data_file("part=1/a.parquet", [1, 2, 3], ["x", "y", "z"])
+    f1["partitionValues"] = {"col-p3": "1"}       # PHYSICAL key
+    f2 = data_file("part=2/b.parquet", [10, 11], ["p", "q"])
+    f2["partitionValues"] = {"col-p3": "2"}
+    proto = {"minReaderVersion": 3, "minWriterVersion": 7,
+             "readerFeatures": ["columnMapping", "deletionVectors"],
+             "writerFeatures": ["columnMapping", "deletionVectors"]}
+    meta = {"id": "matrix-1",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps(schema),
+            "partitionColumns": ["part"],
+            "configuration": {"delta.columnMapping.mode": "name"},
+            "createdTime": 0}
+    acts0 = [{"protocol": proto}, {"metaData": meta},
+             {"add": f1}, {"add": f2}]
+    with open(os.path.join(root, "_delta_log",
+                           f"{0:020d}.json"), "w") as f:
+        f.write("\n".join(json.dumps(a) for a in acts0) + "\n")
+    # v1: DV deletes row positions 1,2 of part=1/a.parquet (k=2, k=3)
+    payload = ser_dv([1, 2])
+    f1dv = dict(f1)
+    f1dv["deletionVector"] = {
+        "storageType": "i", "pathOrInlineDv": z85e(payload),
+        "sizeInBytes": len(payload), "cardinality": 2}
+    acts1 = [{"remove": {"path": f1["path"], "deletionTimestamp": 1,
+                         "dataChange": True}}, {"add": f1dv}]
+    with open(os.path.join(root, "_delta_log",
+                           f"{1:020d}.json"), "w") as f:
+        f.write("\n".join(json.dumps(a) for a in acts1) + "\n")
+    return proto, meta, [f1dv, f2]
+
+
+MATRIX_V1 = [(1, "x", 1), (10, "p", 2), (11, "q", 2)]
+
+
+def _mrows(df):
+    return sorted((r["k"], r["word"], r["part"]) for r in df.collect())
+
+
+def test_matrix_table_reads_and_changes(spark, tmp_path):
+    root = str(tmp_path / "mx")
+    _write_matrix_table(root)
+    dt = DeltaTable(spark, root)
+    assert _mrows(dt.read()) == MATRIX_V1
+    assert _mrows(dt.read(0)) == sorted(
+        MATRIX_V1 + [(2, "y", 1), (3, "z", 1)])
+    # DV-on-partitioned-mapped change feed: the DV commit re-adds the
+    # same path — identity narrowing must catch it, read the file
+    # through the mapping+partition attach, and emit the DELETE
+    got = sorted((r["k"], r["_change"]) for r in
+                 delta_changes(spark, root, 0, 1, ["k"]).collect())
+    assert got == [(2, "DELETE"), (3, "DELETE")]
+
+
+def test_matrix_checkpoint_bootstrap_and_pruning(spark, tmp_path):
+    """Checkpoint-only bootstrap of the combined table (physical
+    partitionValues keys, DV descriptor, physical stats keys all
+    riding the checkpoint parquet), then both pruning paths on top."""
+    root = str(tmp_path / "mx")
+    proto, meta, adds = _write_matrix_table(root)
+    log = os.path.join(root, "_delta_log")
+    _write_checkpoint(log, 1, proto, meta, adds,
+                      with_stats=True, with_dv=True)
+    for v in (0, 1):
+        os.remove(os.path.join(log, f"{v:020d}.json"))
+    dt = DeltaTable(spark, root)
+    assert dt.version() == 1
+    assert _mrows(dt.read()) == MATRIX_V1
+    # partition-value pruning via the PHYSICAL pv key
+    df = dt.read(skip=[("part", "=", 2)])
+    files = df.inputFiles()
+    assert len(files) == 1 and files[0].endswith("b.parquet"), files
+    assert _mrows(df) == [(10, "p", 2), (11, "q", 2)]
+    # stats pruning via the PHYSICAL stats key (f1: k in [1,3])
+    df2 = dt.read(skip=[("k", ">=", 10)])
+    files2 = df2.inputFiles()
+    assert len(files2) == 1 and files2[0].endswith("b.parquet"), files2
+    assert _mrows(df2) == [(10, "p", 2), (11, "q", 2)]
+    # and the DV still applies when its file DOES survive pruning
+    df3 = dt.read(skip=[("part", "=", 1)])
+    assert _mrows(df3) == [(1, "x", 1)]
