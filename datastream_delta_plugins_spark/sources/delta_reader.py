@@ -908,7 +908,7 @@ def delta_changes(spark: SparkSession, path: str,
                   v_from: int, v_to: int,
                   pk_cols,
                   data_store: ObjectStoreClient | None = None,
-                  ignore_cols=None) -> DataFrame:
+                  ignore_cols=None, skip: list | None = None) -> DataFrame:
     """Row-level change feed (pk..., _change in INSERT/UPDATE/DELETE)
     between two versions of a FOREIGN Delta table — the capability
     that turns any upstream Delta table into a CDC source for this
@@ -935,25 +935,47 @@ def delta_changes(spark: SparkSession, path: str,
     otherwise physical presence defines liveness, and physical
     removal classifies as DELETE (absent_is_delete). Assumes the
     foreign table holds each pk at most once per version — the
-    precondition of ANY pk-keyed CDC read."""
+    precondition of ANY pk-keyed CDC read.
+
+    ``skip`` (same (col, op, val) conjuncts as ``DeltaTable.read``)
+    gives the change feed of the FILTERED table: both versions prune
+    at the file level (partitionValues exactly, stats
+    conservatively) and re-filter at the row level, so the feed is
+    exactly what diffing `read(v, skip).where(...)` snapshots would
+    emit — a row UPDATEd out of the predicate's range classifies as
+    DELETE, one entering as INSERT, and out-of-range churn is never
+    read. This is the windowed-read cost lever on a partitioned
+    100 TB source: a one-partition subscriber prunes every other
+    partition's membership changes before opening a single file."""
     from ..envelope import SORT_KEY_COLS
     from ..operators.cdc import diff_states
 
-    prev, cur = _narrowed_states(spark, path, v_from, v_to, data_store)
+    prev, cur = _narrowed_states(spark, path, v_from, v_to,
+                                 data_store, skip=skip)
     ig = SORT_KEY_COLS if ignore_cols is None else ignore_cols
     return diff_states(prev, cur, pk_cols, ignore_cols=ig,
                        absent_is_delete=True)
 
 
 def _narrowed_states(spark, path: str, v_from: int, v_to: int,
-                     data_store) -> tuple[DataFrame | None, DataFrame]:
+                     data_store,
+                     skip: list | None = None
+                     ) -> tuple[DataFrame | None, DataFrame]:
     """(prev, cur) states of a Delta table narrowed to the files whose
     membership differs between the two versions, both carrying an
     `_is_deleted` liveness column (synthesized False when the table
-    has none)."""
+    has none). ``skip`` additionally prunes each side's narrowed file
+    set (partition values + stats, same rules as read) and
+    re-filters the rows, yielding filtered-table states."""
     dt = DeltaTable(spark, path, data_store=data_store)
-    a = dt.snapshot(v_from, need_stats=False)
-    b = dt.snapshot(v_to, need_stats=False)
+    need = bool(skip)
+    if skip:
+        for _c, op, _v in skip:
+            if op not in _SKIP_OPS:
+                raise ValueError(f"skip op must be one of "
+                                 f"{sorted(_SKIP_OPS)}, got {op!r}")
+    a = dt.snapshot(v_from, need_stats=need)
+    b = dt.snapshot(v_to, need_stats=need)
 
     def ident(snap: Snapshot) -> dict:
         # file identity includes the deletion vector: a DELETE via DV
@@ -972,16 +994,38 @@ def _narrowed_states(spark, path: str, v_from: int, v_to: int,
     cur_only = sorted(p for p in b.adds
                       if p not in a.adds or ida.get(p) != idb[p])
 
+    def pruned(snap: Snapshot, paths: list[str]) -> list[str]:
+        if not skip:
+            return paths
+        mapped = snap.column_mapping_mode == "name"
+        ps = _physical_schema(snap.schema) if mapped else snap.schema
+        phys_of = {lf.name: pf.name
+                   for lf, pf in zip(snap.schema.fields, ps.fields)}
+        pset = set(snap.partition_columns)
+        part_conj = [t for t in skip if t[0] in pset]
+        by_type = {f.name: f.dataType for f in snap.schema.fields}
+        return [p for p in paths
+                if _pv_survive(snap.adds[p], part_conj, phys_of,
+                               by_type)
+                and _stats_survive(snap.adds[p], skip, phys_of)]
+
     def narrowed(snap: Snapshot, paths: list[str]) -> DataFrame | None:
         if not paths:
             return None
         sub = Snapshot(snap.version,
                        {p: snap.adds[p] for p in paths},
                        snap.metadata, snap.protocol)
-        return dt._read_snapshot(sub)
+        df = dt._read_snapshot(sub)
+        if skip:  # residual row filter: exact filtered-table state
+            cond = None
+            for col, op, val in skip:
+                c = _SKIP_OPS[op](F.col(col), F.lit(val))
+                cond = c if cond is None else cond & c
+            df = df.where(cond)
+        return df
 
-    prev = narrowed(a, prev_only)
-    cur = narrowed(b, cur_only)
+    prev = narrowed(a, pruned(a, prev_only))
+    cur = narrowed(b, pruned(b, cur_only))
     if cur is None:
         cur = spark.createDataFrame([], b.schema)
     if prev is not None and "_is_deleted" not in prev.columns:
@@ -995,7 +1039,8 @@ def delta_as_changes(spark: SparkSession, path: str,
                      v_from: int | None, v_to: int,
                      pk_cols,
                      data_store: ObjectStoreClient | None = None,
-                     ignore_cols=None) -> DataFrame:
+                     ignore_cols=None,
+                     skip: list | None = None) -> DataFrame:
     """The (v_from, v_to] delta of a foreign Delta table as an engine
     CHANGE BATCH: full payload rows with `_op` and sort keys, directly
     consumable by cdc.materialize / merge_batch /
@@ -1013,7 +1058,12 @@ def delta_as_changes(spark: SparkSession, path: str,
 
     Cost: the snapshot path reads v_to once; the incremental path
     reads only differing files (same narrowing as delta_changes) plus
-    a pk-join to attach payloads to the changed-pk set."""
+    a pk-join to attach payloads to the changed-pk set.
+
+    ``skip`` replicates the FILTERED table (delta_changes semantics:
+    file-level pruning + row re-filter on both sides; rows leaving
+    the predicate arrive as DELETEs) — how a subscriber follows one
+    partition of a large foreign table without paying for the rest."""
     pk = list(pk_cols)
 
     def with_keys(df: DataFrame, op) -> DataFrame:
@@ -1024,13 +1074,15 @@ def delta_as_changes(spark: SparkSession, path: str,
                   .withColumn("_sk4", F.lit(0).cast("bigint")))
 
     if v_from is None:
-        snap = read_delta(spark, path, v_to, data_store=data_store)
+        snap = DeltaTable(spark, path, data_store=data_store) \
+            .read(v_to, skip=skip)
         if "_is_deleted" in snap.columns:
             snap = snap.where(~F.col("_is_deleted")) \
                        .drop("_is_deleted")
         return with_keys(snap, F.lit("INSERT"))
 
-    prev, cur = _narrowed_states(spark, path, v_from, v_to, data_store)
+    prev, cur = _narrowed_states(spark, path, v_from, v_to,
+                                 data_store, skip=skip)
     from ..envelope import SORT_KEY_COLS
     from ..operators.cdc import diff_states
     ig = SORT_KEY_COLS if ignore_cols is None else ignore_cols

@@ -55,23 +55,38 @@ class DeltaFollower:
     (defaults to POSIX, independent of the state's store).
     ``dml_blacklist`` drops the named ops (INSERT/UPDATE/DELETE) from
     every batch before the merge — the reference's per-table DML
-    filter (P2) applied to a Delta-sourced feed."""
+    filter (P2) applied to a Delta-sourced feed.
+    ``skip`` follows the FILTERED table (DeltaTable.read conjuncts):
+    backfill and every window prune files and re-filter rows, so a
+    one-partition subscriber of a huge foreign table never reads the
+    rest. The predicate is fingerprinted into the offset doc —
+    changing it against recorded offsets fails loudly (the windows
+    applied so far saw a different table); resync() under the new
+    predicate is the recovery."""
 
     def __init__(self, spark, source_path: str,
                  state: BucketedStateTable,
                  source_store=None, ignore_cols=None,
-                 dml_blacklist=()):
+                 dml_blacklist=(), skip=None):
         self.spark = spark
         self.source_path = source_path
         self.state = state
         self.source_store = source_store
         self.ignore_cols = ignore_cols
         self.dml_blacklist = tuple(o.upper() for o in dml_blacklist)
+        self.skip = list(skip) if skip else None
         self._offset_key = os.path.join(
             state.path, "delta_follower", "offset.json")
 
     # -- offset plumbing (atomic single-key overwrite, commit AFTER
     # data per the module docstring) --
+
+    def _skip_fp(self) -> str | None:
+        # values stringified: the fingerprint needs equality, not
+        # round-tripping (dates and Decimals would not JSON-encode)
+        return (None if not self.skip else json.dumps(
+            [[c, o, str(v)] for c, o, v in self.skip],
+            separators=(",", ":")))
 
     def applied_version(self) -> int | None:
         raw = self.state.data_store.get(self._offset_key)
@@ -84,13 +99,21 @@ class DeltaFollower:
                 f"for source {doc.get('source_path')!r}, not "
                 f"{self.source_path!r} — one state table follows one "
                 f"source")
+        if doc.get("skip") != self._skip_fp():
+            raise ValueError(
+                f"follower offset at {self._offset_key} was recorded "
+                f"under skip predicate {doc.get('skip')!r}, not "
+                f"{self._skip_fp()!r} — the applied windows saw a "
+                f"different filtered table; resync() under the new "
+                f"predicate (or a fresh state table) is the recovery")
         return int(doc["version"])
 
     def _record(self, version: int) -> None:
         self.state.data_store.put(
             self._offset_key,
             json.dumps({"version": version,
-                        "source_path": self.source_path},
+                        "source_path": self.source_path,
+                        "skip": self._skip_fp()},
                        separators=(",", ":")).encode())
 
     # -- the poll --
@@ -116,7 +139,8 @@ class DeltaFollower:
             batch = delta_as_changes(self.spark, self.source_path,
                                      cur, latest, self.state.pk_cols,
                                      data_store=self.source_store,
-                                     ignore_cols=self.ignore_cols)
+                                     ignore_cols=self.ignore_cols,
+                                     skip=self.skip)
         except (FileNotFoundError, ValueError) as e:
             if cur is None:
                 raise
@@ -160,7 +184,8 @@ class DeltaFollower:
         batch = delta_as_changes(self.spark, self.source_path, None,
                                  latest, self.state.pk_cols,
                                  data_store=self.source_store,
-                                 ignore_cols=self.ignore_cols)
+                                 ignore_cols=self.ignore_cols,
+                                 skip=self.skip)
         pk = self.state.pk_cols
         state_df = self.state.read()
         if state_df is not None:

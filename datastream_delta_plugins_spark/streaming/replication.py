@@ -158,7 +158,11 @@ class ReplicationJob:
                 data_store=data_store, client=client)
             self.followers[t.name] = DeltaFollower(
                 spark, t.source_dir, st, source_store=source_store,
-                dml_blacklist=t.dml_blacklist)
+                dml_blacklist=t.dml_blacklist,
+                # filtered replication: follow only the rows matching
+                # the (col, op, val) conjuncts — a partition-scoped
+                # subscription of a large foreign table
+                skip=t.extra.get("delta_skip"))
         self.pipelines = {
             t.name: CdcPipeline(
                 spark, t.name,

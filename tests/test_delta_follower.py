@@ -302,3 +302,31 @@ def test_replication_job_delta_daemon_converges_each_cycle(
     finally:
         job.stop_all()
     assert not job._conv_thread.is_alive()
+
+
+def test_follower_filtered_subscription(spark, tmp_path):
+    """skip follows the FILTERED table; the predicate fingerprints
+    into the offset doc, so silently changing it against applied
+    windows is refused, and resync() under the new predicate is the
+    recovery."""
+    root = str(tmp_path / "src")
+    w = ForeignWriter(root)
+    w.commit({"a.parquet": [(1, "one"), (2, "two"), (10, "ten")]})
+    t = BucketedStateTable(spark, str(tmp_path / "st"), ["k"],
+                           n_buckets=4)
+    f = DeltaFollower(spark, root, t, skip=[("k", "<", 10)])
+    f.poll()
+    assert _live(t) == [(1, "one"), (2, "two")]
+    w.commit({"b.parquet": [(1, "uno"), (2, "two"), (10, "TEN"),
+                            (11, "eleven")]})
+    f.poll()
+    assert _live(t) == [(1, "uno"), (2, "two")]
+
+    # a follower with a DIFFERENT predicate over the same offsets
+    f_all = DeltaFollower(spark, root, t)
+    with pytest.raises(ValueError, match="skip predicate"):
+        f_all.poll()
+    # recovery: resync under the new predicate re-backfills in full
+    r = f_all.resync()
+    assert r["resync"] and _live(t) == _src(spark, root)
+    assert f_all.poll()["merged"] is False

@@ -1029,3 +1029,32 @@ def test_matrix_checkpoint_bootstrap_and_pruning(spark, tmp_path):
     # and the DV still applies when its file DOES survive pruning
     df3 = dt.read(skip=[("part", "=", 1)])
     assert _mrows(df3) == [(1, "x", 1)]
+
+
+def test_delta_changes_with_skip_is_filtered_feed(spark, tmp_path):
+    """skip = the change feed of the FILTERED table: an untouched
+    partition's subscriber sees nothing (its files never open), a
+    touched partition's subscriber sees exactly the full feed's rows,
+    and a row UPDATEd out of the predicate classifies as DELETE."""
+    root = str(tmp_path / "ft")
+    _write_foreign_table(root)        # v0 -> v1 rewrites part=2 only
+    feed_all = sorted((r["k"], r["_change"]) for r in
+                      delta_changes(spark, root, 0, 1, ["k"]).collect())
+    p1 = delta_changes(spark, root, 0, 1, ["k"],
+                       skip=[("part", "=", 1)])
+    assert p1.count() == 0
+    p2 = sorted((r["k"], r["_change"]) for r in
+                delta_changes(spark, root, 0, 1, ["k"],
+                              skip=[("part", "=", 2)]).collect())
+    assert p2 == feed_all
+
+    # leaving the predicate's range == DELETE from the filtered table
+    root2 = str(tmp_path / "pl")
+    _write_plain_delta(root2, [
+        {"a.parquet": [(1, "keep"), (2, "keep")]},
+        {"a2.parquet": [(1, "keep"), (2, "drop")]},
+    ])
+    got = sorted((r["k"], r["_change"]) for r in
+                 delta_changes(spark, root2, 0, 1, ["k"],
+                               skip=[("word", "=", "keep")]).collect())
+    assert got == [(2, "DELETE")]
