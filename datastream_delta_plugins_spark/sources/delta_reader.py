@@ -30,14 +30,17 @@ github.com/delta-io/delta PROTOCOL.md), no delta library:
     on modern writers): the scan uses the PHYSICAL schema from
     schemaString field metadata, logical names rebind via one
     by-position struct cast per column, partitionValues are looked up
-    by physical key;
+    by physical key; mode 'id' (Iceberg-converted / uniform tables)
+    binds the scan by PARQUET FIELD ID instead, via Spark's native
+    field-id resolution over a logical-name schema annotated with
+    parquet.field.id;
   - deletion vectors (default-on in modern writers): the serialized
     64-bit RoaringBitmapArray (z85 inline or DV file, array/bitmap/
     run containers — public RoaringFormatSpec) decodes ON EXECUTORS
     and the marked rows drop via an anti-join against
     `_metadata.row_index`; cardinality is verified against the log;
-  - honesty gates: column mapping mode 'id', reader features beyond
-    the supported set, unknown reader versions, and unknown DV
+  - honesty gates: unknown column mapping modes, reader features
+    beyond the supported set, unknown reader versions, and unknown DV
     storage types raise NotImplementedError naming the missing
     capability — never a silent wrong read.
 
@@ -70,10 +73,11 @@ from ..streaming.commitlog import ObjectStoreClient, PosixStore
 
 #: reader features this implementation actually honors (protocol v3
 #: tables list required features explicitly; anything outside this set
-#: must be rejected, not ignored). columnMapping covers mode 'name'
-#: (physical-name scan + logical rename); mode 'id' is still rejected
-#: at the configuration check. deletionVectors covers storage types
-#: u/i/p (unknown types rejected per-add).
+#: must be rejected, not ignored). columnMapping covers BOTH modes:
+#: 'name' (physical-name scan + logical rename) and 'id' (scan bound
+#: by parquet field id via Spark's native field-id resolution).
+#: deletionVectors covers storage types u/i/p (unknown types rejected
+#: per-add).
 SUPPORTED_READER_FEATURES = {"timestampNtz", "columnMapping",
                              "deletionVectors"}
 
@@ -363,16 +367,13 @@ class DeltaTable:
         rv = proto.get("minReaderVersion", 1)
         cm = (meta.get("configuration") or {}).get(
             "delta.columnMapping.mode", "none")
-        if cm not in ("none", "name", None):
-            # 'id' keys columns by parquet field id — a different scan
-            # contract this reader does not implement; reading it by
-            # name would silently bind wrong columns
+        if cm not in ("none", "name", "id", None):
             raise NotImplementedError(
                 f"column mapping mode '{cm}' is not supported "
-                f"(only 'none' and 'name')")
+                f"(only 'none', 'name' and 'id')")
         if rv <= 2:
-            # v2 = column-mapping era; mode 'name' is handled by the
-            # physical-schema scan, 'id' was rejected above
+            # v2 = column-mapping era; 'name' scans the physical
+            # schema, 'id' binds by parquet field id — both handled
             return
         if rv == 3:
             feats = set(proto.get("readerFeatures") or [])
@@ -419,8 +420,8 @@ class DeltaTable:
             if op not in _SKIP_OPS:
                 raise ValueError(f"skip op must be one of "
                                  f"{sorted(_SKIP_OPS)}, got {op!r}")
-        mapped = snap.column_mapping_mode == "name"
-        phys_schema = (_physical_schema(snap.schema) if mapped
+        phys_schema = (_physical_schema(snap.schema)
+                       if snap.column_mapping_mode != "none"
                        else snap.schema)
         phys_of = {lf.name: pf.name
                    for lf, pf in zip(snap.schema.fields,
@@ -450,11 +451,26 @@ class DeltaTable:
         # physicalName, recursively); scan with the physical schema,
         # then rebind to logical names — nested renames ride one
         # struct cast (by-position), so the plan stays a plain
-        # projection over the scan
-        mapped = snap.column_mapping_mode == "name"
-        phys_schema = _physical_schema(schema) if mapped else schema
+        # projection over the scan. Mode 'id' instead binds columns by
+        # PARQUET FIELD ID: the requested schema keeps logical names
+        # annotated with parquet.field.id (from delta.columnMapping.id)
+        # and Spark's native field-id resolution does the lookup —
+        # names in the files are ignored entirely, per the spec. The
+        # enabling conf is global but inert for schemas without the
+        # metadata. Either way, partitionValues/stats keys stay
+        # PHYSICAL names (the spec assigns physicalName in both modes).
+        mode = snap.column_mapping_mode
+        mapped = mode == "name"
+        phys_schema = (_physical_schema(schema) if mode != "none"
+                       else schema)
         phys_of = {lf.name: pf.name
                    for lf, pf in zip(schema.fields, phys_schema.fields)}
+        if mode == "id":
+            self.spark.conf.set(
+                "spark.sql.parquet.fieldId.read.enabled", "true")
+            scan_fields = _field_id_schema(schema).fields
+        else:
+            scan_fields = phys_schema.fields
         # add.path is URL-encoded per the protocol and table-root
         # relative (absolute paths are legal for shallow clones —
         # honor them too)
@@ -463,13 +479,14 @@ class DeltaTable:
             rel = unquote(p)
             files.append(rel if "://" in rel or os.path.isabs(rel)
                          else os.path.join(self.path, rel))
-        data_fields = [pf for lf, pf in zip(schema.fields,
-                                            phys_schema.fields)
+        data_fields = [sf for lf, sf in zip(schema.fields, scan_fields)
                        if lf.name not in pcols]
         df = self.spark.read.schema(StructType(data_fields)) \
                  .parquet(*files)
 
         def logical(f) -> F.Column:
+            if mode == "id":
+                return F.col(f.name)   # field-id scan: already logical
             col = F.col(phys_of[f.name])
             return (col.cast(f.dataType).alias(f.name) if mapped
                     else col)
@@ -863,6 +880,37 @@ def _physical_schema(schema: StructType) -> StructType:
         phys = (f.metadata or {}).get(
             "delta.columnMapping.physicalName", f.name)
         return StructField(phys, conv_dt(f.dataType), f.nullable)
+
+    return StructType([conv_field(f) for f in schema.fields])
+
+
+def _field_id_schema(schema: StructType) -> StructType:
+    """The scan schema for a column-mapping 'id' table: LOGICAL field
+    names annotated with `parquet.field.id` metadata (from
+    `delta.columnMapping.id`, recursively through structs) — the form
+    Spark's native field-id resolution consumes, binding each column
+    to the parquet field with that id regardless of its on-disk name.
+    A field without an id cannot be resolved under this mode's
+    contract — loud failure, never a name-based guess."""
+    def conv_dt(dt):
+        if isinstance(dt, StructType):
+            return StructType([conv_field(f) for f in dt.fields])
+        if isinstance(dt, ArrayType):
+            return ArrayType(conv_dt(dt.elementType), dt.containsNull)
+        if isinstance(dt, MapType):
+            return MapType(conv_dt(dt.keyType), conv_dt(dt.valueType),
+                           dt.valueContainsNull)
+        return dt
+
+    def conv_field(f: StructField) -> StructField:
+        fid = (f.metadata or {}).get("delta.columnMapping.id")
+        if fid is None:
+            raise ValueError(
+                f"column mapping mode 'id' but field {f.name!r} "
+                f"carries no delta.columnMapping.id — not a valid "
+                f"id-mapped table")
+        return StructField(f.name, conv_dt(f.dataType), f.nullable,
+                           {"parquet.field.id": int(fid)})
 
     return StructType([conv_field(f) for f in schema.fields])
 

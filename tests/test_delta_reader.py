@@ -368,9 +368,18 @@ def test_unsupported_protocol_rejected(spark, tmp_path):
                          features=["timestampNtz"])
     assert _rows(DeltaTable(spark, root).read()) == EXPECT_V1
 
+    # mode 'id' is SUPPORTED (field-id scan) — but a table CLAIMING
+    # id mapping whose schema carries no ids is invalid, loudly
     root = str(tmp_path / "f5")
     _write_foreign_table(
         root, config={"delta.columnMapping.mode": "id"})
+    with pytest.raises(ValueError, match="delta.columnMapping.id"):
+        DeltaTable(spark, root).read()
+
+    # a made-up future mode stays rejected by name
+    root = str(tmp_path / "f5c")
+    _write_foreign_table(
+        root, config={"delta.columnMapping.mode": "uuid"})
     with pytest.raises(NotImplementedError, match="column mapping"):
         DeltaTable(spark, root).read()
 
@@ -1058,3 +1067,59 @@ def test_delta_changes_with_skip_is_filtered_feed(spark, tmp_path):
                  delta_changes(spark, root2, 0, 1, ["k"],
                                skip=[("word", "=", "keep")]).collect())
     assert got == [(2, "DELETE")]
+
+
+def test_column_mapping_id_mode(spark, tmp_path):
+    """Column mapping 'id' (Iceberg-converted / uniform tables): the
+    scan binds by PARQUET FIELD ID — the on-disk column names are
+    deliberately unrelated to both logical and physical names — while
+    partitionValues stay keyed by PHYSICAL name, and partition-value
+    pruning composes."""
+    root = str(tmp_path / "cmid")
+    os.makedirs(os.path.join(root, "_delta_log"))
+    pn = "delta.columnMapping.physicalName"
+    cid = "delta.columnMapping.id"
+    schema = {"type": "struct", "fields": [
+        {"name": "k", "type": "long", "nullable": True,
+         "metadata": {cid: 1, pn: "col-k"}},
+        {"name": "word", "type": "string", "nullable": True,
+         "metadata": {cid: 2, pn: "col-w"}},
+        {"name": "part", "type": "integer", "nullable": True,
+         "metadata": {cid: 3, pn: "col-p"}}]}
+    fields = [pa.field("totally_unrelated", pa.int64(),
+                       metadata={b"PARQUET:field_id": b"1"}),
+              pa.field("zzz", pa.string(),
+                       metadata={b"PARQUET:field_id": b"2"})]
+    p = os.path.join(root, "f1.parquet")
+    pq.write_table(
+        pa.table({"totally_unrelated": pa.array([1, 2], pa.int64()),
+                  "zzz": pa.array(["x", "y"], pa.string())})
+          .cast(pa.schema(fields)), p)
+    acts = [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {"id": "cmid-1",
+                      "format": {"provider": "parquet", "options": {}},
+                      "schemaString": json.dumps(schema),
+                      "partitionColumns": ["part"],
+                      "configuration":
+                          {"delta.columnMapping.mode": "id"},
+                      "createdTime": 0}},
+        {"add": {"path": "f1.parquet",
+                 "partitionValues": {"col-p": "7"},   # PHYSICAL key
+                 "size": os.path.getsize(p), "modificationTime": 0,
+                 "dataChange": True}}]
+    with open(os.path.join(root, "_delta_log",
+                           f"{0:020d}.json"), "w") as f:
+        f.write("\n".join(json.dumps(a) for a in acts) + "\n")
+
+    dt = DeltaTable(spark, root)
+    df = dt.read()
+    assert [f.name for f in df.schema.fields] == ["k", "word", "part"]
+    got = sorted((r["k"], r["word"], r["part"]) for r in df.collect())
+    assert got == [(1, "x", 7), (2, "y", 7)]
+    # partition pruning rides the physical pv key under id mapping too
+    assert dt.read(skip=[("part", "=", 8)]).count() == 0
+    pruned = dt.read(skip=[("part", "=", 7)])
+    assert len(pruned.inputFiles()) == 1
+    assert sorted((r["k"], r["word"], r["part"])
+                  for r in pruned.collect()) == got
