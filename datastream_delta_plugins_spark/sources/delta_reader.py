@@ -12,9 +12,10 @@ maintains without that engine installed.
 Implemented from the public Delta Transaction Log Protocol (delta.io /
 github.com/delta-io/delta PROTOCOL.md), no delta library:
 
-  - snapshot resolution = newest parquet CHECKPOINT at-or-below the
-    requested version (single- or multi-part, discovered via
-    `_last_checkpoint` with a listing fallback) + replay of the JSON
+  - snapshot resolution = newest CHECKPOINT at-or-below the requested
+    version (classic single-/multi-part parquet, or a V2 UUID-named
+    manifest — json or parquet — with its `_sidecars/` files;
+    `_last_checkpoint` bounds the listing) + replay of the JSON
     commits after it, in version order;
   - actions: `add` / `remove` reconcile the live file set, `metaData`
     carries schemaString (Spark StructType JSON — parsed directly) and
@@ -79,11 +80,16 @@ from ..streaming.commitlog import ObjectStoreClient, PosixStore
 #: deletionVectors covers storage types u/i/p (unknown types rejected
 #: per-add).
 SUPPORTED_READER_FEATURES = {"timestampNtz", "columnMapping",
-                             "deletionVectors"}
+                             "deletionVectors", "v2Checkpoint"}
 
 _JSON_RE = re.compile(r"^(\d{20})\.json$")
 _CKPT_RE = re.compile(
     r"^(\d{20})\.checkpoint(?:\.(\d{10})\.(\d{10}))?\.parquet$")
+#: V2 checkpoints (the modern writers' default once deletion vectors
+#: are on): UUID-named manifest, json or parquet, whose add/remove
+#: actions may live in SIDECAR parquet files under _delta_log/_sidecars/
+_CKPT_V2_RE = re.compile(
+    r"^(\d{20})\.checkpoint\.[0-9a-fA-F-]{36}\.(json|parquet)$")
 
 
 class Snapshot:
@@ -152,7 +158,7 @@ class DeltaTable:
             if m:
                 commits[int(m.group(1))] = key
                 continue
-            m = _CKPT_RE.match(name)
+            m = _CKPT_RE.match(name) or _CKPT_V2_RE.match(name)
             if m:
                 ckpts.setdefault(int(m.group(1)), []).append(key)
         for v in ckpts:
@@ -196,35 +202,56 @@ class DeltaTable:
     #: parquet bytes to O(batch), not O(files in the table)
     _CKPT_BATCH_ROWS = 1024
 
-    def _checkpoint_actions(self, keys: list[str]):
-        """Actions from checkpoint parquet part(s), streamed: only the
-        four action columns are read (a delta-spark checkpoint also
-        carries commitInfo/txn/domainMetadata columns this replay
-        never consults), record batches materialize
-        ``_CKPT_BATCH_ROWS`` rows at a time, and each part's bytes are
-        released before the next part is fetched — peak driver memory
-        is O(one part + one batch), not O(table history), which is
-        what keeps a genuinely large FOREIGN table's multi-GB
-        checkpoint from becoming the import's driver-memory ceiling.
-        (The surviving O(live files) term is the resolved `adds` dict
-        itself — the contract every Delta reader shares; drop the
-        per-add stats blobs via ``snapshot(need_stats=False)``.)"""
+    #: action columns the replay consults (a delta-spark checkpoint
+    #: also carries commitInfo/txn/domainMetadata columns it never
+    #: needs); sidecar/checkpointMetadata appear only in v2 manifests
+    _CKPT_KINDS = ("protocol", "metaData", "add", "remove",
+                   "sidecar", "checkpointMetadata")
+
+    def _parquet_actions(self, key: str, what: str = "checkpoint part"):
+        """Actions from ONE checkpoint/sidecar parquet file, streamed:
+        only the action columns are read, record batches materialize
+        ``_CKPT_BATCH_ROWS`` rows at a time, and the file's bytes are
+        released before the next fetch — peak driver memory is O(one
+        file + one batch), not O(table history), which is what keeps
+        a genuinely large FOREIGN table's multi-GB checkpoint from
+        becoming the import's driver-memory ceiling. (The surviving
+        O(live files) term is the resolved `adds` dict itself — the
+        contract every Delta reader shares; drop the per-add stats
+        blobs via ``snapshot(need_stats=False)``.)"""
         import pyarrow.parquet as pq
+        raw = self.store.get(key)
+        if raw is None:
+            raise FileNotFoundError(f"{what} vanished: {key}")
+        pf = pq.ParquetFile(io.BytesIO(raw))
+        kinds = [k for k in self._CKPT_KINDS
+                 if k in pf.schema_arrow.names]
+        for batch in pf.iter_batches(batch_size=self._CKPT_BATCH_ROWS,
+                                     columns=kinds):
+            for row in batch.to_pylist():
+                for kind in kinds:
+                    act = row.get(kind)
+                    if act is not None:
+                        yield {kind: _demapify(act)}
+
+    def _checkpoint_actions(self, keys: list[str]):
+        """Actions from a resolved checkpoint (classic single-part,
+        multi-part, or a v2 UUID-named manifest — json or parquet —
+        whose `sidecar` actions are expanded inline by fetching the
+        referenced `_delta_log/_sidecars/` parquet files)."""
         for key in keys:
-            raw = self.store.get(key)
-            if raw is None:
-                raise FileNotFoundError(f"checkpoint part vanished: {key}")
-            pf = pq.ParquetFile(io.BytesIO(raw))
-            kinds = [k for k in ("protocol", "metaData", "add", "remove")
-                     if k in pf.schema_arrow.names]
-            for batch in pf.iter_batches(batch_size=self._CKPT_BATCH_ROWS,
-                                         columns=kinds):
-                for row in batch.to_pylist():
-                    for kind in kinds:
-                        act = row.get(kind)
-                        if act is not None:
-                            yield {kind: _demapify(act)}
-            del pf, raw
+            name = os.path.basename(key)
+            acts = (self._json_actions(key) if name.endswith(".json")
+                    else self._parquet_actions(key))
+            for act in acts:
+                if "sidecar" not in act:
+                    yield act
+                    continue
+                sp = unquote(act["sidecar"]["path"])
+                skey = (sp if "://" in sp or os.path.isabs(sp)
+                        else self._log + "_sidecars/" + sp)
+                yield from self._parquet_actions(
+                    skey, what="checkpoint sidecar")
 
     def _json_actions(self, key: str):
         raw = self.store.get(key)
@@ -263,21 +290,34 @@ class DeltaTable:
         base = None
         base_parts: list[str] | None = None
         for cv in sorted((c for c in ckpts if c <= v), reverse=True):
-            # single-part and multi-part files at the SAME version are
-            # independent checkpoints (e.g. a complete single-part
-            # beside an aborted multi-part upload) — judge each form
-            # on its own, never lumped into one completeness test
-            single = [k for k in ckpts[cv]
-                      if _CKPT_RE.match(os.path.basename(k)).group(3)
-                      is None]
-            multi = [k for k in ckpts[cv] if k not in single]
+            # single-part, multi-part, and v2 (UUID-named) files at
+            # the SAME version are independent checkpoints (e.g. a
+            # complete single-part beside an aborted multi-part
+            # upload) — judge each form on its own, never lumped into
+            # one completeness test
+            single, multi, v2 = [], [], []
+            for k in ckpts[cv]:
+                m = _CKPT_RE.match(os.path.basename(k))
+                if m is None:
+                    v2.append(k)           # matched _CKPT_V2_RE
+                elif m.group(3) is None:
+                    single.append(k)
+                else:
+                    multi.append(k)
             if single:
                 base, base_parts = cv, single[:1]
                 break
-            n_parts = _CKPT_RE.match(os.path.basename(multi[0])).group(3)
-            if len(multi) == int(n_parts):
-                base, base_parts = cv, multi
+            if v2:
+                # each v2 manifest is complete on its own (sidecars
+                # vanish loudly at replay, like a vanished part)
+                base, base_parts = cv, v2[:1]
                 break
+            if multi:
+                n_parts = _CKPT_RE.match(
+                    os.path.basename(multi[0])).group(3)
+                if len(multi) == int(n_parts):
+                    base, base_parts = cv, multi
+                    break
             # incomplete multi-part upload: try an older checkpoint
 
         start = 0 if base is None else base + 1
@@ -342,6 +382,14 @@ class DeltaTable:
 
         if base is not None:
             for act in self._checkpoint_actions(base_parts):
+                cm = act.get("checkpointMetadata")
+                if cm is not None:     # v2 manifest self-description
+                    if int(cm.get("version", base)) != base:
+                        raise ValueError(
+                            f"v2 checkpoint at version {base} carries "
+                            f"checkpointMetadata.version "
+                            f"{cm.get('version')} — corrupt manifest")
+                    continue
                 apply(act)
         for cv in range(0 if base is None else base + 1, v + 1):
             for act in self._json_actions(commits[cv]):

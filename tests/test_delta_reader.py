@@ -359,9 +359,15 @@ def test_unsupported_protocol_rejected(spark, tmp_path):
 
     root = str(tmp_path / "f3")
     _write_foreign_table(root, reader_version=3,
-                         features=["v2Checkpoint"])
-    with pytest.raises(NotImplementedError, match="v2Checkpoint"):
+                         features=["typeWidening"])
+    with pytest.raises(NotImplementedError, match="typeWidening"):
         DeltaTable(spark, root).read()
+
+    # v2Checkpoint is SUPPORTED (UUID manifests + sidecars)
+    root = str(tmp_path / "f3b")
+    _write_foreign_table(root, reader_version=3,
+                         features=["v2Checkpoint"])
+    assert _rows(DeltaTable(spark, root).read()) == EXPECT_V1
 
     root = str(tmp_path / "f4")
     _write_foreign_table(root, reader_version=3,
@@ -1123,3 +1129,122 @@ def test_column_mapping_id_mode(spark, tmp_path):
     assert len(pruned.inputFiles()) == 1
     assert sorted((r["k"], r["word"], r["part"])
                   for r in pruned.collect()) == got
+
+
+# ----------------------------------------------- v2 checkpoints
+
+_V2_UUID = "0f1e2d3c-4b5a-6978-8796-a5b4c3d2e1f0"
+
+
+def _sidecar_schema():
+    kv = pa.map_(pa.string(), pa.string())
+    add_t = pa.struct([
+        ("path", pa.string()), ("partitionValues", kv),
+        ("size", pa.int64()), ("modificationTime", pa.int64()),
+        ("dataChange", pa.bool_())])
+    rm_t = pa.struct([("path", pa.string()),
+                      ("deletionTimestamp", pa.int64()),
+                      ("dataChange", pa.bool_())])
+    return pa.schema([("add", add_t), ("remove", rm_t)])
+
+
+def test_v2_checkpoint_parquet_manifest_with_sidecars(spark, tmp_path):
+    """A v2 (UUID-named) parquet manifest whose add actions live in
+    TWO _sidecars/ files bootstraps the snapshot after the JSON
+    history is pruned — the modern delta-spark checkpoint layout."""
+    root = str(tmp_path / "ft")
+    _write_foreign_table(root)
+    log = os.path.join(root, "_delta_log")
+    snap = DeltaTable(spark, root).snapshot(1)
+    adds = [dict(snap.adds[p]) for p in sorted(snap.adds)]
+    for a in adds:
+        a.setdefault("modificationTime", 0)
+    # two sidecars, one add each
+    side_dir = os.path.join(log, "_sidecars")
+    os.makedirs(side_dir)
+    keys = ("path", "partitionValues", "size", "modificationTime",
+            "dataChange")
+    side_names = []
+    for i, a in enumerate(adds):
+        rows = [{"add": {k: a.get(k) for k in keys}, "remove": None}]
+        name = f"sc-{i}.parquet"
+        pq.write_table(pa.Table.from_pylist(
+            rows, schema=_sidecar_schema()),
+            os.path.join(side_dir, name))
+        side_names.append(name)
+    # the manifest: protocol/metaData/checkpointMetadata + sidecar refs
+    kv = pa.map_(pa.string(), pa.string())
+    man_schema = pa.schema([
+        ("protocol", pa.struct([("minReaderVersion", pa.int32()),
+                                ("minWriterVersion", pa.int32()),
+                                ("readerFeatures",
+                                 pa.list_(pa.string())),
+                                ("writerFeatures",
+                                 pa.list_(pa.string()))])),
+        ("metaData", pa.struct([
+            ("id", pa.string()),
+            ("format", pa.struct([("provider", pa.string()),
+                                  ("options", kv)])),
+            ("schemaString", pa.string()),
+            ("partitionColumns", pa.list_(pa.string())),
+            ("configuration", kv), ("createdTime", pa.int64())])),
+        ("checkpointMetadata", pa.struct([("version", pa.int64())])),
+        ("sidecar", pa.struct([("path", pa.string()),
+                               ("sizeInBytes", pa.int64()),
+                               ("modificationTime", pa.int64())]))])
+    proto = {"minReaderVersion": 3, "minWriterVersion": 7,
+             "readerFeatures": ["v2Checkpoint"],
+             "writerFeatures": ["v2Checkpoint"]}
+    rows = [{"protocol": proto, "metaData": None,
+             "checkpointMetadata": None, "sidecar": None},
+            {"protocol": None, "metaData": snap.metadata,
+             "checkpointMetadata": None, "sidecar": None},
+            {"protocol": None, "metaData": None,
+             "checkpointMetadata": {"version": 1}, "sidecar": None}]
+    for nm in side_names:
+        rows.append({"protocol": None, "metaData": None,
+                     "checkpointMetadata": None,
+                     "sidecar": {"path": nm, "sizeInBytes": 1,
+                                 "modificationTime": 0}})
+    pq.write_table(
+        pa.Table.from_pylist(rows, schema=man_schema),
+        os.path.join(log, f"{1:020d}.checkpoint.{_V2_UUID}.parquet"))
+    for v in (0, 1):
+        os.remove(os.path.join(log, f"{v:020d}.json"))
+
+    dt = DeltaTable(spark, root)
+    assert dt.version() == 1
+    assert _rows(dt.read()) == EXPECT_V1
+    # a vanished sidecar is a LOUD failure, not a partial snapshot
+    os.remove(os.path.join(side_dir, side_names[0]))
+    with pytest.raises(FileNotFoundError, match="sidecar"):
+        DeltaTable(spark, root).read()
+
+
+def test_v2_checkpoint_json_manifest_inline(spark, tmp_path):
+    """A v2 JSON manifest with inline actions (no sidecars) resolves;
+    a checkpointMetadata version disagreeing with the file name is a
+    corrupt manifest, loudly."""
+    root = str(tmp_path / "ft")
+    _write_foreign_table(root)
+    log = os.path.join(root, "_delta_log")
+    snap = DeltaTable(spark, root).snapshot(1)
+    proto = {"minReaderVersion": 3, "minWriterVersion": 7,
+             "readerFeatures": ["v2Checkpoint"],
+             "writerFeatures": ["v2Checkpoint"]}
+    acts = [{"checkpointMetadata": {"version": 1}},
+            {"protocol": proto}, {"metaData": snap.metadata}]
+    acts += [{"add": snap.adds[p]} for p in sorted(snap.adds)]
+    man = os.path.join(log, f"{1:020d}.checkpoint.{_V2_UUID}.json")
+    with open(man, "w") as f:
+        f.write("\n".join(json.dumps(a) for a in acts) + "\n")
+    for v in (0, 1):
+        os.remove(os.path.join(log, f"{v:020d}.json"))
+    assert _rows(DeltaTable(spark, root).read()) == EXPECT_V1
+
+    # corrupt self-description
+    acts[0] = {"checkpointMetadata": {"version": 5}}
+    with open(man, "w") as f:
+        f.write("\n".join(json.dumps(a) for a in acts) + "\n")
+    with pytest.raises(ValueError, match="checkpointMetadata"):
+        DeltaTable(spark, root).read()
