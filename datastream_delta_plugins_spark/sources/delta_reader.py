@@ -995,9 +995,12 @@ def _demapify(obj):
 
 def read_delta(spark: SparkSession, path: str,
                version: int | None = None,
-               data_store: ObjectStoreClient | None = None) -> DataFrame:
-    """One-call form: the Delta table at `path` as a DataFrame."""
-    return DeltaTable(spark, path, data_store=data_store).read(version)
+               data_store: ObjectStoreClient | None = None,
+               skip: list | None = None) -> DataFrame:
+    """One-call form: the Delta table at `path` as a DataFrame
+    (``skip`` = the same pruning conjuncts as ``DeltaTable.read``)."""
+    return DeltaTable(spark, path, data_store=data_store) \
+        .read(version, skip=skip)
 
 
 def delta_changes(spark: SparkSession, path: str,
