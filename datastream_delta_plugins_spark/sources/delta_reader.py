@@ -82,6 +82,15 @@ from ..streaming.commitlog import ObjectStoreClient, PosixStore
 SUPPORTED_READER_FEATURES = {"timestampNtz", "columnMapping",
                              "deletionVectors", "v2Checkpoint"}
 
+class LogPrunedError(FileNotFoundError):
+    """The requested version is no longer resolvable from this log:
+    retention cleaned commits (or checkpoint coverage) past it. A
+    subclass of FileNotFoundError so callers that treat 'history
+    gone' generically keep working, while follower-style consumers
+    can distinguish prunes (recoverable via re-backfill) from
+    corrupt-log ValueErrors (not)."""
+
+
 _JSON_RE = re.compile(r"^(\d{20})\.json$")
 _CKPT_RE = re.compile(
     r"^(\d{20})\.checkpoint(?:\.(\d{10})\.(\d{10}))?\.parquet$")
@@ -202,6 +211,11 @@ class DeltaTable:
     #: parquet bytes to O(batch), not O(files in the table)
     _CKPT_BATCH_ROWS = 1024
 
+    #: decoded deletion-vector positions above which the anti-join is
+    #: left unhinted instead of broadcast (~16 bytes/row -> ~160 MB
+    #: broadcast at the cap, comfortably under Spark's 8 GB limit)
+    _DV_BROADCAST_MAX_ROWS = 10_000_000
+
     #: action columns the replay consults (a delta-spark checkpoint
     #: also carries commitInfo/txn/domainMetadata columns it never
     #: needs); sidecar/checkpointMetadata appear only in v2 manifests
@@ -283,6 +297,13 @@ class DeltaTable:
         if v > latest or (v not in commits and v not in ckpts):
             if not strict:
                 return None
+            if 0 <= v < latest:
+                # the version EXISTED (the log is past it) but its
+                # files are gone — retention pruned it
+                raise LogPrunedError(
+                    f"version {v} is no longer in the log at "
+                    f"{self._log} (latest is {latest}) — retention "
+                    f"pruned it")
             raise ValueError(
                 f"version {v} not in the log at {self._log} "
                 f"(latest is {latest})")
@@ -326,10 +347,10 @@ class DeltaTable:
                 if not strict:
                     return None
                 if base is None and cv == 0:
-                    raise FileNotFoundError(
+                    raise LogPrunedError(
                         f"commit 0 missing and no checkpoint covers it "
                         f"at {self._log}")
-                raise FileNotFoundError(
+                raise LogPrunedError(
                     f"commit {cv} missing from {self._log} — log was "
                     f"pruned past the newest usable checkpoint")
         return v, base, base_parts
@@ -464,30 +485,12 @@ class DeltaTable:
         snap = self.snapshot(version, need_stats=bool(skip))
         if not skip:
             return self._read_snapshot(snap)
-        for _c, op, _v in skip:  # validate ONCE, before any pruning
-            if op not in _SKIP_OPS:
-                raise ValueError(f"skip op must be one of "
-                                 f"{sorted(_SKIP_OPS)}, got {op!r}")
-        phys_schema = (_physical_schema(snap.schema)
-                       if snap.column_mapping_mode != "none"
-                       else snap.schema)
-        phys_of = {lf.name: pf.name
-                   for lf, pf in zip(snap.schema.fields,
-                                     phys_schema.fields)}
-        pcols = set(snap.partition_columns)
-        part_conj = [t for t in skip if t[0] in pcols]
-        by_type = {f.name: f.dataType for f in snap.schema.fields}
-        kept = {p: a for p, a in snap.adds.items()
-                if _pv_survive(a, part_conj, phys_of, by_type)
-                and _stats_survive(a, skip, phys_of)}
+        _validate_skip(skip)
+        keep = _skip_keep_fn(snap, skip)
+        kept = {p: a for p, a in snap.adds.items() if keep(a)}
         pruned = Snapshot(snap.version, kept, snap.metadata,
                           snap.protocol)
-        df = self._read_snapshot(pruned)
-        cond = None
-        for col, op, val in skip:
-            c = _SKIP_OPS[op](F.col(col), F.lit(val))
-            cond = c if cond is None else cond & c
-        return df.where(cond)
+        return self._read_snapshot(pruned).where(_skip_condition(skip))
 
     def _read_snapshot(self, snap: Snapshot) -> DataFrame:
         schema = snap.schema
@@ -631,13 +634,22 @@ class DeltaTable:
         dv_df = (self.spark.createDataFrame(
                     dv_rows, "__file string, __dv binary, __card long")
                  .mapInPandas(decode, "__file string, __dv_idx long"))
-        # broadcast: the DV side is tiny by protocol contract (the
-        # log's sizeInBytes bounds every payload), but it reaches
-        # Catalyst as a mapInPandas output with NO size estimate — an
-        # unhinted plan is free to sort-merge, shuffling the ENTIRE
-        # scan by (__file, __dv_idx) to drop a handful of rows
-        kept = df.join(F.broadcast(dv_df), ["__file", "__dv_idx"],
-                       "left_anti")
+        # broadcast DECISION rides the log's own cardinality fields,
+        # not sizeInBytes: run containers decode a few bytes into up
+        # to 65k positions each, so the DECODED row count — what a
+        # broadcast actually materializes — is bounded only by
+        # cardinality. Under the cap, hint the broadcast (as a
+        # mapInPandas output the DV side has NO Catalyst size
+        # estimate, and an unhinted static plan is free to sort-merge
+        # — shuffling the ENTIRE scan by (__file, __dv_idx) to drop a
+        # few rows). Over it — or with any cardinality unrecorded —
+        # leave the plan unhinted: a mass-delete's DV set belongs in
+        # a shuffle join, not on the driver.
+        cards = [c for _f, _b, c in dv_rows]
+        bounded = all(c >= 0 for c in cards) \
+            and sum(cards) <= self._DV_BROADCAST_MAX_ROWS
+        kept = df.join(F.broadcast(dv_df) if bounded else dv_df,
+                       ["__file", "__dv_idx"], "left_anti")
         return kept.drop("__dv_idx")
 
 
@@ -648,6 +660,48 @@ _SKIP_OPS = {
     ">": lambda c, v: c > v,
     ">=": lambda c, v: c >= v,
 }
+
+
+def _validate_skip(skip: list) -> None:
+    for _c, op, _v in skip:   # validate ONCE, before any pruning
+        if op not in _SKIP_OPS:
+            raise ValueError(f"skip op must be one of "
+                             f"{sorted(_SKIP_OPS)}, got {op!r}")
+
+
+def _skip_condition(skip: list) -> F.Column:
+    """The residual ROW filter for skip conjuncts — always applied on
+    top of file pruning, so results equal `read().where(...)`."""
+    cond = None
+    for col, op, val in skip:
+        c = _SKIP_OPS[op](F.col(col), F.lit(val))
+        cond = c if cond is None else cond & c
+    return cond
+
+
+def _skip_keep_fn(snap: Snapshot, skip: list):
+    """add -> bool: may this file hold a row satisfying EVERY skip
+    conjunct? Partition-column conjuncts compare `partitionValues`
+    exactly, the rest consult stats conservatively; keys are PHYSICAL
+    names under either column mapping mode. The single source of
+    pruning truth for read() and the change-feed narrowing — the two
+    must never diverge (a feed pruning differently from the reads it
+    claims to diff would fabricate or swallow changes)."""
+    phys_schema = (_physical_schema(snap.schema)
+                   if snap.column_mapping_mode != "none"
+                   else snap.schema)
+    phys_of = {lf.name: pf.name
+               for lf, pf in zip(snap.schema.fields,
+                                 phys_schema.fields)}
+    pset = set(snap.partition_columns)
+    part_conj = [t for t in skip if t[0] in pset]
+    by_type = {f.name: f.dataType for f in snap.schema.fields}
+
+    def keep(add: dict) -> bool:
+        return (_pv_survive(add, part_conj, phys_of, by_type)
+                and _stats_survive(add, skip, phys_of))
+
+    return keep
 
 
 def _pv_cast(s: str, dt):
@@ -718,11 +772,26 @@ def _pv_survive(add: dict, conj: list, phys_of: dict,
 
 
 def _pv_comparable(left, right) -> bool:
+    """May a PYTHON comparison of these two operands stand in for the
+    residual filter's SPARK comparison? Only same-exactness-class
+    pairs qualify: int/int and Decimal/Decimal compare exactly on
+    both sides, float/float is IEEE on both sides (NaN excluded —
+    Spark's NaN = NaN is true, Python's is False), and everything
+    else must be the same concrete type. Mixed classes are rejected
+    because the engines promote differently — Python's
+    Decimal('1.1') == 1.1 is False where Spark matches after double
+    promotion, and Python compares int/float exactly where Spark's
+    double cast rounds past 2**53 — and a divergent False would
+    PRUNE a file whose rows Spark's filter keeps."""
     from decimal import Decimal
     if isinstance(left, bool) or isinstance(right, bool):
         return isinstance(left, bool) and isinstance(right, bool)
-    if isinstance(left, (int, float, Decimal)):
-        return isinstance(right, (int, float, Decimal))
+    for cls in (int, Decimal):
+        if isinstance(left, cls) or isinstance(right, cls):
+            return isinstance(left, cls) and isinstance(right, cls)
+    if isinstance(left, float) or isinstance(right, float):
+        return (isinstance(left, float) and isinstance(right, float)
+                and left == left and right == right)   # no NaNs
     return type(left) is type(right)
 
 
@@ -1067,14 +1136,10 @@ def _narrowed_states(spark, path: str, v_from: int, v_to: int,
     set (partition values + stats, same rules as read) and
     re-filters the rows, yielding filtered-table states."""
     dt = DeltaTable(spark, path, data_store=data_store)
-    need = bool(skip)
     if skip:
-        for _c, op, _v in skip:
-            if op not in _SKIP_OPS:
-                raise ValueError(f"skip op must be one of "
-                                 f"{sorted(_SKIP_OPS)}, got {op!r}")
-    a = dt.snapshot(v_from, need_stats=need)
-    b = dt.snapshot(v_to, need_stats=need)
+        _validate_skip(skip)
+    a = dt.snapshot(v_from, need_stats=bool(skip))
+    b = dt.snapshot(v_to, need_stats=bool(skip))
 
     def ident(snap: Snapshot) -> dict:
         # file identity includes the deletion vector: a DELETE via DV
@@ -1096,17 +1161,8 @@ def _narrowed_states(spark, path: str, v_from: int, v_to: int,
     def pruned(snap: Snapshot, paths: list[str]) -> list[str]:
         if not skip:
             return paths
-        mapped = snap.column_mapping_mode == "name"
-        ps = _physical_schema(snap.schema) if mapped else snap.schema
-        phys_of = {lf.name: pf.name
-                   for lf, pf in zip(snap.schema.fields, ps.fields)}
-        pset = set(snap.partition_columns)
-        part_conj = [t for t in skip if t[0] in pset]
-        by_type = {f.name: f.dataType for f in snap.schema.fields}
-        return [p for p in paths
-                if _pv_survive(snap.adds[p], part_conj, phys_of,
-                               by_type)
-                and _stats_survive(snap.adds[p], skip, phys_of)]
+        keep = _skip_keep_fn(snap, skip)   # SAME rules as read(skip)
+        return [p for p in paths if keep(snap.adds[p])]
 
     def narrowed(snap: Snapshot, paths: list[str]) -> DataFrame | None:
         if not paths:
@@ -1116,11 +1172,7 @@ def _narrowed_states(spark, path: str, v_from: int, v_to: int,
                        snap.metadata, snap.protocol)
         df = dt._read_snapshot(sub)
         if skip:  # residual row filter: exact filtered-table state
-            cond = None
-            for col, op, val in skip:
-                c = _SKIP_OPS[op](F.col(col), F.lit(val))
-                cond = c if cond is None else cond & c
-            df = df.where(cond)
+            df = df.where(_skip_condition(skip))
         return df
 
     prev = narrowed(a, pruned(a, prev_only))

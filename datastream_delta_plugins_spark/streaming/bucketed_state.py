@@ -247,21 +247,25 @@ class BucketedStateTable:
         checkpointed live set. The reader's listing uses a trailing
         '/' so startswith-semantics stores (GCS/S3/in-mem) never leak
         sibling keys like `_delta_log_backup/...` into the replay."""
-        from ..sources.delta_reader import DeltaTable
+        from ..sources.delta_reader import DeltaTable, LogPrunedError
         dt = DeltaTable(self.spark, self.path,
                         data_store=self.data_store)
         try:
-            dt.version()
-        except FileNotFoundError:
-            # the ONLY benign case: the log listing is empty — no
-            # export has ever run. A present-but-unresolvable log
-            # (vanished commit, pruned tail, incomplete checkpoint)
-            # must RAISE from snapshot() below: swallowing it would
-            # let export_delta restart the log at version 0 inside an
-            # existing one and let vacuum() drop the delta_live
-            # protection — both silent breaks for third-party readers.
-            return {}, None, 0
-        snap = dt.snapshot(need_stats=False)
+            snap = dt.snapshot(need_stats=False)
+        except LogPrunedError:
+            raise   # broken history is NOT "no log" — see below
+        except FileNotFoundError as e:
+            # the ONLY benign case: the log listing is empty ("no
+            # Delta log at ...") — no export has ever run. A
+            # present-but-unresolvable log (vanished commit, pruned
+            # tail, incomplete checkpoint) must RAISE: swallowing it
+            # would let export_delta restart the log at version 0
+            # inside an existing one and let vacuum() drop the
+            # delta_live protection — both silent breaks for
+            # third-party readers.
+            if "no Delta log at" in str(e):
+                return {}, None, 0
+            raise
         return dict(snap.adds), snap.metadata["id"], snap.version + 1
 
     def export_delta(self, checkpoint_every: int | None = None,

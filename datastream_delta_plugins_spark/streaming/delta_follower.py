@@ -67,7 +67,8 @@ class DeltaFollower:
     def __init__(self, spark, source_path: str,
                  state: BucketedStateTable,
                  source_store=None, ignore_cols=None,
-                 dml_blacklist=(), skip=None):
+                 dml_blacklist=(), skip=None,
+                 catalog_table: str | None = None):
         self.spark = spark
         self.source_path = source_path
         self.state = state
@@ -75,6 +76,10 @@ class DeltaFollower:
         self.ignore_cols = ignore_cols
         self.dml_blacklist = tuple(o.upper() for o in dml_blacklist)
         self.skip = list(skip) if skip else None
+        #: when set, every applied merge also syncs the bucketed
+        #: catalog form (CREATE once + per-touched-bucket partition
+        #: locations — O(touched), same cost shape as the merge)
+        self.catalog_table = catalog_table
         self._offset_key = os.path.join(
             state.path, "delta_follower", "offset.json")
 
@@ -122,7 +127,8 @@ class DeltaFollower:
         """Apply everything committed to the source since the last
         poll. Returns {"from", "to", "merged"}: the window bounds
         (from is None on first contact) and whether a merge ran."""
-        from ..sources.delta_reader import DeltaTable, delta_as_changes
+        from ..sources.delta_reader import (DeltaTable, LogPrunedError,
+                                            delta_as_changes)
 
         latest = DeltaTable(self.spark, self.source_path,
                             data_store=self.source_store).version()
@@ -141,22 +147,31 @@ class DeltaFollower:
                                      data_store=self.source_store,
                                      ignore_cols=self.ignore_cols,
                                      skip=self.skip)
-        except (FileNotFoundError, ValueError) as e:
+        except LogPrunedError as e:
+            # ONLY the typed prune signal converts: retention cleaned
+            # the source log past v{cur}, which resync() genuinely
+            # repairs. Corrupt-log errors (bad checkpointMetadata,
+            # missing metaData, vanished parts) propagate raw — a
+            # resync would just re-read the same broken log, so
+            # pointing the operator at it would be a misdiagnosis.
             if cur is None:
                 raise
-            # the applied offset's snapshot no longer resolves —
-            # retention pruned the source log past v{cur} without a
-            # covering checkpoint. Loud by default; the explicit
-            # recovery is resync().
             raise SourceLogPrunedError(
                 f"source {self.source_path} no longer resolves "
                 f"v{cur} (the applied offset): {e} — the source's "
                 f"log retention outran this follower; call resync() "
                 f"to re-backfill the current snapshot and reconcile "
                 f"tombstones") from e
-        self.state.merge(self._blacklisted(batch))
+        self._merge(batch)
         self._record(latest)   # offset AFTER the merge landed
         return {"from": cur, "to": latest, "merged": True}
+
+    def _merge(self, batch) -> None:
+        res = self.state.merge(self._blacklisted(batch))
+        if self.catalog_table:
+            self.state.sync_catalog(
+                self.catalog_table,
+                touched_buckets=res.get("touched_buckets"))
 
     def _blacklisted(self, batch):
         if not self.dml_blacklist:
@@ -181,33 +196,43 @@ class DeltaFollower:
 
         latest = DeltaTable(self.spark, self.source_path,
                             data_store=self.source_store).version()
-        batch = delta_as_changes(self.spark, self.source_path, None,
-                                 latest, self.state.pk_cols,
-                                 data_store=self.source_store,
-                                 ignore_cols=self.ignore_cols,
-                                 skip=self.skip)
-        pk = self.state.pk_cols
-        state_df = self.state.read()
-        if state_df is not None:
-            live = state_df
-            if "_is_deleted" in live.columns:
-                live = live.where(~F.col("_is_deleted"))
-            gone = live.select(*pk).join(batch.select(*pk), pk,
-                                         "left_anti")
-            # DELETE rows in the batch's exact shape: pk + NULL payload
-            # + the same version-encoded sort keys as the INSERT half
-            fill = {"_op": F.lit("DELETE"),
-                    "_sk1": F.lit(latest).cast("bigint"),
-                    "_sk2": F.lit(0).cast("bigint"),
-                    "_sk3": F.lit("na"),
-                    "_sk4": F.lit(0).cast("bigint")}
-            tomb = gone.select(*[
-                F.col(f.name) if f.name in pk
-                else fill[f.name].alias(f.name) if f.name in fill
-                else F.lit(None).cast(f.dataType).alias(f.name)
-                for f in batch.schema.fields])
-            batch = batch.unionByName(tomb)
-        self.state.merge(self._blacklisted(batch))
-        self._record(latest)
+        snap_batch = delta_as_changes(self.spark, self.source_path,
+                                      None, latest,
+                                      self.state.pk_cols,
+                                      data_store=self.source_store,
+                                      ignore_cols=self.ignore_cols,
+                                      skip=self.skip)
+        # persisted: the tombstone anti-join AND the merge both
+        # consume the full-snapshot batch — uncached, the entire
+        # source would be scanned twice
+        snap_batch.persist()
+        try:
+            batch = snap_batch
+            pk = self.state.pk_cols
+            state_df = self.state.read()
+            if state_df is not None:
+                live = state_df
+                if "_is_deleted" in live.columns:
+                    live = live.where(~F.col("_is_deleted"))
+                gone = live.select(*pk).join(snap_batch.select(*pk),
+                                             pk, "left_anti")
+                # DELETE rows in the batch's exact shape: pk + NULL
+                # payload + the same version-encoded sort keys as the
+                # INSERT half
+                fill = {"_op": F.lit("DELETE"),
+                        "_sk1": F.lit(latest).cast("bigint"),
+                        "_sk2": F.lit(0).cast("bigint"),
+                        "_sk3": F.lit("na"),
+                        "_sk4": F.lit(0).cast("bigint")}
+                tomb = gone.select(*[
+                    F.col(f.name) if f.name in pk
+                    else fill[f.name].alias(f.name) if f.name in fill
+                    else F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in batch.schema.fields])
+                batch = snap_batch.unionByName(tomb)
+            self._merge(batch)
+            self._record(latest)
+        finally:
+            snap_batch.unpersist()
         return {"from": None, "to": latest, "merged": True,
                 "resync": True}

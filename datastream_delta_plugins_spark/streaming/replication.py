@@ -118,6 +118,10 @@ class ReplicationJob:
         # CdcPipeline) — catalog registration applies to the versioned
         # backend, including auto mode (which re-registers the
         # partitioned form at migration time)
+        # delta followers register the BUCKETED catalog form
+        # (sync_catalog's partitioned external table) — independent of
+        # the versioned-backend gate below
+        follower_catalog = register_catalog
         register_catalog = register_catalog and \
             state_backend in ("versioned", "auto")
         # avro tables: decode-once landing between the blob dir and the
@@ -162,7 +166,9 @@ class ReplicationJob:
                 # filtered replication: follow only the rows matching
                 # the (col, op, val) conjuncts — a partition-scoped
                 # subscription of a large foreign table
-                skip=t.extra.get("delta_skip"))
+                skip=t.extra.get("delta_skip"),
+                catalog_table=(f"{database}.{t.name}"
+                               if follower_catalog else None))
         self.pipelines = {
             t.name: CdcPipeline(
                 spark, t.name,
@@ -263,8 +269,15 @@ class ReplicationJob:
             fol = self.followers.get(name)
             if fol is not None:
                 # delta-sourced table: one offset-tracked poll IS the
-                # cycle (backfill on first contact, windowed after)
-                fol.poll()
+                # cycle (backfill on first contact, windowed after).
+                # A source whose _delta_log does not exist yet is a
+                # not-yet-started backfill, not a cycle-killing error
+                # — the same tolerance the parquet path gives a
+                # missing source dir below
+                try:
+                    fol.poll()
+                except FileNotFoundError:
+                    pass
                 continue
             pipe = self.pipelines[name]
             conv = self.converters.get(name)
@@ -382,12 +395,18 @@ class ReplicationJob:
                 f"maintenance_every must be >= 1 or None, got "
                 f"{maintenance_every!r}")
         self._ensure_database()
+        self.converter_errors = {}
         queries = []
         for name, fol in self.followers.items():
             # delta-sourced tables have no streaming query; apply the
             # current backlog now (the converters' convert_new()
-            # analog) and let the scan-interval loop keep polling
-            fol.poll()
+            # analog) and let the scan-interval loop keep polling. A
+            # source not yet created is recorded and retried on the
+            # cadence, never a startup abort.
+            try:
+                fol.poll()
+            except FileNotFoundError as e:
+                self.converter_errors[name] = e
         for name, cfg in self.tables.items():
             if name in self.followers:
                 continue
@@ -407,7 +426,6 @@ class ReplicationJob:
                 # the rows arrive via the compacted dir, idempotently
                 ignore_missing_files=conv is not None))
         self._queries = queries
-        self.converter_errors: dict[str, Exception] = {}
         if self.converters or self.followers:
             import threading
             self._conv_stop = threading.Event()

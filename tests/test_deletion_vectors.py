@@ -253,3 +253,21 @@ def test_dv_anti_join_is_broadcast(spark, tmp_path):
         .executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_dv_broadcast_falls_back_over_cardinality_cap(spark, tmp_path):
+    """The broadcast hint is bounded by the log's DECODED cardinality,
+    not sizeInBytes (run containers decode a few bytes into tens of
+    thousands of positions): over the cap the anti-join stays
+    unhinted — a mass-delete's DV set belongs in a shuffle join, not
+    on the driver — with identical results."""
+    root = str(tmp_path / "dv")
+    _write_dv_table(root, inline=True)
+    dt = DeltaTable(spark, root)
+    expect = sorted(r["k"] for r in dt.read().collect())
+    dt2 = DeltaTable(spark, root)
+    dt2._DV_BROADCAST_MAX_ROWS = 1          # force the fallback
+    df = dt2.read()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan
+    assert sorted(r["k"] for r in df.collect()) == expect

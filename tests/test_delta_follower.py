@@ -330,3 +330,86 @@ def test_follower_filtered_subscription(spark, tmp_path):
     r = f_all.resync()
     assert r["resync"] and _live(t) == _src(spark, root)
     assert f_all.poll()["merged"] is False
+
+
+def test_poll_corrupt_source_not_misdiagnosed_as_pruned(
+        spark, tmp_path):
+    """Only the typed prune signal converts to SourceLogPrunedError —
+    a corrupt source log (here: commit 0 emptied) propagates its own
+    error, because resync() cannot repair corruption and the
+    diagnostic must not send the operator there."""
+    from datastream_delta_plugins_spark.streaming.delta_follower import \
+        SourceLogPrunedError
+
+    root = str(tmp_path / "src")
+    w = ForeignWriter(root)
+    w.commit({"a.parquet": [(1, "one")]})
+    t = BucketedStateTable(spark, str(tmp_path / "st"), ["k"],
+                           n_buckets=2)
+    f = DeltaFollower(spark, root, t)
+    f.poll()
+    w.commit({"a.parquet": [(1, "one")], "b.parquet": [(2, "two")]})
+    with open(os.path.join(root, "_delta_log",
+                           f"{0:020d}.json"), "w") as fh:
+        fh.write("")                         # corrupt, not pruned
+    with pytest.raises(ValueError, match="metaData") as ei:
+        f.poll()
+    assert not isinstance(ei.value, SourceLogPrunedError)
+
+
+def test_replication_job_delta_missing_source_tolerated(
+        spark, tmp_path):
+    """A delta table whose source log does not exist yet is a
+    not-yet-started backfill: run_batch completes the cycle (other
+    tables unaffected, barrier stays up), and the table converges
+    once the producer appears — the parquet path's missing-dir
+    tolerance, honored for delta."""
+    from datastream_delta_plugins_spark.streaming.replication import (
+        ReplicationJob, TableConfig)
+
+    root = str(tmp_path / "src")             # NOT created yet
+    job = ReplicationJob(
+        spark, str(tmp_path / "work"),
+        [TableConfig(name="ft", source_dir=root, pk_cols=["k"],
+                     source_format="delta")],
+        register_catalog=False, validate=False)
+    job.run_batch()                          # no crash
+    assert not job.all_dumps_done()
+    w = ForeignWriter(root)
+    w.commit({"a.parquet": [(1, "one")]})
+    job.run_batch()
+    assert _live(job.followers["ft"].state) == [(1, "one")]
+    assert job.all_dumps_done()
+
+
+def test_replication_job_delta_catalog_registration(spark, tmp_path):
+    """register_catalog=True registers the follower's BUCKETED form:
+    {database}.{name} is queryable after each applied merge, like
+    every other source_format."""
+    from datastream_delta_plugins_spark.streaming.replication import (
+        ReplicationJob, TableConfig)
+
+    root = str(tmp_path / "src")
+    w = ForeignWriter(root)
+    w.commit({"a.parquet": [(1, "one"), (2, "two")]})
+    db = "replica_dft"
+    job = ReplicationJob(
+        spark, str(tmp_path / "work"),
+        [TableConfig(name="ft", source_dir=root, pk_cols=["k"],
+                     source_format="delta")],
+        database=db)
+    try:
+        job.run_batch()
+        got = sorted((r["k"], r["word"]) for r in
+                     spark.sql(f"SELECT k, word FROM {db}.ft "
+                               f"WHERE NOT _is_deleted").collect())
+        assert got == [(1, "one"), (2, "two")]
+        w.commit({"a.parquet": [(1, "one"), (2, "two")],
+                  "b.parquet": [(3, "three")]})
+        job.run_batch()
+        got = sorted((r["k"], r["word"]) for r in
+                     spark.sql(f"SELECT k, word FROM {db}.ft "
+                               f"WHERE NOT _is_deleted").collect())
+        assert got == [(1, "one"), (2, "two"), (3, "three")]
+    finally:
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")

@@ -1248,3 +1248,59 @@ def test_v2_checkpoint_json_manifest_inline(spark, tmp_path):
         f.write("\n".join(json.dumps(a) for a in acts) + "\n")
     with pytest.raises(ValueError, match="checkpointMetadata"):
         DeltaTable(spark, root).read()
+
+
+def test_pv_comparable_exactness_classes():
+    """Python comparisons stand in for Spark's ONLY within one
+    exactness class: Decimal-vs-float and int-vs-float promote
+    differently across the engines (Decimal('1.1') == 1.1 is False in
+    Python, true in Spark after double promotion), and Python's
+    nan == nan is False where Spark's NaN = NaN is true — any of
+    those diverging toward False would prune files Spark's residual
+    filter keeps."""
+    from decimal import Decimal
+
+    from pyspark.sql.types import DecimalType, DoubleType
+
+    from datastream_delta_plugins_spark.sources.delta_reader import (
+        _pv_comparable, _pv_survive)
+    assert not _pv_comparable(Decimal("1.1"), 1.1)
+    assert not _pv_comparable(1, 1.0)
+    assert not _pv_comparable(float("nan"), float("nan"))
+    assert not _pv_comparable(True, 1)
+    assert _pv_comparable(1.5, 2.5) and _pv_comparable(3, 4)
+    assert _pv_comparable(Decimal("1.1"), Decimal("1.2"))
+    # end-to-end: a decimal partition with a float literal KEEPS
+    add = {"partitionValues": {"d": "1.1"}}
+    assert _pv_survive(add, [("d", "=", 1.1)], {},
+                       {"d": DecimalType(2, 1)})
+    # ...while the same-class compare still prunes
+    assert not _pv_survive(add, [("d", "=", Decimal("1.2"))], {},
+                           {"d": DecimalType(2, 1)})
+    # NaN partition value: never pruned on float conjuncts
+    assert _pv_survive({"partitionValues": {"x": "NaN"}},
+                       [("x", "=", float("nan"))], {},
+                       {"x": DoubleType()})
+
+
+def test_skip_keep_fn_uses_physical_keys_in_id_mode():
+    """The ONE pruning helper serves read() AND the change-feed
+    narrowing — under column mapping 'id' it must still key
+    partitionValues by PHYSICAL name (the round-11 review caught the
+    narrowing copy missing this)."""
+    from datastream_delta_plugins_spark.sources.delta_reader import (
+        Snapshot, _skip_keep_fn)
+    pn = "delta.columnMapping.physicalName"
+    cid = "delta.columnMapping.id"
+    schema = {"type": "struct", "fields": [
+        {"name": "k", "type": "long", "nullable": True,
+         "metadata": {cid: 1, pn: "col-k"}},
+        {"name": "part", "type": "integer", "nullable": True,
+         "metadata": {cid: 2, pn: "col-p"}}]}
+    meta = {"schemaString": json.dumps(schema),
+            "partitionColumns": ["part"],
+            "configuration": {"delta.columnMapping.mode": "id"}}
+    snap = Snapshot(0, {}, meta, {"minReaderVersion": 2})
+    keep = _skip_keep_fn(snap, [("part", "=", 1)])
+    assert keep({"partitionValues": {"col-p": "1"}})
+    assert not keep({"partitionValues": {"col-p": "2"}})
