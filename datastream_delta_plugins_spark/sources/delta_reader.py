@@ -82,6 +82,15 @@ from ..streaming.commitlog import ObjectStoreClient, PosixStore
 SUPPORTED_READER_FEATURES = {"timestampNtz", "columnMapping",
                              "deletionVectors", "v2Checkpoint"}
 
+
+class NoDeltaLogError(FileNotFoundError):
+    """`_delta_log/` is empty or absent: not a Delta table (yet).
+    Typed so callers can treat exactly this case as benign — a
+    not-yet-started producer, a first export — without a message
+    match, and without accidentally also swallowing the broken-log
+    FileNotFoundErrors below."""
+
+
 class LogPrunedError(FileNotFoundError):
     """The requested version is no longer resolvable from this log:
     retention cleaned commits (or checkpoint coverage) past it. A
@@ -188,7 +197,7 @@ class DeltaTable:
                 return max(list(commits) + list(ckpts))
         commits, ckpts = self._list_log()
         if not commits and not ckpts:
-            raise FileNotFoundError(
+            raise NoDeltaLogError(
                 f"no Delta log at {self._log} (not a Delta table?)")
         return max(list(commits) + list(ckpts))
 
@@ -212,9 +221,12 @@ class DeltaTable:
     _CKPT_BATCH_ROWS = 1024
 
     #: decoded deletion-vector positions above which the anti-join is
-    #: left unhinted instead of broadcast (~16 bytes/row -> ~160 MB
-    #: broadcast at the cap, comfortably under Spark's 8 GB limit)
-    _DV_BROADCAST_MAX_ROWS = 10_000_000
+    #: left unhinted instead of broadcast. Each broadcast row carries
+    #: the FULL file-key string plus the 8-byte index (object-store
+    #: keys run 100-200 chars), so the cap budgets ~200 bytes/row:
+    #: ~200 MB of broadcast at the cap — safe for default driver and
+    #: executor heaps, not just under Spark's 8 GB hard limit.
+    _DV_BROADCAST_MAX_ROWS = 1_000_000
 
     #: action columns the replay consults (a delta-spark checkpoint
     #: also carries commitInfo/txn/domainMetadata columns it never
@@ -290,7 +302,7 @@ class DeltaTable:
         if not commits and not ckpts:
             if not strict:
                 return None
-            raise FileNotFoundError(
+            raise NoDeltaLogError(
                 f"no Delta log at {self._log} (not a Delta table?)")
         latest = max(list(commits) + list(ckpts))
         v = latest if version is None else int(version)
@@ -816,6 +828,12 @@ def _stats_survive(add: dict, skip: list, phys_of: dict) -> bool:
         key = phys_of.get(col, col)
         lo, hi = lo_all.get(key), hi_all.get(key)
         if lo is None or hi is None:
+            continue
+        # same exactness-class rule as partition values: stats come
+        # back from JSON as int/float, and a cross-class Python
+        # compare (Decimal val vs float stat, big int vs float) can
+        # prove "empty" where Spark's promoted compare keeps rows
+        if not (_pv_comparable(lo, val) and _pv_comparable(hi, val)):
             continue
         try:
             if ((op in ("=", ">=") and hi < val)

@@ -247,25 +247,20 @@ class BucketedStateTable:
         checkpointed live set. The reader's listing uses a trailing
         '/' so startswith-semantics stores (GCS/S3/in-mem) never leak
         sibling keys like `_delta_log_backup/...` into the replay."""
-        from ..sources.delta_reader import DeltaTable, LogPrunedError
+        from ..sources.delta_reader import DeltaTable, NoDeltaLogError
         dt = DeltaTable(self.spark, self.path,
                         data_store=self.data_store)
         try:
             snap = dt.snapshot(need_stats=False)
-        except LogPrunedError:
-            raise   # broken history is NOT "no log" — see below
-        except FileNotFoundError as e:
-            # the ONLY benign case: the log listing is empty ("no
-            # Delta log at ...") — no export has ever run. A
-            # present-but-unresolvable log (vanished commit, pruned
-            # tail, incomplete checkpoint) must RAISE: swallowing it
-            # would let export_delta restart the log at version 0
-            # inside an existing one and let vacuum() drop the
-            # delta_live protection — both silent breaks for
-            # third-party readers.
-            if "no Delta log at" in str(e):
-                return {}, None, 0
-            raise
+        except NoDeltaLogError:
+            # the ONLY benign case: the log listing is empty — no
+            # export has ever run. A present-but-unresolvable log
+            # (vanished commit, pruned tail, incomplete checkpoint)
+            # raises right through: swallowing it would let
+            # export_delta restart the log at version 0 inside an
+            # existing one and let vacuum() drop the delta_live
+            # protection — both silent breaks for third-party readers.
+            return {}, None, 0
         return dict(snap.adds), snap.metadata["id"], snap.version + 1
 
     def export_delta(self, checkpoint_every: int | None = None,
@@ -628,8 +623,10 @@ class BucketedStateTable:
         def sq(s: str) -> str:  # SQL string-literal escape
             return s.replace("'", "''")
 
-        state = self.read()  # schema source (mergeSchema across buckets)
         if not spark.catalog.tableExists(catalog_table):
+            # CREATE needs the FULL schema (mergeSchema across every
+            # bucket) — paid once
+            state = self.read()
             cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
                              for f in state.schema.fields)
             props = ", ".join(f"'{sq(k)}' = '{sq(v)}'"
@@ -642,6 +639,18 @@ class BucketedStateTable:
                 f"LOCATION '{sq(os.path.join(self.path, 'table_root'))}'")
             touched_buckets = None  # register every bucket once
         else:
+            # drift check sources its schema from the TOUCHED bucket
+            # dirs only: a merge's new columns land in the dirs it
+            # just wrote, and mergeSchema reads every footer under the
+            # dirs it is given — handing it the whole table would make
+            # each incremental sync O(all state files), not O(touched)
+            dirs = (sorted(manifest[str(b)] for b in touched_buckets
+                           if str(b) in manifest)
+                    if touched_buckets is not None
+                    else sorted(manifest.values()))
+            state = self._read_dirs(dirs)
+            if state is None:
+                return
             have = set(spark.table(catalog_table).columns)
             missing = [f for f in state.schema.fields
                        if f.name not in have]

@@ -140,6 +140,13 @@ class DeltaFollower:
                 f"out from under the follower (a table cannot be "
                 f"re-created in place)")
         if cur is not None and latest == cur:
+            # quiescent source: nothing to merge, but a catalog_table
+            # configured AFTER the state was populated must still
+            # register (sync_catalog's CREATE is the expensive first
+            # call; once the table exists this probe is a no-op)
+            if self.catalog_table and not self.spark.catalog \
+                    .tableExists(self.catalog_table):
+                self.state.sync_catalog(self.catalog_table)
             return {"from": cur, "to": latest, "merged": False}
         try:
             batch = delta_as_changes(self.spark, self.source_path,

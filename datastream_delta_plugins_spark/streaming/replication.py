@@ -270,13 +270,14 @@ class ReplicationJob:
             if fol is not None:
                 # delta-sourced table: one offset-tracked poll IS the
                 # cycle (backfill on first contact, windowed after).
-                # A source whose _delta_log does not exist yet is a
-                # not-yet-started backfill, not a cycle-killing error
-                # — the same tolerance the parquet path gives a
-                # missing source dir below
+                # ONLY the typed empty-log case is tolerated (a
+                # not-yet-started backfill — the parquet path's
+                # missing-dir tolerance below); a present-but-broken
+                # log raises through, never a silent skip
+                from ..sources.delta_reader import NoDeltaLogError
                 try:
                     fol.poll()
-                except FileNotFoundError:
+                except NoDeltaLogError:
                     pass
                 continue
             pipe = self.pipelines[name]
@@ -397,15 +398,17 @@ class ReplicationJob:
         self._ensure_database()
         self.converter_errors = {}
         queries = []
+        from ..sources.delta_reader import NoDeltaLogError
         for name, fol in self.followers.items():
             # delta-sourced tables have no streaming query; apply the
             # current backlog now (the converters' convert_new()
             # analog) and let the scan-interval loop keep polling. A
-            # source not yet created is recorded and retried on the
-            # cadence, never a startup abort.
+            # source not yet created (typed empty-log case only) is
+            # recorded and retried on the cadence; a broken log
+            # aborts startup loudly.
             try:
                 fol.poll()
-            except FileNotFoundError as e:
+            except NoDeltaLogError as e:
                 self.converter_errors[name] = e
         for name, cfg in self.tables.items():
             if name in self.followers:

@@ -1304,3 +1304,48 @@ def test_skip_keep_fn_uses_physical_keys_in_id_mode():
     keep = _skip_keep_fn(snap, [("part", "=", 1)])
     assert keep({"partitionValues": {"col-p": "1"}})
     assert not keep({"partitionValues": {"col-p": "2"}})
+
+
+def test_stats_pruning_same_exactness_class_only():
+    """The stats half of skip pruning obeys the same cross-engine
+    comparison rule as partition values: stats deserialize from JSON
+    as int/float, and a cross-class Python compare (Decimal literal
+    vs float stat, 2**53-scale int vs float) can prove 'empty' where
+    Spark's promoted residual compare keeps rows — such conjuncts
+    must KEEP the file."""
+    from decimal import Decimal
+
+    from datastream_delta_plugins_spark.sources.delta_reader import \
+        _stats_survive
+    add = {"stats": json.dumps({"numRecords": 1,
+                                "minValues": {"d": 1.1},
+                                "maxValues": {"d": 1.1}})}
+    # Decimal('1.1') > float 1.1 in Python (float is 1.100000...0009)
+    # would prune on '=', but Spark's decimal=double promotion matches
+    assert _stats_survive(add, [("d", "=", Decimal("1.1"))], {})
+    # same-class float compare still prunes
+    assert not _stats_survive(add, [("d", "=", 2.5)], {})
+    big = {"stats": json.dumps({"minValues": {"k": 2**53 + 1},
+                                "maxValues": {"k": 2**53 + 1}})}
+    # float literal vs big int stat: Python exact (would prune),
+    # Spark double-promotes both to 2**53 (keeps) -> must keep
+    assert _stats_survive(big, [("k", "=", float(2**53))], {})
+    assert not _stats_survive(big, [("k", "=", 5)], {})
+
+
+def test_no_delta_log_error_is_typed(spark, tmp_path):
+    """Empty/absent logs raise the TYPED NoDeltaLogError; broken logs
+    raise LogPrunedError — callers that tolerate 'not created yet'
+    must be able to catch exactly that without also swallowing
+    breakage."""
+    from datastream_delta_plugins_spark.sources.delta_reader import (
+        LogPrunedError, NoDeltaLogError)
+    with pytest.raises(NoDeltaLogError):
+        DeltaTable(spark, str(tmp_path / "nope")).read()
+    root = str(tmp_path / "pl")
+    _write_plain_delta(root, [{"a.parquet": [(1, "one")]},
+                              {"b.parquet": [(2, "two")]}])
+    os.remove(os.path.join(root, "_delta_log", f"{0:020d}.json"))
+    with pytest.raises(LogPrunedError):
+        DeltaTable(spark, root).read()
+    assert not issubclass(NoDeltaLogError, LogPrunedError)
