@@ -165,6 +165,9 @@ def avro_decode_mb_s(spark) -> tuple[float, float]:
 #: systematically ~1.3-1.5x slower — their one sort-heavy shuffle
 #: dominates and the extra scan tasks only add scheduling — while no
 #: events query gained.
+#: embeddings measured split-vs-unsplit in round 11 (s01 pair-min A/B:
+#: 0.34 s split / 0.33 s unsplit): the blocked screen is not
+#: scan-bound at this SF, so it stays single-file like events.
 _SPLIT_TABLES = ("orders.parquet", "lineitem.parquet",
                  "documents.parquet")
 

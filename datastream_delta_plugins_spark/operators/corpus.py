@@ -209,6 +209,10 @@ def pack_chunks(chunks: DataFrame, budget: int = 256,
             .orderBy(id_col, "chunk_idx")
             .rowsBetween(W.unboundedPreceding, W.currentRow))
     off = (F.sum("chunk_len").over(win) - F.col("chunk_len"))
+    # NOTE r11: a (part_col, _sub) fan_out ahead of this window was
+    # measured (interleaved pair-min A/B) at 0.30 s vs 0.25 s for c01
+    # — chunk tables are byte-light and the one-task pack sort is
+    # cheaper than a pinned-width exchange. AQE's coalescing stays.
     return (chunks.withColumn("_sub", sub)
                   .withColumn("pack_id",
                               (F.floor(off / F.lit(budget))

@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..plans.hints import auto_broadcast, presentation_sort as _psort
-from ..sources.tables import load_table
+from ..sources.tables import fan_out, load_table
 
 DEC = "decimal(18,4)"
 
@@ -134,7 +134,11 @@ def q05_inner_join(spark, sf_dir):
                     F.col("l_orderkey") == F.col("o_orderkey"))
               .groupBy("o_orderpriority")
               .agg(F.count(F.lit(1)).alias("c"))
-              .transform(lambda d: _psort(d, "o_orderpriority")))
+              # result_bounded: one row per order priority (enum
+              # domain), one-task-sortable at any SF — the static
+              # estimate is join-inflated here (see presentation_sort)
+              .transform(lambda d: _psort(d, "o_orderpriority",
+                                          result_bounded=True)))
 
 
 # --- Q06 multi-way join; nation is a fixed-size dim -> broadcast ---
@@ -170,7 +174,9 @@ def q06_multiway_join(spark, sf_dir):
                     F.col("c_nationkey") == F.col("n_nationkey"))
               .groupBy("n_name")
               .agg(F.round(_sum_s4(rev, 8), 4).cast("double").alias("rev"))
-              .transform(lambda d: _psort(d, "n_name")))
+              # result_bounded: one row per nation (25, fixed dim)
+              .transform(lambda d: _psort(d, "n_name",
+                                          result_bounded=True)))
 
 
 # --- Q07 left outer join + null-aware count ---
@@ -200,7 +206,10 @@ def q08_semi_anti(spark, sf_dir):
     anti = (c.join(o, c.c_custkey == o.o_custkey, "left_anti")
              .agg(F.count(F.lit(1)).alias("c"))
              .select(F.lit("anti").alias("op"), "c"))
-    return semi.union(anti).orderBy("op")
+    # two tagged count rows — result_bounded skips the
+    # join-inflated estimate (orderBy here planned a sampled range
+    # exchange to sort TWO rows)
+    return _psort(semi.union(anti), "op", result_bounded=True)
 
 
 # --- Q10 theta/range join (equi key + residual range predicate) ---
@@ -259,6 +268,10 @@ def q12_cube(spark, sf_dir):
 def q13_rank_window(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    # NOTE r11: a by-key fan_out ahead of this window was measured
+    # (interleaved pair-min A/B) at 0.35 s vs 0.30 s for this shape —
+    # the single row_number pass is too light to amortize the wider
+    # exchange, unlike q32's session window. Left as-is deliberately.
     return (o.select("o_custkey", "o_orderkey",
                      F.row_number().over(w).cast("bigint").alias("rn"))
              .where(F.col("rn") <= 3)
@@ -318,7 +331,11 @@ def q17_set_ops(spark, sf_dir):
                                   F.col("k").cast("bigint").alias("k"))
     exc = n.subtract(c).select(F.lit("except").alias("op"),
                                F.col("k").cast("bigint").alias("k"))
-    return _psort(union_cnt.union(inter).union(exc), "op", "k")
+    # result_bounded: rows bounded by the nation-key domain (<= 25
+    # per branch) — intersect/except plan as joins, whose inflated
+    # estimates otherwise force the sampled range sort
+    return _psort(union_cnt.union(inter).union(exc), "op", "k",
+                  result_bounded=True)
 
 
 # --- Q20 scalar functions (T2 coercions, T6 concat_ws, P7 date math) ---

@@ -31,7 +31,13 @@ def _asof_fill(u: DataFrame, on: Sequence[str], direction: str,
                carried_dsts: Sequence[str]) -> DataFrame:
     """Shared tail of both as-of forms: given the tagged union frame
     (on…, _ats, _is_l, _lrow, _rrow), window-fill the latest right row
-    onto each left row and project the joined output."""
+    onto each left row and project the joined output.
+
+    NOTE r11: a by-key fan_out ahead of this window was measured
+    (interleaved pair-min A/B) at 0.33 s vs 0.27 s for q31 — the
+    single fill pass is too light to amortize the pinned-width
+    exchange (contrast session_agg, where it wins 33%). Deliberately
+    left on AQE's byte-driven coalescing."""
     if direction == "backward":
         # right rows sort before left rows at equal ts -> <= matches
         w = (W.partitionBy(*on).orderBy(F.asc("_ats"), F.asc("_is_l"))
@@ -219,6 +225,13 @@ def session_agg(df: DataFrame, key_cols: Sequence[str], ts_col: str = "ts",
     if strategy != "lagcum":
         raise ValueError(f"unknown strategy {strategy!r}")
     gap_i = F.expr(f"INTERVAL {gap}")
+    # fan out by key: replaces (elides) the window's ENSURE exchange
+    # with an explicit-width one, so the per-key sort + lag/cumsum —
+    # compute-dense but byte-light — keeps the cores instead of being
+    # AQE-coalesced onto one task (measured single-task at sf0.1).
+    # The follow-up groupBy(key, _sid) still reuses the partitioning.
+    from ..sources.tables import fan_out
+    df = fan_out(df, by=list(key_cols))
     wo = W.partitionBy(*key_cols).orderBy(ts_col)
     wrun = wo.rowsBetween(W.unboundedPreceding, W.currentRow)
     prev = F.lag(ts_col).over(wo)

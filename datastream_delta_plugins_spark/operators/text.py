@@ -280,13 +280,30 @@ def _rep_frac_exprs(n_tok) -> tuple[F.Column, F.Column]:
     inputs, explode + groupBy(doc, gram) is the linear alternative at
     one shuffle's cost. Docs shorter than the n-gram report NULL.
     """
-    counts_bi = ("transform(array_distinct(_bi), "
-                 "x -> size(filter(_bi, y -> y = x)))")
-    counts_tri = ("transform(array_distinct(_tri), "
-                  "x -> size(filter(_tri, y -> y = x)))")
-    top_bi = F.expr(f"array_max({counts_bi})")
-    dup_tri = F.expr(f"aggregate({counts_tri}, 0, (acc, c) -> acc + "
-                     f"CASE WHEN c > 1 THEN c ELSE 0 END)")
+    # Sorted-run formulation (round 11): equal grams are adjacent
+    # after array_sort, so ONE O(n) fold computes the max run length
+    # (= the max per-gram count) and the duplicated-occurrence total
+    # (= sum of run lengths > 1; a run reaching length 2 contributes
+    # both occurrences, each further element one more). The previous
+    # shape — transform(array_distinct(g), x -> size(filter(g, ...)))
+    # — allocated a filtered array per DISTINCT gram: O(distinct x n)
+    # interpreted lambda steps, measured as HALF of t01's wall clock
+    # (0.42 s -> 0.22 s with these folds; the sort itself is native).
+    # Same integers by construction — run length == occurrence count.
+    top_bi = F.expr(
+        "aggregate(array_sort(_bi), "
+        "struct(CAST(NULL AS STRING) AS p, 0 AS r, 0 AS m), "
+        "(a, x) -> struct(x AS p, "
+        "IF(x <=> a.p, a.r + 1, 1) AS r, "
+        "GREATEST(a.m, IF(x <=> a.p, a.r + 1, 1)) AS m), "
+        "a -> a.m)")
+    dup_tri = F.expr(
+        "aggregate(array_sort(_tri), "
+        "struct(CAST(NULL AS STRING) AS p, 0 AS r, 0 AS d), "
+        "(a, x) -> struct(x AS p, "
+        "IF(x <=> a.p, a.r + 1, 1) AS r, "
+        "a.d + IF(x <=> a.p, IF(a.r = 1, 2, 1), 0) AS d), "
+        "a -> a.d)")
     top_bigram_frac = F.when(
         n_tok >= 2, top_bi.cast("double") / (n_tok - 1).cast("double"))
     dup_trigram_frac = F.when(

@@ -56,7 +56,8 @@ _PRESENTATION_THRESHOLD = 64 * 1024 * 1024
 
 
 def presentation_sort(df: DataFrame, *cols,
-                      threshold: int = _PRESENTATION_THRESHOLD) -> DataFrame:
+                      threshold: int = _PRESENTATION_THRESHOLD,
+                      result_bounded: bool = False) -> DataFrame:
     """Total-order a RESULT for delivery to a single consumer.
 
     A global `orderBy` plans a range exchange whose partitioner must
@@ -83,8 +84,23 @@ def presentation_sort(df: DataFrame, *cols,
     repartition(1) exchange: fusing there would collapse whatever
     compute sits below (a scan, a compute-dense projection above a
     bare fan-out repartition, a window) onto one task.
+
+    `result_bounded=True` is the caller's assertion that the result's
+    cardinality is bounded by a KEY DOMAIN, not by input size (a
+    groupBy over an enum-like key: order priorities, nation names,
+    return flags), so it stays one-task-sortable at ANY scale factor.
+    It exists because Catalyst's static size estimate INFLATES
+    multiplicatively through joins (measured: q05's 5-row
+    priority-count aggregate estimates at 1.5 TB behind one broadcast
+    join, vs 5 MB for the join-free q03), which silently pushes every
+    join-bearing small-result query onto the distributed range sort —
+    an extra sampling job plus a wide exchange to order a handful of
+    rows. The flag skips the unusable estimate; the fuse-vs-
+    repartition(1) routing below still applies. Never set it for
+    results that grow with the data (per-key outputs, pair lists
+    whose count follows the corpus).
     """
-    if plan_size_bytes(df) <= threshold:
+    if result_bounded or plan_size_bytes(df) <= threshold:
         if _reduces_before_sort(df):
             return df.coalesce(1).sortWithinPartitions(*cols)
         return df.repartition(1).sortWithinPartitions(*cols)

@@ -10,6 +10,8 @@ from __future__ import annotations
 
 import os
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -121,8 +123,24 @@ def _load_table_uncached(spark: SparkSession, path: str,
     return spark.read.parquet(path)
 
 
+def compute_width(spark: SparkSession) -> int:
+    """Partition count for COMPUTE-DENSE stages whose input bytes are
+    small: max(defaultParallelism, session shuffle partitions). AQE's
+    coalescing follows BYTES (advisory partition size), which is the
+    right rule for shuffle-bound stages but serializes a
+    compute-dense, byte-light stage onto one task (measured: q13's
+    rank window, q31's as-of fill and q32's session window all ran
+    their sort+window on a single task at sf0.1 — the shuffle is a
+    few MB). Pinning an explicit width keeps those stages on the
+    cores; at cluster scale sized_shuffle_partitions dominates the
+    max(), so the width follows the deployment's own sizing rather
+    than a local constant."""
+    return max(spark.sparkContext.defaultParallelism,
+               int(spark.conf.get("spark.sql.shuffle.partitions", "1")))
+
+
 def fan_out(df: DataFrame, target: int | None = None,
-            by: str | None = None) -> DataFrame:
+            by: str | Sequence[str] | None = None) -> DataFrame:
     """Repartition to the session's parallelism ahead of compute-heavy
     row-expansion stages (shingling, pairwise scoring, media decode).
 
@@ -132,17 +150,23 @@ def fan_out(df: DataFrame, target: int | None = None,
     already arrive in >= cores splits and the shuffle cost here is the
     input size — negligible next to the expansion it unblocks.
 
-    `by`: hash-partition on that column instead of round-robin. When
-    the downstream aggregation clusters on the same key (or a superset
-    — e.g. groupBy(doc_id, word) under a doc_id fan-out), the fan-out
-    exchange SATISFIES the aggregate's required distribution, so
-    Catalyst elides the aggregation's own shuffle: one exchange does
-    both jobs. Safe whenever `by` is near-unique (doc ids / vector
-    ids); a skewed key would undo the compute spreading.
+    `by`: hash-partition on that column (or column list) instead of
+    round-robin. When the downstream aggregation or window clusters on
+    the same key (or a superset — e.g. groupBy(doc_id, word) under a
+    doc_id fan-out), the fan-out exchange SATISFIES the operator's
+    required distribution, so Catalyst elides its own shuffle: one
+    exchange does both jobs. Safe whenever `by` is near-unique (doc
+    ids / vector ids); a skewed key would undo the compute spreading.
+
+    Default width is compute_width: explicit partition counts are not
+    AQE-coalesced, so a byte-light compute-dense stage keeps the
+    cores busy instead of collapsing to one post-shuffle task.
     """
-    target = target or df.sparkSession.sparkContext.defaultParallelism
+    target = target or compute_width(df.sparkSession)
     if by is not None:
-        return df.repartition(target, F.col(by))
+        cols = [F.col(by)] if isinstance(by, str) else \
+            [F.col(c) for c in by]
+        return df.repartition(target, *cols)
     return df.repartition(target)
 
 
