@@ -432,15 +432,19 @@ def q41_grouping_sets(spark, sf_dir):
     rollup/cube): {(status), (priority), ()} with grouping_id
     disambiguating the all-null rows."""
     _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
-    return spark.sql("""
+    # the ORDER BY lives in presentation_sort (result_bounded: one row
+    # per grouping-set member of two enum-like keys) — the SQL-level
+    # ORDER BY planned a sampled range exchange to sort nine rows
+    return _psort(spark.sql("""
         SELECT o_orderstatus, o_orderpriority,
                CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT)
                  AS gid,
                count(*) AS c
         FROM orders
-        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
-        ORDER BY gid, o_orderstatus NULLS FIRST,
-                 o_orderpriority NULLS FIRST, c""")
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())"""),
+                  "gid", F.col("o_orderstatus").asc_nulls_first(),
+                  F.col("o_orderpriority").asc_nulls_first(), "c",
+                  result_bounded=True)
 
 
 # --- Q39 RANGE window frame (value-based running aggregate) ---

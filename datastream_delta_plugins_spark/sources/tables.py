@@ -78,14 +78,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def _schema_from_footer(spark: SparkSession, path: str):
     """Parquet schema read driver-side (pyarrow footer, ~ms) instead of
     Spark's 1-task inference job — the dominant first-touch cost of a
-    cold query is one such job per table referenced. Returns None when
-    the footer carries types Spark's arrow mapping can't express or the
-    path is a multi-file directory (fall back to inference)."""
+    cold query is one such job per table referenced. Directories read
+    the first data file's footer, the same single-footer sample
+    Spark's own inference uses when mergeSchema is off (round 11: the
+    bench's split fact tables are directories, so every COLD query was
+    paying the inference job this fast path exists to remove). Returns
+    None when the footer carries types Spark's arrow mapping can't
+    express or no data file is found (fall back to inference)."""
     try:
         import pyarrow.parquet as pq
         from pyspark.sql.pandas.types import from_arrow_schema
         if not os.path.isfile(path):
-            return None
+            if not os.path.isdir(path):
+                return None
+            data = sorted(f for f in os.listdir(path)
+                          if not f.startswith((".", "_")))
+            if not data:
+                return None
+            path = os.path.join(path, data[0])
         arrow = pq.read_schema(path)
         if any(getattr(f.type, "unit", None) == "ns" for f in arrow):
             return None  # nanos timestamps need the legacy long read
