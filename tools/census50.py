@@ -1,0 +1,80 @@
+"""Round-11 whole-surface plan census (guide §1/§4/§7.2, round record §4).
+
+Walks EVERY declared query in `__spark_entry__.queries()` at a small SF,
+captures the formatted physical plan, and emits one JSON line with a
+per-query node census:
+
+  exchanges       Exchange nodes (static plan, pre-AQE)
+  range_sorts     rangepartitioning exchanges (sampled range sort)
+  bhj / smj / shj join strategy nodes
+  python_scalar   BatchEvalPython (row-at-a-time Python — must be 0)
+  python_arrow    ArrowEvalPython + MapInArrow/MapInPandas (the
+                  deliberate Arrow-batched codec/screen boundary)
+  pushed_filters  scans whose PushedFilters list is non-empty
+
+This is the committed evidence for the round record's census claims
+("zero BatchEvalPython anywhere in the 50-query surface"; SMJ confined
+to scale-growing pair/diff joins; range sorts only where results grow
+with data). Usage: python tools/census50.py [sf_dir] > plans/r11/census50.json
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import __spark_entry__ as entrymod  # noqa: E402
+from datastream_delta_plugins_spark.session import get_spark  # noqa: E402
+
+
+def census_of(plan: str) -> dict:
+    def n(pat: str) -> int:
+        return len(re.findall(pat, plan))
+
+    scans = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    return {
+        "exchanges": n(r"\bExchange\b"),
+        "range_sorts": n(r"Exchange rangepartitioning"),
+        "bhj": n(r"\bBroadcastHashJoin\b"),
+        "smj": n(r"\bSortMergeJoin\b"),
+        "shj": n(r"\bShuffledHashJoin\b"),
+        "python_scalar": n(r"\bBatchEvalPython\b"),
+        "python_arrow": (n(r"\bArrowEvalPython\b") + n(r"\bMapInArrow\b")
+                         + n(r"\bMapInPandas\b")),
+        "pushed_filters": sum(1 for s in scans if s.strip()),
+        "scans": n(r"Scan parquet"),
+    }
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark("census50")
+    qs = entrymod.queries()
+    out: dict[str, dict] = {}
+    for name, fn in qs.items():
+        df = fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode
+            .fromString("formatted"))
+        out[name] = census_of(plan)
+    summary = {
+        "n_queries": len(out),
+        "total_python_scalar": sum(v["python_scalar"] for v in out.values()),
+        "queries_with_python_arrow": sorted(
+            k for k, v in out.items() if v["python_arrow"]),
+        "queries_with_smj": sorted(k for k, v in out.items() if v["smj"]),
+        "queries_with_range_sort": sorted(
+            k for k, v in out.items() if v["range_sorts"]),
+    }
+    print(json.dumps({"sf_dir": sf_dir, "summary": summary,
+                      "census": out}, indent=1, sort_keys=True))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
