@@ -260,9 +260,30 @@ def main() -> None:
     # result transfer.
     def run(short, name, registry):
         df = registry[name](spark, bench_sf_dir)
+        spark.sparkContext.setJobDescription(f"bench:{short}")
         t0 = time.perf_counter()
         df.write.format("noop").mode("overwrite").save()
-        return time.perf_counter() - t0
+        dt = time.perf_counter() - t0
+        spark.sparkContext.setJobDescription(None)
+        return dt
+
+    # r12 measurement-bug fix (disclosed; VERDICT r11 "what's wrong"
+    # item 1): the HEADLINE warm number previously let the dedup
+    # operators' tracked-persist generations survive ACROSS timed
+    # repetitions, so repeat runs of d03/d06 were handed the previous
+    # run's persisted signature/span rows — roughly half of warm d03
+    # was cache hit, not pipeline. The headline `queries`/`value` now
+    # release those generations BEFORE EVERY timed run (the persist
+    # still serves its real purpose — reuse across join branches
+    # WITHIN one query execution), so warm == "fresh query on a warm
+    # JVM". The old methodology is still published unchanged as
+    # `queries_warm_cached`/`value_warm_cached` (cross-run persist
+    # reuse allowed — the interactive repeat-query latency number, and
+    # the like-for-like continuation of rounds <= 11).
+    def run_warm(short, name, registry):
+        from datastream_delta_plugins_spark.operators import dedup
+        dedup.release_caches()
+        return run(short, name, registry)
 
     # Host-load telemetry (round-10): BENCH_r09's ingest numbers halved
     # purely from afternoon contention bursts (loadavg 20-25 every ~8
@@ -302,8 +323,8 @@ def main() -> None:
     for p in range(8):
         pass_total = 0.0
         for short, name, registry in HEADLINE:
-            dt = min(run(short, name, registry),
-                     run(short, name, registry))
+            dt = min(run_warm(short, name, registry),
+                     run_warm(short, name, registry))
             pass_total += dt
             if dt < best.get(short, float("inf")):
                 best[short] = dt
@@ -316,6 +337,29 @@ def main() -> None:
 
     timings = {short: round(best[short], 4) for short, _, _ in HEADLINE}
     total = sum(best.values())
+
+    # old (rounds <= 11) warm methodology, unchanged: cross-repetition
+    # persist reuse allowed — see the run_warm comment
+    best_cached: dict[str, float] = {}
+    prev_total = float("inf")
+    cached_pass_totals: list[float] = []
+    for p in range(8):
+        pass_total = 0.0
+        for short, name, registry in HEADLINE:
+            dt = min(run(short, name, registry),
+                     run(short, name, registry))
+            pass_total += dt
+            if dt < best_cached.get(short, float("inf")):
+                best_cached[short] = dt
+        cached_pass_totals.append(round(pass_total, 3))
+        load_samples.append(_load1())
+        cur_total = sum(best_cached.values())
+        if p >= 2 and cur_total > prev_total * 0.99:
+            break
+        prev_total = cur_total
+    timings_cached = {short: round(best_cached[short], 4)
+                      for short, _, _ in HEADLINE}
+    total_cached = sum(best_cached.values())
 
     # COLD passes: the warm number above benefits from two
     # staleness-guarded caches (the tracked-persist warm-generation
@@ -365,6 +409,71 @@ def main() -> None:
                     for short, _, _ in HEADLINE}
     total_cold = sum(best_cold.values())
 
+    # Scaling-contract telemetry (r12, VERDICT item 2): one labeled
+    # census pass OUTSIDE the timed loops records, per query, the Spark
+    # job/stage/task counts and (when the status store exposes it) the
+    # summed executor task time. Together with `default_parallelism`
+    # (== the local[$SPARK_GRAFT_CPUS] core count the session actually
+    # runs with) this decomposes each query into scheduling floor
+    # (jobs x ~60-90 ms local job launch) vs genuine compute
+    # (task_time_ms / cpus), so a lower-core driver run can verify the
+    # engine parallelizes: floor-bound queries show wall ~= jobs*floor
+    # at ANY core count, compute-bound ones show task_time >> wall.
+    def _task_census() -> dict:
+        from datastream_delta_plugins_spark.operators import dedup
+        sc = spark.sparkContext
+        tracker = sc.statusTracker()
+        out: dict[str, dict] = {}
+        for short, name, registry in HEADLINE:
+            dedup.release_caches()
+            df = registry[name](spark, bench_sf_dir)
+            group = f"census_{short}"
+            sc.setJobGroup(group, name)
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            wall = time.perf_counter() - t0
+            sc.setJobGroup("bench_idle", "idle")
+            jobs = tracker.getJobIdsForGroup(group)
+            n_stages = n_tasks = 0
+            run_ms = 0
+            seen: set[int] = set()
+            for j in jobs:
+                ji = tracker.getJobInfo(j)
+                if ji is None:
+                    continue
+                for s in ji.stageIds:
+                    if s in seen:
+                        continue
+                    seen.add(s)
+                    si = tracker.getStageInfo(s)
+                    if si is not None and si.numCompletedTasks > 0:
+                        n_stages += 1
+                        n_tasks += si.numCompletedTasks
+                        try:  # executor task time via the status store
+                            jstore = sc._jsc.sc().statusStore()
+                            empty = sc._jvm.java.util.Collections.emptyList()
+                            quantiles = sc._gateway.new_array(
+                                sc._jvm.double, 0)
+                            for att in _scala_seq(jstore.stageData(
+                                    s, False, empty, False, quantiles)):
+                                run_ms += att.executorRunTime()
+                        except Exception:
+                            run_ms = -1
+            out[short] = {"wall_sec": round(wall, 4), "jobs": len(jobs),
+                          "stages": n_stages, "tasks": n_tasks,
+                          "task_time_ms": run_ms}
+        return out
+
+    def _scala_seq(seq):
+        it = seq.iterator()
+        while it.hasNext():
+            yield it.next()
+
+    try:
+        census = _task_census()
+    except Exception as e:  # noqa: BLE001 - telemetry must never fail the bench
+        census = {"error": repr(e)}
+
     avro_rate, avro_conv_rate = avro_decode_mb_s(spark)
     load_samples.append(_load1())
     load.update({
@@ -375,16 +484,22 @@ def main() -> None:
         # every query saw a quiet window; a pass-total spike pinpoints
         # the burst a reader should discount
         "warm_pass_totals": warm_pass_totals,
+        "warm_cached_pass_totals": cached_pass_totals,
         "cold_pass_totals": cold_pass_totals,
     })
 
     print(json.dumps({
         "metric": "headline_queries_total_wall",
         "value": round(total, 4),
+        "value_warm_cached": round(total_cached, 4),
         "value_cold": round(total_cold, 4),
         "unit": "sec",
         "queries": timings,
+        "queries_warm_cached": timings_cached,
         "queries_cold": timings_cold,
+        "default_parallelism": spark.sparkContext.defaultParallelism,
+        "shuffle_partitions": sp,
+        "task_census": census,
         "avro_decode_mb_s": round(avro_rate, 1),
         "avro_convert_mb_s": round(avro_conv_rate, 1),
         "load": load,

@@ -426,6 +426,18 @@ def minhash_lsh_pairs(df: DataFrame, threshold: float = 0.8,
     # Jaccard up to 64-bit xxhash64 collisions (expected false-common
     # rate << 1e-6 corpus-wide); n_sh keeps the string-distinct
     # denominator.
+    #
+    # NOTE r12 (negative result, kept for the record): restructuring
+    # these joins so both build sides are ONE canonical projection
+    # (renames above the join instead of per-side aliases below it)
+    # was built, parity-proven at two SFs, and A/B'd — it does NOT
+    # buy broadcast reuse. Under AQE each join side wraps the cached
+    # signature scan in its own TableCacheQueryStage and the stage
+    # cache never collapses them (verified in the isFinalPlan=true
+    # plan: two BroadcastQueryStages over the same InMemoryRelation);
+    # with AQE off, Spark's ReuseExchange already canonicalizes away
+    # the per-side aliases and BOTH shapes plan ReusedExchange(1).
+    # The rewrite was a provable no-op and was reverted.
     a = sig.select(F.col(id_col).alias("i"), F.col("_hset").alias("_sa"),
                    F.col("n_sh").alias("_na"))
     b = sig.select(F.col(id_col).alias("j"), F.col("_hset").alias("_sb"),

@@ -369,15 +369,23 @@ def t02_lang_id(spark, sf_dir):
     join. The scrub counts run over _pii_sample_col-synthesized text
     (the corpus has none), so the regex counting path is value-gated
     by the driver, not just unit-tested."""
-    sig = text.doc_signature(load_table(spark, sf_dir, "documents"))
+    # r12: the scrub counts are fused into doc_signature's projection
+    # (pii_count_cols over the doc_id-synthesized text — both sides
+    # are row-local signals over the SAME documents scan). The
+    # previous shape computed them in a second scan and joined back on
+    # doc_id: a full corpus self-join (the plan's only SortMergeJoin
+    # class — both sides grow with data) to attach values that never
+    # needed a shuffle. Values identical (pii_count_cols counts
+    # sequentially exactly like pii_scrub); the final select restores
+    # the declared column order, so schema and rows match the oracle
+    # byte-for-byte.
+    sig = text.doc_signature(
+        load_table(spark, sf_dir, "documents"),
+        extra_cols=text.pii_count_cols(_pii_sample_col()))
     top = (text.salient_terms(_docs(spark, sf_dir), k=1)
            .select("doc_id", F.col("term").alias("top_term"),
                    F.col("tf").alias("top_term_tf"),
                    F.col("df_t").alias("top_term_df")))
-    synth = load_table(spark, sf_dir, "documents") \
-        .select("doc_id", _pii_sample_col().alias("text"))
-    scrub = text.pii_scrub(synth).select(
-        "doc_id", "n_emails", "n_urls", "n_phones")
     # bigram-LM evidence sums (self-trained): the exact-integer half
     # of bigram_lm_score — bigram multiplicity, train-count joins, and
     # the per-doc aggregation all ride the driver hash gate; only the
@@ -387,7 +395,12 @@ def t02_lang_id(spark, sf_dir):
                   F.col("c2_sum").alias("lm_c2_sum"),
                   F.col("c1_sum").alias("lm_c1_sum")))
     return _psort(sig.join(top, "doc_id", "left")
-                     .join(scrub, "doc_id").join(lm, "doc_id", "left"),
+                     .join(lm, "doc_id", "left")
+                     .select("doc_id", "pred_lang", "score", "fp",
+                             "min_shingle_hash", "top_term",
+                             "top_term_tf", "top_term_df", "n_emails",
+                             "n_urls", "n_phones", "lm_bigrams",
+                             "lm_c2_sum", "lm_c1_sum"),
                   "doc_id")
 
 

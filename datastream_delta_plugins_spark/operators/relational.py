@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..plans.hints import auto_broadcast, presentation_sort as _psort
-from ..sources.tables import fan_out, load_table
+from ..sources.tables import load_table
 
 DEC = "decimal(18,4)"
 

@@ -167,12 +167,20 @@ def text_profile(df: DataFrame, text_col: str = "text",
 
 
 def doc_signature(df: DataFrame, text_col: str = "text",
-                  id_col: str = "doc_id", n: int = 3) -> DataFrame:
+                  id_col: str = "doc_id", n: int = 3,
+                  extra_cols: tuple = ()) -> DataFrame:
     """lang_id + fingerprint columns from a single projection. The
     min-shingle-hash is row-local here (array_min over the per-row
     distinct-shingle array) instead of fingerprint()'s explode +
     groupBy + join — same values, no shuffle. Docs shorter than `n`
-    words get NULL, matching fingerprint()'s left join."""
+    words get NULL, matching fingerprint()'s left join.
+
+    `extra_cols`: additional scan-local Column expressions appended to
+    the same projection (they may reference `id_col`). Lets a caller
+    fuse other row-local per-doc signals (e.g. pii_count_cols) into
+    this pass instead of computing them in a second scan joined back
+    on the id — that join is a full self-join of the corpus (sort
+    merge at scale) for values that never needed a shuffle at all."""
     w = words_col(text_col)
     base = df.select(F.col(id_col), norm_text(text_col).alias("_t"),
                      w.alias("_w"))
@@ -192,7 +200,8 @@ def doc_signature(df: DataFrame, text_col: str = "text",
                        pred.alias("pred_lang"),
                        m.alias("score"),
                        F.md5(F.col("_t").cast("binary")).alias("fp"),
-                       min_sh.alias("min_shingle_hash"))
+                       min_sh.alias("min_shingle_hash"),
+                       *extra_cols)
 
 
 def token_count(df: DataFrame, text_col: str = "text",
@@ -344,6 +353,21 @@ def pii_scrub_col(text_col: str = "text") -> F.Column:
     for kind, pat in PII_PATTERNS.items():
         scrubbed = F.regexp_replace(scrubbed, pat, f"<{kind.upper()}>")
     return scrubbed
+
+
+def pii_count_cols(text: F.Column) -> tuple[F.Column, ...]:
+    """The three redaction-count expressions alone (n_emails, n_urls,
+    n_phones), scan-local and joinless. Counting is SEQUENTIAL exactly
+    like pii_scrub: each count runs over the text as already scrubbed
+    by the previous patterns, so the values are identical to
+    pii_scrub()'s on the same input."""
+    out = []
+    cur = text
+    for kind, pat in PII_PATTERNS.items():
+        out.append(F.size(F.regexp_extract_all(cur, F.lit(pat), 0))
+                    .cast("bigint").alias(f"n_{kind}s"))
+        cur = F.regexp_replace(cur, pat, f"<{kind.upper()}>")
+    return tuple(out)
 
 
 def pii_scrub(df: DataFrame, text_col: str = "text",

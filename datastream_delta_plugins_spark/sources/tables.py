@@ -91,6 +91,12 @@ def _schema_from_footer(spark: SparkSession, path: str):
         if not os.path.isfile(path):
             if not os.path.isdir(path):
                 return None
+            if spark.conf.get("spark.sql.parquet.mergeSchema",
+                              "false").lower() == "true":
+                # a first-file footer would silently drop columns that
+                # exist only in other part files; let Spark's own
+                # merging inference run instead
+                return None
             data = sorted(f for f in os.listdir(path)
                           if not f.startswith((".", "_")))
             if not data:
@@ -145,8 +151,13 @@ def compute_width(spark: SparkSession) -> int:
     cores; at cluster scale sized_shuffle_partitions dominates the
     max(), so the width follows the deployment's own sizing rather
     than a local constant."""
-    return max(spark.sparkContext.defaultParallelism,
-               int(spark.conf.get("spark.sql.shuffle.partitions", "1")))
+    try:
+        sp = int(spark.conf.get("spark.sql.shuffle.partitions", "1"))
+    except ValueError:
+        # managed platforms set non-numeric values (e.g. "auto");
+        # defaultParallelism is the honest fallback width there
+        sp = spark.sparkContext.defaultParallelism
+    return max(spark.sparkContext.defaultParallelism, sp)
 
 
 def fan_out(df: DataFrame, target: int | None = None,

@@ -1,0 +1,57 @@
+"""Round-12 change verifier: oracle parity at BOTH small SFs plus a
+plan-shape check for the queries touched this round.
+
+Usage: python tools/verify_r12.py [query_short ...]
+  (default: d02 d03 t02)
+
+For each named query: assert oracle parity (the driver's own compare)
+at sf0.001 and sf0.01, then capture .explain("formatted") and print
+the Exchange / BroadcastExchange / ReusedExchange / SortMergeJoin
+node counts.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import __spark_entry__ as entry  # noqa: E402
+from datastream_delta_plugins_spark.session import get_spark  # noqa: E402
+from datastream_delta_plugins_spark.testing import (  # noqa: E402
+    assert_parity, duck_connection)
+
+QUERIES = entry.queries()
+ORACLES = entry.oracle_sql()
+
+
+def main() -> None:
+    shorts = sys.argv[1:] or ["d02", "d03", "t02"]
+    names = {s: next(n for n in QUERIES if n.startswith(s))
+             for s in shorts}
+    spark = get_spark("verify_r12", cpus=8)
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        con = duck_connection(sf_dir)
+        for s, name in names.items():
+            df = QUERIES[name](spark, sf_dir)
+            assert_parity(df, con, ORACLES[name], name)
+            print(f"PARITY OK  {name}  {sf_dir}")
+        con.close()
+    for s, name in names.items():
+        df = QUERIES[name](spark, "/root/testdata/sf0.01")
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode
+            .fromString("formatted"))
+        counts = {k: len(re.findall(rf"\b{k}\b", plan))
+                  for k in ("Exchange", "BroadcastExchange",
+                            "ReusedExchange", "SortMergeJoin",
+                            "BatchEvalPython")}
+        print(f"PLAN {name}: {counts}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
