@@ -420,35 +420,59 @@ def minhash_lsh_pairs(df: DataFrame, threshold: float = 0.8,
                   .select(F.explode_outer(pair_expr).alias("p"))
                   .select("p.i", "p.j")
                   .distinct())
-    # Verify against the signature table's hash sets: two
-    # equi-joins (AQE broadcasts the small pair list at runtime) and a
-    # row-local intersection. Same exact math as string-shingle
-    # Jaccard up to 64-bit xxhash64 collisions (expected false-common
-    # rate << 1e-6 corpus-wide); n_sh keeps the string-distinct
-    # denominator.
+    # Verify against the signature table's hash sets: a row-local
+    # intersection over the per-doc 64-bit hash sets. Same exact math
+    # as string-shingle Jaccard up to xxhash64 collisions (expected
+    # false-common rate << 1e-6 corpus-wide); n_sh keeps the
+    # string-distinct denominator.
     #
-    # NOTE r12 (negative result, kept for the record): restructuring
-    # these joins so both build sides are ONE canonical projection
-    # (renames above the join instead of per-side aliases below it)
-    # was built, parity-proven at two SFs, and A/B'd — it does NOT
-    # buy broadcast reuse. Under AQE each join side wraps the cached
-    # signature scan in its own TableCacheQueryStage and the stage
-    # cache never collapses them (verified in the isFinalPlan=true
-    # plan: two BroadcastQueryStages over the same InMemoryRelation);
-    # with AQE off, Spark's ReuseExchange already canonicalizes away
-    # the per-side aliases and BOTH shapes plan ReusedExchange(1).
-    # The rewrite was a provable no-op and was reverted.
-    a = sig.select(F.col(id_col).alias("i"), F.col("_hset").alias("_sa"),
-                   F.col("n_sh").alias("_na"))
-    b = sig.select(F.col(id_col).alias("j"), F.col("_hset").alias("_sb"),
-                   F.col("n_sh").alias("_nb"))
+    # r12 shape: MELT each candidate pair into its two (pair, side,
+    # id) rows, attach the per-doc verify payload with ONE equi-join
+    # against a single (id, _hset, n_sh) projection, then fold the two
+    # sides back onto one row with a pair-keyed aggregate and compute
+    # Jaccard there.
+    #
+    # Why one join instead of the former two (cand ⋈ sig-as-i ⋈
+    # sig-as-j): AQE wraps each join's cached-signature build side in
+    # its OWN TableCacheQueryStage and never collapses them (verified
+    # in the isFinalPlan=true executed plan — two BroadcastQueryStages
+    # materializing the SAME InMemoryRelation; a canonical-projection
+    # rewrite of the two-join shape was built, parity-proven, and
+    # measured a no-op before this — with AQE off, static
+    # ReuseExchange already handled BOTH shapes). The melt shape reads
+    # and broadcasts the heavy hset payload ONCE; the extra pair-keyed
+    # exchange carries 2 rows per CANDIDATE pair — collision-bound,
+    # orders of magnitude below the corpus at any scale, and at 100 TB
+    # (where no hset side fits a broadcast) it halves the number of
+    # corpus-payload shuffle joins from two to one. Measured (sf0.1,
+    # fresh caches, interleaved pair-min under load): jobs 11→10,
+    # median 1.77→1.19 s, results exactly equal (collect compare).
+    # Aggregates are deterministic: exactly one non-null row per
+    # (pair, side), so first(ignorenulls)/max pick the unique value.
+    v = sig.select(id_col, "_hset", "n_sh")
+    melt = (cand.select(F.explode(F.array(
+                F.struct(F.col("i"), F.col("j"),
+                         F.lit(0).alias("side"), F.col("i").alias("k")),
+                F.struct(F.col("i"), F.col("j"),
+                         F.lit(1).alias("side"), F.col("j").alias("k"))))
+                .alias("e"))
+                .select("e.*"))
+    joined = melt.join(v, melt["k"] == v[id_col])
+    agg = (joined.groupBy("i", "j")
+           .agg(F.max(F.when(F.col("side") == 0, F.col("n_sh")))
+                 .alias("_na"),
+                F.max(F.when(F.col("side") == 1, F.col("n_sh")))
+                 .alias("_nb"),
+                F.first(F.when(F.col("side") == 0, F.col("_hset")),
+                        ignorenulls=True).alias("_sa"),
+                F.first(F.when(F.col("side") == 1, F.col("_hset")),
+                        ignorenulls=True).alias("_sb")))
     common = F.size(F.array_intersect("_sa", "_sb"))
     # same integer->double op order as the exploded form / SQL oracle
     jac = (common.cast("double")
            / (F.col("_na") + F.col("_nb") - common).cast("double"))
-    return (cand.join(a, "i").join(b, "j")
-                .select("i", "j", jac.alias("jac"))
-                .where(F.col("jac") >= threshold))
+    return (agg.select("i", "j", jac.alias("jac"))
+               .where(F.col("jac") >= threshold))
 
 
 def simhash(df: DataFrame, text_col: str = "text",
